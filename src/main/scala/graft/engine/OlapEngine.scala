@@ -1,0 +1,324 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.manifest._
+import graft.model._
+import graft.functions.FnvHash64.fnvBucket
+
+/** The engine: catalog + manifests + routed write + snapshot read with
+  * key-model merge-on-read + compaction. This is the Spark-first re-expression
+  * of the reference's `StorageEngine` (src/storage.rs), `Tablet`/rowset layer
+  * (src/tablet.rs, src/meta.rs) and segment format (src/segment.rs): Parquet
+  * supplies pages/encodings/compression/zonemaps/blooms (SURVEY.md §2.1-2.3),
+  * Spark supplies scan/prune/merge execution, and this class supplies the
+  * layers the reference actually defines — placement, MVCC, model semantics.
+  *
+  * Physical layout (cf. reference src/storage.rs:108-115 path scheme):
+  * {{{
+  *   {warehouse}/{db}/{table}/r{rowsetId}/__graft_part=.../__graft_bucket=N/part-....parquet
+  * }}}
+  * Hive-style partition dirs give free read-side partition + bucket pruning;
+  * at 100 TB every (partition, bucket) pair is an independent unit for both
+  * scan parallelism and compaction, and no driver-side collect ever touches
+  * row data.
+  */
+final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
+
+  val catalog = new CatalogManager
+  private val manifests = TrieMap.empty[String, TableManifest]
+
+  // Internal column names (never leak out of scan()).
+  val PartCol = "__graft_part"
+  val BucketCol = "__graft_bucket"
+  val VersionCol = "__graft_version"
+  val SeqCol = "__graft_seq"
+
+  def tableRoot(db: String, table: String): Path = warehouse.resolve(db).resolve(table)
+
+  def manifest(db: String, table: String): TableManifest =
+    manifests.getOrElseUpdate(s"$db.$table", new TableManifest(tableRoot(db, table)))
+
+  def createDatabase(db: String): Unit = catalog.createDatabase(db)
+
+  def createTable(td: TableDef): TableDef = {
+    val created = catalog.createTable(td)
+    Files.createDirectories(tableRoot(td.db, td.name))
+    manifest(td.db, td.name) // init manifest
+    created
+  }
+
+  // --- write path ------------------------------------------------------------
+
+  /** Partition-name column for a row, evaluated distributed on executors —
+    * the vectorized form of the reference's `find_partition`
+    * (src/partition.rs:172-189). Range bounds compare as strings, exactly like
+    * the reference (src/partition.rs:180-184).
+    */
+  private def partitionNameCol(td: TableDef): Column = td.policy match {
+    case PartitionPolicy.Unpartitioned => lit(td.partitions.head.name)
+    case PartitionPolicy.Range =>
+      val key = col(td.partitionColumn.get).cast("string")
+      val sorted = td.partitions.sortBy(_.upperExclusive.getOrElse(RangeBound.MaxValue))
+      sorted.foldRight(lit(null: String): Column) { (p, elseCol) =>
+        when(key < lit(p.upperExclusive.getOrElse(RangeBound.MaxValue)), lit(p.name))
+          .otherwise(elseCol)
+      }
+    case PartitionPolicy.List =>
+      val key = col(td.partitionColumn.get).cast("string")
+      td.partitions.foldRight(lit(null: String): Column) { (p, elseCol) =>
+        when(key.isin(p.listValues.map(_.asInstanceOf[Any]): _*), lit(p.name))
+          .otherwise(elseCol)
+      }
+  }
+
+  private def bucketIdxCol(td: TableDef): Column = td.bucketType match {
+    case BucketType.Hash =>
+      // FNV-1a over the key string — byte-compatible with the reference's
+      // routing (src/partition.rs:30-38) via a codegen'd Catalyst expression.
+      fnvBucket(col(td.bucketColumn.get).cast("string"), td.numBuckets)
+    case BucketType.Random =>
+      // reference uses time-derived randomness (src/partition.rs:39-45);
+      // round-robin by Spark partition+offset is its deterministic analogue.
+      pmod(monotonically_increasing_id(), lit(td.numBuckets.toLong)).cast("int")
+  }
+
+  /** Routed ingest: route rows to (partition, bucket), sort within partitions
+    * by key columns (the short-key-locality analogue of the reference's
+    * sorted segments + short-key index, src/index/mod.rs:114-147 — Parquet
+    * min/max stats on sorted data give the same seek pruning), write one
+    * immutable rowset, publish it to the manifest (src/storage.rs:79-87).
+    *
+    * `version`: explicit [start,end] for replaying the reference's rowset
+    * fixtures; default = [max+1, max+1].
+    */
+  def ingest(db: String, table: String, df: DataFrame,
+             version: Option[Version] = None): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
+    val rowsetId = m.nextRowsetId
+    val relDir = s"r$rowsetId"
+    val outDir = tableRoot(db, table).resolve(relDir)
+
+    val keyNames = td.schema.keyNames
+    var routed = df
+      .withColumn(PartCol, partitionNameCol(td))
+      .withColumn(BucketCol, bucketIdxCol(td))
+    // __graft_seq: persisted load-order tiebreaker for Unique/Replace
+    // determinism *within* one rowset (the reference leaves this undefined —
+    // SURVEY.md §7 "hard parts"; we define it and persist it).
+    if (td.schema.keysType != KeysType.Duplicate)
+      routed = routed.withColumn(SeqCol, monotonically_increasing_id())
+
+    val sortCols = (Seq(PartCol, BucketCol) ++ keyNames).map(col)
+    var writer = routed
+      .repartition(col(PartCol), col(BucketCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode("errorifexists")
+      .partitionBy(PartCol, BucketCol)
+    // bloom filter on the leading key, cf. reference P3 (src/index/mod.rs:152-211)
+    keyNames.headOption.foreach { k =>
+      writer = writer.option(s"parquet.bloom.filter.enabled#$k", "true")
+    }
+    writer.parquet(outDir.toString)
+
+    val numRows = spark.read.parquet(outDir.toString).count()
+    val meta = RowsetMeta(rowsetId, v, relDir, numRows,
+      createdMs = System.currentTimeMillis())
+    m.publish(meta)
+    meta
+  }
+
+  // --- read path -------------------------------------------------------------
+
+  /** Raw union of the rowsets covering [lo,hi], with `__graft_version` stamped
+    * per rowset (reference read path: src/tablet.rs:131-144 → union of
+    * segment scans).
+    */
+  private def rawSnapshot(db: String, table: String, lo: Long, hi: Long): DataFrame = {
+    val m = manifest(db, table)
+    val rowsets = m.captureConsistentVersions(lo, hi)
+    val root = tableRoot(db, table)
+    rowsets.map { r =>
+      spark.read.parquet(root.resolve(r.relDir).toString)
+        .withColumn(VersionCol, lit(r.version.end))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Snapshot read with merge-on-read semantics (SURVEY.md §1.4). */
+  def snapshot(db: String, table: String, lo: Long, hi: Long): DataFrame = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    if (manifest(db, table).captureConsistentVersions(lo, hi).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema.toStructType)
+    td.schema.keysType match {
+      case KeysType.Duplicate =>
+        // No merge — union the rowset scans (hive partition discovery needs
+        // one root per read; AQE coalesces the union's partitions).
+        val m = manifest(db, table)
+        m.captureConsistentVersions(lo, hi)
+          .map(r => spark.read.parquet(tableRoot(db, table).resolve(r.relDir).toString))
+          .reduce(_ unionByName _)
+          .select(td.schema.columns.map(c => col(c.name)): _*)
+      case _ =>
+        MergeView(td, rawSnapshot(db, table, lo, hi), VersionCol, SeqCol)
+    }
+  }
+
+  /** Full-table scan at the latest visible snapshot. */
+  def scan(db: String, table: String): DataFrame = {
+    val m = manifest(db, table)
+    snapshot(db, table, m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L),
+      m.maxVersion)
+  }
+
+  /** Scan restricted to a set of named partitions. The filter lands on the
+    * hive partition column (`__graft_part`), so Spark prunes whole directory
+    * subtrees before any file is opened — the read-side completion of the
+    * reference's write-only `find_partition` (src/partition.rs:172-189). At
+    * 100 TB this is the difference between scanning one partition and all.
+    */
+  def scanPartitions(db: String, table: String, partNames: Seq[String]): DataFrame = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val hi = m.maxVersion
+    val pruned = rawSnapshot(db, table, lo, hi)
+      .filter(col(PartCol).isin(partNames.map(_.asInstanceOf[Any]): _*))
+    td.schema.keysType match {
+      case KeysType.Duplicate =>
+        pruned.select(td.schema.columns.map(c => col(c.name)): _*)
+      case _ => MergeView(td, pruned, VersionCol, SeqCol)
+    }
+  }
+
+  /** Raw physical layout view (incl. `__graft_part` / `__graft_bucket`) for
+    * placement introspection — the analogue of the reference's tablet routing
+    * probes (examples/basic_usage.rs:138-153).
+    */
+  def rawLayout(db: String, table: String): DataFrame = {
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    rawSnapshot(db, table, lo, m.maxVersion)
+  }
+
+  def hasVersionHoles(db: String, table: String, lo: Long, hi: Long): Boolean =
+    manifest(db, table).hasVersionHoles(lo, hi)
+
+  /** Route one key pair to its (partition, bucket) — the reference's
+    * `tablet_for_row` (src/table.rs:32-41).
+    */
+  def routeRow(db: String, table: String, partitionKey: String, bucketKey: String): (String, Int) =
+    catalog.getTable(db, table).get.route(partitionKey, bucketKey)
+
+  // --- compaction ------------------------------------------------------------
+
+  /** Compaction score = visible rowset count (reference: src/tablet.rs:147-152). */
+  def compactionScore(db: String, table: String): Double =
+    manifest(db, table).compactionScore
+
+  /** Top-N candidates by score across registered tables
+    * (reference: src/tablet.rs:223-236 + src/storage.rs:92-99, batch of 10).
+    */
+  def scheduleCompaction(topN: Int = 10): Seq[(String, Double)] =
+    manifests.keys.toSeq.sorted
+      .map(k => k -> manifests(k).compactionScore)
+      .sortBy(-_._2)
+      .take(topN)
+
+  /** Merge all visible rowsets into one (filling the reference's declared-but-
+    * absent C4 merge, SURVEY.md §2.6): read covering set → apply the key-model
+    * merge → write a single replacement rowset spanning the full version
+    * range → mark inputs stale. At scale each (partition, bucket) dir merges
+    * independently inside the one Spark job — no cross-bucket shuffle for
+    * Duplicate tables, and key-hash shuffle bounded per bucket otherwise.
+    */
+  def compact(db: String, table: String): RowsetMeta = {
+    val td = catalog.getTable(db, table).get
+    val m = manifest(db, table)
+    val inputs = m.visibleRowsets
+    require(inputs.nonEmpty, s"nothing to compact in $db.$table")
+    val lo = inputs.map(_.version.start).min
+    val hi = inputs.map(_.version.end).max
+    val merged = snapshot(db, table, lo, hi)
+    val rowsetId = m.nextRowsetId
+    val relDir = s"r$rowsetId"
+    val outDir = tableRoot(db, table).resolve(relDir)
+
+    var out = merged
+      .withColumn(PartCol, partitionNameCol(td))
+      .withColumn(BucketCol, bucketIdxCol(td))
+    if (td.schema.keysType != KeysType.Duplicate)
+      out = out.withColumn(SeqCol, monotonically_increasing_id())
+    out.repartition(col(PartCol), col(BucketCol))
+      .sortWithinPartitions((Seq(PartCol, BucketCol) ++ td.schema.keyNames).map(col): _*)
+      .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
+      .parquet(outDir.toString)
+
+    val numRows = spark.read.parquet(outDir.toString).count()
+    inputs.foreach(r => m.markStale(r.rowsetId))
+    val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
+      createdMs = System.currentTimeMillis())
+    m.publish(meta)
+    meta
+  }
+
+  /** Physically delete stale rowsets (deferred GC, reference V6 prep
+    * src/tablet.rs:155-165).
+    */
+  def gc(db: String, table: String): Seq[Long] = manifest(db, table).gc()
+}
+
+/** Key-model merge-on-read views (SURVEY.md §1.4; reference declares the
+  * semantics in src/common.rs:36-57 but ships no merge execution).
+  *
+  * Determinism contract: "latest version wins" uses (version, seq) where
+  * `seq` is the persisted per-rowset load-order id — ties inside one load are
+  * resolved by load order, documented here because the reference leaves it
+  * undefined (src/common.rs:40-41).
+  *
+  * Scale: both Unique and Aggregate merge compile to a single hash aggregate
+  * with map-side partial aggregation (one shuffle on the key columns) —
+  * deliberately `groupBy().agg(max_by/sum/min/max)` rather than a window
+  * (`row_number over partitionBy`), which would sort every partition and
+  * cannot partial-aggregate map-side.
+  */
+object MergeView {
+  def apply(td: TableDef, raw: DataFrame, versionCol: String, seqCol: String): DataFrame = {
+    val schema = td.schema
+    val keys = schema.keyNames.map(col)
+    val ord = struct(col(versionCol), col(seqCol))
+    val merged = schema.keysType match {
+      case KeysType.Duplicate =>
+        raw
+      case KeysType.Unique =>
+        // latest (version, seq) wins per key: single hash-agg via max_by.
+        val payload = struct(schema.valueNames.map(col): _*)
+        val agg0 = max_by(payload, ord).as("__graft_payload")
+        raw.groupBy(keys: _*).agg(agg0)
+          .select(schema.keyNames.map(col) ++
+            schema.valueNames.map(n => col(s"__graft_payload.$n").as(n)): _*)
+      case KeysType.Aggregate =>
+        val aggs = schema.valueColumns.map { c =>
+          val fn = c.agg match {
+            case AggType.Sum => sum(col(c.name))
+            case AggType.Min => min(col(c.name))
+            case AggType.Max => max(col(c.name))
+            // None on a value column of an Aggregate table behaves as Replace.
+            case AggType.Replace | AggType.None => max_by(col(c.name), ord)
+          }
+          fn.as(c.name)
+        }
+        raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    merged.select(schema.columns.map(c => col(c.name)): _*)
+  }
+}

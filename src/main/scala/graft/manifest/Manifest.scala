@@ -1,0 +1,154 @@
+package graft.manifest
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Rowset lifecycle states (reference: src/meta.rs:84-85,123-124). */
+sealed trait RowsetState { def name: String }
+object RowsetState {
+  case object Visible extends RowsetState { val name = "VISIBLE" }
+  case object Stale   extends RowsetState { val name = "STALE" }
+  def fromName(s: String): RowsetState =
+    if (s == "STALE") Stale else Visible
+}
+
+/** Immutable rowset metadata (reference: src/meta.rs:89-101). A rowset is the
+  * unit of load atomicity: one directory of parquet files covering a version
+  * interval. `relDir` is relative to the table root so manifests are
+  * relocatable.
+  */
+final case class RowsetMeta(
+    rowsetId: Long,
+    version: Version,
+    relDir: String,
+    numRows: Long,
+    state: RowsetState = RowsetState.Visible,
+    createdMs: Long = 0L)
+
+/** Per-table rowset manifest with MVCC snapshot resolution
+  * (replaces reference src/tablet.rs + src/meta.rs — SURVEY.md §2.5).
+  *
+  * Scale posture: the manifest holds O(#loads) entries of metadata, never row
+  * data, and lives on the driver. Commits are atomic (write temp + rename) so
+  * concurrent readers pin a consistent manifest version for a whole query —
+  * the analogue of the reference's tablet write lock (src/tablet.rs:116-128).
+  * At 100 TB the physical layout partitions data by (partition dir, bucket
+  * file); a single manifest file per table scales to ~1e5 loads; beyond that
+  * the relDir scheme allows sharding the manifest by table partition without
+  * changing readers.
+  */
+final class TableManifest(val tableRoot: Path) {
+  private implicit val formats: Formats = DefaultFormats
+  private val manifestPath = tableRoot.resolve("_manifest.json")
+  private val rowsets = mutable.LinkedHashMap.empty[Long, RowsetMeta]
+  private val graph = new VersionGraph
+  private var maxVersionV: Long = -1L
+
+  load()
+
+  def maxVersion: Long = synchronized(maxVersionV)
+
+  def allRowsets: Seq[RowsetMeta] = synchronized(rowsets.values.toSeq)
+  def visibleRowsets: Seq[RowsetMeta] =
+    synchronized(rowsets.values.filter(_.state == RowsetState.Visible).toSeq)
+
+  /** Publish a rowset: dedup by id, add version edge, bump max version,
+    * persist atomically (reference: src/tablet.rs:116-128, src/storage.rs:79-87).
+    * Duplicate rowset ids are rejected, mirroring src/tablet.rs:118-120.
+    */
+  def publish(meta: RowsetMeta): Unit = synchronized {
+    require(!rowsets.contains(meta.rowsetId), s"duplicate rowset id ${meta.rowsetId}")
+    rowsets(meta.rowsetId) = meta
+    graph.addEdge(meta.version)
+    maxVersionV = math.max(maxVersionV, meta.version.end)
+    persist()
+  }
+
+  /** Snapshot resolution: rowsets exactly covering `[lo, hi]`
+    * (reference: src/tablet.rs:131-144). Fails fast on version holes.
+    */
+  def captureConsistentVersions(lo: Long, hi: Long): Seq[RowsetMeta] = synchronized {
+    val path = graph.findCoveringPath(lo, hi).getOrElse(
+      throw new IllegalStateException(s"version hole: no covering path for [$lo,$hi]"))
+    path.map { v =>
+      rowsets.values
+        .find(r => r.state == RowsetState.Visible && r.version == v)
+        .getOrElse(throw new IllegalStateException(s"no visible rowset for $v"))
+    }
+  }
+
+  def hasVersionHoles(lo: Long, hi: Long): Boolean = synchronized(graph.hasVersionHoles(lo, hi))
+
+  /** Mark stale + drop its version edge; physical delete deferred to GC
+    * (reference: src/tablet.rs:155-165).
+    */
+  def markStale(rowsetId: Long): Unit = synchronized {
+    rowsets.get(rowsetId).foreach { r =>
+      if (r.state == RowsetState.Visible) {
+        rowsets(rowsetId) = r.copy(state = RowsetState.Stale)
+        graph.removeEdge(r.version)
+        persist()
+      }
+    }
+  }
+
+  /** Delete stale rowset directories and drop them from the manifest. */
+  def gc(): Seq[Long] = synchronized {
+    val stale = rowsets.values.filter(_.state == RowsetState.Stale).toSeq
+    stale.foreach { r =>
+      deleteRecursively(tableRoot.resolve(r.relDir))
+      rowsets.remove(r.rowsetId)
+    }
+    if (stale.nonEmpty) persist()
+    stale.map(_.rowsetId)
+  }
+
+  /** Compaction score = count of visible rowsets (reference: src/tablet.rs:147-152). */
+  def compactionScore: Double = synchronized(visibleRowsets.size.toDouble)
+
+  def nextRowsetId: Long = synchronized(if (rowsets.isEmpty) 1L else rowsets.keys.max + 1L)
+
+  // --- persistence -----------------------------------------------------------
+
+  private def persist(): Unit = {
+    Files.createDirectories(tableRoot)
+    val entries = rowsets.values.map { r =>
+      JObject(
+        "rowsetId" -> JLong(r.rowsetId), "start" -> JLong(r.version.start),
+        "end" -> JLong(r.version.end), "relDir" -> JString(r.relDir),
+        "numRows" -> JLong(r.numRows), "state" -> JString(r.state.name),
+        "createdMs" -> JLong(r.createdMs))
+    }
+    val doc = JObject("maxVersion" -> JLong(maxVersionV), "rowsets" -> JArray(entries.toList))
+    val tmp = tableRoot.resolve(s"_manifest.json.tmp${Thread.currentThread().getId}")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def load(): Unit = {
+    if (Files.exists(manifestPath)) {
+      val doc = JsonMethods.parse(Files.readString(manifestPath))
+      maxVersionV = (doc \ "maxVersion").extract[Long]
+      (doc \ "rowsets").extract[List[JValue]].foreach { j =>
+        val r = RowsetMeta(
+          (j \ "rowsetId").extract[Long],
+          Version((j \ "start").extract[Long], (j \ "end").extract[Long]),
+          (j \ "relDir").extract[String],
+          (j \ "numRows").extract[Long],
+          RowsetState.fromName((j \ "state").extract[String]),
+          (j \ "createdMs").extract[Long])
+        rowsets(r.rowsetId) = r
+        if (r.state == RowsetState.Visible) graph.addEdge(r.version)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+}

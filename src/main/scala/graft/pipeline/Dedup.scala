@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BitOps.{varShiftLeft, varShiftRight}
+
+/** Deduplication operators for large-scale training-data pipelines. All
+  * shapes are shuffle-bounded (group-by / band-bucket joins), never cross
+  * joins, so they survive 100 TB: candidate generation is O(n · bands) rows
+  * through a hash shuffle, and only candidates pay the exact-verify cost.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Normalized word array (lowercase, whitespace split). */
+  private def wordsCol(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Word k-gram shingles via higher-order functions (no UDF — stays
+    * columnar/codegen-friendly).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = wordsCol(text)
+    when(size(ws) < k, array(concat_ws(" ", ws)))
+      .otherwise(transform(
+        sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(j => get(ws, i + j)): _*)))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id as the
+    * canonical representative (pure hash aggregation — one shuffle).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("dup_count"), length(col("text")).as("n_chars"))
+
+  /** MinHash signature: array of `numHashes` minima of seeded 64-bit hashes
+    * over the shingle set. Seeded family h_i(s) = xxhash64(i || s).
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = array_distinct(shingles(text, k))
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit("|"), s)))))
+  }
+
+  /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
+    *
+    * Pipeline: signature → split into `bands` bands of `rowsPerBand` →
+    * explode → shuffle on (band, bandHash) → pairs within bucket → distinct →
+    * exact Jaccard verify on the shingle sets. Only bucket-mates are ever
+    * paired, so no O(n^2) stage exists.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        minhashSignature(col("text"), k, bands * rowsPerBand).as("sig"))
+
+    val banded = d.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("array<string>"))))).as(Seq("band", "bh")))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = docs(spark, dir).select(col("doc_id"),
+      array_distinct(shingles(col("text"), k)).as("sh"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the word multiset, built entirely from higher-order
+    * functions: per word, each bit contributes +1/-1; the signature takes the
+    * sign of each accumulated bit position.
+    */
+  def simhashCol(text: Column): Column = {
+    val hashes = transform(wordsCol(text), w => xxhash64(w))
+    val contrib = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(varShiftRight(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(contrib, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, varShiftLeft(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** SimHash near-dup groups: docs sharing the top-16-bit prefix band are
+    * candidates (a standard rotate-and-block scheme's first block).
+    */
+  def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+      .withColumn("band", shiftrightunsigned(col("simhash"), 48))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(col("n") > 1)
+      .select(col("band"), col("n"), col("members").cast("string").as("members"))
+
+  /** Word-set (1-gram) Jaccard similarity for pairs sharing a 20-char prefix
+    * block — the SQL-expressible exact near-dup check (oracle-verified);
+    * the blocking key bounds the join fan-out.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      substring(lower(col("text")), 1, 20).as("blk"),
+      array_distinct(wordsCol(col("text"))).as("ws"))
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.ws"), col("b.ws"))))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("a.ws")) + size(col("b.ws")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jac"), 4).as("jac"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
+    "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "q32_dedup_simhash" -> ((s: SparkSession, d: String) => simhashGroups(s, d)),
+    "q33_dedup_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count, length(text) AS n_chars
+        |FROM documents GROUP BY text""".stripMargin,
+    // q31/q32: hash-family-specific (xxhash64 seeds) — not expressible in
+    // DuckDB SQL; covered by ScalaTest invariants instead (rows-only here).
+    "q33_dedup_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(lower(text), 1, 20) AS blk,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3""".stripMargin,
+  )
+}

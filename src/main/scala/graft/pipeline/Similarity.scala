@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.BitOps.varShiftLeft
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *  - brute-force cosine top-k: exact baseline; broadcast the (small) query
+  *    set against the corpus — scales linearly in corpus size with no
+  *    corpus-side shuffle.
+  *  - LSH-bucketed (random hyperplanes): corpus hashed once into sign-bit
+  *    buckets; probes only join their bucket — the 100 TB path, where the
+  *    per-bucket candidate set is ~corpus/2^bits.
+  * All vector math uses `zip_with`/`aggregate` higher-order functions on
+  * doubles (deterministic left-to-right summation — reproducible across runs
+  * and engines).
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Deterministic left-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for a small probe set (vec_id < nProbes), ranked by
+    * cosine similarity with a deterministic id tiebreak.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     nProbes: Int = 8, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("pv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * xxhash64 mapped to [-1, 1).
+    */
+  private def planeWeight(plane: Column, d: Column): Column =
+    (xxhash64(concat(plane.cast("string"), lit(":"), d.cast("string")))
+      .cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit LSH signature of `nBits` random hyperplanes. */
+  def lshSignature(v: Column, nBits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), p => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeWeight(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, varShiftLeft(lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+
+  /** LSH-bucketed ANN: probes join only their signature bucket, then exact
+    * cosine re-ranks within the bucket. Recall is tunable via nBits (fewer
+    * bits = bigger buckets); at 100 TB add multi-probe by flipping bits.
+    */
+  def lshTopK(spark: SparkSession, dir: String,
+              nProbes: Int = 8, k: Int = 5, nBits: Int = 8): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nBits))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("sig").as("psig"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(probes, col("sig") === col("psig") && col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("pv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a high threshold, blocked by
+    * LSH bucket (no O(n^2) cross join).
+    */
+  def cosineNearDup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.25, nBits: Int = 6): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nBits))
+    e.as("a").join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "q35_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+    "q36_embed_near_dup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
+  )
+
+  /** Brute-force top-k is SQL-expressible in DuckDB via list_cosine_similarity
+    * (cast to DOUBLE[] to match our double math). LSH variants use our hash
+    * family — rows-only checks.
+    */
+  val oracles: Map[String, String] = Map(
+    "q34_ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+        |     s AS (SELECT probe_id, e.vec_id,
+        |             list_cosine_similarity(pv, v) AS sim,
+        |             row_number() OVER (PARTITION BY probe_id
+        |               ORDER BY list_cosine_similarity(pv, v) DESC, e.vec_id) AS rk
+        |           FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS sim, rk
+        |FROM s WHERE rk <= 5""".stripMargin,
+  )
+}

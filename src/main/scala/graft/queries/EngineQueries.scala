@@ -1,0 +1,197 @@
+package graft.queries
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.manifest.Version
+import graft.model._
+
+/** Engine fixture: one [[OlapEngine]] per (JVM, sfDir), with the reference's
+  * canonical table shapes (FIXTURES.md §1 mapped onto the driver's tables):
+  *
+  *  - `orders_dup`   Duplicate model, RANGE-partitioned on o_orderdate with 4
+  *                   FNV-1a hash buckets on o_orderkey, loaded as two rowsets
+  *                   v[0,1] (even keys) and v[2,3] (odd keys) — mirrors the
+  *                   reference's two-rowset snapshot fixture
+  *                   (examples/basic_usage.rs:222-249).
+  *  - `events_unique` Unique model keyed by event_id; base load v[1,1] plus an
+  *                   update load v[2,2] (every 10th event re-sent with
+  *                   value+1000) — latest version must win.
+  *  - `sales_agg`    Aggregate model keyed by l_orderkey with Sum/Max/Min
+  *                   value columns, loaded as two overlapping rowsets.
+  *  - `sales_agg_c`  Same, then compacted to a single rowset at build time
+  *                   (fills the reference's declared-but-absent merge, C4).
+  */
+object EngineFixture {
+  private val cache = TrieMap.empty[String, OlapEngine]
+
+  def get(spark: SparkSession, sfDir: String): OlapEngine =
+    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): OlapEngine = {
+    val wh = Files.createTempDirectory("graft-warehouse-")
+    val eng = new OlapEngine(spark, wh)
+    eng.createDatabase("graft")
+
+    // --- orders_dup: Duplicate + RANGE partitions + hash buckets ------------
+    val ordersSchema = TableSchema(KeysType.Duplicate, Seq(
+      ColumnSpec.key("o_orderkey", LongType),
+      ColumnSpec.value("o_custkey", LongType),
+      ColumnSpec.value("o_orderstatus", StringType),
+      ColumnSpec.value("o_totalprice", DoubleType),
+      ColumnSpec.value("o_orderdate", TimestampType),
+      ColumnSpec.value("o_orderpriority", StringType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_dup", schema = ordersSchema,
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("o_orderdate"),
+      partitions = Seq(
+        PartitionSpec("p0", upperExclusive = Some("1997-01-01"), numBuckets = 4),
+        PartitionSpec("p1", upperExclusive = Some("2000-01-01"), numBuckets = 4),
+        PartitionSpec("pmax", upperExclusive = None, numBuckets = 4)),
+      bucketColumn = Some("o_orderkey"),
+      numBuckets = 4))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    eng.ingest("graft", "orders_dup", orders.filter(col("o_orderkey") % 2 === 0),
+      Some(Version(0, 1)))
+    eng.ingest("graft", "orders_dup", orders.filter(col("o_orderkey") % 2 === 1),
+      Some(Version(2, 3)))
+
+    // --- events_unique: Unique model, latest version wins -------------------
+    val eventsSchema = TableSchema(KeysType.Unique, Seq(
+      ColumnSpec.key("event_id", LongType),
+      ColumnSpec.value("user_id", LongType),
+      ColumnSpec.value("event_type", StringType),
+      ColumnSpec.value("value", DoubleType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "events_unique", schema = eventsSchema,
+      bucketColumn = Some("event_id"), numBuckets = 4))
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    eng.ingest("graft", "events_unique", events, Some(Version(1, 1)))
+    eng.ingest("graft", "events_unique",
+      events.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      Some(Version(2, 2)))
+
+    // --- sales_agg: Aggregate model (Sum/Max/Min) ---------------------------
+    val salesSchema = TableSchema(KeysType.Aggregate, Seq(
+      ColumnSpec.key("l_orderkey", LongType),
+      ColumnSpec.value("qty", DoubleType, AggType.Sum),
+      ColumnSpec.value("max_price", DoubleType, AggType.Max),
+      ColumnSpec.value("min_disc", DoubleType, AggType.Min)))
+    def salesDf = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity").as("qty"),
+        col("l_extendedprice").as("max_price"), col("l_discount").as("min_disc"))
+    for (tbl <- Seq("sales_agg", "sales_agg_c")) {
+      eng.createTable(TableDef(
+        db = "graft", name = tbl, schema = salesSchema,
+        bucketColumn = Some("l_orderkey"), numBuckets = 4))
+      val df = salesDf
+      eng.ingest("graft", tbl, df.filter(col("l_orderkey") % 2 === 0), Some(Version(1, 1)))
+      eng.ingest("graft", tbl, df.filter(col("l_orderkey") % 2 === 1), Some(Version(2, 2)))
+    }
+    // compact the _c variant now so its query is pure read (and repeatable)
+    eng.compact("graft", "sales_agg_c")
+    eng.gc("graft", "sales_agg_c")
+    eng
+  }
+}
+
+/** Queries exercising the OLAP-engine semantics themselves: model merges,
+  * MVCC snapshot reads, partition pruning, FNV bucket routing, compaction.
+  */
+object EngineQueries {
+
+  private def dec(name: String) = col(name).cast("decimal(18,2)")
+
+  /** Full scan of the Duplicate-model table (two rowsets union-read). */
+  def dupScan(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "orders_dup")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
+  /** Snapshot [0,1]: only the first rowset (even order keys) must be visible
+    * (reference snapshot semantics, src/tablet.rs:131-144).
+    */
+  def snapshotV1(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).snapshot("graft", "orders_dup", 0, 1)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Unique-model merge-on-read: every 10th event must show its v2 value. */
+  def uniqueMerge(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "events_unique")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Aggregate-model merge-on-read: Sum/Max/Min across two rowsets. */
+  def aggModelMerge(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "sales_agg")
+      .select(col("l_orderkey"), dec("qty").as("qty"),
+        col("max_price"), col("min_disc"))
+
+  /** Same result after physical compaction — merge must be idempotent. */
+  def compactedScan(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "sales_agg_c")
+      .select(col("l_orderkey"), dec("qty").as("qty"),
+        col("max_price"), col("min_disc"))
+
+  /** Partition-pruned scan: only partition p0 (o_orderdate < 1997-01-01) is
+    * read — directory-level pruning via the hive partition column, the
+    * read-side completion of the reference's write-only `find_partition`
+    * (src/partition.rs:172-189).
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scanPartitions("graft", "orders_dup", Seq("p0"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  /** Bucket routing visibility: rows per (partition, bucket) — FNV-1a fidelity
+    * is covered by unit tests; no SQL oracle (DuckDB cannot express FNV-1a),
+    * so the driver records a rows-only check.
+    */
+  def bucketLayout(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.rawLayout("graft", "orders_dup")
+      .groupBy(col(eng.PartCol).as("part"), col(eng.BucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_engine_dup_scan" -> dupScan _,
+    "q21_engine_snapshot_v1" -> snapshotV1 _,
+    "q22_engine_unique_merge" -> uniqueMerge _,
+    "q23_engine_agg_merge" -> aggModelMerge _,
+    "q24_engine_compacted" -> compactedScan _,
+    "q25_engine_partition_prune" -> partitionPrune _,
+    "q26_engine_bucket_layout" -> bucketLayout _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_engine_dup_scan" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+    "q21_engine_snapshot_v1" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
+    "q22_engine_unique_merge" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+        |FROM events""".stripMargin,
+    "q23_engine_agg_merge" ->
+      """SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |  max(l_extendedprice) AS max_price, min(l_discount) AS min_disc
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q24_engine_compacted" ->
+      """SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |  max(l_extendedprice) AS max_price, min(l_discount) AS min_disc
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q25_engine_partition_prune" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    // q26_engine_bucket_layout: FNV-1a bucket hash not expressible in DuckDB
+    // SQL — rows-only check; hash fidelity asserted in FnvHashSpec.
+  )
+}

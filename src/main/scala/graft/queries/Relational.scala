@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator surface (SURVEY.md §2.11): scans, filters, joins
+  * of every flavor, aggregations, windows, sorts, set ops, scalar functions —
+  * all declarative DataFrame plans so Catalyst supplies pushdown, pruning,
+  * join selection, partial aggregation, and whole-stage codegen.
+  *
+  * Numeric policy for oracle parity: money aggregates are computed on
+  * `DECIMAL(18,2)` (exact arithmetic, bit-identical to DuckDB) rather than
+  * doubles, whose summation order would differ between engines at scale.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Projection + column pruning: the scan should read exactly 3 columns
+    * (reference S3 column-at-a-time scan, src/segment.rs:273-310).
+    */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** Filtered scan with pushdown (zonemap/bloom analogue — reference P2/P3,
+    * src/index/mod.rs:61-211; here Parquet row-group stats do the skipping).
+    * Shape of TPC-H Q6.
+    */
+  def filterScan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Hash aggregation with partial+final (TPC-H Q1 shape) — the executed form
+    * of the reference's declared Sum/Min/Max aggregate model (src/common.rs:54-57).
+    */
+  def aggQ1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .as("sum_disc_price"),
+        min(dec(col("l_extendedprice"))).as("min_price"),
+        max(dec(col("l_extendedprice"))).as("max_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Distinct aggregation. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** Broadcast hash join: `part` is the small build side — explicitly
+    * broadcast so no shuffle of the 100 TB fact side is ever needed.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Multi-way shuffle join (customer ⋈ orders ⋈ lineitem) — big-big joins
+    * shuffle on their keys; AQE handles skew at scale.
+    */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no very-large order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+  }
+
+  /** Range (non-equi) join predicate on top of an equi key. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty"))
+  }
+
+  /** Window: top-3 orders per status by price (row_number, deterministic
+    * tiebreak on key).
+    */
+  def windowTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Window: running sum per customer (frame = unbounded preceding..current). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).as("running_total"))
+  }
+
+  /** Global sort + limit (top-k). At scale Spark executes this as a
+    * TakeOrderedAndProject — no full global sort materialization.
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(25)
+
+  /** Set op: UNION (distinct). */
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_custkey").as("k"))
+      .union(t(spark, dir, "customer").select(col("c_custkey").as("k")))
+      .distinct()
+
+  /** Set op: INTERSECT. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .intersect(t(spark, dir, "orders").select(col("o_custkey").as("k")))
+
+  /** Set op: EXCEPT (customers minus customers with very large orders). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .except(t(spark, dir, "orders").filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("k")))
+
+  /** ROLLUP grouping sets. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** CUBE grouping sets. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).as("total"), count(lit(1)).as("n"))
+
+  /** Scalar function surface: string/date/math (reference has none —
+    * SURVEY.md §2.11 — all Spark built-ins).
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderpriority")).as("pri_len"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (dec(col("o_totalprice")) * lit(2).cast("decimal(18,2)")).as("dbl_price"),
+        abs(col("o_custkey") - lit(500)).as("cust_dist"))
+
+  /** Correlated scalar subquery shape: per-order share of its customer's total
+    * (decorrelated by Catalyst into a join + agg).
+    */
+  def subqueryAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val perCust = o.groupBy(col("o_custkey").as("k"))
+      .agg(sum(dec(col("o_totalprice"))).as("cust_total"))
+    o.filter(col("o_orderkey") < 2000)
+      .join(perCust, col("o_custkey") === col("k"))
+      .select(col("o_orderkey"), col("cust_total"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> scanProject _,
+    "q02_filter_scan" -> filterScan _,
+    "q03_agg_q1" -> aggQ1 _,
+    "q04_agg_distinct" -> aggDistinct _,
+    "q05_join_broadcast" -> joinBroadcast _,
+    "q06_join_shuffle" -> joinShuffle _,
+    "q07_join_semi" -> joinSemi _,
+    "q08_join_anti" -> joinAnti _,
+    "q09_join_range" -> joinRange _,
+    "q10_window_top3" -> windowTopPerGroup _,
+    "q11_window_running" -> windowRunning _,
+    "q12_topk" -> topK _,
+    "q13_set_union" -> setUnion _,
+    "q14_set_intersect" -> setIntersect _,
+    "q15_set_except" -> setExcept _,
+    "q16_rollup" -> rollupAgg _,
+    "q17_cube" -> cubeAgg _,
+    "q18_scalar_funcs" -> scalarFunctions _,
+    "q19_subquery_agg" -> subqueryAgg _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q02_filter_scan" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+        |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q04_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q05_join_broadcast" ->
+      """SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q06_join_shuffle" ->
+      """SELECT c_mktsegment,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  count(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q07_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q08_join_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)""".stripMargin,
+    "q09_join_range" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q10_window_top3" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "q12_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q13_set_union" ->
+      "SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer",
+    "q14_set_intersect" ->
+      "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders",
+    "q15_set_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0",
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q17_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q18_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  length(o_orderpriority) AS pri_len,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS dbl_price,
+        |  abs(o_custkey - 500) AS cust_dist
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+    "q19_subquery_agg" ->
+      """SELECT o_orderkey,
+        |  (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+        |   WHERE o2.o_custkey = o1.o_custkey) AS cust_total
+        |FROM orders o1 WHERE o_orderkey < 2000""".stripMargin,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface: the reference is batch-load-only (rowset
+  * publish, src/storage.rs:79-87), so streaming ingest is part of the
+  * "beyond the reference" pipeline capability. Local smoke uses file-source →
+  * memory-sink with `processAllAvailable`; the same plans run on Kafka/files
+  * with real triggers + watermarks at scale.
+  */
+object StreamingQueries {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Tumbling-window aggregation over the events stream: 1-hour windows per
+    * event_type with count + exact decimal sum. Deterministic because
+    * `processAllAvailable` drains the full (static) input.
+    */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.queries.Tables.eventsStream(spark, dir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming: session counting per user via mapGroupsWithState
+    * (30-minute inactivity gap). The group iterator is explicitly sorted so
+    * the result is deterministic regardless of partition order.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = graft.queries.Tables.eventsStream(spark, dir)
+      .select(col("user_id"), col("ts")).as[Ev]
+    val counted = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, SessionCount](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val ts = rows.map(_.ts.getTime).toArray.sorted
+          val gapMs = 30L * 60 * 1000
+          var sessions = if (ts.isEmpty) 0L else 1L
+          var i = 1
+          while (i < ts.length) {
+            if (ts(i) - ts(i - 1) > gapMs) sessions += 1
+            i += 1
+          }
+          state.update(sessions)
+          SessionCount(uid, sessions, ts.length.toLong)
+      }
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = counted.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
+    "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q42_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q43_stream_sessionize" ->
+      """SELECT user_id,
+        |  CAST(1 + sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    COALESCE(date_diff('millisecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts), 0) AS gap_ms
+        |  FROM events)
+        |GROUP BY user_id""".stripMargin,
+  )
+}
