@@ -40,12 +40,22 @@ object Dedup {
 
   /** MinHash signature: array of `numHashes` minima of seeded 64-bit hashes
     * over the shingle set. Seeded family h_i(s) = xxhash64(i || s).
+    *
+    * Shaped as explode(shingles) -> hash-aggregate of `numHashes` `min`s
+    * rather than a per-row nested higher-order function: the aggregate form
+    * stays in whole-stage codegen with map-side partial aggregation (the HOF
+    * form evaluates interpreted and was ~50x slower), and at 100 TB the
+    * exploded shingle stream shuffles only (id, 32 longs) per document.
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = array_distinct(shingles(text, k))
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit("|"), s)))))
+  def minhashSignatures(d: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int): DataFrame = {
+    val exploded = d.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), k))).as("__sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(concat(lit(i.toString), lit("|"), col("__sh")))).as(s"__m$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
@@ -58,15 +68,18 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), col("text"),
-        minhashSignature(col("text"), k, bands * rowsPerBand).as("sig"))
+    val d = minhashSignatures(docs(spark, dir), "doc_id", "text", k, bands * rowsPerBand)
 
+    // Persist the banded signatures: the self-join references this subtree
+    // twice — without a persist the whole shingle+hash pipeline recomputes
+    // per reference (at scale you would checkpoint signatures to parquet;
+    // the local cache is its analogue).
     val banded = d.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
             .cast("array<string>"))))).as(Seq("band", "bh")))
+      .persist()
 
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -75,7 +88,7 @@ object Dedup {
       .distinct()
 
     val sh = docs(spark, dir).select(col("doc_id"),
-      array_distinct(shingles(col("text"), k)).as("sh"))
+      array_distinct(shingles(col("text"), k)).as("sh")).persist()
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

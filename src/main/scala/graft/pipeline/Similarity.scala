@@ -62,7 +62,7 @@ object Similarity {
     aggregate(
       transform(sequence(lit(0), lit(nBits - 1)), p => {
         val proj = aggregate(
-          zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeWeight(p, i)),
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeWeight(p, i)),
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, varShiftLeft(lit(1L), p)).otherwise(lit(0L))
       }),

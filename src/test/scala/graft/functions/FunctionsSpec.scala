@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.catalog.{BucketType, Fnv}
+import graft.functions.FnvHash64.{fnvBucket, fnvHash64}
+
+/** The codegen'd FNV-1a expression must agree byte-for-byte with the
+  * driver-side Scala implementation (and so with the reference,
+  * src/partition.rs:30-38).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("FnvHash64 expression matches Fnv.hash64 (codegen path)") {
+    import spark.implicits._
+    val keys = Seq("", "a", "foobar", "1001001", "2002001", "order-123", "é中")
+    val got = keys.toDF("k")
+      .select(col("k"), fnvHash64(col("k")).as("h"))
+      .as[(String, Long)].collect().toMap
+    keys.foreach(k => assert(got(k) == Fnv.hash64(k), s"mismatch for '$k'"))
+  }
+
+  test("FnvHash64 null propagates") {
+    import spark.implicits._
+    val r = Seq(Some("a"), None).toDF("k").select(fnvHash64(col("k"))).collect()
+    assert(r.count(_.isNullAt(0)) == 1)
+  }
+
+  test("fnvBucket matches unsigned-mod routing for all bucket counts") {
+    import spark.implicits._
+    val keys = (0 until 1000).map(i => s"key-$i")
+    for (n <- Seq(1, 3, 4, 7, 16)) {
+      val got = keys.toDF("k")
+        .select(col("k"), fnvBucket(col("k"), n).as("b"))
+        .as[(String, Int)].collect().toMap
+      keys.foreach { k =>
+        assert(got(k) == BucketType.Hash.bucketForKey(k, n), s"key $k n=$n")
+        assert(got(k) >= 0 && got(k) < n)
+      }
+    }
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // force the interpreted path via a literal fold in the driver
+    val e = FnvHash64(org.apache.spark.sql.catalyst.expressions.Literal("foobar"))
+    assert(e.eval(null) == Fnv.hash64("foobar"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants for the hash-family pipeline operators that have no SQL oracle
+  * (MinHash/SimHash/LSH): determinism, self-similarity, symmetry.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different content about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy dog") // exact dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash signature: deterministic, equal for equal texts, length = bands*rows") {
+    import spark.implicits._
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", 3, 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(0L) == sig(3L))            // identical text -> identical signature
+    assert(sig.values.forall(_.size == 32))
+    assert(sig(0L) != sig(2L))            // different text -> different signature
+    // near-identical texts share most minima (LSH premise)
+    val shared = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    assert(shared > 16, s"near-dup docs shared only $shared/32 minima")
+  }
+
+  test("simhash: deterministic, equal for equal texts, near for near-dups") {
+    import spark.implicits._
+    val sh = df.select(col("doc_id"), Dedup.simhashCol(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
+  }
+
+  test("shingles: k-grams over words; short texts degrade to one shingle") {
+    import spark.implicits._
+    val s = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(s(1L) == Seq("a b c", "b c d"))
+    assert(s(2L) == Seq("a b"))
+  }
+
+  test("cosine: self-similarity is 1, symmetry holds") {
+    import spark.implicits._
+    val e = Seq((0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(-1.0, 0.5, 2.0)))
+      .toDF("id", "v")
+    val self = e.select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    val cross = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.id"), col("b.id"), Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    val m = cross.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(m((0L, 1L)) - m((1L, 0L))) < 1e-12)
+  }
+
+  test("LSH signature deterministic and stable across evaluations") {
+    import spark.implicits._
+    val e = Seq((0L, Seq.tabulate(64)(i => math.sin(i + 1))),
+      (1L, Seq.tabulate(64)(i => math.cos(i * 2 + 1)))).toDF("id", "v")
+    def sigs = e.select(col("id"), Similarity.lshSignature(col("v"), 8).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val s1 = sigs; val s2 = sigs
+    assert(s1 == s2)
+  }
+
+  test("multimodal fake decode: frames derived from byte length") {
+    val r = Multimodal.FakeMediaCodec.decode(
+      Multimodal.MediaRow(7L, Array.fill[Byte](600)(1), "img"))
+    assert(r == Multimodal.MediaFeatures(7L, 600L, 3L))
+  }
+}
