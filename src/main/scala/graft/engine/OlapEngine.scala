@@ -96,12 +96,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * fixtures; default = [max+1, max+1].
     */
   def ingest(db: String, table: String, df: DataFrame,
-             version: Option[Version] = None): RowsetMeta = {
+             version: Option[Version] = None,
+             explicitRowsetId: Option[Long] = None): RowsetMeta = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
-    val rowsetId = m.nextRowsetId
+    val rowsetId = explicitRowsetId.getOrElse(m.nextRowsetId)
     val relDir = s"r$rowsetId"
     val outDir = tableRoot(db, table).resolve(relDir)
 
@@ -122,6 +123,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .write
       .mode("errorifexists")
       .partitionBy(PartCol, BucketCol)
+      // LZ4 block compression, as the reference's default codec
+      // (src/compression/mod.rs:6-13, src/field_type.rs:90)
+      .option("compression", "lz4_raw")
     // bloom filter on the leading key, cf. reference P3 (src/index/mod.rs:152-211)
     keyNames.headOption.foreach { k =>
       writer = writer.option(s"parquet.bloom.filter.enabled#$k", "true")

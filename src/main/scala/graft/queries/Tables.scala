@@ -31,16 +31,24 @@ object Tables {
     StructType(s.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
   }
 
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source requires a *directory*; expose the single
-    // events.parquet through a symlinked temp dir.
+  /** The file stream source requires a *directory*; expose the single
+    * events.parquet through a symlinked temp dir.
+    */
+  def eventsStreamDir(dir: String): String = {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream-")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(eventsRawSchema(spark, dir))
-      .parquet(streamDir.toString)
+    streamDir.toString
+  }
+
+  def eventsStreamFrom(spark: SparkSession, streamDir: String, schemaDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema(spark, schemaDir))
+      .parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStreamFrom(spark, eventsStreamDir(dir), dir)
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestSession
+import graft.catalog.TableDef
+import graft.engine.OlapEngine
+import graft.model._
+
+/** Streaming ingest: micro-batches become published rowsets; snapshots stay
+  * consistent; compaction folds streaming rowsets.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("file stream -> rowset per batch -> scan -> compact") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-si-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "ev", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("event_id", LongType),
+        ColumnSpec.value("user_id", LongType),
+        ColumnSpec.value("event_type", StringType),
+        ColumnSpec.value("value", DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 2))
+
+    val srcDir = graft.queries.Tables.eventsStreamDir("/root/testdata/sf0.001")
+    def src = graft.queries.Tables
+      .eventsStreamFrom(spark, srcDir, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val ckpt = Files.createTempDirectory("graft-si-ckpt-").toString
+    val q = StreamIngest.start(eng, "db", "ev", src, ckpt)
+    q.awaitTermination()
+
+    val n = eng.scan("db", "ev").count()
+    assert(n == 1000L) // sf0.001 events row count
+    val rowsets = eng.manifest("db", "ev").visibleRowsets
+    assert(rowsets.nonEmpty)
+    assert(rowsets.map(_.numRows).sum == 1000L)
+
+    // restart with same checkpoint: no new rowsets (exactly-once)
+    val q2 = StreamIngest.start(eng, "db", "ev", src, ckpt)
+    q2.awaitTermination()
+    assert(eng.scan("db", "ev").count() == 1000L)
+
+    eng.compact("db", "ev")
+    assert(eng.scan("db", "ev").count() == 1000L)
+    assert(eng.manifest("db", "ev").visibleRowsets.size == 1)
+  }
+}
