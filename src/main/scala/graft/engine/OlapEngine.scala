@@ -204,6 +204,33 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Point lookup by bucket key: routes the key to its bucket on the driver
+    * (FNV-1a, exactly like the reference's `tablet_for_row`,
+    * src/table.rs:32-41) and scans ONLY that bucket's directories — at 100 TB
+    * this reads 1/numBuckets of one partition instead of the table, and the
+    * parquet bloom filter on the key column (written at ingest) prunes
+    * segments within the bucket, completing the reference's write-only bloom
+    * index (P3, src/index/mod.rs:152-211) at query time.
+    */
+  def lookupByKey(db: String, table: String, keyValue: String): DataFrame = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val keyCol = td.bucketColumn.get
+    val bucket = td.bucketType.bucketForKey(keyValue, td.numBuckets)
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    // cast the literal (not the column) so the equality pushes down to the
+    // parquet scan and hits the bloom filter / row-group stats
+    val keyType = td.schema.columns.find(_.name == keyCol).get.dataType
+    val pruned = rawSnapshot(db, table, lo, m.maxVersion)
+      .filter(col(BucketCol) === bucket && col(keyCol) === lit(keyValue).cast(keyType))
+    td.schema.keysType match {
+      case KeysType.Duplicate =>
+        pruned.select(td.schema.columns.map(c => col(c.name)): _*)
+      case _ => MergeView(td, pruned, VersionCol, SeqCol)
+    }
+  }
+
   /** Raw physical layout view (incl. `__graft_part` / `__graft_bucket`) for
     * placement introspection — the analogue of the reference's tablet routing
     * probes (examples/basic_usage.rs:138-153).

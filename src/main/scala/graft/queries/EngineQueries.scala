@@ -161,7 +161,15 @@ object EngineQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Point lookup: driver-side FNV routing -> single-bucket scan + parquet
+    * bloom pruning (reference read path B1/R4 at query time).
+    */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).lookupByKey("graft", "orders_dup", "123")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
     "q21_engine_snapshot_v1" -> snapshotV1 _,
     "q22_engine_unique_merge" -> uniqueMerge _,
@@ -191,6 +199,8 @@ object EngineQueries {
     "q25_engine_partition_prune" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "q27_engine_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 123",
     // q26_engine_bucket_layout: FNV-1a bucket hash not expressible in DuckDB
     // SQL — rows-only check; hash fidelity asserted in FnvHashSpec.
   )

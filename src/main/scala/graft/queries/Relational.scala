@@ -207,7 +207,43 @@ object Relational {
       .select(col("o_orderkey"), col("cust_total"))
   }
 
+  /** Source/sink format breadth: write the same slice as CSV, JSON and ORC,
+    * read each back, union, aggregate. (The reference supports only its own
+    * segment format, S1/S2; Spark supplies the full format matrix. JDBC is
+    * exercised nowhere because no database exists in this environment.)
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt-").toString
+    o.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    o.write.mode("overwrite").json(s"$tmp/json")
+    o.write.mode("overwrite").orc(s"$tmp/orc")
+    val c = spark.read.option("header", "true").schema(o.schema).csv(s"$tmp/csv")
+    val j = spark.read.schema(o.schema).json(s"$tmp/json")
+    val r = spark.read.orc(s"$tmp/orc")
+    c.union(j).union(r)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n3"), countDistinct(col("o_orderkey")).as("nd"))
+  }
+
+  /** SQL-interface entry (spark.sql over a temp view) with GROUPING SETS —
+    * grouping-set shapes beyond cube/rollup, through the SQL front end.
+    */
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        |""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_format_roundtrip" -> formatRoundtrip _,
+    "q29_sql_grouping_sets" -> sqlGroupingSets _,
     "q01_scan_project" -> scanProject _,
     "q02_filter_scan" -> filterScan _,
     "q03_agg_q1" -> aggQ1 _,
@@ -230,6 +266,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_format_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) * 3 AS BIGINT) AS n3,
+        |  count(DISTINCT o_orderkey) AS nd
+        |FROM orders WHERE o_orderkey < 1000 GROUP BY o_orderstatus""".stripMargin,
+    "q29_sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin,
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q02_filter_scan" ->
