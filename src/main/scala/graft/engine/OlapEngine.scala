@@ -63,17 +63,24 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     case PartitionPolicy.Range =>
       val key = col(td.partitionColumn.get).cast("string")
       val sorted = td.partitions.sortBy(_.upperExclusive.getOrElse(RangeBound.MaxValue))
-      sorted.foldRight(lit(null: String): Column) { (p, elseCol) =>
+      sorted.foldRight(unroutable(key)) { (p, elseCol) =>
         when(key < lit(p.upperExclusive.getOrElse(RangeBound.MaxValue)), lit(p.name))
           .otherwise(elseCol)
       }
     case PartitionPolicy.List =>
       val key = col(td.partitionColumn.get).cast("string")
-      td.partitions.foldRight(lit(null: String): Column) { (p, elseCol) =>
+      td.partitions.foldRight(unroutable(key)) { (p, elseCol) =>
         when(key.isin(p.listValues.map(_.asInstanceOf[Any]): _*), lit(p.name))
           .otherwise(elseCol)
       }
   }
+
+  /** A row whose partition key matches no declared partition fails the load
+    * loudly (the reference errors in `find_partition`, src/partition.rs:186-188)
+    * instead of silently landing in a default hive partition.
+    */
+  private def unroutable(key: Column): Column =
+    raise_error(concat(lit("no partition for key '"), key, lit("'"))).cast("string")
 
   private def bucketIdxCol(td: TableDef): Column = td.bucketType match {
     case BucketType.Hash =>

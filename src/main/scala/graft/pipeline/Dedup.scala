@@ -102,7 +102,8 @@ object Dedup {
 
   /** 64-bit SimHash over the word multiset, built entirely from higher-order
     * functions: per word, each bit contributes +1/-1; the signature takes the
-    * sign of each accumulated bit position.
+    * sign of each accumulated bit position. (Kept for per-row use; the
+    * dataset-scale path is [[simhashSignatures]].)
     */
   def simhashCol(text: Column): Column = {
     val hashes = transform(wordsCol(text), w => xxhash64(w))
@@ -119,12 +120,30 @@ object Dedup {
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** Dataset-scale SimHash: explode(words) -> 64 codegen'd integer sums ->
+    * assemble sign bits. Integer addition is order-independent, so the
+    * hash-aggregate shape is bit-identical to the left-fold [[simhashCol]]
+    * while getting map-side partial aggregation and whole-stage codegen
+    * (same rationale as [[minhashSignatures]]).
+    */
+  def simhashSignatures(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = d.select(col(idCol), explode(wordsCol(col(textCol))).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
+    exploded.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
   /** SimHash near-dup groups: docs sharing the top-16-bit prefix band are
     * candidates (a standard rotate-and-block scheme's first block).
     */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+    simhashSignatures(docs(spark, dir), "doc_id", "text")
       .withColumn("band", shiftrightunsigned(col("simhash"), 48))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("members"))

@@ -241,9 +241,39 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Typed UDAF via `Aggregator`: sum of squares (exact long arithmetic). */
+  object SumSq extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + a * a
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(b: Long): Long = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** The UDF/UDAF extension surface (SURVEY.md §2.11 last row): a scalar
+    * Scala UDF and a typed `Aggregator` registered via `functions.udaf`.
+    * (Real operators prefer built-ins/codegen — this query exists to prove
+    * the extension points work; the UDAF uses exact integer math so the
+    * DuckDB oracle matches bit-for-bit.)
+    */
+  def udfSurface(spark: SparkSession, dir: String): DataFrame = {
+    val rev = udf((s: String) => s.reverse)
+    val sumsq = udaf(SumSq, org.apache.spark.sql.Encoders.scalaLong)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sumsq(col("l_quantity").cast("long")).as("sumsq_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), rev(col("l_returnflag")).as("flag_rev"),
+        col("sumsq_qty"), col("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_format_roundtrip" -> formatRoundtrip _,
     "q29_sql_grouping_sets" -> sqlGroupingSets _,
+    "q45_udf_udaf" -> udfSurface _,
     "q01_scan_project" -> scanProject _,
     "q02_filter_scan" -> filterScan _,
     "q03_agg_q1" -> aggQ1 _,
@@ -275,6 +305,11 @@ object Relational {
         |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin,
+    "q45_udf_udaf" ->
+      """SELECT l_returnflag, reverse(l_returnflag) AS flag_rev,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q02_filter_scan" ->

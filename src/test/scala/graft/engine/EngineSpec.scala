@@ -143,6 +143,32 @@ class EngineSpec extends AnyFunSuite {
     assert(read() == expected)
   }
 
+  test("unroutable partition key fails the load loudly") {
+    val eng = newEngine()
+    ordersTable(eng)
+    val bad = ordersDf.withColumn("order_date",
+      org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2026-01-01")))
+    val e = intercept[Exception](eng.ingest("db", "orders", bad))
+    assert(e.getMessage.contains("no partition for key") ||
+      Option(e.getCause).exists(_.getMessage.contains("no partition for key")))
+  }
+
+  test("random bucketing spreads rows across declared buckets") {
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "r", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType))),
+      bucketType = BucketType.Random, bucketColumn = Some("k"), numBuckets = 4))
+    import spark.implicits._
+    eng.ingest("db", "r", (0L until 1000L).toDF("k"))
+    val buckets = eng.rawLayout("db", "r")
+      .select(col(eng.BucketCol)).distinct().as[Int].collect().toSet
+    assert(buckets.subsetOf(Set(0, 1, 2, 3)))
+    assert(buckets.size > 1) // actually spread
+    assert(eng.scan("db", "r").count() == 1000)
+  }
+
   test("manifest: duplicate rowset id rejected; survives reload") {
     val eng = newEngine()
     eng.createDatabase("db")

@@ -41,6 +41,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
   }
 
+  test("simhashSignatures (explode+agg) is bit-identical to simhashCol (left fold)") {
+    import spark.implicits._
+    val viaFold = df.select(col("doc_id"), Dedup.simhashCol(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashSignatures(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaFold == viaAgg)
+  }
+
   test("shingles: k-grams over words; short texts degrade to one shingle") {
     import spark.implicits._
     val s = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
