@@ -23,6 +23,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Bucketed.all ++
     graft.queries.Relational.all ++
       graft.queries.EngineQueries.all ++
       graft.pipeline.Dedup.all ++
@@ -37,6 +38,7 @@ object SparkEntry {
     * the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
+    graft.queries.Bucketed.oracles ++
     graft.queries.Relational.oracles ++
       graft.queries.EngineQueries.oracles ++
       graft.pipeline.Dedup.oracles ++
