@@ -169,7 +169,49 @@ object Dedup {
         round(col("jac"), 4).as("jac"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each node adopts the smallest label among itself and its
+    * neighbors until fixpoint. O(diameter) rounds, each one shuffle — the
+    * standard scalable CC shape (no driver-side graph; only a convergence
+    * counter crosses to the driver). Survivor of a component = its min doc_id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("survivor_id"))
+  }
+
+  /** Near-dup survivor assignment over the oracle-checkable Jaccard pairs:
+    * every doc in a near-dup component maps to the component's min doc_id.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir), "doc_a", "doc_b")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q32_dedup_simhash" -> ((s: SparkSession, d: String) => simhashGroups(s, d)),
@@ -177,6 +219,27 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same pair set as q33, closed transitively with a recursive CTE; the
+    // iterative Spark propagation must agree exactly.
+    "q47_dedup_survivors" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, substr(lower(text), 1, 20) AS blk,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        |  WHERE e2.dst <> r.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS survivor_id
+        |FROM reach GROUP BY src""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count, length(text) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,

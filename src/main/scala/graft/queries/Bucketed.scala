@@ -18,6 +18,19 @@ object Bucketed {
   private def prepare(spark: SparkSession, dir: String): Unit =
     prepared.getOrElseUpdate(dir, {
       val suffix = math.abs(dir.hashCode).toString
+      // the in-memory catalog forgets managed tables across JVMs but their
+      // warehouse directories persist — clear stale locations first
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      for (t <- Seq(s"orders_b_$suffix", s"lineitem_b_$suffix")) {
+        val p = java.nio.file.Paths.get(
+          (if (wh.getScheme == null) java.nio.file.Paths.get(wh.toString)
+           else java.nio.file.Paths.get(wh)).toString, t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
       spark.read.parquet(s"$dir/orders.parquet")
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

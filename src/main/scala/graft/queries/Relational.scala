@@ -270,10 +270,27 @@ object Relational {
         col("sumsq_qty"), col("n"))
   }
 
+  /** Analytic window functions: lag/lead/ntile/first_value over an ordered
+    * partition (unique order key keeps RANGE vs ROWS default frames identical
+    * across engines).
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_format_roundtrip" -> formatRoundtrip _,
     "q29_sql_grouping_sets" -> sqlGroupingSets _,
     "q45_udf_udaf" -> udfSurface _,
+    "q48_window_analytics" -> windowAnalytics _,
     "q01_scan_project" -> scanProject _,
     "q02_filter_scan" -> filterScan _,
     "q03_agg_q1" -> aggQ1 _,
@@ -310,6 +327,14 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q48_window_analytics" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q02_filter_scan" ->
