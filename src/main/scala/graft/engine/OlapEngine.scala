@@ -29,6 +29,7 @@ import graft.functions.FnvHash64.fnvBucket
 final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
 
   val catalog = new CatalogManager
+  val rollups = new RollupManager(this)
   private val manifests = TrieMap.empty[String, TableManifest]
 
   // Internal column names (never leak out of scan()).

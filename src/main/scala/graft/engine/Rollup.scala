@@ -1,0 +1,93 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.AggType
+
+/** Materialized rollup index: a pre-aggregated projection of a base table,
+  * selected at query time when an aggregation matches its grouping.
+  *
+  * The reference *declares* rollups (`MaterializedIndex` + always-empty
+  * `rollup_indexes`, src/partition.rs:52-57,74-75) but never builds or reads
+  * them; this implements the capability. A rollup stores `groupCols` plus
+  * per-column Sum/Min/Max aggregates, stamped with the base table's
+  * max version at materialization. Query-time selection uses it only when it
+  * is fresh AND the requested grouping is a subset of `groupCols` (Sum/Min/
+  * Max re-aggregate correctly over coarser groups); otherwise the base table
+  * answers. At 100 TB the rollup read is smaller than the base scan by the
+  * group-reduction factor, and rollup maintenance is one aggregation job per
+  * refresh (typically piggybacked on compaction).
+  */
+final case class RollupDef(
+    name: String,
+    groupCols: Seq[String],
+    // (output column, source column, agg) — Replace/None not allowed: they
+    // don't re-aggregate over coarser groups.
+    aggs: Seq[(String, String, AggType)]) {
+  require(aggs.forall(a => a._3 == AggType.Sum || a._3 == AggType.Min || a._3 == AggType.Max),
+    "rollup aggregates must be Sum/Min/Max (re-aggregable)")
+}
+
+final class RollupManager(eng: OlapEngine) {
+  import scala.collection.concurrent.TrieMap
+  private val defs = TrieMap.empty[(String, String, String), (RollupDef, Long)] // -> (def, baseVersion)
+
+  private def rollupDir(db: String, table: String, name: String): Path =
+    eng.tableRoot(db, table).resolve("rollups").resolve(name)
+
+  private def aggCol(src: String, agg: AggType, out: String): Column = (agg match {
+    case AggType.Sum => sum(col(src))
+    case AggType.Min => min(col(src))
+    case AggType.Max => max(col(src))
+    case other => throw new IllegalArgumentException(s"non-reaggregable $other")
+  }).as(out)
+
+  /** Materialize (or refresh) a rollup from the base table's latest snapshot. */
+  def materialize(db: String, table: String, rd: RollupDef): Unit = {
+    val baseVersion = eng.manifest(db, table).maxVersion
+    val out = eng.scan(db, table)
+      .groupBy(rd.groupCols.map(col): _*)
+      .agg(rd.aggs.head match { case (o, s, a) => aggCol(s, a, o) },
+        rd.aggs.tail.map { case (o, s, a) => aggCol(s, a, o) }: _*)
+    val dir = rollupDir(db, table, rd.name)
+    out.write.mode("overwrite").parquet(dir.resolve(s"v$baseVersion").toString)
+    defs((db, table, rd.name)) = (rd, baseVersion)
+  }
+
+  def isFresh(db: String, table: String, name: String): Boolean =
+    defs.get((db, table, name))
+      .exists(_._2 == eng.manifest(db, table).maxVersion)
+
+  /** Aggregate `aggs` grouped by `groupCols`, answered from a fresh matching
+    * rollup when one exists (re-aggregating if the rollup is finer), else
+    * from the base table. Mirrors Doris-style rollup selection.
+    */
+  def aggregate(db: String, table: String, groupCols: Seq[String],
+                aggs: Seq[(String, String, AggType)]): DataFrame = {
+    val candidate = defs.collectFirst {
+      case ((d, t, n), (rd, v)) if d == db && t == table &&
+        v == eng.manifest(db, table).maxVersion &&
+        groupCols.forall(rd.groupCols.contains) &&
+        aggs.forall { case (_, src, agg) => rd.aggs.exists(r => r._2 == src && r._3 == agg) } =>
+        (rd, v)
+    }
+    candidate match {
+      case Some((rd, v)) =>
+        val stored = eng.spark.read.parquet(
+          rollupDir(db, table, rd.name).resolve(s"v$v").toString)
+        // re-aggregate the (possibly finer) rollup to the requested grouping;
+        // Sum/Min/Max compose over partial aggregates.
+        stored.groupBy(groupCols.map(col): _*)
+          .agg(aggs.head match { case (o, s, a) =>
+            aggCol(rd.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) },
+            aggs.tail.map { case (o, s, a) =>
+              aggCol(rd.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) }: _*)
+      case None =>
+        eng.scan(db, table)
+          .groupBy(groupCols.map(col): _*)
+          .agg(aggs.head match { case (o, s, a) => aggCol(s, a, o) },
+            aggs.tail.map { case (o, s, a) => aggCol(s, a, o) }: _*)
+    }
+  }
+}

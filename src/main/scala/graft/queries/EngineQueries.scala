@@ -43,6 +43,9 @@ object EngineFixture {
       ColumnSpec.value("o_custkey", LongType),
       ColumnSpec.value("o_orderstatus", StringType),
       ColumnSpec.value("o_totalprice", DoubleType),
+      // decimal shadow of totalprice: exact re-aggregable money column used
+      // by the materialized rollup (double sums are order-dependent)
+      ColumnSpec.value("price_c", DecimalType(18, 2)),
       ColumnSpec.value("o_orderdate", TimestampType),
       ColumnSpec.value("o_orderpriority", StringType)))
     eng.createTable(TableDef(
@@ -56,6 +59,9 @@ object EngineFixture {
       bucketColumn = Some("o_orderkey"),
       numBuckets = 4))
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("price_c", col("o_totalprice").cast("decimal(18,2)"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "price_c", "o_orderdate", "o_orderpriority")
     eng.ingest("graft", "orders_dup", orders.filter(col("o_orderkey") % 2 === 0),
       Some(Version(0, 1)))
     eng.ingest("graft", "orders_dup", orders.filter(col("o_orderkey") % 2 === 1),
@@ -98,6 +104,14 @@ object EngineFixture {
     // compact the _c variant now so its query is pure read (and repeatable)
     eng.compact("graft", "sales_agg_c")
     eng.gc("graft", "sales_agg_c")
+
+    // materialized rollup on orders_dup: by status, Sum(totalprice)+Max(totalprice)
+    eng.rollups.materialize("graft", "orders_dup", graft.engine.RollupDef(
+      name = "by_status",
+      groupCols = Seq("o_orderstatus"),
+      aggs = Seq(
+        ("sum_price_c", "price_c", AggType.Sum),
+        ("max_price", "o_totalprice", AggType.Max))))
     eng
   }
 }
@@ -168,7 +182,21 @@ object EngineQueries {
     EngineFixture.get(spark, dir).lookupByKey("graft", "orders_dup", "123")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Aggregation answered from the materialized rollup (fresh + matching
+    * grouping) — the reference's declared-but-empty rollup_indexes
+    * (src/partition.rs:74-75) implemented and selected at query time.
+    */
+  def rollupAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.rollups.aggregate("graft", "orders_dup",
+      groupCols = Seq("o_orderstatus"),
+      aggs = Seq(
+        ("sum_price_c", "price_c", AggType.Sum),
+        ("max_price", "o_totalprice", AggType.Max)))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_engine_rollup" -> rollupAggregate _,
     "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
     "q21_engine_snapshot_v1" -> snapshotV1 _,
@@ -201,6 +229,10 @@ object EngineQueries {
         |WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
     "q27_engine_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 123",
+    "q49_engine_rollup" ->
+      """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_c,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // q26_engine_bucket_layout: FNV-1a bucket hash not expressible in DuckDB
     // SQL — rows-only check; hash fidelity asserted in FnvHashSpec.
   )

@@ -143,6 +143,33 @@ class EngineSpec extends AnyFunSuite {
     assert(read() == expected)
   }
 
+  test("rollup: fresh rollup answers the agg; stale rollup falls back to base") {
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "s", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("g", StringType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    import spark.implicits._
+    eng.ingest("db", "s", Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L)).toDF("k", "g", "v"))
+    val rd = RollupDef("by_g", Seq("g"), Seq(("sv", "v", AggType.Sum)))
+    eng.rollups.materialize("db", "s", rd)
+    assert(eng.rollups.isFresh("db", "s", "by_g"))
+    def agg() = eng.rollups.aggregate("db", "s", Seq("g"), Seq(("sv", "v", AggType.Sum)))
+      .as[(String, Long)].collect().toMap
+    assert(agg() == Map("a" -> 15L, "b" -> 7L))
+    // new load makes the rollup stale: selection must fall back to base
+    eng.ingest("db", "s", Seq((4L, "b", 3L)).toDF("k", "g", "v"))
+    assert(!eng.rollups.isFresh("db", "s", "by_g"))
+    assert(agg() == Map("a" -> 15L, "b" -> 10L))
+    // refresh picks the rollup back up
+    eng.rollups.materialize("db", "s", rd)
+    assert(eng.rollups.isFresh("db", "s", "by_g"))
+    assert(agg() == Map("a" -> 15L, "b" -> 10L))
+  }
+
   test("unroutable partition key fails the load loudly") {
     val eng = newEngine()
     ordersTable(eng)
