@@ -45,6 +45,9 @@ final class TableManifest(val tableRoot: Path) {
   private val rowsets = mutable.LinkedHashMap.empty[Long, RowsetMeta]
   private val graph = new VersionGraph
   private var maxVersionV: Long = -1L
+  // atomic id allocator: two concurrent ingests must never derive the same
+  // rowset id (the write happens before publish's lock is taken)
+  private val idGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   load()
 
@@ -63,6 +66,7 @@ final class TableManifest(val tableRoot: Path) {
     rowsets(meta.rowsetId) = meta
     graph.addEdge(meta.version)
     maxVersionV = math.max(maxVersionV, meta.version.end)
+    idGen.updateAndGet(cur => math.max(cur, meta.rowsetId))
     persist()
   }
 
@@ -108,7 +112,7 @@ final class TableManifest(val tableRoot: Path) {
   /** Compaction score = count of visible rowsets (reference: src/tablet.rs:147-152). */
   def compactionScore: Double = synchronized(visibleRowsets.size.toDouble)
 
-  def nextRowsetId: Long = synchronized(if (rowsets.isEmpty) 1L else rowsets.keys.max + 1L)
+  def nextRowsetId: Long = idGen.incrementAndGet()
 
   // --- persistence -----------------------------------------------------------
 
@@ -141,6 +145,7 @@ final class TableManifest(val tableRoot: Path) {
           RowsetState.fromName((j \ "state").extract[String]),
           (j \ "createdMs").extract[Long])
         rowsets(r.rowsetId) = r
+        idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible) graph.addEdge(r.version)
       }
     }

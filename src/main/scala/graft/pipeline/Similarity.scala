@@ -37,13 +37,17 @@ object Similarity {
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nProbes: Int = 8, k: Int = 5): DataFrame = {
+    // precompute each vector's norm ONCE (corpus-side map stage) instead of
+    // per candidate pair — at 100 TB that's the difference between O(n·k·d)
+    // and O(n·d) norm work; numerically identical (same ops, same order)
     val e = emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", cosine(col("pv"), col("v")))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -77,12 +81,14 @@ object Similarity {
     val e = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", lshSignature(col("v"), nBits))
+      .withColumn("nrm", norm(col("v")))
     val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("sig").as("psig"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("sig").as("psig"), col("nrm").as("pnrm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     e.join(probes, col("sig") === col("psig") && col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", cosine(col("pv"), col("v")))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -97,9 +103,10 @@ object Similarity {
     val e = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", lshSignature(col("v"), nBits))
+      .withColumn("nrm", norm(col("v")))
     e.as("a").join(e.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("sim"), 4).as("sim"))
