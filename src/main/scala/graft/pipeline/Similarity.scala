@@ -112,7 +112,55 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into cells; probes search only their `nprobe` nearest cells then
+    * exact-rank within them. The standard billion-scale layout: the cell
+    * assignment is the "inverted list" shuffle key, so a probe touches
+    * ~nprobe/k of the corpus. Deterministic via fixed seed.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nProbes: Int = 8, k: Int = 5, nCells: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+
+    val e = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("features", array_to_vector(col("v")))
+      .persist()
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
+    val centers: Array[(Int, Seq[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
+
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+
+    // probe -> its nprobe nearest cells (tiny driver-side centroid table,
+    // broadcast-joined; centroid count is O(sqrt(corpus)), never large)
+    val centersDf = centers.toSeq.toDF("cell", "cv")
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val probeCells = probes.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", dot(col("pv"), col("cv")) / (col("pnrm") * norm(col("cv"))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"))
+
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(probeCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q35_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "q36_embed_near_dup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
