@@ -103,6 +103,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * `version`: explicit [start,end] for replaying the reference's rowset
     * fixtures; default = [max+1, max+1].
     */
+  /** Conform an input frame to the table schema: every declared column must
+    * be present (loud failure otherwise), values are cast to the declared
+    * types, extra columns are dropped — the schema contract the reference
+    * enforces row-by-row in `append_row` (src/segment.rs:132-136), applied
+    * here as one projection.
+    */
+  private def conform(td: TableDef, df: DataFrame): DataFrame = {
+    val missing = td.schema.columns.map(_.name).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"input for ${td.qualified} missing columns: ${missing.mkString(", ")}")
+    df.select(td.schema.columns.map(c => col(c.name).cast(c.dataType).as(c.name)): _*)
+  }
+
   def ingest(db: String, table: String, df: DataFrame,
              version: Option[Version] = None,
              explicitRowsetId: Option[Long] = None): RowsetMeta = {
@@ -115,7 +128,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val outDir = tableRoot(db, table).resolve(relDir)
 
     val keyNames = td.schema.keyNames
-    var routed = df
+    var routed = conform(td, df)
       .withColumn(PartCol, partitionNameCol(td))
       .withColumn(BucketCol, bucketIdxCol(td))
     // __graft_seq: persisted load-order tiebreaker for Unique/Replace

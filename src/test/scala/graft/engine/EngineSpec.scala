@@ -196,6 +196,24 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.scan("db", "r").count() == 1000)
   }
 
+  test("ingest conforms input to schema: missing column fails, extras dropped, types cast") {
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 1))
+    import spark.implicits._
+    // missing column -> loud failure
+    val e = intercept[IllegalArgumentException](
+      eng.ingest("db", "t", Seq(1L).toDF("k")))
+    assert(e.getMessage.contains("missing columns: v"))
+    // extra column dropped, string "2.5" cast to double
+    eng.ingest("db", "t", Seq(("1", "2.5", "junk")).toDF("k", "v", "extra"))
+    val row = eng.scan("db", "t").as[(Long, Double)].collect().toSeq
+    assert(row == Seq((1L, 2.5)))
+  }
+
   test("concurrent ingests both publish atomically (no lost rowsets)") {
     val eng = newEngine()
     eng.createDatabase("db")
