@@ -78,10 +78,13 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String,
               nProbes: Int = 8, k: Int = 5, nBits: Int = 8): DataFrame = {
+    // persist: the probe subset + corpus side both reference this subtree;
+    // without it the interpreted LSH-signature fold computes twice
     val e = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", lshSignature(col("v"), nBits))
       .withColumn("nrm", norm(col("v")))
+      .persist()
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("sig").as("psig"), col("nrm").as("pnrm"))
@@ -100,10 +103,13 @@ object Similarity {
     */
   def cosineNearDup(spark: SparkSession, dir: String,
                     threshold: Double = 0.25, nBits: Int = 6): DataFrame = {
+    // persist: the self-join would otherwise evaluate the interpreted
+    // LSH-signature fold once per join side
     val e = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", lshSignature(col("v"), nBits))
       .withColumn("nrm", norm(col("v")))
+      .persist()
     e.as("a").join(e.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

@@ -18,4 +18,11 @@ object shim {
 
   /** Extract the resolved Catalyst expression from a Column. */
   def columnExpr(c: Column): Expression = ColumnConversions.expression(c)
+
+  /** The session's function registry (private[sql] in Spark 4); used to
+    * register engine functions for SQL callers at runtime.
+    */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ClassicConversions.castToImpl(spark).sessionState.functionRegistry
 }

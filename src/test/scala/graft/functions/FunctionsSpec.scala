@@ -42,6 +42,14 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fnv_hash64 callable from SQL after runtime registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT fnv_hash64('foobar') AS h, fnv_hash64(CAST(NULL AS STRING)) AS n")
+      .collect().head
+    assert(r.getLong(0) == Fnv.hash64("foobar"))
+    assert(r.isNullAt(1))
+  }
+
   test("interpreted eval agrees with codegen") {
     // force the interpreted path via a literal fold in the driver
     val e = FnvHash64(org.apache.spark.sql.catalyst.expressions.Literal("foobar"))
