@@ -197,6 +197,25 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Time travel: snapshot as of a wall-clock instant — the highest version
+    * whose rowset was published at or before `asOfMs`. Works over retained
+    * (non-GC'd) rowsets; compaction preserves publication order, so the
+    * resolution is the version range [minStart, maxEnd] of qualifying
+    * rowsets (publication timestamps are recorded in the manifest,
+    * cf. reference `creation_time`, src/meta.rs:95-98).
+    */
+  def snapshotAsOf(db: String, table: String, asOfMs: Long): DataFrame = {
+    val m = manifest(db, table)
+    val qualifying = m.visibleRowsets.filter(_.createdMs <= asOfMs)
+    if (qualifying.isEmpty) {
+      val td = catalog.getTable(db, table).get
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema.toStructType)
+    }
+    snapshot(db, table,
+      qualifying.map(_.version.start).min, qualifying.map(_.version.end).max)
+  }
+
   /** Full-table scan at the latest visible snapshot. */
   def scan(db: String, table: String): DataFrame = {
     val m = manifest(db, table)

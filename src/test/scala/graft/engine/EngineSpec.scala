@@ -196,6 +196,24 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.scan("db", "r").count() == 1000)
   }
 
+  test("time travel: snapshotAsOf resolves to the publication-time snapshot") {
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "tt", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType))),
+      bucketColumn = Some("k"), numBuckets = 1))
+    import spark.implicits._
+    val r1 = eng.ingest("db", "tt", Seq(1L, 2L).toDF("k"))
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    eng.ingest("db", "tt", Seq(3L).toDF("k"))
+    assert(eng.snapshotAsOf("db", "tt", betweenMs).count() == 2)
+    assert(eng.snapshotAsOf("db", "tt", System.currentTimeMillis()).count() == 3)
+    assert(eng.snapshotAsOf("db", "tt", r1.createdMs - 1000).count() == 0)
+  }
+
   test("ingest conforms input to schema: missing column fails, extras dropped, types cast") {
     val eng = newEngine()
     eng.createDatabase("db")
