@@ -286,7 +286,23 @@ object Relational {
         first(col("o_orderkey")).over(w).as("first_key"))
   }
 
+  /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
+    * quantiles — the constant-memory 100 TB substitutes for exact distinct /
+    * exact percentile. Sketch outputs are implementation-specific, so the
+    * driver records a rows-only check; exactness bounds are asserted in
+    * ScalaTest instead (rsd 5% default for HLL).
+    */
+  def sketches(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("ndv_orders"),
+        approx_count_distinct(col("l_partkey")).as("ndv_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_sketches" -> sketches _,
     "q28_format_roundtrip" -> formatRoundtrip _,
     "q29_sql_grouping_sets" -> sqlGroupingSets _,
     "q45_udf_udaf" -> udfSurface _,

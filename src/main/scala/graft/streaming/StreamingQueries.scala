@@ -71,9 +71,52 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long)
+
+  /** Stateful streaming via flatMapGroupsWithState: emit one row PER session
+    * (user, session index, event count) instead of one per user — the
+    * multi-output form of arbitrary stateful processing.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = graft.queries.Tables.eventsStream(spark, dir)
+      .select(col("user_id"), col("ts")).as[Ev]
+    val out = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val ts = rows.map(_.ts.getTime).toArray.sorted
+          val gapMs = 30L * 60 * 1000
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var idx = 1L
+          var count = 0L
+          var i = 0
+          while (i < ts.length) {
+            if (i > 0 && ts(i) - ts(i - 1) > gapMs) {
+              sessions += SessionOut(uid, idx, count)
+              idx += 1; count = 0L
+            }
+            count += 1
+            i += 1
+          }
+          if (count > 0) sessions += SessionOut(uid, idx, count)
+          state.update(idx)
+          sessions.iterator
+      }
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +133,15 @@ object StreamingQueries {
         |    COALESCE(date_diff('millisecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts), 0) AS gap_ms
         |  FROM events)
         |GROUP BY user_id""".stripMargin,
+    "q52_stream_sessions" ->
+      """SELECT user_id, session_idx, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CAST(1 + sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      COALESCE(date_diff('millisecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts), 0) AS gap_ms
+        |    FROM events))
+        |GROUP BY user_id, session_idx""".stripMargin,
   )
 }

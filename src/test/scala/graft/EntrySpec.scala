@@ -14,7 +14,7 @@ class EntrySpec extends AnyFunSuite {
     // hash-family / model-specific operators without a SQL-expressible oracle
     assert(rowsOnly == Set("q26_engine_bucket_layout", "q31_dedup_minhash_lsh",
       "q32_dedup_simhash", "q35_ann_lsh_topk", "q36_embed_near_dup",
-      "q50_ann_ivf_topk"))
+      "q50_ann_ivf_topk", "q51_sketches"))
     // and no oracle refers to a non-existent query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
