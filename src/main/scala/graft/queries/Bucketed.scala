@@ -53,7 +53,7 @@ object Bucketed {
     o.hint("merge")
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -63,7 +63,7 @@ object Bucketed {
 
   val oracles: Map[String, String] = Map(
     "q46_bucketed_join" ->
-      """SELECT o_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty, count(*) AS n_lines
+      """SELECT o_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, count(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderkey""".stripMargin,

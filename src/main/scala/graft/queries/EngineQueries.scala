@@ -123,6 +123,13 @@ object EngineQueries {
 
   private def dec(name: String) = col(name).cast("decimal(18,2)")
 
+  /** Exact decimal sum surfaced as double: DECIMAL keeps the aggregation
+    * order-independent across engines; the final correctly-rounded cast to
+    * DOUBLE keeps the output representation identical between Spark and the
+    * DuckDB oracle (decimal trailing zeros normalize differently).
+    */
+  private def decSumAsDouble(c: org.apache.spark.sql.Column) = c.cast("double")
+
   /** Full scan of the Duplicate-model table (two rowsets union-read). */
   def dupScan(spark: SparkSession, dir: String): DataFrame =
     EngineFixture.get(spark, dir).scan("graft", "orders_dup")
@@ -144,13 +151,13 @@ object EngineQueries {
   /** Aggregate-model merge-on-read: Sum/Max/Min across two rowsets. */
   def aggModelMerge(spark: SparkSession, dir: String): DataFrame =
     EngineFixture.get(spark, dir).scan("graft", "sales_agg")
-      .select(col("l_orderkey"), dec("qty").as("qty"),
+      .select(col("l_orderkey"), decSumAsDouble(dec("qty")).as("qty"),
         col("max_price"), col("min_disc"))
 
   /** Same result after physical compaction — merge must be idempotent. */
   def compactedScan(spark: SparkSession, dir: String): DataFrame =
     EngineFixture.get(spark, dir).scan("graft", "sales_agg_c")
-      .select(col("l_orderkey"), dec("qty").as("qty"),
+      .select(col("l_orderkey"), decSumAsDouble(dec("qty")).as("qty"),
         col("max_price"), col("min_disc"))
 
   /** Partition-pruned scan: only partition p0 (o_orderdate < 1997-01-01) is
@@ -193,6 +200,7 @@ object EngineQueries {
       aggs = Seq(
         ("sum_price_c", "price_c", AggType.Sum),
         ("max_price", "o_totalprice", AggType.Max)))
+      .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,11 +225,11 @@ object EngineQueries {
         |  CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
         |FROM events""".stripMargin,
     "q23_engine_agg_merge" ->
-      """SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+      """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  max(l_extendedprice) AS max_price, min(l_discount) AS min_disc
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q24_engine_compacted" ->
-      """SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+      """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  max(l_extendedprice) AS max_price, min(l_discount) AS min_disc
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q25_engine_partition_prune" ->
@@ -230,7 +238,7 @@ object EngineQueries {
     "q27_engine_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 123",
     "q49_engine_rollup" ->
-      """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_c,
+      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // q26_engine_bucket_layout: FNV-1a bucket hash not expressible in DuckDB

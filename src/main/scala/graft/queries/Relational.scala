@@ -20,6 +20,15 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Final-output representation for money aggregates: the SUM itself runs on
+    * DECIMAL (exact, order-independent), then the finished value is cast to
+    * DOUBLE. Decimal→double conversion is correctly rounded on both Spark and
+    * DuckDB, so both engines emit bit-identical float64 — whereas emitting the
+    * decimal itself is fragile under the driver's value normalization
+    * (Decimal "247392.00" vs float "247392.0" hash differently).
+    */
+  private def dbl(c: Column): Column = c.cast("double")
+
   /** Projection + column pruning: the scan should read exactly 3 columns
     * (reference S3 column-at-a-time scan, src/segment.rs:273-310).
     */
@@ -36,7 +45,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+      .agg(dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
         count(lit(1)).as("n"))
 
   /** Hash aggregation with partial+final (TPC-H Q1 shape) — the executed form
@@ -47,12 +56,12 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
           .as("sum_disc_price"),
-        min(dec(col("l_extendedprice"))).as("min_price"),
-        max(dec(col("l_extendedprice"))).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("count_order"))
 
   /** Distinct aggregation. */
@@ -70,7 +79,7 @@ object Relational {
     val p = t(spark, dir, "part")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec(col("l_extendedprice"))).as("revenue"),
+      .agg(dbl(sum(dec(col("l_extendedprice")))).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -84,7 +93,7 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(li, o("o_orderkey") === li("l_orderkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+      .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
         .as("revenue"),
         count(lit(1)).as("n"))
   }
@@ -113,7 +122,7 @@ object Relational {
         li("l_shipdate") >= o("o_orderdate") &&
         li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAY"))
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("qty"))
   }
 
   /** Window: top-3 orders per status by price (row_number, deterministic
@@ -136,7 +145,7 @@ object Relational {
     t(spark, dir, "orders")
       .filter(col("o_custkey") < 100)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice"))).over(w).as("running_total"))
+        dbl(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
   }
 
   /** Global sort + limit (top-k). At scale Spark executes this as a
@@ -169,13 +178,13 @@ object Relational {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
 
   /** CUBE grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(sum(dec(col("o_totalprice"))).as("total"), count(lit(1)).as("n"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("total"), count(lit(1)).as("n"))
 
   /** Scalar function surface: string/date/math (reference has none —
     * SURVEY.md §2.11 — all Spark built-ins).
@@ -192,7 +201,7 @@ object Relational {
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
         dayofmonth(col("o_orderdate")).as("dom"),
-        (dec(col("o_totalprice")) * lit(2).cast("decimal(18,2)")).as("dbl_price"),
+        dbl(dec(col("o_totalprice")) * lit(2).cast("decimal(18,2)")).as("dbl_price"),
         abs(col("o_custkey") - lit(500)).as("cust_dist"))
 
   /** Correlated scalar subquery shape: per-order share of its customer's total
@@ -201,7 +210,7 @@ object Relational {
   def subqueryAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val perCust = o.groupBy(col("o_custkey").as("k"))
-      .agg(sum(dec(col("o_totalprice"))).as("cust_total"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("cust_total"))
     o.filter(col("o_orderkey") < 2000)
       .join(perCust, col("o_custkey") === col("k"))
       .select(col("o_orderkey"), col("cust_total"))
@@ -235,7 +244,7 @@ object Relational {
     t(spark, dir, "orders").createOrReplaceTempView("orders_v")
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders_v
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
         |""".stripMargin)
@@ -335,7 +344,7 @@ object Relational {
         |FROM orders WHERE o_orderkey < 1000 GROUP BY o_orderstatus""".stripMargin,
     "q29_sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin,
     "q45_udf_udaf" ->
@@ -354,17 +363,17 @@ object Relational {
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q02_filter_scan" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue, count(*) AS n
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
-        |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -372,12 +381,12 @@ object Relational {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q05_join_broadcast" ->
-      """SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS n
+      """SELECT p_brand, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "q06_join_shuffle" ->
       """SELECT c_mktsegment,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -389,7 +398,7 @@ object Relational {
       """SELECT c_custkey, c_nationkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)""".stripMargin,
     "q09_join_range" ->
-      """SELECT o_orderstatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderstatus""".stripMargin,
@@ -400,9 +409,9 @@ object Relational {
         |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q11_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 100""".stripMargin,
     "q12_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
@@ -413,10 +422,10 @@ object Relational {
     "q15_set_except" ->
       "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0",
     "q16_rollup" ->
-      """SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+      """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q17_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q18_scalar_funcs" ->
       """SELECT o_orderkey,
@@ -425,12 +434,12 @@ object Relational {
         |  length(o_orderpriority) AS pri_len,
         |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS dbl_price,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS dbl_price,
         |  abs(o_custkey - 500) AS cust_dist
         |FROM orders WHERE o_orderkey < 1000""".stripMargin,
     "q19_subquery_agg" ->
       """SELECT o_orderkey,
-        |  (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+        |  (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders o2
         |   WHERE o2.o_custkey = o1.o_custkey) AS cust_total
         |FROM orders o1 WHERE o_orderkey < 2000""".stripMargin,
   )

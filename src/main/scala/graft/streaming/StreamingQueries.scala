@@ -26,7 +26,8 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("total"))
-      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
@@ -122,7 +123,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "q42_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q43_stream_sessionize" ->
       """SELECT user_id,

@@ -18,14 +18,18 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(v):
+    # Deliberately STRICTER than the driver: no float rounding, no decimal
+    # normalization, and the python type class is part of the value. Round 1
+    # learned the hard way that Decimal('247392.00') vs float 247392.0 can
+    # hash-mismatch driver-side while a lenient local check passes — so query
+    # outputs must already be representation-identical, not just value-equal.
     if v is None: return None
-    if isinstance(v, float):
-        return round(v, 9)
     if isinstance(v, bytes): return v.hex()
-    # Decimal, timestamps, etc -> str
     import decimal, datetime
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return ("decimal", str(v))
+    if isinstance(v, float):
+        return ("float", repr(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)
     if isinstance(v, list):
