@@ -66,7 +66,42 @@ object TextAnalysis {
       length(norm).as("norm_len"))
   }
 
+  /** Composite quality score: stopword ratio, punctuation ratio, digit ratio
+    * blended into one deterministic figure (the shape CCNet/Gopher-style
+    * filters use). Every component is rounded BEFORE the blend so the oracle
+    * reproduces the identical doubles; the blend reuses the rounded values
+    * with the same operation order.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+    val stopRatio = round(
+      size(filter(ws, w => w.isin(stopwords: _*))).cast("double") /
+        greatest(size(ws), lit(1)).cast("double"), 4)
+    val punctRatio = round(
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double"), 4)
+    val digitRatio = round(
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double"), 4)
+    val lenScore = least(size(ws).cast("double") / lit(50.0), lit(1.0))
+    docs(spark, dir).select(
+      col("doc_id"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      digitRatio.as("digit_ratio"),
+      // floor-quantize the blend rather than round(): the blended double is
+      // bit-identical across engines (same IEEE ops, same order), and floor
+      // of an identical double is identical — while round() ties at the
+      // half-grid (…5 at the 5th decimal) resolve differently in Spark
+      // (decimal-repr half-up) vs DuckDB (binary)
+      (floor((lenScore * lit(0.5) + stopRatio * lit(2.0) * lit(0.25) +
+        (lit(1.0) - punctRatio) * lit(0.25)) * lit(10000.0)) / lit(10000.0))
+        .as("quality"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_quality_score" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q37_text_stats" -> ((s: SparkSession, d: String) => stats(s, d)),
     "q38_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
     "q39_token_counts" -> ((s: SparkSession, d: String) => tokenCounts(s, d)),
@@ -74,6 +109,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_quality_score" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |r AS (SELECT doc_id,
+        |    round(CAST(len(list_filter(ws, x ->
+        |      x IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) /
+        |      greatest(len(ws), 1), 4) AS stop_ratio,
+        |    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1), 4) AS punct_ratio,
+        |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1), 4) AS digit_ratio,
+        |    least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) AS len_score
+        |  FROM d)
+        |SELECT doc_id, stop_ratio, punct_ratio, digit_ratio,
+        |  floor((len_score * 0.5 + stop_ratio * 2.0 * 0.25 +
+        |         (1.0 - punct_ratio) * 0.25) * 10000.0) / 10000.0 AS quality
+        |FROM r""".stripMargin,
     "q37_text_stats" ->
       """SELECT doc_id, lang,
         |  length(text) AS n_chars,

@@ -310,7 +310,94 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
 
+  /** Outer-join flavors: FULL OUTER between per-nation customer and supplier
+    * counts (either side may be missing), then the nation dim LEFT JOINs the
+    * result (nations with neither keep 0/0). Null-producing joins are the one
+    * join family q05-q09 didn't cover.
+    */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cu = t(spark, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    val both = cu.join(su, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    t(spark, dir, "nation")
+      .join(both, col("n_nationkey") === col("nk"), "left_outer")
+      .select(col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** PIVOT: order counts per priority, one column per status. Explicit pivot
+    * values keep the plan a single pass (no distinct-value pre-query) — the
+    * 100 TB form of wide-format reporting.
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** UNPIVOT (melt): wide per-flag measures back to long (measure, value)
+    * rows — the inverse reshape, one row per (group, measure).
+    */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "value")
+
+  /** Generator / UDTF surface: explode a per-row array (documents → words).
+    * The reference has no row-expanding operator; Spark's `explode` is the
+    * codegen'd equivalent of a table function.
+    */
+  def explodeWords(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+
+  /** Semi-structured JSON: extract a field from the events `props` JSON
+    * column and aggregate it — get_json_object stays row-at-a-time codegen,
+    * no schema inference pass (at 100 TB you never infer over the corpus).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+
+  /** Array-function surface over grouped data: collect, sort, slice, probe —
+    * list manipulation without leaving codegen.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(col("l_orderkey"),
+        col("lines").cast("string").as("lines"),
+        size(col("lines")).as("n"),
+        array_max(col("lines")).as("max_line"),
+        array_contains(col("lines"), 1).as("has_first"),
+        slice(col("lines"), 1, 2).cast("string").as("first2"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_join_outer" -> joinOuter _,
+    "q54_pivot" -> pivotAgg _,
+    "q55_unpivot" -> unpivotAgg _,
+    "q56_explode_words" -> explodeWords _,
+    "q57_json_extract" -> jsonExtract _,
+    "q58_array_funcs" -> arrayFuncs _,
     "q51_sketches" -> sketches _,
     "q28_format_roundtrip" -> formatRoundtrip _,
     "q29_sql_grouping_sets" -> sqlGroupingSets _,
@@ -338,6 +425,46 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_join_outer" ->
+      """WITH cu AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     su AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1),
+        |     cs AS (SELECT coalesce(ck, sk) AS nk,
+        |                   coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |            FROM cu FULL OUTER JOIN su ON ck = sk)
+        |SELECT n_name, CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM nation LEFT OUTER JOIN cs ON n_nationkey = nk""".stripMargin,
+    "q54_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q55_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w""".stripMargin,
+    "q56_explode_words" ->
+      """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q57_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q58_array_funcs" ->
+      """WITH g AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |           FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(lines AS VARCHAR) AS lines,
+        |  CAST(len(lines) AS INT) AS n,
+        |  list_max(lines) AS max_line,
+        |  list_contains(lines, 1) AS has_first,
+        |  CAST(lines[1:2] AS VARCHAR) AS first2
+        |FROM g""".stripMargin,
     "q28_format_roundtrip" ->
       """SELECT o_orderstatus, CAST(count(*) * 3 AS BIGINT) AS n3,
         |  count(DISTINCT o_orderkey) AS nd

@@ -114,13 +114,38 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: the input stream carries each event twice (a
+    * generator doubles it); `dropDuplicates` on the key keeps exactly one —
+    * the streaming half of the dedup surface (state = one entry per key; at
+    * scale bound it with `withWatermark` + dropDuplicatesWithinWatermark).
+    * The post-sink count-per-type aggregation is batch, so the streaming
+    * stage is the single stateful operator.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = graft.queries.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("event_type"))
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .drop("copy")
+      .dropDuplicates("event_id")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = doubled.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "q42_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
