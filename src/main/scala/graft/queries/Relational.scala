@@ -391,7 +391,27 @@ object Relational {
         array_contains(col("lines"), 1).as("has_first"),
         slice(col("lines"), 1, 2).cast("string").as("first2"))
 
+  /** Schema evolution: two parquet rowsets written under different schema
+    * versions (v2 adds a column), read back with `mergeSchema` — old rows
+    * surface NULL for the added column. This executes the reference's
+    * declared-but-frozen `schema_version` (src/meta.rs:68): evolution is a
+    * metadata merge at read, never a rewrite of old data.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evo-").toString
+    o.filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_schema_evolution" -> schemaEvolution _,
     "q53_join_outer" -> joinOuter _,
     "q54_pivot" -> pivotAgg _,
     "q55_unpivot" -> unpivotAgg _,
@@ -425,6 +445,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000""".stripMargin,
     "q53_join_outer" ->
       """WITH cu AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
         |     su AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1),

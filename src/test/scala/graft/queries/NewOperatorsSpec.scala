@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants for the round-2 operators (q53-q62) beyond the DuckDB oracle:
+  * structural properties that should hold at any scale factor.
+  */
+class NewOperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("outer join: one row per nation, counts conserved") {
+    val out = Relational.joinOuter(spark, dir).collect()
+    assert(out.length == 25) // every nation survives the left join
+    val totalCust = out.map(_.getLong(1)).sum
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(totalCust == nCust) // full-outer + coalesce loses nobody
+  }
+
+  test("pivot: status columns partition the order count") {
+    val p = Relational.pivotAgg(spark, dir)
+    val total = p.select(sum(col("n_f") + col("n_o") + col("n_p"))).first().getLong(0)
+    assert(total == spark.read.parquet(s"$dir/orders.parquet").count())
+  }
+
+  test("unpivot: two measure rows per flag, values match the wide aggregate") {
+    val long = Relational.unpivotAgg(spark, dir)
+    val flags = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag")).distinct().count()
+    assert(long.count() == 2 * flags)
+    assert(long.groupBy(col("l_returnflag")).count().collect().forall(_.getLong(1) == 2))
+  }
+
+  test("explode emits one row per whitespace word") {
+    val doc0Words = Relational.explodeWords(spark, dir)
+      .filter(col("doc_id") === 0).count()
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0)
+      .select(size(split(trim(lower(col("text"))), "\\s+"))).first().getInt(0)
+    assert(doc0Words == expected)
+  }
+
+  test("json extraction covers every event exactly once") {
+    val j = Relational.jsonExtract(spark, dir).collect()
+    assert(j.map(_.getLong(1)).sum == 1000) // sf0.001 events row count
+    assert(j.forall(r => !r.isNullAt(2)))   // $.k present in every props blob
+  }
+
+  test("schema evolution: v1 rows surface NULL for the added column") {
+    val evo = Relational.schemaEvolution(spark, dir)
+    val v1Nulls = evo.filter(col("o_orderkey") < 500 && col("o_totalprice").isNull).count()
+    val v1All = evo.filter(col("o_orderkey") < 500).count()
+    assert(v1Nulls == v1All && v1All > 0)
+    assert(evo.filter(col("o_orderkey") >= 500 && col("o_totalprice").isNull).count() == 0)
+  }
+
+  test("quality score components are ratios in [0,1]; blend is quantized to 1e-4") {
+    val q = graft.pipeline.TextAnalysis.qualityScore(spark, dir).collect()
+    assert(q.nonEmpty)
+    for (r <- q; i <- 1 to 3) {
+      val v = r.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"ratio col $i out of range: $v")
+    }
+    // floor(x*1e4)/1e4 leaves no residue beyond the 4th decimal (up to one
+    // double ulp from the division back by 1e4)
+    assert(q.forall { r =>
+      val scaled = r.getDouble(4) * 10000.0
+      math.abs(scaled - math.rint(scaled)) < 1e-9
+    })
+  }
+
+  test("vector ops: unit-norm corpus, bounded first component") {
+    val v = graft.pipeline.Similarity.vectorOps(spark, dir).collect()
+    assert(v.length == 100)
+    assert(v.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-3)) // embeddings are L2-normalized
+    assert(v.forall(r => math.abs(r.getDouble(4)) <= 1.0))       // |unit0| <= 1
+  }
+
+  test("streaming dedup collapses the doubled stream back to source counts") {
+    val n = graft.streaming.StreamingQueries.streamDedup(spark, dir)
+      .select(sum(col("n"))).first().getLong(0)
+    assert(n == 1000)
+  }
+}
