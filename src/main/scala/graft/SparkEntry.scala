@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.pipeline.Dedup]]        exact/MinHash-LSH/SimHash/Jaccard dedup
   *  - [[graft.pipeline.Similarity]]   brute-force + LSH ANN over embeddings
   *  - [[graft.pipeline.TextAnalysis]] stats/lang-id/tokens/fingerprints
+  *  - [[graft.pipeline.Corpus]]       splits/n-grams/scrub/binning/quantiles
   *  - [[graft.pipeline.Multimodal]]   binary-column decode plumbing
   *  - [[graft.streaming.StreamingQueries]] windowed + stateful streaming
   *  - [[graft.operators.AsOfJoin]]    as-of join composition
@@ -29,6 +30,7 @@ object SparkEntry {
       graft.pipeline.Dedup.all ++
       graft.pipeline.Similarity.all ++
       graft.pipeline.TextAnalysis.all ++
+      graft.pipeline.Corpus.all ++
       graft.pipeline.Multimodal.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all
@@ -44,6 +46,7 @@ object SparkEntry {
       graft.pipeline.Dedup.oracles ++
       graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++
+      graft.pipeline.Corpus.oracles ++
       graft.pipeline.Multimodal.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles

@@ -37,6 +37,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   val BucketCol = "__graft_bucket"
   val VersionCol = "__graft_version"
   val SeqCol = "__graft_seq"
+  val OpCol = "__graft_op"
 
   def tableRoot(db: String, table: String): Path = warehouse.resolve(db).resolve(table)
 
@@ -118,9 +119,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
 
   def ingest(db: String, table: String, df: DataFrame,
              version: Option[Version] = None,
-             explicitRowsetId: Option[Long] = None): RowsetMeta = {
+             explicitRowsetId: Option[Long] = None,
+             op: Int = 0): RowsetMeta = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
+    require(op == 0 || td.schema.keysType == KeysType.Unique,
+      s"delete loads (op=1) are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
     val rowsetId = explicitRowsetId.getOrElse(m.nextRowsetId)
@@ -136,6 +140,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // SURVEY.md §7 "hard parts"; we define it and persist it).
     if (td.schema.keysType != KeysType.Duplicate)
       routed = routed.withColumn(SeqCol, monotonically_increasing_id())
+    // __graft_op: 0 = upsert, 1 = delete tombstone (Unique model only) —
+    // the StarRocks/Doris-style batch-delete marker; merge-on-read drops a
+    // key whose latest (version, seq) record is a tombstone.
+    if (td.schema.keysType == KeysType.Unique)
+      routed = routed.withColumn(OpCol, lit(op))
 
     val sortCols = (Seq(PartCol, BucketCol) ++ keyNames).map(col)
     var writer = routed
@@ -158,6 +167,32 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       createdMs = System.currentTimeMillis())
     m.publish(meta)
     meta
+  }
+
+  /** Batch delete for Unique tables: `keys` carries the key columns (plus the
+    * partition column, if the table is partitioned); every other declared
+    * column is filled with a typed NULL and the rowset is published with
+    * op=1 tombstones. Deletes are just another immutable rowset — MVCC,
+    * snapshot reads and compaction all compose: older snapshots still see the
+    * rows, the latest snapshot drops them, and compaction physically removes
+    * them. (Delete-by-key batch loads are the StarRocks/Doris `__op` pattern;
+    * the reference declares no delete path at all.)
+    */
+  def ingestDeletes(db: String, table: String, keys: DataFrame,
+                    version: Option[Version] = None): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(td.schema.keysType == KeysType.Unique,
+      s"deletes are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
+    val needed = td.schema.keyNames ++ td.partitionColumn.toSeq
+    val missing = needed.distinct.filterNot(keys.columns.contains)
+    require(missing.isEmpty,
+      s"delete load for ${td.qualified} missing columns: ${missing.mkString(", ")}")
+    val full = td.schema.columns.foldLeft(keys) { (df, c) =>
+      if (df.columns.contains(c.name)) df
+      else df.withColumn(c.name, lit(null).cast(c.dataType))
+    }
+    ingest(db, table, full, version, op = 1)
   }
 
   // --- read path -------------------------------------------------------------
@@ -284,6 +319,25 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   def hasVersionHoles(db: String, table: String, lo: Long, hi: Long): Boolean =
     manifest(db, table).hasVersionHoles(lo, hi)
 
+  /** Metadata-only `count(*)`: for a Duplicate table the row count is the sum
+    * of the covering rowsets' manifest counts — zero files opened, zero tasks
+    * launched. At 100 TB this turns the most common health-check query into a
+    * manifest lookup (the same trick as parquet-footer count aggregates, one
+    * level up). Merge-on-read models must resolve key collisions, so they
+    * fall back to counting the merged scan.
+    */
+  def countStar(db: String, table: String): Long = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    td.schema.keysType match {
+      case KeysType.Duplicate =>
+        m.captureConsistentVersions(lo, m.maxVersion).map(_.numRows).sum
+      case _ => scan(db, table).count()
+    }
+  }
+
   /** Route one key pair to its (partition, bucket) — the reference's
     * `tablet_for_row` (src/table.rs:32-41).
     */
@@ -329,6 +383,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .withColumn(BucketCol, bucketIdxCol(td))
     if (td.schema.keysType != KeysType.Duplicate)
       out = out.withColumn(SeqCol, monotonically_increasing_id())
+    // merge-on-read already dropped tombstoned keys; the survivors are plain
+    // upserts — compaction is where deletes become physical
+    if (td.schema.keysType == KeysType.Unique)
+      out = out.withColumn(OpCol, lit(0))
     out.repartition(col(PartCol), col(BucketCol))
       .sortWithinPartitions((Seq(PartCol, BucketCol) ++ td.schema.keyNames).map(col): _*)
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
@@ -372,10 +430,18 @@ object MergeView {
         raw
       case KeysType.Unique =>
         // latest (version, seq) wins per key: single hash-agg via max_by.
-        val payload = struct(schema.valueNames.map(col): _*)
+        // The op flag rides inside the payload so the delete decision is made
+        // by the SAME winner that supplies the values — a tombstone only
+        // deletes if nothing newer re-inserted the key.
+        val opCol = "__graft_op"
+        val hasOp = raw.columns.contains(opCol)
+        val payloadNames = schema.valueNames ++ (if (hasOp) Seq(opCol) else Nil)
+        val payload = struct(payloadNames.map(col): _*)
         val agg0 = max_by(payload, ord).as("__graft_payload")
-        raw.groupBy(keys: _*).agg(agg0)
-          .select(schema.keyNames.map(col) ++
+        val winners = raw.groupBy(keys: _*).agg(agg0)
+        val alive = if (hasOp) winners.filter(col(s"__graft_payload.$opCol") === 0)
+                    else winners
+        alive.select(schema.keyNames.map(col) ++
             schema.valueNames.map(n => col(s"__graft_payload.$n").as(n)): _*)
       case KeysType.Aggregate =>
         val aggs = schema.valueColumns.map { c =>

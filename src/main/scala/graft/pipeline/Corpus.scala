@@ -1,0 +1,218 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-preparation operators for training-data pipelines, beyond the
+  * per-document text statistics in [[TextAnalysis]]: deterministic dataset
+  * splits, n-gram vocabulary mining, pattern scrub/redaction, length
+  * binning, per-group top-k selection, blocked edit-distance pairing, and
+  * distribution quantiles. Everything is codegen'd built-ins over the
+  * `documents`/`part` tables — no UDFs, no driver-side data movement — so
+  * each operator is a straight map/shuffle pipeline at 100 TB.
+  */
+object Corpus {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic train/val/test split: md5(doc_id) maps each document to a
+    * stable bucket in [0,100) — 80/10/10. Hash-based (not random) splits are
+    * the reproducibility contract of a data pipeline: re-runs, backfills and
+    * incremental loads all route a given document identically, with no state
+    * and no shuffle beyond the final tiny summary aggregate.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** Corpus-wide top-k bigrams: per-document bigram generation is a pure map
+    * (array transform over the word array, no join), then one count shuffle.
+    * Ties at the cutoff break lexicographically so the result is total-order
+    * deterministic.
+    */
+  def ngramTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = docs(spark, dir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    val bigrams = when(size(col("w")) >= 2,
+      expr("transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+      .otherwise(array())
+    d.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Pattern frequency per document: match counts and first occurrence for a
+    * regex family — the shape of boilerplate/spam-marker scanning.
+    */
+  def regexpCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("tab[a-z]*")).as("n_tab"),
+      regexp_count(col("text"), lit("\\b(fast|slow)\\b")).as("n_speed"),
+      regexp_extract(col("text"), "tab[a-z]*", 0).as("first_tab"))
+
+  /** Scrub/redaction pass: replace a pattern family globally, emit the
+    * fingerprint + length of the scrubbed text and how many characters were
+    * removed — the PII-redaction shape (here aimed at stopwords, since the
+    * synthetic corpus carries no emails/phones) with verifiable output.
+    */
+  def redactScrub(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(the|a|of|to)\\b"
+    val scrubbed = regexp_replace(col("text"), pat, "_")
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(scrubbed).as("scrub_md5"),
+      length(scrubbed).as("scrub_len"),
+      (length(col("text")) - length(regexp_replace(col("text"), pat, "")))
+        .as("removed_chars"))
+  }
+
+  /** Document-length histogram: fixed-width 100-char bins. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(floor(col("n_chars") / lit(100.0)).cast("long").as("bin"),
+        col("n_chars"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+
+  /** Top-5 documents per language by quality score — per-group selection is
+    * one window over the (lang)-partitioned shuffle; the score reuses
+    * [[TextAnalysis.qualityScore]] so ranking and filtering agree.
+    */
+  def langQualityTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    q.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("quality"), col("rk"))
+  }
+
+  /** Near-identical name pairs by edit distance, blocked on (brand, size) so
+    * the self-join is per-block quadratic instead of corpus-quadratic — the
+    * fuzzy-matching analogue of the LSH-blocked near-dup joins in [[Dedup]].
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        maxDist: Int = 8): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+  }
+
+  /** Token-count distribution quantiles per language: exact interpolated
+    * percentiles (partial-aggregating, single shuffle on lang).
+    */
+  def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(split(trim(col("text")), "\\s+")).cast("double")
+    docs(spark, dir)
+      .select(col("lang"), n.as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tok, 0.25)"), 4).as("q25"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("q50"),
+        round(expr("percentile(n_tok, 0.75)"), 4).as("q75"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
+    "q66_ngram_topk" -> ((s: SparkSession, d: String) => ngramTopK(s, d)),
+    "q67_regexp_counts" -> ((s: SparkSession, d: String) => regexpCounts(s, d)),
+    "q68_redact_scrub" -> ((s: SparkSession, d: String) => redactScrub(s, d)),
+    "q69_length_histogram" -> ((s: SparkSession, d: String) => lengthHistogram(s, d)),
+    "q70_lang_quality_topk" -> ((s: SparkSession, d: String) => langQualityTopK(s, d)),
+    "q71_edit_distance" -> ((s: SparkSession, d: String) => editDistancePairs(s, d)),
+    "q72_token_quantiles" -> ((s: SparkSession, d: String) => tokenQuantiles(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q65_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split""".stripMargin,
+    "q66_ngram_topk" ->
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |      FROM w WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS n FROM g GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q67_regexp_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'tab[a-z]*')) AS INT) AS n_tab,
+        |  CAST(len(regexp_extract_all(text, '\b(fast|slow)\b')) AS INT) AS n_speed,
+        |  CASE WHEN regexp_matches(text, 'tab[a-z]*')
+        |       THEN regexp_extract(text, 'tab[a-z]*') ELSE '' END AS first_tab
+        |FROM documents""".stripMargin,
+    "q68_redact_scrub" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '\b(the|a|of|to)\b', '_', 'g')) AS scrub_md5,
+        |  length(regexp_replace(text, '\b(the|a|of|to)\b', '_', 'g')) AS scrub_len,
+        |  length(text) - length(regexp_replace(text, '\b(the|a|of|to)\b', '', 'g')) AS removed_chars
+        |FROM documents""".stripMargin,
+    "q69_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q70_lang_quality_topk" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    round(CAST(len(list_filter(ws, x ->
+        |      x IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) /
+        |      greatest(len(ws), 1), 4) AS stop_ratio,
+        |    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1), 4) AS punct_ratio,
+        |    least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) AS len_score
+        |  FROM d),
+        |q AS (SELECT doc_id, lang,
+        |    floor((len_score * 0.5 + stop_ratio * 2.0 * 0.25 +
+        |           (1.0 - punct_ratio) * 0.25) * 10000.0) / 10000.0 AS quality
+        |  FROM r),
+        |rk AS (SELECT lang, doc_id, quality,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INT) AS rk
+        |  FROM q)
+        |SELECT lang, doc_id, quality, rk FROM rk WHERE rk <= 5""".stripMargin,
+    "q71_edit_distance" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 8""".stripMargin,
+    "q72_token_quantiles" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_tok, 0.25), 4) AS q25,
+        |  round(quantile_cont(n_tok, 0.5), 4) AS q50,
+        |  round(quantile_cont(n_tok, 0.75), 4) AS q75
+        |FROM t GROUP BY lang""".stripMargin,
+  )
+}

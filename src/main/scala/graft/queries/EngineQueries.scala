@@ -84,6 +84,22 @@ object EngineFixture {
         .withColumn("value", col("value") + 1000.0),
       Some(Version(2, 2)))
 
+    // --- events_del: Unique model with delete tombstones --------------------
+    // base load v1, tombstone every 7th event at v2, re-insert every 14th
+    // with value+5000 at v3: a deleted key stays gone unless a NEWER load
+    // re-inserts it.
+    eng.createTable(TableDef(
+      db = "graft", name = "events_del", schema = eventsSchema,
+      bucketColumn = Some("event_id"), numBuckets = 4))
+    eng.ingest("graft", "events_del", events, Some(Version(1, 1)))
+    eng.ingestDeletes("graft", "events_del",
+      events.filter(col("event_id") % 7 === 0).select("event_id"),
+      Some(Version(2, 2)))
+    eng.ingest("graft", "events_del",
+      events.filter(col("event_id") % 14 === 0)
+        .withColumn("value", col("value") + 5000.0),
+      Some(Version(3, 3)))
+
     // --- sales_agg: Aggregate model (Sum/Max/Min) ---------------------------
     val salesSchema = TableSchema(KeysType.Aggregate, Seq(
       ColumnSpec.key("l_orderkey", LongType),
@@ -203,7 +219,23 @@ object EngineQueries {
       .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
   }
 
+  /** Unique-model delete tombstones: deleted keys vanish from the latest
+    * snapshot unless a newer load re-inserted them (see the events_del
+    * fixture loads).
+    */
+  def deleteTombstones(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "events_del")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Metadata-only count(*): answered from manifest rowset counts, no scan. */
+  def countMeta(spark: SparkSession, dir: String): DataFrame = {
+    val n = EngineFixture.get(spark, dir).countStar("graft", "orders_dup")
+    spark.range(1).select(lit(n).as("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_engine_delete" -> deleteTombstones _,
+    "q64_engine_count_meta" -> countMeta _,
     "q49_engine_rollup" -> rollupAggregate _,
     "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
@@ -216,6 +248,14 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_engine_delete" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id % 7 <> 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value + 5000.0 AS value FROM events
+        |WHERE event_id % 14 = 0""".stripMargin,
+    "q64_engine_count_meta" ->
+      "SELECT count(*) AS n FROM orders",
     "q20_engine_dup_scan" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
     "q21_engine_snapshot_v1" ->

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants for the round-2 additions: Unique-model delete tombstones,
+  * metadata-only count, and the corpus-preparation operators (q63-q72).
+  */
+class Round2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- engine: delete tombstones -------------------------------------------
+
+  test("delete tombstones: %7 keys gone, %14 keys resurrected with new value") {
+    val out = EngineQueries.deleteTombstones(spark, dir)
+    val ids = out.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(id => id % 7 == 0 && id % 14 != 0), "tombstoned keys must vanish")
+    val n14 = out.filter(col("event_id") % 14 === 0).count()
+    assert(n14 > 0, "re-inserted keys must reappear")
+    val resurrected = out.filter(col("event_id") % 14 === 0 && col("value") >= 5000.0).count()
+    assert(resurrected == n14, "re-inserted keys carry the v3 value")
+  }
+
+  test("delete tombstones survive compaction (physical delete)") {
+    val eng = EngineFixture.get(spark, dir)
+    val before = eng.scan("graft", "events_del")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    eng.compact("graft", "events_del")
+    val after = eng.scan("graft", "events_del")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(after == before, "compaction must preserve merge-on-read semantics")
+  }
+
+  test("countStar: metadata count equals scan count on Duplicate table") {
+    val eng = EngineFixture.get(spark, dir)
+    val meta = eng.countStar("graft", "orders_dup")
+    val scanned = eng.scan("graft", "orders_dup").count()
+    assert(meta == scanned)
+  }
+
+  // --- corpus operators ------------------------------------------------------
+
+  test("hash split: buckets partition the corpus 80/10/10-ish and cover it") {
+    val rows = graft.pipeline.Corpus.hashSplit(spark, dir).collect()
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byName.values.sum
+    assert(total == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+  }
+
+  test("bigram top-k: counts are positive, k rows, deterministic across runs") {
+    val a = graft.pipeline.Corpus.ngramTopK(spark, dir).collect()
+    val b = graft.pipeline.Corpus.ngramTopK(spark, dir).collect()
+    assert(a.length == 20 && a.sameElements(b))
+    assert(a.forall(_.getLong(1) > 0))
+  }
+
+  test("redact scrub: removed_chars is consistent with length delta") {
+    val out = graft.pipeline.Corpus.redactScrub(spark, dir).collect()
+    assert(out.forall(_.getInt(3) >= 0))
+    assert(out.exists(_.getInt(3) > 0), "stopwords exist in the corpus")
+  }
+
+  test("length histogram: bin totals cover the corpus") {
+    val n = graft.pipeline.Corpus.lengthHistogram(spark, dir)
+      .agg(sum(col("n_docs"))).first().getLong(0)
+    assert(n == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
+  test("lang quality top-k: exactly k rows per language, ranks 1..k") {
+    val out = graft.pipeline.Corpus.langQualityTopK(spark, dir).collect()
+    val perLang = out.groupBy(_.getString(0))
+    assert(perLang.values.forall(_.length == 5))
+    assert(perLang.values.forall(_.map(_.getInt(3)).sorted.toSeq == (1 to 5)))
+  }
+
+  test("edit distance pairs: symmetric-free (a<b), distance within threshold") {
+    val out = graft.pipeline.Corpus.editDistancePairs(spark, dir).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getInt(4) <= 8))
+  }
+
+  test("token quantiles: q25 <= q50 <= q75 per language") {
+    val out = graft.pipeline.Corpus.tokenQuantiles(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4)))
+  }
+}
