@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FnvHash64
+import graft.functions.{FnvHash64, VectorDot}
 
 /** SQL-side integration. Two ways to get the engine's functions into SQL:
   *
@@ -11,26 +11,41 @@ import graft.functions.FnvHash64
   *     `--conf spark.sql.extensions=graft.GraftExtensions`
   *  2. At runtime on an existing session: `GraftExtensions.register(spark)`.
   *
-  * Currently registers `fnv_hash64(str)` — the reference's bucket-routing
-  * hash (src/partition.rs:30-38) — so SQL users can compute/inspect bucket
-  * placement: `SELECT fnv_hash64(o_orderkey) % 4 FROM orders`.
+  * Registers:
+  *  - `fnv_hash64(str)` — the reference's bucket-routing hash
+  *    (src/partition.rs:30-38), so SQL users can compute/inspect bucket
+  *    placement: `SELECT fnv_hash64(o_orderkey) % 4 FROM orders`.
+  *  - `vector_dot(arr, arr)` — codegen'd dot product over `array<double>`,
+  *    the similarity-search kernel: `SELECT vector_dot(embedding, embedding)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftExtensions.fnvFunction)
+    GraftExtensions.functions.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  private val fnvFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("fnv_hash64"),
-    new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
-    (children: Seq[Expression]) => {
-      require(children.size == 1, "fnv_hash64 takes exactly one argument")
-      FnvHash64(children.head)
-    })
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("fnv_hash64"),
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "fnv_hash64 takes exactly one argument")
+        FnvHash64(children.head)
+      }),
+    (
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_dot takes exactly two arguments")
+        VectorDot(children.head, children(1))
+      }),
+  )
 
   /** Register the functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
-    org.apache.spark.sql.graft.shim.functionRegistry(spark)
-      .registerFunction(fnvFunction._1, fnvFunction._2, fnvFunction._3)
+  def register(spark: SparkSession): Unit = {
+    val registry = org.apache.spark.sql.graft.shim.functionRegistry(spark)
+    functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
 }

@@ -93,8 +93,10 @@ object Corpus {
     * [[TextAnalysis.qualityScore]] so ranking and filtering agree.
     */
   def langQualityTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val q = TextAnalysis.qualityScore(spark, dir)
-      .join(docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // quality is computed inline (shared Column expressions) — one scan, one
+    // lang-partitioned window shuffle, no self-join back to the corpus
+    val q = docs(spark, dir)
+      .select(col("lang"), col("doc_id"), TextAnalysis.qualityCol.as("quality"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
     q.withColumn("rk", row_number().over(w))

@@ -36,8 +36,14 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Deterministic left-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product: codegen'd Catalyst expression ([[graft.functions.VectorDot]])
+    * with the same left-to-right IEEE summation as the HOF fold it replaced —
+    * bit-identical results, fused loop instead of per-element interpretation.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot.vecDot(a, b)
+
+  /** The HOF formulation of the same fold, kept for the equivalence test. */
+  private[pipeline] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -72,33 +72,37 @@ object TextAnalysis {
     * reproduces the identical doubles; the blend reuses the rounded values
     * with the same operation order.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
-    val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
-    val stopRatio = round(
-      size(filter(ws, w => w.isin(stopwords: _*))).cast("double") /
-        greatest(size(ws), lit(1)).cast("double"), 4)
-    val punctRatio = round(
-      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-        greatest(length(col("text")), lit(1)).cast("double"), 4)
-    val digitRatio = round(
-      length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-        greatest(length(col("text")), lit(1)).cast("double"), 4)
-    val lenScore = least(size(ws).cast("double") / lit(50.0), lit(1.0))
+  // Quality components as reusable Column expressions over a `text` column,
+  // so composed operators (e.g. per-language top-k in [[Corpus]]) evaluate
+  // them inline in ONE scan instead of joining back to this query's output.
+  private val ws = split(trim(lower(col("text"))), "\\s+")
+  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private[pipeline] val stopRatio = round(
+    size(filter(ws, w => w.isin(stopwords: _*))).cast("double") /
+      greatest(size(ws), lit(1)).cast("double"), 4)
+  private[pipeline] val punctRatio = round(
+    length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+      greatest(length(col("text")), lit(1)).cast("double"), 4)
+  private[pipeline] val digitRatio = round(
+    length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      greatest(length(col("text")), lit(1)).cast("double"), 4)
+  private val lenScore = least(size(ws).cast("double") / lit(50.0), lit(1.0))
+  // floor-quantize the blend rather than round(): the blended double is
+  // bit-identical across engines (same IEEE ops, same order), and floor
+  // of an identical double is identical — while round() ties at the
+  // half-grid (…5 at the 5th decimal) resolve differently in Spark
+  // (decimal-repr half-up) vs DuckDB (binary)
+  private[pipeline] val qualityCol =
+    floor((lenScore * lit(0.5) + stopRatio * lit(2.0) * lit(0.25) +
+      (lit(1.0) - punctRatio) * lit(0.25)) * lit(10000.0)) / lit(10000.0)
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       stopRatio.as("stop_ratio"),
       punctRatio.as("punct_ratio"),
       digitRatio.as("digit_ratio"),
-      // floor-quantize the blend rather than round(): the blended double is
-      // bit-identical across engines (same IEEE ops, same order), and floor
-      // of an identical double is identical — while round() ties at the
-      // half-grid (…5 at the 5th decimal) resolve differently in Spark
-      // (decimal-repr half-up) vs DuckDB (binary)
-      (floor((lenScore * lit(0.5) + stopRatio * lit(2.0) * lit(0.25) +
-        (lit(1.0) - punctRatio) * lit(0.25)) * lit(10000.0)) / lit(10000.0))
-        .as("quality"))
-  }
+      qualityCol.as("quality"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_quality_score" -> ((s: SparkSession, d: String) => qualityScore(s, d)),

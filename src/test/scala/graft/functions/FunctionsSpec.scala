@@ -55,4 +55,38 @@ class FunctionsSpec extends AnyFunSuite {
     val e = FnvHash64(org.apache.spark.sql.catalyst.expressions.Literal("foobar"))
     assert(e.eval(null) == Fnv.hash64("foobar"))
   }
+
+  test("VectorDot is bit-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    // pseudo-random but deterministic vectors, incl. values whose sum order
+    // matters at double precision
+    val rows = (0 until 50).map { i =>
+      val a = (0 until 16).map(j => math.sin(i * 16 + j) * math.pow(10, j % 5)).toArray
+      val b = (0 until 16).map(j => math.cos(i * 16 + j) / (j + 1.0)).toArray
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val hof = org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val out = df.select(
+      VectorDot.vecDot(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"bit mismatch: $r")
+    }
+  }
+
+  test("VectorDot null semantics: length mismatch and null element give NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0), Array(3.0)),          // length mismatch
+      (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val r = df.select(VectorDot.vecDot(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0) && r(1).getDouble(0) == 11.0)
+    graft.GraftExtensions.register(spark)
+    val withNullElem = spark.sql(
+      "SELECT vector_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS d")
+    assert(withNullElem.collect().head.isNullAt(0))
+  }
 }
