@@ -122,6 +122,26 @@ object Corpus {
         col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
   }
 
+  /** Deterministic stratified sampling: per-language sampling rates applied
+    * via the same md5-bucket trick as [[hashSplit]] (the strata key is salted
+    * into the hash so a document's fate is independent across strata
+    * definitions). Pure map-side filter — no shuffle, no RNG state — which is
+    * what makes it reproducible across backfills at 100 TB.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(col("lang"), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    val rate = when(col("lang") === "en", 60)
+      .when(col("lang") === "de", 40)
+      .when(col("lang") === "fr", 30)
+      .when(col("lang") === "es", 20)
+      .otherwise(10)
+    docs(spark, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Token-count distribution quantiles per language: exact interpolated
     * percentiles (partial-aggregating, single shuffle on lang).
     */
@@ -145,6 +165,7 @@ object Corpus {
     "q70_lang_quality_topk" -> ((s: SparkSession, d: String) => langQualityTopK(s, d)),
     "q71_edit_distance" -> ((s: SparkSession, d: String) => editDistancePairs(s, d)),
     "q72_token_quantiles" -> ((s: SparkSession, d: String) => tokenQuantiles(s, d)),
+    "q74_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +228,13 @@ object Corpus {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 8""".stripMargin,
+    "q74_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket,
+        |    CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 30
+        |              WHEN 'es' THEN 20 ELSE 10 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b WHERE bucket < rate""".stripMargin,
     "q72_token_quantiles" ->
       """WITH t AS (SELECT lang,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok

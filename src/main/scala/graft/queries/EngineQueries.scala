@@ -233,7 +233,18 @@ object EngineQueries {
     spark.range(1).select(lit(n).as("n"))
   }
 
+  /** Incremental (CDC-style) read: only the rows added in version range
+    * [2,3] — the second rowset load (odd order keys). Version-range snapshot
+    * reads make every downstream consumer incremental: process the delta
+    * since the last consumed version instead of re-scanning the table (the
+    * read-side use of the reference's version edges, src/tablet.rs:131-144).
+    */
+  def incrementalRead(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).snapshot("graft", "orders_dup", 2, 3)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
     "q49_engine_rollup" -> rollupAggregate _,
@@ -248,6 +259,9 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_engine_incremental" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 1""".stripMargin,
     "q63_engine_delete" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 7 <> 0

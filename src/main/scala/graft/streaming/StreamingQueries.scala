@@ -136,7 +136,32 @@ object StreamingQueries {
     spark.table(name).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
   }
 
+  /** Stream-static enrichment join: the events stream joins a broadcast
+    * customer dimension per micro-batch (stateless — no streaming state, the
+    * standard enrichment topology), then a batch aggregation over the sink
+    * summarizes per nation. At scale the dim refreshes per batch and the
+    * broadcast keeps the stream shuffle-free.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.queries.Tables.eventsStream(spark, dir)
+      .select(col("user_id"), col("value"))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -144,6 +169,11 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_stream_static_join" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
     "q61_stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "q42_stream_window" ->

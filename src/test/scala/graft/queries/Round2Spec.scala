@@ -85,6 +85,37 @@ class Round2Spec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(4) <= 8))
   }
 
+  test("incremental read: exactly the v[2,3] rowset (odd order keys)") {
+    val out = EngineQueries.incrementalRead(spark, dir)
+    assert(out.filter(col("o_orderkey") % 2 === 0).count() == 0)
+    val expected = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 1).count()
+    assert(out.count() == expected)
+  }
+
+  test("stratified sample: rates are honored per language, deterministic") {
+    val s = graft.pipeline.Corpus.stratifiedSample(spark, dir)
+    val got = s.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at 60% must keep more of its stratum than es at 20%
+    assert(got("en").toDouble / base("en") > got("es").toDouble / base("es"))
+    val again = graft.pipeline.Corpus.stratifiedSample(spark, dir).count()
+    assert(again == s.count(), "hash sampling is deterministic")
+  }
+
+  test("stream-static join: totals match the batch join") {
+    val out = graft.streaming.StreamingQueries.streamStaticJoin(spark, dir)
+    val streamTotal = out.agg(sum(col("n"))).first().getLong(0)
+    val batchTotal = graft.queries.Tables.events(spark, dir)
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .count()
+    assert(streamTotal == batchTotal)
+  }
+
   test("token quantiles: q25 <= q50 <= q75 per language") {
     val out = graft.pipeline.Corpus.tokenQuantiles(spark, dir).collect()
     assert(out.nonEmpty)
