@@ -23,6 +23,11 @@ object Multimodal {
   /** Extracted features per media object. */
   final case class MediaFeatures(doc_id: Long, byte_len: Long, n_frames: Long)
 
+  /** Sampled-frame features: every `SampleStride`-th frame's leading byte
+    * summed — the shape of "sample every Nth video frame, featurize it".
+    */
+  final case class SampledFrames(doc_id: Long, n_sampled: Long, checksum: Long)
+
   /** STUB codec: a real implementation would decode image/audio frames here.
     * Deterministic fake: frame count derived from payload length (256-byte
     * "frames"), so results are reproducible and oracle-checkable.
@@ -32,28 +37,64 @@ object Multimodal {
     def decode(r: MediaRow): MediaFeatures =
       MediaFeatures(r.doc_id, r.payload.length.toLong,
         r.payload.length.toLong / FrameBytes + 1L)
+
+    /** Frame sampling: visit frames 0, 2, 4, … (64-byte frames) and take each
+      * sampled frame's first byte as its stand-in "feature". A frame whose
+      * start lies past the payload (the +1 tail frame) contributes 0 — kept in
+      * the sample count, as a real sampler would keep a short tail frame.
+      */
+    val SampleFrameBytes = 64
+    val SampleStride = 2
+    def sampleFrames(r: MediaRow): SampledFrames = {
+      val len = r.payload.length
+      val nFrames = len / SampleFrameBytes + 1
+      var fi = 0; var n = 0L; var sum = 0L
+      while (fi < nFrames) {
+        val start = fi * SampleFrameBytes
+        n += 1
+        if (start < len) sum += (r.payload(start) & 0xff).toLong
+        fi += SampleStride
+      }
+      SampledFrames(r.doc_id, n, sum)
+    }
   }
 
   /** Build a multimodal table from `documents` (text bytes stand in for media
     * payloads), then run the partition-parallel decode.
     */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  private def mediaTable(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val media = spark.read.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         lit("text/plain").as("fmt"))
       .as[MediaRow]
+  }
+
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // mapPartitions: codec init happens once per partition, not per row —
     // the shape a real (libjpeg/ffmpeg) decode needs.
-    media.mapPartitions { rows =>
+    mediaTable(spark, dir).mapPartitions { rows =>
       val codec = FakeMediaCodec
       rows.map(codec.decode)
     }.toDF()
   }
 
+  /** Frame sampling over the binary column — same partition-parallel batch
+    * shape as [[decodeFeatures]]; payloads never visit the driver.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      val codec = FakeMediaCodec
+      rows.map(codec.sampleFrames)
+    }.toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d)),
+    "q78_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
   )
 
   /** The fake decode is arithmetic on byte length — expressible in SQL, so the
@@ -65,5 +106,15 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // The corpus is pure ASCII (verified at ingest), so byte offsets equal
+    // character offsets and ascii(substr(..)) reads the frame's first byte;
+    // ascii('') = 0 matches the sampler's zero for past-the-end tail frames.
+    "q78_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id, text, len, len // 64 + 1 AS n_frames FROM d),
+        |s AS (SELECT doc_id, text, unnest(generate_series(0, n_frames - 1, 2)) AS fi FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(ascii(substr(text, CAST(fi*64+1 AS BIGINT), 1))) AS BIGINT) AS checksum
+        |FROM s GROUP BY doc_id""".stripMargin,
   )
 }

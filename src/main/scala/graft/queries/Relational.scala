@@ -410,7 +410,45 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** Time-series gap-fill (resample): hourly event counts per type with
+    * zero-fill for missing hours over the observed span. The only full-data
+    * pass is the groupBy; the hour×type grid is derived from two tiny
+    * aggregates (span + distinct types) and broadcasts into the left join, so
+    * the shape holds at 100 TB — the grid grows with the calendar, not the
+    * data.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = e.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val hours = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val grid = e.select(col("event_type")).distinct().crossJoin(hours)
+    grid.join(counts, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** RANGE window frame over a time axis: trailing-30-day order count and
+    * revenue per status. Value-based frames are deterministic under ties
+    * (all peers of the current date join the frame on both engines), unlike
+    * ROWS frames whose tie order is engine-specific; the sum runs on DECIMAL
+    * so frame-internal order never matters.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").filter(col("o_custkey") < 300)
+      .createOrReplaceTempView("orders_rf")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d
+        |FROM orders_rf
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_gap_fill" -> gapFill _,
+    "q77_window_range_frame" -> windowRangeFrame _,
     "q62_schema_evolution" -> schemaEvolution _,
     "q53_join_outer" -> joinOuter _,
     "q54_pivot" -> pivotAgg _,
@@ -445,6 +483,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_gap_fill" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |grid AS (SELECT t.event_type, hours.h
+        |         FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours),
+        |c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT g.event_type, CAST(g.h AS TIMESTAMP) AS h, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h""".stripMargin,
+    "q77_window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
     "q62_schema_evolution" ->
       """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey < 500

@@ -83,4 +83,37 @@ class NewOperatorsSpec extends AnyFunSuite {
       .select(sum(col("n"))).first().getLong(0)
     assert(n == 1000)
   }
+
+  test("gap-fill: dense hour grid, counts conserved, zero-fill present") {
+    val g = Relational.gapFill(spark, dir)
+    val types = g.select(col("event_type")).distinct().count()
+    val hours = g.select(col("h")).distinct().count()
+    assert(g.count() == types * hours)          // grid is dense: every type × every hour
+    val total = g.select(sum(col("n"))).first().getLong(0)
+    assert(total == 1000)                       // fill adds zeros, never rows
+    assert(g.filter(col("n") === 0).count() > 0) // sf0.001 has empty hours
+  }
+
+  test("range frame: trailing-30-day count grows only via in-window peers") {
+    val r = Relational.windowRangeFrame(spark, dir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(3) >= 1)) // frame always includes current row's peers
+    // a row's 30d count can never exceed its partition's total rows
+    val byStatus = r.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(r.forall(row => row.getLong(3) <= byStatus(row.getString(1))))
+  }
+
+  test("frame sample: stride-2 sampling halves the frame count (ceil)") {
+    val s = graft.pipeline.Multimodal.frameSample(spark, dir)
+    val d = graft.pipeline.Multimodal.decodeFeatures(spark, dir)
+      .withColumnRenamed("n_frames", "full256")
+    val joined = s.join(d, "doc_id").collect()
+    assert(joined.length == 500)
+    for (r <- joined) {
+      val len = r.getAs[Long]("byte_len")
+      val n64 = len / 64 + 1
+      assert(r.getAs[Long]("n_sampled") == (n64 - 1) / 2 + 1)
+      assert(r.getAs[Long]("checksum") >= 0)
+    }
+  }
 }
