@@ -156,7 +156,30 @@ object Corpus {
         round(expr("percentile(n_tok, 0.75)"), 4).as("q75"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing word n-grams
+    * with a held-out benchmark set (every 97th document stands in for the
+    * benchmark). N-gram generation is a pure per-document map; the benchmark
+    * side collapses to a distinct n-gram set that BROADCASTS into the probe —
+    * at 100 TB the corpus streams through map + broadcast-join + per-doc agg,
+    * no corpus-sized shuffle. Trigrams here because the synthetic corpus is
+    * short word-soup; a production run would use 8-13-grams, same plan.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2)))"))
+        .as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q65_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
     "q66_ngram_topk" -> ((s: SparkSession, d: String) => ngramTopK(s, d)),
     "q67_regexp_counts" -> ((s: SparkSession, d: String) => regexpCounts(s, d)),
@@ -169,6 +192,13 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents),
+        |g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i) WHERE len(words) >= 3),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(DISTINCT gram) AS n_shared
+        |FROM g JOIN b USING (gram) WHERE doc_id % 97 <> 0 GROUP BY doc_id""".stripMargin,
     "q65_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket

@@ -104,7 +104,29 @@ object TextAnalysis {
       digitRatio.as("digit_ratio"),
       qualityCol.as("quality"))
 
+  /** Repetition signals (Gopher-style quality filters): duplicate-word ratio
+    * and most-frequent-word fraction per document. The corpus-sized shuffle is
+    * the (doc_id, word) count; the doc_id re-aggregation shuffles only the
+    * already-collapsed distinct-word counts (partial aggregation trims both).
+    * The fractions divide a document's own integers (deterministic doubles).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_ratio"),
+        (col("max_cnt").cast("double") / col("n_words")).as("top_word_frac"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "q59_quality_score" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q37_text_stats" -> ((s: SparkSession, d: String) => stats(s, d)),
     "q38_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
@@ -113,6 +135,15 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |             count(*) AS n_distinct, max(cnt) AS max_cnt FROM c GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct,
+        |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_ratio,
+        |  CAST(max_cnt AS DOUBLE) / n_words AS top_word_frac
+        |FROM a""".stripMargin,
     "q59_quality_score" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),

@@ -446,7 +446,22 @@ object Relational {
         |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin)
   }
 
+  /** Rank-family window functions: dense_rank / percent_rank / cume_dist.
+    * All three are tie-stable (defined by the ORDER BY value, not physical
+    * row order), so results are deterministic even when prices repeat; the
+    * fraction outputs divide the same integers on any engine.
+    */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    t(spark, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_window_ranks" -> windowRanks _,
     "q76_gap_fill" -> gapFill _,
     "q77_window_range_frame" -> windowRangeFrame _,
     "q62_schema_evolution" -> schemaEvolution _,
@@ -483,6 +498,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_window_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  CAST(percent_rank() OVER w AS DOUBLE) AS prank,
+        |  CAST(cume_dist() OVER w AS DOUBLE) AS cdist
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""".stripMargin,
     "q76_gap_fill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),

@@ -103,6 +103,37 @@ class NewOperatorsSpec extends AnyFunSuite {
     assert(r.forall(row => row.getLong(3) <= byStatus(row.getString(1))))
   }
 
+  test("contamination: benchmark docs never flag themselves; counts positive") {
+    val c = graft.pipeline.Corpus.contamination(spark, dir).collect()
+    assert(c.nonEmpty)
+    assert(c.forall(_.getLong(0) % 97 != 0)) // benchmark docs excluded from probe side
+    assert(c.forall(_.getLong(1) >= 1))      // inner join: only shared-gram docs emitted
+  }
+
+  test("window ranks: dense_rank contiguous from 1; cume_dist ends at 1") {
+    val r = Relational.windowRanks(spark, dir).collect()
+    val byStatus = r.groupBy(_.getString(1))
+    for ((_, rows) <- byStatus) {
+      val dranks = rows.map(_.getInt(2)).distinct.sorted
+      assert(dranks.head == 1 && dranks.last == dranks.length) // no gaps
+      assert(math.abs(rows.map(_.getDouble(4)).max - 1.0) < 1e-12)
+      assert(rows.map(_.getDouble(3)).min == 0.0) // percent_rank of the first row
+    }
+  }
+
+  test("repetition: ratios bounded, distinct never exceeds total") {
+    val r = graft.pipeline.TextAnalysis.repetition(spark, dir).collect()
+    assert(r.length == 500)
+    for (row <- r) {
+      assert(row.getLong(2) <= row.getLong(1))
+      val dup = row.getDouble(3); val top = row.getDouble(4)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      // pigeonhole: the top word's count is at least the mean count
+      assert(top >= 1.0 / row.getLong(2).toDouble - 1e-12)
+    }
+  }
+
   test("frame sample: stride-2 sampling halves the frame count (ceil)") {
     val s = graft.pipeline.Multimodal.frameSample(spark, dir)
     val d = graft.pipeline.Multimodal.decodeFeatures(spark, dir)
