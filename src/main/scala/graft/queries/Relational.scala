@@ -460,7 +460,20 @@ object Relational {
         cume_dist().over(w).as("cdist"))
   }
 
+  /** Positional explode: like q56 but the generator also emits the element's
+    * ordinal — the UDTF shape tokenizers need when token position matters
+    * (n-gram windows, positional truncation). Still a codegen'd generator,
+    * no shuffle.
+    */
+  def posExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")))
+      .withColumnRenamed("col", "word")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_posexplode" -> posExplodeWords _,
     "q80_window_ranks" -> windowRanks _,
     "q76_gap_fill" -> gapFill _,
     "q77_window_range_frame" -> windowRangeFrame _,
@@ -552,6 +565,11 @@ object Relational {
         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w""".stripMargin,
     "q56_explode_words" ->
       """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q83_posexplode" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) - 1 AS INT) AS pos,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |FROM documents WHERE doc_id < 50""".stripMargin,
     "q57_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -160,7 +160,37 @@ object StreamingQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** Stream-stream interval join: clicks joined to the same user's purchases
+    * within the following 24 hours. Both sides carry watermarks so the join
+    * state is bounded (a click older than watermark + 24h can never match
+    * again and is evicted) — the property that makes the topology viable on
+    * an unbounded stream. The post-sink per-user count is batch.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = graft.queries.Tables.eventsStreamDir(dir)
+    val clicks = graft.queries.Tables.eventsStreamFrom(spark, streamDir, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = graft.queries.Tables.eventsStreamFrom(spark, streamDir, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 24 HOURS"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_stream_stream_join" -> ((s: SparkSession, d: String) => streamStreamJoin(s, d)),
     "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
@@ -169,6 +199,12 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+        |GROUP BY c.user_id""".stripMargin,
     "q75_stream_static_join" ->
       """SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

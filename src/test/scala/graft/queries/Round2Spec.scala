@@ -121,4 +121,27 @@ class Round2Spec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(r => r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4)))
   }
+
+  test("stream-stream join: pair counts match the batch interval join") {
+    val out = graft.streaming.StreamingQueries.streamStreamJoin(spark, dir)
+    val streamTotal = out.agg(sum(col("n_pairs"))).first().getLong(0)
+    val e = graft.queries.Tables.events(spark, dir)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batchTotal = c.join(p, expr(
+      "cu = pu AND pts >= cts AND pts <= cts + INTERVAL 24 HOURS")).count()
+    assert(streamTotal == batchTotal && streamTotal > 0)
+  }
+
+  test("posexplode: positions are 0..n-1 per doc and words match q56") {
+    val out = graft.queries.Relational.posExplodeWords(spark, dir)
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        count(lit(1)).as("n")).collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(r => r.getInt(1) == 0 && r.getLong(3) == r.getInt(2) + 1L))
+    assert(out.count() == graft.queries.Relational.explodeWords(spark, dir).count())
+  }
 }
