@@ -178,7 +178,49 @@ object Corpus {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** Token-budget sequence packing: documents are assigned to training chunks
+    * by cumulative token count within each language shard (chunk = the
+    * 512-token bin the document STARTS in). The running sum is a window
+    * per-lang ordered by doc_id — packing is per-shard, never a global
+    * order, so at 100 TB each shard packs independently (the natural unit is
+    * whatever key the corpus is already partitioned by).
+    */
+  def sequencePack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), toks.as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("tokens"),
+        ((col("cum") - col("tokens")) / budget).cast("long").as("chunk_id"))
+  }
+
+  /** Winsorized aggregation: clip a value column at the per-group 5th/95th
+    * percentiles before summing — the outlier-robust feature aggregation a
+    * training pipeline applies to heavy-tailed signals. Two passes: the
+    * per-group bounds are a tiny aggregate that BROADCASTS back into the
+    * clipping scan, so the corpus streams through exactly twice with no
+    * corpus-sized shuffle beyond the grouped partial aggs.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    val clipped = round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 2)
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        sum(clipped.cast("decimal(18,2)")).cast("double").as("sum_clipped"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
+    "q88_winsorize" -> ((s: SparkSession, d: String) => winsorize(s, d)),
     "q79_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q65_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
     "q66_ngram_topk" -> ((s: SparkSession, d: String) => ngramTopK(s, d)),
@@ -192,6 +234,26 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_sequence_pack" ->
+      """SELECT lang, doc_id, tokens,
+        |  CAST(floor((cum - tokens) / 512) AS BIGINT) AS chunk_id
+        |FROM (
+        |  SELECT lang, doc_id, tokens,
+        |    sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT lang, doc_id,
+        |          len(string_split_regex(trim(text), '\s+')) AS tokens
+        |        FROM documents))""".stripMargin,
+    "q88_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(CAST(round(least(greatest(l_extendedprice, p05), p95), 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
     "q79_contamination" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents),
         |g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram

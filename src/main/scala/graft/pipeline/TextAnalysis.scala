@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines: statistics/quality
   * scoring, heuristic language ID, token counting (whitespace + a BPE-ish
@@ -125,7 +126,31 @@ object TextAnalysis {
         (col("max_cnt").cast("double") / col("n_words")).as("top_word_frac"))
   }
 
+  /** TF-IDF top terms per document: term frequencies are one (doc, word)
+    * count shuffle; document frequencies collapse to a vocabulary-sized
+    * aggregate that BROADCASTS back into the scoring join, and the top-k is
+    * a per-doc window. tfidf rounds to 4 decimals (the division feeds ln on
+    * identical integers on any engine) and ranks tie-break on the word, so
+    * the selection is total-order deterministic.
+    */
+  def tfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(spark, dir).filter(col("doc_id") < 100)
+    val tf = d.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = d.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(broadcast(df_), "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("word"), col("tfidf"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_tfidf" -> ((s: SparkSession, d: String) => tfidf(s, d)),
     "q81_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "q59_quality_score" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q37_text_stats" -> ((s: SparkSession, d: String) => stats(s, d)),
@@ -135,6 +160,19 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |    FROM documents WHERE doc_id < 100) GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 100),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, round(tf * ln(n.n / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
     "q81_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
         |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),

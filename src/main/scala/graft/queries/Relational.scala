@@ -472,7 +472,47 @@ object Relational {
         posexplode(split(trim(lower(col("text"))), "\\s+")))
       .withColumnRenamed("col", "word")
 
+  /** Statistical aggregate surface: correlation, covariance, stddev and
+    * variance per group — single-pass moment aggregates (partial+final, same
+    * shuffle shape as any hash agg). Outputs round to the precision the
+    * stable one-pass formulas hold across engines (corr is O(1) → 4 dp;
+    * the tiny covariances/variances get 6 dp).
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+      round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
+      round(stddev_pop(col("l_quantity")), 4).as("sd_qty"),
+      round(var_samp(col("l_discount")), 6).as("var_disc"))
+
+  /** Data-profiling operator: per-column row count, null count, NDV and
+    * min/max over a table in ONE scan (a single multi-aggregate; the distinct
+    * counts expand map-side, everything else is partial-aggregated), then a
+    * `stack` unpivot to the narrow profile shape. The profile a pipeline runs
+    * before training on a new table.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val agged = t(spark, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn_k"), countDistinct(col("o_orderkey")).as("ndv_k"),
+      min(col("o_orderkey")).cast("string").as("min_k"),
+      max(col("o_orderkey")).cast("string").as("max_k"),
+      count(col("o_orderstatus")).as("nn_s"), countDistinct(col("o_orderstatus")).as("ndv_s"),
+      min(col("o_orderstatus")).as("min_s"), max(col("o_orderstatus")).as("max_s"),
+      count(col("o_totalprice")).as("nn_p"), countDistinct(col("o_totalprice")).as("ndv_p"),
+      min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("min_p"),
+      max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("max_p"))
+    agged.selectExpr(
+      """stack(3,
+        |  'o_orderkey',    n, n - nn_k, ndv_k, min_k, max_k,
+        |  'o_orderstatus', n, n - nn_s, ndv_s, min_s, max_s,
+        |  'o_totalprice',  n, n - nn_p, ndv_p, min_p, max_p
+        |) AS (col_name, n, nulls, ndv, min_v, max_v)""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_stats_agg" -> statsAgg _,
+    "q87_profile" -> profileTable _,
     "q83_posexplode" -> posExplodeWords _,
     "q80_window_ranks" -> windowRanks _,
     "q76_gap_fill" -> gapFill _,
@@ -566,6 +606,28 @@ object Relational {
     "q56_explode_words" ->
       """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q86_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS covar_qd,
+        |  round(stddev_pop(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q87_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n,
+        |  count(*) - count(o_orderkey) AS nulls, count(DISTINCT o_orderkey) AS ndv,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders""".stripMargin,
     "q83_posexplode" ->
       """SELECT doc_id,
         |  CAST(generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) - 1 AS INT) AS pos,

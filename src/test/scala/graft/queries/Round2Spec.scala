@@ -135,6 +135,58 @@ class Round2Spec extends AnyFunSuite {
     assert(streamTotal == batchTotal && streamTotal > 0)
   }
 
+  test("sequence pack: chunk ids start at 0, are non-decreasing, bounded by total tokens") {
+    val out = graft.pipeline.Corpus.sequencePack(spark, dir).collect()
+    assert(out.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    val perLang = out.groupBy(_.getString(0))
+    perLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(3) == 0L)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) <= b.getLong(3); case _ => true })
+      val total = rows.map(_.getLong(2)).sum
+      assert(rows.map(_.getLong(3)).max <= total / 512)
+    }
+  }
+
+  test("tfidf: at most k terms per doc, scores non-negative and descending") {
+    val out = graft.pipeline.TextAnalysis.tfidf(spark, dir).collect()
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty && perDoc.values.forall(_.length <= 3))
+    assert(out.forall(_.getDouble(2) >= 0.0))
+  }
+
+  test("stats agg: correlation within [-1,1], variances positive") {
+    val out = graft.queries.Relational.statsAgg(spark, dir).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+    assert(out.forall(r => r.getDouble(3) > 0 && r.getDouble(4) > 0))
+  }
+
+  test("profile: one row per column, key column is unique and null-free") {
+    val out = graft.queries.Relational.profileTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val k = out("o_orderkey")
+    assert(k.getLong(2) == 0L && k.getLong(3) == k.getLong(1))
+    assert(out.values.forall(r => r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("winsorize: ~5% clipped each side, clipped sum within [n*p05, n*p95]") {
+    val out = graft.pipeline.Corpus.winsorize(spark, dir).collect()
+    val bounds = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) <= n * 6 / 100 && r.getLong(3) <= n * 6 / 100)
+      val (p05, p95) = bounds(r.getString(0))
+      assert(r.getDouble(4) >= n * p05 - 1 && r.getDouble(4) <= n * p95 + 1)
+    }
+  }
+
   test("posexplode: positions are 0..n-1 per doc and words match q56") {
     val out = graft.queries.Relational.posExplodeWords(spark, dir)
     val perDoc = out.groupBy(col("doc_id"))
