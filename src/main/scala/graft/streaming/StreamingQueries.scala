@@ -15,11 +15,24 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Stateful queries commit one state store per shuffle partition per
+    * micro-batch; size the state partitioning to the data volume (local
+    * smoke = tiny state), the way a production job sizes it to key
+    * cardinality. Restored after the query drains — the streaming plan pins
+    * its own partitioning at start, so later batch queries are unaffected.
+    */
+  private def withStateParts[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window aggregation over the events stream: 1-hour windows per
     * event_type with count + exact decimal sum. Deterministic because
     * `processAllAvailable` drains the full (static) input.
     */
-  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
     val stream = graft.queries.Tables.eventsStream(spark, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
@@ -44,7 +57,7 @@ object StreamingQueries {
     * (30-minute inactivity gap). The group iterator is explicitly sorted so
     * the result is deterministic regardless of partition order.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
     import spark.implicits._
     val stream = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts")).as[Ev]
@@ -78,7 +91,7 @@ object StreamingQueries {
     * (user, session index, event count) instead of one per user — the
     * multi-output form of arbitrary stateful processing.
     */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  def sessions(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
     import spark.implicits._
     val stream = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts")).as[Ev]
@@ -121,7 +134,7 @@ object StreamingQueries {
     * The post-sink count-per-type aggregation is batch, so the streaming
     * stage is the single stateful operator.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
     val doubled = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("event_id"), col("event_type"))
       .withColumn("copy", explode(array(lit(1), lit(2))))
@@ -166,7 +179,10 @@ object StreamingQueries {
     * again and is evicted) — the property that makes the topology viable on
     * an unbounded stream. The post-sink per-user count is batch.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 8)(streamStreamJoinInner(spark, dir))
+
+  private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = graft.queries.Tables.eventsStreamDir(dir)
     val clicks = graft.queries.Tables.eventsStreamFrom(spark, streamDir, dir)
       .filter(col("event_type") === "click")
