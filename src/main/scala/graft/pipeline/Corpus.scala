@@ -218,7 +218,31 @@ object Corpus {
         sum(clipped.cast("decimal(18,2)")).cast("double").as("sum_clipped"))
   }
 
+  /** Chunk assembly: materialize [[sequencePack]]'s chunks by concatenating
+    * member documents in doc_id order (newline-separated), emitting the md5
+    * instead of the assembled text. The per-chunk collect_list is bounded by
+    * the token budget — state never exceeds one chunk of text per group —
+    * and the sort_array on (doc_id, text) structs makes the concatenation
+    * order deterministic under any partitioning.
+    */
+  def chunkAssembly(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assembled = expr(
+      "transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)")
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), col("text"), toks.as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("chunk_id", ((col("cum") - col("tokens")) / budget).cast("long"))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        md5(array_join(assembled, "\n")).as("chunk_md5"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_chunk_assembly" -> ((s: SparkSession, d: String) => chunkAssembly(s, d)),
     "q84_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q88_winsorize" -> ((s: SparkSession, d: String) => winsorize(s, d)),
     "q79_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -234,6 +258,20 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_chunk_assembly" ->
+      """WITH packed AS (
+        |  SELECT lang, doc_id, text, tokens,
+        |    CAST(floor((cum - tokens) / 512) AS BIGINT) AS chunk_id
+        |  FROM (
+        |    SELECT lang, doc_id, text, tokens,
+        |      sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT lang, doc_id, text,
+        |            len(string_split_regex(trim(text), '\s+')) AS tokens
+        |          FROM documents)))
+        |SELECT lang, chunk_id, count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS chunk_md5
+        |FROM packed GROUP BY lang, chunk_id""".stripMargin,
     "q84_sequence_pack" ->
       """SELECT lang, doc_id, tokens,
         |  CAST(floor((cum - tokens) / 512) AS BIGINT) AS chunk_id

@@ -510,7 +510,25 @@ object Relational {
         |) AS (col_name, n, nulls, ndv, min_v, max_v)""".stripMargin)
   }
 
+  /** Z-score normalization: standardize a value against its group's mean and
+    * stddev — the feature-scaling pass of a training pipeline. The per-group
+    * moments are a tiny aggregate that BROADCASTS into the scoring scan
+    * (never a window over the full group, which would sort corpus-sized
+    * partitions for two scalars).
+    */
+  def zscore(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val m = o.groupBy(col("o_orderstatus"))
+      .agg(avg(col("o_totalprice")).as("mu"),
+        stddev_pop(col("o_totalprice")).as("sd"))
+    o.filter(col("o_orderkey") < 400)
+      .join(broadcast(m), "o_orderstatus")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round((col("o_totalprice") - col("mu")) / col("sd"), 4).as("z"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_zscore" -> zscore _,
     "q86_stats_agg" -> statsAgg _,
     "q87_profile" -> profileTable _,
     "q83_posexplode" -> posExplodeWords _,
@@ -606,6 +624,12 @@ object Relational {
     "q56_explode_words" ->
       """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q90_zscore" ->
+      """WITH m AS (SELECT o_orderstatus, avg(o_totalprice) AS mu,
+        |    stddev_pop(o_totalprice) AS sd
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderkey, o.o_orderstatus, round((o_totalprice - mu) / sd, 4) AS z
+        |FROM orders o JOIN m USING (o_orderstatus) WHERE o_orderkey < 400""".stripMargin,
     "q86_stats_agg" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,

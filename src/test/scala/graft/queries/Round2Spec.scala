@@ -187,6 +187,33 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("chunk assembly: chunk doc counts and token totals reconcile with sequence pack") {
+    val packed = graft.pipeline.Corpus.sequencePack(spark, dir)
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n"), sum(col("tokens")).as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val chunks = graft.pipeline.Corpus.chunkAssembly(spark, dir).collect()
+    assert(chunks.nonEmpty && chunks.length == packed.size)
+    chunks.foreach { r =>
+      val (n, t) = packed((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == t)
+      assert(r.getString(4).length == 32)
+    }
+  }
+
+  test("zscore: group mean of z is ~0 over the full table") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val m = o.groupBy(col("o_orderstatus"))
+      .agg(avg(col("o_totalprice")).as("mu"),
+        expr("stddev_pop(o_totalprice)").as("sd"))
+    val z = o.join(broadcast(m), "o_orderstatus")
+      .select(((col("o_totalprice") - col("mu")) / col("sd")).as("z"))
+      .agg(avg(col("z"))).first().getDouble(0)
+    assert(math.abs(z) < 1e-9)
+    val out = graft.queries.Relational.zscore(spark, dir).collect()
+    assert(out.length == 400 && out.forall(r => math.abs(r.getDouble(2)) < 20))
+  }
+
   test("posexplode: positions are 0..n-1 per doc and words match q56") {
     val out = graft.queries.Relational.posExplodeWords(spark, dir)
     val perDoc = out.groupBy(col("doc_id"))
