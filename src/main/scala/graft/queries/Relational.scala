@@ -527,7 +527,51 @@ object Relational {
         round((col("o_totalprice") - col("mu")) / col("sd"), 4).as("z"))
   }
 
+  /** Star-schema 6-way join (TPC-H Q5 shape): three tiny dims broadcast,
+    * the customer⋈orders⋈lineitem⋈supplier core shuffles on its keys with
+    * AQE free to re-plan; the region filter prunes before anything joins.
+    * The revenue sum runs on DECIMAL(18,4) (price×discount products carry
+    * 4 fractional digits) so accumulation order never shows.
+    */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = t(spark, dir, "lineitem")
+    val supplier = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  /** Share-of-total (ratio_to_report): group revenue as a fraction of the
+    * grand total via a window over the ALREADY-AGGREGATED six rows — the
+    * corpus-sized work is one hash agg; the total is a window over group
+    * count rows, never a second scan.
+    */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val grp = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    grp.select(col("l_returnflag"), col("l_linestatus"),
+      col("rev").cast("double").as("grp_rev"),
+      round(col("rev").cast("double") /
+        sum(col("rev")).over(Window.partitionBy()).cast("double"), 6).as("share"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_star_join" -> starJoin _,
+    "q92_share_of_total" -> shareOfTotal _,
     "q90_zscore" -> zscore _,
     "q86_stats_agg" -> statsAgg _,
     "q87_profile" -> profileTable _,
@@ -624,6 +668,25 @@ object Relational {
     "q56_explode_words" ->
       """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q91_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q92_share_of_total" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS grp_rev,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |        CAST(sum(sum(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q90_zscore" ->
       """WITH m AS (SELECT o_orderstatus, avg(o_totalprice) AS mu,
         |    stddev_pop(o_totalprice) AS sd

@@ -214,6 +214,28 @@ class Round2Spec extends AnyFunSuite {
     assert(out.length == 400 && out.forall(r => math.abs(r.getDouble(2)) < 20))
   }
 
+  test("star join: broadcast dims, nonempty revenue, all rows from ASIA nations") {
+    val out = graft.queries.Relational.starJoin(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
+    val asiaNations = spark.read.parquet(s"$dir/nation.parquet")
+      .join(spark.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => asiaNations.contains(r.getString(0))))
+  }
+
+  test("share of total: shares sum to ~1 and group revenues reconcile") {
+    val out = graft.queries.Relational.shareOfTotal(spark, dir).collect()
+    assert(out.length == 6)
+    val shareSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(3) > 0))
+  }
+
   test("posexplode: positions are 0..n-1 per doc and words match q56") {
     val out = graft.queries.Relational.posExplodeWords(spark, dir)
     val perDoc = out.groupBy(col("doc_id"))
