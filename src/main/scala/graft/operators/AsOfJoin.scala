@@ -44,6 +44,49 @@ object AsOfJoin {
       .drop("__tag")
   }
 
+  /** Forward as-of: for each probe row, the EARLIEST build row with the same
+    * key and `buildTime >= probeTime` — same single-shuffle union+window
+    * composition as [[asOf]], with the frame looking forward. At equal
+    * timestamps the probe sorts first (tag 0 < tag 1) so the bound is
+    * inclusive; build-side ties at the matched timestamp resolve to the
+    * smallest ordered extra column (ascending order + `first`).
+    */
+  def asOfForward(probe: DataFrame, build: DataFrame, key: String, time: String,
+                  buildCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns
+    val tagged = probe
+      .withColumn("__tag", lit(0))
+      .select(probeCols.map(col) ++ Seq(col("__tag")) ++
+        buildCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c")): _*)
+    val buildTagged = build
+      .withColumn("__tag", lit(1))
+      .select(probeCols.map(c =>
+        if (c == key || c == time) col(c) else lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        Seq(col("__tag")) ++ buildCols.map(c => col(c).as(s"__b_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy((Seq(col(time), col("__tag")) ++ buildCols.map(c => col(s"__b_$c"))): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged.unionByName(buildTagged)
+      .select((probeCols.map(col) :+ col("__tag")) ++
+        buildCols.map(c => first(col(s"__b_$c"), ignoreNulls = true).over(w).as(s"next_$c")): _*)
+      .filter(col("__tag") === 0)
+      .drop("__tag")
+  }
+
+  /** Query: for each purchase event, the user's next (or simultaneous) click
+    * event — the forward-looking "time to next action" join.
+    */
+  def purchaseNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.queries.Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    asOfForward(purchases, clicks, key = "user_id", time = "ts",
+      buildCols = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("next_click_id"))
+  }
+
   /** Query: for each purchase event, the user's most recent prior (or
     * simultaneous) click event.
     */
@@ -59,6 +102,7 @@ object AsOfJoin {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join" -> ((s: SparkSession, d: String) => purchaseAsofClick(s, d)),
+    "q94_asof_forward" -> ((s: SparkSession, d: String) => purchaseNextClick(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,5 +111,16 @@ object AsOfJoin {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // Spelled without ASOF so the build-side tie-break (min click_id at the
+    // matched timestamp) is explicit and engine-independent.
+    "q94_asof_forward" ->
+      """WITH j AS (
+        |  SELECT p.event_id, p.user_id, c.event_id AS cid,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.event_id) AS rk
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, cid AS next_click_id
+        |FROM j WHERE rk = 1""".stripMargin,
   )
 }

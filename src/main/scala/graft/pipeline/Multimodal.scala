@@ -59,6 +59,28 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor "resized" media: fixed-size byte thumbnail. */
+  final case class ResizedMedia(doc_id: Long, orig_len: Long, resized_len: Int,
+                                resized_md5: String)
+
+  /** STUB resize: nearest-neighbor downsample of the payload to `target`
+    * bytes (sample i reads byte floor(i·len/target)) — the index arithmetic
+    * of a real image resize, one dimension instead of two. Emits the md5 of
+    * the thumbnail, not the bytes, to keep results compact and checkable.
+    */
+  def resizeTo(r: MediaRow, target: Int): ResizedMedia = {
+    val len = r.payload.length
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = r.payload((i.toLong * len / target).toInt)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5").digest(out)
+    ResizedMedia(r.doc_id, len.toLong, target,
+      md.map(b => f"$b%02x").mkString)
+  }
+
   /** Build a multimodal table from `documents` (text bytes stand in for media
     * payloads), then run the partition-parallel decode.
     */
@@ -92,9 +114,21 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Resize over the binary column — same partition-parallel shape; the
+    * MessageDigest (stand-in for a resize kernel's buffers) inits per row
+    * batch, never per driver round-trip.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map(r => resizeTo(r, 16))
+    }.toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "q78_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "q93_media_resize" -> ((s: SparkSession, d: String) => resize(s, d)),
   )
 
   /** The fake decode is arithmetic on byte length — expressible in SQL, so the
@@ -109,6 +143,12 @@ object Multimodal {
     // The corpus is pure ASCII (verified at ingest), so byte offsets equal
     // character offsets and ascii(substr(..)) reads the frame's first byte;
     // ascii('') = 0 matches the sampler's zero for past-the-end tail frames.
+    "q93_media_resize" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |s AS (SELECT doc_id, text, len, unnest(generate_series(0, 15)) AS i FROM d)
+        |SELECT doc_id, CAST(len AS BIGINT) AS orig_len, 16 AS resized_len,
+        |  md5(string_agg(substr(text, (i*len)//16 + 1, 1), '' ORDER BY i)) AS resized_md5
+        |FROM s GROUP BY doc_id, len""".stripMargin,
     "q78_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
         |f AS (SELECT doc_id, text, len, len // 64 + 1 AS n_frames FROM d),

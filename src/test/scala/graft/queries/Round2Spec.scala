@@ -236,6 +236,41 @@ class Round2Spec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(3) > 0))
   }
 
+  test("media resize: fixed-size thumbnails, md5 matches a local recompute") {
+    val out = graft.pipeline.Multimodal.resize(spark, dir).collect()
+    assert(out.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(out.forall(_.getInt(2) == 16))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val payload = docs(r.getLong(0)).getBytes("UTF-8")
+      val local = graft.pipeline.Multimodal.resizeTo(
+        graft.pipeline.Multimodal.MediaRow(r.getLong(0), payload, "text/plain"), 16)
+      assert(r.getString(3) == local.resized_md5)
+      assert(r.getLong(1) == payload.length.toLong)
+    }
+  }
+
+  test("asof forward: next click is at-or-after the purchase, earliest such") {
+    val ev = graft.queries.Tables.events(spark, dir)
+    val clickTs = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val purchaseTs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val out = graft.operators.AsOfJoin.purchaseNextClick(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val pts = purchaseTs(r.getLong(0))
+        assert(!clickTs(r.getLong(2)).before(pts))
+      }
+    }
+    assert(out.exists(!_.isNullAt(2)))
+  }
+
   test("posexplode: positions are 0..n-1 per doc and words match q56") {
     val out = graft.queries.Relational.posExplodeWords(spark, dir)
     val perDoc = out.groupBy(col("doc_id"))
