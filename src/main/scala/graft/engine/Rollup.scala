@@ -59,6 +59,54 @@ final class RollupManager(eng: OlapEngine) {
     defs.get((db, table, name))
       .exists(_._2 == eng.manifest(db, table).maxVersion)
 
+  /** Incremental maintenance: aggregate ONLY the rowset versions published
+    * since the stored snapshot and fold them into the stored rollup
+    * (Sum/Min/Max compose over partials). Cost = one aggregation over the
+    * delta plus a rollup-sized merge — never a base rescan — which is what
+    * keeps a 100 TB rollup current behind a streaming ingest.
+    *
+    * Valid when the delta range is cleanly addressable as append-only
+    * versions: Duplicate-model tables whose covering path for
+    * (storedV, maxV] contains no rowset reaching back before it (compaction
+    * rewrites spans, merge-on-read models rewrite history). Anything else
+    * falls back to a full [[materialize]].
+    */
+  def refreshIncremental(db: String, table: String, name: String): Unit = {
+    val key = (db, table, name)
+    val (rd, storedV) = defs.getOrElse(key,
+      throw new IllegalArgumentException(s"unknown rollup $db.$table/$name"))
+    val maxV = eng.manifest(db, table).maxVersion
+    if (storedV == maxV) return
+    val duplicateModel = eng.catalog.getTable(db, table)
+      .exists(_.schema.keysType == graft.model.KeysType.Duplicate)
+    // A hole means the delta range is no longer addressable as-is (e.g.
+    // compaction collapsed it into a rowset reaching back before storedV).
+    val deltaRowsets = scala.util.Try(
+      eng.manifest(db, table).captureConsistentVersions(storedV + 1, maxV))
+      .getOrElse(Seq.empty)
+    val cleanDelta = duplicateModel && deltaRowsets.nonEmpty &&
+      deltaRowsets.forall(_.version.start > storedV)
+    if (!cleanDelta) { materialize(db, table, rd); return }
+
+    // A rollup materialized over an empty table writes no parquet parts and
+    // cannot be read back; rebuild instead (it is the first real build).
+    val storedTry = scala.util.Try(eng.spark.read.parquet(
+      rollupDir(db, table, name).resolve(s"v$storedV").toString))
+    if (storedTry.isFailure) { materialize(db, table, rd); return }
+    val stored = storedTry.get
+    val deltaAgg = eng.snapshot(db, table, storedV + 1, maxV)
+      .groupBy(rd.groupCols.map(col): _*)
+      .agg(rd.aggs.head match { case (o, s, a) => aggCol(s, a, o) },
+        rd.aggs.tail.map { case (o, s, a) => aggCol(s, a, o) }: _*)
+    val merged = stored.unionByName(deltaAgg)
+      .groupBy(rd.groupCols.map(col): _*)
+      .agg(rd.aggs.head match { case (o, _, a) => aggCol(o, a, o) },
+        rd.aggs.tail.map { case (o, _, a) => aggCol(o, a, o) }: _*)
+    merged.write.mode("overwrite")
+      .parquet(rollupDir(db, table, name).resolve(s"v$maxV").toString)
+    defs(key) = (rd, maxV)
+  }
+
   /** Aggregate `aggs` grouped by `groupCols`, answered from a fresh matching
     * rollup when one exists (re-aggregating if the rollup is finer), else
     * from the base table. Mirrors Doris-style rollup selection.

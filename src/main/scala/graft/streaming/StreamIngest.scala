@@ -18,8 +18,13 @@ import graft.engine.OlapEngine
   */
 object StreamIngest {
 
+  /** `refreshRollups`: names of materialized rollups to keep current — after
+    * each batch's publish they refresh INCREMENTALLY (delta aggregation +
+    * rollup-sized merge, see `RollupManager.refreshIncremental`), so rollup
+    * staleness is bounded by one micro-batch without rescanning the base.
+    */
   def start(eng: OlapEngine, db: String, table: String, source: DataFrame,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String, refreshRollups: Seq[String] = Nil): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one rowset per micro-batch, with a deterministic rowset id derived
@@ -30,6 +35,7 @@ object StreamIngest {
         if (!eng.manifest(db, table).allRowsets.exists(_.rowsetId == rowsetId)) {
           eng.ingest(db, table, batch, explicitRowsetId = Some(rowsetId))
         }
+        refreshRollups.foreach(n => eng.rollups.refreshIncremental(db, table, n))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -170,6 +170,79 @@ class EngineSpec extends AnyFunSuite {
     assert(agg() == Map("a" -> 15L, "b" -> 10L))
   }
 
+  test("rollup incremental refresh: delta fold equals full rebuild; compaction forces rebuild path") {
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "s", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("g", StringType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    import spark.implicits._
+    eng.ingest("db", "s", Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L)).toDF("k", "g", "v"))
+    val rd = RollupDef("by_g", Seq("g"),
+      Seq(("sv", "v", AggType.Sum), ("mx", "v", AggType.Max)))
+    eng.rollups.materialize("db", "s", rd)
+    def agg() = eng.rollups.aggregate("db", "s", Seq("g"),
+      Seq(("sv", "v", AggType.Sum), ("mx", "v", AggType.Max)))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // two delta loads, then an incremental refresh folds both
+    eng.ingest("db", "s", Seq((4L, "b", 3L), (5L, "c", 20L)).toDF("k", "g", "v"))
+    eng.ingest("db", "s", Seq((6L, "a", 1L)).toDF("k", "g", "v"))
+    eng.rollups.refreshIncremental("db", "s", "by_g")
+    assert(eng.rollups.isFresh("db", "s", "by_g"))
+    assert(agg() == Map("a" -> ((16L, 10L)), "b" -> ((10L, 7L)), "c" -> ((20L, 20L))))
+    // idempotent when already fresh
+    eng.rollups.refreshIncremental("db", "s", "by_g")
+    assert(agg() == Map("a" -> ((16L, 10L)), "b" -> ((10L, 7L)), "c" -> ((20L, 20L))))
+    // compaction rewrites the version span: incremental must detect the
+    // non-append delta and fall back to a full rebuild, same answers
+    eng.ingest("db", "s", Seq((7L, "c", 2L)).toDF("k", "g", "v"))
+    eng.compact("db", "s")
+    eng.rollups.refreshIncremental("db", "s", "by_g")
+    assert(eng.rollups.isFresh("db", "s", "by_g"))
+    assert(agg() == Map("a" -> ((16L, 10L)), "b" -> ((10L, 7L)), "c" -> ((22L, 20L))))
+  }
+
+  test("streaming ingest keeps a rollup current per micro-batch") {
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "ev", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("g", StringType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    import spark.implicits._
+    // first micro-batch seeds the table (streaming tables own their rowset
+    // ids — batchId+1 — so all loads arrive through the stream)
+    val srcDir = Files.createTempDirectory("graft-rollup-stream-src-")
+    val ckpt = Files.createTempDirectory("graft-rollup-stream-ckpt-").toString
+    def runStream(): Unit = {
+      val schema = spark.read.parquet(srcDir.toString).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      graft.streaming.StreamIngest.start(eng, "db", "ev", stream, ckpt,
+        refreshRollups = Seq("by_g")).awaitTermination()
+    }
+    Seq((1L, "a", 10L)).toDF("k", "g", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val rd = RollupDef("by_g", Seq("g"), Seq(("sv", "v", AggType.Sum)))
+    // rollup registered before data arrives: the first batch's refresh does
+    // the initial build (no parquet to fold yet), later batches fold deltas
+    eng.rollups.materialize("db", "ev", rd)
+    runStream()
+    assert(eng.rollups.isFresh("db", "ev", "by_g"))
+    // a later file = a later micro-batch on the SAME checkpoint
+    Seq((2L, "a", 5L), (3L, "b", 7L)).toDF("k", "g", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    runStream()
+    assert(eng.rollups.isFresh("db", "ev", "by_g"))
+    val got = eng.rollups.aggregate("db", "ev", Seq("g"),
+      Seq(("sv", "v", AggType.Sum))).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 15L, "b" -> 7L))
+  }
+
   test("unroutable partition key fails the load loudly") {
     val eng = newEngine()
     ordersTable(eng)
