@@ -569,7 +569,40 @@ object Relational {
         sum(col("rev")).over(Window.partitionBy()).cast("double"), 6).as("share"))
   }
 
+  /** MapType surface: build a linenumber→quantity map per order
+    * (map_from_entries over a pre-deduplicated collect), then probe it with
+    * element_at / map_keys — the complex-type navigation a feature store
+    * uses. The pre-aggregation both dedups map keys (Spark throws on
+    * duplicates) and partial-aggregates before the shuffle.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 300)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_quantity")).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("l_linenumber"), col("q"))))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).as("n_lines"),
+        element_at(col("m"), lit(1)).as("qty_line1"),
+        element_at(col("m"), lit(2)).as("qty_line2"),
+        array_max(map_keys(col("m"))).as("max_line"))
+
+  /** Global sort: a total order over the filtered output — compiles to a
+    * RangePartitioning Exchange (sampled split points, then per-partition
+    * sort), the only scalable shape for a full ordering: no single-node
+    * sort, no limit required.
+    */
+  def globalSort(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_map_funcs" -> mapFuncs _,
+    "q96_global_sort" -> globalSort _,
     "q91_star_join" -> starJoin _,
     "q92_share_of_total" -> shareOfTotal _,
     "q90_zscore" -> zscore _,
@@ -668,6 +701,18 @@ object Relational {
     "q56_explode_words" ->
       """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q95_map_funcs" ->
+      """WITH g AS (SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
+        |           FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2)
+        |SELECT l_orderkey, CAST(count(*) AS INT) AS n_lines,
+        |  max(CASE WHEN l_linenumber = 1 THEN q END) AS qty_line1,
+        |  max(CASE WHEN l_linenumber = 2 THEN q END) AS qty_line2,
+        |  max(l_linenumber) AS max_line
+        |FROM g GROUP BY l_orderkey""".stripMargin,
+    "q96_global_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "q91_star_join" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -271,6 +271,29 @@ class Round2Spec extends AnyFunSuite {
     assert(out.exists(!_.isNullAt(2)))
   }
 
+  test("map funcs: n_lines equals distinct linenumbers, probes match direct lookup") {
+    val out = graft.queries.Relational.mapFuncs(spark, dir).collect()
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 300)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_linenumber")).as("n"),
+        max(col("l_linenumber")).as("mx")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mx) = base(r.getLong(0))
+      assert(r.getInt(1).toLong == n && r.getInt(4) == mx)
+    }
+  }
+
+  test("global sort: plan uses range partitioning and output is totally ordered") {
+    val df = graft.queries.Relational.globalSort(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    val prices = df.collect().map(_.getDouble(1))
+    assert(prices.nonEmpty)
+    assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("posexplode: positions are 0..n-1 per doc and words match q56") {
     val out = graft.queries.Relational.posExplodeWords(spark, dir)
     val perDoc = out.groupBy(col("doc_id"))
