@@ -600,7 +600,24 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Keep-first dedup: the first occurrence per (user, event_type) by time —
+    * the "first touch" / keep-earliest-URL shape of event pipelines. One
+    * shuffle on the key; Spark's WindowGroupLimit pushes the rank<=1 cut
+    * below the exchange (partial top-1 per partition), so the shuffle
+    * carries at most one row per key per map partition, not the corpus.
+    * Ties (same ts) break on event_id for a total order.
+    */
+  def keepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_keep_first" -> keepFirst _,
     "q95_map_funcs" -> mapFuncs _,
     "q96_global_sort" -> globalSort _,
     "q91_star_join" -> starJoin _,
@@ -701,6 +718,11 @@ object Relational {
     "q56_explode_words" ->
       """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q97_keep_first" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "q95_map_funcs" ->
       """WITH g AS (SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
         |           FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2)

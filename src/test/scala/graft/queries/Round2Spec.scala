@@ -294,6 +294,21 @@ class Round2Spec extends AnyFunSuite {
     assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("keep first: one row per (user, type), each is that group's earliest event") {
+    val out = graft.queries.Relational.keepFirst(spark, dir).collect()
+    val groups = graft.queries.Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("mn")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    assert(out.length == groups.size)
+    val ts = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    out.foreach { r =>
+      assert(ts(r.getLong(0)) == groups((r.getLong(1), r.getString(2))))
+    }
+  }
+
   test("posexplode: positions are 0..n-1 per doc and words match q56") {
     val out = graft.queries.Relational.posExplodeWords(spark, dir)
     val perDoc = out.groupBy(col("doc_id"))
