@@ -193,6 +193,7 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    var cached: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -201,15 +202,16 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // carry the previous label through the update so convergence is a
+      // filter over the SAME cached frame, not another self-join
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      if (i > 0) labels.unpersist() // previous iteration's cache is now dead
-      labels = updated
+      val changed = updated.filter(col("label") =!= col("prev")).count()
+      if (cached != null) cached.unpersist() // previous iteration's cache is dead
+      cached = updated
+      labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }
