@@ -295,7 +295,23 @@ object EngineQueries {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
-    // q26_engine_bucket_layout: FNV-1a bucket hash not expressible in DuckDB
-    // SQL — rows-only check; hash fidelity asserted in FnvHashSpec.
+    // The reference's routing recomputed from scratch in SQL: range-partition
+    // lookup (string-compared upper bounds ≡ timestamp compare for ISO dates)
+    // + FNV-1a 64 over the decimal key string, folded per character in
+    // HUGEINT arithmetic mod 2^64, unsigned-mod 4 (reference:
+    // src/partition.rs:28-47,172-189).
+    "q26_engine_bucket_layout" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'p0'
+        |              WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'p1'
+        |              ELSE 'pmax' END AS part,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(CAST(o_orderkey AS VARCHAR)) + 1),
+        |          i -> CAST(ord(substr(CAST(o_orderkey AS VARCHAR), i, 1)) AS HUGEINT))),
+        |      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616) % 4
+        |      AS INT) AS bucket
+        |  FROM orders)
+        |SELECT part, bucket, count(*) AS n FROM r GROUP BY part, bucket""".stripMargin,
   )
 }
