@@ -111,22 +111,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the word multiset, built entirely from higher-order
+  /** Per-word 60-bit hash: top 60 bits of md5. md5 (not xxhash64) so SimHash
+    * is reproducible outside this engine — the q32 oracle recomputes the
+    * whole signature in DuckDB SQL from the same hash. 60 bits (15 hex chars)
+    * because that parses into a positive BIGINT in every engine.
+    */
+  private[pipeline] def wordHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** Number of SimHash signature bits (= word-hash width). */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over the word multiset, built entirely from higher-order
     * functions: per word, each bit contributes +1/-1; the signature takes the
     * sign of each accumulated bit position. (Kept for per-row use; the
     * dataset-scale path is [[simhashSignatures]].)
     */
   def simhashCol(text: Column): Column = {
-    val hashes = transform(wordsCol(text), w => xxhash64(w))
+    val hashes = transform(wordsCol(text), w => wordHash60(w))
     val contrib = aggregate(
       hashes,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), SimhashBits),
       (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
+        transform(sequence(lit(0), lit(SimhashBits - 1)),
           i => when(varShiftRight(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
         (a, b) => a + b))
     aggregate(
-      zip_with(contrib, sequence(lit(0), lit(63)),
+      zip_with(contrib, sequence(lit(0), lit(SimhashBits - 1)),
         (c, i) => when(c > 0, varShiftLeft(lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
@@ -139,13 +150,13 @@ object Dedup {
     */
   def simhashSignatures(d: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = d.select(col(idCol), explode(wordsCol(col(textCol))).as("__w"))
-      .withColumn("__h", xxhash64(col("__w")))
-    val sums = (0 until 64).map(i =>
+      .withColumn("__h", wordHash60(col("__w")))
+    val sums = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
     exploded.groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(i =>
+        (0 until SimhashBits).map(i =>
           when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
@@ -155,7 +166,7 @@ object Dedup {
     */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
     simhashSignatures(docs(spark, dir), "doc_id", "text")
-      .withColumn("band", shiftrightunsigned(col("simhash"), 48))
+      .withColumn("band", shiftrightunsigned(col("simhash"), SimhashBits - 16))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("members"))
       .filter(col("n") > 1)
@@ -277,8 +288,25 @@ object Dedup {
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count, length(text) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,
-    // q31/q32: hash-family-specific (xxhash64 seeds) — not expressible in
-    // DuckDB SQL; covered by ScalaTest invariants instead (rows-only here).
+    // SimHash recomputed from scratch: same md5-derived 60-bit word hash,
+    // same ±1 bit votes over the word MULTISET (unnest keeps duplicates),
+    // same sign-bit assembly and top-16-bit band. The oracle reimplements
+    // the algorithm exactly — not an approximation.
+    "q32_dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS hv FROM w),
+        |b AS (SELECT doc_id, i,
+        |        sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |      FROM h, range(0, 60) t(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id,
+        |          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |        FROM b GROUP BY doc_id),
+        |g AS (SELECT simhash >> 44 AS band, count(*) AS n,
+        |        CAST(list_sort(list(doc_id)) AS VARCHAR) AS members
+        |      FROM sig GROUP BY band)
+        |SELECT band, n, members FROM g WHERE n > 1""".stripMargin,
     "q33_dedup_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, substr(lower(text), 1, 20) AS blk,

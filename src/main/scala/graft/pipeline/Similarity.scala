@@ -72,12 +72,17 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * xxhash64 mapped to [-1, 1).
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim): the top
+    * 60 bits of md5("plane:dim") mapped to [-1, 1). md5 (not xxhash64) so the
+    * whole LSH pipeline is reproducible OUTSIDE this engine — any system with
+    * md5 (DuckDB, Python, SQL engines) derives bit-identical hyperplanes,
+    * which is what lets the q35/q36 oracles recompute LSH end-to-end in SQL.
+    * Weights are computed once per (corpus, params) index build, so the md5
+    * cost is an offline-index cost, not a probe cost.
     */
   private def planeWeight(plane: Column, d: Column): Column =
-    (xxhash64(concat(plane.cast("string"), lit(":"), d.cast("string")))
-      .cast("double") / lit(Long.MaxValue.toDouble))
+    conv(substring(md5(concat(plane.cast("string"), lit(":"), d.cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(576460752303423488.0) - lit(1.0) // h/2^59 - 1
 
   /** Sign-bit LSH signature of `nBits` random hyperplanes. */
   def lshSignature(v: Column, nBits: Int): Column =
@@ -222,10 +227,48 @@ object Similarity {
   )
 
   /** Brute-force top-k is SQL-expressible in DuckDB via list_cosine_similarity
-    * (cast to DOUBLE[] to match our double math). LSH variants use our hash
-    * family — rows-only checks.
+    * (cast to DOUBLE[] to match our double math). The LSH variants are ALSO
+    * fully oracle-checked: the md5-derived hyperplanes mean DuckDB can rebuild
+    * the identical signatures, bucket join, and exact re-rank in SQL — the
+    * oracle reimplements the algorithm, it does not approximate it. IVF stays
+    * rows-only (k-means fit is not SQL-expressible).
     */
+  private def lshSigSql(nBits: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $nBits), p ->
+       |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, len(v)), j ->
+       |    v[j+1] * (CAST(CAST(('0x' || substr(md5(p || ':' || j), 1, 15)) AS BIGINT) AS DOUBLE)
+       |              / 576460752303423488.0 - 1.0))),
+       |    (a,b) -> a + b) > 0
+       |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+       |  (a,b) -> a | b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q35_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, ${lshSigSql(8)} AS sig,
+         |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,b)->a+b)) AS nrm
+         |      FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, sig AS psig, nrm AS pnrm
+         |      FROM s WHERE vec_id < 8),
+         |c AS (SELECT probe_id, s.vec_id,
+         |        list_reduce(list_prepend(0.0, list_transform(range(0, len(pv)),
+         |          j -> pv[j+1] * s.v[j+1])), (a,b)->a+b) / (pnrm * s.nrm) AS sim
+         |      FROM s JOIN p ON s.sig = p.psig AND s.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM c)
+         |SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS sim, rk
+         |FROM r WHERE rk <= 5""".stripMargin,
+    "q36_embed_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, ${lshSigSql(6)} AS sig,
+         |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,b)->a+b)) AS nrm
+         |      FROM e),
+         |c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        list_reduce(list_prepend(0.0, list_transform(range(0, len(a.v)),
+         |          j -> a.v[j+1] * b.v[j+1])), (x,y)->x+y) / (a.nrm * b.nrm) AS sim
+         |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(sim, 4) AS sim FROM c WHERE sim >= 0.25""".stripMargin,
     "q60_vector_ops" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 100)
