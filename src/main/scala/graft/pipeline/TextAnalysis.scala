@@ -149,7 +149,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tfidf"))
   }
 
+  /** Inverted index build (word -> sorted posting list + document frequency),
+    * the IR-side sibling of TF-IDF: one (doc, word)-distinct explode, one
+    * shuffle on the word. Restricted to words with df >= minDf (the useful
+    * index entries; at 100 TB rare-word postings would instead be sharded by
+    * (word, doc_id range) so no single reducer collects an unbounded list).
+    */
+  def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 20): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") >= minDf)
+      .select(col("word"), col("df"), col("postings").cast("string").as("postings"))
+
+  /** Lexical diversity per document: type-token ratio and Gini-Simpson index
+    * (1 - sum p_i^2). Simpson instead of Shannon entropy because it needs no
+    * log — logs are libm-dependent and would break cross-engine bit equality;
+    * sum of p^2 over the SORTED count list is a deterministic IEEE fold both
+    * engines reproduce exactly.
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(col("cnt"))).as("cs"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words").cast("double"), 4).as("ttr"),
+        round(lit(1.0) - aggregate(col("cs"), lit(0.0), (acc, c) =>
+          acc + (c.cast("double") / col("n_words").cast("double")) *
+            (c.cast("double") / col("n_words").cast("double"))), 4).as("simpson"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
+    "q100_doc_diversity" -> ((s: SparkSession, d: String) => diversity(s, d)),
     "q85_tfidf" -> ((s: SparkSession, d: String) => tfidf(s, d)),
     "q81_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "q59_quality_score" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
@@ -160,6 +198,28 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_inverted_index" ->
+      """WITH w AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |p AS (SELECT word, count(*) AS df,
+        |        CAST(list_sort(list(doc_id)) AS VARCHAR) AS postings
+        |      FROM w GROUP BY word)
+        |SELECT word, df, postings FROM p WHERE df >= 20""".stripMargin,
+    "q100_doc_diversity" ->
+      """WITH c AS (
+        |  SELECT doc_id, word, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |    FROM documents) GROUP BY doc_id, word),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |        count(*) AS n_distinct, list_sort(list(cnt)) AS cs
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr,
+        |  round(1.0 - list_reduce(list_prepend(0.0, list_transform(cs, x ->
+        |    (CAST(x AS DOUBLE) / n_words) * (CAST(x AS DOUBLE) / n_words))),
+        |    (a, b) -> a + b), 4) AS simpson
+        |FROM a""".stripMargin,
     "q85_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, word, count(*) AS tf FROM (

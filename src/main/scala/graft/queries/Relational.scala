@@ -616,7 +616,32 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("event_type"))
   }
 
+  /** Skew-mitigated aggregation surfaced as a query: the two-stage salted
+    * shape ([[graft.operators.SaltedAgg]]) splits any single hot key across
+    * 8 reducers before the final per-key merge — same result as the direct
+    * groupBy (decimal sums re-aggregate exactly), different worst-case: a
+    * dominant key costs 1/8 of a reducer instead of one whole reducer.
+    */
+  def saltedSkewAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SaltedAgg.sumCountBySalt(
+        Tables.table(spark, dir, "lineitem"),
+        "l_suppkey", col("l_extendedprice").cast("decimal(18,2)"), saltBuckets = 8)
+      .select(col("l_suppkey"), col("n"), col("total").cast("double").as("total"))
+
+  /** Right outer join: every customer keeps a row even with zero orders
+    * (count of the null-extended side = 0). Complements q53's left/full outer
+    * coverage; the planner is free to build the hash side on customer.
+    */
+  def joinRightOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_salted_agg" -> saltedSkewAgg _,
+    "q101_join_right_outer" -> joinRightOuter _,
     "q97_keep_first" -> keepFirst _,
     "q95_map_funcs" -> mapFuncs _,
     "q96_global_sort" -> globalSort _,
@@ -663,6 +688,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_salted_agg" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q101_join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "q80_window_ranks" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(dense_rank() OVER w AS INT) AS drank,
