@@ -114,10 +114,12 @@ object Dedup {
   /** Per-word 60-bit hash: top 60 bits of md5. md5 (not xxhash64) so SimHash
     * is reproducible outside this engine — the q32 oracle recomputes the
     * whole signature in DuckDB SQL from the same hash. 60 bits (15 hex chars)
-    * because that parses into a positive BIGINT in every engine.
+    * because that parses into a positive BIGINT in every engine. Evaluated by
+    * the codegen'd [[graft.functions.Md5Prefix60]] (digest bytes directly, no
+    * hex-string round-trip) — same value as conv(substring(md5(w),1,15),16,10).
     */
   private[pipeline] def wordHash60(w: Column): Column =
-    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix60.md5Prefix60(w)
 
   /** Number of SimHash signature bits (= word-hash width). */
   val SimhashBits = 60

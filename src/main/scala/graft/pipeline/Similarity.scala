@@ -81,7 +81,8 @@ object Similarity {
     * cost is an offline-index cost, not a probe cost.
     */
   private def planeWeight(plane: Column, d: Column): Column =
-    conv(substring(md5(concat(plane.cast("string"), lit(":"), d.cast("string"))), 1, 15), 16, 10)
+    graft.functions.Md5Prefix60.md5Prefix60(
+        concat(plane.cast("string"), lit(":"), d.cast("string")))
       .cast("double") / lit(576460752303423488.0) - lit(1.0) // h/2^59 - 1
 
   /** Sign-bit LSH signature of `nBits` random hyperplanes. */

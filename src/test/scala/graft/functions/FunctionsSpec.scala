@@ -89,4 +89,26 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT vector_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS d")
     assert(withNullElem.collect().head.isNullAt(0))
   }
+
+  test("Md5Prefix60 equals conv(substring(md5,1,15),16,10) incl. multibyte") {
+    import spark.implicits._
+    val strs = Seq("", "a", "hello world", "0:0", "7:63", "the", "é中文🙂", "x" * 300)
+    val df = strs.toDF("s").select(
+      Md5Prefix60.md5Prefix60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("viaHex"))
+    df.collect().foreach(r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(0) >= 0, s"mismatch: $r"))
+  }
+
+  test("Md5Prefix60 null propagates and interpreted agrees with codegen") {
+    import spark.implicits._
+    val r = Seq(Some("a"), None).toDF("s")
+      .select(Md5Prefix60.md5Prefix60(col("s"))).collect()
+    assert(r.count(_.isNullAt(0)) == 1)
+    val interp = Md5Prefix60(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a"))).eval(null)
+    val viaDf = Seq("a").toDF("s")
+      .select(Md5Prefix60.md5Prefix60(col("s"))).collect().head.getLong(0)
+    assert(interp == viaDf)
+  }
 }
