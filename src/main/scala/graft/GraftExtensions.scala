@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FnvHash64, VectorDot}
+import graft.functions.{FnvHash64, Md5Prefix60, VectorDot}
 
 /** SQL-side integration. Two ways to get the engine's functions into SQL:
   *
@@ -17,6 +17,8 @@ import graft.functions.{FnvHash64, VectorDot}
   *    placement: `SELECT fnv_hash64(o_orderkey) % 4 FROM orders`.
   *  - `vector_dot(arr, arr)` — codegen'd dot product over `array<double>`,
   *    the similarity-search kernel: `SELECT vector_dot(embedding, embedding)`.
+  *  - `md5_prefix60(str)` — top 60 bits of md5 as a positive BIGINT, the
+  *    portable hash behind SimHash/LSH (recomputable in any engine with md5).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -38,6 +40,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vector_dot takes exactly two arguments")
         VectorDot(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "md5_prefix60 takes exactly one argument")
+        Md5Prefix60(children.head)
       }),
   )
 
