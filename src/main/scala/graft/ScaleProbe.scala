@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicate the driver tables N× with disjoint key ranges and
+  * re-time representative queries on the bigger data — the reproducible form
+  * of the BASELINE.md "would this plan survive a scale-up" check.
+  *
+  * Replication offsets every table's primary key per copy (doc_id, vec_id,
+  * o_orderkey, l_orderkey, event_id) while leaving foreign keys into the
+  * dimension tables (custkey, suppkey, user_id) untouched — dims do NOT grow,
+  * so per-dim-key fan-out grows with the factor. That is deliberately HARDER
+  * than proportional TPC-H scaling: a plan that stays near-linear here has no
+  * hidden quadratic stage and no per-key state blowup.
+  *
+  * Usage: ScaleProbe <sfDir> <factor> [q1,q2,...]
+  * Prints one JSON line: {"factor":N,"queries":{name:sec,...}} (median of 3
+  * warm runs, same methodology as graft.Bench).
+  */
+object ScaleProbe {
+
+  /** Tables that get replicated, with the key column to offset per copy. */
+  private val keyed = Map(
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id",
+    "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey",
+    "events" -> "event_id")
+
+  private val passthrough =
+    Seq("region", "nation", "customer", "supplier", "part")
+
+  private val KeyStride = 1000000000L // copies get key + i * stride (disjoint)
+
+  def replicate(spark: SparkSession, sfDir: String, factor: Int): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(FastTmp.dir), "probe-")
+    for ((tbl, key) <- keyed) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = spark.read.parquet(s"$sfDir/$tbl.parquet")
+      val copies = (0 until factor).map(i =>
+        base.withColumn(key, col(key) + lit(i * KeyStride)))
+      copies.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+    }
+    for (tbl <- passthrough)
+      java.nio.file.Files.createSymbolicLink(
+        out.resolve(s"$tbl.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$tbl.parquet"))
+    out.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val defaults = Seq("q03_agg_q1", "q06_join_shuffle", "q30_dedup_exact",
+      "q32_dedup_simhash", "q85_tfidf", "q87_profile", "q91_star_join",
+      "q97_keep_first", "q98_inverted_index", "q100_doc_diversity")
+    val names = if (args.length > 2) args(2).split(",").toSeq else defaults
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = replicate(spark, sfDir, factor)
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(runOnce) // warm-up
+    val results = names.map { n =>
+      val times = (1 to 3).map(_ => runOnce(n)).sorted
+      n -> times(1)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"factor":$factor,"sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}

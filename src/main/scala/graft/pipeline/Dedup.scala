@@ -60,7 +60,10 @@ object Dedup {
     */
   def minhashSignatures(d: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame = {
-    val exploded = d.select(col(idCol),
+    // per-shingle hashing is CPU-dense map work; floor its parallelism when
+    // the source is under-split (single-row-group local files) — no-op on
+    // properly split production inputs
+    val exploded = graft.operators.MapWidth.widen(d).select(col(idCol),
       explode(array_distinct(shingles(col(textCol), k))).as("__sh"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(concat(lit(i.toString), lit("|"), col("__sh")))).as(s"__m$i"))
@@ -97,7 +100,7 @@ object Dedup {
       .distinct()
 
     val sh = cachedDf(dir, s"shingles-$k") {
-      docs(spark, dir).select(col("doc_id"),
+      graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
         array_distinct(shingles(col("text"), k)).as("sh"))
     }
     cand
@@ -151,7 +154,10 @@ object Dedup {
     * (same rationale as [[minhashSignatures]]).
     */
   def simhashSignatures(d: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = d.select(col(idCol), explode(wordsCol(col(textCol))).as("__w"))
+    // per-word hashing + 60 partial sums fused to the scan: widen when the
+    // source can't parallelize the map stage itself
+    val exploded = graft.operators.MapWidth.widen(d)
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("__w"))
       .withColumn("__h", wordHash60(col("__w")))
     val sums = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
@@ -179,7 +185,7 @@ object Dedup {
     * the blocking key bounds the join fan-out.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"),
+    val d = graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
       substring(lower(col("text")), 1, 20).as("blk"),
       array_distinct(wordsCol(col("text"))).as("ws"))
     d.as("a").join(d.as("b"),

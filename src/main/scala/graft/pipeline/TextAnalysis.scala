@@ -112,7 +112,7 @@ object TextAnalysis {
     * The fractions divide a document's own integers (deterministic doubles).
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val words = docs(spark, dir)
+    val words = graft.operators.MapWidth.widen(docs(spark, dir))
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
     words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
@@ -156,7 +156,7 @@ object TextAnalysis {
     * (word, doc_id range) so no single reducer collects an unbounded list).
     */
   def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 20): DataFrame =
-    docs(spark, dir)
+    graft.operators.MapWidth.widen(docs(spark, dir))
       .select(col("doc_id"),
         explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
       .groupBy(col("word"))
@@ -171,7 +171,7 @@ object TextAnalysis {
     * engines reproduce exactly.
     */
   def diversity(spark: SparkSession, dir: String): DataFrame = {
-    val counts = docs(spark, dir)
+    val counts = graft.operators.MapWidth.widen(docs(spark, dir))
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
