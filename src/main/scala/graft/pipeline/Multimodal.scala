@@ -59,6 +59,33 @@ object Multimodal {
     }
   }
 
+  /** Windowed features per media object (the audio-feature shape: fixed
+    * windows over the sample stream, one feature per window, summarized).
+    */
+  final case class WindowedFeatures(doc_id: Long, n_windows: Long,
+                                    max_win_energy: Long, total_energy: Long)
+
+  /** STUB feature extraction: 128-byte windows over the payload; a window's
+    * "energy" is the sum of its unsigned byte values (a real extractor would
+    * compute RMS/MFCC per window — same access pattern, float math instead).
+    * Integer arithmetic keeps the oracle exact.
+    */
+  def windowFeatures(r: MediaRow, windowBytes: Int = 128): WindowedFeatures = {
+    val len = r.payload.length
+    val nWin = (len + windowBytes - 1) / windowBytes
+    var w = 0; var maxE = 0L; var total = 0L
+    while (w < nWin) {
+      var i = w * windowBytes
+      val end = math.min(i + windowBytes, len)
+      var e = 0L
+      while (i < end) { e += (r.payload(i) & 0xff).toLong; i += 1 }
+      if (e > maxE) maxE = e
+      total += e
+      w += 1
+    }
+    WindowedFeatures(r.doc_id, nWin.toLong, maxE, total)
+  }
+
   /** Nearest-neighbor "resized" media: fixed-size byte thumbnail. */
   final case class ResizedMedia(doc_id: Long, orig_len: Long, resized_len: Int,
                                 resized_md5: String)
@@ -125,10 +152,21 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Windowed feature extraction over the binary column — completes the
+    * decode / feature-extract / resize / frame-sample multimodal surface.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map(r => windowFeatures(r))
+    }.toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "q78_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "q93_media_resize" -> ((s: SparkSession, d: String) => resize(s, d)),
+    "q102_media_features" -> ((s: SparkSession, d: String) => mediaFeatures(s, d)),
   )
 
   /** The fake decode is arithmetic on byte length — expressible in SQL, so the
@@ -156,5 +194,15 @@ object Multimodal {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
         |       CAST(sum(ascii(substr(text, CAST(fi*64+1 AS BIGINT), 1))) AS BIGINT) AS checksum
         |FROM s GROUP BY doc_id""".stripMargin,
+    // per-byte unnest (ASCII corpus: byte i = char i), window = i // 128
+    "q102_media_features" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |b AS (SELECT doc_id, unnest(generate_series(1, len)) AS i FROM d),
+        |w AS (SELECT b.doc_id, (i - 1) // 128 AS win,
+        |        CAST(sum(ascii(substr(d.text, CAST(i AS BIGINT), 1))) AS BIGINT) AS e
+        |      FROM b JOIN d USING (doc_id) GROUP BY b.doc_id, win)
+        |SELECT doc_id, count(*) AS n_windows, max(e) AS max_win_energy,
+        |       CAST(sum(e) AS BIGINT) AS total_energy
+        |FROM w GROUP BY doc_id""".stripMargin,
   )
 }

@@ -219,7 +219,31 @@ object Similarity {
       round(element_at(col("v"), 1) / norm(col("v")), 4).as("unit0"))
   }
 
+  /** Scalar (per-dimension) int8 quantization — the standard ANN memory
+    * lever: 4× smaller vectors, distance computed on dequantized values.
+    * Per-dim min/max is a 64-row global aggregate broadcast back into the
+    * quantizing scan (no second shuffle of the corpus). `floor` (not round)
+    * maps the identical IEEE double to the identical code in every engine.
+    * Output restricted to (vec_id < 50, dim < 8) to keep the result compact;
+    * the aggregate still covers the whole corpus.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("x")).as("dmin"), max(col("x")).as("dmax"))
+    val qd = least(floor((col("x") - col("dmin")) * lit(255.0) /
+      (col("dmax") - col("dmin"))), lit(255L)).cast("double")
+    e.filter(col("vec_id") < 50 && col("dim") < 8)
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        qd.cast("int").as("q8"),
+        round(col("dmin") + (qd + lit(0.5)) * (col("dmax") - col("dmin")) / lit(255.0), 4)
+          .as("dq"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_embed_quantize" -> ((s: SparkSession, d: String) => quantize(s, d)),
     "q60_vector_ops" -> ((s: SparkSession, d: String) => vectorOps(s, d)),
     "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
@@ -244,6 +268,20 @@ object Similarity {
        |  (a,b) -> a | b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // range(0,8): only the first 8 dims are emitted, and per-dim min/max
+    // depends only on that dim's values — identical to the engine's stats
+    // over all dims restricted to dim < 8.
+    "q103_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, i AS dim, CAST(embedding AS DOUBLE[])[i+1] AS x
+        |           FROM embeddings, range(0, 8) t(i)),
+        |s AS (SELECT dim, min(x) AS dmin, max(x) AS dmax FROM e GROUP BY dim),
+        |q AS (SELECT vec_id, e.dim, x, dmin, dmax,
+        |        least(floor((x - dmin) * 255.0 / (dmax - dmin)), 255.0) AS qd
+        |      FROM e JOIN s ON e.dim = s.dim
+        |      WHERE vec_id < 50)
+        |SELECT vec_id, dim, CAST(qd AS INT) AS q8,
+        |       round(dmin + (qd + 0.5) * (dmax - dmin) / 255.0, 4) AS dq
+        |FROM q""".stripMargin,
     "q35_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v, ${lshSigSql(8)} AS sig,
