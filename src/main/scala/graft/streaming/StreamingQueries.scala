@@ -205,7 +205,76 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Late-data semantics under a watermark — the part of streaming the other
+    * queries can't show (their static input drains in one batch, so nothing
+    * is ever late). Two-file arrival order forced via modification times +
+    * maxFilesPerTrigger=1: batch 1 carries the NEWEST 12 hours of events and
+    * advances the watermark to max(ts) - 90min; batch 2 then delivers all
+    * older events, which land below the watermark in already-finalized
+    * windows and are DROPPED. Append mode emits only finalized windows
+    * (window end <= final watermark). Every boundary (max ts, the 12h split,
+    * the 90min delay, hourly windows) is exact arithmetic, so the DuckDB
+    * oracle reproduces the drop + emission rule to the row.
+    */
+  def lateData(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import java.time.temporal.ChronoUnit
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // Instant math preserves micros (Timestamp.getTime truncates to millis,
+    // which would misclassify rows inside the truncated microseconds)
+    def tsMinus(t: java.sql.Timestamp, amount: Long, unit: ChronoUnit) =
+      java.sql.Timestamp.from(t.toInstant.minus(amount, unit))
+    val lateSplit = tsMinus(mx, 12, ChronoUnit.HOURS)
+    // seed/bulk split ON an hour boundary so no window straddles two files —
+    // a straddled window would be evicted with a partial count, then
+    // re-created by the second file's (not-yet-late) rows and emitted twice
+    val seedSplit = java.sql.Timestamp.from(
+      mx.toInstant.truncatedTo(ChronoUnit.HOURS).minus(2, ChronoUnit.HOURS))
+
+    val streamDir = Files.createTempDirectory("graft-late-stream-")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-late-part-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow()
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    // file source processes oldest-modification-time first. THREE arrivals,
+    // because Spark evaluates lateness against the PREVIOUS batch's
+    // watermark: the seed batch advances the watermark to max(ts) - 90min,
+    // the bulk batch rides under it (its rows are within the delay), and the
+    // late batch then lands below it and is dropped pre-state.
+    writeOne(ev.filter(col("ts") >= lit(seedSplit)), "a-seed.parquet", now - 180000)
+    writeOne(ev.filter(col("ts") > lit(lateSplit) && col("ts") < lit(seedSplit)),
+      "b-ontime.parquet", now - 120000)
+    writeOne(ev.filter(col("ts") <= lit(lateSplit)), "c-late.parquet", now - 60000)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val agg = stream
+      .withWatermark("ts", "90 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_stream_late_data" -> ((s: SparkSession, d: String) => lateData(s, d)),
     "q82_stream_stream_join" -> ((s: SparkSession, d: String) => streamStreamJoin(s, d)),
     "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
@@ -215,6 +284,17 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the watermark algebra, replayed exactly: late half (ts <= max-12h)
+    // dropped; append emits only windows whose end clears the final
+    // watermark max(ts) - 90min
+    "q104_stream_late_data" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |a AS (SELECT e.* FROM events e, m WHERE e.ts > mx - INTERVAL 12 HOUR),
+        |w AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |      FROM a GROUP BY 1, 2)
+        |SELECT win_start, event_type, n, total
+        |FROM w, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 90 MINUTE""".stripMargin,
     "q82_stream_stream_join" ->
       """SELECT c.user_id, count(*) AS n_pairs
         |FROM events c JOIN events p ON c.user_id = p.user_id
