@@ -24,7 +24,7 @@ object AsOfJoin {
     */
   def asOf(probe: DataFrame, build: DataFrame, key: String, time: String,
            buildCols: Seq[String]): DataFrame = {
-    val probeCols = probe.columns
+    val probeCols = probe.columns.toSeq
     val tagged = probe
       .withColumn("__tag", lit(1))
       .select(probeCols.map(col) ++ Seq(col("__tag")) ++
@@ -53,7 +53,7 @@ object AsOfJoin {
     */
   def asOfForward(probe: DataFrame, build: DataFrame, key: String, time: String,
                   buildCols: Seq[String]): DataFrame = {
-    val probeCols = probe.columns
+    val probeCols = probe.columns.toSeq
     val tagged = probe
       .withColumn("__tag", lit(0))
       .select(probeCols.map(col) ++ Seq(col("__tag")) ++
