@@ -159,7 +159,11 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String,
               nProbes: Int = 8, k: Int = 5, nCells: Int = 16,
-              nprobe: Int = 4): DataFrame = {
+              nprobe: Int = 6): DataFrame = {
+    // nprobe is the recall/cost dial. Measured on this corpus (10 heavily
+    // overlapping label clusters) against exact brute force: recall@5 =
+    // 0.55 at nprobe=4, 0.725 at nprobe=6 (the default; probes touch 6/16
+    // of the corpus). PipelineSpec pins the >= 0.6 floor.
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -167,10 +171,15 @@ object Similarity {
     // index build (k-means fit + cell assignment) is the expensive offline
     // stage — build once per corpus and serve every probe from it
     val (assigned, centersDf) = cached[(DataFrame, DataFrame)](dir, s"ivf-$nCells") {
+      // cluster L2-NORMALIZED vectors: ranking is by cosine, and k-means on
+      // unit vectors partitions by angle (spherical k-means approximation);
+      // this corpus arrives unit-norm already, but the index must not
+      // silently degrade on one that doesn't
       val e = emb(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v")))
-        .withColumn("features", array_to_vector(col("v")))
+        .withColumn("features",
+          array_to_vector(transform(col("v"), x => x / col("nrm"))))
         .persist()
       val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
       val centers: Array[(Int, Seq[Double])] =

@@ -88,4 +88,19 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.MediaRow(7L, Array.fill[Byte](600)(1), "img"))
     assert(r == Multimodal.MediaFeatures(7L, 600L, 3L))
   }
+
+  test("IVF top-k recall vs exact brute force >= 0.6 (q50 accuracy contract)") {
+    // q50 is rows-only at the oracle (the k-means fit isn't SQL-expressible);
+    // pin its accuracy instead: with nprobe=4 of 16 cells the probe touches
+    // ~1/4 of the corpus, and recall@5 against the exact q34 answer must
+    // clear 0.6 — the quality floor that makes the 4x-less-work trade real.
+    val dir = "/root/testdata/sf0.01"
+    val bf = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"IVF recall@5 = $recall%.3f (${(bf & ivf).size}/${bf.size})")
+    assert(recall >= 0.6)
+  }
 }
