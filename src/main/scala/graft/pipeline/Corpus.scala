@@ -241,7 +241,31 @@ object Corpus {
         md5(array_join(assembled, "\n")).as("chunk_md5"))
   }
 
+  /** Sliding-window chunking with overlap (window 100 words, stride 50) —
+    * the standard LLM context-prep chunker, complementing q89's
+    * budget-packing: q89 concatenates docs up to a token budget; this
+    * SPLITS each doc into overlapping windows. Pure per-row explode (no
+    * shuffle at all): chunk count and slices derive from the word array,
+    * so the op is map-side embarrassing-parallel at any scale.
+    */
+  def slidingChunks(spark: SparkSession, dir: String,
+                    window: Int = 30, stride: Int = 15): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    // integer-exact chunk count: 1 + ceil((n - window)/stride) for n > window
+    val nc = when(size(col("ws")) <= window, lit(1))
+      .otherwise(floor((size(col("ws")) - window + stride - 1)
+        .cast("double") / stride).cast("int") + 1)
+    val sliced = slice(col("ws"), col("chunk_idx") * stride + 1, lit(window))
+    docs(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nc - 1)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(sliced).as("n_words"),
+        md5(concat_ws(" ", sliced)).as("chunk_md5"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_sliding_chunks" -> ((s: SparkSession, d: String) => slidingChunks(s, d)),
     "q89_chunk_assembly" -> ((s: SparkSession, d: String) => chunkAssembly(s, d)),
     "q84_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q88_winsorize" -> ((s: SparkSession, d: String) => winsorize(s, d)),
@@ -258,6 +282,20 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_sliding_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+        |c AS (SELECT doc_id, ws, n,
+        |        CASE WHEN n <= 30 THEN 1 ELSE (n - 30 + 14) // 15 + 1 END AS nc
+        |      FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c),
+        |s AS (SELECT doc_id, chunk_idx,
+        |        ws[chunk_idx*15 + 1 : least(chunk_idx*15 + 30, n)] AS cw
+        |      FROM e)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(len(cw) AS INT) AS n_words,
+        |       md5(array_to_string(cw, ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
     "q89_chunk_assembly" ->
       """WITH packed AS (
         |  SELECT lang, doc_id, text, tokens,
