@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FnvHash64, Md5Prefix60, VectorDot}
+import graft.functions.{FnvHash64, Md5Prefix60, VectorDot, ZorderInterleave}
 
 /** SQL-side integration. Two ways to get the engine's functions into SQL:
   *
@@ -47,6 +47,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "md5_prefix60 takes exactly one argument")
         Md5Prefix60(children.head)
+      }),
+    (
+      FunctionIdentifier("zorder64"),
+      new ExpressionInfo(classOf[ZorderInterleave].getName, "zorder64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "zorder64 takes exactly two arguments")
+        ZorderInterleave(children.head, children(1))
       }),
   )
 

@@ -90,6 +90,13 @@ object PartitionPolicy {
 
 /** Full table definition: schema + placement
   * (reference: src/table.rs:11-16 + src/partition.rs:71-79).
+  *
+  * `partialUpdate` (Unique model only): loads may carry a SUBSET of the value
+  * columns, and merge-on-read resolves each value column independently to the
+  * latest version that actually set it (the StarRocks/Doris partial-update
+  * load mode — column-level rather than row-level latest-wins). Contract: in
+  * a partial-update table NULL means "not set" — a load cannot set a column
+  * to NULL, it can only leave it alone.
   */
 final case class TableDef(
     db: String,
@@ -100,7 +107,10 @@ final case class TableDef(
     partitions: Seq[PartitionSpec] = Seq(PartitionSpec("p0")),
     bucketType: BucketType = BucketType.Hash,
     bucketColumn: Option[String] = None,
-    numBuckets: Int = 1) {
+    numBuckets: Int = 1,
+    partialUpdate: Boolean = false) {
+  require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
+    s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
   def qualified: String = s"$db.$name"
 
   /** Route a row's (partitionKey, bucketKey) to (partitionName, bucketIdx)

@@ -195,6 +195,31 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     ingest(db, table, full, version, op = 1)
   }
 
+  /** Partial-update load (StarRocks/Doris partial update mode; requires
+    * `TableDef.partialUpdate`): `df` carries the key columns (plus the
+    * partition column, if partitioned) and any SUBSET of the value columns.
+    * Unmentioned value columns are stored as NULL ("not set") and merge-on-read
+    * resolves each value column to the latest version that set it — see
+    * [[MergeView]]. A partial load is just another immutable rowset: MVCC
+    * snapshots, incremental reads and compaction all compose unchanged.
+    */
+  def ingestPartial(db: String, table: String, df: DataFrame,
+                    version: Option[Version] = None): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(td.partialUpdate,
+      s"${td.qualified} is not declared partialUpdate")
+    val needed = td.schema.keyNames ++ td.partitionColumn.toSeq
+    val missing = needed.distinct.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partial load for ${td.qualified} missing columns: ${missing.mkString(", ")}")
+    val full = td.schema.columns.foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(c.name)) acc
+      else acc.withColumn(c.name, lit(null).cast(c.dataType))
+    }
+    ingest(db, table, full, version)
+  }
+
   // --- read path -------------------------------------------------------------
 
   /** Raw union of the rowsets covering [lo,hi], with `__graft_version` stamped
@@ -428,6 +453,24 @@ object MergeView {
     val merged = schema.keysType match {
       case KeysType.Duplicate =>
         raw
+      case KeysType.Unique if td.partialUpdate =>
+        // Column-level latest-wins: each value column resolves independently
+        // to the newest record that actually SET it (NULL = "not set", per the
+        // TableDef.partialUpdate contract). Gating the max_by ordering on
+        // column presence makes the aggregate skip non-setting records —
+        // still one hash aggregate, one shuffle on the keys. Tombstones keep
+        // row-level semantics (latest op wins); pre-delete column values
+        // remain visible to a later partial update of the same key, so pair
+        // deletes with full (not partial) re-inserts.
+        val opCol = "__graft_op"
+        val hasOp = raw.columns.contains(opCol)
+        val perCol = schema.valueNames.map(n =>
+          max_by(col(n), when(col(n).isNotNull, ord)).as(n))
+        val opAgg = if (hasOp) Seq(max_by(col(opCol), ord).as(opCol)) else Nil
+        val aggCols = perCol ++ opAgg
+        val g = raw.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+        val alive = if (hasOp) g.filter(col(opCol) === 0) else g
+        alive.select(schema.columns.map(c => col(c.name)): _*)
       case KeysType.Unique =>
         // latest (version, seq) wins per key: single hash-agg via max_by.
         // The op flag rides inside the payload so the delete decision is made

@@ -213,6 +213,31 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk"))
   }
 
+  /** Hard-negative mining: for each probe, the top-k corpus vectors inside a
+    * cosine band [lo, hi) — similar enough to be confusable with a positive,
+    * dissimilar enough to be a true negative. The standard contrastive-
+    * training data prep (dense-retrieval negatives). Same broadcast-probe +
+    * single corpus scan shape as brute-force top-k: no corpus shuffle, the
+    * band filter and per-probe top-k run map-side before the tiny window.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nProbes: Int = 8, k: Int = 5,
+                    lo: Double = 0.2, hi: Double = 0.6): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .filter(col("sim") >= lo && col("sim") < hi)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("negative_id"),
+        round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
   /** Vector column operations: norm, component mean, L2-normalized first
     * component — the embedding hygiene pass (normalize before cosine/IVF)
     * every vector pipeline runs, as pure codegen'd higher-order functions.
@@ -252,6 +277,7 @@ object Similarity {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_ann_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q103_embed_quantize" -> ((s: SparkSession, d: String) => quantize(s, d)),
     "q60_vector_ops" -> ((s: SparkSession, d: String) => vectorOps(s, d)),
     "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -277,6 +303,24 @@ object Similarity {
        |  (a,b) -> a | b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same left-to-right fold as the engine's vector_dot, so the raw
+    // (pre-round) sim is IEEE-identical and the band membership [0.2, 0.6)
+    // and ranking agree exactly
+    "q109_ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,b)->a+b)) AS nrm
+        |      FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM s WHERE vec_id < 8),
+        |c AS (SELECT probe_id, s.vec_id,
+        |        list_reduce(list_prepend(0.0, list_transform(range(0, len(pv)),
+        |          j -> pv[j+1] * s.v[j+1])), (a,b)->a+b) / (pnrm * s.nrm) AS sim
+        |      FROM s CROSS JOIN p WHERE s.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+        |      FROM c WHERE sim >= 0.2 AND sim < 0.6)
+        |SELECT probe_id, vec_id AS negative_id, round(sim, 4) AS sim, rk
+        |FROM r WHERE rk <= 5""".stripMargin,
     // range(0,8): only the first 8 dims are emitted, and per-dim min/max
     // depends only on that dim's values — identical to the engine's stats
     // over all dims restricted to dim < 8.

@@ -100,6 +100,32 @@ object EngineFixture {
         .withColumn("value", col("value") + 5000.0),
       Some(Version(3, 3)))
 
+    // --- orders_partial: Unique model with partial-update loads -------------
+    // base load v1 (full rows), then two partial loads: v2 sets ONLY
+    // o_orderstatus ('X') for every 5th key, v3 sets ONLY o_totalprice
+    // (+100000) for every 7th key. Merge-on-read must resolve each column
+    // independently: a %35 key shows v2's status AND v3's price while
+    // o_orderpriority stays from v1.
+    val partialSchema = TableSchema(KeysType.Unique, Seq(
+      ColumnSpec.key("o_orderkey", LongType),
+      ColumnSpec.value("o_orderstatus", StringType),
+      ColumnSpec.value("o_totalprice", DoubleType),
+      ColumnSpec.value("o_orderpriority", StringType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_partial", schema = partialSchema,
+      bucketColumn = Some("o_orderkey"), numBuckets = 4, partialUpdate = true))
+    val po = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    eng.ingest("graft", "orders_partial", po, Some(Version(1, 1)))
+    eng.ingestPartial("graft", "orders_partial",
+      po.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus")),
+      Some(Version(2, 2)))
+    eng.ingestPartial("graft", "orders_partial",
+      po.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 100000.0).as("o_totalprice")),
+      Some(Version(3, 3)))
+
     // --- sales_agg: Aggregate model (Sum/Max/Min) ---------------------------
     val salesSchema = TableSchema(KeysType.Aggregate, Seq(
       ColumnSpec.key("l_orderkey", LongType),
@@ -243,7 +269,16 @@ object EngineQueries {
     EngineFixture.get(spark, dir).snapshot("graft", "orders_dup", 2, 3)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** Partial-update merge-on-read: each value column resolves independently
+    * to the newest load that set it (see the orders_partial fixture loads).
+    */
+  def partialUpdateScan(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "orders_partial")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_engine_partial_update" -> partialUpdateScan _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
@@ -259,6 +294,12 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_engine_partial_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
     "q73_engine_incremental" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 2 = 1""".stripMargin,

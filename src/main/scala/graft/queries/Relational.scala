@@ -639,7 +639,48 @@ object Relational {
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"))
 
+  /** Pure non-equi join (no equality key at all): the planner has no hash key,
+    * so it picks BroadcastNestedLoopJoin — the NLJ entry of SURVEY.md §2.11's
+    * join inventory. NLJ is only viable when one side broadcasts; both sides
+    * here are dimension-sized (nation), which is exactly the case a planner
+    * should NLJ — never two fact tables.
+    */
+  def joinNestedLoop(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val a = n.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"),
+      col("n_regionkey").as("a_region"))
+    val b = n.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name"),
+      col("n_regionkey").as("b_region"))
+    a.join(b, col("a_region") < col("b_region"))
+      .groupBy(col("a_region"), col("b_region"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(concat_ws("-", col("a_name"), col("b_name"))).as("first_pair"))
+  }
+
+  /** Z-order (Morton) clustering: interleave two low-cardinality dimensions
+    * into one sort key via the codegen'd [[graft.functions.ZorderInterleave]]
+    * expression; group by z-cell and report per-cell x/y extents. A table
+    * laid out in z-cell order gets parquet min/max pruning on BOTH dimensions
+    * (the multi-column generalization of the reference's single-prefix
+    * short-key index, src/index/mod.rs:114-147). The per-cell x/y ranges in
+    * the output ARE the zone maps such a layout would give each file.
+    */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select((col("o_custkey") % 4096).cast("long").as("x"),
+        (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 4096)
+          .cast("long").as("y"))
+      .withColumn("z", graft.functions.Zorder.zorder64(col("x"), col("y")))
+    o.groupBy(shiftright(col("z"), 14).as("zcell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_join_nested_loop" -> joinNestedLoop _,
+    "q107_zorder_cluster" -> zorderCluster _,
     "q99_salted_agg" -> saltedSkewAgg _,
     "q101_join_right_outer" -> joinRightOuter _,
     "q97_keep_first" -> keepFirst _,
@@ -688,6 +729,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_join_nested_loop" ->
+      """SELECT a.n_regionkey AS a_region, b.n_regionkey AS b_region,
+        |  count(*) AS n_pairs,
+        |  min(concat(a.n_name, '-', b.n_name)) AS first_pair
+        |FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    // The same shift-and-mask spread chain as the Catalyst expression,
+    // written with DuckDB lateral column aliases — pure integer bit math,
+    // bit-identical in any engine.
+    "q107_zorder_cluster" ->
+      """WITH pts AS (
+        |  SELECT CAST(o_custkey % 4096 AS BIGINT) AS x,
+        |         CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) % 4096 AS BIGINT) AS y
+        |  FROM orders),
+        |z AS (
+        |  SELECT x, y,
+        |    (x | (x << 16)) & 281470681808895 AS x1,
+        |    (x1 | (x1 << 8)) & 71777214294589695 AS x2,
+        |    (x2 | (x2 << 4)) & 1085102592571150095 AS x3,
+        |    (x3 | (x3 << 2)) & 3689348814741910323 AS x4,
+        |    (x4 | (x4 << 1)) & 6148914691236517205 AS x5,
+        |    (y | (y << 16)) & 281470681808895 AS y1,
+        |    (y1 | (y1 << 8)) & 71777214294589695 AS y2,
+        |    (y2 | (y2 << 4)) & 1085102592571150095 AS y3,
+        |    (y3 | (y3 << 2)) & 3689348814741910323 AS y4,
+        |    (y4 | (y4 << 1)) & 6148914691236517205 AS y5,
+        |    x5 | (y5 << 1) AS z
+        |  FROM pts)
+        |SELECT z >> 14 AS zcell, count(*) AS n,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  min(y) AS y_min, max(y) AS y_max,
+        |  min(z) AS z_min, max(z) AS z_max
+        |FROM z GROUP BY 1""".stripMargin,
     "q99_salted_agg" ->
       """SELECT l_suppkey, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

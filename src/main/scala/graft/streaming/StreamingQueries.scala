@@ -134,6 +134,29 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Built-in session windows: `groupBy(session_window(ts, gap), user)` — the
+    * declarative form of q43/q52's hand-rolled mapGroupsWithState sessions.
+    * Spark merges overlapping [ts, ts+gap) windows per key in the state store;
+    * a session closes when the next event arrives >= gap later. Complete mode
+    * (static drain) needs no watermark; on an unbounded stream the same plan
+    * runs in append mode with `withWatermark`. Emitted end = last ts + gap.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+    val stream = graft.queries.Tables.eventsStream(spark, dir)
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: the input stream carries each event twice (a
     * generator doubles it); `dropDuplicates` on the key keeps exactly one —
     * the streaming half of the dedup surface (state = one entry per key; at
@@ -285,6 +308,7 @@ object StreamingQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_stream_session_window" -> ((s: SparkSession, d: String) => sessionWindowAgg(s, d)),
     "q104_stream_late_data" -> ((s: SparkSession, d: String) => lateData(s, d)),
     "q82_stream_stream_join" -> ((s: SparkSession, d: String) => streamStreamJoin(s, d)),
     "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
@@ -295,6 +319,22 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // islands formulation of session merge: a new session starts at a gap of
+    // >= 30 min (Spark merges only strictly-overlapping [ts, ts+gap) windows);
+    // microsecond diffs because ts carries microsecond precision
+    "q110_stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the watermark algebra, replayed exactly: late half (ts <= max-12h)
     // dropped; append emits only windows whose end clears the final
     // watermark max(ts) - 90min

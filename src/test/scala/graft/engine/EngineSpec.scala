@@ -243,6 +243,56 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Map("a" -> 15L, "b" -> 7L))
   }
 
+  test("partial update: each value column resolves to the latest load that set it") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "pu", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("a", StringType),
+        ColumnSpec.value("b", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2, partialUpdate = true))
+    eng.ingest("db", "pu",
+      Seq((1L, "a1", 1.0), (2L, "a2", 2.0), (3L, "a3", 3.0)).toDF("k", "a", "b"),
+      Some(Version(1, 1)))
+    // v2 sets only `a` for k=1,2; v3 sets only `b` for k=2,3
+    eng.ingestPartial("db", "pu",
+      Seq((1L, "A1"), (2L, "A2")).toDF("k", "a"), Some(Version(2, 2)))
+    eng.ingestPartial("db", "pu",
+      Seq((2L, 20.0), (3L, 30.0)).toDF("k", "b"), Some(Version(3, 3)))
+    val got = eng.scan("db", "pu").as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 20.0), (3L, "a3", 30.0)))
+    // snapshot [1,2] sees v2's a-update but not v3's b-update
+    val snap = eng.snapshot("db", "pu", 1, 2).as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(snap.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 2.0), (3L, "a3", 3.0)))
+    // compaction materializes the column-resolved rows; scan is unchanged
+    eng.compact("db", "pu")
+    eng.gc("db", "pu")
+    val post = eng.scan("db", "pu").as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(post.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 20.0), (3L, "a3", 30.0)))
+  }
+
+  test("partial update requires the declared flag and the Unique model") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "plain", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("a", StringType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "plain", Seq((1L, "x")).toDF("k", "a"), Some(Version(1, 1)))
+    intercept[IllegalArgumentException] {
+      eng.ingestPartial("db", "plain", Seq(1L).toDF("k"), Some(Version(2, 2)))
+    }
+    intercept[IllegalArgumentException] {
+      TableDef(db = "db", name = "bad",
+        schema = TableSchema(KeysType.Duplicate, Seq(ColumnSpec.key("k", LongType))),
+        partialUpdate = true)
+    }
+  }
+
   test("unroutable partition key fails the load loudly") {
     val eng = newEngine()
     ordersTable(eng)

@@ -111,4 +111,51 @@ class FunctionsSpec extends AnyFunSuite {
       .select(Md5Prefix60.md5Prefix60(col("s"))).collect().head.getLong(0)
     assert(interp == viaDf)
   }
+
+  test("Zorder.interleave places bit i of x at 2i and bit i of y at 2i+1") {
+    // hand-computed vectors
+    assert(Zorder.interleave(0L, 0L) == 0L)
+    assert(Zorder.interleave(1L, 0L) == 1L)
+    assert(Zorder.interleave(0L, 1L) == 2L)
+    assert(Zorder.interleave(3L, 5L) == 39L)   // spread(3)=5, spread(5)<<1=34
+    assert(Zorder.interleave(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+    assert(Zorder.interleave(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+    // bit-by-bit reconstruction over a dense small grid
+    for (x <- 0L until 8L; y <- 0L until 8L) {
+      val z = Zorder.interleave(x, y)
+      val rx = (0 until 3).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val ry = (0 until 3).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(rx == x && ry == y, s"roundtrip failed for ($x,$y) -> $z")
+    }
+  }
+
+  test("ZorderInterleave: codegen, interpreted, SQL and driver impl agree") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (4095L, 0L), (123456L, 654321L)).toDF("x", "y")
+    df.select(col("x"), col("y"), Zorder.zorder64(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (x, y, z) => assert(z == Zorder.interleave(x, y)) }
+    val interp = ZorderInterleave(
+      org.apache.spark.sql.catalyst.expressions.Literal(3L),
+      org.apache.spark.sql.catalyst.expressions.Literal(5L)).eval(null)
+    assert(interp == 39L)
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT zorder64(3L, 5L) AS z, zorder64(CAST(NULL AS BIGINT), 1L) AS n").collect().head
+    assert(r.getLong(0) == 39L && r.isNullAt(1))
+  }
+
+  test("z-ordered sort gives both-dimension locality (the pruning property)") {
+    import spark.implicits._
+    // 64x64 grid sorted by z; contiguous chunks of 256 rows must have narrow
+    // x AND y extents (16x16 tiles) — exactly what makes per-file min/max
+    // stats selective on both columns in a z-clustered layout.
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val sorted = grid.sortBy { case (x, y) => Zorder.interleave(x, y) }
+    sorted.grouped(256).foreach { chunk =>
+      val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+      assert(xs.max - xs.min <= 15 && ys.max - ys.min <= 15,
+        s"chunk extent too wide: x=[${xs.min},${xs.max}] y=[${ys.min},${ys.max}]")
+    }
+  }
 }
