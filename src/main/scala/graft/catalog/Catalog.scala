@@ -108,9 +108,15 @@ final case class TableDef(
     bucketType: BucketType = BucketType.Hash,
     bucketColumn: Option[String] = None,
     numBuckets: Int = 1,
-    partialUpdate: Boolean = false) {
+    partialUpdate: Boolean = false,
+    zorderColumns: Option[(String, String)] = None) {
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
+  zorderColumns.foreach { case (x, y) =>
+    val names = schema.columns.map(_.name)
+    require(names.contains(x) && names.contains(y),
+      s"zorderColumns ($x, $y) must be declared columns of $db.$name")
+  }
   def qualified: String = s"$db.$name"
 
   /** Route a row's (partitionKey, bucketKey) to (partitionName, bucketIdx)

@@ -84,6 +84,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   private def unroutable(key: Column): Column =
     raise_error(concat(lit("no partition for key '"), key, lit("'"))).cast("string")
 
+  /** Within-file clustering order. Default: the key columns (the reference's
+    * sorted segments + short-key prefix index, src/index/mod.rs:114-147 —
+    * parquet min/max stats on sorted data give the same seek pruning). With
+    * `TableDef.zorderColumns`: the Morton interleave of two dimensions, so
+    * row-group stats are selective on BOTH — the multi-column layout the
+    * reference's single-prefix short key cannot express.
+    */
+  private def clusterCols(td: TableDef): Seq[Column] = td.zorderColumns match {
+    case Some((x, y)) =>
+      Seq(graft.functions.Zorder.zorder64(col(x).cast("long"), col(y).cast("long")))
+    case None => td.schema.keyNames.map(col)
+  }
+
   private def bucketIdxCol(td: TableDef): Column = td.bucketType match {
     case BucketType.Hash =>
       // FNV-1a over the key string — byte-compatible with the reference's
@@ -146,7 +159,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     if (td.schema.keysType == KeysType.Unique)
       routed = routed.withColumn(OpCol, lit(op))
 
-    val sortCols = (Seq(PartCol, BucketCol) ++ keyNames).map(col)
+    val sortCols = Seq(PartCol, BucketCol).map(col) ++ clusterCols(td)
     var writer = routed
       .repartition(col(PartCol), col(BucketCol))
       .sortWithinPartitions(sortCols: _*)
@@ -413,12 +426,68 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     if (td.schema.keysType == KeysType.Unique)
       out = out.withColumn(OpCol, lit(0))
     out.repartition(col(PartCol), col(BucketCol))
-      .sortWithinPartitions((Seq(PartCol, BucketCol) ++ td.schema.keyNames).map(col): _*)
+      .sortWithinPartitions(Seq(PartCol, BucketCol).map(col) ++ clusterCols(td): _*)
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
       .parquet(outDir.toString)
 
     val numRows = spark.read.parquet(outDir.toString).count()
     inputs.foreach(r => m.markStale(r.rowsetId))
+    val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
+      createdMs = System.currentTimeMillis())
+    m.publish(meta)
+    meta
+  }
+
+  /** Cumulative compaction (the reference declares the Base/Cumulative split
+    * and a `cumulative_layer_point` but implements neither —
+    * src/common.rs:62-63, src/meta.rs:137-138): merge ONLY the delta rowsets
+    * at or above `layerPoint` into one, leaving the base rowset(s) untouched.
+    * This is the cheap, frequent compaction tier: it never rewrites the big
+    * base, so its cost tracks delta volume, not table size — at 100 TB the
+    * difference between compacting gigabytes and compacting everything.
+    *
+    * Correctness hinges on tombstone RETENTION: a delete marker in the delta
+    * range must survive (the base below the layer point still holds the row),
+    * so the merge keeps each key's winning op instead of dropping dead keys —
+    * only full [[compact]] makes deletes physical. Sum/Min/Max partials
+    * compose associatively, so an Aggregate-model suffix merge is exact.
+    */
+  def compactCumulative(db: String, table: String, layerPoint: Long): RowsetMeta = {
+    val td = catalog.getTable(db, table).get
+    val m = manifest(db, table)
+    val suffix = m.visibleRowsets.filter(_.version.start >= layerPoint)
+    require(suffix.size >= 2,
+      s"cumulative compaction needs >=2 rowsets at or above version $layerPoint")
+    val lo = suffix.map(_.version.start).min
+    val hi = suffix.map(_.version.end).max
+    val root = tableRoot(db, table)
+    val raw = suffix.map { r =>
+      spark.read.parquet(root.resolve(r.relDir).toString)
+        .withColumn(VersionCol, lit(r.version.end))
+    }.reduce(_ unionByName _)
+    val merged = td.schema.keysType match {
+      case KeysType.Duplicate =>
+        raw.select(td.schema.columns.map(c => col(c.name)): _*)
+      case _ => MergeView.compacting(td, raw, VersionCol, SeqCol)
+    }
+
+    val rowsetId = m.nextRowsetId
+    val relDir = s"r$rowsetId"
+    val outDir = root.resolve(relDir)
+    var out = merged
+      .withColumn(PartCol, partitionNameCol(td))
+      .withColumn(BucketCol, bucketIdxCol(td))
+    if (td.schema.keysType != KeysType.Duplicate)
+      out = out.withColumn(SeqCol, monotonically_increasing_id())
+    if (td.schema.keysType == KeysType.Unique && !out.columns.contains(OpCol))
+      out = out.withColumn(OpCol, lit(0))
+    out.repartition(col(PartCol), col(BucketCol))
+      .sortWithinPartitions(Seq(PartCol, BucketCol).map(col) ++ clusterCols(td): _*)
+      .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
+      .parquet(outDir.toString)
+
+    val numRows = spark.read.parquet(outDir.toString).count()
+    suffix.foreach(r => m.markStale(r.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
@@ -446,13 +515,34 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   * cannot partial-aggregate map-side.
   */
 object MergeView {
-  def apply(td: TableDef, raw: DataFrame, versionCol: String, seqCol: String): DataFrame = {
+  /** Query-time merge: tombstoned keys are dropped. */
+  def apply(td: TableDef, raw: DataFrame, versionCol: String, seqCol: String): DataFrame =
+    merged(td, raw, versionCol, seqCol, dropTombstones = true)
+
+  /** Cumulative-compaction merge: identical key resolution, but each key's
+    * winning op SURVIVES in `__graft_op` (a delete marker must keep masking
+    * base rows below the layer point — see
+    * [[graft.engine.OlapEngine.compactCumulative]]).
+    */
+  def compacting(td: TableDef, raw: DataFrame, versionCol: String, seqCol: String): DataFrame =
+    merged(td, raw, versionCol, seqCol, dropTombstones = false)
+
+  private val OpCol = "__graft_op"
+
+  private def merged(td: TableDef, raw: DataFrame, versionCol: String,
+                     seqCol: String, dropTombstones: Boolean): DataFrame = {
     val schema = td.schema
     val keys = schema.keyNames.map(col)
     val ord = struct(col(versionCol), col(seqCol))
-    val merged = schema.keysType match {
+    val outCols = schema.columns.map(c => col(c.name))
+    val hasOp = raw.columns.contains(OpCol)
+    def finish(g: DataFrame): DataFrame =
+      if (!hasOp) g.select(outCols: _*)
+      else if (dropTombstones) g.filter(col(OpCol) === 0).select(outCols: _*)
+      else g.select(outCols :+ col(OpCol): _*)
+    schema.keysType match {
       case KeysType.Duplicate =>
-        raw
+        raw.select(outCols: _*)
       case KeysType.Unique if td.partialUpdate =>
         // Column-level latest-wins: each value column resolves independently
         // to the newest record that actually SET it (NULL = "not set", per the
@@ -462,30 +552,23 @@ object MergeView {
         // row-level semantics (latest op wins); pre-delete column values
         // remain visible to a later partial update of the same key, so pair
         // deletes with full (not partial) re-inserts.
-        val opCol = "__graft_op"
-        val hasOp = raw.columns.contains(opCol)
         val perCol = schema.valueNames.map(n =>
           max_by(col(n), when(col(n).isNotNull, ord)).as(n))
-        val opAgg = if (hasOp) Seq(max_by(col(opCol), ord).as(opCol)) else Nil
+        val opAgg = if (hasOp) Seq(max_by(col(OpCol), ord).as(OpCol)) else Nil
         val aggCols = perCol ++ opAgg
-        val g = raw.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-        val alive = if (hasOp) g.filter(col(opCol) === 0) else g
-        alive.select(schema.columns.map(c => col(c.name)): _*)
+        finish(raw.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*))
       case KeysType.Unique =>
         // latest (version, seq) wins per key: single hash-agg via max_by.
         // The op flag rides inside the payload so the delete decision is made
         // by the SAME winner that supplies the values — a tombstone only
         // deletes if nothing newer re-inserted the key.
-        val opCol = "__graft_op"
-        val hasOp = raw.columns.contains(opCol)
-        val payloadNames = schema.valueNames ++ (if (hasOp) Seq(opCol) else Nil)
+        val payloadNames = schema.valueNames ++ (if (hasOp) Seq(OpCol) else Nil)
         val payload = struct(payloadNames.map(col): _*)
-        val agg0 = max_by(payload, ord).as("__graft_payload")
-        val winners = raw.groupBy(keys: _*).agg(agg0)
-        val alive = if (hasOp) winners.filter(col(s"__graft_payload.$opCol") === 0)
-                    else winners
-        alive.select(schema.keyNames.map(col) ++
-            schema.valueNames.map(n => col(s"__graft_payload.$n").as(n)): _*)
+        val winners = raw.groupBy(keys: _*)
+          .agg(max_by(payload, ord).as("__graft_payload"))
+          .select(schema.keyNames.map(col) ++
+            payloadNames.map(n => col(s"__graft_payload.$n").as(n)): _*)
+        finish(winners)
       case KeysType.Aggregate =>
         val aggs = schema.valueColumns.map { c =>
           val fn = c.agg match {
@@ -497,8 +580,7 @@ object MergeView {
           }
           fn.as(c.name)
         }
-        raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
     }
-    merged.select(schema.columns.map(c => col(c.name)): _*)
   }
 }

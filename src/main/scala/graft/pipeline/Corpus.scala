@@ -264,7 +264,31 @@ object Corpus {
         md5(concat_ws(" ", sliced)).as("chunk_md5"))
   }
 
+  /** Corpus mixing with fractional epoch weights: each source gets a
+    * milli-copy weight (2300 = 2.3 epochs, 350 = 0.35 epochs); every document
+    * deterministically receives floor(w/1000) copies plus one more iff its
+    * salted md5 bucket falls under w%1000. This is the standard pretraining
+    * data-mix lever (oversample curated sources, downsample crawl) — stateless,
+    * reproducible across backfills, pure map-side (no shuffle, no RNG).
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(col("source"), lit("|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+    val milli = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 2300)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 1000)
+      .when(col("source").isin("src10", "src11", "src12", "src13", "src14"), 350)
+      .otherwise(1500)
+    docs(spark, dir)
+      .withColumn("n_copies",
+        floor(milli / lit(1000)).cast("long") +
+          when(bucket < milli % 1000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q105_sliding_chunks" -> ((s: SparkSession, d: String) => slidingChunks(s, d)),
     "q89_chunk_assembly" -> ((s: SparkSession, d: String) => chunkAssembly(s, d)),
     "q84_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
@@ -282,6 +306,19 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_corpus_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2300
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1000
+        |         WHEN source IN ('src10','src11','src12','src13','src14') THEN 350
+        |         ELSE 1500 END AS milli
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        CAST(milli // 1000 + CASE WHEN bucket < milli % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |      FROM b)
+        |SELECT doc_id, source, n_copies FROM c WHERE n_copies > 0""".stripMargin,
     "q105_sliding_chunks" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),

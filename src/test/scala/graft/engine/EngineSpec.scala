@@ -274,6 +274,83 @@ class EngineSpec extends AnyFunSuite {
     assert(post.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 20.0), (3L, "a3", 30.0)))
   }
 
+  test("z-ordered ingest: files are written in Morton order over both declared dimensions") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.functions.Zorder
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "zt", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("x", LongType),
+        ColumnSpec.key("y", LongType),
+        ColumnSpec.value("payload", DoubleType))),
+      bucketColumn = Some("x"), numBuckets = 2,
+      zorderColumns = Some(("x", "y"))))
+    // a shuffled 32x32 grid: ingest must lay it back out in z order
+    val grid = scala.util.Random.shuffle(
+      (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y, x * 100.0 + y)).toVector)
+    eng.ingest("db", "zt", grid.toDF("x", "y", "payload"), Some(Version(1, 1)))
+    val root = eng.tableRoot("db", "zt")
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val zs = spark.read.parquet(f.toString)
+        .select(col("x"), col("y")).as[(Long, Long)].collect()
+        .map { case (x, y) => Zorder.interleave(x, y) }
+      assert(zs.sameElements(zs.sorted), s"file $f not in z order")
+    }
+    // query results are unaffected by the layout
+    assert(eng.scan("db", "zt").count() == 1024)
+  }
+
+  test("cumulative compaction: merges only the delta tier, tombstones survive until full compaction") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "cc", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    val base = (1L to 12L).map(k => (k, k * 1.0)).toDF("k", "v")
+    eng.ingest("db", "cc", base, Some(Version(1, 1)))
+    // delta tier: delete k%3==0 at v2, update k%4==0 at v3, update k%6==0 at v4
+    eng.ingestDeletes("db", "cc",
+      (1L to 12L).filter(_ % 3 == 0).toDF("k"), Some(Version(2, 2)))
+    eng.ingest("db", "cc",
+      (1L to 12L).filter(_ % 4 == 0).map(k => (k, k + 100.0)).toDF("k", "v"),
+      Some(Version(3, 3)))
+    eng.ingest("db", "cc",
+      (1L to 12L).filter(_ % 6 == 0).map(k => (k, k + 200.0)).toDF("k", "v"),
+      Some(Version(4, 4)))
+    def expect = (1L to 12L).flatMap { k =>
+      if (k % 6 == 0) Some(k -> (k + 200.0))            // re-inserted after delete
+      else if (k % 3 == 0) None                         // deleted
+      else if (k % 4 == 0) Some(k -> (k + 100.0))       // updated
+      else Some(k -> (k * 1.0))
+    }.toMap
+    val before = eng.scan("db", "cc").as[(Long, Double)].collect().toMap
+    assert(before == expect)
+
+    // merge versions [2,4] only; the v1 base rowset is untouched
+    eng.compactCumulative("db", "cc", layerPoint = 2)
+    val vis = eng.manifest("db", "cc").visibleRowsets
+    assert(vis.size == 2, s"expected base + merged delta, got ${vis.map(_.version)}")
+    assert(vis.map(_.version).toSet ==
+      Set(graft.manifest.Version(1, 1), graft.manifest.Version(2, 4)))
+    val after = eng.scan("db", "cc").as[(Long, Double)].collect().toMap
+    assert(after == expect, "cumulative compaction changed query results")
+    // the delete of k=3,9 (deleted, never re-inserted) must have survived as
+    // a tombstone in the merged delta: full compaction then makes it physical
+    eng.compact("db", "cc")
+    eng.gc("db", "cc")
+    val post = eng.scan("db", "cc").as[(Long, Double)].collect().toMap
+    assert(post == expect)
+    assert(eng.manifest("db", "cc").visibleRowsets.size == 1)
+  }
+
   test("partial update requires the declared flag and the Unique model") {
     import spark.implicits._
     val eng = newEngine()
