@@ -388,6 +388,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   def compactionScore(db: String, table: String): Double =
     manifest(db, table).compactionScore
 
+  /** Typed overload mirroring the reference signature
+    * `compute_compaction_score(CompactionType)` — the reference scores Base
+    * and Cumulative identically (ctype is accepted and ignored,
+    * src/tablet.rs:147-152); we reproduce that contract and keep the tiers
+    * distinct at EXECUTION time instead ([[compact]] vs [[compactCumulative]]).
+    */
+  def compactionScore(db: String, table: String, ctype: CompactionType): Double =
+    compactionScore(db, table)
+
   /** Top-N candidates by score across registered tables
     * (reference: src/tablet.rs:223-236 + src/storage.rs:92-99, batch of 10).
     */
@@ -498,6 +507,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * src/tablet.rs:155-165).
     */
   def gc(db: String, table: String): Seq[Long] = manifest(db, table).gc()
+}
+
+/** Compaction tier (reference `CompactionType`, src/common.rs:62-63): Base
+  * rewrites everything ([[OlapEngine.compact]]), Cumulative merges only the
+  * delta tier above the layer point ([[OlapEngine.compactCumulative]]).
+  */
+sealed trait CompactionType
+object CompactionType {
+  case object Base extends CompactionType
+  case object Cumulative extends CompactionType
 }
 
 /** Key-model merge-on-read views (SURVEY.md §1.4; reference declares the

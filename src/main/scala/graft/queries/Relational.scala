@@ -678,7 +678,24 @@ object Relational {
         min(col("z")).as("z_min"), max(col("z")).as("z_max"))
   }
 
+  /** TPC-H Q13 shape: distribution of customers by order count, built from a
+    * right-outer join (zero-order customers must land in the 0 bucket) and a
+    * second tiny aggregation over the first's output — the canonical
+    * "histogram of a per-key aggregate" workload.
+    */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(!col("o_orderpriority").startsWith("1"))
+    val c = t(spark, dir, "customer")
+    val perCust = o.join(c, col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_cust_order_dist" -> custOrderDistribution _,
     "q106_join_nested_loop" -> joinNestedLoop _,
     "q107_zorder_cluster" -> zorderCluster _,
     "q99_salted_agg" -> saltedSkewAgg _,
@@ -729,6 +746,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q112_cust_order_dist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |    AND o_orderpriority NOT LIKE '1%'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count""".stripMargin,
     "q106_join_nested_loop" ->
       """SELECT a.n_regionkey AS a_region, b.n_regionkey AS b_region,
         |  count(*) AS n_pairs,

@@ -39,7 +39,7 @@ object StreamingQueries {
     * event_type with count + exact decimal sum. Deterministic because
     * `processAllAvailable` drains the full (static) input.
     */
-  def windowedAgg(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     val stream = graft.queries.Tables.eventsStream(spark, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
@@ -64,7 +64,7 @@ object StreamingQueries {
     * (30-minute inactivity gap). The group iterator is explicitly sorted so
     * the result is deterministic regardless of partition order.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+  def sessionize(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     import spark.implicits._
     val stream = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts")).as[Ev]
@@ -98,7 +98,7 @@ object StreamingQueries {
     * (user, session index, event count) instead of one per user — the
     * multi-output form of arbitrary stateful processing.
     */
-  def sessions(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+  def sessions(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     import spark.implicits._
     val stream = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts")).as[Ev]
@@ -141,7 +141,7 @@ object StreamingQueries {
     * (static drain) needs no watermark; on an unbounded stream the same plan
     * runs in append mode with `withWatermark`. Emitted end = last ts + gap.
     */
-  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     val stream = graft.queries.Tables.eventsStream(spark, dir)
     val agg = stream
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -164,7 +164,7 @@ object StreamingQueries {
     * The post-sink count-per-type aggregation is batch, so the streaming
     * stage is the single stateful operator.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     val doubled = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("event_id"), col("event_type"))
       .withColumn("copy", explode(array(lit(1), lit(2))))
@@ -210,7 +210,7 @@ object StreamingQueries {
     * an unbounded stream. The post-sink per-user count is batch.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
-    withStateParts(spark, 8)(streamStreamJoinInner(spark, dir))
+    withStateParts(spark, 4)(streamStreamJoinInner(spark, dir))
 
   private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = graft.queries.Tables.eventsStreamDir(dir)
@@ -246,7 +246,7 @@ object StreamingQueries {
     * the 90min delay, hourly windows) is exact arithmetic, so the DuckDB
     * oracle reproduces the drop + emission rule to the row.
     */
-  def lateData(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 8) {
+  def lateData(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     import java.time.temporal.ChronoUnit
