@@ -678,6 +678,53 @@ object Relational {
         min(col("z")).as("z_min"), max(col("z")).as("z_max"))
   }
 
+  /** SQL LATERAL join: a correlated subquery with ORDER BY + LIMIT per outer
+    * row — Catalyst decorrelates it (DecorrelateInnerQuery) into a join +
+    * per-key window rather than executing the subquery per row. The "top-N
+    * related rows per entity" idiom in its declarative SQL form (q10 is the
+    * DataFrame-window equivalent).
+    */
+  def lateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_lv")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_lv")
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lv JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lv
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 200""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): a data-driven month ladder
+    * over 1996, left-joined to per-month order counts — recursion bounds come
+    * from the (filtered) data, and months with zero orders survive. The
+    * declarative-SQL cousin of q76's generate_series gap-fill. Kept to 12
+    * iterations deliberately: Spark runs each recursive step as its own job,
+    * so ladder-style recursion costs O(steps) scheduling — fine for
+    * hierarchy/closure depths, wrong for long sequences (those want
+    * `sequence()`/`explode`, q76).
+    */
+  def recursiveMonthLadder(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_rv")
+    spark.sql(
+      """WITH RECURSIVE o96 AS (
+        |  SELECT o_orderdate FROM orders_rv
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo FROM o96),
+        |m(mon) AS (
+        |  SELECT lo FROM b
+        |  UNION ALL
+        |  SELECT mon + INTERVAL 1 MONTH FROM m
+        |  WHERE mon < TIMESTAMP '1996-12-01'),
+        |c AS (SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n
+        |      FROM o96 GROUP BY 1)
+        |SELECT m.mon, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM m LEFT JOIN c ON m.mon = c.mon""".stripMargin)
+  }
+
   /** TPC-H Q13 shape: distribution of customers by order count, built from a
     * right-outer join (zero-order customers must land in the 0 bucket) and a
     * second tiny aggregation over the first's output — the canonical
@@ -695,6 +742,8 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_lateral_topk" -> lateralTopK _,
+    "q114_recursive_months" -> recursiveMonthLadder _,
     "q112_cust_order_dist" -> custOrderDistribution _,
     "q106_join_nested_loop" -> joinNestedLoop _,
     "q107_zorder_cluster" -> zorderCluster _,
@@ -746,6 +795,33 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_lateral_topk" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 200""".stripMargin,
+    // DuckDB's date_trunc returns DATE at month granularity; cast to
+    // TIMESTAMP so the ladder type matches Spark's
+    "q114_recursive_months" ->
+      """WITH RECURSIVE o96 AS (
+        |  SELECT o_orderdate FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo
+        |  FROM o96),
+        |m(mon) AS (
+        |  SELECT lo FROM b
+        |  UNION ALL
+        |  SELECT mon + INTERVAL 1 MONTH FROM m
+        |  WHERE mon < TIMESTAMP '1996-12-01'),
+        |c AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |        count(*) AS n
+        |      FROM o96 GROUP BY 1)
+        |SELECT m.mon, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM m LEFT JOIN c ON m.mon = c.mon""".stripMargin,
     "q112_cust_order_dist" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
