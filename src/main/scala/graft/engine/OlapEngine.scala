@@ -357,6 +357,30 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   def hasVersionHoles(db: String, table: String, lo: Long, hi: Long): Boolean =
     manifest(db, table).hasVersionHoles(lo, hi)
 
+  /** Manifest introspection as a DataFrame — the operational `SHOW ROWSETS`
+    * surface over what the reference keeps in `RowsetMeta`
+    * (src/meta.rs:89-121): one row per visible rowset with its version range,
+    * row count, file count/bytes and publication time. Metadata-only: no data
+    * file is opened, so it stays O(rowsets) at any table size.
+    */
+  def describeRowsets(db: String, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = tableRoot(db, table)
+    val rows = manifest(db, table).visibleRowsets.map { r =>
+      val dir = root.resolve(r.relDir)
+      val files =
+        if (Files.exists(dir))
+          Files.walk(dir).iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq
+        else Nil
+      (r.rowsetId, r.version.start, r.version.end, r.numRows,
+        files.size.toLong, files.map(Files.size).sum,
+        new java.sql.Timestamp(r.createdMs))
+    }
+    spark.createDataFrame(rows).toDF("rowset_id", "version_start",
+      "version_end", "num_rows", "num_files", "bytes", "created")
+  }
+
   /** Metadata-only `count(*)`: for a Duplicate table the row count is the sum
     * of the covering rowsets' manifest counts — zero files opened, zero tasks
     * launched. At 100 TB this turns the most common health-check query into a

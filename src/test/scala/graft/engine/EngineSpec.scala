@@ -274,6 +274,21 @@ class EngineSpec extends AnyFunSuite {
     assert(post.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 20.0), (3L, "a3", 30.0)))
   }
 
+  test("describeRowsets: metadata-only inventory of visible rowsets") {
+    import spark.implicits._
+    val eng = newEngine()
+    ordersTable(eng)
+    eng.ingest("db", "orders", ordersDf, Some(Version(0, 1)))
+    eng.ingest("db", "orders", ordersDf.limit(500), Some(Version(2, 3)))
+    val d = eng.describeRowsets("db", "orders")
+      .select("rowset_id", "version_start", "version_end", "num_rows", "num_files", "bytes")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(d.length == 2)
+    assert(d(0)._2 == 0 && d(0)._3 == 1 && d(0)._4 == 2000)
+    assert(d(1)._2 == 2 && d(1)._3 == 3 && d(1)._4 == 500)
+    d.foreach { r => assert(r._5 > 0 && r._6 > 0, s"files/bytes empty: $r") }
+  }
+
   test("z-ordered ingest: files are written in Morton order over both declared dimensions") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
