@@ -123,20 +123,22 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * enforces row-by-row in `append_row` (src/segment.rs:132-136), applied
     * here as one projection.
     */
-  private def conform(td: TableDef, df: DataFrame): DataFrame = {
+  private def conform(td: TableDef, df: DataFrame, extras: Seq[String] = Nil): DataFrame = {
     val missing = td.schema.columns.map(_.name).filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"input for ${td.qualified} missing columns: ${missing.mkString(", ")}")
-    df.select(td.schema.columns.map(c => col(c.name).cast(c.dataType).as(c.name)): _*)
+    df.select(td.schema.columns.map(c => col(c.name).cast(c.dataType).as(c.name)) ++
+      extras.map(col): _*)
   }
 
   def ingest(db: String, table: String, df: DataFrame,
              version: Option[Version] = None,
              explicitRowsetId: Option[Long] = None,
-             op: Int = 0): RowsetMeta = {
+             op: Int = 0,
+             opColumn: Option[String] = None): RowsetMeta = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
-    require(op == 0 || td.schema.keysType == KeysType.Unique,
+    require((op == 0 && opColumn.isEmpty) || td.schema.keysType == KeysType.Unique,
       s"delete loads (op=1) are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
@@ -145,7 +147,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val outDir = tableRoot(db, table).resolve(relDir)
 
     val keyNames = td.schema.keyNames
-    var routed = conform(td, df)
+    var routed = conform(td, df, opColumn.toSeq)
       .withColumn(PartCol, partitionNameCol(td))
       .withColumn(BucketCol, bucketIdxCol(td))
     // __graft_seq: persisted load-order tiebreaker for Unique/Replace
@@ -155,9 +157,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       routed = routed.withColumn(SeqCol, monotonically_increasing_id())
     // __graft_op: 0 = upsert, 1 = delete tombstone (Unique model only) —
     // the StarRocks/Doris-style batch-delete marker; merge-on-read drops a
-    // key whose latest (version, seq) record is a tombstone.
-    if (td.schema.keysType == KeysType.Unique)
-      routed = routed.withColumn(OpCol, lit(op))
+    // key whose latest (version, seq) record is a tombstone. `opColumn`
+    // supplies a per-row op (the MERGE INTO shape); `op` a whole-load one.
+    if (td.schema.keysType == KeysType.Unique) {
+      routed = routed.withColumn(OpCol,
+        opColumn.map(n => col(n).cast("int")).getOrElse(lit(op)))
+      opColumn.foreach(n => routed = routed.drop(n))
+    }
 
     val sortCols = Seq(PartCol, BucketCol).map(col) ++ clusterCols(td)
     var writer = routed
@@ -206,6 +212,40 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       else df.withColumn(c.name, lit(null).cast(c.dataType))
     }
     ingest(db, table, full, version, op = 1)
+  }
+
+  /** MERGE INTO (Unique model): one source frame carrying both upserts and
+    * deletes — rows with `deleteFlag` true become tombstones (value columns
+    * nulled), the rest upsert — published as ONE rowset under ONE version, so
+    * readers see the whole merge atomically (two separate loads would expose
+    * the half-applied state to a concurrent snapshot). The Delta/Iceberg
+    * MERGE INTO shape, expressed as an immutable rowset like every other
+    * write: MVCC, time travel, incremental reads and compaction compose.
+    */
+  def mergeInto(db: String, table: String, source: DataFrame, deleteFlag: String,
+                version: Option[Version] = None): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(td.schema.keysType == KeysType.Unique,
+      s"mergeInto is only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
+    require(source.columns.contains(deleteFlag),
+      s"merge source for ${td.qualified} missing the delete flag '$deleteFlag'")
+    val flag = col(deleteFlag).cast("boolean")
+    val keyNames = td.schema.keyNames.toSet
+    // delete rows may omit value columns entirely; null-fill them, and null
+    // OUT value columns on tombstone rows so a tombstone never carries values
+    val full = td.schema.columns.foldLeft(source) { (acc, c) =>
+      if (!acc.columns.contains(c.name))
+        acc.withColumn(c.name, lit(null).cast(c.dataType))
+      else if (!keyNames.contains(c.name))
+        acc.withColumn(c.name,
+          when(flag, lit(null).cast(c.dataType)).otherwise(col(c.name).cast(c.dataType)))
+      else acc
+    }
+    val tagged = full
+      .withColumn("__graft_op_in", when(flag, 1).otherwise(0))
+      .drop(deleteFlag)
+    ingest(db, table, tagged, version, opColumn = Some("__graft_op_in"))
   }
 
   /** Partial-update load (StarRocks/Doris partial update mode; requires

@@ -725,6 +725,51 @@ object Relational {
         |FROM m LEFT JOIN c ON m.mon = c.mon""".stripMargin)
   }
 
+  /** Explicit bloom-filter semi-join pre-filter — the runtime-filter pattern
+    * spelled out: build a bloom sketch of the small side's keys
+    * (`bloom_filter_agg`), ship the one-row binary to the fact scan
+    * (`might_contain` is a map-side filter evaluated BEFORE the shuffle), then
+    * let the exact semi join remove the false positives. At 100 TB this is
+    * what keeps a selective join from shuffling the whole fact table; the
+    * final result is exactly the semi join (bloom FPs never survive), which
+    * is what the oracle checks. The one-row collect ships an index artifact,
+    * not data — same as broadcasting IVF centroids.
+    */
+  def bloomSemiFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.shim
+    val hv = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    // BloomFilterAggregate/BloomFilterMightContain are the same expressions
+    // Catalyst's runtime-filter rule injects; built explicitly here so the
+    // pattern is visible (and usable below the rule's size thresholds)
+    val bloom = hv.agg(shim.exprColumn(
+        new BloomFilterAggregate(shim.columnExpr(col("o_orderkey")), 50000L)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val li = t(spark, dir, "lineitem")
+      .filter(shim.exprColumn(BloomFilterMightContain(
+        shim.columnExpr(lit(bloom)), shim.columnExpr(col("l_orderkey")))))
+    li.join(hv, li("l_orderkey") === hv("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("qty"))
+  }
+
+  /** nth_value and IGNORE NULLS window navigation: the 2nd order key so far
+    * in the frame, and the most recent "big order" key (a conditional column
+    * whose nulls are skipped) — the fill-forward idiom
+    * (`last(..., ignoreNulls)`) every feature-engineering pipeline uses.
+    */
+  def windowNth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders").filter(col("o_custkey") < 150)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        last(when(col("o_totalprice") > 300000.0, col("o_orderkey")),
+          ignoreNulls = true).over(w).as("last_big_key"))
+  }
+
   /** TPC-H Q13 shape: distribution of customers by order count, built from a
     * right-outer join (zero-order customers must land in the 0 bucket) and a
     * second tiny aggregation over the first's output — the canonical
@@ -742,6 +787,8 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_bloom_semi_filter" -> bloomSemiFilter _,
+    "q116_window_nth" -> windowNth _,
     "q113_lateral_topk" -> lateralTopK _,
     "q114_recursive_months" -> recursiveMonthLadder _,
     "q112_cust_order_dist" -> custOrderDistribution _,
@@ -795,6 +842,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the bloom pre-filter is invisible to the result (the exact semi join
+    // removes false positives), so the oracle is the plain semi join
+    "q115_bloom_semi_filter" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q116_window_nth" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  last_value(CASE WHEN o_totalprice > 300000.0 THEN o_orderkey END IGNORE NULLS)
+        |    OVER w AS last_big_key
+        |FROM orders WHERE o_custkey < 150
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q113_lateral_topk" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer, LATERAL (

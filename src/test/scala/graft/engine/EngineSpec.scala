@@ -274,6 +274,30 @@ class EngineSpec extends AnyFunSuite {
     assert(post.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 20.0), (3L, "a3", 30.0)))
   }
 
+  test("mergeInto: upserts and deletes land atomically as one rowset/version") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "mi", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "mi",
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"), Some(Version(1, 1)))
+    // one merge: update k=1, insert k=4, delete k=3
+    eng.mergeInto("db", "mi",
+      Seq((1L, 10.0, false), (4L, 4.0, false), (3L, 0.0, true))
+        .toDF("k", "v", "is_delete"),
+      "is_delete", Some(Version(2, 2)))
+    val got = eng.scan("db", "mi").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 2.0, 4L -> 4.0))
+    // exactly one new rowset; the pre-merge snapshot still sees the old state
+    assert(eng.manifest("db", "mi").visibleRowsets.size == 2)
+    val old = eng.snapshot("db", "mi", 1, 1).as[(Long, Double)].collect().toMap
+    assert(old == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("describeRowsets: metadata-only inventory of visible rowsets") {
     import spark.implicits._
     val eng = newEngine()
