@@ -147,6 +147,13 @@ final class CatalogManager {
     require(tables.putIfAbsent(td.qualified, td).isEmpty, s"table ${td.qualified} exists")
     td
   }
+
+  /** Replace an existing table's definition (schema evolution). */
+  def alterTable(td: TableDef): TableDef = {
+    require(tables.contains(td.qualified), s"table ${td.qualified} does not exist")
+    tables.put(td.qualified, td)
+    td
+  }
   def getTable(db: String, name: String): Option[TableDef] = tables.get(s"$db.$name")
   def dropTable(db: String, name: String): Boolean = tables.remove(s"$db.$name").isDefined
   def listTables(db: String): Seq[String] =

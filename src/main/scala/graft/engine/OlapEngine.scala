@@ -53,6 +53,24 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     created
   }
 
+  /** Schema evolution: append a nullable value column. The reference carries
+    * a `schema_version` that never moves (src/meta.rs:68); here evolution is
+    * real: rowsets written before the change simply lack the column and reads
+    * null-backfill it (`unionByName(allowMissingColumns)`), so no data is
+    * rewritten — the parquet-native add-column path every table format
+    * (Delta/Iceberg) uses. Loads after the change must supply the column.
+    */
+  def addColumn(db: String, table: String, spec: graft.model.ColumnSpec): TableDef = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(!spec.isKey, s"cannot add key column ${spec.name} to ${td.qualified}")
+    require(spec.nullable, s"added column ${spec.name} must be nullable (old rowsets back-fill NULL)")
+    require(!td.schema.columns.exists(_.name == spec.name),
+      s"column ${spec.name} already exists in ${td.qualified}")
+    catalog.alterTable(td.copy(schema =
+      td.schema.copy(columns = td.schema.columns :+ spec)))
+  }
+
   // --- write path ------------------------------------------------------------
 
   /** Partition-name column for a row, evaluated distributed on executors —
@@ -283,10 +301,21 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val m = manifest(db, table)
     val rowsets = m.captureConsistentVersions(lo, hi)
     val root = tableRoot(db, table)
-    rowsets.map { r =>
+    val unioned = rowsets.map { r =>
       spark.read.parquet(root.resolve(r.relDir).toString)
         .withColumn(VersionCol, lit(r.version.end))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    backfillSchema(db, table, unioned)
+  }
+
+  /** Null-backfill schema columns absent from every scanned rowset (rowsets
+    * written before an [[addColumn]]); `unionByName(allowMissingColumns)`
+    * already handles columns present in SOME rowsets.
+    */
+  private def backfillSchema(db: String, table: String, df: DataFrame): DataFrame = {
+    val td = catalog.getTable(db, table).get
+    td.schema.columns.filterNot(c => df.columns.contains(c.name))
+      .foldLeft(df)((acc, c) => acc.withColumn(c.name, lit(null).cast(c.dataType)))
   }
 
   /** Snapshot read with merge-on-read semantics (SURVEY.md §1.4). */
@@ -301,9 +330,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         // No merge — union the rowset scans (hive partition discovery needs
         // one root per read; AQE coalesces the union's partitions).
         val m = manifest(db, table)
-        m.captureConsistentVersions(lo, hi)
+        val unioned = m.captureConsistentVersions(lo, hi)
           .map(r => spark.read.parquet(tableRoot(db, table).resolve(r.relDir).toString))
-          .reduce(_ unionByName _)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        backfillSchema(db, table, unioned)
           .select(td.schema.columns.map(c => col(c.name)): _*)
       case _ =>
         MergeView(td, rawSnapshot(db, table, lo, hi), VersionCol, SeqCol)
@@ -534,10 +564,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val lo = suffix.map(_.version.start).min
     val hi = suffix.map(_.version.end).max
     val root = tableRoot(db, table)
-    val raw = suffix.map { r =>
+    val raw = backfillSchema(db, table, suffix.map { r =>
       spark.read.parquet(root.resolve(r.relDir).toString)
         .withColumn(VersionCol, lit(r.version.end))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val merged = td.schema.keysType match {
       case KeysType.Duplicate =>
         raw.select(td.schema.columns.map(c => col(c.name)): _*)

@@ -31,3 +31,26 @@ object SaltedAgg {
       .agg(sum(col("__psum")).as("total"), sum(col("__pcnt")).cast("long").as("n"))
   }
 }
+
+/** Skew-mitigated shuffle join: salt the big side's rows into `saltBuckets`
+  * sub-keys and replicate each small-side row once per salt, so one hot join
+  * key's rows spread over `saltBuckets` reducers instead of serializing on
+  * one. The classic remedy when the small side is too big to broadcast but a
+  * handful of keys dominate the big side (AQE's skew-join split covers many
+  * cases post-hoc; explicit salting bounds the skew by construction).
+  * Results are exactly the inner equi-join — every big row joins its
+  * matching small rows exactly once (its single salt value).
+  */
+object SaltedJoin {
+  def join(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+           saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(bigKey), monotonically_increasing_id()), lit(saltBuckets)))
+    val replicatedSmall = small.withColumn("__ssalt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+          saltedBig("__salt") === replicatedSmall("__ssalt"))
+      .drop("__salt", "__ssalt")
+  }
+}

@@ -725,6 +725,21 @@ object Relational {
         |FROM m LEFT JOIN c ON m.mon = c.mon""".stripMargin)
   }
 
+  /** Skew-mitigated shuffle join via [[graft.operators.SaltedJoin]]: the big
+    * side salts, the small side replicates per salt, and the hot key's volume
+    * spreads over 8 reducers. `shuffle_hash` hint models the 100 TB case
+    * where the small side exceeds the broadcast threshold (locally it would
+    * broadcast and salting would be moot).
+    */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_suppkey"), col("l_extendedprice"))
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    graft.operators.SaltedJoin.join(li, s.hint("shuffle_hash"), "l_suppkey", "s_suppkey", 8)
+      .groupBy(col("s_nationkey"))
+      .agg(dbl(sum(dec(col("l_extendedprice")))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** Explicit bloom-filter semi-join pre-filter — the runtime-filter pattern
     * spelled out: build a bloom sketch of the small side's keys
     * (`bloom_filter_agg`), ship the one-row binary to the fact scan
@@ -789,6 +804,7 @@ object Relational {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_bloom_semi_filter" -> bloomSemiFilter _,
     "q116_window_nth" -> windowNth _,
+    "q117_salted_join" -> saltedJoinQuery _,
     "q113_lateral_topk" -> lateralTopK _,
     "q114_recursive_months" -> recursiveMonthLadder _,
     "q112_cust_order_dist" -> custOrderDistribution _,
@@ -849,6 +865,12 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q117_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q116_window_nth" ->
       """SELECT o_orderkey, o_orderstatus,
         |  nth_value(o_orderkey, 2) OVER w AS second_key,

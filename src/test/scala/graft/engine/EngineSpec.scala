@@ -274,6 +274,33 @@ class EngineSpec extends AnyFunSuite {
     assert(post.toSeq == Seq((1L, "A1", 1.0), (2L, "A2", 20.0), (3L, "a3", 30.0)))
   }
 
+  test("addColumn: old rowsets null-backfill, merge and compaction span the change") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "ev", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "ev", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Some(Version(1, 1)))
+    eng.addColumn("db", "ev", ColumnSpec.value("tag", StringType))
+    // loads after the change must supply the column; k=2 updated with a tag
+    eng.ingest("db", "ev", Seq((2L, 20.0, "new"), (3L, 3.0, "new"))
+      .toDF("k", "v", "tag"), Some(Version(2, 2)))
+    assert(eng.scan("db", "ev").as[(Long, Double, Option[String])].collect().toSet ==
+      Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
+    // a pre-change load now fails loudly without the new column
+    intercept[IllegalArgumentException] {
+      eng.ingest("db", "ev", Seq((9L, 9.0)).toDF("k", "v"), Some(Version(3, 3)))
+    }
+    // compaction rewrites the old rowset under the evolved schema
+    eng.compact("db", "ev")
+    eng.gc("db", "ev")
+    assert(eng.scan("db", "ev").as[(Long, Double, Option[String])].collect().toSet ==
+      Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
+  }
+
   test("mergeInto: upserts and deletes land atomically as one rowset/version") {
     import spark.implicits._
     val eng = newEngine()

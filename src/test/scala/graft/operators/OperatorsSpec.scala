@@ -20,6 +20,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted join equals direct join (skewed key), each row matched exactly once") {
+    import spark.implicits._
+    val big = ((1 to 5000).map(_ => (1L, 1.0)) ++
+      (1 to 200).map(i => (i.toLong % 20, 2.0))).toDF("bk", "v")
+    val small = (0L to 20L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val direct = big.join(small, $"bk" === $"sk")
+      .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = SaltedJoin.join(big, small, "bk", "sk", 8)
+      .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == direct)
+  }
+
   test("as-of join picks the latest earlier build row, inclusive on ties") {
     import spark.implicits._
     val probe = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
