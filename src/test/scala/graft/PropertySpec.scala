@@ -1,0 +1,134 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog._
+import graft.engine.{MergeView, OlapEngine}
+import graft.manifest.{Version, VersionGraph}
+import graft.model._
+
+/** ScalaCheck property tests — the SURVEY.md §5 commitments the reference
+  * never had: write→read roundtrip over the full 8-type parity surface,
+  * VersionGraph covering/hole laws over arbitrary partitions, and
+  * Aggregate-model merge idempotence (merge(merge(x)) == merge(x)).
+  * Spark-heavy properties run few cases (each is a real write+scan);
+  * driver-side properties run hundreds.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def check(prop: Prop, cases: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("property: Zorder.interleave is a bijection on 32-bit pairs") {
+    val g = Gen.chooseNum(0L, 0xFFFFFFFFL)
+    check(Prop.forAll(g, g) { (x, y) =>
+      val z = graft.functions.Zorder.interleave(x, y)
+      val rx = (0 until 32).map(i => ((z >>> (2 * i)) & 1L) << i).sum
+      val ry = (0 until 32).map(i => ((z >>> (2 * i + 1)) & 1L) << i).sum
+      rx == x && ry == y
+    }, 500)
+  }
+
+  test("property: any contiguous partition of [0,n] covers; dropping any piece opens a hole") {
+    val partGen: Gen[(Long, Seq[(Long, Long)])] = for {
+      n <- Gen.chooseNum(1L, 40L)
+      cuts <- Gen.someOf(1L until n)
+    } yield {
+      val bounds = (Seq(0L) ++ cuts.sorted :+ (n + 1)).distinct
+      (n, bounds.sliding(2).map(b => (b.head, b(1) - 1)).toSeq)
+    }
+    check(Prop.forAll(partGen) { case (n, pieces) =>
+      val g = new VersionGraph
+      pieces.foreach { case (lo, hi) => g.addEdge(Version(lo, hi)) }
+      val covered = g.findCoveringPath(0, n).isDefined
+      val holesAfterDrop = pieces.forall { case (lo, hi) =>
+        g.removeEdge(Version(lo, hi))
+        val hole = g.findCoveringPath(0, n).isEmpty
+        g.addEdge(Version(lo, hi))
+        hole
+      }
+      covered && holesAfterDrop
+    }, 200)
+  }
+
+  /** The reference's 8-type parity surface (SURVEY.md §1.2): Int8..Int64,
+    * Float32/64, Varchar, Date — random rows incl. nulls survive a routed
+    * engine write and merge-free scan exactly.
+    */
+  test("property: engine write→read roundtrip over all 8 parity types") {
+    import spark.implicits._
+    val rowGen: Gen[(Long, Option[Byte], Option[Short], Option[Int],
+        Option[Float], Option[Double], Option[String], Option[Int])] = for {
+      b <- Gen.option(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      s <- Gen.option(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+      i <- Gen.option(Gen.chooseNum(Int.MinValue, Int.MaxValue))
+      f <- Gen.option(Gen.chooseNum(-1e6f, 1e6f))
+      d <- Gen.option(Gen.chooseNum(-1e12, 1e12))
+      str <- Gen.option(Gen.alphaNumStr.map(_.take(20)))
+      day <- Gen.option(Gen.chooseNum(0, 20000))
+    } yield (0L, b, s, i, f, d, str, day)
+    val rowsGen = Gen.listOfN(60, rowGen)
+      .map(_.zipWithIndex.map { case (r, idx) => r.copy(_1 = idx.toLong) })
+
+    check(Prop.forAll(rowsGen) { rows =>
+      val eng = new OlapEngine(spark,
+        java.nio.file.Files.createTempDirectory("graft-prop-wh-"))
+      eng.createDatabase("p")
+      eng.createTable(TableDef(
+        db = "p", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+          ColumnSpec.key("k", LongType),
+          ColumnSpec.value("c_i8", ByteType),
+          ColumnSpec.value("c_i16", ShortType),
+          ColumnSpec.value("c_i32", IntegerType),
+          ColumnSpec.value("c_f32", FloatType),
+          ColumnSpec.value("c_f64", DoubleType),
+          ColumnSpec.value("c_str", StringType),
+          ColumnSpec.value("c_date", DateType))),
+        bucketColumn = Some("k"), numBuckets = 3))
+      val df = rows.toDF("k", "c_i8", "c_i16", "c_i32", "c_f32", "c_f64", "c_str", "c_day")
+        .withColumn("c_date", date_add(lit("1970-01-01").cast("date"), col("c_day")))
+        .drop("c_day")
+      eng.ingest("p", "t", df, Some(Version(1, 1)))
+      val back = eng.scan("p", "t").collect()
+        .map(r => (0 until r.length).map(i => r.get(i)).toList).toSet
+      val sent = df.select("k", "c_i8", "c_i16", "c_i32", "c_f32", "c_f64", "c_str", "c_date")
+        .collect().map(r => (0 until r.length).map(i => r.get(i)).toList).toSet
+      back == sent
+    }, 3)
+  }
+
+  test("property: Aggregate-model merge is idempotent (merge ∘ merge = merge)") {
+    import spark.implicits._
+    val td = TableDef(
+      db = "p", name = "agg", schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("s", LongType, AggType.Sum),
+        ColumnSpec.value("mx", DoubleType, AggType.Max),
+        ColumnSpec.value("mn", DoubleType, AggType.Min),
+        ColumnSpec.value("r", StringType, AggType.Replace))))
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 8L)          // few keys => many collisions
+      s <- Gen.chooseNum(-1000L, 1000L)
+      mx <- Gen.chooseNum(-1e4, 1e4)
+      r <- Gen.alphaStr.map(_.take(5))
+      v <- Gen.chooseNum(1L, 5L)
+    } yield (k, s, mx, -mx, r, v)
+    check(Prop.forAll(Gen.listOfN(80, rowGen)) { rows =>
+      val raw = rows.zipWithIndex
+        .map { case ((k, s, mx, mn, r, v), i) => (k, s, mx, mn, r, v, i.toLong) }
+        .toDF("k", "s", "mx", "mn", "r", "__v", "__q")
+      val once = MergeView(td, raw, "__v", "__q")
+      val twice = MergeView(td,
+        once.withColumn("__v", lit(99L)).withColumn("__q", lit(0L)), "__v", "__q")
+      val a = once.collect().map(_.toSeq.toList).toSet
+      val b = twice.collect().map(_.toSeq.toList).toSet
+      a == b
+    }, 4)
+  }
+}
