@@ -149,6 +149,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tfidf"))
   }
 
+  /** BM25 ranking for a fixed term set (k1=1.2, b=0.75) — the lexical
+    * retrieval scorer (and the classic hard-negative source for dense
+    * retrievers). Shapes: one (doc, word) count shuffle restricted to the
+    * query terms, document length + corpus stats broadcast back into the
+    * scoring join. Determinism: each per-term score rounds to 8 decimals and
+    * sums as DECIMAL(18,8) — double summation order across terms would
+    * otherwise differ between engines; ln() itself is correctly rounded on
+    * identical inputs in both.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val terms = Seq("spark", "data", "join", "query")
+    val k1 = 1.2
+    val b = 0.75
+    val words = docs(spark, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = words.filter(col("w").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        round(termScore, 8).cast("decimal(18,8)").as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("ts")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Inverted index build (word -> sorted posting list + document frequency),
     * the IR-side sibling of TF-IDF: one (doc, word)-distinct explode, one
     * shuffle on the word. Restricted to words with df >= minDf (the useful
@@ -186,6 +220,7 @@ object TextAnalysis {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "q98_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
     "q100_doc_diversity" -> ((s: SparkSession, d: String) => diversity(s, d)),
     "q85_tfidf" -> ((s: SparkSession, d: String) => tfidf(s, d)),
@@ -198,6 +233,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_bm25_topk" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+        |       WHERE w IN ('spark','data','join','query') GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        CAST(round(
+        |          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |          8) AS DECIMAL(18,8)) AS ts
+        |      FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
+        |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q98_inverted_index" ->
       """WITH w AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
