@@ -41,4 +41,36 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The read-side complement: tail an engine table as a stream. Every rowset
+    * published after the stream starts arrives as new files under a new
+    * `r{N}` directory, which the file source's glob picks up — the CDC feed a
+    * downstream consumer (index builder, rollup maintainer, replicator) runs
+    * on instead of rescanning the table. The stream is the RAW append log:
+    * merge-on-read is NOT applied (a consumer of a Unique table sees upserts
+    * and tombstone markers in arrival order and applies its own merge —
+    * exactly how CDC consumers of Doris/StarRocks-family engines work).
+    */
+  def streamTable(eng: OlapEngine, db: String, table: String): DataFrame = {
+    val td = eng.catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    // files hold the schema columns (partition/bucket live in dir names);
+    // Unique tables additionally persist the seq/op markers — surface them
+    val extra = td.schema.keysType match {
+      case graft.model.KeysType.Duplicate => Seq.empty[org.apache.spark.sql.types.StructField]
+      case graft.model.KeysType.Aggregate => Seq(
+        org.apache.spark.sql.types.StructField(eng.SeqCol, org.apache.spark.sql.types.LongType))
+      case graft.model.KeysType.Unique => Seq(
+        org.apache.spark.sql.types.StructField(eng.SeqCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(eng.OpCol, org.apache.spark.sql.types.IntegerType))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      td.schema.toStructType.fields.toSeq ++ extra)
+    // recursiveFileLookup: the hive-style __graft_part/__graft_bucket dirs
+    // are placement metadata, not payload — flat file listing sidesteps
+    // partition inference over a glob of per-rowset roots
+    eng.spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"${eng.tableRoot(db, table)}/r*")
+  }
 }

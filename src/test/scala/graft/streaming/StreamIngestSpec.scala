@@ -49,4 +49,32 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(eng.scan("db", "ev").count() == 1000L)
     assert(eng.manifest("db", "ev").visibleRowsets.size == 1)
   }
+
+  test("streamTable tails published rowsets as a CDC feed") {
+    import spark.implicits._
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-st-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "t", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"),
+      Some(graft.manifest.Version(1, 1)))
+
+    val sinkName = "graft_cdc_sink"
+    val q = StreamIngest.streamTable(eng, "db", "t")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table(sinkName).count() == 2)
+
+    // a rowset published AFTER the stream started arrives incrementally
+    eng.ingest("db", "t", Seq((3L, 3.0)).toDF("k", "v"),
+      Some(graft.manifest.Version(2, 2)))
+    q.processAllAvailable()
+    assert(spark.table(sinkName).count() == 3)
+    assert(spark.table(sinkName).select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    q.stop()
+  }
 }
