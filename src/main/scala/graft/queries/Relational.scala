@@ -725,6 +725,39 @@ object Relational {
         |FROM m LEFT JOIN c ON m.mon = c.mon""".stripMargin)
   }
 
+  /** Multiset set operations: `INTERSECT ALL` / `EXCEPT ALL` preserve
+    * duplicate multiplicity (min / difference of per-row counts), unlike the
+    * distinct-set q14/q15. Input: lineitem line numbers for two overlapping
+    * order ranges — genuinely duplicate-heavy input.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "lineitem").filter(col("l_orderkey") < 800)
+      .select(col("l_linenumber"))
+    val b = t(spark, dir, "lineitem").filter(col("l_orderkey") >= 400 && col("l_orderkey") < 1200)
+      .select(col("l_linenumber"))
+    a.intersectAll(b).groupBy(col("l_linenumber")).agg(count(lit(1)).as("n_inter"))
+      .join(
+        a.exceptAll(b).groupBy(col("l_linenumber")).agg(count(lit(1)).as("n_except")),
+        Seq("l_linenumber"), "full_outer")
+      .select(col("l_linenumber"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+  }
+
+  /** Null-safe equality join (`<=>`): NULL keys match each other instead of
+    * dropping out — the semantics `JOIN ... ON a = b` silently loses. The
+    * nullable key is derived (`nullif`), so the null-match path is exercised
+    * with real multiplicity.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").filter(col("o_orderkey") < 600)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("pri"))
+    val counts = o.groupBy(col("pri").as("pri2")).agg(count(lit(1)).as("n_same"))
+    o.join(counts, col("pri") <=> col("pri2"))
+      .groupBy(col("pri")).agg(count(lit(1)).as("n_rows"), max(col("n_same")).as("n_same"))
+  }
+
   /** Skew-mitigated shuffle join via [[graft.operators.SaltedJoin]]: the big
     * side salts, the small side replicates per salt, and the hot key's volume
     * spreads over 8 reducers. `shuffle_hash` hint models the 100 TB case
@@ -805,6 +838,8 @@ object Relational {
     "q115_bloom_semi_filter" -> bloomSemiFilter _,
     "q116_window_nth" -> windowNth _,
     "q117_salted_join" -> saltedJoinQuery _,
+    "q119_set_ops_all" -> setOpsAll _,
+    "q120_join_null_safe" -> joinNullSafe _,
     "q113_lateral_topk" -> lateralTopK _,
     "q114_recursive_months" -> recursiveMonthLadder _,
     "q112_cust_order_dist" -> custOrderDistribution _,
@@ -865,6 +900,24 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q119_set_ops_all" ->
+      """WITH a AS (SELECT l_linenumber FROM lineitem WHERE l_orderkey < 800),
+        |b AS (SELECT l_linenumber FROM lineitem
+        |      WHERE l_orderkey >= 400 AND l_orderkey < 1200),
+        |i AS (SELECT l_linenumber, count(*) AS n_inter
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |e AS (SELECT l_linenumber, count(*) AS n_except
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT coalesce(i.l_linenumber, e.l_linenumber) AS l_linenumber,
+        |  coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.l_linenumber = e.l_linenumber""".stripMargin,
+    "q120_join_null_safe" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+        |           FROM orders WHERE o_orderkey < 600),
+        |c AS (SELECT pri AS pri2, count(*) AS n_same FROM o GROUP BY pri)
+        |SELECT pri, count(*) AS n_rows, max(n_same) AS n_same
+        |FROM o JOIN c ON pri IS NOT DISTINCT FROM pri2
+        |GROUP BY pri""".stripMargin,
     "q117_salted_join" ->
       """SELECT s_nationkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
