@@ -248,6 +248,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       s"mergeInto is only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
     require(source.columns.contains(deleteFlag),
       s"merge source for ${td.qualified} missing the delete flag '$deleteFlag'")
+    // upsert rows must carry every value column (a missing one would silently
+    // write NULL over existing data) — unless the table is partial-update,
+    // where NULL means "not set" by contract
+    val missingVals = td.schema.valueNames.filterNot(source.columns.contains)
+    require(missingVals.isEmpty || td.partialUpdate,
+      s"merge source for ${td.qualified} missing value columns: ${missingVals.mkString(", ")}")
     val flag = col(deleteFlag).cast("boolean")
     val keyNames = td.schema.keyNames.toSet
     // delete rows may omit value columns entirely; null-fill them, and null
@@ -563,6 +569,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       s"cumulative compaction needs >=2 rowsets at or above version $layerPoint")
     val lo = suffix.map(_.version.start).min
     val hi = suffix.map(_.version.end).max
+    // the merged rowset will claim [lo,hi]; refuse to fabricate coverage
+    // over a version hole in the delta tier
+    require(!m.hasVersionHoles(lo, hi),
+      s"delta tier [$lo,$hi] of ${td.qualified} has version holes; cannot merge")
     val root = tableRoot(db, table)
     val raw = backfillSchema(db, table, suffix.map { r =>
       spark.read.parquet(root.resolve(r.relDir).toString)
