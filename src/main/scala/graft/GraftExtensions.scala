@@ -21,8 +21,10 @@ import graft.functions.{FnvHash64, Md5Prefix60, VectorDot, ZorderInterleave}
   *    portable hash behind SimHash/LSH (recomputable in any engine with md5).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -57,11 +59,18 @@ object GraftExtensions {
       }),
   )
 
-  /** Register the functions on an already-built session. */
+  /** Register the functions + optimizer rules on an already-built session
+    * (the rule lands in the `User Provided Optimizers` batch via
+    * `experimental.extraOptimizations` instead of the operator-optimization
+    * batch — same fixed-point semantics, no session rebuild needed).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = org.apache.spark.sql.graft.shim.functionRegistry(spark)
     functions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
   }
 }

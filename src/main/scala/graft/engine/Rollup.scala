@@ -53,6 +53,8 @@ final class RollupManager(eng: OlapEngine) {
     val dir = rollupDir(db, table, rd.name)
     out.write.mode("overwrite").parquet(dir.resolve(s"v$baseVersion").toString)
     defs((db, table, rd.name)) = (rd, baseVersion)
+    graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
+      eng, db, table, rd, baseVersion, dir.resolve(s"v$baseVersion").toString))
   }
 
   def isFresh(db: String, table: String, name: String): Boolean =
@@ -105,6 +107,8 @@ final class RollupManager(eng: OlapEngine) {
     merged.write.mode("overwrite")
       .parquet(rollupDir(db, table, name).resolve(s"v$maxV").toString)
     defs(key) = (rd, maxV)
+    graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
+      eng, db, table, rd, maxV, rollupDir(db, table, name).resolve(s"v$maxV").toString))
   }
 
   /** Aggregate `aggs` grouped by `groupCols`, answered from a fresh matching

@@ -245,6 +245,25 @@ object EngineQueries {
       .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
   }
 
+  /** Transparent rollup selection: the SAME aggregation as q49, but written
+    * against the BASE table scan — no engine aggregate API. The
+    * [[graft.plans.RollupRewrite]] optimizer rule (registered via
+    * [[graft.GraftExtensions]]) recognizes that the fresh `by_status` rollup
+    * covers it and swaps the fact scan for the rollup parquet. The oracle
+    * computes the aggregation over the raw data, so a mis-rewrite (missed OR
+    * wrong) is caught either way; RollupRewriteSpec asserts the plan actually
+    * reads the rollup files.
+    */
+  def rollupTransparent(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    eng.scan("graft", "orders_dup")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("price_c")).as("sum_price_c"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
+  }
+
   /** Unique-model delete tombstones: deleted keys vanish from the latest
     * snapshot unless a newer load re-inserted them (see the events_del
     * fixture loads).
@@ -283,6 +302,7 @@ object EngineQueries {
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
     "q49_engine_rollup" -> rollupAggregate _,
+    "q121_rollup_transparent" -> rollupTransparent _,
     "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
     "q21_engine_snapshot_v1" -> snapshotV1 _,
@@ -333,6 +353,10 @@ object EngineQueries {
     "q27_engine_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 123",
     "q49_engine_rollup" ->
+      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q121_rollup_transparent" ->
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

@@ -1,0 +1,131 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.catalog._
+import graft.engine.{OlapEngine, RollupDef}
+import graft.manifest.Version
+import graft.model._
+
+/** Transparent rollup selection ([[RollupRewrite]]): the optimizer swaps a
+  * base-table aggregation for a fresh covering rollup — and refuses to when
+  * the rollup is stale, the grouping isn't covered, or the aggregate doesn't
+  * re-aggregate.
+  */
+class RollupRewriteSpec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkTestSession.spark; graft.GraftExtensions.register(s); s }
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Row
+  import scala.jdk.CollectionConverters._
+
+  private def fixture(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-rr-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", StringType),
+        ColumnSpec.value("grp", StringType),
+        ColumnSpec.value("v", LongType),
+        ColumnSpec.value("price", DecimalType(18, 2)))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    def rows(lo: Int, hi: Int) = spark.createDataFrame(
+      (lo until hi).map(i => Row(s"k$i", s"g${i % 3}", i.toLong,
+        new java.math.BigDecimal(s"$i.25"))).asJava,
+      StructType(Seq(
+        StructField("k", StringType), StructField("grp", StringType),
+        StructField("v", LongType), StructField("price", DecimalType(18, 2)))))
+    eng.ingest("db", "t", rows(0, 60), Some(Version(1, 1)))
+    eng.ingest("db", "t", rows(60, 100), Some(Version(2, 2)))
+    eng.rollups.materialize("db", "t", RollupDef(
+      name = "by_grp", groupCols = Seq("grp"),
+      aggs = Seq(("s_v", "v", AggType.Sum), ("mx_v", "v", AggType.Max),
+        ("s_p", "price", AggType.Sum))))
+    eng
+  }
+
+  private def usesRollup(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("rollups"))
+          case _ => false
+        }
+    }.exists(identity)
+
+  private def baseAgg(eng: OlapEngine): DataFrame =
+    eng.scan("db", "t").groupBy(col("grp"))
+      .agg(sum(col("v")).as("s_v"), max(col("v")).as("mx_v"),
+        sum(col("price")).as("s_p"))
+
+  test("aggregate over the base scan is answered from the rollup, exactly") {
+    val eng = fixture()
+    val q = baseAgg(eng)
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDecimal(3).toPlainString)).sortBy(_._1)
+    // ground truth straight from the generator: groups g0/g1/g2 over 0..99
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    val want = (0 until 3).map { g =>
+      (s"g$g", ids(g).map(_.toLong).sum, ids(g).max.toLong,
+        new java.math.BigDecimal(s"${ids(g).sum}.00")
+          .add(new java.math.BigDecimal("0.25").multiply(
+            new java.math.BigDecimal(ids(g).size))).toPlainString)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("coarser grouping than the rollup dims still rewrites (re-aggregation)") {
+    val eng = fixture()
+    // rollup dims = (grp); group on the SAME col but with a dimension filter,
+    // which must be replayed over the rollup scan
+    val q = eng.scan("db", "t").filter(col("grp") =!= "g1")
+      .groupBy(col("grp")).agg(sum(col("v")).as("s_v"))
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    assert(got.toSeq == Seq(("g0", ids(0).map(_.toLong).sum), ("g2", ids(2).map(_.toLong).sum)))
+  }
+
+  test("stale rollup is NOT selected; refresh re-enables it") {
+    val eng = fixture()
+    eng.ingest("db", "t", spark.createDataFrame(
+      Seq(Row("k100", "g0", 1000L, new java.math.BigDecimal("1.00"))).asJava,
+      StructType(Seq(
+        StructField("k", StringType), StructField("grp", StringType),
+        StructField("v", LongType), StructField("price", DecimalType(18, 2))))),
+      Some(Version(3, 3)))
+    val stale = baseAgg(eng)
+    assert(!usesRollup(stale), stale.queryExecution.optimizedPlan.toString)
+    val fromBase = stale.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    eng.rollups.refreshIncremental("db", "t", "by_grp")
+    val fresh = baseAgg(eng)
+    assert(usesRollup(fresh), fresh.queryExecution.optimizedPlan.toString)
+    val fromRollup = fresh.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fromRollup == fromBase)
+    assert(fromRollup("g0") == (0 until 100).filter(_ % 3 == 0).map(_.toLong).sum + 1000L)
+  }
+
+  test("non-re-aggregable shapes are left alone") {
+    val eng = fixture()
+    // avg: not in the rollup closure
+    assert(!usesRollup(eng.scan("db", "t").groupBy(col("grp"))
+      .agg(avg(col("v")).as("a"))))
+    // grouping on a non-dimension column
+    assert(!usesRollup(eng.scan("db", "t").groupBy(col("k"))
+      .agg(sum(col("v")).as("s"))))
+    // filter on a non-dimension column (does not commute with pre-agg)
+    assert(!usesRollup(eng.scan("db", "t").filter(col("v") > 10)
+      .groupBy(col("grp")).agg(sum(col("v")).as("s"))))
+    // distinct aggregate
+    assert(!usesRollup(eng.scan("db", "t").groupBy(col("grp"))
+      .agg(sum_distinct(col("v")).as("s"))))
+    // partial snapshot (not the current full covering set)
+    assert(!usesRollup(eng.snapshot("db", "t", 1, 1).groupBy(col("grp"))
+      .agg(sum(col("v")).as("s"))))
+  }
+}
