@@ -264,6 +264,21 @@ object EngineQueries {
       .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
   }
 
+  /** Wall-clock time travel: snapshot as of the instant the FIRST rowset was
+    * published — the second load (odd order keys, published strictly later)
+    * must be invisible. The as-of instant is read from the live manifest's
+    * publication timestamps, so the query is deterministic for any fixture
+    * build. Completes the reference's recorded-but-unread `creation_time`
+    * (src/meta.rs:95-98) with a read path.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val t1 = eng.manifest("graft", "orders_dup").visibleRowsets
+      .map(_.createdMs).min
+    eng.snapshotAsOf("graft", "orders_dup", t1)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** Unique-model delete tombstones: deleted keys vanish from the latest
     * snapshot unless a newer load re-inserted them (see the events_del
     * fixture loads).
@@ -303,6 +318,7 @@ object EngineQueries {
     "q64_engine_count_meta" -> countMeta _,
     "q49_engine_rollup" -> rollupAggregate _,
     "q121_rollup_transparent" -> rollupTransparent _,
+    "q122_time_travel" -> timeTravel _,
     "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
     "q21_engine_snapshot_v1" -> snapshotV1 _,
@@ -334,6 +350,8 @@ object EngineQueries {
     "q20_engine_dup_scan" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
     "q21_engine_snapshot_v1" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
+    "q122_time_travel" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
     "q22_engine_unique_merge" ->
       """SELECT event_id, user_id, event_type,
