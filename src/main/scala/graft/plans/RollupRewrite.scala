@@ -68,7 +68,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg: Aggregate =>
         try rewrite(agg).getOrElse(agg)
-        catch { case _: Exception => agg } // never fail a query over a missed rewrite
+        catch { case e: Exception => // never fail a query over a missed rewrite
+          logWarning(s"rollup rewrite bailed: $e"); agg }
     }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = {
@@ -90,30 +91,59 @@ object RollupRewrite extends Rule[LogicalPlan] {
       return None
 
     val newGrouping = groupAttrs.map(a => byName(a.name))
+
+    // Swap one aggregate call for its rollup-side re-aggregation. Sum over
+    // decimal widens precision each level, so the result is cast back to the
+    // base query's exact type to keep downstream references binding.
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      val (src, aggType) = ae.aggregateFunction match {
+        case Sum(c: AttributeReference, _) => (c.name, AggType.Sum)
+        case Min(c: AttributeReference) => (c.name, AggType.Min)
+        case Max(c: AttributeReference) => (c.name, AggType.Max)
+        case _ => return None
+      }
+      val stored = entry.rd.aggs.find(r => r._2 == src && r._3 == aggType)
+        .getOrElse(return None)
+      val reAgg: Expression = (aggType match {
+        case AggType.Min => Min(byName(stored._1))
+        case AggType.Max => Max(byName(stored._1))
+        case _ => Sum(byName(stored._1))
+      }).toAggregateExpression()
+      Some(if (reAgg.dataType == ae.dataType) reAgg else Cast(reAgg, ae.dataType))
+    }
+
+    // Result expressions may be plain grouping attrs, aliased aggregates, or
+    // — after CollapseProject — arbitrary scalar trees over both (e.g.
+    // `cast(sum(x) as double)`). Rebuild each tree top-down: aggregate calls
+    // go through mapAgg, remaining attrs must be dimension columns.
     val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: AttributeReference =>
+      case a: AttributeReference if entry.rd.groupCols.contains(a.name) =>
         Alias(byName(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        val (src, aggType) = ae.aggregateFunction match {
-          case Sum(c: AttributeReference, _) => (c.name, AggType.Sum)
-          case Min(c: AttributeReference) => (c.name, AggType.Min)
-          case Max(c: AttributeReference) => (c.name, AggType.Max)
-          case _ => return None
+      case al @ Alias(child, name) =>
+        var ok = true
+        // Two passes: aggregate calls first become leaf markers (so the
+        // dimension check below never descends into rollup-side attrs),
+        // then markers expand to their re-aggregations.
+        val markers = scala.collection.mutable.Map.empty[ExprId, Expression]
+        val marked = child.transformDown {
+          case ae: AggregateExpression =>
+            mapAgg(ae) match {
+              case Some(re) =>
+                val m = AttributeReference(s"__rr_m${markers.size}", ae.dataType)()
+                markers(m.exprId) = re
+                m
+              case None => ok = false; ae
+            }
+          case a: AttributeReference =>
+            if (entry.rd.groupCols.contains(a.name)) byName(a.name)
+            else { ok = false; a }
         }
-        val stored = entry.rd.aggs.find(r => r._2 == src && r._3 == aggType)
-          .getOrElse(return None)
-        val reAgg: Expression = (aggType match {
-          case AggType.Sum => Sum(byName(stored._1))
-          case AggType.Min => Min(byName(stored._1))
-          case AggType.Max => Max(byName(stored._1))
-          case _ => return None
-        }).toAggregateExpression()
-        // Sum over decimal widens precision each level; restore the base
-        // query's exact result type so downstream references keep binding.
-        val typed = if (reAgg.dataType == al.dataType) reAgg
-          else Cast(reAgg, al.dataType)
-        Alias(typed, name)(exprId = al.exprId)
+        if (!ok) return None
+        val newChild = marked.transformUp {
+          case a: AttributeReference if markers.contains(a.exprId) => markers(a.exprId)
+        }
+        Alias(newChild, name)(exprId = al.exprId)
       case _ => return None
     }
     // Replay base-side filters (dimension columns only) over the rollup.

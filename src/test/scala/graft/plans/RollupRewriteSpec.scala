@@ -110,6 +110,28 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(fromRollup("g0") == (0 until 100).filter(_ % 3 == 0).map(_.toLong).sum + 1000L)
   }
 
+  test("scalar expressions over aggregates still rewrite (CollapseProject shape)") {
+    val eng = fixture()
+    // .withColumn after .agg collapses into the Aggregate:
+    // Alias(Cast(AggregateExpression)) — the q121 shape
+    val q1 = eng.scan("db", "t").groupBy(col("grp"))
+      .agg(sum(col("price")).as("s_p"))
+      .withColumn("s_p", col("s_p").cast("double"))
+    assert(usesRollup(q1), q1.queryExecution.optimizedPlan.toString)
+    val got1 = q1.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    def priceSum(g: Int) = ids(g).sum + 0.25 * ids(g).size
+    assert(got1.toSeq == (0 until 3).map(g => (s"g$g", priceSum(g))))
+    // arithmetic over two aggregates + a dimension reference
+    val q2 = eng.scan("db", "t").groupBy(col("grp"))
+      .agg((sum(col("v")) + max(col("v"))).as("c"),
+        concat(col("grp"), lit("!")).as("tag"))
+    assert(usesRollup(q2), q2.queryExecution.optimizedPlan.toString)
+    val got2 = q2.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got2.toSeq == (0 until 3).map(g =>
+      (s"g$g", ids(g).map(_.toLong).sum + ids(g).max, s"g$g!")))
+  }
+
   test("non-re-aggregable shapes are left alone") {
     val eng = fixture()
     // avg: not in the rollup closure
