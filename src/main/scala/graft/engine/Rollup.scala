@@ -24,7 +24,11 @@ final case class RollupDef(
     groupCols: Seq[String],
     // (output column, source column, agg) — Replace/None not allowed: they
     // don't re-aggregate over coarser groups.
-    aggs: Seq[(String, String, AggType)]) {
+    aggs: Seq[(String, String, AggType)],
+    // Stored per-group row count (Doris rollups always carry one): lets
+    // count(*) re-aggregate as sum(countCol) and keeps the rollup usable
+    // for COUNT dashboards without touching the fact table.
+    countCol: Option[String] = None) {
   require(aggs.forall(a => a._3 == AggType.Sum || a._3 == AggType.Min || a._3 == AggType.Max),
     "rollup aggregates must be Sum/Min/Max (re-aggregable)")
 }
@@ -43,13 +47,23 @@ final class RollupManager(eng: OlapEngine) {
     case other => throw new IllegalArgumentException(s"non-reaggregable $other")
   }).as(out)
 
+  /** Aggregations of the BASE table rows into rollup columns. */
+  private def srcAggCols(rd: RollupDef): Seq[Column] =
+    rd.aggs.map { case (o, s, a) => aggCol(s, a, o) } ++
+      rd.countCol.map(c => count(lit(1)).as(c))
+
+  /** Re-aggregations of STORED rollup rows (partials compose; counts sum). */
+  private def mergeAggCols(rd: RollupDef): Seq[Column] =
+    rd.aggs.map { case (o, _, a) => aggCol(o, a, o) } ++
+      rd.countCol.map(c => sum(col(c)).cast("long").as(c))
+
   /** Materialize (or refresh) a rollup from the base table's latest snapshot. */
   def materialize(db: String, table: String, rd: RollupDef): Unit = {
     val baseVersion = eng.manifest(db, table).maxVersion
+    val cols = srcAggCols(rd)
     val out = eng.scan(db, table)
       .groupBy(rd.groupCols.map(col): _*)
-      .agg(rd.aggs.head match { case (o, s, a) => aggCol(s, a, o) },
-        rd.aggs.tail.map { case (o, s, a) => aggCol(s, a, o) }: _*)
+      .agg(cols.head, cols.tail: _*)
     val dir = rollupDir(db, table, rd.name)
     out.write.mode("overwrite").parquet(dir.resolve(s"v$baseVersion").toString)
     defs((db, table, rd.name)) = (rd, baseVersion)
@@ -96,14 +110,14 @@ final class RollupManager(eng: OlapEngine) {
       rollupDir(db, table, name).resolve(s"v$storedV").toString))
     if (storedTry.isFailure) { materialize(db, table, rd); return }
     val stored = storedTry.get
+    val srcCols = srcAggCols(rd)
     val deltaAgg = eng.snapshot(db, table, storedV + 1, maxV)
       .groupBy(rd.groupCols.map(col): _*)
-      .agg(rd.aggs.head match { case (o, s, a) => aggCol(s, a, o) },
-        rd.aggs.tail.map { case (o, s, a) => aggCol(s, a, o) }: _*)
+      .agg(srcCols.head, srcCols.tail: _*)
+    val mergeCols = mergeAggCols(rd)
     val merged = stored.unionByName(deltaAgg)
       .groupBy(rd.groupCols.map(col): _*)
-      .agg(rd.aggs.head match { case (o, _, a) => aggCol(o, a, o) },
-        rd.aggs.tail.map { case (o, _, a) => aggCol(o, a, o) }: _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
     merged.write.mode("overwrite")
       .parquet(rollupDir(db, table, name).resolve(s"v$maxV").toString)
     defs(key) = (rd, maxV)

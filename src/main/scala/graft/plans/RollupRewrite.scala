@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -87,8 +87,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val byName = rollupPlan.output.map(a => a.name -> a).toMap
     // Registration guarantees dims ⊆ rollup columns, but the stored parquet
     // is the ground truth — bail if any expected column is missing.
-    if (!(entry.rd.groupCols ++ entry.rd.aggs.map(_._1)).forall(byName.contains))
-      return None
+    if (!(entry.rd.groupCols ++ entry.rd.aggs.map(_._1) ++ entry.rd.countCol)
+      .forall(byName.contains)) return None
 
     val newGrouping = groupAttrs.map(a => byName(a.name))
 
@@ -97,20 +97,24 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // base query's exact type to keep downstream references binding.
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
-      val (src, aggType) = ae.aggregateFunction match {
-        case Sum(c: AttributeReference, _) => (c.name, AggType.Sum)
-        case Min(c: AttributeReference) => (c.name, AggType.Min)
-        case Max(c: AttributeReference) => (c.name, AggType.Max)
-        case _ => return None
+      def fromStored(src: String, aggType: AggType): Option[Expression] =
+        entry.rd.aggs.find(r => r._2 == src && r._3 == aggType).map { stored =>
+          (aggType match {
+            case AggType.Min => Min(byName(stored._1))
+            case AggType.Max => Max(byName(stored._1))
+            case _ => Sum(byName(stored._1))
+          }).toAggregateExpression()
+        }
+      val reAgg: Option[Expression] = ae.aggregateFunction match {
+        case Sum(c: AttributeReference, _) => fromStored(c.name, AggType.Sum)
+        case Min(c: AttributeReference) => fromStored(c.name, AggType.Min)
+        case Max(c: AttributeReference) => fromStored(c.name, AggType.Max)
+        // count(*) / count(lit): rows per group = sum of stored counts
+        case Count(Seq(l: Literal)) if l.value != null =>
+          entry.rd.countCol.map(cc => Sum(byName(cc)).toAggregateExpression())
+        case _ => None
       }
-      val stored = entry.rd.aggs.find(r => r._2 == src && r._3 == aggType)
-        .getOrElse(return None)
-      val reAgg: Expression = (aggType match {
-        case AggType.Min => Min(byName(stored._1))
-        case AggType.Max => Max(byName(stored._1))
-        case _ => Sum(byName(stored._1))
-      }).toAggregateExpression()
-      Some(if (reAgg.dataType == ae.dataType) reAgg else Cast(reAgg, ae.dataType))
+      reAgg.map(re => if (re.dataType == ae.dataType) re else Cast(re, ae.dataType))
     }
 
     // Result expressions may be plain grouping attrs, aliased aggregates, or

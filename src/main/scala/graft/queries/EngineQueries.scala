@@ -153,7 +153,8 @@ object EngineFixture {
       groupCols = Seq("o_orderstatus"),
       aggs = Seq(
         ("sum_price_c", "price_c", AggType.Sum),
-        ("max_price", "o_totalprice", AggType.Max))))
+        ("max_price", "o_totalprice", AggType.Max)),
+      countCol = Some("n_rows")))
     eng
   }
 }
@@ -260,7 +261,8 @@ object EngineQueries {
     eng.scan("graft", "orders_dup")
       .groupBy(col("o_orderstatus"))
       .agg(sum(col("price_c")).as("sum_price_c"),
-        max(col("o_totalprice")).as("max_price"))
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
       .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
   }
 
@@ -376,7 +378,7 @@ object EngineQueries {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q121_rollup_transparent" ->
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
-        |  max(o_totalprice) AS max_price
+        |  max(o_totalprice) AS max_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // The reference's routing recomputed from scratch in SQL: range-partition
     // lookup (string-compared upper bounds ≡ timestamp compare for ISO dates)

@@ -43,7 +43,8 @@ class RollupRewriteSpec extends AnyFunSuite {
     eng.rollups.materialize("db", "t", RollupDef(
       name = "by_grp", groupCols = Seq("grp"),
       aggs = Seq(("s_v", "v", AggType.Sum), ("mx_v", "v", AggType.Max),
-        ("s_p", "price", AggType.Sum))))
+        ("s_p", "price", AggType.Sum)),
+      countCol = Some("n_rows")))
     eng
   }
 
@@ -130,6 +131,39 @@ class RollupRewriteSpec extends AnyFunSuite {
     val got2 = q2.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(got2.toSeq == (0 until 3).map(g =>
       (s"g$g", ids(g).map(_.toLong).sum + ids(g).max, s"g$g!")))
+  }
+
+  test("count(*) re-aggregates from the stored per-group count; SQL path works") {
+    val eng = fixture()
+    eng.scan("db", "t").createOrReplaceTempView("t_v")
+    val q = spark.sql(
+      "SELECT grp, count(*) AS n, sum(v) AS s FROM t_v GROUP BY grp")
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    assert(got.toSeq == (0 until 3).map(g =>
+      (s"g$g", ids(g).size.toLong, ids(g).map(_.toLong).sum)))
+    // count(column) must NOT rewrite (null semantics differ from count(*))
+    assert(!usesRollup(eng.scan("db", "t").groupBy(col("grp"))
+      .agg(count(col("v")).as("n"))))
+  }
+
+  test("incremental refresh keeps the stored count summable") {
+    val eng = fixture()
+    eng.ingest("db", "t", spark.createDataFrame(
+      Seq(Row("k200", "g1", 7L, new java.math.BigDecimal("2.00")),
+        Row("k201", "g1", 8L, new java.math.BigDecimal("3.00"))).asJava,
+      StructType(Seq(
+        StructField("k", StringType), StructField("grp", StringType),
+        StructField("v", LongType), StructField("price", DecimalType(18, 2))))),
+      Some(Version(3, 3)))
+    eng.rollups.refreshIncremental("db", "t", "by_grp")
+    val q = eng.scan("db", "t").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("g1") == (0 until 100).count(_ % 3 == 1).toLong + 2)
+    assert(got("g0") == (0 until 100).count(_ % 3 == 0).toLong)
   }
 
   test("non-re-aggregable shapes are left alone") {
