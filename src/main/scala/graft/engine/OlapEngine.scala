@@ -41,6 +41,21 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
 
   def tableRoot(db: String, table: String): Path = warehouse.resolve(db).resolve(table)
 
+  /** Expose engine tables to SQL: one temp view per table, named
+    * `{db}_{table}` (temp view names are single-part), backed by [[scan]] so
+    * merge-on-read, schema backfill, and MVCC visibility all apply — and the
+    * [[graft.plans.RollupRewrite]] rule still fires through the view because
+    * the view body IS the base scan plan. Views snapshot the manifest at
+    * registration; call again after loads to advance the SQL-visible version
+    * (deliberate: SQL readers get repeatable reads between refreshes, the
+    * same contract the reference's `capture_consistent_versions` gives its
+    * callers, src/tablet.rs:131-144).
+    */
+  def registerViews(db: String): Unit =
+    catalog.listTables(db).foreach { t =>
+      scan(db, t).createOrReplaceTempView(s"${db}_$t")
+    }
+
   def manifest(db: String, table: String): TableManifest =
     manifests.getOrElseUpdate(s"$db.$table", new TableManifest(tableRoot(db, table)))
 

@@ -79,8 +79,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     val scan = baseScan(agg.child).getOrElse(return None)
-    val entry = entries.values.find(e => covers(e, agg, groupAttrs, scan))
-      .getOrElse(return None)
+    // Among covering rollups, fewest dimensions wins: coarser grouping means
+    // fewer stored rows to re-aggregate (Doris picks its rollup the same way).
+    val entry = entries.values.filter(e => covers(e, agg, groupAttrs, scan))
+      .minByOption(_.rd.groupCols.size).getOrElse(return None)
 
     val rollupPlan = entry.eng.spark.read.parquet(entry.path)
       .queryExecution.analyzed

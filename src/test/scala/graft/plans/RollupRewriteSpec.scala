@@ -166,6 +166,38 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(got("g0") == (0 until 100).count(_ % 3 == 0).toLong)
   }
 
+  test("global aggregate (no GROUP BY) rewrites; registered views query with full semantics") {
+    val eng = fixture()
+    val g = eng.scan("db", "t").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    assert(usesRollup(g), g.queryExecution.optimizedPlan.toString)
+    val row = g.collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((0 until 100).map(_.toLong).sum, 100L))
+
+    eng.registerViews("db")
+    val v = spark.sql("SELECT grp, max(v) AS m FROM db_t GROUP BY grp")
+    assert(usesRollup(v), v.queryExecution.optimizedPlan.toString)
+    assert(v.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (0 until 3).map(g => (s"g$g", (0 until 100).filter(_ % 3 == g).max.toLong)))
+  }
+
+  test("among several covering rollups the fewest-dimension one wins") {
+    val eng = fixture()
+    // a finer two-dimension rollup that ALSO covers grp-only aggregates
+    eng.rollups.materialize("db", "t", RollupDef(
+      name = "by_grp_k", groupCols = Seq("grp", "k"),
+      aggs = Seq(("s_v", "v", AggType.Sum))))
+    val q = eng.scan("db", "t").groupBy(col("grp")).agg(sum(col("v")).as("s_v"))
+    val leaves = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(leaves.exists(_.contains("rollups/by_grp/")), leaves.mkString(","))
+  }
+
   test("non-re-aggregable shapes are left alone") {
     val eng = fixture()
     // avg: not in the rollup closure
