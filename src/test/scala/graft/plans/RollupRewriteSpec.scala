@@ -198,6 +198,55 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(leaves.exists(_.contains("rollups/by_grp/")), leaves.mkString(","))
   }
 
+  test("rewrite survives compaction (same versions, new files)") {
+    val eng = fixture()
+    eng.compact("db", "t")
+    eng.gc("db", "t")
+    // compaction rewrote the files but not the data or max version: a scan
+    // built NOW sees the compacted rowset and the rollup is still fresh
+    val q = baseAgg(eng)
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (0 until 3).map(g => (s"g$g", ids(g).map(_.toLong).sum)))
+  }
+
+  test("randomized equivalence: rewritten answers equal base-scan answers") {
+    val eng = fixture()
+    val rnd = new scala.util.Random(42)
+    val aggPool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "s_v" -> sum(col("v")), "mx_v" -> max(col("v")),
+      "n" -> count(lit(1)), "sp_d" -> sum(col("price")).cast("double"),
+      "mix" -> (sum(col("v")) + max(col("v"))))
+    for (_ <- 1 to 8) {
+      val picks = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
+        .map { case (n, c) => c.as(n) }
+      val grouped = rnd.nextBoolean()
+      def build() = {
+        val s = eng.scan("db", "t")
+        val base = if (grouped) s.groupBy(col("grp")) else s.groupBy()
+        base.agg(picks.head, picks.tail: _*)
+      }
+      val q = build()
+      assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+      val viaRollup = q.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      RollupRewrite.clear()
+      try {
+        val q2 = build()
+        assert(!usesRollup(q2))
+        val viaBase = q2.collect().map(_.toSeq).sortBy(_.mkString("|"))
+        assert(viaRollup.toSeq == viaBase.toSeq)
+      } finally {
+        // re-register by re-materializing the rollup for the next iteration
+        eng.rollups.materialize("db", "t", RollupDef(
+          name = "by_grp", groupCols = Seq("grp"),
+          aggs = Seq(("s_v", "v", AggType.Sum), ("mx_v", "v", AggType.Max),
+            ("s_p", "price", AggType.Sum)),
+          countCol = Some("n_rows")))
+      }
+    }
+  }
+
   test("non-re-aggregable shapes are left alone") {
     val eng = fixture()
     // avg: not in the rollup closure
