@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkTestSession}
+
+/** Physical-plan audit: the scale properties the engine depends on, asserted
+  * as tests instead of frozen doc captures. Each one is a property that
+  * silently regressing would make a 100 TB run slow while every correctness
+  * check stays green — exactly the failure mode worth a living guard:
+  * column pruning reaching the scan, predicate pushdown reaching parquet
+  * stats, small dimensions broadcast (no shuffled fact), bucketed joins not
+  * shuffling, top-k cut before the shuffle, global top-k never sorting the
+  * world, and map-side partial aggregation.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: column pruning — scan reads exactly the 3 projected columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q02: predicate pushdown — filters reach the parquet scan") {
+    val p = SparkEntry.queries("q02_filter_scan")(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,24.0)"), p)
+  }
+
+  test("q03: aggregation is partial+final (map-side combine before shuffle)") {
+    val p = plan("q03_agg_q1")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q05: small dimension broadcasts — fact side never shuffles for the join") {
+    val p = plan("q05_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q46: bucketed co-located join — no shuffle exchange at all") {
+    val p = plan("q46_bucketed_join")
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q12: global top-k uses TakeOrderedAndProject (never a full sort)") {
+    val p = plan("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q97: per-group first-row cut happens BEFORE the shuffle (WindowGroupLimit)") {
+    val p = plan("q97_keep_first")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.indexOf("WindowGroupLimit") > p.indexOf("Window "), p) // partial mode below final
+  }
+
+  test("q25: partition pruning — only the requested hive partition is scanned") {
+    val p = plan("q25_engine_partition_prune")
+    assert(p.contains("__graft_part"), p)
+    // a partition filter at the scan, not a post-scan row filter
+    assert(p.contains("PartitionFilters: [isnotnull(__graft_part") ||
+      p.contains("PartitionFilters: [(__graft_part") ||
+      p.contains("PartitionFilters: [__graft_part"), p)
+  }
+
+  test("q34: ANN probes broadcast — corpus side is never shuffled") {
+    val p = plan("q34_ann_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
