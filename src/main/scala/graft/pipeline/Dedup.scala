@@ -244,12 +244,62 @@ object Dedup {
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(ngramJaccard(spark, dir), "doc_a", "doc_b")
 
+  /** Incremental dedup: screen a NEW batch (the delta, doc_id % 10 == 0)
+    * against the EXISTING corpus without ever comparing the corpus to itself
+    * — the only shape that survives a 100 TB corpus taking daily deltas
+    * (corpus self-join cost grows with the corpus; delta-vs-corpus cost
+    * grows with the delta). Both tiers broadcast the small delta and stream
+    * the corpus map-side:
+    *  - exact tier: identical text (min corpus doc_id wins as the match);
+    *  - near tier: q33's blocked word-set Jaccard, but only (delta, corpus)
+    *    pairs; best match = highest rounded Jaccard, ties to the smallest
+    *    corpus doc_id (rounded BEFORE ranking so cross-engine double
+    *    comparison cannot flip the winner).
+    * Verdict per delta doc: 'exact' | 'near' | 'new'.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.3): DataFrame = {
+    val d = docs(spark, dir)
+    val delta = d.filter(col("doc_id") % 10 === 0)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+
+    val exactHits = corpus.select(col("doc_id").as("c_id"), col("text"))
+      .join(broadcast(delta.select(col("doc_id").as("d_id"), col("text"))), Seq("text"))
+      .groupBy(col("d_id")).agg(min(col("c_id")).as("m_exact"))
+
+    def keyed(df: DataFrame, idAs: String, wsAs: String) = df.select(
+      col("doc_id").as(idAs),
+      substring(lower(col("text")), 1, 20).as("blk"),
+      array_distinct(wordsCol(col("text"))).as(wsAs))
+    val nearBest = keyed(corpus, "c_id", "c_ws")
+      .join(broadcast(keyed(delta, "d_id", "d_ws")), Seq("blk"))
+      .withColumn("inter", size(array_intersect(col("d_ws"), col("c_ws"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("d_ws")) + size(col("c_ws")) - col("inter")).cast("double"), 4))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("d_id"))
+      .agg(max(struct(col("jac"), (-col("c_id")).as("neg"))).as("best"))
+      .select(col("d_id"), col("best.jac").as("m_jac"), (-col("best.neg")).as("m_near"))
+
+    delta.select(col("doc_id"))
+      .join(exactHits.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left")
+      .join(nearBest.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("m_exact").isNotNull, "exact")
+          .when(col("m_near").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("m_exact"), col("m_near")).as("match_id"),
+        when(col("m_exact").isNotNull, 1.0)
+          .when(col("m_near").isNotNull, col("m_jac")).as("jac"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q32_dedup_simhash" -> ((s: SparkSession, d: String) => simhashGroups(s, d)),
     "q33_dedup_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "q123_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +376,35 @@ object Dedup {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
         |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3""".stripMargin,
+    "q123_dedup_incremental" ->
+      """WITH delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |ex AS (
+        |  SELECT d.doc_id AS d_id, min(c.doc_id) AS m_exact
+        |  FROM delta d JOIN corpus c ON d.text = c.text GROUP BY d.doc_id),
+        |dw AS (SELECT doc_id, substr(lower(text), 1, 20) AS blk,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |       FROM delta),
+        |cw AS (SELECT doc_id, substr(lower(text), 1, 20) AS blk,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |       FROM corpus),
+        |cand AS (
+        |  SELECT dw.doc_id AS d_id, cw.doc_id AS c_id,
+        |    round(CAST(len(list_intersect(dw.ws, cw.ws)) AS DOUBLE) /
+        |          (len(dw.ws) + len(cw.ws) - len(list_intersect(dw.ws, cw.ws))), 4) AS jac
+        |  FROM dw JOIN cw ON dw.blk = cw.blk),
+        |near AS (
+        |  SELECT d_id, c_id, jac,
+        |    row_number() OVER (PARTITION BY d_id ORDER BY jac DESC, c_id) AS rn
+        |  FROM cand WHERE jac >= 0.3)
+        |SELECT d.doc_id,
+        |  CASE WHEN ex.m_exact IS NOT NULL THEN 'exact'
+        |       WHEN n.c_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+        |  COALESCE(ex.m_exact, n.c_id) AS match_id,
+        |  CASE WHEN ex.m_exact IS NOT NULL THEN 1.0
+        |       WHEN n.c_id IS NOT NULL THEN n.jac END AS jac
+        |FROM delta d
+        |LEFT JOIN ex ON d.doc_id = ex.d_id
+        |LEFT JOIN (SELECT * FROM near WHERE rn = 1) n ON d.doc_id = n.d_id""".stripMargin,
   )
 }
