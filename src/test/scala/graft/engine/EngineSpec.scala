@@ -241,6 +241,13 @@ class EngineSpec extends AnyFunSuite {
     val got = eng.rollups.aggregate("db", "ev", Seq("g"),
       Seq(("sv", "v", AggType.Sum))).as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 15L, "b" -> 7L))
+    // the TRANSPARENT rewrite also serves base-table aggregates between
+    // micro-batches: streaming refresh keeps the rollup selectable
+    graft.GraftExtensions.register(spark)
+    val q = eng.scan("db", "ev").groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    assert(q.queryExecution.executedPlan.toString.contains("rollups"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.as[(String, Long)].collect().toMap == Map("a" -> 15L, "b" -> 7L))
   }
 
   test("partial update: each value column resolves to the latest load that set it") {
