@@ -57,18 +57,43 @@ final class RollupManager(eng: OlapEngine) {
     rd.aggs.map { case (o, _, a) => aggCol(o, a, o) } ++
       rd.countCol.map(c => sum(col(c)).cast("long").as(c))
 
-  /** Materialize (or refresh) a rollup from the base table's latest snapshot. */
-  def materialize(db: String, table: String, rd: RollupDef): Unit = {
+  /** Materialize (or refresh) a rollup. Source selection cascades: if a
+    * FRESH finer rollup of the same table covers this definition (dims ⊇,
+    * same source aggregates, count if needed), aggregate from its stored
+    * parquet instead of rescanning the base — at 100 TB the difference
+    * between a rollup-sized job and a table-sized one every time a
+    * dashboard-grade coarse rollup is (re)built. Returns the chosen source
+    * (`"base"` or `"rollup:<name>"`).
+    */
+  def materialize(db: String, table: String, rd: RollupDef): String = {
     val baseVersion = eng.manifest(db, table).maxVersion
+    val fine = defs.collectFirst {
+      case ((d, t, n), (f, v)) if d == db && t == table && n != rd.name &&
+        v == baseVersion &&
+        rd.groupCols.forall(f.groupCols.contains) &&
+        rd.aggs.forall { case (_, s, a) => f.aggs.exists(r => r._2 == s && r._3 == a) } &&
+        (rd.countCol.isEmpty || f.countCol.nonEmpty) => (n, f, v)
+    }.flatMap { case (n, f, v) =>
+      // empty-table builds write no parquet parts; fall back to base then
+      scala.util.Try(eng.spark.read.parquet(
+        rollupDir(db, table, n).resolve(s"v$v").toString)).toOption.map { stored =>
+        val cols = rd.aggs.map { case (o, s, a) =>
+          aggCol(f.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) } ++
+          rd.countCol.map(c => sum(col(f.countCol.get)).cast("long").as(c))
+        (n, stored.groupBy(rd.groupCols.map(col): _*).agg(cols.head, cols.tail: _*))
+      }
+    }
     val cols = srcAggCols(rd)
-    val out = eng.scan(db, table)
-      .groupBy(rd.groupCols.map(col): _*)
-      .agg(cols.head, cols.tail: _*)
+    val out = fine.map(_._2).getOrElse(
+      eng.scan(db, table)
+        .groupBy(rd.groupCols.map(col): _*)
+        .agg(cols.head, cols.tail: _*))
     val dir = rollupDir(db, table, rd.name)
     out.write.mode("overwrite").parquet(dir.resolve(s"v$baseVersion").toString)
     defs((db, table, rd.name)) = (rd, baseVersion)
     graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
       eng, db, table, rd, baseVersion, dir.resolve(s"v$baseVersion").toString))
+    fine.map(f => s"rollup:${f._1}").getOrElse("base")
   }
 
   def isFresh(db: String, table: String, name: String): Boolean =

@@ -247,6 +247,28 @@ class RollupRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("coarse rollup builds from a fresh finer rollup (cascade), matching base numbers") {
+    val eng = fixture()
+    // finer than by_grp on the k axis: nothing covers it, so it builds from base
+    val srcFine = eng.rollups.materialize("db", "t", RollupDef(
+      "by_grp_k", Seq("grp", "k"), Seq(("s_v", "v", AggType.Sum)),
+      countCol = Some("n")))
+    assert(srcFine == "base", srcFine)
+    // a new grp-level rollup is covered by the fresh ones -> must cascade
+    val src = eng.rollups.materialize("db", "t", RollupDef(
+      "by_grp2", Seq("grp"), Seq(("s_v", "v", AggType.Sum)),
+      countCol = Some("n2")))
+    assert(src.startsWith("rollup:"), src)
+    val v = eng.manifest("db", "t").maxVersion
+    val stored = spark.read.parquet(eng.tableRoot("db", "t")
+      .resolve("rollups").resolve("by_grp2").resolve(s"v$v").toString)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("s_v"),
+        r.getAs[Long]("n2"))).sortBy(_._1)
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    assert(stored.toSeq == (0 until 3).map(g =>
+      (s"g$g", ids(g).map(_.toLong).sum, ids(g).size.toLong)))
+  }
+
   test("non-re-aggregable shapes are left alone") {
     val eng = fixture()
     // avg: not in the rollup closure
