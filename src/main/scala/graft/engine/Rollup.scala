@@ -28,9 +28,22 @@ final case class RollupDef(
     // Stored per-group row count (Doris rollups always carry one): lets
     // count(*) re-aggregate as sum(countCol) and keeps the rollup usable
     // for COUNT dashboards without touching the fact table.
-    countCol: Option[String] = None) {
+    countCol: Option[String] = None,
+    // (output column, integral source column): store a per-group BITMAP of
+    // the source values — Doris's BITMAP rollup — making COUNT(DISTINCT src)
+    // pre-aggregable and incrementally maintainable (bitmaps OR together;
+    // counts of raw rows don't). Spark's bitmap functions cover the value
+    // space in fixed 32k-bit buckets, so the stored rollup carries one row
+    // per (dims, bucket); every other aggregate still composes across the
+    // bucket split.
+    bitmapCol: Option[(String, String)] = None) {
   require(aggs.forall(a => a._3 == AggType.Sum || a._3 == AggType.Min || a._3 == AggType.Max),
     "rollup aggregates must be Sum/Min/Max (re-aggregable)")
+}
+
+object RollupDef {
+  /** Hidden bucket dimension stored alongside [[RollupDef.bitmapCol]]. */
+  val BmBucketCol = "__graft_bm_bkt"
 }
 
 final class RollupManager(eng: OlapEngine) {
@@ -52,10 +65,29 @@ final class RollupManager(eng: OlapEngine) {
     rd.aggs.map { case (o, s, a) => aggCol(s, a, o) } ++
       rd.countCol.map(c => count(lit(1)).as(c))
 
-  /** Re-aggregations of STORED rollup rows (partials compose; counts sum). */
+  /** Re-aggregations of STORED rollup rows (partials compose; counts sum;
+    * bitmaps OR within their bucket).
+    */
   private def mergeAggCols(rd: RollupDef): Seq[Column] =
     rd.aggs.map { case (o, _, a) => aggCol(o, a, o) } ++
-      rd.countCol.map(c => sum(col(c)).cast("long").as(c))
+      rd.countCol.map(c => sum(col(c)).cast("long").as(c)) ++
+      rd.bitmapCol.map { case (o, _) => expr(s"bitmap_or_agg($o)").as(o) }
+
+  /** Stored grouping: declared dims + the hidden bitmap bucket. */
+  private def storedDims(rd: RollupDef): Seq[String] =
+    rd.groupCols ++ rd.bitmapCol.map(_ => RollupDef.BmBucketCol)
+
+  /** Aggregate base-table rows to this rollup's stored shape. */
+  private def srcAggregate(df: DataFrame, rd: RollupDef): DataFrame = {
+    val withBkt = rd.bitmapCol match {
+      case Some((_, s)) =>
+        df.withColumn(RollupDef.BmBucketCol, expr(s"bitmap_bucket_number($s)"))
+      case None => df
+    }
+    val cols = srcAggCols(rd) ++ rd.bitmapCol.map { case (o, s) =>
+      expr(s"bitmap_construct_agg(bitmap_bit_position($s))").as(o) }
+    withBkt.groupBy(storedDims(rd).map(col): _*).agg(cols.head, cols.tail: _*)
+  }
 
   /** Materialize (or refresh) a rollup. Source selection cascades: if a
     * FRESH finer rollup of the same table covers this definition (dims ⊇,
@@ -72,22 +104,21 @@ final class RollupManager(eng: OlapEngine) {
         v == baseVersion &&
         rd.groupCols.forall(f.groupCols.contains) &&
         rd.aggs.forall { case (_, s, a) => f.aggs.exists(r => r._2 == s && r._3 == a) } &&
-        (rd.countCol.isEmpty || f.countCol.nonEmpty) => (n, f, v)
+        (rd.countCol.isEmpty || f.countCol.nonEmpty) &&
+        rd.bitmapCol.forall(b => f.bitmapCol.exists(_._2 == b._2)) => (n, f, v)
     }.flatMap { case (n, f, v) =>
       // empty-table builds write no parquet parts; fall back to base then
       scala.util.Try(eng.spark.read.parquet(
         rollupDir(db, table, n).resolve(s"v$v").toString)).toOption.map { stored =>
         val cols = rd.aggs.map { case (o, s, a) =>
           aggCol(f.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) } ++
-          rd.countCol.map(c => sum(col(f.countCol.get)).cast("long").as(c))
-        (n, stored.groupBy(rd.groupCols.map(col): _*).agg(cols.head, cols.tail: _*))
+          rd.countCol.map(c => sum(col(f.countCol.get)).cast("long").as(c)) ++
+          rd.bitmapCol.map { case (o, _) =>
+            expr(s"bitmap_or_agg(${f.bitmapCol.get._1})").as(o) }
+        (n, stored.groupBy(storedDims(rd).map(col): _*).agg(cols.head, cols.tail: _*))
       }
     }
-    val cols = srcAggCols(rd)
-    val out = fine.map(_._2).getOrElse(
-      eng.scan(db, table)
-        .groupBy(rd.groupCols.map(col): _*)
-        .agg(cols.head, cols.tail: _*))
+    val out = fine.map(_._2).getOrElse(srcAggregate(eng.scan(db, table), rd))
     val dir = rollupDir(db, table, rd.name)
     out.write.mode("overwrite").parquet(dir.resolve(s"v$baseVersion").toString)
     defs((db, table, rd.name)) = (rd, baseVersion)
@@ -135,13 +166,10 @@ final class RollupManager(eng: OlapEngine) {
       rollupDir(db, table, name).resolve(s"v$storedV").toString))
     if (storedTry.isFailure) { materialize(db, table, rd); return }
     val stored = storedTry.get
-    val srcCols = srcAggCols(rd)
-    val deltaAgg = eng.snapshot(db, table, storedV + 1, maxV)
-      .groupBy(rd.groupCols.map(col): _*)
-      .agg(srcCols.head, srcCols.tail: _*)
+    val deltaAgg = srcAggregate(eng.snapshot(db, table, storedV + 1, maxV), rd)
     val mergeCols = mergeAggCols(rd)
     val merged = stored.unionByName(deltaAgg)
-      .groupBy(rd.groupCols.map(col): _*)
+      .groupBy(storedDims(rd).map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
     merged.write.mode("overwrite")
       .parquet(rollupDir(db, table, name).resolve(s"v$maxV").toString)

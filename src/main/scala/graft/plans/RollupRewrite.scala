@@ -94,28 +94,62 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
     val newGrouping = groupAttrs.map(a => byName(a.name))
 
+    // COUNT(DISTINCT x) needs two levels (merge bitmaps per bucket, then sum
+    // cardinalities), so when any distinct aggregate appears EVERY aggregate
+    // routes through an inner per-(dims, bucket) partial and an outer final.
+    val hasDistinct = agg.aggregateExpressions.exists(_.exists {
+      case ae: AggregateExpression => ae.isDistinct
+      case _ => false
+    })
+    val innerPartials = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+    val partialCache = scala.collection.mutable.Map.empty[String, Attribute]
+    def partial(key: String, build: => Expression): Attribute =
+      partialCache.getOrElseUpdate(key, {
+        val al = Alias(build, s"__p${innerPartials.size}")()
+        innerPartials += al
+        al.toAttribute
+      })
+
     // Swap one aggregate call for its rollup-side re-aggregation. Sum over
     // decimal widens precision each level, so the result is cast back to the
     // base query's exact type to keep downstream references binding.
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (ae.filter.nonEmpty) return None
       def fromStored(src: String, aggType: AggType): Option[Expression] =
         entry.rd.aggs.find(r => r._2 == src && r._3 == aggType).map { stored =>
-          (aggType match {
-            case AggType.Min => Min(byName(stored._1))
-            case AggType.Max => Max(byName(stored._1))
-            case _ => Sum(byName(stored._1))
+          def agg1(child: Expression): Expression = (aggType match {
+            case AggType.Min => Min(child)
+            case AggType.Max => Max(child)
+            case _ => Sum(child)
           }).toAggregateExpression()
+          if (!hasDistinct) agg1(byName(stored._1))
+          else agg1(partial(s"$aggType:$src", agg1(byName(stored._1))))
         }
-      val reAgg: Option[Expression] = ae.aggregateFunction match {
-        case Sum(c: AttributeReference, _) => fromStored(c.name, AggType.Sum)
-        case Min(c: AttributeReference) => fromStored(c.name, AggType.Min)
-        case Max(c: AttributeReference) => fromStored(c.name, AggType.Max)
-        // count(*) / count(lit): rows per group = sum of stored counts
-        case Count(Seq(l: Literal)) if l.value != null =>
-          entry.rd.countCol.map(cc => Sum(byName(cc)).toAggregateExpression())
-        case _ => None
+      def fromCount: Option[Expression] = entry.rd.countCol.map { cc =>
+        if (!hasDistinct) Sum(byName(cc)).toAggregateExpression()
+        else Sum(partial("count", Sum(byName(cc)).toAggregateExpression()))
+          .toAggregateExpression()
       }
+      val reAgg: Option[Expression] =
+        if (ae.isDistinct) ae.aggregateFunction match {
+          // COUNT(DISTINCT src) = Σ over buckets of |OR of stored bitmaps| —
+          // exact, because buckets partition the value space
+          case Count(Seq(c: AttributeReference))
+              if entry.rd.bitmapCol.exists(b => b._2 == c.name && byName.contains(b._1)) =>
+            val bm = partial("bitmap",
+              BitmapOrAgg(byName(entry.rd.bitmapCol.get._1)).toAggregateExpression())
+            // BitmapCount is RuntimeReplaceable; past analysis we must plant
+            // its replacement expression directly
+            Some(Sum(BitmapCount(bm).replacement).toAggregateExpression())
+          case _ => None
+        } else ae.aggregateFunction match {
+          case Sum(c: AttributeReference, _) => fromStored(c.name, AggType.Sum)
+          case Min(c: AttributeReference) => fromStored(c.name, AggType.Min)
+          case Max(c: AttributeReference) => fromStored(c.name, AggType.Max)
+          // count(*) / count(lit): rows per group = sum of stored counts
+          case Count(Seq(l: Literal)) if l.value != null => fromCount
+          case _ => None
+        }
       reAgg.map(re => if (re.dataType == ae.dataType) re else Cast(re, ae.dataType))
     }
 
@@ -158,7 +192,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case a: AttributeReference => byName.getOrElse(a.name, return None)
       }, p)
     }
-    Some(Aggregate(newGrouping, newResult, replayed))
+    val child =
+      if (!hasDistinct) replayed
+      else {
+        // inner level: requested dims + bitmap bucket -> merged partials
+        val bkt = byName.getOrElse(graft.engine.RollupDef.BmBucketCol, return None)
+        Aggregate((newGrouping :+ bkt).map(a => a: Expression),
+          newGrouping.map(a => a: NamedExpression) ++ innerPartials.toSeq, replayed)
+      }
+    Some(Aggregate(newGrouping, newResult, child))
   }
 
   /** The scan subtree reduced to leaf parquet paths + collected filters.

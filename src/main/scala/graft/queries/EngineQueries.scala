@@ -154,7 +154,8 @@ object EngineFixture {
       aggs = Seq(
         ("sum_price_c", "price_c", AggType.Sum),
         ("max_price", "o_totalprice", AggType.Max)),
-      countCol = Some("n_rows")))
+      countCol = Some("n_rows"),
+      bitmapCol = Some(("bm_cust", "o_custkey"))))
     eng
   }
 }
@@ -266,6 +267,22 @@ object EngineQueries {
       .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
   }
 
+  /** COUNT(DISTINCT) answered from the rollup's BITMAP column — Doris's
+    * bitmap-rollup pattern: the stored rollup keeps one bitmap of customer
+    * ids per (status, 32k-bucket); the optimizer rewrites the distinct count
+    * to OR-merge + cardinality-sum over those bitmaps. Exact (oracle is
+    * plain COUNT(DISTINCT)); at 100 TB the distinct count reads bitmap rows
+    * instead of every order.
+    */
+  def rollupCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    eng.scan("graft", "orders_dup")
+      .groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_custkey")).as("ndv_cust"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Wall-clock time travel: snapshot as of the instant the FIRST rowset was
     * published — the second load (odd order keys, published strictly later)
     * must be invisible. The as-of instant is read from the live manifest's
@@ -321,6 +338,7 @@ object EngineQueries {
     "q49_engine_rollup" -> rollupAggregate _,
     "q121_rollup_transparent" -> rollupTransparent _,
     "q122_time_travel" -> timeTravel _,
+    "q125_rollup_count_distinct" -> rollupCountDistinct _,
     "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
     "q21_engine_snapshot_v1" -> snapshotV1 _,
@@ -355,6 +373,10 @@ object EngineQueries {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
     "q122_time_travel" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
+    "q125_rollup_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS ndv_cust,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q22_engine_unique_merge" ->
       """SELECT event_id, user_id, event_type,
         |  CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value

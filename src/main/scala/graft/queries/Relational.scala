@@ -485,6 +485,24 @@ object Relational {
       round(stddev_pop(col("l_quantity")), 4).as("sd_qty"),
       round(var_samp(col("l_discount")), 6).as("var_disc"))
 
+  /** Bitmap-exact distinct counting — the Doris/StarRocks BITMAP pattern
+    * that makes COUNT(DISTINCT) pre-aggregable: bucket the id space
+    * (`bitmap_bucket_number`), build one roaring-style bitmap per
+    * (group, bucket) with map-side partial aggregation, then sum per-bucket
+    * cardinalities. Unlike a plain `countDistinct` (whose distinct expansion
+    * must co-locate ALL raw ids per group), the bitmap partials are
+    * fixed-size and mergeable, so at 100 TB the shuffle carries
+    * |groups|×|buckets| bitmaps instead of every id occurrence — and the
+    * same bitmaps are storable in a rollup for incremental NDV maintenance.
+    * The result is EXACT (oracle = COUNT(DISTINCT)), not a sketch like q51.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("ndv_users"))
+
   /** Data-profiling operator: per-column row count, null count, NDV and
     * min/max over a table in ONE scan (a single multi-aggregate; the distinct
     * counts expand map-side, everything else is partial-aggregated), then a
@@ -854,6 +872,7 @@ object Relational {
     "q92_share_of_total" -> shareOfTotal _,
     "q90_zscore" -> zscore _,
     "q86_stats_agg" -> statsAgg _,
+    "q124_bitmap_distinct" -> bitmapDistinct _,
     "q87_profile" -> profileTable _,
     "q83_posexplode" -> posExplodeWords _,
     "q80_window_ranks" -> windowRanks _,
@@ -1110,6 +1129,10 @@ object Relational {
         |  round(stddev_pop(l_quantity), 4) AS sd_qty,
         |  round(var_samp(l_discount), 6) AS var_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Bitmap NDV is EXACT, so the oracle is plain COUNT(DISTINCT).
+    "q124_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS ndv_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "q87_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(o_orderkey) AS nulls, count(DISTINCT o_orderkey) AS ndv,

@@ -30,23 +30,28 @@ class RollupRewriteSpec extends AnyFunSuite {
         ColumnSpec.key("k", StringType),
         ColumnSpec.value("grp", StringType),
         ColumnSpec.value("v", LongType),
+        ColumnSpec.value("u", LongType),
         ColumnSpec.value("price", DecimalType(18, 2)))),
       bucketColumn = Some("k"), numBuckets = 2))
     def rows(lo: Int, hi: Int) = spark.createDataFrame(
-      (lo until hi).map(i => Row(s"k$i", s"g${i % 3}", i.toLong,
+      (lo until hi).map(i => Row(s"k$i", s"g${i % 3}", i.toLong, (i % 7).toLong,
         new java.math.BigDecimal(s"$i.25"))).asJava,
       StructType(Seq(
         StructField("k", StringType), StructField("grp", StringType),
-        StructField("v", LongType), StructField("price", DecimalType(18, 2)))))
+        StructField("v", LongType), StructField("u", LongType),
+        StructField("price", DecimalType(18, 2)))))
     eng.ingest("db", "t", rows(0, 60), Some(Version(1, 1)))
     eng.ingest("db", "t", rows(60, 100), Some(Version(2, 2)))
-    eng.rollups.materialize("db", "t", RollupDef(
-      name = "by_grp", groupCols = Seq("grp"),
-      aggs = Seq(("s_v", "v", AggType.Sum), ("mx_v", "v", AggType.Max),
-        ("s_p", "price", AggType.Sum)),
-      countCol = Some("n_rows")))
+    eng.rollups.materialize("db", "t", rollupDefOfFixture)
     eng
   }
+
+  private val rollupDefOfFixture = RollupDef(
+    name = "by_grp", groupCols = Seq("grp"),
+    aggs = Seq(("s_v", "v", AggType.Sum), ("mx_v", "v", AggType.Max),
+      ("s_p", "price", AggType.Sum)),
+    countCol = Some("n_rows"),
+    bitmapCol = Some(("bm_u", "u")))
 
   private def usesRollup(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collect {
@@ -95,10 +100,11 @@ class RollupRewriteSpec extends AnyFunSuite {
   test("stale rollup is NOT selected; refresh re-enables it") {
     val eng = fixture()
     eng.ingest("db", "t", spark.createDataFrame(
-      Seq(Row("k100", "g0", 1000L, new java.math.BigDecimal("1.00"))).asJava,
+      Seq(Row("k100", "g0", 1000L, 3L, new java.math.BigDecimal("1.00"))).asJava,
       StructType(Seq(
         StructField("k", StringType), StructField("grp", StringType),
-        StructField("v", LongType), StructField("price", DecimalType(18, 2))))),
+        StructField("v", LongType), StructField("u", LongType),
+        StructField("price", DecimalType(18, 2))))),
       Some(Version(3, 3)))
     val stale = baseAgg(eng)
     assert(!usesRollup(stale), stale.queryExecution.optimizedPlan.toString)
@@ -148,22 +154,43 @@ class RollupRewriteSpec extends AnyFunSuite {
       .agg(count(col("v")).as("n"))))
   }
 
+  test("count(distinct) rewrites to bitmap OR-merge + cardinality sum") {
+    val eng = fixture()
+    val q = eng.scan("db", "t").groupBy(col("grp"))
+      .agg(count_distinct(col("u")).as("ndv"), count(lit(1)).as("n"),
+        sum(col("v")).as("s_v"))
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    def ids(g: Int) = (0 until 100).filter(_ % 3 == g)
+    assert(got.toSeq == (0 until 3).map(g => (s"g$g",
+      ids(g).map(_ % 7).distinct.size.toLong, ids(g).size.toLong,
+      ids(g).map(_.toLong).sum)))
+    // count(distinct) on a column with NO stored bitmap must NOT rewrite
+    assert(!usesRollup(eng.scan("db", "t").groupBy(col("grp"))
+      .agg(count_distinct(col("v")).as("x"))))
+  }
+
   test("incremental refresh keeps the stored count summable") {
     val eng = fixture()
     eng.ingest("db", "t", spark.createDataFrame(
-      Seq(Row("k200", "g1", 7L, new java.math.BigDecimal("2.00")),
-        Row("k201", "g1", 8L, new java.math.BigDecimal("3.00"))).asJava,
+      Seq(Row("k200", "g1", 7L, 50L, new java.math.BigDecimal("2.00")),
+        Row("k201", "g1", 8L, 51L, new java.math.BigDecimal("3.00"))).asJava,
       StructType(Seq(
         StructField("k", StringType), StructField("grp", StringType),
-        StructField("v", LongType), StructField("price", DecimalType(18, 2))))),
+        StructField("v", LongType), StructField("u", LongType),
+        StructField("price", DecimalType(18, 2))))),
       Some(Version(3, 3)))
     eng.rollups.refreshIncremental("db", "t", "by_grp")
     val q = eng.scan("db", "t").groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("u")).as("ndv"))
     assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
-    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(got("g1") == (0 until 100).count(_ % 3 == 1).toLong + 2)
-    assert(got("g0") == (0 until 100).count(_ % 3 == 0).toLong)
+    val got = q.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got("g1")._1 == (0 until 100).count(_ % 3 == 1).toLong + 2)
+    assert(got("g0")._1 == (0 until 100).count(_ % 3 == 0).toLong)
+    // the two new u values (50, 51) extend g1's bitmap past the base 0..6
+    assert(got("g1")._2 == 9L)
+    assert(got("g0")._2 == 7L)
   }
 
   test("global aggregate (no GROUP BY) rewrites; registered views query with full semantics") {
@@ -217,7 +244,8 @@ class RollupRewriteSpec extends AnyFunSuite {
     val aggPool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "s_v" -> sum(col("v")), "mx_v" -> max(col("v")),
       "n" -> count(lit(1)), "sp_d" -> sum(col("price")).cast("double"),
-      "mix" -> (sum(col("v")) + max(col("v"))))
+      "mix" -> (sum(col("v")) + max(col("v"))),
+      "ndv" -> count_distinct(col("u")))
     for (_ <- 1 to 8) {
       val picks = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
         .map { case (n, c) => c.as(n) }
@@ -238,11 +266,7 @@ class RollupRewriteSpec extends AnyFunSuite {
         assert(viaRollup.toSeq == viaBase.toSeq)
       } finally {
         // re-register by re-materializing the rollup for the next iteration
-        eng.rollups.materialize("db", "t", RollupDef(
-          name = "by_grp", groupCols = Seq("grp"),
-          aggs = Seq(("s_v", "v", AggType.Sum), ("mx_v", "v", AggType.Max),
-            ("s_p", "price", AggType.Sum)),
-          countCol = Some("n_rows")))
+        eng.rollups.materialize("db", "t", rollupDefOfFixture)
       }
     }
   }
