@@ -184,13 +184,15 @@ final class RollupManager(eng: OlapEngine) {
     */
   def aggregate(db: String, table: String, groupCols: Seq[String],
                 aggs: Seq[(String, String, AggType)]): DataFrame = {
-    val candidate = defs.collectFirst {
+    // fewest dimensions wins (smallest stored rollup), same policy as the
+    // transparent RollupRewrite rule
+    val candidate = defs.collect {
       case ((d, t, n), (rd, v)) if d == db && t == table &&
         v == eng.manifest(db, table).maxVersion &&
         groupCols.forall(rd.groupCols.contains) &&
         aggs.forall { case (_, src, agg) => rd.aggs.exists(r => r._2 == src && r._3 == agg) } =>
         (rd, v)
-    }
+    }.minByOption(_._1.groupCols.size)
     candidate match {
       case Some((rd, v)) =>
         val stored = eng.spark.read.parquet(
