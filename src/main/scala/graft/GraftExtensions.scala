@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
+    e.injectOptimizerRule(_ => graft.plans.JoinMvRewrite)
   }
 }
 
@@ -72,5 +73,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JoinMvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JoinMvRewrite
   }
 }

@@ -1,0 +1,121 @@
+package graft.engine
+
+import java.nio.file.Path
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.AggType
+
+/** Async materialized view over a fact⋈dim join with pre-aggregation — the
+  * StarRocks/Doris "async MV" capability, one level up from [[RollupDef]]
+  * (which pre-aggregates a single table). The MV stores
+  * `SELECT groupCols, agg(factCols) FROM fact JOIN dim ON factKey = dimKey
+  *  GROUP BY groupCols`, where `groupCols` may come from EITHER side — the
+  * usual dashboard shape "fact measures by dimension attribute".
+  *
+  * Freshness is stamped on BOTH tables' manifest versions: a load into the
+  * fact OR the dim invalidates the MV until the next refresh. At 100 TB this
+  * is the join-elimination lever: the query-time plan reads an MV that is
+  * smaller than the fact by the group-reduction factor and never shuffles the
+  * fact against the dim at all.
+  *
+  * Query-time use is either the explicit [[MvManager.aggregate]] API or the
+  * transparent [[graft.plans.JoinMvRewrite]] optimizer rule (the USER writes
+  * the join+aggregate against the base tables; the optimizer swaps in the MV).
+  */
+final case class MvJoinDef(
+    name: String,
+    factDb: String, factTable: String,
+    dimDb: String, dimTable: String,
+    factKey: String, dimKey: String,
+    groupCols: Seq[String],
+    // (output column, source column, agg) — Sum/Min/Max only: they
+    // re-aggregate correctly over coarser groupings.
+    aggs: Seq[(String, String, AggType)],
+    // stored per-group row count: count(*) re-aggregates as sum(countCol)
+    countCol: Option[String] = None) {
+  require(aggs.forall(a => a._3 == AggType.Sum || a._3 == AggType.Min || a._3 == AggType.Max),
+    "MV aggregates must be Sum/Min/Max (re-aggregable)")
+}
+
+final class MvManager(eng: OlapEngine) {
+  // name -> (def, fact version, dim version)
+  private val defs = TrieMap.empty[(String, String, String, String), (MvJoinDef, Long, Long)]
+
+  private def mvDir(d: MvJoinDef): Path =
+    eng.tableRoot(d.factDb, d.factTable).resolve("mvs").resolve(d.name)
+
+  private def aggCol(src: String, agg: AggType, out: String): Column = (agg match {
+    case AggType.Sum => sum(col(src))
+    case AggType.Min => min(col(src))
+    case AggType.Max => max(col(src))
+    case other => throw new IllegalArgumentException(s"non-reaggregable $other")
+  }).as(out)
+
+  /** The base (non-materialized) computation the MV snapshots. */
+  def baseAggregate(d: MvJoinDef): DataFrame = {
+    val joined = eng.scan(d.factDb, d.factTable)
+      .join(eng.scan(d.dimDb, d.dimTable), col(d.factKey) === col(d.dimKey), "inner")
+    val cols = d.aggs.map { case (o, s, a) => aggCol(s, a, o) } ++
+      d.countCol.map(c => count(lit(1)).as(c))
+    joined.groupBy(d.groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Materialize (or refresh) the MV at the CURRENT versions of both tables. */
+  def materialize(d: MvJoinDef): Unit = {
+    val factV = eng.manifest(d.factDb, d.factTable).maxVersion
+    val dimV = eng.manifest(d.dimDb, d.dimTable).maxVersion
+    val path = mvDir(d).resolve(s"f${factV}_d$dimV")
+    baseAggregate(d).write.mode("overwrite").parquet(path.toString)
+    defs((eng.warehouse.toString, d.factDb, d.factTable, d.name)) = (d, factV, dimV)
+    graft.plans.JoinMvRewrite.register(
+      graft.plans.JoinMvRewrite.Entry(eng, d, factV, dimV, path.toString))
+  }
+
+  def isFresh(factDb: String, factTable: String, name: String): Boolean =
+    defs.get((eng.warehouse.toString, factDb, factTable, name)).exists {
+      case (d, fv, dv) =>
+        fv == eng.manifest(d.factDb, d.factTable).maxVersion &&
+          dv == eng.manifest(d.dimDb, d.dimTable).maxVersion
+    }
+
+  /** Aggregate `aggs` grouped by `groupCols` over fact⋈dim, answered from a
+    * fresh covering MV when one exists (re-aggregating if finer), else from
+    * the base tables.
+    */
+  def aggregate(factDb: String, factTable: String, dimDb: String, dimTable: String,
+                groupCols: Seq[String], aggs: Seq[(String, String, AggType)]): DataFrame = {
+    val candidate = defs.values.collect {
+      case (d, fv, dv) if d.factDb == factDb && d.factTable == factTable &&
+        d.dimDb == dimDb && d.dimTable == dimTable &&
+        fv == eng.manifest(factDb, factTable).maxVersion &&
+        dv == eng.manifest(dimDb, dimTable).maxVersion &&
+        groupCols.forall(d.groupCols.contains) &&
+        aggs.forall { case (_, s, a) => d.aggs.exists(r => r._2 == s && r._3 == a) } =>
+        (d, fv, dv)
+    }.minByOption(_._1.groupCols.size)
+    candidate match {
+      case Some((d, fv, dv)) =>
+        val stored = eng.spark.read.parquet(mvDir(d).resolve(s"f${fv}_d$dv").toString)
+        stored.groupBy(groupCols.map(col): _*)
+          .agg(aggs.head match { case (o, s, a) =>
+            aggCol(d.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) },
+            aggs.tail.map { case (o, s, a) =>
+              aggCol(d.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) }: _*)
+      case None =>
+        // No fresh covering MV: answer from the base tables. Any registered
+        // definition for this table pair (stale is fine) supplies the join
+        // keys; with none registered the caller must use baseAggregate.
+        val d = defs.values.collectFirst {
+          case (d0, _, _) if d0.factDb == factDb && d0.factTable == factTable &&
+            d0.dimDb == dimDb && d0.dimTable == dimTable => d0
+        }.getOrElse(throw new IllegalArgumentException(
+          s"no MV registered for $factDb.$factTable⋈$dimDb.$dimTable"))
+        val joined = eng.scan(factDb, factTable)
+          .join(eng.scan(dimDb, dimTable), col(d.factKey) === col(d.dimKey), "inner")
+        joined.groupBy(groupCols.map(col): _*)
+          .agg(aggs.head match { case (o, s, a) => aggCol(s, a, o) },
+            aggs.tail.map { case (o, s, a) => aggCol(s, a, o) }: _*)
+    }
+  }
+}

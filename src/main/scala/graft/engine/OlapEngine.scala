@@ -30,6 +30,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
 
   val catalog = new CatalogManager
   val rollups = new RollupManager(this)
+  val mvs = new MvManager(this)
   private val manifests = TrieMap.empty[String, TableManifest]
 
   // Internal column names (never leak out of scan()).
@@ -40,6 +41,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   val OpCol = "__graft_op"
 
   def tableRoot(db: String, table: String): Path = warehouse.resolve(db).resolve(table)
+
+  /** Absolute normalized directories of the CURRENT covering rowset set —
+    * what a full snapshot scan of the table reads right now. The
+    * materialized-rewrite rules compare a candidate plan's parquet leaves
+    * against this to prove the plan is exactly "the current full snapshot".
+    */
+  def coveringDirs(db: String, table: String): Set[String] = {
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    m.captureConsistentVersions(lo, m.maxVersion)
+      .map(r => tableRoot(db, table).resolve(r.relDir).toAbsolutePath.normalize.toString)
+      .toSet
+  }
 
   /** Expose engine tables to SQL: one temp view per table, named
     * `{db}_{table}` (temp view names are single-part), backed by [[scan]] so

@@ -4,10 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-
 import graft.engine.{OlapEngine, RollupDef}
 import graft.model.{AggType, KeysType}
 
@@ -78,7 +76,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None
     }
-    val scan = baseScan(agg.child).getOrElse(return None)
+    val scan = ScanMatch.baseScan(agg.child).getOrElse(return None)
     // Among covering rollups, fewest dimensions wins: coarser grouping means
     // fewer stored rows to re-aggregate (Doris picks its rollup the same way).
     val entry = entries.values.filter(e => covers(e, agg, groupAttrs, scan))
@@ -203,59 +201,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
     Some(Aggregate(newGrouping, newResult, child))
   }
 
-  /** The scan subtree reduced to leaf parquet paths + collected filters.
-    * Only shapes that provably compute "rows of the underlying parquet,
-    * columns passed through by name" qualify.
-    */
-  private final case class Scan(leafPaths: Set[String], filters: Seq[Expression])
-
-  private def normalizeAttrs(e: Expression): Expression = e.transform {
-    case a: AttributeReference =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
-  }
-
-  private def baseScan(plan: LogicalPlan): Option[Scan] = plan match {
-    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScan(p.child)
-    case s: SubqueryAlias => baseScan(s.child)
-    case f: Filter if f.condition.deterministic =>
-      baseScan(f.child).map(s => Scan(s.leafPaths, f.condition +: s.filters))
-    case u: Union if !u.byName =>
-      val parts = u.children.map(baseScan)
-      if (parts.exists(_.isEmpty)) None
-      else {
-        val scans = parts.map(_.get)
-        val paths = scans.flatMap(_.leafPaths).toSet
-        // Predicate pushdown clones a union-level filter into every branch;
-        // hoist it back iff every branch carries the SAME conditions (compared
-        // with exprIds normalized away — branches bind distinct attr ids).
-        val normalized = scans.map(_.filters.map(normalizeAttrs))
-        if (normalized.distinct.size == 1) Some(Scan(paths, scans.head.filters))
-        else None
-      }
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: HadoopFsRelation =>
-          Some(Scan(fs.location.rootPaths.map(_.toUri.getPath).toSet, Nil))
-        case _ => None
-      }
-    case _ => None
-  }
-
   /** Entry selectable for this aggregate: registered build still fresh,
     * Duplicate model, scan is exactly the current covering rowset set,
     * dims cover grouping + filters.
     */
   private def covers(e: Entry, agg: Aggregate, groupAttrs: Seq[AttributeReference],
-      scan: Scan): Boolean = {
-    val m = e.eng.manifest(e.db, e.table)
-    if (e.version != m.maxVersion) return false
+      scan: ScanMatch.Scan): Boolean = {
+    if (e.version != e.eng.manifest(e.db, e.table).maxVersion) return false
     if (!e.eng.catalog.getTable(e.db, e.table)
       .exists(_.schema.keysType == KeysType.Duplicate)) return false
-    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
-    val expected = m.captureConsistentVersions(lo, m.maxVersion)
-      .map(r => e.eng.tableRoot(e.db, e.table).resolve(r.relDir)
-        .toAbsolutePath.normalize.toString).toSet
+    val expected = e.eng.coveringDirs(e.db, e.table)
     expected.nonEmpty && expected == scan.leafPaths &&
       groupAttrs.forall(a => e.rd.groupCols.contains(a.name)) &&
       scan.filters.forall(_.references.forall(a => e.rd.groupCols.contains(a.name)))

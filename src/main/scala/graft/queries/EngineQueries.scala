@@ -156,6 +156,33 @@ object EngineFixture {
         ("max_price", "o_totalprice", AggType.Max)),
       countCol = Some("n_rows"),
       bitmapCol = Some(("bm_cust", "o_custkey"))))
+
+    // --- customer_dim + join MV -------------------------------------------
+    // Dimension table for the async materialized view: Duplicate model,
+    // single load. The MV pre-joins orders_dup⋈customer_dim and
+    // pre-aggregates by (c_mktsegment, o_orderpriority); queries grouping by
+    // a subset of those dims rewrite to it transparently (JoinMvRewrite).
+    val custSchema = TableSchema(KeysType.Duplicate, Seq(
+      ColumnSpec.key("c_custkey", LongType),
+      ColumnSpec.value("c_name", StringType),
+      ColumnSpec.value("c_nationkey", IntegerType),
+      ColumnSpec.value("c_acctbal", DoubleType),
+      ColumnSpec.value("c_mktsegment", StringType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "customer_dim", schema = custSchema,
+      bucketColumn = Some("c_custkey"), numBuckets = 4))
+    eng.ingest("graft", "customer_dim",
+      spark.read.parquet(s"$sfDir/customer.parquet"), Some(Version(1, 1)))
+    eng.mvs.materialize(graft.engine.MvJoinDef(
+      name = "sales_by_segment",
+      factDb = "graft", factTable = "orders_dup",
+      dimDb = "graft", dimTable = "customer_dim",
+      factKey = "o_custkey", dimKey = "c_custkey",
+      groupCols = Seq("c_mktsegment", "o_orderpriority"),
+      aggs = Seq(
+        ("sum_price_c", "price_c", AggType.Sum),
+        ("max_price", "o_totalprice", AggType.Max)),
+      countCol = Some("n_rows")))
     eng
   }
 }
@@ -283,6 +310,29 @@ object EngineQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Transparent join-MV selection: the user writes the full
+    * fact⋈dim + GROUP BY against the BASE engine tables; the
+    * [[graft.plans.JoinMvRewrite]] optimizer rule recognizes the fresh
+    * `sales_by_segment` MV covers it (grouping by a SUBSET of the MV's dims —
+    * re-aggregation over the stored partials) and replaces the entire
+    * join+aggregate with a scan of the MV parquet: no fact scan, no shuffle,
+    * no join. The oracle computes the same answer from the raw tables, so a
+    * missed OR wrong rewrite both fail; JoinMvRewriteSpec asserts the plan
+    * actually reads MV files and falls back when either table moves.
+    */
+  def joinMvTransparent(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    eng.scan("graft", "orders_dup")
+      .join(eng.scan("graft", "customer_dim"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("price_c")).as("sum_price_c"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("sum_price_c", decSumAsDouble(col("sum_price_c")))
+  }
+
   /** Wall-clock time travel: snapshot as of the instant the FIRST rowset was
     * published — the second load (odd order keys, published strictly later)
     * must be invisible. The as-of instant is read from the live manifest's
@@ -338,6 +388,7 @@ object EngineQueries {
     "q49_engine_rollup" -> rollupAggregate _,
     "q121_rollup_transparent" -> rollupTransparent _,
     "q122_time_travel" -> timeTravel _,
+    "q126_join_mv_transparent" -> joinMvTransparent _,
     "q125_rollup_count_distinct" -> rollupCountDistinct _,
     "q27_engine_point_lookup" -> pointLookup _,
     "q20_engine_dup_scan" -> dupScan _,
@@ -402,6 +453,11 @@ object EngineQueries {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
         |  max(o_totalprice) AS max_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q126_join_mv_transparent" ->
+      """SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_c,
+        |  max(o_totalprice) AS max_price, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // The reference's routing recomputed from scratch in SQL: range-partition
     // lookup (string-compared upper bounds ≡ timestamp compare for ISO dates)
     // + FNV-1a 64 over the decimal key string, folded per character in
