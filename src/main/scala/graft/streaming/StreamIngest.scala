@@ -22,9 +22,13 @@ object StreamIngest {
     * each batch's publish they refresh INCREMENTALLY (delta aggregation +
     * rollup-sized merge, see `RollupManager.refreshIncremental`), so rollup
     * staleness is bounded by one micro-batch without rescanning the base.
+    * `refreshMvs`: same for join MVs on this table as the fact side
+    * (`MvManager.refreshIncremental` joins only the batch delta against the
+    * dim), so transparent MV answers stay one micro-batch fresh too.
     */
   def start(eng: OlapEngine, db: String, table: String, source: DataFrame,
-            checkpoint: String, refreshRollups: Seq[String] = Nil): StreamingQuery =
+            checkpoint: String, refreshRollups: Seq[String] = Nil,
+            refreshMvs: Seq[String] = Nil): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one rowset per micro-batch, with a deterministic rowset id derived
@@ -36,6 +40,7 @@ object StreamIngest {
           eng.ingest(db, table, batch, explicitRowsetId = Some(rowsetId))
         }
         refreshRollups.foreach(n => eng.rollups.refreshIncremental(db, table, n))
+        refreshMvs.foreach(n => eng.mvs.refreshIncremental(db, table, n))
         ()
       }
       .option("checkpointLocation", checkpoint)

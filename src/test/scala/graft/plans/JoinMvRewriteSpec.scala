@@ -179,6 +179,83 @@ class JoinMvRewriteSpec extends AnyFunSuite {
     assert(!usesMv(wrongKey), wrongKey.queryExecution.optimizedPlan.toString)
   }
 
+  test("incremental refresh folds the fact delta and re-enables the rewrite") {
+    val eng = fixture()
+    // two delta rows: fk=3 (seg s0) and fk=4 (seg s1)
+    eng.ingest("db", "fact", spark.createDataFrame(
+      Seq(Row(3L, "c0", 200L), Row(4L, "c1", 300L)).asJava, factSchema),
+      Some(Version(3, 3)))
+    assert(!usesMv(bySeg(eng)))
+    eng.mvs.refreshIncremental("db", "fact", "by_seg_cat")
+    val q = bySeg(eng)
+    assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val t = truth()
+    assert(got("s0") == (t("s0")._1 + 200L, math.max(t("s0")._2, 200L), t("s0")._3 + 1))
+    assert(got("s1") == (t("s1")._1 + 300L, math.max(t("s1")._2, 300L), t("s1")._3 + 1))
+    assert(got("s2") == t("s2"))
+  }
+
+  test("incremental refresh after a DIM move falls back to a full rebuild") {
+    val eng = fixture()
+    // dim key 10 now exists; fact rows for it arrive in the same refresh window
+    eng.ingest("db", "dim", spark.createDataFrame(
+      Seq(Row(10L, "s9")).asJava, dimSchema), Some(Version(2, 2)))
+    eng.ingest("db", "fact", spark.createDataFrame(
+      Seq(Row(10L, "c0", 500L)).asJava, factSchema), Some(Version(3, 3)))
+    eng.mvs.refreshIncremental("db", "fact", "by_seg_cat")
+    val q = bySeg(eng)
+    assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("s9") == (500L, 500L, 1L))
+    assert(got("s0") == truth()("s0"))
+  }
+
+  test("streaming fact ingest keeps the MV current per micro-batch") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-mv-stream-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "fact", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("fk", LongType),
+        ColumnSpec.value("cat", StringType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("fk"), numBuckets = 2))
+    eng.createTable(TableDef(
+      db = "db", name = "dim", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("dk", LongType),
+        ColumnSpec.value("seg", StringType))),
+      bucketColumn = Some("dk"), numBuckets = 2))
+    eng.ingest("db", "dim", spark.createDataFrame(
+      (0 until 10).map(i => Row(i.toLong, s"s${i % 3}")).asJava, dimSchema),
+      Some(Version(1, 1)))
+    val srcDir = Files.createTempDirectory("graft-mv-stream-src-")
+    val ckpt = Files.createTempDirectory("graft-mv-stream-ckpt-").toString
+    def write(rows: Seq[Row]): Unit =
+      spark.createDataFrame(rows.asJava, factSchema)
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(factSchema).parquet(srcDir.toString)
+      graft.streaming.StreamIngest.start(eng, "db", "fact", stream, ckpt,
+        refreshMvs = Seq("by_seg_cat")).awaitTermination()
+    }
+    write(Seq(Row(1L, "c0", 10L)))
+    eng.mvs.materialize(mvDef)
+    runStream()
+    assert(eng.mvs.isFresh("db", "fact", "by_seg_cat"))
+    write(Seq(Row(2L, "c0", 5L), Row(3L, "c1", 7L)))
+    runStream()
+    assert(eng.mvs.isFresh("db", "fact", "by_seg_cat"))
+    val q = bySeg(eng)
+    assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // fk 1 -> s1 (10), fk 2 -> s2 (5), fk 3 -> s0 (7)
+    assert(got == Map("s1" -> ((10L, 10L, 1L)), "s2" -> ((5L, 5L, 1L)),
+      "s0" -> ((7L, 7L, 1L))))
+  }
+
   test("explicit MvManager.aggregate serves from MV when fresh, base when stale") {
     val eng = fixture()
     val fresh = eng.mvs.aggregate("db", "fact", "db", "dim",
