@@ -51,6 +51,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val m = manifest(db, table)
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
     m.captureConsistentVersions(lo, m.maxVersion)
+      .filterNot(_.isDeleteMarker) // markers hold no files
       .map(r => tableRoot(db, table).resolve(r.relDir).toAbsolutePath.normalize.toString)
       .toSet
   }
@@ -326,21 +327,75 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     ingest(db, table, full, version)
   }
 
+  /** DELETE WHERE (the Doris/StarRocks delete-predicate pattern,
+    * `delete_predicates` in rowset meta): publish a METADATA-ONLY version
+    * carrying a SQL predicate. No data file is touched — reads mask matching
+    * rows of every rowset OLDER than the delete version (rows loaded after it
+    * are unaffected), and a full [[compact]] makes the delete physical and
+    * retires the marker. Cost of deleting a billion rows: one manifest write.
+    *
+    * Model rule (exactly Doris's): on Unique/Aggregate tables the predicate
+    * may reference KEY columns only — value-column predicates could remove
+    * one version of a key mid-history and resurrect an older value at merge
+    * time. Duplicate tables may delete by any column.
+    */
+  def deleteWhere(db: String, table: String, predicateSql: String,
+                  version: Option[Version] = None): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.distinct
+    val unknown = refs.filterNot(td.schema.columns.map(_.name).contains)
+    require(unknown.isEmpty,
+      s"delete predicate references unknown columns: ${unknown.mkString(", ")}")
+    if (td.schema.keysType != KeysType.Duplicate) {
+      val nonKey = refs.filterNot(td.schema.keyNames.contains)
+      require(nonKey.isEmpty,
+        s"${td.schema.keysType.name} table delete predicates may only reference " +
+          s"key columns; got: ${nonKey.mkString(", ")}")
+    }
+    val m = manifest(db, table)
+    val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
+    val rowsetId = m.nextRowsetId
+    val meta = RowsetMeta(rowsetId, v, relDir = s"d$rowsetId", numRows = 0L,
+      createdMs = System.currentTimeMillis(),
+      deletePredicate = Some(predicateSql))
+    m.publish(meta)
+    meta
+  }
+
   // --- read path -------------------------------------------------------------
 
   /** Raw union of the rowsets covering [lo,hi], with `__graft_version` stamped
     * per rowset (reference read path: src/tablet.rs:131-144 → union of
-    * segment scans).
+    * segment scans). Delete-predicate markers in the range scan nothing;
+    * their predicates mask matching rows of older rowsets. The mask condition
+    * references the per-rowset `__graft_version` literal, so Catalyst's
+    * pushdown-through-union constant-folds it away for rowsets newer than the
+    * delete and pushes `NOT pred` into the parquet scan of older ones.
     */
   private def rawSnapshot(db: String, table: String, lo: Long, hi: Long): DataFrame = {
     val m = manifest(db, table)
     val rowsets = m.captureConsistentVersions(lo, hi)
+    val (markers, data) = rowsets.partition(_.isDeleteMarker)
     val root = tableRoot(db, table)
-    val unioned = rowsets.map { r =>
+    if (data.isEmpty) {
+      val td = catalog.getTable(db, table).get
+      val st = td.schema.toStructType.add(VersionCol, "long").add(SeqCol, "long")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
+    val unioned = data.map { r =>
       spark.read.parquet(root.resolve(r.relDir).toString)
         .withColumn(VersionCol, lit(r.version.end))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    backfillSchema(db, table, unioned)
+    val filled = backfillSchema(db, table, unioned)
+    markers.foldLeft(filled) { (df, mk) =>
+      df.filter(!(coalesce(expr(mk.deletePredicate.get), lit(false)) &&
+        col(VersionCol) < lit(mk.version.start)))
+    }
   }
 
   /** Null-backfill schema columns absent from every scanned rowset (rowsets
@@ -362,13 +417,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema.toStructType)
     td.schema.keysType match {
       case KeysType.Duplicate =>
-        // No merge — union the rowset scans (hive partition discovery needs
-        // one root per read; AQE coalesces the union's partitions).
-        val m = manifest(db, table)
-        val unioned = m.captureConsistentVersions(lo, hi)
-          .map(r => spark.read.parquet(tableRoot(db, table).resolve(r.relDir).toString))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-        backfillSchema(db, table, unioned)
+        // No merge — union the rowset scans (delete predicates applied in
+        // rawSnapshot; AQE coalesces the union's partitions).
+        rawSnapshot(db, table, lo, hi)
           .select(td.schema.columns.map(c => col(c.name)): _*)
       case _ =>
         MergeView(td, rawSnapshot(db, table, lo, hi), VersionCol, SeqCol)
@@ -498,9 +549,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     val m = manifest(db, table)
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
     td.schema.keysType match {
-      case KeysType.Duplicate =>
-        m.captureConsistentVersions(lo, m.maxVersion).map(_.numRows).sum
+      // pending delete predicates mask an unknown number of rows — the
+      // manifest fast path is only exact with none in the covering set
+      case KeysType.Duplicate if !covering.exists(_.isDeleteMarker) =>
+        covering.map(_.numRows).sum
       case _ => scan(db, table).count()
     }
   }
@@ -546,7 +600,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val td = catalog.getTable(db, table).get
     val m = manifest(db, table)
     val inputs = m.visibleRowsets
-    require(inputs.nonEmpty, s"nothing to compact in $db.$table")
+    require(inputs.exists(!_.isDeleteMarker), s"nothing to compact in $db.$table")
     val lo = inputs.map(_.version.start).min
     val hi = inputs.map(_.version.end).max
     val merged = snapshot(db, table, lo, hi)
@@ -596,6 +650,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val suffix = m.visibleRowsets.filter(_.version.start >= layerPoint)
     require(suffix.size >= 2,
       s"cumulative compaction needs >=2 rowsets at or above version $layerPoint")
+    // A delete marker in the delta tier masks rows BELOW the layer point; a
+    // suffix merge would retire the marker while the base rows it masks
+    // survive. Doris keeps delete predicates until base compaction — so do
+    // we: pick a layer point above the newest delete, or run full compact.
+    require(suffix.forall(!_.isDeleteMarker),
+      s"delete predicates at or above version $layerPoint must be compacted " +
+        "by full compaction (they mask rows below the layer point)")
     val lo = suffix.map(_.version.start).min
     val hi = suffix.map(_.version.end).max
     // the merged rowset will claim [lo,hi]; refuse to fabricate coverage

@@ -18,6 +18,12 @@ object RowsetState {
   * unit of load atomicity: one directory of parquet files covering a version
   * interval. `relDir` is relative to the table root so manifests are
   * relocatable.
+  *
+  * `deletePredicate`: Some(sql) marks a DELETE-WHERE version — a
+  * metadata-only rowset holding no files. The predicate masks matching rows
+  * of every OLDER rowset at read time until a full compaction makes the
+  * delete physical (the Doris/StarRocks delete-predicate pattern: delete is
+  * a version, not a rewrite).
   */
 final case class RowsetMeta(
     rowsetId: Long,
@@ -25,7 +31,10 @@ final case class RowsetMeta(
     relDir: String,
     numRows: Long,
     state: RowsetState = RowsetState.Visible,
-    createdMs: Long = 0L)
+    createdMs: Long = 0L,
+    deletePredicate: Option[String] = None) {
+  def isDeleteMarker: Boolean = deletePredicate.isDefined
+}
 
 /** Per-table rowset manifest with MVCC snapshot resolution
   * (replaces reference src/tablet.rs + src/meta.rs — SURVEY.md §2.5).
@@ -119,11 +128,13 @@ final class TableManifest(val tableRoot: Path) {
   private def persist(): Unit = {
     Files.createDirectories(tableRoot)
     val entries = rowsets.values.map { r =>
-      JObject(
+      val base = JObject(
         "rowsetId" -> JLong(r.rowsetId), "start" -> JLong(r.version.start),
         "end" -> JLong(r.version.end), "relDir" -> JString(r.relDir),
         "numRows" -> JLong(r.numRows), "state" -> JString(r.state.name),
         "createdMs" -> JLong(r.createdMs))
+      r.deletePredicate.fold(base)(p =>
+        JObject(base.obj :+ ("deletePredicate" -> (JString(p): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV), "rowsets" -> JArray(entries.toList))
     val tmp = tableRoot.resolve(s"_manifest.json.tmp${Thread.currentThread().getId}")
@@ -143,7 +154,8 @@ final class TableManifest(val tableRoot: Path) {
           (j \ "relDir").extract[String],
           (j \ "numRows").extract[Long],
           RowsetState.fromName((j \ "state").extract[String]),
-          (j \ "createdMs").extract[Long])
+          (j \ "createdMs").extract[Long],
+          (j \ "deletePredicate").extractOpt[String])
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible) graph.addEdge(r.version)

@@ -100,6 +100,26 @@ object EngineFixture {
         .withColumn("value", col("value") + 5000.0),
       Some(Version(3, 3)))
 
+    // --- orders_delw: Duplicate model with a DELETE-WHERE predicate ---------
+    // even keys at v1, DELETE WHERE o_orderstatus='F' at v2 (metadata-only),
+    // odd keys at v3: 'F' rows from v1 are masked, 'F' rows from v3 survive
+    // (the delete only applies to rowsets older than its version).
+    val delwSchema = TableSchema(KeysType.Duplicate, Seq(
+      ColumnSpec.key("o_orderkey", LongType),
+      ColumnSpec.value("o_orderstatus", StringType),
+      ColumnSpec.value("o_totalprice", DoubleType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_delw", schema = delwSchema,
+      bucketColumn = Some("o_orderkey"), numBuckets = 4))
+    val delwOrders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    eng.ingest("graft", "orders_delw",
+      delwOrders.filter(col("o_orderkey") % 2 === 0), Some(Version(1, 1)))
+    eng.deleteWhere("graft", "orders_delw", "o_orderstatus = 'F'",
+      Some(Version(2, 2)))
+    eng.ingest("graft", "orders_delw",
+      delwOrders.filter(col("o_orderkey") % 2 === 1), Some(Version(3, 3)))
+
     // --- orders_partial: Unique model with partial-update loads -------------
     // base load v1 (full rows), then two partial loads: v2 sets ONLY
     // o_orderstatus ('X') for every 5th key, v3 sets ONLY o_totalprice
@@ -356,6 +376,16 @@ object EngineQueries {
     EngineFixture.get(spark, dir).scan("graft", "events_del")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** DELETE WHERE: the predicate is a metadata-only version — matching rows
+    * of OLDER rowsets are masked at read time (rows loaded after the delete
+    * survive), and full compaction makes it physical. Deleting by predicate
+    * never rewrites data; at 100 TB that is one manifest write vs a table
+    * rewrite (Doris delete_predicate semantics).
+    */
+  def deleteWhereScan(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "orders_delw")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
   /** Metadata-only count(*): answered from manifest rowset counts, no scan. */
   def countMeta(spark: SparkSession, dir: String): DataFrame = {
     val n = EngineFixture.get(spark, dir).countStar("graft", "orders_dup")
@@ -382,6 +412,7 @@ object EngineQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_engine_partial_update" -> partialUpdateScan _,
+    "q127_delete_where" -> deleteWhereScan _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
@@ -407,6 +438,12 @@ object EngineQueries {
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100000.0 ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
         |FROM orders""".stripMargin,
+    "q127_delete_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 1""".stripMargin,
     "q73_engine_incremental" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 2 = 1""".stripMargin,
