@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     e.injectOptimizerRule(_ => graft.plans.JoinMvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.BucketPruneRewrite)
   }
 }
 
@@ -76,5 +77,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.JoinMvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.JoinMvRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketPruneRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BucketPruneRewrite
   }
 }

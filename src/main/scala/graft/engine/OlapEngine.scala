@@ -80,6 +80,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val created = catalog.createTable(td)
     Files.createDirectories(tableRoot(td.db, td.name))
     manifest(td.db, td.name) // init manifest
+    // hash-bucketed tables get transparent read-side bucket pruning
+    if (td.bucketType == BucketType.Hash && td.bucketColumn.isDefined)
+      graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
+        tableRoot(td.db, td.name).toAbsolutePath.normalize.toString,
+        td.bucketColumn.get, td.numBuckets,
+        k => td.bucketType.bucketForKey(k, td.numBuckets)))
     created
   }
 

@@ -386,6 +386,22 @@ object EngineQueries {
     EngineFixture.get(spark, dir).scan("graft", "orders_delw")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** Transparent bucket pruning: the SAME point query as q27, but written as
+    * a plain filter over the base scan — no engine lookup API. The
+    * [[graft.plans.BucketPruneRewrite]] optimizer rule routes the literal
+    * with the write path's FNV-1a and injects a `__graft_bucket` filter, so
+    * the scan opens 1/numBuckets of the directories (then the parquet bloom
+    * filter prunes within the bucket). `BucketPruneSpec` asserts the plan
+    * really prunes; the oracle catches a wrong-bucket routing (0 rows).
+    */
+  def bucketPrunePoint(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    eng.scan("graft", "orders_dup")
+      .filter(col("o_orderkey") === 123L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   /** Metadata-only count(*): answered from manifest rowset counts, no scan. */
   def countMeta(spark: SparkSession, dir: String): DataFrame = {
     val n = EngineFixture.get(spark, dir).countStar("graft", "orders_dup")
@@ -413,6 +429,7 @@ object EngineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_engine_partial_update" -> partialUpdateScan _,
     "q127_delete_where" -> deleteWhereScan _,
+    "q128_bucket_prune" -> bucketPrunePoint _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
@@ -444,6 +461,8 @@ object EngineQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q128_bucket_prune" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 123",
     "q73_engine_incremental" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 2 = 1""".stripMargin,
