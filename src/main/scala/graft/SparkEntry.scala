@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Bucketed.all ++
     graft.queries.Relational.all ++
+      graft.queries.Behavior.all ++
       graft.queries.EngineQueries.all ++
       graft.pipeline.Dedup.all ++
       graft.pipeline.Similarity.all ++
@@ -42,6 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Bucketed.oracles ++
     graft.queries.Relational.oracles ++
+      graft.queries.Behavior.oracles ++
       graft.queries.EngineQueries.oracles ++
       graft.pipeline.Dedup.oracles ++
       graft.pipeline.Similarity.oracles ++

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics aggregates — the Doris/StarRocks/ClickHouse
+  * event-funnel family (`window_funnel`, `retention`), re-expressed
+  * Spark-first.
+  *
+  * `window_funnel(window, ts, cond1..condN)` semantics implemented (the
+  * greedy earliest-chain rule, deterministic and oracle-checkable):
+  *   t1 = earliest cond1 event; tk = earliest cond_k event at-or-after
+  *   t_{k-1} and within `window` of t1; level = deepest k reached.
+  *
+  * Scale shape: ONE shuffle — funnel-relevant events (map-side filtered to
+  * the step conditions) are collected per user, then the chain is computed
+  * with array expressions (filter/transform/array_min) inside codegen, no
+  * joins, no window sort. This is exactly how the native engines implement
+  * it (an aggregate whose state is the user's step events); per-user state
+  * is bounded by the user's FUNNEL events, not all events.
+  */
+object Behavior {
+
+  /** 24h funnel over the canonical view → click → purchase chain. */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24h in micros
+    val steps = Tables.events(spark, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("tsu"),
+      when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "purchase", 3).as("step"))
+      .filter(col("step").isNotNull)
+    steps.groupBy(col("user_id"))
+      .agg(collect_list(struct(col("tsu"), col("step"))).as("evs"))
+      .withColumn("t1",
+        expr("array_min(transform(filter(evs, e -> e.step = 1), e -> e.tsu))"))
+      .withColumn("t2", expr(
+        s"array_min(transform(filter(evs, e -> e.step = 2 AND e.tsu >= t1 AND e.tsu <= t1 + ${W}L), e -> e.tsu))"))
+      .withColumn("t3", expr(
+        s"array_min(transform(filter(evs, e -> e.step = 3 AND e.tsu >= t2 AND e.tsu <= t1 + ${W}L), e -> e.tsu))"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("funnel_level"))
+  }
+
+  /** Doris `retention(cond1..condN)`: per user, arr[0] = cond1 ever held,
+    * arr[i] = cond1 AND cond_i both held (no ordering between them — that is
+    * the documented semantics; ordered chains are [[windowFunnel]]). One
+    * hash aggregate, map-side partial max.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("c1"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c2"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c3"))
+      .select(col("user_id"),
+        col("c1").as("r_signup"),
+        (col("c1") * col("c2")).as("r_click"),
+        (col("c1") * col("c3")).as("r_purchase"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_window_funnel" -> windowFunnel _,
+    "q130_retention" -> retention _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the same greedy chain, computed relationally: earliest cond1, then
+    // earliest in-window cond2 at-or-after it, then cond3
+    "q129_window_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type IN ('view','click','purchase')),
+        |t1s AS (SELECT u.user_id,
+        |  (SELECT min(epoch_us(ts)) FROM events e
+        |   WHERE e.user_id = u.user_id AND e.event_type = 'view') AS t1 FROM u),
+        |t2s AS (SELECT t1s.user_id, t1,
+        |  (SELECT min(epoch_us(ts)) FROM events e
+        |   WHERE e.user_id = t1s.user_id AND e.event_type = 'click'
+        |     AND epoch_us(ts) >= t1 AND epoch_us(ts) <= t1 + 86400000000) AS t2
+        |  FROM t1s),
+        |t3s AS (SELECT t2s.user_id, t1, t2,
+        |  (SELECT min(epoch_us(ts)) FROM events e
+        |   WHERE e.user_id = t2s.user_id AND e.event_type = 'purchase'
+        |     AND epoch_us(ts) >= t2 AND epoch_us(ts) <= t1 + 86400000000) AS t3
+        |  FROM t2s)
+        |SELECT user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+        |FROM t3s""".stripMargin,
+    "q130_retention" ->
+      """SELECT user_id,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r_signup,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r_click,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r_purchase
+        |FROM events GROUP BY user_id""".stripMargin,
+  )
+}
