@@ -109,7 +109,11 @@ final case class TableDef(
     bucketColumn: Option[String] = None,
     numBuckets: Int = 1,
     partialUpdate: Boolean = false,
-    zorderColumns: Option[(String, String)] = None) {
+    zorderColumns: Option[(String, String)] = None,
+    // names retired by dropColumn whose data may still exist physically in
+    // old rowsets; cleared by full compaction (guards addColumn re-use —
+    // the reference family solves the same aliasing with column unique ids)
+    droppedColumns: Seq[String] = Nil) {
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
   zorderColumns.foreach { case (x, y) =>

@@ -103,8 +103,34 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     require(spec.nullable, s"added column ${spec.name} must be nullable (old rowsets back-fill NULL)")
     require(!td.schema.columns.exists(_.name == spec.name),
       s"column ${spec.name} already exists in ${td.qualified}")
+    require(!td.droppedColumns.contains(spec.name),
+      s"column ${spec.name} was dropped and old rowsets may still hold its " +
+        s"data — compact ${td.qualified} before re-adding the name")
     catalog.alterTable(td.copy(schema =
       td.schema.copy(columns = td.schema.columns :+ spec)))
+  }
+
+  /** Schema evolution: drop a value column. Metadata-only — no rowset is
+    * rewritten; reads simply stop projecting the column (column pruning means
+    * the bytes are never decoded), later loads must omit it, and full
+    * compaction physically retires the data (after which the name may be
+    * re-used). The dual of [[addColumn]], with the same contract every
+    * parquet-native table format (Delta/Iceberg drop-column) gives.
+    */
+  def dropColumn(db: String, table: String, name: String): TableDef = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val spec = td.schema.columns.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no column $name in ${td.qualified}"))
+    require(!spec.isKey, s"cannot drop key column $name of ${td.qualified}")
+    require(!td.partitionColumn.contains(name) && !td.bucketColumn.contains(name),
+      s"cannot drop routing column $name of ${td.qualified}")
+    require(!td.zorderColumns.exists(z => z._1 == name || z._2 == name),
+      s"cannot drop z-order column $name of ${td.qualified}")
+    require(td.schema.columns.size > 1, s"cannot drop the last column of ${td.qualified}")
+    catalog.alterTable(td.copy(
+      schema = td.schema.copy(columns = td.schema.columns.filterNot(_.name == name)),
+      droppedColumns = td.droppedColumns :+ name))
   }
 
   // --- write path ------------------------------------------------------------
@@ -633,6 +659,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
+    // the rewrite ran under the current schema: dropped columns are now
+    // physically gone from every live rowset, so their names free up
+    if (td.droppedColumns.nonEmpty)
+      catalog.alterTable(catalog.getTable(db, table).get.copy(droppedColumns = Nil))
     meta
   }
 

@@ -308,6 +308,38 @@ class EngineSpec extends AnyFunSuite {
       Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
   }
 
+  test("dropColumn: metadata-only retire; name frees up after compaction") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "dc", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType),
+        ColumnSpec.value("tag", StringType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "dc", Seq((1L, 1.0, "a"), (2L, 2.0, "b"))
+      .toDF("k", "v", "tag"), Some(Version(1, 1)))
+    intercept[IllegalArgumentException] { eng.dropColumn("db", "dc", "k") }
+    eng.dropColumn("db", "dc", "tag")
+    // reads stop projecting it, no rowset was rewritten
+    assert(eng.scan("db", "dc").columns.toSeq == Seq("k", "v"))
+    assert(eng.scan("db", "dc").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (2L, 2.0)))
+    // later loads omit it (extra columns would be dropped by conform anyway)
+    eng.ingest("db", "dc", Seq((3L, 3.0)).toDF("k", "v"), Some(Version(2, 2)))
+    // re-adding the name is blocked while old rowsets still hold the data
+    intercept[IllegalArgumentException] {
+      eng.addColumn("db", "dc", ColumnSpec.value("tag", StringType))
+    }
+    // full compaction physically retires the column and frees the name
+    eng.compact("db", "dc")
+    eng.gc("db", "dc")
+    eng.addColumn("db", "dc", ColumnSpec.value("tag", StringType))
+    assert(eng.scan("db", "dc").as[(Long, Double, Option[String])].collect().toSet ==
+      Set((1L, 1.0, None), (2L, 2.0, None), (3L, 3.0, None)))
+  }
+
   test("mergeInto: upserts and deletes land atomically as one rowset/version") {
     import spark.implicits._
     val eng = newEngine()
