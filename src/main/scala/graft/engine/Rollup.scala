@@ -36,7 +36,16 @@ final case class RollupDef(
     // space in fixed 32k-bit buckets, so the stored rollup carries one row
     // per (dims, bucket); every other aggregate still composes across the
     // bucket split.
-    bitmapCol: Option[(String, String)] = None) {
+    bitmapCol: Option[(String, String)] = None,
+    // (output column, source column): store a per-group HLL sketch (Doris's
+    // HLL column type with HLL_UNION aggregation) — APPROXIMATE distinct
+    // counting whose state is ~KBs per group regardless of cardinality,
+    // where the exact bitmap grows with the value range. Sketches union
+    // associatively, so coarser re-aggregation, cascade builds and
+    // incremental refresh all compose; read back via
+    // [[RollupManager.approxDistinct]] (explicitly approximate — never
+    // transparently substituted for an exact COUNT(DISTINCT)).
+    hllCol: Option[(String, String)] = None) {
   require(aggs.forall(a => a._3 == AggType.Sum || a._3 == AggType.Min || a._3 == AggType.Max),
     "rollup aggregates must be Sum/Min/Max (re-aggregable)")
 }
@@ -63,15 +72,17 @@ final class RollupManager(eng: OlapEngine) {
   /** Aggregations of the BASE table rows into rollup columns. */
   private def srcAggCols(rd: RollupDef): Seq[Column] =
     rd.aggs.map { case (o, s, a) => aggCol(s, a, o) } ++
-      rd.countCol.map(c => count(lit(1)).as(c))
+      rd.countCol.map(c => count(lit(1)).as(c)) ++
+      rd.hllCol.map { case (o, s) => expr(s"hll_sketch_agg($s)").as(o) }
 
   /** Re-aggregations of STORED rollup rows (partials compose; counts sum;
-    * bitmaps OR within their bucket).
+    * bitmaps OR within their bucket; HLL sketches union).
     */
   private def mergeAggCols(rd: RollupDef): Seq[Column] =
     rd.aggs.map { case (o, _, a) => aggCol(o, a, o) } ++
       rd.countCol.map(c => sum(col(c)).cast("long").as(c)) ++
-      rd.bitmapCol.map { case (o, _) => expr(s"bitmap_or_agg($o)").as(o) }
+      rd.bitmapCol.map { case (o, _) => expr(s"bitmap_or_agg($o)").as(o) } ++
+      rd.hllCol.map { case (o, _) => expr(s"hll_union_agg($o)").as(o) }
 
   /** Stored grouping: declared dims + the hidden bitmap bucket. */
   private def storedDims(rd: RollupDef): Seq[String] =
@@ -105,7 +116,8 @@ final class RollupManager(eng: OlapEngine) {
         rd.groupCols.forall(f.groupCols.contains) &&
         rd.aggs.forall { case (_, s, a) => f.aggs.exists(r => r._2 == s && r._3 == a) } &&
         (rd.countCol.isEmpty || f.countCol.nonEmpty) &&
-        rd.bitmapCol.forall(b => f.bitmapCol.exists(_._2 == b._2)) => (n, f, v)
+        rd.bitmapCol.forall(b => f.bitmapCol.exists(_._2 == b._2)) &&
+        rd.hllCol.forall(h => f.hllCol.exists(_._2 == h._2)) => (n, f, v)
     }.flatMap { case (n, f, v) =>
       // empty-table builds write no parquet parts; fall back to base then
       scala.util.Try(eng.spark.read.parquet(
@@ -114,7 +126,9 @@ final class RollupManager(eng: OlapEngine) {
           aggCol(f.aggs.find(r => r._2 == s && r._3 == a).get._1, a, o) } ++
           rd.countCol.map(c => sum(col(f.countCol.get)).cast("long").as(c)) ++
           rd.bitmapCol.map { case (o, _) =>
-            expr(s"bitmap_or_agg(${f.bitmapCol.get._1})").as(o) }
+            expr(s"bitmap_or_agg(${f.bitmapCol.get._1})").as(o) } ++
+          rd.hllCol.map { case (o, _) =>
+            expr(s"hll_union_agg(${f.hllCol.get._1})").as(o) }
         (n, stored.groupBy(storedDims(rd).map(col): _*).agg(cols.head, cols.tail: _*))
       }
     }
@@ -176,6 +190,34 @@ final class RollupManager(eng: OlapEngine) {
     defs(key) = (rd, maxV)
     graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
       eng, db, table, rd, maxV, rollupDir(db, table, name).resolve(s"v$maxV").toString))
+  }
+
+  /** Approximate distinct count of `src` per `groupCols`, answered from a
+    * fresh covering HLL rollup when one exists (union the stored sketches,
+    * estimate once), else by sketching the base scan — the SAME DataSketches
+    * estimator either way, so the answer does not depend on which path
+    * served it. Explicitly approximate, Doris's `hll_union_agg` query shape;
+    * at 100 TB the rollup path reads KB-sized sketch rows instead of the
+    * fact table, with relative error ~1.6% (lgConfigK=12 default).
+    */
+  def approxDistinct(db: String, table: String, groupCols: Seq[String],
+                     src: String, outCol: String = "ndv"): DataFrame = {
+    val candidate = defs.collect {
+      case ((d, t, n), (rd, v)) if d == db && t == table &&
+        v == eng.manifest(db, table).maxVersion &&
+        groupCols.forall(rd.groupCols.contains) &&
+        rd.hllCol.exists(_._2 == src) => (rd, v)
+    }.minByOption(_._1.groupCols.size)
+    candidate match {
+      case Some((rd, v)) =>
+        eng.spark.read.parquet(rollupDir(db, table, rd.name).resolve(s"v$v").toString)
+          .groupBy(groupCols.map(col): _*)
+          .agg(expr(s"hll_sketch_estimate(hll_union_agg(${rd.hllCol.get._1}))").as(outCol))
+      case None =>
+        eng.scan(db, table)
+          .groupBy(groupCols.map(col): _*)
+          .agg(expr(s"hll_sketch_estimate(hll_sketch_agg($src))").as(outCol))
+    }
   }
 
   /** Aggregate `aggs` grouped by `groupCols`, answered from a fresh matching

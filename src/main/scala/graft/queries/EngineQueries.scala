@@ -175,7 +175,8 @@ object EngineFixture {
         ("sum_price_c", "price_c", AggType.Sum),
         ("max_price", "o_totalprice", AggType.Max)),
       countCol = Some("n_rows"),
-      bitmapCol = Some(("bm_cust", "o_custkey"))))
+      bitmapCol = Some(("bm_cust", "o_custkey")),
+      hllCol = Some(("hll_cust", "o_custkey"))))
 
     // --- customer_dim + join MV -------------------------------------------
     // Dimension table for the async materialized view: Duplicate model,
@@ -386,6 +387,20 @@ object EngineQueries {
     EngineFixture.get(spark, dir).scan("graft", "orders_delw")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** Approximate distinct served from the rollup's HLL sketch column —
+    * Doris's HLL column type (`hll_union_agg` query shape): the stored
+    * rollup keeps one DataSketches HLL per (status, bucket) group; the query
+    * unions sketches and estimates once. Explicitly approximate (the exact
+    * path is q125's bitmap rewrite), so there is no SQL oracle: the driver
+    * records rows-only, and `EngineSpec` pins the accuracy contract
+    * (estimate within 5% of exact; fresh/stale path behavior).
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.rollups.approxDistinct("graft", "orders_dup",
+      Seq("o_orderstatus"), "o_custkey", "ndv_approx")
+  }
+
   /** Transparent bucket pruning: the SAME point query as q27, but written as
     * a plain filter over the base scan — no engine lookup API. The
     * [[graft.plans.BucketPruneRewrite]] optimizer rule routes the literal
@@ -430,6 +445,7 @@ object EngineQueries {
     "q108_engine_partial_update" -> partialUpdateScan _,
     "q127_delete_where" -> deleteWhereScan _,
     "q128_bucket_prune" -> bucketPrunePoint _,
+    "q131_hll_distinct" -> hllDistinct _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,

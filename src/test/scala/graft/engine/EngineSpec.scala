@@ -308,6 +308,54 @@ class EngineSpec extends AnyFunSuite {
       Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
   }
 
+  test("hll rollup: sketch-served approx distinct within 5%; stale falls back; incremental refresh extends") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "hl", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("g", StringType),
+        ColumnSpec.value("u", LongType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    // 6000 rows, 2 groups, exactly 2000 distinct users per group
+    val rows = (0 until 6000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      (i % 4000).toLong / 2 + (if (i % 2 == 0) 0L else 10000L), i.toLong))
+    eng.ingest("db", "hl", rows.toDF("k", "g", "u", "v"), Some(Version(1, 1)))
+    eng.rollups.materialize("db", "hl", RollupDef(
+      name = "hll_by_g", groupCols = Seq("g"),
+      aggs = Seq(("sum_v", "v", AggType.Sum)),
+      hllCol = Some(("hll_u", "u"))))
+
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = eng.scan("db", "hl").groupBy("g")
+      .agg(countDistinct(col("u")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val fresh = eng.rollups.approxDistinct("db", "hl", Seq("g"), "u")
+    assert(fresh.inputFiles.exists(_.contains("rollups")), "expected the rollup path")
+    for ((g, est) <- estimates(fresh))
+      assert(math.abs(est - exact(g)).toDouble / exact(g) < 0.05, s"$g: $est vs ${exact(g)}")
+
+    // a new load staleness-stops the rollup path; base sketch still answers
+    eng.ingest("db", "hl",
+      (0 until 500).map(i => (100000L + i, "a", 50000L + i, 1L)).toDF("k", "g", "u", "v"),
+      Some(Version(2, 2)))
+    val stale = eng.rollups.approxDistinct("db", "hl", Seq("g"), "u")
+    assert(!stale.inputFiles.exists(_.contains("rollups")), "stale rollup must not serve")
+    val exactA = exact("a") + 500
+    assert(math.abs(estimates(stale)("a") - exactA).toDouble / exactA < 0.05)
+
+    // incremental refresh folds the delta sketches; rollup path serves again
+    eng.rollups.refreshIncremental("db", "hl", "hll_by_g")
+    val refreshed = eng.rollups.approxDistinct("db", "hl", Seq("g"), "u")
+    assert(refreshed.inputFiles.exists(_.contains("rollups")))
+    assert(math.abs(estimates(refreshed)("a") - exactA).toDouble / exactA < 0.05)
+    assert(math.abs(estimates(refreshed)("b") - exact("b")).toDouble / exact("b") < 0.05)
+  }
+
   test("dropColumn: metadata-only retire; name frees up after compaction") {
     import spark.implicits._
     val eng = newEngine()
