@@ -113,7 +113,13 @@ final case class TableDef(
     // names retired by dropColumn whose data may still exist physically in
     // old rowsets; cleared by full compaction (guards addColumn re-use —
     // the reference family solves the same aliasing with column unique ids)
-    droppedColumns: Seq[String] = Nil) {
+    droppedColumns: Seq[String] = Nil,
+    // partitions retired by dropPartition: reads mask their rows (compaction
+    // makes the drop physical) and their key ranges/values stay UNROUTABLE —
+    // a load into a dropped partition fails loudly instead of silently
+    // widening the neighboring range (Doris DROP PARTITION = metadata now,
+    // async delete later)
+    droppedPartitions: Seq[PartitionSpec] = Nil) {
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
   zorderColumns.foreach { case (x, y) =>

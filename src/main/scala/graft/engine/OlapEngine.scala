@@ -144,17 +144,21 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     case PartitionPolicy.Unpartitioned => lit(td.partitions.head.name)
     case PartitionPolicy.Range =>
       val key = col(td.partitionColumn.get).cast("string")
-      val sorted = td.partitions.sortBy(_.upperExclusive.getOrElse(RangeBound.MaxValue))
-      sorted.foldRight(unroutable(key)) { (p, elseCol) =>
-        when(key < lit(p.upperExclusive.getOrElse(RangeBound.MaxValue)), lit(p.name))
-          .otherwise(elseCol)
+      // dropped partitions keep their rung in the ladder but route to a loud
+      // failure — dropping must not silently widen the next range
+      val ladder = (td.partitions.map((_, true)) ++ td.droppedPartitions.map((_, false)))
+        .sortBy(_._1.upperExclusive.getOrElse(RangeBound.MaxValue))
+      ladder.foldRight(unroutable(key)) { case ((p, live), elseCol) =>
+        when(key < lit(p.upperExclusive.getOrElse(RangeBound.MaxValue)),
+          if (live) lit(p.name) else unroutable(key)).otherwise(elseCol)
       }
     case PartitionPolicy.List =>
       val key = col(td.partitionColumn.get).cast("string")
-      td.partitions.foldRight(unroutable(key)) { (p, elseCol) =>
-        when(key.isin(p.listValues.map(_.asInstanceOf[Any]): _*), lit(p.name))
-          .otherwise(elseCol)
-      }
+      (td.partitions.map((_, true)) ++ td.droppedPartitions.map((_, false)))
+        .foldRight(unroutable(key)) { case ((p, live), elseCol) =>
+          when(key.isin(p.listValues.map(_.asInstanceOf[Any]): _*),
+            if (live) lit(p.name) else unroutable(key)).otherwise(elseCol)
+        }
   }
 
   /** A row whose partition key matches no declared partition fails the load
@@ -357,6 +361,85 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       else acc.withColumn(c.name, lit(null).cast(c.dataType))
     }
     ingest(db, table, full, version)
+  }
+
+  /** ADD PARTITION (Doris `ALTER TABLE … ADD PARTITION`): extend a Range
+    * table past its current upper bound, or a List table with disjoint new
+    * values. Metadata-only — routing is evaluated per load, so existing
+    * rowsets are untouched and only future loads can land in the new
+    * partition. Overlap is refused (a Range partition below an existing
+    * bound, or behind a MAXVALUE catch-all, would split history: rows
+    * already routed under the old scheme would not be re-routed).
+    */
+  def addPartition(db: String, table: String, spec: PartitionSpec): TableDef = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val known = td.partitions ++ td.droppedPartitions
+    require(!known.exists(_.name == spec.name),
+      s"partition ${spec.name} already exists (or was dropped) in ${td.qualified}")
+    td.policy match {
+      case PartitionPolicy.Unpartitioned =>
+        throw new IllegalArgumentException(s"${td.qualified} is unpartitioned")
+      case PartitionPolicy.Range =>
+        require(known.forall(_.upperExclusive.isDefined),
+          s"${td.qualified} has a MAXVALUE partition; nothing can extend past it")
+        spec.upperExclusive.foreach { ub =>
+          require(known.forall(_.upperExclusive.get < ub),
+            s"new Range partition must extend past every existing bound")
+        }
+      case PartitionPolicy.List =>
+        require(spec.listValues.nonEmpty, "List partition needs values")
+        val clash = spec.listValues.filter(v => known.exists(_.listValues.contains(v)))
+        require(clash.isEmpty, s"values already covered: ${clash.mkString(", ")}")
+    }
+    catalog.alterTable(td.copy(partitions = td.partitions :+ spec))
+  }
+
+  /** DROP PARTITION (Doris semantics: metadata now, physical delete later):
+    * the partition leaves the routing table — future loads of its keys fail
+    * loudly — and its rows are masked by publishing a [[deleteWhere]] marker
+    * over the partition's key range/values. Everything then composes for
+    * free: the drop is itself a VERSION (older snapshots still see the
+    * partition — time travel works), rollups/MVs correctly go stale and
+    * re-enable after refresh, and full compaction makes the drop physical
+    * and retires the marker. At 100 TB retiring a time partition is one
+    * catalog edit plus one manifest write, not a delete job.
+    *
+    * Non-Duplicate tables require the partition column to be a key column
+    * (the [[deleteWhere]] rule) — the usual Doris layout.
+    */
+  def dropPartition(db: String, table: String, name: String): TableDef = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val spec = td.partitions.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no partition $name in ${td.qualified}"))
+    require(td.partitions.size > 1, s"cannot drop the last partition of ${td.qualified}")
+    val pcol = td.partitionColumn.getOrElse(
+      throw new IllegalArgumentException(s"${td.qualified} is unpartitioned"))
+    def lit(s: String) = s"'${s.replace("'", "''")}'"
+    val key = s"CAST($pcol AS STRING)"
+    val pred = td.policy match {
+      case PartitionPolicy.Range =>
+        // the partition's implicit lower bound is the next rung down in the
+        // full (live + dropped) ladder
+        val below = (td.partitions ++ td.droppedPartitions)
+          .filter(p => p.name != name &&
+            p.upperExclusive.getOrElse(RangeBound.MaxValue) <
+              spec.upperExclusive.getOrElse(RangeBound.MaxValue))
+          .map(_.upperExclusive.get)
+        val lower = below.maxOption.map(b => s"$key >= ${lit(b)}")
+        val upper = spec.upperExclusive.map(u => s"$key < ${lit(u)}")
+        (lower.toSeq ++ upper.toSeq).mkString(" AND ")
+      case PartitionPolicy.List =>
+        s"$key IN (${spec.listValues.map(lit).mkString(", ")})"
+      case PartitionPolicy.Unpartitioned =>
+        throw new IllegalArgumentException(s"${td.qualified} is unpartitioned")
+    }
+    val updated = catalog.alterTable(td.copy(
+      partitions = td.partitions.filterNot(_.name == name),
+      droppedPartitions = td.droppedPartitions :+ spec))
+    deleteWhere(db, table, pred)
+    updated
   }
 
   /** DELETE WHERE (the Doris/StarRocks delete-predicate pattern,
@@ -583,8 +666,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
     val covering = m.captureConsistentVersions(lo, m.maxVersion)
     td.schema.keysType match {
-      // pending delete predicates mask an unknown number of rows — the
-      // manifest fast path is only exact with none in the covering set
+      // pending delete predicates (incl. dropped partitions) mask an unknown
+      // number of rows — the manifest fast path needs none in the covering set
       case KeysType.Duplicate if !covering.exists(_.isDeleteMarker) =>
         covering.map(_.numRows).sum
       case _ => scan(db, table).count()

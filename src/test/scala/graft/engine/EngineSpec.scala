@@ -308,6 +308,58 @@ class EngineSpec extends AnyFunSuite {
       Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
   }
 
+  test("add/drop partition: tail growth, unroutable dropped range, MVCC mask, compaction physicalizes") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "pt", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("d", StringType),
+        ColumnSpec.value("v", LongType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("d"),
+      partitions = Seq(
+        PartitionSpec("pa", upperExclusive = Some("b"), numBuckets = 2),
+        PartitionSpec("pb", upperExclusive = Some("c"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "pt", Seq((1L, "a1", 10L), (2L, "b1", 20L)).toDF("k", "d", "v"),
+      Some(Version(1, 1)))
+    // tail growth: new partition must extend past every existing bound
+    intercept[IllegalArgumentException] {
+      eng.addPartition("db", "pt", PartitionSpec("px", upperExclusive = Some("b5")))
+    }
+    eng.addPartition("db", "pt", PartitionSpec("pc", upperExclusive = Some("d"), numBuckets = 2))
+    eng.ingest("db", "pt", Seq((3L, "c1", 30L)).toDF("k", "d", "v"), Some(Version(2, 2)))
+    assert(eng.rawLayout("db", "pt").filter(col("d") === "c1")
+      .select(eng.PartCol).collect().map(_.getString(0)).toSeq == Seq("pc"))
+
+    // drop the oldest partition: rows masked now, physical after compaction
+    eng.dropPartition("db", "pt", "pa")
+    assert(eng.scan("db", "pt").select("d").collect().map(_.getString(0)).toSet ==
+      Set("b1", "c1"))
+    // the drop is a version: the pre-drop snapshot still sees pa's rows
+    assert(eng.snapshot("db", "pt", 1, 2).select("d").collect()
+      .map(_.getString(0)).toSet == Set("a1", "b1", "c1"))
+    // the dropped range is unroutable — a load into it fails loudly
+    val err = intercept[Exception] {
+      eng.ingest("db", "pt", Seq((9L, "a9", 90L)).toDF("k", "d", "v"), Some(Version(4, 4)))
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .take(10).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("no partition")), err.toString)
+    // name and range stay retired
+    intercept[IllegalArgumentException] {
+      eng.addPartition("db", "pt", PartitionSpec("pa", upperExclusive = Some("z")))
+    }
+    eng.compact("db", "pt")
+    eng.gc("db", "pt")
+    assert(!eng.manifest("db", "pt").visibleRowsets.exists(_.isDeleteMarker))
+    assert(eng.scan("db", "pt").select("d").collect().map(_.getString(0)).toSet ==
+      Set("b1", "c1"))
+    assert(eng.countStar("db", "pt") == 2L)
+  }
+
   test("hll rollup: sketch-served approx distinct within 5%; stale falls back; incremental refresh extends") {
     import spark.implicits._
     val eng = newEngine()
