@@ -63,9 +63,30 @@ object Behavior {
         (col("c1") * col("c2")).as("r_click"),
         (col("c1") * col("c3")).as("r_purchase"))
 
+  /** Doris/ClickHouse `sequence_match('(?1)(?2)', ts, cond1, cond2)`: did a
+    * cond2 event happen strictly AFTER the user's first cond1 event (no
+    * window bound)? `exists e2 > first(e1)` ⟺ `max(cond2 ts) > min(cond1 ts)`
+    * — ONE hash aggregate with conditional min/max partials, no event list,
+    * no join. NULL (no such event) compares to false on both engines.
+    */
+  def sequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("last_purchase"),
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("first_signup"),
+        max(when(col("event_type") === "error", unix_micros(col("ts")))).as("last_error"))
+      .select(col("user_id"),
+        coalesce(col("last_purchase") > col("first_view"), lit(false))
+          .cast("int").as("m_view_purchase"),
+        coalesce(col("last_error") > col("first_signup"), lit(false))
+          .cast("int").as("m_signup_error"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_window_funnel" -> windowFunnel _,
     "q130_retention" -> retention _,
+    "q132_sequence_match" -> sequenceMatch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -98,6 +119,17 @@ object Behavior {
         |    * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r_click,
         |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
         |    * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r_purchase
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q132_sequence_match" ->
+      """SELECT user_id,
+        |  CAST(coalesce(
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) >
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END),
+        |    false) AS INT) AS m_view_purchase,
+        |  CAST(coalesce(
+        |    max(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) >
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END),
+        |    false) AS INT) AS m_signup_error
         |FROM events GROUP BY user_id""".stripMargin,
   )
 }
