@@ -73,4 +73,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q34_ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q127: delete mask constant-folds away for rowsets newer than the delete") {
+    import org.apache.spark.sql.execution.FilterExec
+    val exec = SparkEntry.queries("q127_delete_where")(spark, dir)
+      .queryExecution.executedPlan
+    // fixture: rowset v1 (pre-delete, masked) + rowset v3 (post-delete,
+    // untouched) — exactly ONE branch carries the delete filter
+    val maskFilters = exec.collect {
+      case f: FilterExec if f.condition.toString.toLowerCase.contains("coalesce") => f
+    }
+    assert(maskFilters.size == 1, exec.toString)
+  }
+
+  test("q129: window_funnel is one shuffle — no joins, no window sort") {
+    val p = plan("q129_window_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
 }
