@@ -909,6 +909,11 @@ object MergeView {
             case AggType.Max => max(col(c.name))
             // None on a value column of an Aggregate table behaves as Replace.
             case AggType.Replace | AggType.None => max_by(col(c.name), ord)
+            // latest NON-NULL wins: gating the ordering on presence makes
+            // max_by skip records that did not set the column (same agg
+            // shape as the partialUpdate merge — still one hash aggregate)
+            case AggType.ReplaceIfNotNull =>
+              max_by(col(c.name), when(col(c.name).isNotNull, ord))
           }
           fn.as(c.name)
         }

@@ -34,12 +34,19 @@ object AggType {
   case object Min     extends AggType { val name = "MIN" }
   case object Max     extends AggType { val name = "MAX" }
   case object Replace extends AggType { val name = "REPLACE" }
+  /** Doris REPLACE_IF_NOT_NULL: latest NON-NULL value wins — a NULL in a
+    * newer load means "leave the stored value alone", which makes Aggregate
+    * tables partially updatable per column (the Doris partial-update idiom
+    * for the Aggregate model).
+    */
+  case object ReplaceIfNotNull extends AggType { val name = "REPLACE_IF_NOT_NULL" }
   def fromName(s: String): AggType = s.toUpperCase match {
     case "NONE"    => None
     case "SUM"     => Sum
     case "MIN"     => Min
     case "MAX"     => Max
     case "REPLACE" => Replace
+    case "REPLACE_IF_NOT_NULL" => ReplaceIfNotNull
     case other     => throw new IllegalArgumentException(s"unknown agg type $other")
   }
 }

@@ -308,6 +308,34 @@ class EngineSpec extends AnyFunSuite {
       Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
   }
 
+  test("REPLACE_IF_NOT_NULL: latest non-null wins; NULL leaves the stored value alone") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "rn", schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("qty", DoubleType, AggType.Sum),
+        ColumnSpec.value("note", StringType, AggType.ReplaceIfNotNull))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "rn", Seq((1L, 1.0, "a"), (2L, 2.0, "b"))
+      .toDF("k", "qty", "note"), Some(Version(1, 1)))
+    // v2: k=1 sends NULL (keep "a"); k=2 sends "B2" (replace); k=3 all-new NULL
+    eng.ingest("db", "rn", Seq((1L, 10.0, null), (2L, 20.0, "B2"), (3L, 3.0, null))
+      .toDF("k", "qty", "note"), Some(Version(2, 2)))
+    def state() = eng.scan("db", "rn").as[(Long, Double, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val expect = Seq((1L, 11.0, Some("a")), (2L, 22.0, Some("B2")), (3L, 3.0, None))
+    assert(state() == expect)
+    // compaction materializes the same resolution
+    eng.compact("db", "rn")
+    eng.gc("db", "rn")
+    assert(state() == expect)
+    // a later non-null still wins over the compacted value
+    eng.ingest("db", "rn", Seq((1L, 0.0, "a3")).toDF("k", "qty", "note"), Some(Version(3, 3)))
+    assert(state().head == ((1L, 11.0, Some("a3"))))
+  }
+
   test("add/drop partition: tail growth, unroutable dropped range, MVCC mask, compaction physicalizes") {
     import spark.implicits._
     val eng = newEngine()
