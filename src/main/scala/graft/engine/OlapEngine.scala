@@ -615,6 +615,68 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Colocate join (Doris colocation groups): join two tables that share
+    * the same hash-bucketing spec WITHOUT any shuffle — bucket i of the left
+    * table joins bucket i of the right, because both sides routed their rows
+    * with the same FNV-1a at write time. At 100 TB this removes the shuffle
+    * of BOTH fact tables from a fact-fact join — the single largest data
+    * movement Spark would otherwise plan.
+    *
+    * Mechanics: each side becomes an N-partition frame (partition i = the
+    * merged scan of bucket i, directory-pruned) that declares
+    * `HashPartitioning(bucketKey, N)` to the planner, so EnsureRequirements
+    * proves co-partitioning and plans a sort-merge join with ZERO Exchange.
+    * Merge-on-read models compose: key-model merges run per bucket (keys
+    * never cross buckets), and those aggregations are bucket-local.
+    *
+    * Validation is strict — both tables must use Hash bucketing with the
+    * same bucket count (the colocation-group contract). Caveat, as in any
+    * engine that declares external partitioning: the RESULT still carries
+    * the declared bucket partitioning of its join keys; joining it against
+    * a NON-colocated large table on the same keys with exactly the same
+    * partition count would wrongly skip a shuffle — `repartition()` first,
+    * or join through [[scan]] instead.
+    */
+  def colocateJoin(leftDb: String, leftTable: String,
+                   rightDb: String, rightTable: String,
+                   joinType: String = "inner"): DataFrame = {
+    val lt = catalog.getTable(leftDb, leftTable).getOrElse(
+      throw new NoSuchElementException(s"no table $leftDb.$leftTable"))
+    val rt = catalog.getTable(rightDb, rightTable).getOrElse(
+      throw new NoSuchElementException(s"no table $rightDb.$rightTable"))
+    require(lt.bucketType == BucketType.Hash && rt.bucketType == BucketType.Hash,
+      "colocate join requires Hash bucketing on both tables")
+    require(lt.bucketColumn.isDefined && rt.bucketColumn.isDefined,
+      "colocate join requires declared bucket columns")
+    require(lt.numBuckets == rt.numBuckets,
+      s"colocate join requires equal bucket counts; " +
+        s"${lt.qualified} has ${lt.numBuckets}, ${rt.qualified} has ${rt.numBuckets}")
+    val n = lt.numBuckets
+    def side(db: String, table: String, td: TableDef): DataFrame = {
+      val m = manifest(db, table)
+      val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+      val rdds = (0 until n).map { b =>
+        val pruned = rawSnapshot(db, table, lo, m.maxVersion)
+          .filter(col(BucketCol) === b)
+        val bucketDf = td.schema.keysType match {
+          case KeysType.Duplicate =>
+            pruned.select(td.schema.columns.map(c => col(c.name)): _*)
+          case _ => MergeView(td, pruned, VersionCol, SeqCol)
+        }
+        val rdd = bucketDf.queryExecution.toRdd.coalesce(1)
+        if (rdd.getNumPartitions == 1) rdd
+        else spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+      }
+      org.apache.spark.sql.graft.shim.partitionedFrame(spark,
+        td.schema.toStructType, spark.sparkContext.union(rdds),
+        Seq(td.bucketColumn.get), n)
+    }
+    val l = side(leftDb, leftTable, lt)
+    val r = side(rightDb, rightTable, rt)
+    l.join(r, l(lt.bucketColumn.get) === r(rt.bucketColumn.get), joinType)
+  }
+
   /** Raw physical layout view (incl. `__graft_part` / `__graft_bucket`) for
     * placement introspection — the analogue of the reference's tablet routing
     * probes (examples/basic_usage.rs:138-153).

@@ -387,6 +387,20 @@ object EngineQueries {
     EngineFixture.get(spark, dir).scan("graft", "orders_delw")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** Colocate join (Doris colocation groups): orders_dup and sales_agg share
+    * the 4-bucket FNV hash spec on the order key, so the fact-fact join runs
+    * bucket-against-bucket with ZERO shuffle — `ColocateJoinSpec` asserts the
+    * plan has no Exchange; this query checks the ANSWER against the raw-data
+    * oracle (including the Aggregate-model merge on the sales side).
+    */
+  def colocateJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.colocateJoin("graft", "orders_dup", "graft", "sales_agg")
+      .groupBy(col("o_orderstatus"))
+      .agg(decSumAsDouble(sum(dec("qty"))).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Approximate distinct served from the rollup's HLL sketch column —
     * Doris's HLL column type (`hll_union_agg` query shape): the stored
     * rollup keeps one DataSketches HLL per (status, bucket) group; the query
@@ -446,6 +460,7 @@ object EngineQueries {
     "q127_delete_where" -> deleteWhereScan _,
     "q128_bucket_prune" -> bucketPrunePoint _,
     "q131_hll_distinct" -> hllDistinct _,
+    "q133_colocate_join" -> colocateJoinAgg _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
@@ -479,6 +494,15 @@ object EngineQueries {
         |WHERE o_orderkey % 2 = 1""".stripMargin,
     "q128_bucket_prune" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 123",
+    "q133_colocate_join" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderstatus,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM orders JOIN s ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q73_engine_incremental" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 2 = 1""".stripMargin,

@@ -25,4 +25,28 @@ object shim {
   def functionRegistry(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+
+  /** A DataFrame over a pre-partitioned InternalRow RDD that DECLARES its
+    * hash partitioning to the planner (`LogicalRDD` with an explicit
+    * `outputPartitioning` — the same mechanism `Dataset.checkpoint` uses to
+    * preserve partitioning). The caller guarantees the physical layout:
+    * partition i must hold exactly the rows whose `partitionCols` hash to i
+    * under ONE consistent function on both sides of any subsequent join.
+    * Used by the engine's colocate join.
+    */
+  def partitionedFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      partitionCols: Seq[String],
+      numPartitions: Int): org.apache.spark.sql.DataFrame = {
+    val impl = ClassicConversions.castToImpl(spark)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      partitionCols.map(c => attrs.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c in ${schema.simpleString}"))),
+      numPartitions)
+    org.apache.spark.sql.classic.Dataset.ofRows(impl,
+      org.apache.spark.sql.execution.LogicalRDD(attrs, rdd, part)(impl))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestSession
+import graft.catalog._
+import graft.manifest.Version
+import graft.model._
+
+/** Colocate join: two tables sharing the hash-bucketing spec join with ZERO
+  * shuffle — bucket i joins bucket i, because both sides routed with the
+  * same FNV-1a at write time (the Doris colocation-group contract).
+  */
+class ColocateJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  private def engine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-cj-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "fact", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 4))
+    eng.createTable(TableDef(
+      db = "db", name = "agg", schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("ak", LongType),
+        ColumnSpec.value("total", DoubleType, AggType.Sum))),
+      bucketColumn = Some("ak"), numBuckets = 4))
+    val factRows = (0L until 200L).map(i => org.apache.spark.sql.Row(i % 50, i))
+    eng.ingest("db", "fact", spark.createDataFrame(factRows.asJava, StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", LongType)))),
+      Some(Version(1, 1)))
+    val aggSchema = StructType(Seq(
+      StructField("ak", LongType, nullable = false), StructField("total", DoubleType)))
+    eng.ingest("db", "agg", spark.createDataFrame(
+      (0L until 50L).map(i => org.apache.spark.sql.Row(i, i.toDouble)).asJava, aggSchema),
+      Some(Version(1, 1)))
+    eng.ingest("db", "agg", spark.createDataFrame(
+      (0L until 50L by 2).map(i => org.apache.spark.sql.Row(i, 100.0)).asJava, aggSchema),
+      Some(Version(2, 2)))
+    eng
+  }
+
+  test("equivalence: colocate join = plain scan join; zero Exchange in the plan") {
+    val eng = engine()
+    val co = eng.colocateJoin("db", "fact", "db", "agg")
+    val plain = eng.scan("db", "fact").join(eng.scan("db", "agg"),
+      col("k") === col("ak"), "inner")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(co.collect().map(key).sorted.toSeq == plain.collect().map(key).sorted.toSeq)
+    assert(co.rdd.getNumPartitions == 4)
+    val p = co.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("merge-on-read runs per bucket: Aggregate side resolves Sum across rowsets") {
+    val eng = engine()
+    val co = eng.colocateJoin("db", "fact", "db", "agg")
+    // key 0: total = 0.0 + 100.0 (two rowsets merged); key 1: 1.0 only
+    val got = co.filter(col("v") === 0L).select("total").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(100.0))
+    val g1 = co.filter(col("v") === 1L).select("total").collect().map(_.getDouble(0))
+    assert(g1.toSeq == Seq(1.0))
+  }
+
+  test("bucket-count mismatch and non-hash bucketing refuse") {
+    val eng = engine()
+    eng.createTable(TableDef(
+      db = "db", name = "other", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 8))
+    intercept[IllegalArgumentException] {
+      eng.colocateJoin("db", "fact", "db", "other")
+    }
+  }
+}
