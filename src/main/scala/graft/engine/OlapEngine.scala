@@ -215,6 +215,30 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       extras.map(col): _*)
   }
 
+  /** Pre-aggregate a load for an Aggregate table with HLL_UNION columns:
+    * RAW values become per-key sketches (`hll_sketch_agg`), every other
+    * value column takes its model aggregate — legal because the Aggregate
+    * model is associative, so merging within a load commutes with the
+    * cross-rowset merge (Replace ties broken by load order via a captured
+    * seq, same as the persisted `__graft_seq` contract).
+    */
+  private def preAggregate(td: TableDef, df: DataFrame): DataFrame = {
+    val seq = "__graft_preagg_seq"
+    val seqd = df.withColumn(seq, monotonically_increasing_id())
+    val aggs = td.schema.valueColumns.map { c =>
+      (c.agg match {
+        case AggType.Sum => sum(col(c.name))
+        case AggType.Min => min(col(c.name))
+        case AggType.Max => max(col(c.name))
+        case AggType.HllUnion => expr(s"hll_sketch_agg(${c.name})")
+        case AggType.ReplaceIfNotNull =>
+          max_by(col(c.name), when(col(c.name).isNotNull, col(seq)))
+        case AggType.Replace | AggType.None => max_by(col(c.name), col(seq))
+      }).as(c.name)
+    }
+    seqd.groupBy(td.schema.keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def ingest(db: String, table: String, df: DataFrame,
              version: Option[Version] = None,
              explicitRowsetId: Option[Long] = None,
@@ -224,6 +248,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     require((op == 0 && opColumn.isEmpty) || td.schema.keysType == KeysType.Unique,
       s"delete loads (op=1) are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
+    val input =
+      if (td.schema.keysType == KeysType.Aggregate &&
+          td.schema.valueColumns.exists(_.agg == AggType.HllUnion))
+        preAggregate(td, df)
+      else df
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
     val rowsetId = explicitRowsetId.getOrElse(m.nextRowsetId)
@@ -231,7 +260,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val outDir = tableRoot(db, table).resolve(relDir)
 
     val keyNames = td.schema.keyNames
-    var routed = conform(td, df, opColumn.toSeq)
+    var routed = conform(td, input, opColumn.toSeq)
       .withColumn(PartCol, partitionNameCol(td))
       .withColumn(BucketCol, bucketIdxCol(td))
     // __graft_seq: persisted load-order tiebreaker for Unique/Replace
@@ -976,6 +1005,8 @@ object MergeView {
             // shape as the partialUpdate merge — still one hash aggregate)
             case AggType.ReplaceIfNotNull =>
               max_by(col(c.name), when(col(c.name).isNotNull, ord))
+            // stored per-rowset sketches union associatively
+            case AggType.HllUnion => expr(s"hll_union_agg(${c.name})")
           }
           fn.as(c.name)
         }

@@ -40,6 +40,13 @@ object AggType {
     * for the Aggregate model).
     */
   case object ReplaceIfNotNull extends AggType { val name = "REPLACE_IF_NOT_NULL" }
+  /** Doris HLL column type with HLL_UNION aggregation: the column stores a
+    * DataSketches HLL sketch (BinaryType); loads supply RAW values and the
+    * ingest pre-aggregates them into per-key sketches; merges union them.
+    * Estimate with `hll_sketch_estimate` at query time. Approximate by
+    * definition — for exact distinct use a bitmap rollup.
+    */
+  case object HllUnion extends AggType { val name = "HLL_UNION" }
   def fromName(s: String): AggType = s.toUpperCase match {
     case "NONE"    => None
     case "SUM"     => Sum
@@ -47,6 +54,7 @@ object AggType {
     case "MAX"     => Max
     case "REPLACE" => Replace
     case "REPLACE_IF_NOT_NULL" => ReplaceIfNotNull
+    case "HLL_UNION" => HllUnion
     case other     => throw new IllegalArgumentException(s"unknown agg type $other")
   }
 }

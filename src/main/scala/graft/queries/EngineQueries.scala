@@ -100,6 +100,25 @@ object EngineFixture {
         .withColumn("value", col("value") + 5000.0),
       Some(Version(3, 3)))
 
+    // --- events_hll: Aggregate model with an HLL_UNION column ---------------
+    // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
+    // them into per-key sketches, merge-on-read unions sketches across the
+    // two rowsets. Distinct users per event type ≈ hll_sketch_estimate.
+    val hllSchema = TableSchema(KeysType.Aggregate, Seq(
+      ColumnSpec.key("event_type", StringType),
+      ColumnSpec.value("n", LongType, AggType.Sum),
+      ColumnSpec.value("hll_users", BinaryType, AggType.HllUnion)))
+    eng.createTable(TableDef(
+      db = "graft", name = "events_hll", schema = hllSchema,
+      bucketColumn = Some("event_type"), numBuckets = 2))
+    val evRaw = Tables.events(spark, sfDir)
+    def hllLoad(pred: org.apache.spark.sql.Column) = evRaw.filter(pred)
+      .select(col("event_type"), lit(1L).as("n"), col("user_id").as("hll_users"))
+    eng.ingest("graft", "events_hll", hllLoad(col("event_id") % 2 === 0),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "events_hll", hllLoad(col("event_id") % 2 === 1),
+      Some(Version(2, 2)))
+
     // --- orders_delw: Duplicate model with a DELETE-WHERE predicate ---------
     // even keys at v1, DELETE WHERE o_orderstatus='F' at v2 (metadata-only),
     // odd keys at v3: 'F' rows from v1 are masked, 'F' rows from v3 survive
@@ -387,6 +406,17 @@ object EngineQueries {
     EngineFixture.get(spark, dir).scan("graft", "orders_delw")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** HLL COLUMN type (Doris `HLL` with `HLL_UNION`, distinct from the q131
+    * rollup sketch): the Aggregate-model table stores one sketch per event
+    * type; two rowsets with overlapping users union at merge-on-read and the
+    * estimate reads KB of sketches, never the raw events. Approximate →
+    * rows-only; the exact-count accuracy contract lives in `EngineSpec`.
+    */
+  def hllColumn(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "events_hll")
+      .select(col("event_type"), col("n"),
+        expr("hll_sketch_estimate(hll_users)").as("ndv_users"))
+
   /** Colocate join (Doris colocation groups): orders_dup and sales_agg share
     * the 4-bucket FNV hash spec on the order key, so the fact-fact join runs
     * bucket-against-bucket with ZERO shuffle — `ColocateJoinSpec` asserts the
@@ -461,6 +491,7 @@ object EngineQueries {
     "q128_bucket_prune" -> bucketPrunePoint _,
     "q131_hll_distinct" -> hllDistinct _,
     "q133_colocate_join" -> colocateJoinAgg _,
+    "q134_hll_column" -> hllColumn _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,

@@ -308,6 +308,39 @@ class EngineSpec extends AnyFunSuite {
       Set((1L, 1.0, None), (2L, 20.0, Some("new")), (3L, 3.0, Some("new"))))
   }
 
+  test("HLL_UNION column: raw loads sketch at ingest, merge unions, estimate within 5%") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "hc", schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("g", StringType),
+        ColumnSpec.value("n", LongType, AggType.Sum),
+        ColumnSpec.value("hll_u", BinaryType, AggType.HllUnion))),
+      bucketColumn = Some("g"), numBuckets = 2))
+    // load 1: users 0..1999; load 2: users 1000..2999 (1000 overlap) → 3000 distinct
+    def load(lo: Long, hi: Long) = (lo until hi)
+      .map(u => ("a", 1L, u)).toDF("g", "n", "hll_u")
+    eng.ingest("db", "hc", load(0, 2000), Some(Version(1, 1)))
+    eng.ingest("db", "hc", load(1000, 3000), Some(Version(2, 2)))
+    def estimate(): (Long, Long) = {
+      val r = eng.scan("db", "hc")
+        .select(col("n"), expr("hll_sketch_estimate(hll_u)")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n, ndv) = estimate()
+    assert(n == 4000L) // Sum column still exact through the pre-aggregation
+    assert(math.abs(ndv - 3000L).toDouble / 3000 < 0.05, s"ndv=$ndv")
+    // one stored sketch per (key, rowset): the scan reads 2 binary rows, not
+    // 4000 raw values
+    assert(eng.rawLayout("db", "hc").count() == 2L)
+    // compaction folds the sketches into one rowset; estimate unchanged shape
+    eng.compact("db", "hc")
+    eng.gc("db", "hc")
+    val (n2, ndv2) = estimate()
+    assert(n2 == 4000L && math.abs(ndv2 - 3000L).toDouble / 3000 < 0.05)
+  }
+
   test("REPLACE_IF_NOT_NULL: latest non-null wins; NULL leaves the stored value alone") {
     import spark.implicits._
     val eng = newEngine()
