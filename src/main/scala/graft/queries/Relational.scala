@@ -240,6 +240,53 @@ object Relational {
   /** SQL-interface entry (spark.sql over a temp view) with GROUPING SETS —
     * grouping-set shapes beyond cube/rollup, through the SQL front end.
     */
+  /** TPC-H Q21 shape (suppliers who alone returned lines in multi-supplier
+    * orders): a fact self-correlated EXISTS + NOT EXISTS pair. Spark plans
+    * both as semi/anti joins WITH an extra non-equi conjunct
+    * (`l2.suppkey <> l1.suppkey`) riding on the equi key — one shuffle each
+    * on l_orderkey, no nested-loop. The adapted predicate uses l_returnflag
+    * (the driver tables carry no commit/receipt dates).
+    */
+  def waitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val l1 = li.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"),
+      col("l_returnflag").as("r1"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+      col("l_returnflag").as("r3"))
+    val base = l1.filter(col("r1") === "R")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("k1") === col("o_orderkey"), "inner")
+    val withOther = base.join(l2,
+      col("k2") === col("k1") && col("s2") =!= col("s1"), "left_semi")
+    val lonely = withOther.join(l3.filter(col("r3") === "R"),
+      col("k3") === col("k1") && col("s3") =!= col("s1"), "left_anti")
+    lonely.join(t(spark, dir, "supplier"), col("s1") === col("s_suppkey"), "inner")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape (rich customers with no orders): an exact aggregate
+    * threshold broadcast into the scan, an anti join against orders, and a
+    * dimension rollup. The threshold is floor(Σacctbal/n) computed in
+    * DECIMAL, so both engines derive the IDENTICAL integer and boundary rows
+    * compare the same way — a double average here would make the predicate
+    * engine-dependent.
+    */
+  def richIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val threshold = cust.filter(col("c_acctbal") > 0.0)
+      .agg(floor(sum(dec(col("c_acctbal"))) / count(lit(1))).as("thr"))
+    val rich = cust.join(broadcast(threshold)).filter(col("c_acctbal") > col("thr"))
+    val idle = rich.join(
+      t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    idle.join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"), "inner")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        dbl(sum(dec(col("c_acctbal")))).as("totacctbal"))
+  }
+
   def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders_v")
     spark.sql(
@@ -888,6 +935,8 @@ object Relational {
     "q51_sketches" -> sketches _,
     "q28_format_roundtrip" -> formatRoundtrip _,
     "q29_sql_grouping_sets" -> sqlGroupingSets _,
+    "q135_waiting_supplier" -> waitingSupplier _,
+    "q136_rich_idle_customers" -> richIdleCustomers _,
     "q45_udf_udaf" -> udfSurface _,
     "q48_window_analytics" -> windowAnalytics _,
     "q01_scan_project" -> scanProject _,
@@ -1176,6 +1225,30 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin,
+    "q135_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+    "q136_rich_idle_customers" ->
+      """WITH thr AS (
+        |  SELECT floor(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*)) AS t
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, nation, thr
+        |WHERE c_nationkey = n_nationkey AND c_acctbal > thr.t
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY n_name""".stripMargin,
     "q45_udf_udaf" ->
       """SELECT l_returnflag, reverse(l_returnflag) AS flag_rev,
         |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty,
