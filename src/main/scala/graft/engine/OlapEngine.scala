@@ -911,6 +911,62 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * src/tablet.rs:155-165).
     */
   def gc(db: String, table: String): Seq[Long] = manifest(db, table).gc()
+
+  // --- backup / restore ------------------------------------------------------
+
+  private def copyDir(from: Path, to: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(from).iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else { Files.createDirectories(dest.getParent); Files.copy(p, dest) }
+    }
+  }
+
+  /** BACKUP (Doris `BACKUP SNAPSHOT`): copy the CURRENT covering rowset
+    * set — files plus manifest entries (including delete-predicate markers
+    * and version ranges) — into `destDir`. The backup is a consistent
+    * snapshot because rowsets are immutable: once the covering set is
+    * pinned, concurrent loads publish NEW rowsets and touch nothing copied.
+    * Metadata volume is O(rowsets); data volume is the table.
+    */
+  def backup(db: String, table: String, destDir: Path): Seq[Long] = {
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    Files.createDirectories(destDir)
+    val out = new TableManifest(destDir)
+    covering.foreach { r =>
+      if (!r.isDeleteMarker)
+        copyDir(tableRoot(db, table).resolve(r.relDir), destDir.resolve(r.relDir))
+      out.publish(r)
+    }
+    covering.map(_.rowsetId)
+  }
+
+  /** RESTORE (Doris `RESTORE SNAPSHOT`): load a [[backup]] into an existing
+    * EMPTY table of the same schema — rowset files are copied back and every
+    * manifest entry (versions, delete predicates, timestamps) republishes,
+    * so MVCC snapshot reads and time travel behave exactly as at backup
+    * time. Restoring over existing data is refused (version ranges would
+    * collide).
+    */
+  def restore(db: String, table: String, srcDir: Path): Seq[Long] = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    require(m.visibleRowsets.isEmpty,
+      s"restore target ${td.qualified} must be empty")
+    val src = new TableManifest(srcDir)
+    val lo = src.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val entries = src.captureConsistentVersions(lo, src.maxVersion)
+    entries.foreach { r =>
+      if (!r.isDeleteMarker)
+        copyDir(srcDir.resolve(r.relDir), tableRoot(db, table).resolve(r.relDir))
+      m.publish(r)
+    }
+    entries.map(_.rowsetId)
+  }
 }
 
 /** Compaction tier (reference `CompactionType`, src/common.rs:62-63): Base

@@ -92,6 +92,34 @@ class DeletePredicateSpec extends AnyFunSuite {
     assert(keys(eng.scan("db", "t")) == Set(1L, 3L, 5L, 7L, 9L, 100L, 101L))
   }
 
+  test("backup/restore: consistent snapshot incl. delete markers and MVCC") {
+    val eng = dupEngine()
+    eng.deleteWhere("db", "t", "cat = 'a'", Some(Version(2, 2)))
+    eng.ingest("db", "t", spark.createDataFrame(
+      Seq(Row(100L, "a", 1L)).asJava, dupSchema), Some(Version(3, 3)))
+    val expect = eng.scan("db", "t").collect().toSet
+    val bk = Files.createTempDirectory("graft-backup-")
+    val ids = eng.backup("db", "t", bk)
+    assert(ids.size == 3) // two data rowsets + the delete marker
+
+    // restore into a fresh table in a fresh warehouse
+    val eng2 = new OlapEngine(spark, Files.createTempDirectory("graft-restore-wh-"))
+    eng2.createDatabase("db")
+    eng2.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("cat", StringType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng2.restore("db", "t", bk)
+    assert(eng2.scan("db", "t").collect().toSet == expect)
+    // delete semantics and MVCC survive: pre-delete snapshot sees 'a' rows
+    assert(keys(eng2.snapshot("db", "t", 1, 1)) == (0L until 10L).toSet)
+    assert(keys(eng2.scan("db", "t")) == Set(1L, 3L, 5L, 7L, 9L, 100L))
+    // restoring over data refuses
+    intercept[IllegalArgumentException] { eng2.restore("db", "t", bk) }
+  }
+
   test("Unique model: key-only predicates; resurrect via newer load") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-delw-uq-"))
     eng.createDatabase("db")
