@@ -25,10 +25,15 @@ object StreamIngest {
     * `refreshMvs`: same for join MVs on this table as the fact side
     * (`MvManager.refreshIncremental` joins only the batch delta against the
     * dim), so transparent MV answers stay one micro-batch fresh too.
+    * `opColumn`: streaming CDC-apply for Unique tables (the Doris routine
+    * load `__op` pattern) — the named int column marks each record 0=upsert
+    * / 1=delete, and the whole batch lands as ONE rowset under ONE version,
+    * so a concurrent snapshot never sees a half-applied batch.
     */
   def start(eng: OlapEngine, db: String, table: String, source: DataFrame,
             checkpoint: String, refreshRollups: Seq[String] = Nil,
-            refreshMvs: Seq[String] = Nil): StreamingQuery =
+            refreshMvs: Seq[String] = Nil,
+            opColumn: Option[String] = None): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one rowset per micro-batch, with a deterministic rowset id derived
@@ -37,7 +42,8 @@ object StreamIngest {
         // exactly-once publication.
         val rowsetId = batchId + 1
         if (!eng.manifest(db, table).allRowsets.exists(_.rowsetId == rowsetId)) {
-          eng.ingest(db, table, batch, explicitRowsetId = Some(rowsetId))
+          eng.ingest(db, table, batch, explicitRowsetId = Some(rowsetId),
+            opColumn = opColumn)
         }
         refreshRollups.foreach(n => eng.rollups.refreshIncremental(db, table, n))
         refreshMvs.foreach(n => eng.mvs.refreshIncremental(db, table, n))

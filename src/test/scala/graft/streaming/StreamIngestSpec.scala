@@ -50,6 +50,46 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(eng.manifest("db", "ev").visibleRowsets.size == 1)
   }
 
+  test("streaming CDC-apply: op column drives upserts and deletes per micro-batch") {
+    import spark.implicits._
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-cdc-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "u", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType),
+      StructField("op", IntegerType, nullable = false)))
+    val srcDir = Files.createTempDirectory("graft-cdc-src-")
+    def write(rows: Seq[(Long, Double, Int)]): Unit =
+      rows.toDF("k", "v", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir.toString)
+    def run(ckpt: String): Unit =
+      StreamIngest.start(eng, "db", "u",
+        spark.readStream.schema(cdcSchema).parquet(srcDir.toString),
+        ckpt, opColumn = Some("op")).awaitTermination()
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+
+    write(Seq((1L, 1.0, 0), (2L, 2.0, 0), (3L, 3.0, 0)))
+    run(ckpt)
+    // batch 2: update k=1, delete k=2, insert k=4 — ONE rowset, one version
+    write(Seq((1L, 10.0, 0), (2L, 0.0, 1), (4L, 4.0, 0)))
+    run(ckpt)
+    val got = eng.scan("db", "u").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 3L -> 3.0, 4L -> 4.0))
+    // the apply was atomic: the pre-batch snapshot (first streamed version,
+    // a fresh manifest starts versions at 0) still sees the old state
+    val v0 = eng.snapshot("db", "u", 0, 0).as[(Long, Double)].collect().toMap
+    assert(v0 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // compaction makes the delete physical; state unchanged
+    eng.compact("db", "u")
+    eng.gc("db", "u")
+    assert(eng.scan("db", "u").as[(Long, Double)].collect().toMap == got)
+  }
+
   test("streamTable tails published rowsets as a CDC feed") {
     import spark.implicits._
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-st-wh-"))
