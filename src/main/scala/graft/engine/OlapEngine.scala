@@ -110,6 +110,48 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       td.schema.copy(columns = td.schema.columns :+ spec)))
   }
 
+  /** Widening conversions a read can apply losslessly to already-written
+    * parquet (the Doris light-schema-change whitelist): every narrower
+    * integral widens, float→double, and decimal precision growth at equal
+    * scale. Everything else needs a rewrite and is refused.
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+  }
+
+  /** Schema evolution: widen a value column's type (Doris `MODIFY COLUMN`
+    * light schema change). Metadata-only: old rowsets keep their narrower
+    * parquet type and reads coerce (the snapshot union widens per branch,
+    * then the schema projection casts — both lossless for the whitelisted
+    * pairs); loads after the change conform to the wider type; compaction
+    * rewrites everything at the new width. Narrowing or type-family changes
+    * are refused — they would need a data rewrite to be loss-free.
+    */
+  def modifyColumnType(db: String, table: String, name: String,
+                       to: org.apache.spark.sql.types.DataType): TableDef = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val spec = td.schema.columns.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no column $name in ${td.qualified}"))
+    require(!spec.isKey, s"cannot retype key column $name of ${td.qualified}")
+    require(widens(spec.dataType, to),
+      s"cannot widen ${spec.dataType.simpleString} to ${to.simpleString} " +
+        s"losslessly; only integral/float widening and decimal precision growth qualify")
+    catalog.alterTable(td.copy(schema = td.schema.copy(
+      columns = td.schema.columns.map(c =>
+        if (c.name == name) c.copy(dataType = to) else c))))
+  }
+
   /** Schema evolution: drop a value column. Metadata-only — no rowset is
     * rewritten; reads simply stop projecting the column (column pruning means
     * the bytes are never decoded), later loads must omit it, and full
@@ -510,6 +552,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     meta
   }
 
+  /** Project a frame to the declared schema, casting ONLY the columns whose
+    * physical type differs (rowsets written before a widening
+    * [[modifyColumnType]]). Unchanged columns stay bare attributes so the
+    * materialized-rewrite rules' Project-of-attributes matching still holds.
+    */
+  private def projectDeclared(td: TableDef)(df: DataFrame): DataFrame =
+    df.select(td.schema.columns.map { c =>
+      if (df.schema(c.name).dataType == c.dataType) col(c.name)
+      else col(c.name).cast(c.dataType).as(c.name)
+    }: _*)
+
   // --- read path -------------------------------------------------------------
 
   /** Raw union of the rowsets covering [lo,hi], with `__graft_version` stamped
@@ -564,7 +617,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         // No merge — union the rowset scans (delete predicates applied in
         // rawSnapshot; AQE coalesces the union's partitions).
         rawSnapshot(db, table, lo, hi)
-          .select(td.schema.columns.map(c => col(c.name)): _*)
+          .transform(projectDeclared(td))
       case _ =>
         MergeView(td, rawSnapshot(db, table, lo, hi), VersionCol, SeqCol)
     }
@@ -612,7 +665,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .filter(col(PartCol).isin(partNames.map(_.asInstanceOf[Any]): _*))
     td.schema.keysType match {
       case KeysType.Duplicate =>
-        pruned.select(td.schema.columns.map(c => col(c.name)): _*)
+        pruned.transform(projectDeclared(td))
       case _ => MergeView(td, pruned, VersionCol, SeqCol)
     }
   }
@@ -639,7 +692,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .filter(col(BucketCol) === bucket && col(keyCol) === lit(keyValue).cast(keyType))
     td.schema.keysType match {
       case KeysType.Duplicate =>
-        pruned.select(td.schema.columns.map(c => col(c.name)): _*)
+        pruned.transform(projectDeclared(td))
       case _ => MergeView(td, pruned, VersionCol, SeqCol)
     }
   }
@@ -689,7 +742,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
           .filter(col(BucketCol) === b)
         val bucketDf = td.schema.keysType match {
           case KeysType.Duplicate =>
-            pruned.select(td.schema.columns.map(c => col(c.name)): _*)
+            pruned.transform(projectDeclared(td))
           case _ => MergeView(td, pruned, VersionCol, SeqCol)
         }
         val rdd = bucketDf.queryExecution.toRdd.coalesce(1)
@@ -880,7 +933,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val merged = td.schema.keysType match {
       case KeysType.Duplicate =>
-        raw.select(td.schema.columns.map(c => col(c.name)): _*)
+        raw.transform(projectDeclared(td))
       case _ => MergeView.compacting(td, raw, VersionCol, SeqCol)
     }
 
@@ -1013,15 +1066,22 @@ object MergeView {
     val schema = td.schema
     val keys = schema.keyNames.map(col)
     val ord = struct(col(versionCol), col(seqCol))
-    val outCols = schema.columns.map(c => col(c.name))
+    // project to the DECLARED schema, casting only where the physical type
+    // differs (rowsets older than a widening modifyColumnType) — unchanged
+    // columns stay bare attributes so rewrite-rule plan matching holds
+    def outCols(df: DataFrame, extra: Seq[Column] = Nil): Seq[Column] =
+      schema.columns.map { c =>
+        if (df.schema(c.name).dataType == c.dataType) col(c.name)
+        else col(c.name).cast(c.dataType).as(c.name)
+      } ++ extra
     val hasOp = raw.columns.contains(OpCol)
     def finish(g: DataFrame): DataFrame =
-      if (!hasOp) g.select(outCols: _*)
-      else if (dropTombstones) g.filter(col(OpCol) === 0).select(outCols: _*)
-      else g.select(outCols :+ col(OpCol): _*)
+      if (!hasOp) g.select(outCols(g): _*)
+      else if (dropTombstones) g.filter(col(OpCol) === 0).select(outCols(g): _*)
+      else g.select(outCols(g, Seq(col(OpCol))): _*)
     schema.keysType match {
       case KeysType.Duplicate =>
-        raw.select(outCols: _*)
+        raw.select(outCols(raw): _*)
       case KeysType.Unique if td.partialUpdate =>
         // Column-level latest-wins: each value column resolves independently
         // to the newest record that actually SET it (NULL = "not set", per the
@@ -1066,7 +1126,8 @@ object MergeView {
           }
           fn.as(c.name)
         }
-        raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+        val g = raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        g.select(outCols(g): _*)
     }
   }
 }

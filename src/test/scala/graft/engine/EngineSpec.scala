@@ -469,6 +469,36 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(estimates(refreshed)("b") - exact("b")).toDouble / exact("b") < 0.05)
   }
 
+  test("modifyColumnType: lossless widening is metadata-only; reads coerce old rowsets") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "mc", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", IntegerType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    eng.ingest("db", "mc", Seq((1L, 10), (2L, 20)).toDF("k", "v"), Some(Version(1, 1)))
+    // narrowing and key retyping refuse
+    intercept[IllegalArgumentException] {
+      eng.modifyColumnType("db", "mc", "v", org.apache.spark.sql.types.ShortType)
+    }
+    intercept[IllegalArgumentException] {
+      eng.modifyColumnType("db", "mc", "k", org.apache.spark.sql.types.StringType)
+    }
+    eng.modifyColumnType("db", "mc", "v", LongType)
+    // old rowset (int32 parquet) reads back as long; new loads write long
+    assert(eng.scan("db", "mc").schema("v").dataType == LongType)
+    eng.ingest("db", "mc", Seq((2L, 5000000000L), (3L, 30L)).toDF("k", "v"),
+      Some(Version(2, 2)))
+    val got = eng.scan("db", "mc").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 5000000000L, 3L -> 30L))
+    // compaction rewrites everything at the new width
+    eng.compact("db", "mc")
+    eng.gc("db", "mc")
+    assert(eng.scan("db", "mc").as[(Long, Long)].collect().toMap == got)
+  }
+
   test("dropColumn: metadata-only retire; name frees up after compaction") {
     import spark.implicits._
     val eng = newEngine()
