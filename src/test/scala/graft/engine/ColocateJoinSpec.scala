@@ -68,6 +68,18 @@ class ColocateJoinSpec extends AnyFunSuite {
     assert(g1.toSeq == Seq(1.0))
   }
 
+  test("partitioning reuse: aggregating the join key after the join adds no shuffle") {
+    val eng = engine()
+    val agged = eng.colocateJoin("db", "fact", "db", "agg")
+      .groupBy(col("k"))
+      .agg(sum(col("v")).as("sv"), max(col("total")).as("mt"))
+    val p = agged.queryExecution.executedPlan.toString
+    // zero Exchange end-to-end: the join consumes the declared bucket
+    // partitioning AND the aggregation reuses it (same keys)
+    assert(!p.contains("Exchange"), p)
+    assert(agged.count() == 50L)
+  }
+
   test("bucket-count mismatch and non-hash bucketing refuse") {
     val eng = engine()
     eng.createTable(TableDef(
