@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     e.injectOptimizerRule(_ => graft.plans.JoinMvRewrite)
     e.injectOptimizerRule(_ => graft.plans.BucketPruneRewrite)
+    e.injectOptimizerRule(_ => graft.plans.PartitionPruneRewrite)
   }
 }
 
@@ -80,5 +81,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketPruneRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BucketPruneRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PartitionPruneRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PartitionPruneRewrite
   }
 }

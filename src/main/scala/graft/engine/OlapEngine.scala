@@ -86,7 +86,43 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         tableRoot(td.db, td.name).toAbsolutePath.normalize.toString,
         td.bucketColumn.get, td.numBuckets,
         k => td.bucketType.bucketForKey(k, td.numBuckets)))
+    registerPartitionPruning(td)
     created
+  }
+
+  /** Register/refresh the transparent partition-prune entry for this table.
+    * Only string-order-safe partition column types qualify (string / date /
+    * timestamp — the routing compares string casts, so the rule's interval
+    * math is only meaningful when string order equals typed order; an
+    * integral partition key would break at "10" < "9").
+    */
+  private def registerPartitionPruning(td: TableDef): Unit = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    val safe = td.partitionColumn.exists(pc =>
+      td.schema.columns.find(_.name == pc).map(_.dataType).exists {
+        case StringType | DateType | TimestampType => true
+        case _ => false
+      })
+    if (!safe || td.policy == PartitionPolicy.Unpartitioned) return
+    val slots = td.policy match {
+      case PartitionPolicy.Range =>
+        // lower bound of each slot = the next rung DOWN in the full
+        // (active + dropped) ladder — rows below it routed elsewhere
+        val ladder = (td.partitions.map((_, true)) ++ td.droppedPartitions.map((_, false)))
+          .sortBy(_._1.upperExclusive.getOrElse(RangeBound.MaxValue))
+        ladder.zipWithIndex.collect { case ((p, live), i) if live =>
+          graft.plans.PartitionPruneRewrite.Slot(p.name,
+            lower = if (i == 0) None else ladder(i - 1)._1.upperExclusive,
+            upper = p.upperExclusive, values = Nil)
+        }
+      case PartitionPolicy.List =>
+        td.partitions.map(p =>
+          graft.plans.PartitionPruneRewrite.Slot(p.name, None, None, p.listValues))
+      case PartitionPolicy.Unpartitioned => Nil
+    }
+    graft.plans.PartitionPruneRewrite.register(graft.plans.PartitionPruneRewrite.Entry(
+      tableRoot(td.db, td.name).toAbsolutePath.normalize.toString,
+      td.partitionColumn.get, slots))
   }
 
   /** Schema evolution: append a nullable value column. The reference carries
@@ -463,7 +499,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         val clash = spec.listValues.filter(v => known.exists(_.listValues.contains(v)))
         require(clash.isEmpty, s"values already covered: ${clash.mkString(", ")}")
     }
-    catalog.alterTable(td.copy(partitions = td.partitions :+ spec))
+    val updated = catalog.alterTable(td.copy(partitions = td.partitions :+ spec))
+    registerPartitionPruning(updated)
+    updated
   }
 
   /** DROP PARTITION (Doris semantics: metadata now, physical delete later):
@@ -509,6 +547,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val updated = catalog.alterTable(td.copy(
       partitions = td.partitions.filterNot(_.name == name),
       droppedPartitions = td.droppedPartitions :+ spec))
+    registerPartitionPruning(updated)
     deleteWhere(db, table, pred)
     updated
   }

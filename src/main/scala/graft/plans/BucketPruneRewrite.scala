@@ -53,9 +53,17 @@ object BucketPruneRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (entries.isEmpty) plan
     else plan.transformUp {
+      // match the relation directly, or through a pruning filter another
+      // graft rule (partition pruning) already injected below the user filter
       case f @ Filter(cond, lr: LogicalRelation) =>
         try prune(cond, lr).map(bf => Filter(cond, Filter(bf, lr))).getOrElse(f)
         catch { case e: Exception => // never fail a query over a missed prune
+          logWarning(s"bucket prune bailed: $e"); f }
+      case f @ Filter(cond, inner @ Filter(ic, lr: LogicalRelation))
+          if ic.references.forall(_.name.startsWith("__graft_")) &&
+            !ic.references.exists(_.name == BucketCol) =>
+        try prune(cond, lr).map(bf => Filter(cond, Filter(bf, inner))).getOrElse(f)
+        catch { case e: Exception =>
           logWarning(s"bucket prune bailed: $e"); f }
     }
 

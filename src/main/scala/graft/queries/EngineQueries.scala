@@ -431,6 +431,22 @@ object EngineQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Transparent PARTITION pruning: the SAME predicate as q25, but written
+    * as a plain filter over the base scan — no partition-naming API. The
+    * [[graft.plans.PartitionPruneRewrite]] optimizer rule maps the
+    * date-range predicate to the one qualifying Range partition and injects
+    * a `__graft_part` filter, so the other partitions' directories never
+    * open. `PartitionPruneSpec` asserts the file pruning; the oracle
+    * catches any wrong partition-interval math.
+    */
+  def partitionPruneTransparent(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    eng.scan("graft", "orders_dup")
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
   /** Approximate distinct served from the rollup's HLL sketch column —
     * Doris's HLL column type (`hll_union_agg` query shape): the stored
     * rollup keeps one DataSketches HLL per (status, bucket) group; the query
@@ -492,6 +508,7 @@ object EngineQueries {
     "q131_hll_distinct" -> hllDistinct _,
     "q133_colocate_join" -> colocateJoinAgg _,
     "q134_hll_column" -> hllColumn _,
+    "q137_partition_prune_transparent" -> partitionPruneTransparent _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
     "q64_engine_count_meta" -> countMeta _,
@@ -568,6 +585,9 @@ object EngineQueries {
         |  max(l_extendedprice) AS max_price, min(l_discount) AS min_disc
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q25_engine_partition_prune" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "q137_partition_prune_transparent" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
     "q27_engine_point_lookup" ->
