@@ -90,6 +90,36 @@ class PartitionPruneSpec extends AnyFunSuite {
       .filter(col("d") === "2024-03-15" && col("k") === 2L)) == 1L)
   }
 
+  test("randomized equivalence: pruned scans return exactly the unpruned rows") {
+    val eng = engine()
+    // ground truth evaluated in plain Scala on the collected table
+    val all = eng.scan("db", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dates = Seq("2024-01-01", "2024-01-15", "2024-02", "2024-02-15",
+      "2024-02-20", "2024-03", "2024-03-15", "2024-12")
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { i =>
+      val mode = rnd.nextInt(5)
+      val d = dates(rnd.nextInt(dates.size))
+      val d2 = dates(rnd.nextInt(dates.size))
+      val k = rnd.nextInt(95).toLong
+      val (cond, expect) = mode match {
+        case 0 => (col("d") < d, all.filter(_._2 < d))
+        case 1 => (col("d") >= d, all.filter(_._2 >= d))
+        case 2 => (col("d") === d, all.filter(_._2 == d))
+        case 3 => (col("d") >= d && col("k") === k,
+          all.filter(t => t._2 >= d && t._1 == k))
+        // OR at the top level: no column owns a conjunct — must not prune,
+        // and must certainly not lose rows
+        case _ => (col("d").isin(d, d2) || col("k") === k,
+          all.filter(t => t._2 == d || t._2 == d2 || t._1 == k))
+      }
+      val got = eng.scan("db", "t").filter(cond).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSet == expect.toSet, s"iteration $i: $cond")
+    }
+  }
+
   test("non-partition filters and unsafe column types do not prune") {
     val eng = engine()
     assert(filesRead(eng.scan("db", "t").filter(col("v") > 100L)) == 6L)
