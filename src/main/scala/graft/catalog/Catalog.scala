@@ -109,6 +109,12 @@ final case class TableDef(
     bucketColumn: Option[String] = None,
     numBuckets: Int = 1,
     partialUpdate: Boolean = false,
+    // Doris sequence column (Unique model): "latest wins" is decided by THIS
+    // data column first (then load order as the tiebreak), so out-of-order
+    // arrivals — a CDC feed replayed, a late partition — resolve to the
+    // record with the highest sequence value, not the one that happened to
+    // load last
+    sequenceColumn: Option[String] = None,
     zorderColumns: Option[(String, String)] = None,
     // names retired by dropColumn whose data may still exist physically in
     // old rowsets; cleared by full compaction (guards addColumn re-use —
@@ -122,6 +128,15 @@ final case class TableDef(
     droppedPartitions: Seq[PartitionSpec] = Nil) {
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
+  sequenceColumn.foreach { sc =>
+    require(schema.keysType == graft.model.KeysType.Unique,
+      s"sequenceColumn is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
+    require(schema.valueNames.contains(sc),
+      s"sequenceColumn $sc must be a declared value column of $db.$name")
+    require(!partialUpdate,
+      s"sequenceColumn and partialUpdate cannot combine on $db.$name " +
+        "(column-level resolution has no single record to take the sequence from)")
+  }
   zorderColumns.foreach { case (x, y) =>
     val names = schema.columns.map(_.name)
     require(names.contains(x) && names.contains(y),

@@ -394,7 +394,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     require(td.schema.keysType == KeysType.Unique,
       s"deletes are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
-    val needed = td.schema.keyNames ++ td.partitionColumn.toSeq
+    // a sequence-column table's tombstone must CARRY a sequence value — a
+    // null sequence would lose to every stored record and never delete
+    val needed = td.schema.keyNames ++ td.partitionColumn.toSeq ++
+      td.sequenceColumn.toSeq
     val missing = needed.distinct.filterNot(keys.columns.contains)
     require(missing.isEmpty,
       s"delete load for ${td.qualified} missing columns: ${missing.mkString(", ")}")
@@ -428,7 +431,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     require(missingVals.isEmpty || td.partialUpdate,
       s"merge source for ${td.qualified} missing value columns: ${missingVals.mkString(", ")}")
     val flag = col(deleteFlag).cast("boolean")
-    val keyNames = td.schema.keyNames.toSet
+    // the sequence column survives on tombstones: deletion itself is ordered
+    // by it (an out-of-order delete must lose to a newer stored record)
+    val keyNames = td.schema.keyNames.toSet ++ td.sequenceColumn
     // delete rows may omit value columns entirely; null-fill them, and null
     // OUT value columns on tombstone rows so a tombstone never carries values
     val full = td.schema.columns.foldLeft(source) { (acc, c) =>
@@ -1104,7 +1109,13 @@ object MergeView {
                      seqCol: String, dropTombstones: Boolean): DataFrame = {
     val schema = td.schema
     val keys = schema.keyNames.map(col)
-    val ord = struct(col(versionCol), col(seqCol))
+    // with a declared sequence column the DATA decides "latest" (Doris
+    // sequence_col: out-of-order arrivals resolve by value, not load order);
+    // (version, seq) stays as the deterministic tiebreak
+    val ord = td.sequenceColumn match {
+      case Some(sc) => struct(col(sc), col(versionCol), col(seqCol))
+      case None => struct(col(versionCol), col(seqCol))
+    }
     // project to the DECLARED schema, casting only where the physical type
     // differs (rowsets older than a widening modifyColumnType) — unchanged
     // columns stay bare attributes so rewrite-rule plan matching holds

@@ -341,6 +341,47 @@ class EngineSpec extends AnyFunSuite {
     assert(n2 == 4000L && math.abs(ndv2 - 3000L).toDouble / 3000 < 0.05)
   }
 
+  test("sequence column: out-of-order arrivals resolve by data order, not load order") {
+    import spark.implicits._
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "sq", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("ts", LongType),
+        ColumnSpec.value("v", StringType))),
+      bucketColumn = Some("k"), numBuckets = 2,
+      sequenceColumn = Some("ts")))
+    eng.ingest("db", "sq", Seq((1L, 100L, "newest"), (2L, 10L, "x"))
+      .toDF("k", "ts", "v"), Some(Version(1, 1)))
+    // a LATER load with an OLDER sequence must lose
+    eng.ingest("db", "sq", Seq((1L, 50L, "stale"), (2L, 20L, "y"))
+      .toDF("k", "ts", "v"), Some(Version(2, 2)))
+    def state() = eng.scan("db", "sq").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state() == Map(1L -> ((100L, "newest")), 2L -> ((20L, "y"))))
+    // a tombstone with an older sequence must NOT delete; a newer one must
+    eng.mergeInto("db", "sq",
+      Seq((1L, 40L, null.asInstanceOf[String], true)).toDF("k", "ts", "v", "del"),
+      "del", Some(Version(3, 3)))
+    assert(state().contains(1L))
+    eng.mergeInto("db", "sq",
+      Seq((1L, 200L, null.asInstanceOf[String], true)).toDF("k", "ts", "v", "del"),
+      "del", Some(Version(4, 4)))
+    assert(state() == Map(2L -> ((20L, "y"))))
+    // compaction preserves the sequence resolution
+    eng.compact("db", "sq")
+    eng.gc("db", "sq")
+    assert(state() == Map(2L -> ((20L, "y"))))
+    // sequence column demands Unique model and a declared value column
+    intercept[IllegalArgumentException] {
+      eng.createTable(TableDef(
+        db = "db", name = "bad", schema = TableSchema(KeysType.Duplicate, Seq(
+          ColumnSpec.key("k", LongType), ColumnSpec.value("ts", LongType))),
+        sequenceColumn = Some("ts")))
+    }
+  }
+
   test("REPLACE_IF_NOT_NULL: latest non-null wins; NULL leaves the stored value alone") {
     import spark.implicits._
     val eng = newEngine()
