@@ -287,6 +287,39 @@ object Relational {
         dbl(sum(dec(col("c_acctbal")))).as("totacctbal"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): a HAVING aggregate feeds a
+    * semi join back onto its own fact — Spark plans the qualifying-keys set
+    * as a broadcast when small (AQE decides), so the second pass over
+    * lineitem never shuffles.
+    */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 150)
+      .select(col("l_orderkey").as("bk"), col("qty"))
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("bk"), "inner")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        dbl(col("qty")).as("total_qty"))
+  }
+
+  /** TPC-H Q16 shape (supplier diversity per part class): COUNT(DISTINCT)
+    * after an anti-join exclusion list — the NOT IN subquery becomes a
+    * broadcast anti join, and the distinct count is a two-level hash
+    * aggregate, both map-side partial.
+    */
+  def partSupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("xk"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"), "inner")
+      .join(excluded, col("l_suppkey") === col("xk"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders_v")
     spark.sql(
@@ -937,6 +970,8 @@ object Relational {
     "q29_sql_grouping_sets" -> sqlGroupingSets _,
     "q135_waiting_supplier" -> waitingSupplier _,
     "q136_rich_idle_customers" -> richIdleCustomers _,
+    "q138_large_orders" -> largeOrders _,
+    "q139_supplier_diversity" -> partSupplierDiversity _,
     "q45_udf_udaf" -> udfSurface _,
     "q48_window_analytics" -> windowAnalytics _,
     "q01_scan_project" -> scanProject _,
@@ -1238,6 +1273,19 @@ object Relational {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name""".stripMargin,
+    "q138_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_name, o_orderkey, o_totalprice, CAST(qty AS DOUBLE) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q139_supplier_diversity" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_size""".stripMargin,
     "q136_rich_idle_customers" ->
       """WITH thr AS (
         |  SELECT floor(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*)) AS t
