@@ -45,7 +45,12 @@ final case class RollupDef(
     // incremental refresh all compose; read back via
     // [[RollupManager.approxDistinct]] (explicitly approximate — never
     // transparently substituted for an exact COUNT(DISTINCT)).
-    hllCol: Option[(String, String)] = None) {
+    hllCol: Option[(String, String)] = None,
+    // SQL predicate over base columns (the Doris sync-MV WHERE clause): the
+    // rollup pre-aggregates ONLY matching rows. The transparent rewrite then
+    // requires the query to carry this exact predicate as a conjunct — a
+    // filtered rollup never serves an unfiltered query, and vice versa.
+    filter: Option[String] = None) {
   require(aggs.forall(a => a._3 == AggType.Sum || a._3 == AggType.Min || a._3 == AggType.Max),
     "rollup aggregates must be Sum/Min/Max (re-aggregable)")
 }
@@ -89,7 +94,8 @@ final class RollupManager(eng: OlapEngine) {
     rd.groupCols ++ rd.bitmapCol.map(_ => RollupDef.BmBucketCol)
 
   /** Aggregate base-table rows to this rollup's stored shape. */
-  private def srcAggregate(df: DataFrame, rd: RollupDef): DataFrame = {
+  private def srcAggregate(df0: DataFrame, rd: RollupDef): DataFrame = {
+    val df = rd.filter.fold(df0)(f => df0.filter(expr(f)))
     val withBkt = rd.bitmapCol match {
       case Some((_, s)) =>
         df.withColumn(RollupDef.BmBucketCol, expr(s"bitmap_bucket_number($s)"))
@@ -117,7 +123,8 @@ final class RollupManager(eng: OlapEngine) {
         rd.aggs.forall { case (_, s, a) => f.aggs.exists(r => r._2 == s && r._3 == a) } &&
         (rd.countCol.isEmpty || f.countCol.nonEmpty) &&
         rd.bitmapCol.forall(b => f.bitmapCol.exists(_._2 == b._2)) &&
-        rd.hllCol.forall(h => f.hllCol.exists(_._2 == h._2)) => (n, f, v)
+        rd.hllCol.forall(h => f.hllCol.exists(_._2 == h._2)) &&
+        rd.filter == f.filter => (n, f, v)
     }.flatMap { case (n, f, v) =>
       // empty-table builds write no parquet parts; fall back to base then
       scala.util.Try(eng.spark.read.parquet(
@@ -206,6 +213,7 @@ final class RollupManager(eng: OlapEngine) {
       case ((d, t, n), (rd, v)) if d == db && t == table &&
         v == eng.manifest(db, table).maxVersion &&
         groupCols.forall(rd.groupCols.contains) &&
+        rd.filter.isEmpty && // a filtered rollup covers only matching rows
         rd.hllCol.exists(_._2 == src) => (rd, v)
     }.minByOption(_._1.groupCols.size)
     candidate match {
@@ -232,6 +240,7 @@ final class RollupManager(eng: OlapEngine) {
       case ((d, t, n), (rd, v)) if d == db && t == table &&
         v == eng.manifest(db, table).maxVersion &&
         groupCols.forall(rd.groupCols.contains) &&
+        rd.filter.isEmpty && // a filtered rollup covers only matching rows
         aggs.forall { case (_, src, agg) => rd.aggs.exists(r => r._2 == src && r._3 == agg) } =>
         (rd, v)
     }.minByOption(_._1.groupCols.size)

@@ -184,12 +184,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
         Alias(newChild, name)(exprId = al.exprId)
       case _ => return None
     }
-    // Replay base-side filters (dimension columns only) over the rollup.
-    val replayed = scan.filters.foldLeft(rollupPlan) { (p, cond) =>
-      Filter(cond.transform {
-        case a: AttributeReference => byName.getOrElse(a.name, return None)
-      }, p)
-    }
+    // Replay the RESIDUAL base-side filters (dimension columns only) over
+    // the rollup — the rollup's own filter conjuncts, already applied at
+    // materialization, are consumed rather than replayed.
+    val replayed = residualFilters(entry, scan).getOrElse(return None)
+      .foldLeft(rollupPlan) { (p, cond) =>
+        Filter(cond.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, return None)
+        }, p)
+      }
     val child =
       if (!hasDistinct) replayed
       else {
@@ -201,9 +204,72 @@ object RollupRewrite extends Rule[LogicalPlan] {
     Some(Aggregate(newGrouping, newResult, child))
   }
 
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Comparison form: constant subtrees folded FIRST (the analyzed rollup
+    * predicate still carries e.g. `cast(50 as bigint)` where the optimized
+    * query side already folded it to `50L` — folding must run while the
+    * tree is still resolved), then attrs replaced by name.
+    */
+  private def normalize(e: Expression): Expression = {
+    val folded = e.transformUp {
+      case f if f.deterministic && f.references.isEmpty &&
+          !f.isInstanceOf[Literal] && f.resolved && f.foldable =>
+        try Literal.create(f.eval(null), f.dataType) catch { case _: Exception => f }
+    }
+    folded.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    }
+  }
+
+  /** The rollup's own WHERE predicate, analyzed against the live base scan
+    * (so literal typing/cast insertion matches what the query side gets) and
+    * attr-normalized for structural comparison.
+    */
+  private def rollupPredConjuncts(e: Entry): Seq[Expression] = {
+    val analyzed = e.eng.scan(e.db, e.table)
+      .filter(org.apache.spark.sql.functions.expr(e.rd.filter.get))
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst { case Filter(c, _) => c }.get
+    splitAnd(normalize(cond))
+  }
+
+  /** Query-side filter conjuncts with the rollup's own predicate consumed.
+    * None = the query does NOT carry a filtered rollup's predicate (or the
+    * predicate could not be resolved) — the rewrite must not fire.
+    */
+  private def residualFilters(e: Entry, scan: ScanMatch.Scan): Option[Seq[Expression]] = {
+    val conjuncts = scan.filters.flatMap(splitAnd)
+    e.rd.filter match {
+      case None => Some(conjuncts)
+      case Some(_) =>
+        val rp = try rollupPredConjuncts(e) catch { case _: Exception => return None }
+        if (!rp.forall(p => conjuncts.exists(c => normalize(c) == p))) None
+        else {
+          // isnotnull(x) conjuncts the optimizer infers FROM the predicate
+          // are implied by it (a null fails the comparison), so the rollup
+          // data already excludes those rows — consume them too
+          val predRefs = rp.flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+          }).toSet
+          Some(conjuncts.filterNot { c =>
+            rp.contains(normalize(c)) || (c match {
+              case IsNotNull(a: AttributeReference) => predRefs.contains(a.name)
+              case _ => false
+            })
+          })
+        }
+    }
+  }
+
   /** Entry selectable for this aggregate: registered build still fresh,
     * Duplicate model, scan is exactly the current covering rowset set,
-    * dims cover grouping + filters.
+    * dims cover grouping + residual filters (a filtered rollup additionally
+    * requires its predicate to appear among the query's conjuncts).
     */
   private def covers(e: Entry, agg: Aggregate, groupAttrs: Seq[AttributeReference],
       scan: ScanMatch.Scan): Boolean = {
@@ -213,6 +279,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val expected = e.eng.coveringDirs(e.db, e.table)
     expected.nonEmpty && expected == scan.leafPaths &&
       groupAttrs.forall(a => e.rd.groupCols.contains(a.name)) &&
-      scan.filters.forall(_.references.forall(a => e.rd.groupCols.contains(a.name)))
+      residualFilters(e, scan).exists(
+        _.forall(_.references.forall(a => e.rd.groupCols.contains(a.name))))
   }
 }

@@ -68,6 +68,39 @@ class RollupRewriteSpec extends AnyFunSuite {
       .agg(sum(col("v")).as("s_v"), max(col("v")).as("mx_v"),
         sum(col("price")).as("s_p"))
 
+  test("filtered rollup: serves only queries carrying its exact predicate") {
+    val eng = fixture()
+    eng.rollups.materialize("db", "t", RollupDef(
+      name = "big_by_grp", groupCols = Seq("grp"),
+      aggs = Seq(("s_v", "v", AggType.Sum)),
+      countCol = Some("n_rows"),
+      filter = Some("v >= 50")))
+    def q(f: DataFrame => DataFrame) = f(eng.scan("db", "t"))
+      .groupBy(col("grp")).agg(sum(col("v")).as("s_v"))
+    // the matching filter rewrites to the filtered rollup
+    val hit = q(_.filter(col("v") >= 50))
+    assert(usesRollup(hit), hit.queryExecution.optimizedPlan.toString)
+    val want = (0 until 3).map(g =>
+      s"g$g" -> (50 until 100).filter(_ % 3 == g).map(_.toLong).sum).toMap
+    assert(hit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    // a different predicate must NOT be served by the filtered rollup —
+    // the unfiltered by_grp rollup can't serve it either (non-dim filter)
+    val miss = q(_.filter(col("v") >= 60))
+    assert(!usesRollup(miss), miss.queryExecution.optimizedPlan.toString)
+    assert(miss.collect().map(r => r.getLong(1)).sum ==
+      (60 until 100).map(_.toLong).sum)
+    // an unfiltered query must not read the filtered rollup (it reads the
+    // UNfiltered by_grp rollup instead — with the full answer)
+    val unfiltered = q(identity)
+    assert(unfiltered.collect().map(r => r.getLong(1)).sum ==
+      (0 until 100).map(_.toLong).sum)
+    // predicate + extra dimension filter: predicate consumed, dim replayed
+    val withDim = q(_.filter(col("v") >= 50 && col("grp") === "g1"))
+    assert(usesRollup(withDim), withDim.queryExecution.optimizedPlan.toString)
+    assert(withDim.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("g1" -> want("g1")))
+  }
+
   test("aggregate over the base scan is answered from the rollup, exactly") {
     val eng = fixture()
     val q = baseAgg(eng)
