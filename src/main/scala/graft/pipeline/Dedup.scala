@@ -171,14 +171,18 @@ object Dedup {
 
   /** SimHash near-dup groups: docs sharing the top-16-bit prefix band are
     * candidates (a standard rotate-and-block scheme's first block).
+    * `members` is emitted as a comma-joined string (not an array cast):
+    * engines disagree on list-to-string rendering, so the canonical scalar
+    * form is what the cross-engine oracle compares.
     */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
     simhashSignatures(docs(spark, dir), "doc_id", "text")
       .withColumn("band", shiftrightunsigned(col("simhash"), SimhashBits - 16))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("members"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("mlist"))
       .filter(col("n") > 1)
-      .select(col("band"), col("n"), col("members").cast("string").as("members"))
+      .select(col("band"), col("n"),
+        concat_ws(",", col("mlist").cast("array<string>")).as("members"))
 
   /** Word-set (1-gram) Jaccard similarity for pairs sharing a 20-char prefix
     * block — the SQL-expressible exact near-dup check (oracle-verified);
@@ -362,7 +366,7 @@ object Dedup {
         |          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
         |        FROM b GROUP BY doc_id),
         |g AS (SELECT simhash >> 44 AS band, count(*) AS n,
-        |        CAST(list_sort(list(doc_id)) AS VARCHAR) AS members
+        |        array_to_string(list_sort(list(doc_id)), ',') AS members
         |      FROM sig GROUP BY band)
         |SELECT band, n, members FROM g WHERE n > 1""".stripMargin,
     "q33_dedup_jaccard" ->
