@@ -99,8 +99,12 @@ final class MvManager(eng: OlapEngine) {
       eng.manifest(d.factDb, d.factTable)
         .captureConsistentVersions(storedFactV + 1, factV))
       .getOrElse(Seq.empty)
+    // A DELETE-WHERE marker in the fact delta masks rows of OLDER rowsets —
+    // rows already folded into the stored MV — so the delta is not
+    // append-only; force a full rebuild.
     val cleanDelta = duplicateModel && deltaRowsets.nonEmpty &&
-      deltaRowsets.forall(_.version.start > storedFactV)
+      deltaRowsets.forall(_.version.start > storedFactV) &&
+      deltaRowsets.forall(!_.isDeleteMarker)
     if (!cleanDelta) { materialize(d); return }
     val storedTry = scala.util.Try(eng.spark.read.parquet(
       mvDir(d).resolve(s"f${storedFactV}_d$storedDimV").toString))

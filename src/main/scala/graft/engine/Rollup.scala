@@ -177,8 +177,12 @@ final class RollupManager(eng: OlapEngine) {
     val deltaRowsets = scala.util.Try(
       eng.manifest(db, table).captureConsistentVersions(storedV + 1, maxV))
       .getOrElse(Seq.empty)
+    // A DELETE-WHERE marker in the delta masks rows of OLDER rowsets — rows
+    // already folded into the stored rollup — so the delta is not append-only
+    // and folding it in would keep deleted rows in the aggregates forever.
     val cleanDelta = duplicateModel && deltaRowsets.nonEmpty &&
-      deltaRowsets.forall(_.version.start > storedV)
+      deltaRowsets.forall(_.version.start > storedV) &&
+      deltaRowsets.forall(!_.isDeleteMarker)
     if (!cleanDelta) { materialize(db, table, rd); return }
 
     // A rollup materialized over an empty table writes no parquet parts and

@@ -163,12 +163,13 @@ object JoinMvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
 
-    // Replay every collected filter conjunct (join-level and side-internal;
+    // Replay every residual filter conjunct (join-level and side-internal;
     // covers verified each is dimension-only) over the MV scan. `isnotnull`
     // on a join key — inferred by InferFiltersFromConstraints on every inner
     // equi-join — is tautological over MV rows (a null key never joins) and
     // is dropped rather than replayed.
-    val allFilters = conjuncts(shape).filterNot(isJoinKeyNotNull(entry.d, _))
+    val allFilters = residualFilters(entry, shape).getOrElse(return None)
+      .filterNot(isJoinKeyNotNull(entry.d, _))
     val replayed = allFilters.foldLeft(mvPlan) { (p, cond) =>
       Filter(cond.transform {
         case a: AttributeReference => byName.getOrElse(a.name, return None)
@@ -204,19 +205,38 @@ object JoinMvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     oriented.exists { case (fk, dk) =>
       fk == d.factKey && dk == d.dimKey &&
         groupAttrs.forall(a => d.groupCols.contains(a.name)) &&
-        conjuncts(shape).forall(f =>
+        residualFilters(e, shape).exists(_.forall(f =>
           isJoinKeyNotNull(d, f) ||
-            f.references.forall(a => d.groupCols.contains(a.name)))
+            f.references.forall(a => d.groupCols.contains(a.name))))
     }
   }
 
-  /** All collected filters flattened to conjuncts — pushdown merges several
-    * predicates into one Filter node, and each conjunct classifies
-    * independently (dimension filter vs join-key tautology).
+  /** All collected filters flattened to conjuncts, with each side's CURRENT
+    * snapshot delete-marker conjuncts consumed (the MV was materialized over
+    * those exact snapshots — `covers` pins both versions). None = a side's
+    * snapshot conjuncts are missing from that side's filters (a stale
+    * pre-delete plan) or unresolvable — the rewrite must not fire. Conjuncts
+    * are matched per side so an identically-named column on the other side
+    * can't satisfy (or be consumed by) a fact-side delete predicate.
     */
-  private def conjuncts(shape: Shape): Seq[Expression] =
-    (shape.filters ++ shape.left.filters ++ shape.right.filters)
-      .flatMap(splitConjunctivePredicates)
+  private def residualFilters(e: Entry, shape: Shape): Option[Seq[Expression]] = {
+    val d = e.d
+    val factDirs = e.eng.coveringDirs(d.factDb, d.factTable)
+    val (factScan, dimScan) =
+      if (shape.left.leafPaths == factDirs) (shape.left, shape.right)
+      else (shape.right, shape.left)
+    def side(scan: ScanMatch.Scan, db: String, table: String): Option[Seq[Expression]] = {
+      val snap = (try ScanMatch.snapshotConjuncts(e.eng, db, table)
+        catch { case _: Exception => None }).getOrElse(return None)
+      val conj = scan.filters.flatMap(splitConjunctivePredicates)
+      if (!snap.forall(conj.map(ScanMatch.normalize).contains)) None
+      else Some(conj.filterNot(c => snap.contains(ScanMatch.normalize(c))))
+    }
+    for {
+      f <- side(factScan, d.factDb, d.factTable)
+      dm <- side(dimScan, d.dimDb, d.dimTable)
+    } yield shape.filters.flatMap(splitConjunctivePredicates) ++ f ++ dm
+  }
 
   /** `isnotnull(k)` where k is one of the MV's join keys — implied by the
     * inner join itself, hence true of every MV row.

@@ -204,27 +204,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
     Some(Aggregate(newGrouping, newResult, child))
   }
 
-  private def splitAnd(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitAnd(l) ++ splitAnd(r)
-    case other => Seq(other)
-  }
+  private def splitAnd(e: Expression): Seq[Expression] = ScanMatch.splitAnd(e)
 
-  /** Comparison form: constant subtrees folded FIRST (the analyzed rollup
-    * predicate still carries e.g. `cast(50 as bigint)` where the optimized
-    * query side already folded it to `50L` — folding must run while the
-    * tree is still resolved), then attrs replaced by name.
-    */
-  private def normalize(e: Expression): Expression = {
-    val folded = e.transformUp {
-      case f if f.deterministic && f.references.isEmpty &&
-          !f.isInstanceOf[Literal] && f.resolved && f.foldable =>
-        try Literal.create(f.eval(null), f.dataType) catch { case _: Exception => f }
-    }
-    folded.transform {
-      case a: AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
-    }
-  }
+  private def normalize(e: Expression): Expression = ScanMatch.normalize(e)
 
   /** The rollup's own WHERE predicate, analyzed against the live base scan
     * (so literal typing/cast insertion matches what the query side gets) and
@@ -238,12 +220,18 @@ object RollupRewrite extends Rule[LogicalPlan] {
     splitAnd(normalize(cond))
   }
 
-  /** Query-side filter conjuncts with the rollup's own predicate consumed.
-    * None = the query does NOT carry a filtered rollup's predicate (or the
-    * predicate could not be resolved) — the rewrite must not fire.
+  /** Query-side filter conjuncts with (a) the CURRENT snapshot's own
+    * delete-marker conjuncts and (b) the rollup's own predicate consumed.
+    * None = the query does NOT carry the snapshot's delete conjuncts (a
+    * stale pre-delete plan) or a filtered rollup's predicate — the rewrite
+    * must not fire.
     */
   private def residualFilters(e: Entry, scan: ScanMatch.Scan): Option[Seq[Expression]] = {
-    val conjuncts = scan.filters.flatMap(splitAnd)
+    val snap = (try ScanMatch.snapshotConjuncts(e.eng, e.db, e.table)
+      catch { case _: Exception => None }).getOrElse(return None)
+    val all = scan.filters.flatMap(splitAnd)
+    if (!snap.forall(all.map(normalize).contains)) return None
+    val conjuncts = all.filterNot(c => snap.contains(normalize(c)))
     e.rd.filter match {
       case None => Some(conjuncts)
       case Some(_) =>

@@ -1,8 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.engine.OlapEngine
 
 /** Reduces a logical subtree to "a scan of these parquet leaf paths with these
   * residual filters" — the shared precondition of every materialized-rewrite
@@ -51,5 +55,65 @@ object ScanMatch {
         case _ => None
       }
     case _ => None
+  }
+
+  def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Comparison form for filter conjuncts: constant subtrees folded FIRST (an
+    * analyzed predicate still carries e.g. `cast(50 as bigint)` where the
+    * optimized query side already folded it to `50L` — folding must run while
+    * the tree is still resolved), then attrs replaced by name so distinct
+    * exprIds compare equal.
+    */
+  def normalize(e: Expression): Expression = {
+    val folded = e.transformUp {
+      case f if f.deterministic && f.references.isEmpty &&
+          !f.isInstanceOf[Literal] && f.resolved && f.foldable =>
+        try Literal.create(f.eval(null), f.dataType) catch { case _: Exception => f }
+    }
+    folded.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    }
+  }
+
+  // latest snapshot's conjuncts per table; a marker set can only change with
+  // a version bump, so one live entry per table suffices
+  private val snapCache =
+    TrieMap.empty[(String, String, String), (Long, Option[Seq[Expression]])]
+
+  /** Filter conjuncts the bare CURRENT snapshot scan itself carries — the
+    * DELETE-WHERE masks [[graft.engine.OlapEngine.scan]] applies over older
+    * rowsets. A rollup/MV materialized at the same manifest version was built
+    * over this exact scan, so its stored rows already reflect them: rewrite
+    * rules CONSUME these conjuncts from a matching query plan (and must
+    * refuse plans that lack them — a stale pre-delete DataFrame still reads
+    * the same parquet leaves but means different rows).
+    *
+    * Some(Nil) when the table has no delete markers (the overwhelmingly
+    * common case — gated on the manifest before any plan is built). None when
+    * markers exist but the snapshot scan itself doesn't reduce to one hoisted
+    * conjunct set (rowsets loaded after the marker carry a different mask per
+    * branch) — the caller must refuse the rewrite.
+    */
+  def snapshotConjuncts(eng: OlapEngine, db: String,
+      table: String): Option[Seq[Expression]] = {
+    val m = eng.manifest(db, table)
+    if (!m.visibleRowsets.exists(_.isDeleteMarker)) return Some(Nil)
+    val key = (eng.warehouse.toString, db, table)
+    snapCache.get(key) match {
+      case Some((v, c)) if v == m.maxVersion => c
+      case _ =>
+        // optimizedPlan, not analyzed: folding the per-rowset version literal
+        // into each union branch is what reduces the mask to the same
+        // `NOT coalesce(pred, false)` shape the query side carries
+        val plan = eng.scan(db, table).queryExecution.optimizedPlan
+        val c = baseScan(plan).map(_.filters.flatMap(splitAnd).map(normalize))
+        snapCache(key) = (m.maxVersion, c)
+        c
+    }
   }
 }

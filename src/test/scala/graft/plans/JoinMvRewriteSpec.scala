@@ -213,6 +213,20 @@ class JoinMvRewriteSpec extends AnyFunSuite {
     assert(got("s0") == truth()("s0"))
   }
 
+  test("incremental refresh after a fact DELETE WHERE rebuilds — deleted rows leave the MV") {
+    val eng = fixture()
+    // deletes fact rows already folded into the stored MV: the v3 delete
+    // marker is not an append-only delta, so refreshIncremental must fall
+    // back to a full rebuild rather than fold an empty delta and re-stamp
+    eng.deleteWhere("db", "fact", "v >= 50", Some(Version(3, 3)))
+    eng.mvs.refreshIncremental("db", "fact", "by_seg_cat")
+    val q = bySeg(eng)
+    assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == truth(_ < 50))
+  }
+
   test("streaming fact ingest keeps the MV current per micro-batch") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-mv-stream-wh-"))
     eng.createDatabase("db")

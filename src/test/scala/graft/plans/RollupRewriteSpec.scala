@@ -226,6 +226,27 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(got("g0")._2 == 7L)
   }
 
+  test("incremental refresh after DELETE WHERE rebuilds — deleted rows leave the rollup") {
+    val eng = fixture()
+    // delete masks rows already folded into the stored v2 rollup; the delta
+    // (the v3 delete marker) is NOT append-only, so refreshIncremental must
+    // fall back to a full materialize instead of folding the (empty) delta in
+    eng.deleteWhere("db", "t", "v >= 50", Some(Version(3, 3)))
+    eng.rollups.refreshIncremental("db", "t", "by_grp")
+    val q = baseAgg(eng)
+    assert(usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    def ids(g: Int) = (0 until 50).filter(_ % 3 == g)
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 3).map(g => s"g$g" -> ids(g).map(_.toLong).sum).toMap)
+    // count + distinct paths must also reflect the delete
+    val qc = eng.scan("db", "t").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("u")).as("ndv"))
+    assert(usesRollup(qc), qc.queryExecution.optimizedPlan.toString)
+    val gotC = qc.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(gotC == (0 until 3).map(g =>
+      s"g$g" -> (ids(g).size.toLong, ids(g).map(_ % 7).distinct.size.toLong)).toMap)
+  }
+
   test("global aggregate (no GROUP BY) rewrites; registered views query with full semantics") {
     val eng = fixture()
     val g = eng.scan("db", "t").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
