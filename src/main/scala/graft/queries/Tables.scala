@@ -22,25 +22,35 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  private val rawSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private val streamDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Raw nanos-as-long schema for the streaming file source (it needs an
-    * explicit schema; conversion happens after `readStream`).
+    * explicit schema; conversion happens after `readStream`). Cached per dir —
+    * the footer read is per-process fixture setup, not part of any query.
     */
-  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val s = spark.read.parquet(s"$dir/events.parquet").schema
-    StructType(s.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
-  }
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    rawSchemaCache.getOrElseUpdate(dir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val s = spark.read.parquet(s"$dir/events.parquet").schema
+      StructType(s.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+    })
 
   /** The file stream source requires a *directory*; expose the single
-    * events.parquet through a symlinked temp dir.
+    * events.parquet through a symlinked temp dir. Cached per dir (layout
+    * setup, like q104's lateLayoutCache) — the source lists it fresh per
+    * query, so sharing the dir is safe.
     */
-  def eventsStreamDir(dir: String): String = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream-")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    streamDir.toString
-  }
+  def eventsStreamDir(dir: String): String =
+    streamDirCache.getOrElseUpdate(dir, {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream-")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      streamDir.toString
+    })
 
   def eventsStreamFrom(spark: SparkSession, streamDir: String, schemaDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

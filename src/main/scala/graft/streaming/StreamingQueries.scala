@@ -161,8 +161,11 @@ object StreamingQueries {
     * generator doubles it); `dropDuplicates` on the key keeps exactly one —
     * the streaming half of the dedup surface (state = one entry per key; at
     * scale bound it with `withWatermark` + dropDuplicatesWithinWatermark).
-    * The post-sink count-per-type aggregation is batch, so the streaming
-    * stage is the single stateful operator.
+    * The dedup'd rows never visit the driver: `foreachBatch` folds each
+    * micro-batch to per-type partial counts on the executors and appends
+    * those partials to a file sink; the final read sums the partials
+    * (append-mode dedup emits each key exactly once across batches, so
+    * summing is exact).
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     val doubled = graft.queries.Tables.eventsStream(spark, dir)
@@ -170,37 +173,44 @@ object StreamingQueries {
       .withColumn("copy", explode(array(lit(1), lit(2))))
       .drop("copy")
       .dropDuplicates("event_id")
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup-out-").toString
     val q = doubled.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(outDir)
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    spark.read.parquet(outDir)
+      .groupBy(col("event_type")).agg(sum(col("n")).as("n"))
   }
 
   /** Stream-static enrichment join: the events stream joins a broadcast
-    * customer dimension per micro-batch (stateless — no streaming state, the
-    * standard enrichment topology), then a batch aggregation over the sink
-    * summarizes per nation. At scale the dim refreshes per batch and the
-    * broadcast keeps the stream shuffle-free.
+    * customer dimension per micro-batch (stateless — the standard enrichment
+    * topology), then the per-nation aggregation runs INSIDE the stream
+    * (Complete mode), so only ~|nation| aggregated rows ever reach the
+    * driver-side memory sink — never the raw joined stream. At scale the dim
+    * refreshes per batch and the broadcast keeps the join shuffle-free; the
+    * only shuffle is the 25-key aggregation.
     */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
     val stream = graft.queries.Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("value"))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey"))
-    val joined = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val agg = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream.outputMode(OutputMode.Append())
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
   /** Stream-stream interval join: clicks joined to the same user's purchases
@@ -224,15 +234,23 @@ object StreamingQueries {
       .withWatermark("p_ts", "2 hours")
     val joined = clicks.join(purchases,
       expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 24 HOURS"))
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    // Matched pairs are folded to per-user partial counts on the executors in
+    // each micro-batch (`foreachBatch`) and appended to a file sink; the
+    // driver only ever sees the final per-user sums. Append-mode inner join
+    // emits each pair exactly once, so summing partials is exact.
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-join-out-").toString
     val q = joined.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("c_user")).agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(outDir)
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(outDir)
       .groupBy(col("c_user").as("user_id"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n")).as("n_pairs"))
   }
 
   /** Late-data semantics under a watermark — the part of streaming the other
