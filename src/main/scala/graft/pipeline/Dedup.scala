@@ -42,12 +42,20 @@ object Dedup {
 
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
     * canonical representative (pure hash aggregation — one shuffle).
+    *
+    * Fingerprint-first: the shuffle key is (md5(text), length(text)), not the
+    * text itself — at 100 TB the exchange carries 32 hex chars + a long per
+    * document instead of the full body. md5 collisions at equal length are
+    * not a realistic event (2^-128 per pair); the length column is a free
+    * second factor because the output needs it anyway.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .groupBy(col("text"))
+      .select(col("doc_id"), md5(col("text")).as("__fp"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("__fp"), col("n_chars"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
-      .select(col("doc_id"), col("dup_count"), length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("dup_count"), col("n_chars"))
 
   /** MinHash signature: array of `numHashes` minima of seeded 64-bit hashes
     * over the shingle set. Seeded family h_i(s) = xxhash64(i || s).
@@ -203,43 +211,77 @@ object Dedup {
         round(col("jac"), 4).as("jac"))
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: each node adopts the smallest label among itself and its
-    * neighbors until fixpoint. O(diameter) rounds, each one shuffle — the
-    * standard scalable CC shape (no driver-side graph; only a convergence
-    * counter crosses to the driver). Survivor of a component = its min doc_id.
+  /** Connected components by alternating large-star / small-star (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14): converges in O(log^2 n) rounds
+    * REGARDLESS of component diameter — the property min-label propagation
+    * lacks (its round count is the graph diameter, unbounded for chain-shaped
+    * near-dup graphs). Each round is two shuffles over the edge set; no
+    * driver-side graph, and the per-round convergence probe is a single
+    * `isEmpty` over the (cached) changed-edge frame, not a count of the data.
+    *
+    * large-star: every node's strictly-larger neighbors attach to the
+    * minimum of its closed neighborhood (halves tree height).
+    * small-star:  every node's smaller-or-equal neighbors (and itself)
+    * attach to its minimum smaller neighbor (flattens toward stars).
+    * Fixpoint = the edge set is a union of stars (u -> component min).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          maxIter: Int = 30): DataFrame = {
+    // canonical directed edges large -> small; self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var cached: DataFrame = null
+    // fixpoint probe: (count, xor-of-row-hashes) of the distinct edge set —
+    // ONE tiny-output aggregate per round (vs an exceptAll anti-join), equal
+    // fingerprints ⇔ equal sets up to a 64-bit hash collision
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "nlabel"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      // carry the previous label through the update so convergence is a
-      // filter over the SAME cached frame, not another self-join
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      val changed = updated.filter(col("label") =!= col("prev")).count()
-      if (cached != null) cached.unpersist() // previous iteration's cache is dead
-      cached = updated
-      labels = updated.select(col("id"), col("label"))
-      converged = changed == 0
+      // large-star over the undirected view: for each u, m = min(N(u) ∪ {u});
+      // emit (v, m) for every neighbor v > u (directed large -> small again)
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star on the directed edges: for each u, m = min of its smaller
+      // neighbors; re-attach those neighbors and u itself to m
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().persist()
+      val t0 = System.nanoTime()
+      val fpNew = fingerprint(ss) // also materializes the cache
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(f"[cc] round $i fp=$fpNew ${(System.nanoTime()-t0)/1e9}%.2fs")
+      edges.unpersist()
+      edges = ss
+      converged = fpNew == fp
+      fp = fpNew
       i += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("survivor_id"))
+    // explicit failure beats silently-wrong components (non-star edges would
+    // assign nodes to a non-minimal survivor); O(log^2 n) means 30 rounds
+    // covers any input this side of absurd
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint edges are stars (node -> component min); roots map to
+    // themselves. The star frame stays cached: the caller's output is a view
+    // over it, and unpersisting would re-run the whole iterative lineage.
+    val roots = edges.select(col("v")).distinct()
+      .select(col("v").as("doc_id"), col("v").as("survivor_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("survivor_id"))
+      .union(roots)
   }
 
   /** Near-dup survivor assignment over the oracle-checkable Jaccard pairs:

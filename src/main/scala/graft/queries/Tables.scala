@@ -1,14 +1,18 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
-/** Table loaders. `events.parquet` is written with TIMESTAMP(NANOS), which
-  * Spark's Parquet reader rejects (TimestampType is microseconds); we read
-  * nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-  * with exact integer division (the data is micro-aligned; a double division
-  * would lose precision above 2^53 nanos).
+/** Table loaders. `events.parquet`'s `ts` column has changed physical type
+  * across driver testdata generations — TIMESTAMP(NANOS) (which Spark reads
+  * as raw longs under `spark.sql.legacy.parquet.nanosAsLong`), and plain
+  * TIMESTAMP_NTZ(micros). We normalize adaptively to session-UTC
+  * `TimestampType` so every downstream query/oracle sees one shape:
+  *   - LongType (legacy nanos-as-long): exact integer DIV 1000 → micros
+  *     (double division would lose precision above 2^53 nanos).
+  *   - TIMESTAMP_NTZ: cast to TimestampType (session tz is UTC everywhere,
+  *     so the wall-clock value is preserved bit-for-bit).
   */
 object Tables {
 
@@ -16,10 +20,17 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize a raw `ts` column to TimestampType, whatever the file had. */
+  private def normalizeTs(tsType: DataType): Column = tsType match {
+    case LongType         => timestamp_micros(expr("ts DIV 1000"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case _                => col("ts")
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
   }
 
   private val rawSchemaCache =
@@ -27,15 +38,14 @@ object Tables {
   private val streamDirCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Raw nanos-as-long schema for the streaming file source (it needs an
-    * explicit schema; conversion happens after `readStream`). Cached per dir —
+  /** Raw file schema for the streaming file source (it needs an explicit
+    * schema; ts normalization happens after `readStream`). Cached per dir —
     * the footer read is per-process fixture setup, not part of any query.
     */
   def eventsRawSchema(spark: SparkSession, dir: String): StructType =
     rawSchemaCache.getOrElseUpdate(dir, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val s = spark.read.parquet(s"$dir/events.parquet").schema
-      StructType(s.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+      spark.read.parquet(s"$dir/events.parquet").schema
     })
 
   /** The file stream source requires a *directory*; expose the single
@@ -54,9 +64,10 @@ object Tables {
 
   def eventsStreamFrom(spark: SparkSession, streamDir: String, schemaDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema(spark, schemaDir))
+    val schema = eventsRawSchema(spark, schemaDir)
+    spark.readStream.schema(schema)
       .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", normalizeTs(schema("ts").dataType))
   }
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
