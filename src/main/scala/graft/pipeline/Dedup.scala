@@ -228,12 +228,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame = {
-    // canonical directed edges large -> small; self-loops dropped
+    // canonical directed edges large -> small; self-loops dropped.
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round's frame several times, so without lineage TRUNCATION
+    // the logical plan grows exponentially with rounds and planning itself
+    // OOMs long before the data does. (On a cluster with an unreliable-
+    // executor budget, swap for reliable checkpoint() to a DFS dir.)
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     // fixpoint probe: (count, xor-of-row-hashes) of the distinct edge set —
     // ONE tiny-output aggregate per round (vs an exceptAll anti-join), equal
     // fingerprints ⇔ equal sets up to a 64-bit hash collision
@@ -256,16 +261,15 @@ object Dedup {
       // small-star on the directed edges: for each u, m = min of its smaller
       // neighbors; re-attach those neighbors and u itself to m
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val t0 = System.nanoTime()
       val ss = ls.join(ssMin, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().persist()
-      val t0 = System.nanoTime()
-      val fpNew = fingerprint(ss) // also materializes the cache
+        .distinct().localCheckpoint(true) // materialize + truncate lineage
+      val fpNew = fingerprint(ss)
       if (sys.env.contains("GRAFT_CC_LOG"))
         System.err.println(f"[cc] round $i fp=$fpNew ${(System.nanoTime()-t0)/1e9}%.2fs")
-      edges.unpersist()
       edges = ss
       converged = fpNew == fp
       fp = fpNew
@@ -276,8 +280,8 @@ object Dedup {
     // covers any input this side of absurd
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint edges are stars (node -> component min); roots map to
-    // themselves. The star frame stays cached: the caller's output is a view
-    // over it, and unpersisting would re-run the whole iterative lineage.
+    // themselves. The star frame is checkpointed, so the caller's view costs
+    // one local scan, not a replay of the iteration.
     val roots = edges.select(col("v")).distinct()
       .select(col("v").as("doc_id"), col("v").as("survivor_id"))
     edges.select(col("u").as("doc_id"), col("v").as("survivor_id"))

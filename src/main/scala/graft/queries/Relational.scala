@@ -385,10 +385,28 @@ object Relational {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("ndv_orders"),
-        approx_count_distinct(col("l_partkey")).as("ndv_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+        // exact values (oracle-checkable) next to the sketch estimates, so
+        // the driver hash pins BOTH the data and the accuracy verdicts
+        count_distinct(col("l_orderkey")).as("ndv_orders"),
+        count_distinct(col("l_partkey")).as("ndv_parts"),
+        approx_count_distinct(col("l_orderkey")).as("__a_ord"),
+        approx_count_distinct(col("l_partkey")).as("__a_part"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("__p95a"),
+        // percentile_approx(accuracy=1000) guarantees rank error <= 1/1000;
+        // bound the estimate by exact percentiles two rank-steps out
+        expr("percentile(l_extendedprice, 0.498)").as("__p50lo"),
+        expr("percentile(l_extendedprice, 0.502)").as("__p50hi"),
+        expr("percentile(l_extendedprice, 0.948)").as("__p95lo"),
+        expr("percentile(l_extendedprice, 0.952)").as("__p95hi"))
+      .select(col("l_returnflag"), col("ndv_orders"), col("ndv_parts"),
+        // HLL++ default rsd = 5%; 3-sigma bound
+        (abs(col("__a_ord") - col("ndv_orders")) <=
+          col("ndv_orders") * lit(0.15)).as("ndv_orders_ok"),
+        (abs(col("__a_part") - col("ndv_parts")) <=
+          col("ndv_parts") * lit(0.15)).as("ndv_parts_ok"),
+        col("__p50a").between(col("__p50lo"), col("__p50hi")).as("p50_ok"),
+        col("__p95a").between(col("__p95lo"), col("__p95hi")).as("p95_ok"))
 
   /** Outer-join flavors: FULL OUTER between per-nation customer and supplier
     * counts (either side may be missing), then the nation dim LEFT JOINs the
@@ -996,6 +1014,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact NDVs are oracle-computable; the sketch estimates appear only
+    // through their accuracy verdicts, which the oracle pins to true (HLL++
+    // 3-sigma NDV bound, percentile_approx rank-error bound — see sketches())
+    "q51_sketches" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS ndv_orders,
+        |  count(DISTINCT l_partkey) AS ndv_parts,
+        |  true AS ndv_orders_ok, true AS ndv_parts_ok,
+        |  true AS p50_ok, true AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // the bloom pre-filter is invisible to the result (the exact semi join
     // removes false positives), so the oracle is the plain semi join
     "q115_bloom_semi_filter" ->

@@ -9,15 +9,12 @@ class EntrySpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
-  test("every query has either an oracle or is a documented rows-only op") {
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Only ops whose core computation is not SQL-expressible stay rows-only:
-    // the IVF k-means fit, the HLL/quantile sketch internals, and the two
-    // DataSketches-HLL surfaces (approximate by definition; their accuracy
-    // contracts live in EngineSpec). Everything else (incl. FNV routing,
-    // LSH, SimHash) is oracle-recomputed in DuckDB.
-    assert(rowsOnly == Set("q50_ann_ivf_topk", "q51_sketches",
-      "q131_hll_distinct", "q134_hll_column"))
+  test("every query has an oracle entry — no rows-only rows") {
+    // The four ops whose core computation is not SQL-expressible (IVF
+    // k-means, sketch internals) surface their accuracy CONTRACTS as
+    // oracle-pinned verdict columns instead, so the driver hash-checks
+    // every single query.
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
     // and no oracle refers to a non-existent query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

@@ -80,6 +80,32 @@ class ColocateJoinSpec extends AnyFunSuite {
     assert(agged.count() == 50L)
   }
 
+  test("parallelism scales with bucket count: a 16-bucket group runs 16 tasks") {
+    // the documented colocate trade — join parallelism = bucket count — is a
+    // DESIGN DIAL, not a cap: size buckets to the cluster and the same
+    // zero-shuffle plan fans out across 4x the tasks
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-cj16-wh-"))
+    eng.createDatabase("db")
+    def mk(name: String, keyCol: String): Unit = eng.createTable(TableDef(
+      db = "db", name = name, schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key(keyCol, LongType),
+        ColumnSpec.value("v", LongType))),
+      bucketColumn = Some(keyCol), numBuckets = 16))
+    mk("fact16", "k"); mk("dim16", "ak")
+    val schema = (n: String) => StructType(Seq(
+      StructField(n, LongType, nullable = false), StructField("v", LongType)))
+    eng.ingest("db", "fact16", spark.createDataFrame(
+      (0L until 400L).map(i => org.apache.spark.sql.Row(i % 100, i)).asJava,
+      schema("k")), Some(Version(1, 1)))
+    eng.ingest("db", "dim16", spark.createDataFrame(
+      (0L until 100L).map(i => org.apache.spark.sql.Row(i, i * 10)).asJava,
+      schema("ak")), Some(Version(1, 1)))
+    val co = eng.colocateJoin("db", "fact16", "db", "dim16")
+    assert(co.rdd.getNumPartitions == 16)
+    assert(!co.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(co.count() == 400L)
+  }
+
   test("bucket-count mismatch and non-hash bucketing refuse") {
     val eng = engine()
     eng.createTable(TableDef(

@@ -89,6 +89,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Multimodal.MediaFeatures(7L, 600L, 3L))
   }
 
+  test("connected components: chain-shaped graph converges in O(log) rounds") {
+    // the worst case for min-label propagation (rounds = diameter): a
+    // 200-node path. Alternating large-star/small-star must still collapse
+    // it to one component rooted at the min — within the round bound.
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 200)
+    assert(cc.values.forall(_ == 0L))
+  }
+
+  test("connected components: separate components keep separate min roots") {
+    import spark.implicits._
+    val pairs = Seq((5L, 9L), (9L, 7L), (20L, 30L), (41L, 40L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 9L -> 5L, 7L -> 5L,
+      20L -> 20L, 30L -> 20L, 40L -> 40L, 41L -> 40L))
+  }
+
   test("IVF top-k recall vs exact brute force >= 0.6 (q50 accuracy contract)") {
     // q50 is rows-only at the oracle (the k-means fit isn't SQL-expressible);
     // pin its accuracy instead: with nprobe=4 of 16 cells the probe touches

@@ -92,4 +92,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(!p.contains("WindowExec"), p)
   }
+
+  test("q30: exact dedup shuffles md5 fingerprints, never the document text") {
+    val p = plan("q30_dedup_exact")
+    // the exchange partitions on the fingerprint; the full text column stays
+    // map-side (hashed in the scan stage) — at 100 TB the difference between
+    // shuffling 48 bytes/doc and shuffling the corpus
+    assert(p.contains("hashpartitioning(__fp"), p)
+    assert(!p.contains("hashpartitioning(text"), p)
+  }
 }
