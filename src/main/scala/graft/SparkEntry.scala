@@ -36,6 +36,22 @@ object SparkEntry {
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all
 
+  /** Sketch-only stand-ins [[graft.Bench]] times INSTEAD of the verdict
+    * forms: q51/q131/q134's `queries` entries bundle exact baselines (exact
+    * NDV, exact percentiles) solely so the driver oracle can hash an
+    * accuracy verdict; the production shape — and therefore the benchmarked
+    * shape — is the sketch alone. Verify still runs the verdict forms, so
+    * correctness coverage is unchanged.
+    */
+  def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_sketches" ->
+      ((s: SparkSession, d: String) => graft.queries.Relational.sketchesOnly(s, d)),
+    "q131_hll_distinct" ->
+      ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllDistinctSketchOnly(s, d)),
+    "q134_hll_column" ->
+      ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllColumnSketchOnly(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (hash-family-specific operators) get
     * the driver's weaker rows-only check.

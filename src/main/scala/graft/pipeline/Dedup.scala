@@ -218,7 +218,9 @@ object Dedup {
     * lacks (its round count is the graph diameter, unbounded for chain-shaped
     * near-dup graphs). Each round is two shuffles over the edge set; no
     * driver-side graph, and the per-round convergence probe is a single
-    * `isEmpty` over the (cached) changed-edge frame, not a count of the data.
+    * tiny-output aggregate — a (count, xor-of-two-independent-row-hashes)
+    * fingerprint of the edge set — never a shuffle of the data back to the
+    * driver.
     *
     * large-star: every node's strictly-larger neighbors attach to the
     * minimum of its closed neighborhood (halves tree height).
@@ -239,13 +241,20 @@ object Dedup {
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
-    // fixpoint probe: (count, xor-of-row-hashes) of the distinct edge set —
-    // ONE tiny-output aggregate per round (vs an exceptAll anti-join), equal
-    // fingerprints ⇔ equal sets up to a 64-bit hash collision
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // fixpoint probe: (count, xor of TWO independent row hashes) of the
+    // distinct edge set — ONE tiny-output aggregate per round (vs an
+    // exceptAll anti-join). Equal fingerprints ⇔ equal sets up to a
+    // simultaneous collision in two seeded 64-bit families (~2^-128 per
+    // probe), so a collision can no longer silently fake convergence past
+    // the require() guard below.
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.select(
+          xxhash64(col("u"), col("v")).as("h1"),
+          xxhash64(lit(0x9e3779b9L), col("u"), col("v")).as("h2"))
+        .agg(count(lit(1)),
+          coalesce(expr("bit_xor(h1)"), lit(0L)),
+          coalesce(expr("bit_xor(h2)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var fp = fingerprint(edges)
     var converged = false
@@ -409,7 +418,7 @@ object Dedup {
         |        sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
         |      FROM h, range(0, 60) t(i) GROUP BY doc_id, i),
         |sig AS (SELECT doc_id,
-        |          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |        FROM b GROUP BY doc_id),
         |g AS (SELECT simhash >> 44 AS band, count(*) AS n,
         |        array_to_string(list_sort(list(doc_id)), ',') AS members

@@ -230,7 +230,7 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"))
     ivf.join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
-      .select(lit("ivf_recall_at_5").as("metric"),
+      .select(lit(s"ivf_recall_at_$k").as("metric"),
         lit(nProbes).as("n_probes"), lit(k).as("k"),
         (col("n_hits") >= lit(0.6 * nProbes * k)).as("ok"))
   }

@@ -409,8 +409,10 @@ object EngineQueries {
   /** HLL COLUMN type (Doris `HLL` with `HLL_UNION`, distinct from the q131
     * rollup sketch): the Aggregate-model table stores one sketch per event
     * type; two rowsets with overlapping users union at merge-on-read and the
-    * estimate reads KB of sketches, never the raw events. Approximate →
-    * rows-only; the exact-count accuracy contract lives in `EngineSpec`.
+    * estimate reads KB of sketches, never the raw events. The driver-hashable
+    * form is an accuracy VERDICT: the exact per-type NDV (DuckDB-reproducible)
+    * plus a boolean pinning the merged-sketch estimate within 5%. The exact
+    * scan exists only for the oracle — Bench times [[hllColumnSketchOnly]].
     */
   def hllColumn(spark: SparkSession, dir: String): DataFrame = {
     val est = EngineFixture.get(spark, dir).scan("graft", "events_hll")
@@ -427,6 +429,15 @@ object EngineQueries {
         (abs(col("__ndv_est") - col("__ndv_exact")) <=
           col("__ndv_exact") * lit(0.05)).as("ndv_ok"))
   }
+
+  /** Bench-time form of q134: read the merged HLL column and estimate —
+    * KB of sketches, no raw-event scan (that scan exists only so the
+    * verdict form can be oracle-hashed).
+    */
+  def hllColumnSketchOnly(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "events_hll")
+      .select(col("event_type"), col("n"),
+        expr("hll_sketch_estimate(hll_users)").as("ndv_est"))
 
   /** Colocate join (Doris colocation groups): orders_dup and sales_agg share
     * the 4-bucket FNV hash spec on the order key, so the fact-fact join runs
@@ -462,9 +473,11 @@ object EngineQueries {
     * Doris's HLL column type (`hll_union_agg` query shape): the stored
     * rollup keeps one DataSketches HLL per (status, bucket) group; the query
     * unions sketches and estimates once. Explicitly approximate (the exact
-    * path is q125's bitmap rewrite), so there is no SQL oracle: the driver
-    * records rows-only, and `EngineSpec` pins the accuracy contract
-    * (estimate within 5% of exact; fresh/stale path behavior).
+    * path is q125's bitmap rewrite), so the driver-hashable form is an
+    * accuracy VERDICT: the exact NDV (DuckDB-reproducible) plus a boolean
+    * pinning the sketch estimate within 5% (`EngineSpec` mirrors the
+    * contract). The exact scan exists only for the oracle — Bench times
+    * [[hllDistinctSketchOnly]].
     */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val eng = EngineFixture.get(spark, dir)
@@ -480,6 +493,14 @@ object EngineQueries {
         (abs(col("__ndv_approx") - col("ndv_cust")) <=
           col("ndv_cust") * lit(0.05)).as("hll_ok"))
   }
+
+  /** Bench-time form of q131: serve the distinct estimate from the rollup's
+    * stored sketches alone — the whole point of the HLL rollup is that this
+    * never touches base data.
+    */
+  def hllDistinctSketchOnly(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).rollups.approxDistinct("graft", "orders_dup",
+      Seq("o_orderstatus"), "o_custkey", "ndv_approx")
 
   /** Transparent bucket pruning: the SAME point query as q27, but written as
     * a plain filter over the base scan — no engine lookup API. The

@@ -111,10 +111,12 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("IVF top-k recall vs exact brute force >= 0.6 (q50 accuracy contract)") {
-    // q50 is rows-only at the oracle (the k-means fit isn't SQL-expressible);
-    // pin its accuracy instead: with nprobe=4 of 16 cells the probe touches
-    // ~1/4 of the corpus, and recall@5 against the exact q34 answer must
-    // clear 0.6 — the quality floor that makes the 4x-less-work trade real.
+    // q50's driver oracle pins the same contract as a verdict row (the
+    // k-means fit isn't SQL-expressible, so the recall verdict — not the raw
+    // top-k — is what's oracle-hashed); this spec is the in-repo mirror:
+    // with nprobe=4 of 16 cells the probe touches ~1/4 of the corpus, and
+    // recall@5 against the exact q34 answer must clear 0.6 — the quality
+    // floor that makes the 4x-less-work trade real.
     val dir = "/root/testdata/sf0.01"
     val bf = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -53,6 +53,20 @@ for name in sorted(os.listdir(out_dir)):
         print(f"  [rows-only] {name}: {len(spark_rows)} rows")
         continue
     try:
+        # Physical-type lint (the q32 lesson): DuckDB quietly widens e.g.
+        # sum(BIGINT) to HUGEINT, a type Spark cannot produce — values then
+        # compare equal HERE (python ints) while the DRIVER's value-hash
+        # diverges on physical type. Fail fast on any oracle column whose
+        # type Spark has no counterpart for; the fix is a CAST in the SQL.
+        rel = con.sql(oracle[name])
+        bad = [(c, t) for c, t in zip(rel.columns, map(str, rel.types))
+               if "HUGEINT" in t or t.startswith(("UTINYINT", "USMALLINT",
+                                                  "UINTEGER", "UBIGINT"))]
+        if bad:
+            print(f"✗ {name}: ORACLE TYPE LINT: un-Spark-able column types {bad} "
+                  f"— add CAST(... AS BIGINT/DOUBLE) in the oracle SQL")
+            n_fail += 1
+            continue
         res = con.execute(oracle[name])
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
