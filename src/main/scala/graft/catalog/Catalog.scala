@@ -108,6 +108,14 @@ final case class TableDef(
     bucketType: BucketType = BucketType.Hash,
     bucketColumn: Option[String] = None,
     numBuckets: Int = 1,
+    // reference src/storage.rs:10-15,53: create_table_with_partitions(...,
+    // replication) records a per-tablet replication_factor. Carried here as
+    // declared metadata ONLY — in the Spark world physical redundancy is
+    // owned by the storage layer under the warehouse path (HDFS replication
+    // / S3 durability), and the reference itself stores but never acts on
+    // the field either. Kept so a reference user's table declarations
+    // round-trip losslessly.
+    replication: Int = 1,
     partialUpdate: Boolean = false,
     // Doris sequence column (Unique model): "latest wins" is decided by THIS
     // data column first (then load order as the tiebreak), so out-of-order
@@ -126,6 +134,7 @@ final case class TableDef(
     // widening the neighboring range (Doris DROP PARTITION = metadata now,
     // async delete later)
     droppedPartitions: Seq[PartitionSpec] = Nil) {
+  require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
   sequenceColumn.foreach { sc =>

@@ -778,6 +778,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       s"colocate join requires equal bucket counts; " +
         s"${lt.qualified} has ${lt.numBuckets}, ${rt.qualified} has ${rt.numBuckets}")
     val n = lt.numBuckets
+    // the documented trade, ENFORCED instead of remembered: a colocate join's
+    // parallelism is exactly the bucket count, so an under-bucketed
+    // colocation group quietly wastes the cluster
+    OlapEngine.colocateParallelismWarning(n,
+      spark.sparkContext.defaultParallelism,
+      s"${lt.qualified} ⋈ ${rt.qualified}")
+      .foreach(w => System.err.println(s"[graft] WARN $w"))
     def side(db: String, table: String, td: TableDef): DataFrame = {
       val m = manifest(db, table)
       val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
@@ -926,7 +933,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .parquet(outDir.toString)
 
     val numRows = spark.read.parquet(outDir.toString).count()
-    inputs.foreach(r => m.markStale(r.rowsetId))
+    m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
@@ -997,7 +1004,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .parquet(outDir.toString)
 
     val numRows = spark.read.parquet(outDir.toString).count()
-    suffix.foreach(r => m.markStale(r.rowsetId))
+    m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
@@ -1064,6 +1071,25 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
     entries.map(_.rowsetId)
   }
+}
+
+object OlapEngine {
+  /** A colocate join runs at EXACTLY bucket-count parallelism (that is the
+    * deal: zero shuffle, bucket-local tasks). When the colocation group was
+    * bucketed far below the cluster's slot count, most of the cluster idles
+    * — and nothing in the plan looks wrong. Warn when buckets < slots/4 so
+    * the trade is enforced rather than remembered; the fix is re-bucketing
+    * the group at CREATE TABLE time (bucket count is a write-layout
+    * property, not a query-time knob) or joining through `scan` to let the
+    * shuffle join use every slot.
+    */
+  def colocateParallelismWarning(numBuckets: Int, clusterSlots: Int,
+                                 what: String): Option[String] =
+    if (numBuckets < clusterSlots / 4)
+      Some(s"colocate join $what runs $numBuckets-way (its bucket count) on " +
+        s"a $clusterSlots-slot cluster; re-bucket the colocation group to " +
+        s">= ${clusterSlots / 4} buckets or use a shuffle join via scan()")
+    else None
 }
 
 /** Compaction tier (reference `CompactionType`, src/common.rs:62-63): Base

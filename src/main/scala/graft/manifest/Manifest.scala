@@ -44,9 +44,19 @@ final case class RowsetMeta(
   * concurrent readers pin a consistent manifest version for a whole query —
   * the analogue of the reference's tablet write lock (src/tablet.rs:116-128).
   * At 100 TB the physical layout partitions data by (partition dir, bucket
-  * file); a single manifest file per table scales to ~1e5 loads; beyond that
-  * the relDir scheme allows sharding the manifest by table partition without
-  * changing readers.
+  * file); a single manifest file per table scales to ~1e5 loads (~150 bytes
+  * per entry; `ManifestScaleSpec` pins the 10k-publish point at well under
+  * 3 MB and a fast reload). Three mechanisms keep it bounded and cheap:
+  *  - each persist rewrites the WHOLE file, so multi-rowset commits must go
+  *    through [[publishAll]] (one rewrite per BATCH, not per rowset — the
+  *    10k-partition ingest shape);
+  *  - the manifest self-compacts: data compaction marks consumed rowsets
+  *    stale and [[gc]] physically drops them, so steady-state size tracks
+  *    VISIBLE rowsets, not lifetime loads;
+  *  - beyond ~1e5 visible rowsets the relDir scheme allows sharding the
+  *    manifest by table partition (or adopting a Delta-style commit log —
+  *    an append-only edit log + periodic checkpoint) without changing
+  *    readers.
   */
 final class TableManifest(val tableRoot: Path) {
   private implicit val formats: Formats = DefaultFormats
@@ -70,13 +80,25 @@ final class TableManifest(val tableRoot: Path) {
     * persist atomically (reference: src/tablet.rs:116-128, src/storage.rs:79-87).
     * Duplicate rowset ids are rejected, mirroring src/tablet.rs:118-120.
     */
-  def publish(meta: RowsetMeta): Unit = synchronized {
-    require(!rowsets.contains(meta.rowsetId), s"duplicate rowset id ${meta.rowsetId}")
-    rowsets(meta.rowsetId) = meta
-    graph.addEdge(meta.version)
-    maxVersionV = math.max(maxVersionV, meta.version.end)
-    idGen.updateAndGet(cur => math.max(cur, meta.rowsetId))
-    persist()
+  def publish(meta: RowsetMeta): Unit = publishAll(Seq(meta))
+
+  /** Batch publish: N rowsets land as ONE atomic manifest rewrite. Persist
+    * cost is O(total entries) per call, so committing a 10k-partition load
+    * rowset-by-rowset would rewrite the file 10k times (quadratic bytes
+    * written); batching keeps it one rewrite per load. All-or-nothing: ids
+    * are validated before any mutation.
+    */
+  def publishAll(metas: Seq[RowsetMeta]): Unit = synchronized {
+    val dup = metas.map(_.rowsetId).diff(metas.map(_.rowsetId).distinct) ++
+      metas.map(_.rowsetId).filter(rowsets.contains)
+    require(dup.isEmpty, s"duplicate rowset id ${dup.head}")
+    metas.foreach { meta =>
+      rowsets(meta.rowsetId) = meta
+      graph.addEdge(meta.version)
+      maxVersionV = math.max(maxVersionV, meta.version.end)
+      idGen.updateAndGet(cur => math.max(cur, meta.rowsetId))
+    }
+    if (metas.nonEmpty) persist()
   }
 
   /** Snapshot resolution: rowsets exactly covering `[lo, hi]`
@@ -97,14 +119,25 @@ final class TableManifest(val tableRoot: Path) {
   /** Mark stale + drop its version edge; physical delete deferred to GC
     * (reference: src/tablet.rs:155-165).
     */
-  def markStale(rowsetId: Long): Unit = synchronized {
-    rowsets.get(rowsetId).foreach { r =>
-      if (r.state == RowsetState.Visible) {
-        rowsets(rowsetId) = r.copy(state = RowsetState.Stale)
-        graph.removeEdge(r.version)
-        persist()
+  def markStale(rowsetId: Long): Unit = markStaleAll(Seq(rowsetId))
+
+  /** Batch stale-marking: compaction retires ALL its input rowsets in one
+    * manifest rewrite (same rationale as [[publishAll]] — persist cost is
+    * O(total entries) per call, so per-rowset persists over a k-input
+    * compaction would rewrite the file k times).
+    */
+  def markStaleAll(rowsetIds: Seq[Long]): Unit = synchronized {
+    var changed = false
+    rowsetIds.foreach { id =>
+      rowsets.get(id).foreach { r =>
+        if (r.state == RowsetState.Visible) {
+          rowsets(id) = r.copy(state = RowsetState.Stale)
+          graph.removeEdge(r.version)
+          changed = true
+        }
       }
     }
+    if (changed) persist()
   }
 
   /** Delete stale rowset directories and drop them from the manifest. */

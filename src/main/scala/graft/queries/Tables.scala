@@ -20,11 +20,27 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Normalize a raw `ts` column to TimestampType, whatever the file had. */
-  private def normalizeTs(tsType: DataType): Column = tsType match {
+  /** Normalize a raw `ts` column to TimestampType, whatever the file had.
+    * Every physical shape the parquet timestamp family can surface as gets an
+    * explicit arm; an UNKNOWN shape fails loudly instead of passing through —
+    * rounds 3→4 lost eight queries to a silent testdata-shape drift, and a
+    * loud error at the one choke point is the difference between a 1-line fix
+    * and a round of red streaming queries.
+    */
+  private[queries] def normalizeTs(tsType: DataType): Column = tsType match {
+    // legacy TIMESTAMP(NANOS) read as raw longs under nanosAsLong: exact
+    // integer DIV (double division loses precision above 2^53 nanos)
     case LongType         => timestamp_micros(expr("ts DIV 1000"))
+    // TIMESTAMP_NTZ (micros or millis — Spark widens millis on read): the
+    // session tz is UTC everywhere, so the wall-clock value is preserved
     case TimestampNTZType => col("ts").cast(TimestampType)
-    case _                => col("ts")
+    // already session-tz TimestampType: INT96 and isAdjustedToUTC=true
+    // MICROS/MILLIS all land here — nothing to normalize
+    case TimestampType    => col("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts has unrecognized physical type $other — teach " +
+        "Tables.normalizeTs this shape rather than letting every " +
+        "downstream events query mis-read it")
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {

@@ -106,6 +106,20 @@ class ColocateJoinSpec extends AnyFunSuite {
     assert(co.count() == 400L)
   }
 
+  test("under-bucketed colocation group warns; adequately-bucketed stays quiet") {
+    // a 4-bucket group on a 32-slot cluster caps the join at 1/8 of the
+    // cluster — exactly the q133 fixture shape; the warning makes the
+    // documented trade enforced instead of remembered
+    assert(OlapEngine.colocateParallelismWarning(4, 32, "t1 ⋈ t2").isDefined)
+    assert(OlapEngine.colocateParallelismWarning(4, 32, "t1 ⋈ t2")
+      .get.contains("4-way"))
+    // >= slots/4 is the documented floor: 8 buckets on 32 slots is fine,
+    // and any bucket count saturates a small cluster
+    assert(OlapEngine.colocateParallelismWarning(8, 32, "t").isEmpty)
+    assert(OlapEngine.colocateParallelismWarning(16, 32, "t").isEmpty)
+    assert(OlapEngine.colocateParallelismWarning(4, 4, "t").isEmpty)
+  }
+
   test("bucket-count mismatch and non-hash bucketing refuse") {
     val eng = engine()
     eng.createTable(TableDef(

@@ -812,4 +812,23 @@ class EngineSpec extends AnyFunSuite {
     assert(reloaded.maxVersion == 1)
     assert(reloaded.visibleRowsets.map(_.rowsetId) == m.visibleRowsets.map(_.rowsetId))
   }
+
+  test("replication factor: declared metadata survives creation and schema evolution") {
+    // reference src/storage.rs:10-15,53 stores a per-tablet replication
+    // factor; here it is carried metadata (the storage layer owns physical
+    // redundancy), and carried means CARRIED — through the catalog and
+    // every td.copy-based evolution op
+    val eng = newEngine()
+    eng.createDatabase("db")
+    eng.createTable(TableDef(db = "db", name = "r",
+      schema = TableSchema(KeysType.Duplicate,
+        Seq(ColumnSpec.key("k", LongType), ColumnSpec.value("v", LongType))),
+      bucketColumn = Some("k"), numBuckets = 1, replication = 3))
+    assert(eng.catalog.getTable("db", "r").get.replication == 3)
+    val evolved = eng.addColumn("db", "r", ColumnSpec.value("w", LongType))
+    assert(evolved.replication == 3)
+    intercept[IllegalArgumentException](TableDef(db = "db", name = "bad",
+      schema = TableSchema(KeysType.Duplicate, Seq(ColumnSpec.key("k", LongType))),
+      replication = 0))
+  }
 }

@@ -90,6 +90,26 @@ class BucketPruneSpec extends AnyFunSuite {
     assert(eng.scan("db", "t").filter(col("k") < 10L).count() == 10L)
   }
 
+  test("non-literal equality on the bucket key does not prune") {
+    val eng = engine(buckets = 8)
+    // k === v is an equality ON the registered key, but the comparand is a
+    // COLUMN — no literal to route, so the rewrite must not fire (a misfire
+    // here would read one arbitrary bucket and silently drop rows)
+    val q = eng.scan("db", "t").filter(col("k") === col("v"))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(0L)) // v = k*10, equal only at 0
+    assert(filesRead(eng.scan("db", "t").filter(col("k") === col("v"))) == 16L)
+  }
+
+  test("top-level disjunction with a non-key arm does not prune") {
+    val eng = engine(buckets = 8)
+    // k = 5 OR v = 1230: the v-arm can match rows in ANY bucket, so pruning
+    // to k=5's bucket would lose the k=123 row the v-arm selects
+    val q = eng.scan("db", "t").filter(col("k") === 5L || col("v") === 1230L)
+    assert(q.collect().map(_.getLong(0)).toSet == Set(5L, 123L))
+    assert(filesRead(eng.scan("db", "t")
+      .filter(col("k") === 5L || col("v") === 1230L)) == 16L)
+  }
+
   test("pruning composes with the merge-on-read path (Unique model)") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-bp-uq-"))
     eng.createDatabase("db")

@@ -120,6 +120,18 @@ class PartitionPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("non-literal comparison on the partition column does not prune") {
+    val eng = engine()
+    // the comparand is an EXPRESSION over columns, not a literal — there is
+    // no interval to route, so the rewrite must leave the scan whole (a
+    // misfire would pick some partition subset and drop rows). substring
+    // reproduces d exactly, so the filter is a row-preserving identity.
+    val q = eng.scan("db", "t").filter(col("d") === substring(col("d"), 1, 10))
+    assert(q.count() == 90L)
+    assert(filesRead(eng.scan("db", "t")
+      .filter(col("d") === substring(col("d"), 1, 10))) == 6L)
+  }
+
   test("non-partition filters and unsafe column types do not prune") {
     val eng = engine()
     assert(filesRead(eng.scan("db", "t").filter(col("v") > 100L)) == 6L)

@@ -347,6 +347,16 @@ class RollupRewriteSpec extends AnyFunSuite {
       (s"g$g", ids(g).map(_.toLong).sum, ids(g).size.toLong)))
   }
 
+  test("grouping by a non-rollup column does not rewrite") {
+    val eng = fixture()
+    // rollup dims = (grp); grouping by k isn't derivable from the stored
+    // groups — the rewrite must stay off and the base scan must answer
+    val q = eng.scan("db", "t").groupBy(col("k")).agg(sum(col("v")).as("s_v"))
+    assert(!usesRollup(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.count() == 100L)
+    assert(q.collect().map(_.getLong(1)).sum == (0 until 100).map(_.toLong).sum)
+  }
+
   test("non-re-aggregable shapes are left alone") {
     val eng = fixture()
     // avg: not in the rollup closure
