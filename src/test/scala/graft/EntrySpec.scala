@@ -18,4 +18,12 @@ class EntrySpec extends AnyFunSuite {
     // and no oracle refers to a non-existent query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("bench variants shadow real query keys and run") {
+    // a typo'd key here would silently bench the verdict form again
+    assert((SparkEntry.benchVariants.keySet -- SparkEntry.queries.keySet).isEmpty)
+    SparkEntry.benchVariants.foreach { case (name, fn) =>
+      assert(fn(SparkTestSession.spark, "/root/testdata/sf0.001").count() > 0, name)
+    }
+  }
 }
