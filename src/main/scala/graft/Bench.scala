@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", FastTmp.dir)
+      // ~560 query executions in one big-heap JVM: without periodic driver
+      // GC the ContextCleaner never learns its shuffles/broadcasts are dead,
+      // and the accumulated state skews late-alphabet queries by seconds
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -236,7 +236,7 @@ object StreamingQueries {
     * customer dimension per micro-batch (stateless — the standard enrichment
     * topology), then the per-nation aggregation runs INSIDE the stream
     * (Complete mode), so only ~|nation| aggregated rows ever reach the
-    * driver-side memory sink — never the raw joined stream. At scale the dim
+    * sink — never the raw joined stream. At scale the dim
     * refreshes per batch and the broadcast keeps the join shuffle-free; the
     * only shuffle is the 25-key aggregation.
     */
