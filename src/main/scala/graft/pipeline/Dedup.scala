@@ -80,16 +80,38 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** Cap a candidate-bucket frame at `cap` members per bucket by DROPPING
+    * hot buckets whole (anti-join on the oversized keys). This is the
+    * standard LSH skew guard at corpus scale: a bucket with thousands of
+    * members is boilerplate (licence headers, templates) whose pairs are
+    * found by exact dedup anyway, and pairing within it is quadratic — one
+    * hot bucket can dominate the whole job. Dropping (not sampling) keeps
+    * the semantics crisp: pairs are complete for every bucket ≤ cap. NOT a
+    * silent cap — callers opt in per query, and the dropped-bucket count is
+    * observable via `bucketSizes(df).filter(_ > cap)`.
+    */
+  private[pipeline] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                   cap: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+      .select(keys.map(col): _*)
+    // hot-bucket keys are FEW by construction (each covers > cap docs), so
+    // the anti-join broadcasts them — no extra shuffle of the banded frame
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
     *
     * Pipeline: signature → split into `bands` bands of `rowsPerBand` →
     * explode → shuffle on (band, bandHash) → pairs within bucket → distinct →
     * exact Jaccard verify on the shingle sets. Only bucket-mates are ever
-    * paired, so no O(n^2) stage exists.
+    * paired, so no O(n^2) stage exists — except inside a single pathological
+    * bucket, which `maxBucket` guards (None preserves exhaustive semantics;
+    * the driver-checked q31 runs uncapped, a 100 TB run sets a cap).
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     // banded signatures: the self-join references this subtree twice, and
     // every invocation reuses it — cached like any LSH index
     val banded = cachedDf(dir, s"minhash-banded-$k-$bands-$rowsPerBand") {
@@ -101,7 +123,8 @@ object Dedup {
                 .cast("array<string>"))))).as(Seq("band", "bh")))
     }
 
-    val cand = banded.as("x").join(banded.as("y"),
+    val capped = maxBucket.fold(banded)(capBuckets(banded, Seq("band", "bh"), _))
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -194,12 +217,16 @@ object Dedup {
 
   /** Word-set (1-gram) Jaccard similarity for pairs sharing a 20-char prefix
     * block — the SQL-expressible exact near-dup check (oracle-verified);
-    * the blocking key bounds the join fan-out.
+    * the blocking key bounds the join fan-out. `maxBlock` is the same skew
+    * guard as [[minhashLsh]]'s `maxBucket`: a hot prefix block (shared
+    * boilerplate opening) pairs quadratically; a 100 TB run caps it.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val d = graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                   maxBlock: Option[Int] = None): DataFrame = {
+    val keyed = graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
       substring(lower(col("text")), 1, 20).as("blk"),
       array_distinct(wordsCol(col("text"))).as("ws"))
+    val d = maxBlock.fold(keyed)(capBuckets(keyed, Seq("blk"), _))
     d.as("a").join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", size(array_intersect(col("a.ws"), col("b.ws"))))

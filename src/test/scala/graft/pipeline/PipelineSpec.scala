@@ -32,6 +32,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(shared > 16, s"near-dup docs shared only $shared/32 minima")
   }
 
+  test("capBuckets drops exactly the over-cap buckets, keeps the rest whole") {
+    import spark.implicits._
+    // bucket 'hot' has 4 members (pathological boilerplate), 'warm' 2, 'cold' 1
+    val banded = Seq(
+      (0L, "hot"), (1L, "hot"), (2L, "hot"), (3L, "hot"),
+      (4L, "warm"), (5L, "warm"),
+      (6L, "cold")
+    ).toDF("doc_id", "bh")
+    val capped = Dedup.capBuckets(banded, Seq("bh"), cap = 3)
+      .select(col("doc_id"), col("bh"))
+      .as[(Long, String)].collect().toSet
+    assert(capped == Set((4L, "warm"), (5L, "warm"), (6L, "cold")))
+    // cap above every bucket size = identity
+    assert(Dedup.capBuckets(banded, Seq("bh"), cap = 10).count() == 7)
+    // the capped LSH path still finds the corpus's near-dups when no bucket
+    // is actually hot (cap binds nothing -> same pairs as uncapped q31)
+    val dir = "/root/testdata/sf0.001"
+    val uncapped = Dedup.minhashLsh(spark, dir).collect().map(_.toString).toSet
+    val guarded = Dedup.minhashLsh(spark, dir, maxBucket = Some(1000))
+      .collect().map(_.toString).toSet
+    assert(guarded == uncapped)
+  }
+
   test("simhash: deterministic, equal for equal texts, near for near-dups") {
     import spark.implicits._
     val sh = df.select(col("doc_id"), Dedup.simhashCol(col("text")).as("h"))
