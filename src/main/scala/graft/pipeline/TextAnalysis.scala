@@ -198,6 +198,46 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
       .select(col("word"), col("df"), col("postings").cast("string").as("postings"))
 
+  /** Bigram language-model quality score — perplexity filtering, the classic
+    * statistical quality gate of training-data pipelines (docs whose average
+    * bigram log-probability under a corpus-trained LM is far below the norm
+    * are boilerplate, OCR noise, or spam). The "LM" is the corpus's own
+    * add-one-smoothed bigram model: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    *
+    * Scale shapes: bigram construction is a per-row zip_with (no shuffle);
+    * the count tables shuffle on the bigram/word key (Zipf-hot keys are
+    * count-lookups AQE skew-splits fine); the vocabulary size is a 1-row
+    * broadcast. Determinism follows bm25TopK: each per-bigram ln rounds to 8
+    * decimals into DECIMAL(18,8), the per-doc sum is exact decimal (order-
+    * independent), and ONE double division + round(4) closes it out.
+    */
+  def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val d = graft.operators.MapWidth.widen(docs(spark, dir))
+      .select(col("doc_id"),
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"),
+        ws.as("ws"))
+    val uni = d.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val big = d.select(explode(col("bg")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    d.select(col("doc_id"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(1)).cast("double") /
+          (col("cu") + col("vocab")).cast("double")), 8)
+          .cast("decimal(18,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
   /** Lexical diversity per document: type-token ratio and Gini-Simpson index
     * (1 - sum p_i^2). Simpson instead of Shannon entropy because it needs no
     * log — logs are libm-dependent and would break cross-engine bit equality;
@@ -221,6 +261,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "q140_bigram_quality" -> ((s: SparkSession, d: String) => bigramQuality(s, d)),
     "q98_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
     "q100_doc_diversity" -> ((s: SparkSession, d: String) => diversity(s, d)),
     "q85_tfidf" -> ((s: SparkSession, d: String) => tfidf(s, d)),
@@ -233,6 +274,26 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same smoothed-bigram model recomputed from scratch: bigrams keep
+    // duplicates (no list_distinct), ln on identical integer-ratio inputs,
+    // per-bigram round(8) -> DECIMAL(18,8) exact sum -> one double divide
+    "q140_bigram_quality" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+        |       FROM w),
+        |uni AS (SELECT unnest(ws) AS w1 FROM w),
+        |cu AS (SELECT w1, count(*) AS cu FROM uni GROUP BY w1),
+        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |v AS (SELECT count(DISTINCT w1) AS vocab FROM uni),
+        |lp AS (SELECT doc_id,
+        |         CAST(round(ln((cb.cb + 1.0) / (cu.cu + v.vocab)), 8) AS DECIMAL(18,8)) AS lp
+        |       FROM bg JOIN cb USING (b)
+        |       JOIN cu ON cu.w1 = split_part(bg.b, ' ', 1)
+        |       CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id""".stripMargin,
     "q118_bm25_topk" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
