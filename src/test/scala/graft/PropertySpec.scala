@@ -57,6 +57,36 @@ class PropertySpec extends AnyFunSuite {
     }, 200)
   }
 
+  test("property: batch manifest ops equal their sequential forms") {
+    import graft.manifest.{RowsetMeta, TableManifest}
+    // arbitrary contiguous version chains with an arbitrary stale subset:
+    // publishAll + markStaleAll must land the exact state the one-at-a-time
+    // ops produce (visible set, maxVersion, covering resolution)
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      stale <- Gen.someOf(1 to n)
+    } yield (n, stale.toSet)
+    check(Prop.forAll(gen) { case (n, stale) =>
+      def metas = (1 to n).map(i =>
+        RowsetMeta(i.toLong, Version(i.toLong, i.toLong), s"r$i", 10L))
+      val seqRoot = java.nio.file.Files.createTempDirectory("graft-prop-seq-")
+      val batRoot = java.nio.file.Files.createTempDirectory("graft-prop-bat-")
+      val seq = new TableManifest(seqRoot)
+      metas.foreach(seq.publish)
+      stale.foreach(i => seq.markStale(i.toLong))
+      val bat = new TableManifest(batRoot)
+      bat.publishAll(metas)
+      bat.markStaleAll(stale.toSeq.map(_.toLong))
+      def state(m: TableManifest) = (
+        m.maxVersion,
+        m.visibleRowsets.map(_.rowsetId).sorted,
+        if (stale.isEmpty) m.captureConsistentVersions(1L, n.toLong).map(_.rowsetId).sorted
+        else Seq.empty[Long])
+      state(seq) == state(bat) &&
+        state(new TableManifest(seqRoot)) == state(new TableManifest(batRoot))
+    }, 60)
+  }
+
   /** The reference's 8-type parity surface (SURVEY.md §1.2): Int8..Int64,
     * Float32/64, Varchar, Date — random rows incl. nulls survive a routed
     * engine write and merge-free scan exactly.
