@@ -232,6 +232,36 @@ object StreamingQueries {
       .groupBy(col("event_type")).agg(sum(col("n")).as("n"))
   }
 
+  /** Bounded-state streaming dedup — the PRODUCTION form of q61: with a
+    * watermark, `dropDuplicatesWithinWatermark` evicts a key's state once
+    * the watermark passes its event time + delay, so state is bounded by the
+    * stream's rate × horizon instead of growing with total distinct keys
+    * forever (the unbounded-state form cannot run indefinitely at 100 TB/day;
+    * this one can). The doubled input's duplicates arrive together — well
+    * inside any horizon — so the result equals exact dedup, which is what
+    * the oracle pins.
+    */
+  def streamDedupBounded(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, 4) {
+    val doubled = graft.queries.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .drop("copy")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = drainedSink("q141", dir) { (ckpt, outDir) =>
+      doubled.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    spark.read.parquet(sink)
+      .groupBy(col("event_type")).agg(sum(col("n")).as("n"))
+  }
+
   /** Stream-static enrichment join: the events stream joins a broadcast
     * customer dimension per micro-batch (stateless — the standard enrichment
     * topology), then the per-nation aggregation runs INSIDE the stream
@@ -380,6 +410,7 @@ object StreamingQueries {
     "q82_stream_stream_join" -> ((s: SparkSession, d: String) => streamStreamJoin(s, d)),
     "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
+    "q141_stream_dedup_bounded" -> ((s: SparkSession, d: String) => streamDedupBounded(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
@@ -425,6 +456,10 @@ object StreamingQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
     "q61_stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    // duplicates arrive inside the watermark horizon, so bounded-state
+    // dedup equals exact dedup
+    "q141_stream_dedup_bounded" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "q42_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
