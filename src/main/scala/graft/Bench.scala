@@ -35,19 +35,42 @@ object Bench {
       val q = SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))
       val t0 = System.nanoTime()
       try { q(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case t: Throwable =>
+          // -1.0 is the driver protocol for "red"; the exception itself must
+          // still reach the log or an OOM/IO failure is undiagnosable from
+          // the bench tail alone
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // warm-up (fixture build + JIT); result discarded
     names.foreach(runOnce)
+    // Machine-health canary (BASELINE.md protocol): q39 is a trivial,
+    // never-changed map-side query; its first/last timings bracket the run so
+    // every BENCH_r*.json is self-describing about host noise. A cross-round
+    // delta on some query only means something if the canaries agree.
+    val canary = "q39_token_counts"
+    val canaryFirst = if (names.contains(canary)) runOnce(canary) else -1.0
     val results = names.map { n =>
       val times = (1 to 3).map(_ => runOnce(n)).sorted
       n -> times(1) // median
     }
+    val canaryLast = if (names.contains(canary)) runOnce(canary) else -1.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Self-describing timed shape: queries where the benchmarked plan is NOT
+    // the oracle-verdict form (sketch-only stand-ins, warm-restart streaming
+    // drains) are labeled so the headline number can't silently overstate.
+    val variantOf: String => Option[String] = n =>
+      if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
+      else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
+      else None
+    val variants = names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\""))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"variants":$variants,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

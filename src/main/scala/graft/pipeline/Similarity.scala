@@ -312,8 +312,11 @@ object Similarity {
     * (cast to DOUBLE[] to match our double math). The LSH variants are ALSO
     * fully oracle-checked: the md5-derived hyperplanes mean DuckDB can rebuild
     * the identical signatures, bucket join, and exact re-rank in SQL — the
-    * oracle reimplements the algorithm, it does not approximate it. IVF stays
-    * rows-only (k-means fit is not SQL-expressible).
+    * oracle reimplements the algorithm, it does not approximate it. IVF (q50)
+    * is an oracle-HASHED recall verdict: DuckDB can't run the k-means fit,
+    * but the query emits the audit verdict (recall@5 >= 0.6 vs the exact
+    * baseline computed Spark-side) and the oracle pins that exact verdict
+    * row, so a recall regression flips a hash-checked value — not rows-only.
     */
   private def lshSigSql(nBits: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $nBits), p ->

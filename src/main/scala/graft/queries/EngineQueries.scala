@@ -282,9 +282,11 @@ object EngineQueries {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
   }
 
-  /** Bucket routing visibility: rows per (partition, bucket) — FNV-1a fidelity
-    * is covered by unit tests; no SQL oracle (DuckDB cannot express FNV-1a),
-    * so the driver records a rows-only check.
+  /** Bucket routing visibility: rows per (partition, bucket). FNV-1a fidelity
+    * is covered by unit tests AND by the driver oracle: DuckDB rebuilds the
+    * identical FNV-1a over UTF-8 bytes via a per-character HUGEINT fold (see
+    * the q26 oracle in `oracles` below; BASELINE.md round-2 notes), so this is
+    * a full hash-verified row — not rows-only.
     */
   def bucketLayout(spark: SparkSession, dir: String): DataFrame = {
     val eng = EngineFixture.get(spark, dir)
