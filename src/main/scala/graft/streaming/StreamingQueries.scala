@@ -32,13 +32,59 @@ object StreamingQueries {
   private val drainCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
+  /** Every temp dir this object creates, deleted at JVM exit so repeated
+    * local runs don't accumulate checkpoint/sink litter.
+    */
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach(d => deleteRecursively(new java.io.File(d)))))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Fixture hook: drop all cached drains (and the q104 arrival layout) and
+    * delete their directories. Needed whenever the data under a previously
+    * drained dir is REGENERATED within the same JVM — the cache is keyed by
+    * (query, dir) only, so without this it would keep serving the first
+    * generation's drained sink.
+    */
+  def clearDrains(): Unit = {
+    drainCache.values.foreach { case (ckpt, sink) =>
+      deleteRecursively(new java.io.File(ckpt))
+      deleteRecursively(new java.io.File(sink))
+    }
+    drainCache.clear()
+    lateLayoutCache.values.foreach(d => deleteRecursively(new java.io.File(d)))
+    lateLayoutCache.clear()
+  }
+
   private def drainedSink(key: String, dir: String)(
       start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): String = {
     val (ckpt, sink) = drainCache.getOrElseUpdate((key, dir), {
-      (java.nio.file.Files.createTempDirectory(s"graft-ckpt-$key-").toString,
-        java.nio.file.Files.createTempDirectory(s"graft-sink-$key-").toString)
+      val c = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$key-").toString
+      val s = java.nio.file.Files.createTempDirectory(s"graft-sink-$key-").toString
+      tempDirs.add(c); tempDirs.add(s)
+      (c, s)
     })
-    start(ckpt, sink).awaitTermination()
+    // A drain that dies mid-batch leaves a checkpoint that will REPLAY that
+    // batch on the next start. The foreachBatch sinks are replay-idempotent
+    // (bid-keyed overwrite / read-time dedupe), but a failure can still mean
+    // the pair is unusable (corrupt checkpoint, partial sink metadata) — so
+    // on any throw, evict and delete both dirs: the next invocation re-drains
+    // from scratch instead of inheriting poisoned state for the JVM's life.
+    try start(ckpt, sink).awaitTermination()
+    catch {
+      case t: Throwable =>
+        drainCache.remove((key, dir))
+        deleteRecursively(new java.io.File(ckpt))
+        deleteRecursively(new java.io.File(sink))
+        throw t
+    }
     sink
   }
 
@@ -218,12 +264,17 @@ object StreamingQueries {
       .withColumn("copy", explode(array(lit(1), lit(2))))
       .drop("copy")
       .dropDuplicates("event_id")
+    // Partial counts land in a __bid=<batchId> subpath with OVERWRITE: if a
+    // drain dies after writing files but before the batch commits, the
+    // checkpoint replays the same batch id and the rewrite replaces — not
+    // double-appends — the partials. Partition discovery surfaces __bid as a
+    // column on read; the final sum ignores it.
     val sink = drainedSink("q61", dir) { (ckpt, outDir) =>
       doubled.writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/__bid=$bid")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -248,12 +299,13 @@ object StreamingQueries {
       .drop("copy")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+    // bid-keyed overwrite sink: replay-idempotent (see q61)
     val sink = drainedSink("q141", dir) { (ckpt, outDir) =>
       doubled.writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/__bid=$bid")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -313,15 +365,16 @@ object StreamingQueries {
     val joined = clicks.join(purchases,
       expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 24 HOURS"))
     // Matched pairs are folded to per-user partial counts on the executors in
-    // each micro-batch (`foreachBatch`) and appended to a file sink; the
-    // driver only ever sees the final per-user sums. Append-mode inner join
-    // emits each pair exactly once, so summing partials is exact.
+    // each micro-batch (`foreachBatch`) and written to a __bid=<batchId>
+    // subpath with OVERWRITE (replay-idempotent — see q61); the driver only
+    // ever sees the final per-user sums. Append-mode inner join emits each
+    // pair exactly once, so summing partials is exact.
     val sink = drainedSink("q82", dir) { (ckpt, outDir) =>
       joined.writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           batch.groupBy(col("c_user")).agg(count(lit(1)).as("n"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/__bid=$bid")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -362,6 +415,7 @@ object StreamingQueries {
         mx.toInstant.truncatedTo(ChronoUnit.HOURS).minus(2, ChronoUnit.HOURS))
 
       val sd = Files.createTempDirectory("graft-late-stream-")
+      tempDirs.add(sd.toString)
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
         val tmp = Files.createTempDirectory("graft-late-part-")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
