@@ -91,14 +91,45 @@ object Dedup {
     * observable via `bucketSizes(df).filter(_ > cap)`.
     */
   private[pipeline] def capBuckets(banded: DataFrame, keys: Seq[String],
-                                   cap: Int): DataFrame = {
+                                   cap: Int,
+                                   hotBroadcastLimit: Long = 100000L): DataFrame = {
+    require(cap >= 1, s"capBuckets cap must be >= 1, got $cap")
     val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
       .select(keys.map(col): _*)
-    // hot-bucket keys are FEW by construction (each covers > cap docs), so
-    // the anti-join broadcasts them — no extra shuffle of the banded frame
-    banded.join(broadcast(hot), keys, "left_anti")
+      // eager local checkpoint: materialized once, reused by both the count
+      // below and the anti-join — no second pass over `banded`
+      .localCheckpoint(true)
+    // Hot-bucket keys are USUALLY few (each covers > cap docs) — but "few"
+    // is an assumption the caller's cap controls: a tiny cap over a
+    // boilerplate-heavy corpus can make the hot set a large fraction of all
+    // keys, and force-broadcasting it would OOM the driver. Count first (the
+    // frame is already materialized, so this is free) and only broadcast
+    // under the limit; past it, degrade to a shuffle anti-join.
+    val nHot = hot.count()
+    if (nHot <= hotBroadcastLimit) banded.join(broadcast(hot), keys, "left_anti")
+    else banded.join(hot, keys, "left_anti")
   }
+
+  /** Skew-guard observability (the data the `maxBucket`/`maxBlock` guards
+    * act on, surfaced as a query): the bucket-size histogram over q33's
+    * Jaccard blocking key, with the capBuckets drop verdict at `cap` as a
+    * column. A guard that silently drops 40% of candidate mass is a recall
+    * incident at 100 TB — this makes the dropped-bucket count a monitorable
+    * fact, not a suggestion in a docstring (the same observability gap the
+    * reference left in its never-consulted indexes, SURVEY §2.3). The LSH
+    * band buckets go through the identical capBuckets path; this audit keys
+    * on the blocking key DuckDB can reproduce, so the histogram is
+    * hash-verified rather than rows-only.
+    */
+  def skewAudit(spark: SparkSession, dir: String, cap: Int = 2): DataFrame =
+    docs(spark, dir)
+      .groupBy(substring(lower(col("text")), 1, 20).as("blk"))
+      .agg(count(lit(1)).as("bsize"))
+      .groupBy(col("bsize"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("bsize")).as("n_docs"))
+      .select(col("bsize"), col("n_buckets"), col("n_docs"),
+        (col("bsize") > cap).as("dropped"))
 
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
     *
@@ -386,9 +417,16 @@ object Dedup {
     "q32_dedup_simhash" -> ((s: SparkSession, d: String) => simhashGroups(s, d)),
     "q33_dedup_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "q123_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "q142_skew_audit" -> ((s: SparkSession, d: String) => skewAudit(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_skew_audit" ->
+      """WITH b AS (SELECT substr(lower(text), 1, 20) AS blk, count(*) AS bsize
+        |           FROM documents GROUP BY blk)
+        |SELECT bsize, count(*) AS n_buckets, CAST(sum(bsize) AS BIGINT) AS n_docs,
+        |       bsize > 2 AS dropped
+        |FROM b GROUP BY bsize""".stripMargin,
     // Brute-force 3-shingle Jaccard over ALL pairs: the LSH banding
     // (8 bands × 4 rows over 32 minhashes) has verified 100% recall at
     // threshold 0.5 on this corpus at sf0.001/0.01/0.1 (the s-curve
