@@ -51,6 +51,22 @@ object ScaleProbe {
     out.toString
   }
 
+  /** Probe-only query shapes beyond the driver surface: the dedup skew
+    * guards ENGAGED (the driver-checked q31/q33 run uncapped to keep
+    * exhaustive semantics; a 100 TB run sets a cap). Dup-heavy replication
+    * makes every text a 100-member exact-dup cluster, so every LSH bucket /
+    * Jaccard block is hot: uncapped pays the quadratic within-bucket pair
+    * cost, capped drops the hot buckets whole (their pairs are exact dups a
+    * linear groupBy already finds — see q30) — the probe quantifies exactly
+    * that bound.
+    */
+  private val probeVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_capped50" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Dedup.minhashLsh(s, d, maxBucket = Some(50))),
+    "q33_capped50" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, maxBlock = Some(50))),
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -73,7 +89,8 @@ object ScaleProbe {
     val dir = replicate(spark, sfDir, factor)
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      val q = probeVariants.getOrElse(name, SparkEntry.queries(name))
+      q(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(runOnce) // warm-up

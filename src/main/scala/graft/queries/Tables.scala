@@ -72,9 +72,16 @@ object Tables {
   def eventsStreamDir(dir: String): String =
     streamDirCache.getOrElseUpdate(dir, {
       val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream-")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        // Spark-written table (e.g. a ScaleProbe replica): the file stream
+        // source does not recurse through a symlinked DIRECTORY, so link
+        // each part file individually — zero data copies either way
+        java.nio.file.Files.list(src).filter(_.toString.endsWith(".parquet"))
+          .forEach(p => java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(p.getFileName), p))
+      } else
+        java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
       streamDir.toString
     })
 
