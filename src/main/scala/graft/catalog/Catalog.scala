@@ -88,6 +88,45 @@ object PartitionPolicy {
   }
 }
 
+/** Stale-rowset retention policy: how long superseded rowsets (retired by
+  * compaction / DELETE) stay on disk serving wall-clock time travel before
+  * GC may physically delete them. The reference marks rowsets stale but
+  * defers physical delete FOREVER (src/tablet.rs:155-165) — at 100 TB that
+  * is an unbounded-disk bug an operator has to remember to fix by hand;
+  * a declared window makes the trade explicit and self-enforcing (automated
+  * policies GC opportunistically after each compaction/delete).
+  */
+sealed trait Retention {
+  /** Automated policies enforce themselves after every compaction/delete;
+    * Manual/Forever only act when the operator calls gc().
+    */
+  def automated: Boolean = false
+}
+object Retention {
+  /** Current-behavior default: gc() on demand deletes ALL stale rowsets
+    * (no time-travel guarantee once called).
+    */
+  case object Manual extends Retention
+  /** Never physically delete — the reference's (bug-shaped) behavior,
+    * available where an external vacuum owns deletion.
+    */
+  case object Forever extends Retention
+  /** Keep retired rowsets for `ms` wall-clock milliseconds past retirement;
+    * time travel inside the window is guaranteed, beyond it fails loudly.
+    */
+  final case class KeepMs(ms: Long) extends Retention {
+    require(ms >= 0, s"retention window must be >= 0 ms, got $ms")
+    override def automated: Boolean = true
+  }
+  /** Keep retired rowsets still inside the last `n` published versions;
+    * older history is GC-eligible.
+    */
+  final case class KeepVersions(n: Int) extends Retention {
+    require(n >= 1, s"retention must keep >= 1 version, got $n")
+    override def automated: Boolean = true
+  }
+}
+
 /** Full table definition: schema + placement
   * (reference: src/table.rs:11-16 + src/partition.rs:71-79).
   *
@@ -116,6 +155,9 @@ final case class TableDef(
     // the field either. Kept so a reference user's table declarations
     // round-trip losslessly.
     replication: Int = 1,
+    // stale-rowset retention window for wall-clock time travel (see
+    // [[Retention]]); Manual preserves the pre-policy gc() semantics
+    retention: Retention = Retention.Manual,
     partialUpdate: Boolean = false,
     // Doris sequence column (Unique model): "latest wins" is decided by THIS
     // data column first (then load order as the tiebreak), so out-of-order

@@ -617,9 +617,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * pushdown-through-union constant-folds it away for rowsets newer than the
     * delete and pushes `NOT pred` into the parquet scan of older ones.
     */
-  private def rawSnapshot(db: String, table: String, lo: Long, hi: Long): DataFrame = {
-    val m = manifest(db, table)
-    val rowsets = m.captureConsistentVersions(lo, hi)
+  private def rawSnapshot(db: String, table: String, lo: Long, hi: Long): DataFrame =
+    rawFromRowsets(db, table, manifest(db, table).captureConsistentVersions(lo, hi))
+
+  /** Raw union over an EXPLICIT rowset set — the shared body of version-range
+    * snapshots and wall-clock as-of reads (whose set may include retained
+    * stale rowsets a visible-graph resolution can't reach).
+    */
+  private def rawFromRowsets(db: String, table: String,
+                             rowsets: Seq[RowsetMeta]): DataFrame = {
     val (markers, data) = rowsets.partition(_.isDeleteMarker)
     val root = tableRoot(db, table)
     if (data.isEmpty) {
@@ -667,23 +673,34 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
-  /** Time travel: snapshot as of a wall-clock instant — the highest version
-    * whose rowset was published at or before `asOfMs`. Works over retained
-    * (non-GC'd) rowsets; compaction preserves publication order, so the
-    * resolution is the version range [minStart, maxEnd] of qualifying
-    * rowsets (publication timestamps are recorded in the manifest,
-    * cf. reference `creation_time`, src/meta.rs:95-98).
+  /** Time travel: snapshot as of a wall-clock instant — exactly the rowsets
+    * that were VISIBLE at `asOfMs` (published at or before it, not yet
+    * retired at it). Because retired rowsets keep serving until the table's
+    * [[graft.catalog.Retention]] window lets GC drop them, time travel works
+    * ACROSS compactions and deletes inside the window; beyond the window
+    * (anything older than the persisted GC floor) it fails loudly instead of
+    * silently returning a wrong or empty snapshot. (Publication timestamps
+    * complete the reference's recorded-but-unread `creation_time`,
+    * src/meta.rs:95-98.)
     */
   def snapshotAsOf(db: String, table: String, asOfMs: Long): DataFrame = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
     val m = manifest(db, table)
-    val qualifying = m.visibleRowsets.filter(_.createdMs <= asOfMs)
-    if (qualifying.isEmpty) {
-      val td = catalog.getTable(db, table).get
+    if (m.gcFloorMs >= 0 && asOfMs < m.gcFloorMs)
+      throw new IllegalStateException(
+        s"time travel to $asOfMs is beyond the retention window of " +
+          s"$db.$table: rowsets retired before ${m.gcFloorMs} have been " +
+          s"garbage-collected (retention=${td.retention})")
+    val qualifying = m.rowsetsAsOf(asOfMs)
+    if (qualifying.filterNot(_.isDeleteMarker).isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.schema.toStructType)
+    val raw = rawFromRowsets(db, table, qualifying)
+    td.schema.keysType match {
+      case KeysType.Duplicate => raw.transform(projectDeclared(td))
+      case _ => MergeView(td, raw, VersionCol, SeqCol)
     }
-    snapshot(db, table,
-      qualifying.map(_.version.start).min, qualifying.map(_.version.end).max)
   }
 
   /** Full-table scan at the latest visible snapshot. */
@@ -960,6 +977,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // physically gone from every live rowset, so their names free up
     if (td.droppedColumns.nonEmpty)
       catalog.alterTable(catalog.getTable(db, table).get.copy(droppedColumns = Nil))
+    autoGc(db, table)
     meta
   }
 
@@ -1027,13 +1045,43 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
+    autoGc(db, table)
     meta
   }
 
-  /** Physically delete stale rowsets (deferred GC, reference V6 prep
-    * src/tablet.rs:155-165).
+  /** Physically delete stale rowsets the table's retention policy allows
+    * (deferred GC, reference V6 prep src/tablet.rs:155-165 — improved: the
+    * reference defers physical delete forever). `nowMs` is injectable so
+    * specs can step the clock past a window deterministically.
+    *  - Manual: delete all stale (pre-policy semantics).
+    *  - Forever: delete nothing.
+    *  - KeepMs(t): delete stale retired more than `t` ms before `nowMs`.
+    *  - KeepVersions(n): delete stale whose version range fell out of the
+    *    last `n` published versions.
     */
-  def gc(db: String, table: String): Seq[Long] = manifest(db, table).gc()
+  def gc(db: String, table: String,
+         nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    td.retention match {
+      case Retention.Manual          => m.gc()
+      case Retention.Forever         => Nil
+      case Retention.KeepMs(t)       =>
+        m.gc(r => r.staleMs.exists(_ <= nowMs - t))
+      case Retention.KeepVersions(n) =>
+        val floor = m.maxVersion - n + 1
+        m.gc(r => r.version.end < floor)
+    }
+  }
+
+  /** Automated retention policies enforce themselves wherever rowsets get
+    * retired — the operator never has to remember to call gc().
+    */
+  private def autoGc(db: String, table: String): Unit =
+    catalog.getTable(db, table).foreach { td =>
+      if (td.retention.automated) gc(db, table): Unit
+    }
 
   // --- backup / restore ------------------------------------------------------
 

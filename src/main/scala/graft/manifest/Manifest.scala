@@ -32,7 +32,12 @@ final case class RowsetMeta(
     numRows: Long,
     state: RowsetState = RowsetState.Visible,
     createdMs: Long = 0L,
-    deletePredicate: Option[String] = None) {
+    deletePredicate: Option[String] = None,
+    // wall-clock instant this rowset was retired (marked stale). Together
+    // with createdMs it reconstructs the visible set AS OF any instant —
+    // the metadata a retention window needs to know which superseded
+    // rowsets still serve time travel and which are safe to delete
+    staleMs: Option[Long] = None) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined
 }
 
@@ -64,6 +69,9 @@ final class TableManifest(val tableRoot: Path) {
   private val rowsets = mutable.LinkedHashMap.empty[Long, RowsetMeta]
   private val graph = new VersionGraph
   private var maxVersionV: Long = -1L
+  // declared BEFORE load() runs: class-body init order would otherwise reset
+  // the loaded floor back to -1 after load() assigned it
+  private var gcFloorV: Long = -1L
   // atomic id allocator: two concurrent ingests must never derive the same
   // rowset id (the write happens before publish's lock is taken)
   private val idGen = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -128,10 +136,11 @@ final class TableManifest(val tableRoot: Path) {
     */
   def markStaleAll(rowsetIds: Seq[Long]): Unit = synchronized {
     var changed = false
+    val now = System.currentTimeMillis()
     rowsetIds.foreach { id =>
       rowsets.get(id).foreach { r =>
         if (r.state == RowsetState.Visible) {
-          rowsets(id) = r.copy(state = RowsetState.Stale)
+          rowsets(id) = r.copy(state = RowsetState.Stale, staleMs = Some(now))
           graph.removeEdge(r.version)
           changed = true
         }
@@ -140,12 +149,36 @@ final class TableManifest(val tableRoot: Path) {
     if (changed) persist()
   }
 
+  /** Rowsets that were VISIBLE as of wall-clock `asOfMs`: published at or
+    * before it, not yet retired at it. The stale set extends time travel
+    * ACROSS compactions/deletes until retention physically drops it.
+    */
+  def rowsetsAsOf(asOfMs: Long): Seq[RowsetMeta] = synchronized {
+    rowsets.values.filter(r =>
+      r.createdMs <= asOfMs && r.staleMs.forall(_ > asOfMs)).toSeq
+  }
+
+  /** Earliest wall-clock instant still safely time-travelable: any retired
+    * rowset physically deleted by GC raises the floor to its retirement
+    * instant (reads BEFORE that instant needed it). -1 = nothing deleted.
+    * Persisted, so the guarantee survives restarts.
+    */
+  def gcFloorMs: Long = synchronized(gcFloorV)
+
   /** Delete stale rowset directories and drop them from the manifest. */
-  def gc(): Seq[Long] = synchronized {
-    val stale = rowsets.values.filter(_.state == RowsetState.Stale).toSeq
+  def gc(): Seq[Long] = gc(_ => true)
+
+  /** Policy-aware GC: delete only stale rowsets the predicate accepts (a
+    * retention window keeps the rest serving time travel). Every deletion
+    * raises [[gcFloorMs]] to the rowset's retirement instant.
+    */
+  def gc(eligible: RowsetMeta => Boolean): Seq[Long] = synchronized {
+    val stale = rowsets.values
+      .filter(r => r.state == RowsetState.Stale && eligible(r)).toSeq
     stale.foreach { r =>
       deleteRecursively(tableRoot.resolve(r.relDir))
       rowsets.remove(r.rowsetId)
+      gcFloorV = math.max(gcFloorV, r.staleMs.getOrElse(r.createdMs))
     }
     if (stale.nonEmpty) persist()
     stale.map(_.rowsetId)
@@ -166,10 +199,13 @@ final class TableManifest(val tableRoot: Path) {
         "end" -> JLong(r.version.end), "relDir" -> JString(r.relDir),
         "numRows" -> JLong(r.numRows), "state" -> JString(r.state.name),
         "createdMs" -> JLong(r.createdMs))
-      r.deletePredicate.fold(base)(p =>
+      val withDel = r.deletePredicate.fold(base)(p =>
         JObject(base.obj :+ ("deletePredicate" -> (JString(p): JValue))))
+      r.staleMs.fold(withDel)(s =>
+        JObject(withDel.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
-    val doc = JObject("maxVersion" -> JLong(maxVersionV), "rowsets" -> JArray(entries.toList))
+    val doc = JObject("maxVersion" -> JLong(maxVersionV),
+      "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
     val tmp = tableRoot.resolve(s"_manifest.json.tmp${Thread.currentThread().getId}")
     Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
@@ -180,6 +216,7 @@ final class TableManifest(val tableRoot: Path) {
     if (Files.exists(manifestPath)) {
       val doc = JsonMethods.parse(Files.readString(manifestPath))
       maxVersionV = (doc \ "maxVersion").extract[Long]
+      gcFloorV = (doc \ "gcFloorMs").extractOpt[Long].getOrElse(-1L)
       (doc \ "rowsets").extract[List[JValue]].foreach { j =>
         val r = RowsetMeta(
           (j \ "rowsetId").extract[Long],
@@ -188,7 +225,8 @@ final class TableManifest(val tableRoot: Path) {
           (j \ "numRows").extract[Long],
           RowsetState.fromName((j \ "state").extract[String]),
           (j \ "createdMs").extract[Long],
-          (j \ "deletePredicate").extractOpt[String])
+          (j \ "deletePredicate").extractOpt[String],
+          (j \ "staleMs").extractOpt[Long])
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible) graph.addEdge(r.version)
