@@ -261,7 +261,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     */
   private def covers(e: Entry, agg: Aggregate, groupAttrs: Seq[AttributeReference],
       scan: ScanMatch.Scan): Boolean = {
-    if (e.version != e.eng.manifest(e.db, e.table).maxVersion) return false
+    if (e.version != e.eng.manifest(e.db, e.table).maxVersion &&
+      !freshForQueriedPartitions(e, scan)) return false
     if (!e.eng.catalog.getTable(e.db, e.table)
       .exists(_.schema.keysType == KeysType.Duplicate)) return false
     val expected = e.eng.coveringDirs(e.db, e.table)
@@ -269,5 +270,56 @@ object RollupRewrite extends Rule[LogicalPlan] {
       groupAttrs.forall(a => e.rd.groupCols.contains(a.name)) &&
       residualFilters(e, scan).exists(
         _.forall(_.references.forall(a => e.rd.groupCols.contains(a.name))))
+  }
+
+  /** Partition-scoped staleness (the per-partition `rollup_indexes`
+    * granularity the reference declares at src/partition.rs:74-75): a load
+    * that landed ONLY in partitions the query excludes does not stale the
+    * rollup FOR THIS QUERY. Holds exactly when:
+    *  - the table is partitioned and the partition column is a rollup dim
+    *    (so the stored rows are partition-scoped and the filter replays);
+    *  - the query pins the partition column to literal value(s) whose owning
+    *    partitions no post-materialization rowset touches (physical
+    *    `__graft_part=` dirs are the ground truth; a DELETE marker has no
+    *    dirs and may mask any partition, so it always stales).
+    * Everything else about `covers` still applies — in particular the query
+    * scan must be the CURRENT covering snapshot, so this never serves a
+    * stale plan; it only recognizes that the new data cannot reach the
+    * queried partitions.
+    */
+  private def freshForQueriedPartitions(e: Entry, scan: ScanMatch.Scan): Boolean = {
+    val td = e.eng.catalog.getTable(e.db, e.table).getOrElse(return false)
+    val partCol = td.partitionColumn.getOrElse(return false)
+    if (!e.rd.groupCols.contains(partCol)) return false
+    val conjuncts = scan.filters.flatMap(splitAnd)
+    val values: Set[String] = conjuncts.collectFirst {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if a.name == partCol && v != null =>
+        Set(v.toString)
+      case EqualTo(Literal(v, _), a: AttributeReference) if a.name == partCol && v != null =>
+        Set(v.toString)
+      case In(a: AttributeReference, vs) if a.name == partCol &&
+          vs.forall(x => x.isInstanceOf[Literal] && x.asInstanceOf[Literal].value != null) =>
+        vs.map(_.asInstanceOf[Literal].value.toString).toSet
+    }.getOrElse(return false)
+    // unroutable values can hold no rows in ANY rowset — they constrain nothing
+    val queried = values.flatMap(v =>
+      td.policy.findPartition(td.partitions, v).map(_.name))
+    val newer = e.eng.manifest(e.db, e.table).visibleRowsets
+      .filter(_.version.end > e.version)
+    newer.nonEmpty && newer.forall { r =>
+      !r.isDeleteMarker && partitionsTouched(e, r).intersect(queried).isEmpty
+    }
+  }
+
+  /** Physical partitions a rowset wrote, from its `__graft_part=` dirs. */
+  private def partitionsTouched(e: Entry, r: graft.manifest.RowsetMeta): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = e.eng.tableRoot(e.db, e.table).resolve(r.relDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Set.empty
+    else java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__graft_part="))
+      .map(_.getFileName.toString.stripPrefix("__graft_part="))
+      .toSet
   }
 }

@@ -375,4 +375,53 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(!usesRollup(eng.snapshot("db", "t", 1, 1).groupBy(col("grp"))
       .agg(sum(col("v")).as("s"))))
   }
+
+  test("partition-scoped staleness: a load into one partition keeps the rollup serving the others") {
+    // the per-partition rollup_indexes granularity the reference declares
+    // (src/partition.rs:74-75): freshness is per partition, not per table
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-rrp-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "pt", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", StringType),
+        ColumnSpec.value("region", StringType),
+        ColumnSpec.value("v", LongType))),
+      policy = PartitionPolicy.List, partitionColumn = Some("region"),
+      partitions = Seq(
+        PartitionSpec("pa", listValues = Seq("east"), numBuckets = 2),
+        PartitionSpec("pb", listValues = Seq("west"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2))
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("region", StringType),
+      StructField("v", LongType)))
+    def rows(lo: Int, hi: Int, region: String) = spark.createDataFrame(
+      (lo until hi).map(i => Row(s"$region$i", region, i.toLong)).asJava, schema)
+    eng.ingest("db", "pt", rows(0, 40, "east").union(rows(0, 40, "west")),
+      Some(Version(1, 1)))
+    eng.rollups.materialize("db", "pt", RollupDef(
+      name = "by_region", groupCols = Seq("region"),
+      aggs = Seq(("s_v", "v", AggType.Sum))))
+    // new load lands ONLY in partition pa (east)
+    eng.ingest("db", "pt", rows(40, 50, "east"), Some(Version(2, 2)))
+
+    def q(region: String) = eng.scan("db", "pt")
+      .filter(col("region") === region)
+      .groupBy(col("region")).agg(sum(col("v")).as("s_v"))
+    // west is untouched by the new load -> rollup still selected, and exact
+    assert(usesRollup(q("west")), "untouched partition must still serve from the rollup")
+    assert(q("west").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("west", (0 until 40).map(_.toLong).sum)))
+    // east WAS touched -> rollup must NOT serve it; base gives the new rows
+    assert(!usesRollup(q("east")), "touched partition must fall back to base")
+    assert(q("east").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("east", (0 until 50).map(_.toLong).sum)))
+    // an UNFILTERED aggregate spans the touched partition -> base
+    assert(!usesRollup(eng.scan("db", "pt")
+      .groupBy(col("region")).agg(sum(col("v")).as("s_v"))))
+    // after refresh the rollup serves everything again
+    eng.rollups.refreshIncremental("db", "pt", "by_region")
+    assert(usesRollup(q("east")))
+    assert(usesRollup(eng.scan("db", "pt")
+      .groupBy(col("region")).agg(sum(col("v")).as("s_v"))))
+  }
 }
