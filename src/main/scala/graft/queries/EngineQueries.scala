@@ -416,10 +416,17 @@ object EngineQueries {
     * plus a boolean pinning the merged-sketch estimate within 5%. The exact
     * scan exists only for the oracle — Bench times [[hllColumnSketchOnly]].
     */
-  def hllColumn(spark: SparkSession, dir: String): DataFrame = {
-    val est = EngineFixture.get(spark, dir).scan("graft", "events_hll")
+  /** The ONE estimate read both q134 forms share: merged-sketch NDV from the
+    * stored HLL column (verdict form wraps it in an accuracy verdict; Bench
+    * times it bare — same expression by construction, see BenchVariantSpec).
+    */
+  private def hllUsersScan(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.get(spark, dir).scan("graft", "events_hll")
       .select(col("event_type"), col("n"),
         expr("hll_sketch_estimate(hll_users)").as("__ndv_est"))
+
+  def hllColumn(spark: SparkSession, dir: String): DataFrame = {
+    val est = hllUsersScan(spark, dir)
     // exact per-type distinct users from the raw stream the fixture loaded;
     // the merged-sketch estimate must land within 5% (DataSketches lgK=12
     // is ~1.6% rse — 5% is a 3-sigma bound) for the oracle-pinned verdict
@@ -437,9 +444,7 @@ object EngineQueries {
     * verdict form can be oracle-hashed).
     */
   def hllColumnSketchOnly(spark: SparkSession, dir: String): DataFrame =
-    EngineFixture.get(spark, dir).scan("graft", "events_hll")
-      .select(col("event_type"), col("n"),
-        expr("hll_sketch_estimate(hll_users)").as("ndv_est"))
+    hllUsersScan(spark, dir).withColumnRenamed("__ndv_est", "ndv_est")
 
   /** Colocate join (Doris colocation groups): orders_dup and sales_agg share
     * the 4-bucket FNV hash spec on the order key, so the fact-fact join runs

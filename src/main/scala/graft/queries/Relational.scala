@@ -383,6 +383,18 @@ object Relational {
     * its error bound. The exact baselines exist ONLY for the oracle — the
     * production / benchmarked shape is [[sketchesOnly]].
     */
+  /** The ONE definition of q51's sketch estimates, shared by the verdict
+    * form ([[sketches]]) and the benched form ([[sketchesOnly]]) so the
+    * estimate Bench times is BY CONSTRUCTION the estimate the oracle
+    * verdict checked — an edit to one cannot silently drift the other
+    * (`BenchVariantSpec` additionally pins the runtime agreement).
+    */
+  private def sketchEst: Map[String, Column] = Map(
+    "ndv_ord" -> approx_count_distinct(col("l_orderkey")),
+    "ndv_part" -> approx_count_distinct(col("l_partkey")),
+    "p50" -> percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)),
+    "p95" -> percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)))
+
   def sketches(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -391,10 +403,10 @@ object Relational {
         // the driver hash pins BOTH the data and the accuracy verdicts
         count_distinct(col("l_orderkey")).as("ndv_orders"),
         count_distinct(col("l_partkey")).as("ndv_parts"),
-        approx_count_distinct(col("l_orderkey")).as("__a_ord"),
-        approx_count_distinct(col("l_partkey")).as("__a_part"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50a"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("__p95a"),
+        sketchEst("ndv_ord").as("__a_ord"),
+        sketchEst("ndv_part").as("__a_part"),
+        sketchEst("p50").as("__p50a"),
+        sketchEst("p95").as("__p95a"),
         // percentile_approx(accuracy=1000) guarantees rank error <= 1/1000;
         // bound the estimate by exact percentiles two rank-steps out
         expr("percentile(l_extendedprice, 0.498)").as("__p50lo"),
@@ -419,10 +431,10 @@ object Relational {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("ndv_orders_est"),
-        approx_count_distinct(col("l_partkey")).as("ndv_parts_est"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_est"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_est"))
+        sketchEst("ndv_ord").as("ndv_orders_est"),
+        sketchEst("ndv_part").as("ndv_parts_est"),
+        sketchEst("p50").as("p50_est"),
+        sketchEst("p95").as("p95_est"))
 
   /** Outer-join flavors: FULL OUTER between per-nation customer and supplier
     * counts (either side may be missing), then the nation dim LEFT JOINs the

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** The bench-variant contract (ADVICE r5): Bench times sketch-only stand-ins
+  * for q51/q131/q134 while Verify checks the verdict forms — so nothing
+  * would notice if the two drifted apart and the bench started timing a
+  * plan nobody verifies. The estimate expressions are single-sourced in the
+  * query modules; this spec pins the RUNTIME agreement: each variant's
+  * estimates must reproduce the verdict form's accuracy booleans against
+  * the verdict form's own exact baselines, and every verdict must hold.
+  */
+class BenchVariantSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q51: sketchesOnly estimates reproduce the verdict form's booleans") {
+    val verdict = Relational.sketches(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val est = Relational.sketchesOnly(spark, dir).collect()
+    assert(est.nonEmpty && est.length == verdict.size)
+    // exact percentile bounds, recomputed the way the verdict form does
+    val bounds = graft.queries.Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.498)").as("p50lo"),
+        expr("percentile(l_extendedprice, 0.502)").as("p50hi"),
+        expr("percentile(l_extendedprice, 0.948)").as("p95lo"),
+        expr("percentile(l_extendedprice, 0.952)").as("p95hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    est.foreach { e =>
+      val flag = e.getString(0)
+      val v = verdict(flag)
+      val b = bounds(flag)
+      assert(v.getAs[Boolean]("ndv_orders_ok") ==
+        (math.abs(e.getLong(1) - v.getAs[Long]("ndv_orders")) <=
+          v.getAs[Long]("ndv_orders") * 0.15), s"ndv_orders drift at $flag")
+      assert(v.getAs[Boolean]("ndv_parts_ok") ==
+        (math.abs(e.getLong(2) - v.getAs[Long]("ndv_parts")) <=
+          v.getAs[Long]("ndv_parts") * 0.15), s"ndv_parts drift at $flag")
+      assert(v.getAs[Boolean]("p50_ok") ==
+        (e.getDouble(3) >= b.getDouble(1) && e.getDouble(3) <= b.getDouble(2)),
+        s"p50 drift at $flag")
+      assert(v.getAs[Boolean]("p95_ok") ==
+        (e.getDouble(4) >= b.getDouble(3) && e.getDouble(4) <= b.getDouble(4)),
+        s"p95 drift at $flag")
+      // and the verdicts themselves hold (the oracle pins this too)
+      Seq("ndv_orders_ok", "ndv_parts_ok", "p50_ok", "p95_ok")
+        .foreach(c => assert(v.getAs[Boolean](c), s"$c false at $flag"))
+    }
+  }
+
+  test("q131: hllDistinctSketchOnly estimate matches the verdict's accuracy bound") {
+    val verdict = EngineQueries.hllDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val est = EngineQueries.hllDistinctSketchOnly(spark, dir).collect()
+    assert(est.nonEmpty && est.length == verdict.size)
+    est.foreach { e =>
+      val v = verdict(e.getString(0))
+      val exact = v.getAs[Long]("ndv_cust")
+      assert(v.getAs[Boolean]("hll_ok") ==
+        (math.abs(e.getLong(1) - exact) <= exact * 0.05),
+        s"q131 estimate drift at ${e.getString(0)}")
+      assert(v.getAs[Boolean]("hll_ok"))
+    }
+  }
+
+  test("q134: hllColumnSketchOnly estimate matches the verdict's accuracy bound") {
+    val verdict = EngineQueries.hllColumn(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = EngineQueries.hllColumnSketchOnly(spark, dir).collect()
+    assert(est.nonEmpty && est.length == verdict.size)
+    est.foreach { e =>
+      val t = e.getString(0)
+      assert(verdict(t).getAs[Boolean]("ndv_ok") ==
+        (math.abs(e.getLong(2) - exact(t)) <= exact(t) * 0.05),
+        s"q134 estimate drift at $t")
+      assert(verdict(t).getAs[Boolean]("ndv_ok"))
+    }
+  }
+}
