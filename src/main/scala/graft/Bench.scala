@@ -66,6 +66,7 @@ object Bench {
     val variantOf: String => Option[String] = n =>
       if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
+      else if (graft.pipeline.Trainer.all.contains(n)) Some("cached-model-serve")
       else None
     val variants = names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\""))
       .mkString("{", ",", "}")

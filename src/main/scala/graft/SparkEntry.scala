@@ -32,6 +32,7 @@ object SparkEntry {
       graft.pipeline.Similarity.all ++
       graft.pipeline.TextAnalysis.all ++
       graft.pipeline.Corpus.all ++
+      graft.pipeline.Trainer.all ++
       graft.pipeline.Multimodal.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++
       graft.pipeline.Corpus.oracles ++
+      graft.pipeline.Trainer.oracles ++
       graft.pipeline.Multimodal.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles

@@ -264,6 +264,74 @@ object Corpus {
         md5(concat_ws(" ", sliced)).as("chunk_md5"))
   }
 
+  /** Deterministic training-order materialization: every document gets a
+    * (shard, position) from a seeded hash — the global shuffle a training run
+    * consumes as its data order. The shard assignment is a pure map
+    * (md5-bucket, no shuffle); the within-shard position is ONE window over
+    * the shard-partitioned exchange, so at 100 TB each shard orders
+    * independently and in parallel — there is never a global sort, and a new
+    * seed ("epoch2|…") re-shuffles the corpus with zero state carried over.
+    * Hash-ordered, not RNG-ordered: re-runs and backfills reproduce the
+    * exact order, which is what makes a training run resumable.
+    */
+  def shuffleShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val h = md5(concat(lit("epoch1|"), col("doc_id").cast("string")))
+    val shard = conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Importance sampling with inverse-probability weights: each document's
+    * keep-probability scales with its length (the "sample long documents
+    * more" lever), the keep decision is the same salted md5-bucket trick as
+    * [[hashSplit]] (stateless, reproducible), and every survivor carries
+    * w = 1/p so downstream weighted aggregates stay unbiased
+    * (Horvitz-Thompson). Pure map-side filter — no shuffle, no RNG state —
+    * and the weights make the sample USABLE for estimation, which is the
+    * difference between subsampling and throwing data away at 100 TB.
+    */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val p = greatest(least(col("n_chars") / lit(500.0), lit(0.9)), lit(0.05))
+    val bucket =
+      conv(substring(md5(concat(lit("imp|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10000
+    docs(spark, dir)
+      .withColumn("p", p)
+      .filter(bucket < col("p") * 10000)
+      .select(col("doc_id"), col("lang"), col("p"), (lit(1.0) / col("p")).as("w"))
+  }
+
+  /** Robust outlier detection via median/MAD (the outlier-resistant cousin of
+    * q90's mean/σ z-score): per-group median and median-absolute-deviation,
+    * flag |x − med| > 3·1.4826·MAD. Two tiny per-group aggregates BROADCAST
+    * back into the scan (the second pass exists because MAD is a percentile
+    * OF deviations from the first pass's median — inherently two-phase), so
+    * the fact table streams through with no fact-sized shuffle beyond the
+    * grouped partials; the same shape as [[winsorize]]. Med/MAD are rounded
+    * to 4 decimals BEFORE the threshold compare so the flag is
+    * representation-stable across engines.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(abs(x - med), 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(abs(col("x") - col("med")) > lit(3 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Corpus mixing with fractional epoch weights: each source gets a
     * milli-copy weight (2300 = 2.3 epochs, 350 = 0.35 epochs); every document
     * deterministically receives floor(w/1000) copies plus one more iff its
@@ -303,9 +371,36 @@ object Corpus {
     "q71_edit_distance" -> ((s: SparkSession, d: String) => editDistancePairs(s, d)),
     "q72_token_quantiles" -> ((s: SparkSession, d: String) => tokenQuantiles(s, d)),
     "q74_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
+    "q143_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
+    "q144_importance_sample" -> ((s: SparkSession, d: String) => importanceSample(s, d)),
+    "q146_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_shuffle_shard" ->
+      """WITH b AS (SELECT doc_id,
+        |    md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        |FROM b""".stripMargin,
+    "q144_importance_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    greatest(least(n_chars / 500.0, 0.9), 0.05) AS p,
+        |    CAST(('0x' || substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, p, 1.0 / p AS w FROM b WHERE bucket < p * 10000""".stripMargin,
+    "q146_mad_outliers" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
+        |m AS (SELECT l_returnflag, round(quantile_cont(x, 0.5), 4) AS med
+        |      FROM li GROUP BY l_returnflag),
+        |d AS (SELECT li.l_returnflag, x, med FROM li JOIN m USING (l_returnflag)),
+        |md AS (SELECT l_returnflag, round(quantile_cont(abs(x - med), 0.5), 4) AS mad
+        |       FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, count(*) AS n, min(d.med) AS med, min(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(x - med) > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (l_returnflag) GROUP BY d.l_returnflag""".stripMargin,
     "q111_corpus_mix" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Contracts of the training-order / sampling / training operators that the
+  * DuckDB oracle cannot express directly: the shuffle-shard output is a
+  * permutation, importance weights reconstruct population totals, the
+  * classifier actually learns, and MAD flags agree with a hand-rolled check.
+  */
+class TrainingPrepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shuffleShard is a permutation: every doc exactly once, positions dense per shard") {
+    val out = Corpus.shuffleShard(spark, dir).cache()
+    try {
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      assert(out.count() == nDocs)
+      assert(out.select("doc_id").distinct().count() == nDocs)
+      // positions within each shard are exactly 1..count(shard)
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+          countDistinct("pos").as("nd"))
+        .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("nd") =!= col("n"))
+      assert(bad.count() == 0, "per-shard positions must be dense 1..n")
+    } finally out.unpersist()
+  }
+
+  test("shuffleShard order is seed-stable across repartitionings") {
+    val a = Corpus.shuffleShard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Corpus.shuffleShard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
+  test("importanceSample weights reconstruct the population count (Horvitz-Thompson)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count().toDouble
+    val est = Corpus.importanceSample(spark, dir)
+      .agg(sum(col("w"))).head().getDouble(0)
+    // HT estimator of N: sum of 1/p over the sample; md5 buckets are
+    // near-uniform so the estimate lands within a loose 25% of truth even at
+    // the 100-doc fixture scale
+    assert(math.abs(est - n) / n < 0.25, s"HT estimate $est vs true $n")
+    // probabilities respected: p within declared clamp
+    val pr = Corpus.importanceSample(spark, dir)
+      .agg(min("p"), max("p")).head()
+    assert(pr.getDouble(0) >= 0.05 && pr.getDouble(1) <= 0.9)
+  }
+
+  test("logreg classifier learns: accuracy >= 0.85, length weight positive, cache serves repeats") {
+    Trainer.clear()
+    val v1 = Trainer.logregQuality(spark, dir).head()
+    assert(v1.getBoolean(3), "training accuracy must clear 0.85")
+    assert(v1.getBoolean(4), "length weight must be positive on a length-derived label")
+    // second invocation scores from the cached model — identical verdict row
+    val v2 = Trainer.logregQuality(spark, dir).head()
+    assert(v1 == v2)
+  }
+
+  test("madOutliers agrees with a direct computation and flags are sane") {
+    val out = Corpus.madOutliers(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mad, nOut) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(nOut <= n && mad >= 0.0)
+    }
+    // direct check for one group: recompute the flag count from raw rows
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .filter(col("l_returnflag") === "R")
+    val med = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0)(0)
+    // approxQuantile(relativeError=0) is exact but nearest-rank; allow the
+    // interpolated median to differ by checking against a tolerance band
+    val row = out.find(_.getString(0) == "R").get
+    assert(math.abs(row.getDouble(2) - med) <= math.abs(med) * 0.01,
+      s"median ${row.getDouble(2)} vs nearest-rank $med")
+  }
+}
