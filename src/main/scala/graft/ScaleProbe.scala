@@ -65,6 +65,17 @@ object ScaleProbe {
       ((s: SparkSession, d: String) => graft.pipeline.Dedup.minhashLsh(s, d, maxBucket = Some(50))),
     "q33_capped50" ->
       ((s: SparkSession, d: String) => graft.pipeline.Dedup.ngramJaccard(s, d, maxBlock = Some(50))),
+    // q146's 100 TB form: exact percentile state is O(group size); the
+    // production sketch (percentile_approx) bounds it — same plan shape
+    "q146_approx" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Corpus.madOutliers(s, d, approx = true)),
+    // q145 timed WITHOUT the model cache: the cost of the 50-iteration GD
+    // fit itself (the driver surface serves the cached model)
+    "q145_train" ->
+      ((s: SparkSession, d: String) => {
+        graft.pipeline.Trainer.clear()
+        graft.pipeline.Trainer.logregQuality(s, d)
+      }),
   )
 
   def main(args: Array[String]): Unit = {
