@@ -274,7 +274,76 @@ object TextAnalysis {
             (c.cast("double") / col("n_words").cast("double"))), 4).as("simpson"))
   }
 
+  /** Collocation mining by pointwise mutual information: top-k adjacent word
+    * pairs whose co-occurrence beats the independence baseline —
+    * PMI = ln( p(ab) / (p(a)·p(b)) ) — with a minimum-count floor to kill
+    * one-off noise (the standard vocabulary/tokenizer-prep signal for
+    * multi-word units). Plan shape: bigram and unigram counts are two
+    * explode+count shuffles; everything after is vocabulary-sized — the
+    * PMI joins run on pre-aggregated count tables (vocab ≪ corpus) and the
+    * two totals are 1-row broadcasts, so no corpus-sized data ever joins.
+    * PMI floor-quantizes to 6dp (ln's last-ulp is libm-dependent; the grid
+    * makes the emitted value and the (pmi, w1, w2) order engine-stable).
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      k: Int = 20, minCount: Int = 5): DataFrame = {
+    val w = graft.operators.MapWidth.widen(docs(spark, dir))
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    val bg = w.filter(size(col("w")) >= 2)
+      .select(
+        explode(expr("transform(sequence(1, size(w)-1), i -> " +
+          "struct(element_at(w, i) AS a, element_at(w, i+1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ug = w.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+    val t2 = bg.agg(sum(col("n_ab")).as("t2"))
+    val t1 = ug.agg(sum(col("n_w")).as("t1"))
+    val pmi = floor(log(
+      (col("n_ab") / col("t2")) /
+        ((col("n_a") / col("t1")) * (col("n_b") / col("t1")))) * lit(1000000.0)) /
+      lit(1000000.0)
+    bg.filter(col("n_ab") >= minCount)
+      .join(ug.select(col("word").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(ug.select(col("word").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(t2)).crossJoin(broadcast(t1))
+      .select(col("w1"), col("w2"), col("n_ab"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of each
+    * document's character distribution — low entropy flags repetitive/
+    * gibberish/boilerplate text that length and stopword heuristics miss.
+    * Engine-stable despite the logs via the q140 pattern: each class's
+    * (c/n)·ln(n/c) term rounds to 8dp and sums as DECIMAL(18,8) (exact
+    * integer arithmetic, order-free), then ONE divide by the ln(2) literal
+    * and a floor-quantize. The only corpus-sized shuffle is the
+    * (doc_id, char) count; the per-doc re-aggregation moves one row per
+    * character CLASS (≤ alphabet size), not per character.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val Ln2 = 0.6931471805599453 // the correctly-rounded double, both engines
+    val counts = graft.operators.MapWidth.widen(docs(spark, dir))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+    counts
+      .withColumn("n", n)
+      .withColumn("term",
+        round((col("cnt") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("cnt")), 8).cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), count(lit(1)).as("n_classes"),
+        (floor(sum(col("term")).cast("double") / lit(Ln2) * lit(1000000.0)) /
+          lit(1000000.0)).as("entropy_bits"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_pmi_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
+    "q148_char_entropy" -> ((s: SparkSession, d: String) => charEntropy(s, d)),
     "q118_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "q140_bigram_quality" -> ((s: SparkSession, d: String) => bigramQuality(s, d)),
     "q98_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
@@ -289,6 +358,41 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical count tables + the same ln over identical integer-ratio
+    // doubles; floor-quantized PMI and the (pmi, w1, w2) order are
+    // engine-stable
+    "q147_pmi_collocations" ->
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |              unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |       FROM w WHERE len(w) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |ug AS (SELECT unnest(w) AS word FROM w),
+        |ugc AS (SELECT word, count(*) AS n_w FROM ug GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t2 FROM bgc),
+        |t1 AS (SELECT CAST(sum(n_w) AS BIGINT) AS t1 FROM ugc)
+        |SELECT b.w1, b.w2, b.n_ab,
+        |  floor(ln((b.n_ab / t2.t2) / ((a.n_w / t1.t1) * (c.n_w / t1.t1))) * 1000000.0) / 1000000.0 AS pmi
+        |FROM bgc b
+        |JOIN ugc a ON a.word = b.w1
+        |JOIN ugc c ON c.word = b.w2
+        |CROSS JOIN t2 CROSS JOIN t1
+        |WHERE b.n_ab >= 5
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
+    // q140's stability pattern: per-class term round(8) -> DECIMAL(18,8)
+    // exact order-free sum -> one divide by the shared ln(2) literal ->
+    // floor-quantize
+    "q148_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+        |            FROM documents, UNNEST(generate_series(1, length(text))) t(i)),
+        |c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |w AS (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM c),
+        |t AS (SELECT doc_id, n,
+        |        CAST(round((cnt / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / cnt), 8) AS DECIMAL(18,8)) AS term
+        |      FROM w)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars, count(*) AS n_classes,
+        |  floor(CAST(sum(term) AS DOUBLE) / 0.6931471805599453 * 1000000.0) / 1000000.0 AS entropy_bits
+        |FROM t GROUP BY doc_id""".stripMargin,
     // same smoothed-bigram model recomputed from scratch: bigrams keep
     // duplicates (no list_distinct), ln on identical integer-ratio inputs,
     // per-bigram round(8) -> DECIMAL(18,8) exact sum -> one double divide

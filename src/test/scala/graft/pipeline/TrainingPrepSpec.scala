@@ -59,6 +59,33 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(v1 == v2)
   }
 
+  test("charEntropy: exact values on a constructed distribution, bounds on the corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ent-").toString
+    Seq((1L, "aabb", "en", "src0", 4L), (2L, "abcd", "en", "src0", 4L),
+      (3L, "aaaa", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = TextAnalysis.charEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(m(1L) - 1.0) < 1e-5) // 2 uniform classes = 1 bit
+    assert(math.abs(m(2L) - 2.0) < 1e-5) // 4 uniform classes = 2 bits
+    assert(m(3L) == 0.0)                 // single class = 0 bits
+    // corpus-wide: 0 <= H <= log2(n_classes)
+    val bad = TextAnalysis.charEntropy(spark, dir)
+      .filter(col("entropy_bits") < 0 ||
+        col("entropy_bits") > log2(col("n_classes")) + 1e-5)
+    assert(bad.count() == 0)
+  }
+
+  test("pmiCollocations: min-count floor respected, deterministic descending order") {
+    val rows = TextAnalysis.pmiCollocations(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getLong(2) >= 5))
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
   test("madOutliers agrees with a direct computation and flags are sane") {
     val out = Corpus.madOutliers(spark, dir).collect()
     assert(out.nonEmpty)
