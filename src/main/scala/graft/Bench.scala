@@ -66,7 +66,8 @@ object Bench {
     val variantOf: String => Option[String] = n =>
       if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
-      else if (graft.pipeline.Trainer.all.contains(n)) Some("cached-model-serve")
+      else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")
+        Some("cached-model-serve")
       else None
     val variants = names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\""))
       .mkString("{", ",", "}")

@@ -367,6 +367,97 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_copies"))
   }
 
+  /** BPE tokenizer vocabulary training — real byte-pair-encoding merges,
+    * exactly verifiable. The classic trainer shape: the CORPUS is touched
+    * once (word → count aggregation); every merge round then runs over the
+    * vocabulary-sized frequency table (the standard BPE optimization — at
+    * 100 TB the corpus scan is one job and the 10/30k merge rounds iterate
+    * on a table that is vocab-sized, not corpus-sized). Token boundaries are
+    * encoded as `(tok)` wrappers so greedy left-to-right non-overlapping
+    * merge application is a plain global `regexp_replace` — identical
+    * semantics in Spark and DuckDB with no lookaround (which RE2 lacks):
+    * adjacent occurrences share no characters, and runs like `(a)(a)(a)`
+    * merge the first pair then resume, exactly BPE's greedy rule. Each
+    * round's winning pair is an exact integer count with a lexicographic
+    * tie-break, so the whole merge sequence is deterministic and the oracle
+    * replays it by unrolling the rounds in SQL. The per-round driver fetch
+    * is ONE (pair, count) row — the model lives on the driver, the counts
+    * stay distributed (the [[Trainer]] parameter-server shape again).
+    */
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import spark.implicits._
+    bpeCache.getOrElseUpdate((dir, nMerges), {
+      val tokPat = lit("\\(([^)]*)\\)")
+      var wc = docs(spark, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(regexp_replace(col("word"), "(.)", "($1)").as("enc"), col("cnt"))
+        .cache()
+      wc.count()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (r <- 1 to nMerges) {
+        val top = wc
+          .select(regexp_extract_all(col("enc"), tokPat, lit(1)).as("ts"), col("cnt"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(ts)-1), " +
+            "i -> struct(element_at(ts, i) AS a, element_at(ts, i+1) AS b))")).as("p"),
+            col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).head()
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r, a, b, s"${a}_$b", n))
+        // a, b ∈ [a-z0-9_]+ (base filter + "_" joiner) — regex-literal safe
+        val next = wc
+          .select(regexp_replace(col("enc"), s"\\($a\\)\\($b\\)", s"(${a}_$b)").as("enc"),
+            col("cnt"))
+          .cache()
+        next.count()
+        wc.unpersist()
+        wc = next
+      }
+      wc.unpersist()
+      merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+        .repartition(1)
+    })
+  }
+
+  // (dir, nMerges) -> learned merge table (10 rows): train once per corpus
+  // per JVM, serve repeats — same policy as Trainer.modelCache / q140's LM
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), DataFrame]
+
+  /** Test/fixture hook: drop cached merge tables. */
+  def clearBpeCache(): Unit = bpeCache.clear()
+
+  /** The q149 oracle replays the identical training by unrolling the merge
+    * rounds as a CTE chain: each round re-derives pair counts from the
+    * previous round's vocabulary, picks the same (count DESC, pair ASC)
+    * winner, and applies the same boundary-wrapped global regexp_replace.
+    */
+  private[pipeline] def bpeOracleSql(nMerges: Int): String = {
+    val head =
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |wc0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS enc, count(*) AS cnt
+        |        FROM w WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY 1)""".stripMargin
+    val rounds = (1 to nMerges).map { r =>
+      s"""pc$r AS (SELECT ts[i] AS a, ts[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT regexp_extract_all(enc, '\\(([^)]*)\\)', 1) AS ts, cnt FROM wc${r - 1}),
+         |       UNNEST(generate_series(1, len(ts) - 1)) t(i)
+         |  WHERE len(ts) >= 2 GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, n FROM pc$r ORDER BY n DESC, a, b LIMIT 1),
+         |wc$r AS (SELECT regexp_replace(enc, '\\(' || t$r.a || '\\)\\(' || t$r.b || '\\)',
+         |                 '(' || t$r.a || '_' || t$r.b || ')', 'g') AS enc, cnt
+         |         FROM wc${r - 1}, t$r)""".stripMargin
+    }
+    val union = (1 to nMerges).map { r =>
+      s"SELECT $r AS rank, a AS lhs, b AS rhs, a || '_' || b AS merged, n AS pair_count FROM t$r"
+    }.mkString("\nUNION ALL\n")
+    (head +: rounds).mkString(",\n") + "\n" + union + "\nORDER BY rank"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q105_sliding_chunks" -> ((s: SparkSession, d: String) => slidingChunks(s, d)),
@@ -386,9 +477,11 @@ object Corpus {
     "q143_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
     "q144_importance_sample" -> ((s: SparkSession, d: String) => importanceSample(s, d)),
     "q146_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
+    "q149_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_bpe_merges" -> bpeOracleSql(10),
     "q143_shuffle_shard" ->
       """WITH b AS (SELECT doc_id,
         |    md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS h,

@@ -86,6 +86,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bpeMerges: hand-computed merges on a constructed corpus, invariants on the real one") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-").toString
+    Seq((1L, "aa aa", "en", "src0", 5L), (2L, "ab", "en", "src0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = Corpus.bpeMerges(spark, tmp, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: pair (a,a) count 2 beats (a,b) count 1; round 2 merges (a,b)
+    assert(m.toSeq == Seq((1, "a", "a", "a_a", 2L), (2, "a", "b", "a_b", 1L)))
+
+    Corpus.clearBpeCache()
+    val real = Corpus.bpeMerges(spark, dir).collect()
+    assert(real.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(real.forall(_.getLong(4) > 0))
+    assert(real.forall(r => r.getString(3) == r.getString(1) + "_" + r.getString(2)))
+    // merged tokens are reusable as later-round operands (compound merges
+    // stay inside the [a-z0-9_]+ alphabet the boundary encoding requires)
+    assert(real.forall(_.getString(3).matches("[a-z0-9_]+")))
+  }
+
   test("madOutliers agrees with a direct computation and flags are sane") {
     val out = Corpus.madOutliers(spark, dir).collect()
     assert(out.nonEmpty)
