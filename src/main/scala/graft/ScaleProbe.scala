@@ -76,6 +76,13 @@ object ScaleProbe {
         graft.pipeline.Trainer.clear()
         graft.pipeline.Trainer.logregQuality(s, d)
       }),
+    // q149 timed WITHOUT the model cache: one corpus-sized word count +
+    // 10 vocab-sized merge rounds
+    "q149_train" ->
+      ((s: SparkSession, d: String) => {
+        graft.pipeline.Corpus.clearBpeCache()
+        graft.pipeline.Corpus.bpeMerges(s, d)
+      }),
   )
 
   def main(args: Array[String]): Unit = {

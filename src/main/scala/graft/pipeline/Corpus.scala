@@ -424,6 +424,58 @@ object Corpus {
     })
   }
 
+  /** BPE tokenization — apply the learned merges (q149's model) to every
+    * document and count the resulting tokens: the production token-counting
+    * form with a REAL learned vocabulary rather than a regex heuristic
+    * (q39). The 10 merges collect to the driver (the model, 10 rows) and
+    * compile into a chain of literal `regexp_replace`es over the
+    * boundary-encoded words — a pure map with ONE (doc_id) re-aggregation
+    * shuffle of pre-counted integers; nothing grows with the vocabulary at
+    * serve time. Words outside the trainer's `[a-z0-9]+` alphabet count as
+    * one atomic token (enc stays NULL through the chain, coalesced to 1).
+    */
+  def bpeTokenize(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    val merges = bpeMerges(spark, dir, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val enc0 = when(col("word").rlike("^[a-z0-9]+$"),
+      regexp_replace(col("word"), "(.)", "($1)"))
+    val enc = merges.foldLeft(enc0) { case (e, (a, b)) =>
+      regexp_replace(e, s"\\($a\\)\\($b\\)", s"(${a}_$b)")
+    }
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(col("doc_id"),
+        coalesce(size(regexp_extract_all(enc, lit("\\(([^)]*)\\)"), lit(1))), lit(1))
+          .as("nt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"))
+  }
+
+  /** q150 oracle: replay the training chain (same CTEs as q149), then apply
+    * the learned merges to every word with the identical boundary-wrapped
+    * global replaces and count tokens.
+    */
+  private[pipeline] def bpeTokenizeOracleSql(nMerges: Int): String = {
+    val training = bpeOracleSql(nMerges)
+    val withEnd = training.substring(0, training.indexOf("\nSELECT 1 AS rank"))
+    val applies = (1 to nMerges).map { r =>
+      s"""e$r AS (SELECT doc_id, regexp_replace(enc, '\\(' || t$r.a || '\\)\\(' || t$r.b || '\\)',
+         |         '(' || t$r.a || '_' || t$r.b || ')', 'g') AS enc FROM e${r - 1}, t$r)""".stripMargin
+    }
+    s"""$withEnd,
+       |d AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |e0 AS (SELECT doc_id, CASE WHEN regexp_matches(word, '^[a-z0-9]+$$')
+       |         THEN regexp_replace(word, '(.)', '(\\1)', 'g') END AS enc FROM d),
+       |${applies.mkString(",\n")},
+       |tok AS (SELECT doc_id,
+       |          COALESCE(CAST(len(regexp_extract_all(enc, '\\(([^)]*)\\)', 1)) AS INT), 1) AS nt
+       |        FROM e$nMerges)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM tok GROUP BY doc_id""".stripMargin
+  }
+
   // (dir, nMerges) -> learned merge table (10 rows): train once per corpus
   // per JVM, serve repeats — same policy as Trainer.modelCache / q140's LM
   private val bpeCache = scala.collection.concurrent.TrieMap
@@ -478,10 +530,12 @@ object Corpus {
     "q144_importance_sample" -> ((s: SparkSession, d: String) => importanceSample(s, d)),
     "q146_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
     "q149_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
+    "q150_bpe_tokenize" -> ((s: SparkSession, d: String) => bpeTokenize(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "q149_bpe_merges" -> bpeOracleSql(10),
+    "q150_bpe_tokenize" -> bpeTokenizeOracleSql(10),
     "q143_shuffle_shard" ->
       """WITH b AS (SELECT doc_id,
         |    md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS h,

@@ -105,6 +105,21 @@ class TrainingPrepSpec extends AnyFunSuite {
     // merged tokens are reusable as later-round operands (compound merges
     // stay inside the [a-z0-9_]+ alphabet the boundary encoding requires)
     assert(real.forall(_.getString(3).matches("[a-z0-9_]+")))
+
+    // apply: on the constructed corpus both merges fully collapse each word
+    val tk = Corpus.bpeTokenize(spark, tmp, nMerges = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tk(1L) == ((2L, 2L))) // "aa aa": 2 words, each 1 token after a_a
+    assert(tk(2L) == ((1L, 1L))) // "ab": 1 word, 1 token after a_b
+    // real corpus: learned merges compress — fewer tokens than characters,
+    // never fewer than words
+    val agg = Corpus.bpeTokenize(spark, dir)
+      .agg(sum("n_words"), sum("n_tokens")).head()
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .agg(sum(length(col("w"))), count(lit(1))).head()
+    assert(agg.getLong(1) >= agg.getLong(0), "tokens >= words")
+    assert(agg.getLong(1) < words.getLong(0), "10 merges must beat char-level")
   }
 
   test("madOutliers agrees with a direct computation and flags are sane") {
