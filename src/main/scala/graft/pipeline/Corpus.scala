@@ -396,7 +396,8 @@ object Corpus {
         .cache()
       wc.count()
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      for (r <- 1 to nMerges) {
+      var exhausted = false
+      for (r <- 1 to nMerges if !exhausted) {
         val top = wc
           .select(regexp_extract_all(col("enc"), tokPat, lit(1)).as("ts"), col("cnt"))
           .filter(size(col("ts")) >= 2)
@@ -406,17 +407,24 @@ object Corpus {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("a"), col("b"))
-          .limit(1).head()
-        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r, a, b, s"${a}_$b", n))
-        // a, b ∈ [a-z0-9_]+ (base filter + "_" joiner) — regex-literal safe
-        val next = wc
-          .select(regexp_replace(col("enc"), s"\\($a\\)\\($b\\)", s"(${a}_$b)").as("enc"),
-            col("cnt"))
-          .cache()
-        next.count()
-        wc.unpersist()
-        wc = next
+          .limit(1).collect().headOption.getOrElse {
+            // every word is a single token: no pairs left. Stop — the oracle
+            // does the same (an empty round contributes no UNION row).
+            exhausted = true
+            null
+          }
+        if (top != null) {
+          val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((r, a, b, s"${a}_$b", n))
+          // a, b ∈ [a-z0-9_]+ (base filter + "_" joiner) — regex-literal safe
+          val next = wc
+            .select(regexp_replace(col("enc"), s"\\($a\\)\\($b\\)", s"(${a}_$b)").as("enc"),
+              col("cnt"))
+            .cache()
+          next.count()
+          wc.unpersist()
+          wc = next
+        }
       }
       wc.unpersist()
       merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")

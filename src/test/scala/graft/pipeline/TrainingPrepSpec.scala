@@ -106,6 +106,15 @@ class TrainingPrepSpec extends AnyFunSuite {
     // stay inside the [a-z0-9_]+ alphabet the boundary encoding requires)
     assert(real.forall(_.getString(3).matches("[a-z0-9_]+")))
 
+    // pair exhaustion stops training instead of crashing: single-char words
+    // have no adjacent pairs, so the merge table is empty (and the oracle's
+    // empty rounds contribute no UNION rows — same shape)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-bpe2-").toString
+    Seq((1L, "a b c", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    assert(Corpus.bpeMerges(spark, tmp2, nMerges = 3).count() == 0)
+
     // apply: on the constructed corpus both merges fully collapse each word
     val tk = Corpus.bpeTokenize(spark, tmp, nMerges = 2).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
