@@ -131,6 +131,67 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(agg.getLong(1) < words.getLong(0), "10 merges must beat char-level")
   }
 
+  test("property: distributed BPE equals a naive in-memory trainer on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    // naive reference: token vectors, every adjacent position counted
+    // (overlaps included), winner = max count then lexicographic (a, b),
+    // greedy left-to-right non-overlapping application
+    def naive(words: Seq[(String, Long)], n: Int): Seq[(String, String, Long)] = {
+      var vocab = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var done = false
+      for (_ <- 1 to n if !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (ts, c) =>
+          ts.indices.dropRight(1).foreach(i => pc((ts(i), ts(i + 1))) =
+            pc.getOrElse((ts(i), ts(i + 1)), 0L) + c)
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((a, b, cnt))
+          vocab = vocab.map { case (ts, c) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < ts.length) {
+              if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+                nb += s"${a}_$b"; i += 2
+              } else { nb += ts(i); i += 1 }
+            }
+            (nb.result(), c)
+          }
+        }
+      }
+      out.result()
+    }
+
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 4)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val corpusGen = for {
+      nw <- Gen.chooseNum(1, 6)
+      ws <- Gen.listOfN(nw, Gen.zip(wordGen, Gen.chooseNum(1L, 4L)))
+    } yield ws.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bpeprop-").toString
+      // counts realized as duplicate doc rows so the word-count agg sees them
+      corpus.zipWithIndex.flatMap { case ((w, c), i) =>
+        (1L to c).map(r => (i * 100L + r, w, "en", "src0", w.length.toLong))
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Corpus.bpeMerges(spark, tmp, nMerges = 3).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      got == naive(corpus, 3)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("madOutliers agrees with a direct computation and flags are sane") {
     val out = Corpus.madOutliers(spark, dir).collect()
     assert(out.nonEmpty)
