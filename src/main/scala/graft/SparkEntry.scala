@@ -34,8 +34,10 @@ object SparkEntry {
       graft.pipeline.Corpus.all ++
       graft.pipeline.Trainer.all ++
       graft.pipeline.Multimodal.all ++
+      graft.pipeline.Frequency.all ++
       graft.streaming.StreamingQueries.all ++
-      graft.operators.AsOfJoin.all
+      graft.operators.AsOfJoin.all ++
+      graft.operators.TimeSeries.all
 
   /** Sketch-only stand-ins [[graft.Bench]] times INSTEAD of the verdict
     * forms: q51/q131/q134's `queries` entries bundle exact baselines (exact
@@ -68,6 +70,8 @@ object SparkEntry {
       graft.pipeline.Corpus.oracles ++
       graft.pipeline.Trainer.oracles ++
       graft.pipeline.Multimodal.oracles ++
+      graft.pipeline.Frequency.oracles ++
       graft.streaming.StreamingQueries.oracles ++
-      graft.operators.AsOfJoin.oracles
+      graft.operators.AsOfJoin.oracles ++
+      graft.operators.TimeSeries.oracles
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequential time-series operators that need in-order per-key scans.
+  * Spark's window functions cover frame-local aggregates, but a recurrence
+  * like EWMA (state feeding forward row-to-row) has no bounded-frame form —
+  * the closed-form rewrite (sum of value·(1−α)^(n−i)) overflows/underflows
+  * double past ~1000 steps, so it cannot be the 100 TB plan. The scale-safe
+  * shape is the same one [[AsOfJoin]] uses: repartition by key, sort within
+  * partitions, one linear pass per partition — O(1) state per key, no
+  * global sort, no driver involvement.
+  */
+/** Row shape for [[TimeSeries.ewma]]'s typed scan (public: Spark's generated
+  * encoder projections cannot touch non-public classes).
+  */
+final case class TsEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_id: Long, value: Double)
+
+object TimeSeries {
+
+  /** Per-user exponentially-weighted moving average of event values
+    * (e_1 = x_1; e_t = α·x_t + (1−α)·e_{t−1}), emitting the final smoothed
+    * value per user. α = 0.5 keeps every decay weight an exact power of two
+    * (scaling a double by 2^-k shifts only the exponent), so the only FP
+    * rounding is in the additions — the 4-decimal round then hashes
+    * identically against the oracle's closed-form sum.
+    *
+    * One shuffle (repartition on user_id), in-partition sort, then a
+    * streaming fold over contiguous user runs — per-partition memory is one
+    * accumulator, not a user's history, so a key with 10^9 events costs
+    * nothing beyond its scan.
+    */
+  def ewma(spark: SparkSession, dir: String, alpha: Double = 0.5): DataFrame =
+    ewmaOf(graft.queries.Tables.events(spark, dir), alpha)
+
+  /** Core of [[ewma]] over any (user_id, ts, event_id, value) frame. */
+  def ewmaOf(events: DataFrame, alpha: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[TsEvent]
+    val folded = ev.repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Double)] {
+          private val in = it.buffered
+          def hasNext: Boolean = in.hasNext
+          def next(): (Long, Long, Double) = {
+            val head = in.next()
+            var user = head.user_id
+            var n = 1L
+            var e = head.value
+            while (in.hasNext && in.head.user_id == user) {
+              val r = in.next()
+              n += 1L
+              e = alpha * r.value + (1.0 - alpha) * e
+            }
+            (user, n, e)
+          }
+        }
+      }
+    folded.toDF("user_id", "n_events", "ewma_raw")
+      .select(col("user_id"), col("n_events"),
+        round(col("ewma_raw"), 4).as("ewma"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_ewma" -> ((s: SparkSession, d: String) => ewma(s, d)),
+  )
+
+  /** The oracle computes the SAME recurrence in closed form (safe in SQL at
+    * sf-test series lengths; the Spark side deliberately does not, see
+    * [[ewma]]): e_n = Σ_{i≥2} x_i·α·(1−α)^{n−i} + x_1·(1−α)^{n−1}.
+    */
+  def oracles: Map[String, String] = Map(
+    "q156_ewma" ->
+      """WITH r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, max(n) AS n_events,
+        |  round(sum(value * CASE WHEN rn = 1 THEN pow(0.5, n - 1)
+        |                         ELSE pow(0.5, n - rn + 1) END), 4) AS ewma
+        |FROM r GROUP BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Frequency-domain corpus operators: exact heavy hitters through a
+  * Misra–Gries candidate sketch, duplicated-passage statistics, and
+  * sketch-based set-intersection cardinality. All three are shapes a
+  * training-data pipeline runs over the full corpus, so each is built to
+  * keep the corpus-sized side map-local and shuffle only candidate- or
+  * group-sized data.
+  */
+object Frequency {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact heavy hitters (tokens with frequency > N/(cap+1)) in two scans,
+    * no full-vocabulary shuffle.
+    *
+    * Pass 1 is a map-only Misra–Gries summary per partition (capacity
+    * `cap`): any token with GLOBAL count > N/(cap+1) must exceed
+    * n_p/(cap+1) in at least one partition (the thresholds sum to
+    * N/(cap+1)), so the union of per-partition summaries is a guaranteed
+    * superset of the heavy set — at most cap × numPartitions candidate
+    * rows leave the mappers, never the vocabulary. The same pass folds the
+    * partition token totals into sentinel rows, so N costs no extra scan.
+    *
+    * Pass 2 confirms exactly: a broadcast semi-join restricts the token
+    * stream to candidates (map-side), then a grouped count + the N/(cap+1)
+    * filter yields the TRUE heavy set with TRUE counts — output is
+    * deterministic and partitioning-independent even though the sketch
+    * isn't, which is what makes an exact SQL oracle possible for a sketch
+    * algorithm. At 100 TB this is the standard shape: the vocabulary is
+    * too big to groupBy, the heavy set is tiny, and two scans beat one
+    * vocabulary-sized shuffle.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, cap: Int = 29): DataFrame =
+    heavyHittersOf(docs(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word")), cap)
+
+  /** Core of [[heavyHitters]] over any single-column `word` frame. */
+  def heavyHittersOf(tokens: DataFrame, cap: Int): DataFrame = {
+    import tokens.sparkSession.implicits._
+
+    val summaries = tokens.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var total = 0L
+      while (it.hasNext) {
+        val w = it.next(); total += 1L
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1L)
+          case None if counts.size < cap => counts.update(w, 1L)
+          case None =>
+            // decrement-all step: every tracked count drops by one, zeros
+            // evicted — the classic O(cap) amortized-O(1) MG step
+            counts.toList.foreach { case (k, c) =>
+              if (c == 1L) counts.remove(k) else counts.update(k, c - 1L)
+            }
+        }
+      }
+      counts.keysIterator.map(w => (w, 0L)) ++ Iterator((null: String, total))
+    }.toDF("word", "cnt").persist()
+
+    val candidates = summaries.filter(col("word").isNotNull).select("word").distinct()
+    val nTotal = summaries.filter(col("word").isNull).agg(sum(col("cnt")).as("n_total"))
+
+    tokens.join(broadcast(candidates), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("n_occurrences") * (cap + 1) > col("n_total"))
+      .select(col("word"), col("n_occurrences"))
+  }
+
+  /** Per-document duplicated-passage statistics: how many of a document's
+    * distinct word n-grams also occur in at least one OTHER document. The
+    * passage-level complement to whole-document dedup (q30) and bag-level
+    * Jaccard (q33): boilerplate and templated spans show up here even when
+    * no document pair is a near-duplicate.
+    *
+    * Within-doc gram dedup happens map-side (`array_distinct` BEFORE the
+    * explode), so the gram stream carries one row per (doc, gram). Cross-doc
+    * sharing is a count over a gram-partitioned window, then the per-doc
+    * rollup — two grouped shuffles, no join and no gram-set broadcast
+    * (the shared-gram set is corpus-sized at 100 TB; a window keeps it
+    * distributed). Counts stay integral end-to-end, so the oracle hash has
+    * no float surface.
+    */
+  def dupPassages(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    dupPassagesOf(docs(spark, dir), n)
+
+  /** Core of [[dupPassages]] over any (doc_id, text) frame. */
+  def dupPassagesOf(documents: DataFrame, n: Int): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val grams = documents
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => array_join(slice(col("ws"), i + lit(1), lit(n)), " ")))).as("gram"))
+    val perGram = Window.partitionBy(col("gram"))
+    grams.withColumn("nd", count(lit(1)).over(perGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
+  /** Sketch-based set-intersection cardinality: |A ∩ B| estimated by
+    * inclusion–exclusion over mergeable HLL sketches (est(A) + est(B) −
+    * est(A ∪ B)) — the only way to intersect HLLs, since the sketch itself
+    * only unions. At 100 TB the two key sets never co-shuffle: each side
+    * folds to one lgK=14 sketch (16 KB) and the union is a sketch merge.
+    * The query emits the EXACT intersection (hash-checked by the oracle)
+    * plus the sketch verdict: the inclusion–exclusion estimate must land
+    * within 15% of exact — wider than a single sketch's ~0.8% because
+    * subtraction amplifies relative error when the intersection is small
+    * against the union.
+    */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val exact = a.intersect(b).agg(count(lit(1)).as("exact_intersection"))
+    val ests = o.filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      .agg(sum(expr("hll_sketch_estimate(sk)")).as("sum_est"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_union"))
+    exact.crossJoin(broadcast(ests))
+      .select(lit("hll_intersect").as("metric"),
+        col("exact_intersection"),
+        (abs(col("sum_est") - col("est_union") - col("exact_intersection")) <=
+          col("exact_intersection") * 0.15).as("ok"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "q154_dup_passages" -> ((s: SparkSession, d: String) => dupPassages(s, d)),
+    "q155_hll_intersect" -> ((s: SparkSession, d: String) => hllIntersect(s, d)),
+  )
+
+  /** q153's oracle is the definitionally-exact heavy set — the MG sketch is
+    * candidate generation only, so a plain GROUP BY/HAVING reproduces the
+    * output exactly. q154 keeps every column integral (the q32 lesson:
+    * DuckDB widens sum() to HUGEINT, hence the CAST). q155 pins the exact
+    * intersection value plus the sketch-accuracy verdict (the HLL fold
+    * itself is not SQL-expressible, same contract pattern as q50/q151).
+    */
+  def oracles: Map[String, String] = Map(
+    "q153_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |           FROM documents)
+        |SELECT word, count(*) AS n_occurrences FROM t GROUP BY word
+        |HAVING count(*) * 30 > (SELECT count(*) FROM t)""".stripMargin,
+    "q154_dup_passages" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(ws) - 1),
+        |          i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS nd FROM g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM d GROUP BY doc_id""".stripMargin,
+    "q155_hll_intersect" ->
+      """SELECT 'hll_intersect' AS metric,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |    AS exact_intersection,
+        |  true AS ok""".stripMargin,
+  )
+}

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.operators.TimeSeries
+
+/** Invariants for the frequency/time-series operators: the Misra–Gries
+  * candidate pass must never lose a true heavy hitter (whatever the
+  * partitioning), the confirm pass must reproduce the exact heavy set, the
+  * EWMA linear scan must equal the closed-form recurrence, and the
+  * duplicated-passage counts must respect their set-algebra bounds.
+  */
+class FrequencySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("heavy hitters: exact heavy set on a skewed corpus, any partitioning") {
+    import spark.implicits._
+    // skewed stream: 'a' 40x, 'b' 25x, 'c' 10x, 60 distinct singletons
+    val words = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c") ++
+      (0 until 60).map(i => s"w$i")
+    val n = words.size // 135
+    for (cap <- Seq(2, 3, 5, 29); parts <- Seq(1, 3, 7)) {
+      val tokens = spark.sparkContext.parallelize(words, parts).toDF("word")
+      val got = Frequency.heavyHittersOf(tokens, cap)
+        .as[(String, Long)].collect().toMap
+      val expected = words.groupBy(identity).view
+        .mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (cap + 1) > n }.toMap
+      assert(got == expected, s"cap=$cap parts=$parts")
+    }
+  }
+
+  test("heavy hitters property: random Zipf-ish corpora match exact GROUP BY") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val words = (0 until 500).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 30) "hot" else if (r < 45) "warm" else s"t${rnd.nextInt(200)}"
+      }
+      val cap = 9
+      val tokens = spark.sparkContext.parallelize(words, 4).toDF("word")
+      val got = Frequency.heavyHittersOf(tokens, cap)
+        .as[(String, Long)].collect().toMap
+      val expected = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (cap + 1) > words.size }.toMap
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
+  test("ewma: linear scan equals the hand-computed recurrence") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 10L, 1.0), (1L, t(2), 11L, 2.0), (1L, t(3), 12L, 3.0),
+      (2L, t(5), 20L, 8.0),
+      (3L, t(1), 30L, 4.0), (3L, t(1), 31L, 6.0) // same ts: event_id breaks tie
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.ewmaOf(ev, 0.5)
+      .as[(Long, Long, Double)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    // user 1: e=1 -> 0.5*2+0.5*1=1.5 -> 0.5*3+0.5*1.5=2.25
+    assert(got(1L) == ((3L, 2.25)))
+    assert(got(2L) == ((1L, 8.0)))
+    // user 3: e=4 -> 0.5*6+0.5*4=5.0 (event_id order, not input order)
+    assert(got(3L) == ((2L, 5.0)))
+  }
+
+  test("ewma on the events table equals the closed-form window formulation") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, dir)
+    // closed form: e_n = sum x_i * w_i, w_1 = (1-a)^(n-1), w_i = a*(1-a)^(n-i)
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val closed = ev
+      .withColumn("rn", row_number().over(byUser.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        round(sum(col("value") *
+          when(col("rn") === 1, pow(lit(0.5), col("n") - 1))
+            .otherwise(pow(lit(0.5), col("n") - col("rn") + 1))), 4).as("ewma"))
+      .as[(Long, Long, Double)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    val got = TimeSeries.ewmaOf(ev, 0.5)
+      .as[(Long, Long, Double)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    assert(got == closed)
+  }
+
+  test("dup passages: shared counts bounded by totals; unique doc shares nothing") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (0L, "alpha beta gamma delta"),        // shares 'alpha beta gamma' with 1
+      (1L, "alpha beta gamma epsilon"),
+      (2L, "zeta eta theta iota kappa")      // entirely unique
+    ).toDF("doc_id", "text")
+    val got = Frequency.dupPassagesOf(docsDf, 3)
+      .as[(Long, Long, Long)].collect().map { case (d, g, s) => d -> ((g, s)) }.toMap
+    assert(got(0L) == ((2L, 1L))) // grams: 'a b g' (shared), 'b g d'
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((3L, 0L)))
+  }
+
+  test("hll intersect: verdict holds and the exact count matches a plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Frequency.hllIntersect(spark, dir).collect().head
+    assert(row.getAs[Boolean]("ok"),
+      "inclusion-exclusion estimate drifted beyond 15% of exact")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val exact = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .count()
+    assert(row.getAs[Long]("exact_intersection") == exact)
+  }
+
+  test("semantic dedup audit: within-block pairs clear the recall floor") {
+    val row = graft.pipeline.Similarity
+      .semanticDedupAudit(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Boolean]("ok"), "multi-assign cell blocking lost recall")
+  }
+}
