@@ -83,6 +83,16 @@ object ScaleProbe {
         graft.pipeline.Corpus.clearBpeCache()
         graft.pipeline.Corpus.bpeMerges(s, d)
       }),
+    // q157's production form (within-block pairs only — the driver query
+    // additionally computes the O(n²) exact audit baseline) with the
+    // hot-cell guard engaged: dup-heavy replication makes every k-means
+    // cell a dup-cluster magnet, same quadratic hazard as LSH hot buckets
+    "q157_pairs_capped200" ->
+      ((s: SparkSession, d: String) =>
+        graft.pipeline.Similarity.semanticDedupPairs(s, d, maxCell = Some(200))),
+    "q157_pairs_uncapped" ->
+      ((s: SparkSession, d: String) =>
+        graft.pipeline.Similarity.semanticDedupPairs(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

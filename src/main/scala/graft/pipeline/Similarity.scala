@@ -507,29 +507,60 @@ object Similarity {
     * corpus — cell boundaries chop pairs, which is why multi-assignment is
     * the default); the verdict floor is 0.5.
     */
+  /** Multi-assigned dedup blocks: each vector indexed into its `nAssign`
+    * nearest k-means cells (the centroid table is model-sized and
+    * broadcast), so a pair straddling one cell boundary still co-occurs
+    * somewhere — the within-block recall lever, at the cost of nAssign×
+    * index entries. Cached per (corpus, params) like every index build.
+    */
+  private def semanticBlocks(spark: SparkSession, dir: String,
+                             nCells: Int, nAssign: Int): DataFrame =
+    cached[DataFrame](dir, s"semblocks-$nCells-$nAssign") {
+      val (assigned, centers) = ivfIndex(spark, dir, nCells)
+      val df = assigned.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(centers))
+        .withColumn("cdist", dot(col("v"), col("cv")) / (col("nrm") * norm(col("cv"))))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))))
+        .filter(col("crk") <= nAssign)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .persist()
+      df.count()
+      df
+    }
+
+  private def thresholdPairs(df: DataFrame, joinCond: Column,
+                             threshold: Double): DataFrame =
+    df.as("a").join(df.as("b"), joinCond)
+      .filter(dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+
+  /** Production emission of the SemDeDup pass: the within-block near-dup
+    * pairs alone (no exact baseline). `maxCell` is the same hot-block guard
+    * as LSH's `maxBucket` (q31/q142): dup-heavy corpora concentrate
+    * whole duplicate clusters into one cell, whose pair count is quadratic
+    * in cell size — the cap drops oversized cells whole (their members are
+    * exact-dup territory a linear groupBy already handles, q30) and keeps
+    * every cell ≤ cap complete.
+    */
+  def semanticDedupPairs(spark: SparkSession, dir: String,
+                         threshold: Double = 0.4, nCells: Int = 16,
+                         nAssign: Int = 2, maxCell: Option[Int] = None): DataFrame = {
+    val blocks0 = semanticBlocks(spark, dir, nCells, nAssign)
+    val blocks = maxCell.map(c => Dedup.capBuckets(blocks0, Seq("cell"), c))
+      .getOrElse(blocks0)
+    thresholdPairs(blocks, col("a.cell") === col("b.cell") &&
+      col("a.vec_id") < col("b.vec_id"), threshold).distinct()
+  }
+
   def semanticDedupAudit(spark: SparkSession, dir: String,
                          threshold: Double = 0.4, nCells: Int = 16,
                          nAssign: Int = 2): DataFrame = {
-    val (assigned, centers) = ivfIndex(spark, dir, nCells)
+    val (assigned, _) = ivfIndex(spark, dir, nCells)
     val e = assigned.select(col("vec_id"), col("v"), col("nrm"))
-    // multi-assignment: each vector lands in its nAssign nearest cells (the
-    // centroid table is model-sized and broadcast), so a pair straddling one
-    // cell boundary still co-occurs somewhere — the within-block recall
-    // lever, at the cost of nAssign× index entries
-    val blocks = e.crossJoin(broadcast(centers))
-      .withColumn("cdist", dot(col("v"), col("cv")) / (col("nrm") * norm(col("cv"))))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))))
-      .filter(col("crk") <= nAssign)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    def pairs(df: DataFrame, joinCond: Column): DataFrame =
-      df.as("a").join(df.as("b"), joinCond)
-        .filter(dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")) >= threshold)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val within = pairs(blocks, col("a.cell") === col("b.cell") &&
-      col("a.vec_id") < col("b.vec_id")).distinct()
-    val exact = pairs(e, col("a.vec_id") < col("b.vec_id"))
+    val within = semanticDedupPairs(spark, dir, threshold, nCells, nAssign)
+    val exact = thresholdPairs(e, col("a.vec_id") < col("b.vec_id"), threshold)
     exact.agg(count(lit(1)).as("n_exact_pairs"))
       .crossJoin(broadcast(within.agg(count(lit(1)).as("n_within"))))
       .select(lit("semantic_dedup_recall").as("metric"),
