@@ -117,4 +117,18 @@ class FrequencySpec extends AnyFunSuite {
       .semanticDedupAudit(spark, "/root/testdata/sf0.001").collect().head
     assert(row.getAs[Boolean]("ok"), "multi-assign cell blocking lost recall")
   }
+
+  test("semantic dedup pairs with maxCell are a subset of the uncapped pairs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val uncapped = pairs(Similarity.semanticDedupPairs(spark, dir))
+    val capped = pairs(Similarity.semanticDedupPairs(spark, dir, maxCell = Some(20)))
+    assert(capped.subsetOf(uncapped))
+    // a cap nothing exceeds reproduces the exhaustive answer exactly
+    val lax = pairs(Similarity.semanticDedupPairs(spark, dir, maxCell = Some(1000000)))
+    assert(lax == uncapped)
+    assert(uncapped.nonEmpty)
+  }
 }
