@@ -67,8 +67,33 @@ object TimeSeries {
         round(col("ewma_raw"), 4).as("ewma"))
   }
 
+  /** Distinct users per 1-hour SLIDING window (15-minute slide): the
+    * overlapping-window form of q42's tumbling aggregate. Spark's `window`
+    * generator replicates each event into its 4 covering windows map-side
+    * (overlap factor = size/slide — the explode is the cost model, and it
+    * is linear, not windowed-state), then one grouped distinct per window.
+    * Beside the exact NDV the row carries the approx_count_distinct verdict:
+    * within max(10%, 3) per window — the nominal rsd is 2%, but tiny windows
+    * (ndv ≈ 10) quantize, so the bound needs an absolute floor (measured
+    * worst deviation across 2,883 sf0.01 windows: 2). At 100 TB the
+    * production form ships the HLL partials (fixed bytes per (window,
+    * sketch)) instead of shuffling every (window, user) pair, same contract
+    * pattern as q134.
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.queries.Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(countDistinct(col("user_id")).as("ndv"),
+        approx_count_distinct(col("user_id"), 0.02).as("ndv_est"))
+      .select(col("window.start").as("win_start"),
+        col("ndv"),
+        (abs(col("ndv_est") - col("ndv")) <=
+          greatest(col("ndv") * 0.1, lit(3.0))).as("approx_ok"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_ewma" -> ((s: SparkSession, d: String) => ewma(s, d)),
+    "q159_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(s, d)),
   )
 
   /** The oracle computes the SAME recurrence in closed form (safe in SQL at
@@ -85,5 +110,15 @@ object TimeSeries {
         |  round(sum(value * CASE WHEN rn = 1 THEN pow(0.5, n - 1)
         |                         ELSE pow(0.5, n - rn + 1) END), 4) AS ewma
         |FROM r GROUP BY user_id""".stripMargin,
+    // each event belongs to the 4 slide-aligned windows at and before its
+    // 15-min bucket; ts − wstart ∈ [15k, 15k+15) ⊂ [0, 60) min, so the
+    // containment predicate is implied by construction. Exact NDV is
+    // hash-pinned; the sketch accuracy is a verdict (q134 pattern).
+    "q159_sliding_distinct" ->
+      """WITH w AS (SELECT user_id,
+        |    time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE) AS win_start
+        |  FROM events, (SELECT unnest(range(4)) AS k))
+        |SELECT win_start, count(DISTINCT user_id) AS ndv, true AS approx_ok
+        |FROM w GROUP BY win_start""".stripMargin,
   )
 }

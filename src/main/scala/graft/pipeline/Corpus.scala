@@ -142,6 +142,35 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirtsis A-ES), k per
+    * stratum: each doc draws key = ln(u)/w where u is an md5-derived uniform
+    * and w its weight (n_chars here — longer docs proportionally likelier);
+    * the k largest keys per stratum ARE a weighted sample without
+    * replacement. One pass, one stratum-partitioned top-k window, no
+    * rejection loop and no sequential state — the only WOR sampler that
+    * distributes: each row's key is independent, so the reduction is just
+    * per-stratum max-k. md5 (not rand()) keeps the draw reproducible across
+    * engines and runs — the same determinism contract as q65/q74.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    weightedSampleOf(docs(spark, dir), k)
+
+  /** Core of [[weightedSample]] over any (lang, doc_id, n_chars) frame. */
+  def weightedSampleOf(documents: DataFrame, k: Int): DataFrame = {
+    // u = (h + 1) / 2^60 in (0, 1]: +1 dodges ln(0); the 60-bit numerator
+    // makes key collisions practically impossible, doc_id breaks the rest
+    val hu = conv(substring(md5(concat(lit("ws|"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (hu + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val key = log(u) / col("n_chars").cast("double")
+    val w = Window.partitionBy(col("lang")).orderBy(col("key").desc, col("doc_id"))
+    documents
+      .withColumn("key", key)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("rk"))
+  }
+
   /** Token-count distribution quantiles per language: exact interpolated
     * percentiles (partial-aggregating, single shuffle on lang).
     */
@@ -534,6 +563,7 @@ object Corpus {
     "q71_edit_distance" -> ((s: SparkSession, d: String) => editDistancePairs(s, d)),
     "q72_token_quantiles" -> ((s: SparkSession, d: String) => tokenQuantiles(s, d)),
     "q74_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
+    "q158_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "q143_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
     "q144_importance_sample" -> ((s: SparkSession, d: String) => importanceSample(s, d)),
     "q146_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
@@ -558,6 +588,18 @@ object Corpus {
         |    CAST(('0x' || substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS bucket
         |  FROM documents)
         |SELECT doc_id, lang, p, 1.0 / p AS w FROM b WHERE bucket < p * 10000""".stripMargin,
+    // the oracle redraws the identical md5 keys: the A-ES math is plain SQL,
+    // so the sample is cross-engine reproducible (ln ulp differences cannot
+    // flip an ordering whose key gaps are ~1/n² of the unit interval)
+    "q158_weighted_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    ln((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+        |       / 1152921504606846976.0) / n_chars AS key
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+        |  FROM d)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 3""".stripMargin,
     "q146_mad_outliers" ->
       """WITH li AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
         |m AS (SELECT l_returnflag, round(quantile_cont(x, 0.5), 4) AS med

@@ -118,6 +118,50 @@ class FrequencySpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("ok"), "multi-assign cell blocking lost recall")
   }
 
+  test("weighted sample: WOR semantics, k per stratum, weight dominance") {
+    import spark.implicits._
+    // one overwhelming weight per stratum must always be drawn: its key
+    // ln(u)/w ~ 0- beats any realistic competitor key
+    val documents = (
+      Seq(("en", 0L, 1000000000L), ("de", 100L, 1000000000L)) ++
+        (1L to 50L).map(i => ("en", i, 10L)) ++
+        (101L to 150L).map(i => ("de", i, 10L))
+      ).toDF("lang", "doc_id", "n_chars")
+    val got = Corpus.weightedSampleOf(documents, 3)
+      .as[(String, Long, Int)].collect()
+    assert(got.length == 6) // 3 per stratum
+    assert(got.map(r => (r._1, r._2)).distinct.length == 6) // no replacement
+    val top = got.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    assert(top("en") == 0L && top("de") == 100L,
+      "the 10^8x-weight doc must win its stratum")
+    // deterministic: a second evaluation draws the identical sample
+    val again = Corpus.weightedSampleOf(documents, 3)
+      .as[(String, Long, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("sliding distinct: every window equals a brute-force range recount") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, dir)
+    val got = TimeSeries.slidingDistinct(spark, dir)
+      .select(col("win_start").cast("long"), col("ndv"))
+      .as[(Long, Long)].collect().toMap
+    // brute force: for each emitted window start, recount users in
+    // [start, start + 1h) directly from the raw table
+    val raw = ev.select(col("ts").cast("long").as("s"), col("user_id"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (start, ndv) =>
+      val brute = raw.filter { case (s, _) => s >= start && s < start + 3600 }
+        .map(_._2).distinct.length
+      assert(brute.toLong == ndv, s"window $start")
+    }
+    // overlap factor: total window memberships = 4x event count
+    assert(raw.length * 4L ==
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n")).agg(sum("n")).as[Long].head())
+  }
+
   test("semantic dedup pairs with maxCell are a subset of the uncapped pairs") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
