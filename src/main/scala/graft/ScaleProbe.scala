@@ -93,6 +93,17 @@ object ScaleProbe {
     "q157_pairs_uncapped" ->
       ((s: SparkSession, d: String) =>
         graft.pipeline.Similarity.semanticDedupPairs(s, d)),
+    // q160's production shape: PageRank doesn't care where the pair table
+    // came from — feed it the BLOCKED near-dup pairs (capped cells) instead
+    // of the driver query's exact O(n²) audit edges
+    "q160_blocked_edges" ->
+      ((s: SparkSession, d: String) => {
+        val pairs = graft.pipeline.Similarity
+          .semanticDedupPairs(s, d, maxCell = Some(2000))
+          .select(org.apache.spark.sql.functions.col("vec_a").as("src"),
+            org.apache.spark.sql.functions.col("vec_b").as("dst"))
+        graft.operators.Graph.pageRank(pairs)
+      }),
   )
 
   def main(args: Array[String]): Unit = {

@@ -37,7 +37,8 @@ object SparkEntry {
       graft.pipeline.Frequency.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
-      graft.operators.TimeSeries.all
+      graft.operators.TimeSeries.all ++
+      graft.operators.Graph.all
 
   /** Sketch-only stand-ins [[graft.Bench]] times INSTEAD of the verdict
     * forms: q51/q131/q134's `queries` entries bundle exact baselines (exact
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.pipeline.Frequency.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
-      graft.operators.TimeSeries.oracles
+      graft.operators.TimeSeries.oracles ++
+      graft.operators.Graph.oracles
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** PageRank invariants: probability-mass conservation, centrality ordering
+  * on a known topology, and partitioning-independence of the quantized
+  * float path.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("star graph: hub outranks leaves, mass sums to 1") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.size == 5)
+    val hub = ranks(0L)
+    (1L to 4L).foreach(l => assert(hub > ranks(l), s"hub must outrank leaf $l"))
+    // leaves are symmetric
+    assert((1L to 4L).map(ranks).distinct.size == 1)
+    // synchronous PR on a graph with no dangling nodes conserves mass
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+  }
+
+  test("ring graph: perfect symmetry gives uniform ranks") {
+    import spark.implicits._
+    val n = 6L
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.values.toSeq.distinct.size == 1)
+    assert(math.abs(ranks.values.head - 1.0 / n) < 1e-9)
+  }
+
+  test("quantized rank path is partitioning-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 60).map(_ => (rnd.nextInt(20).toLong, (20 + rnd.nextInt(20)).toLong))
+      .distinct
+    for (parts <- Seq(1, 3, 8)) {
+      val edges = spark.sparkContext.parallelize(pairs, parts).toDF("src", "dst")
+      val r = Graph.pageRank(edges, iters = 5)
+        .select(col("node"), round(col("p"), 6).as("p"))
+        .as[(Long, Double)].collect().toMap
+      val ref = Graph.pageRank(pairs.toDF("src", "dst"), iters = 5)
+        .select(col("node"), round(col("p"), 6).as("p"))
+        .as[(Long, Double)].collect().toMap
+      assert(r == ref, s"parts=$parts")
+    }
+  }
+}
