@@ -67,6 +67,61 @@ object TimeSeries {
         round(col("ewma_raw"), 4).as("ewma"))
   }
 
+  /** Per-event anomaly flags against the running EWMA: an event is anomalous
+    * when its value deviates from the user's smoothed history (the EWMA of
+    * all PRIOR events) by more than `relBand`·|history| + `absBand`. The
+    * same single-shuffle linear fold as [[ewma]], but emitting one row per
+    * event with O(1) carried state — the shape that turns into streaming
+    * state (q162) unchanged. First event per user has no history and is
+    * never flagged.
+    *
+    * Cross-engine float contract: the oracle replays the IDENTICAL
+    * sequential fold (recursive CTE, same `0.5·x + 0.5·e` op order), so the
+    * prev-EWMA doubles are bit-identical — which is what makes the raw
+    * anomaly comparison safe without rounding, and the emitted column uses
+    * FLOOR-quantization, not round(): with 2-decimal inputs and
+    * power-of-two decay, the smoothed values land exactly on .00005
+    * rounding ties all the time (the q59 quality-blend lesson), where
+    * Spark's BigDecimal HALF_UP and DuckDB's scaled-nearbyint disagree.
+    */
+  def ewmaAnomalies(spark: SparkSession, dir: String, alpha: Double = 0.5,
+                    relBand: Double = 0.5, absBand: Double = 10.0): DataFrame =
+    ewmaAnomaliesOf(graft.queries.Tables.events(spark, dir), alpha, relBand, absBand)
+
+  /** Core of [[ewmaAnomalies]] over any (user_id, ts, event_id, value) frame. */
+  def ewmaAnomaliesOf(events: DataFrame, alpha: Double,
+                      relBand: Double, absBand: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[TsEvent]
+    val scored = ev.repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .mapPartitions { it =>
+        var user = Long.MinValue
+        var have = false
+        var e = 0.0
+        it.map { r =>
+          if (r.user_id != user) { user = r.user_id; have = false }
+          val prev = if (have) e else Double.NaN
+          e = if (have) alpha * r.value + (1.0 - alpha) * e else r.value
+          have = true
+          (r.user_id, r.event_id, prev, r.value)
+        }
+      }
+    scored.toDF("user_id", "event_id", "prev_raw", "value")
+      .select(col("user_id"), col("event_id"),
+        when(col("prev_raw").isNaN, lit(null))
+          .otherwise(floor(col("prev_raw") * 10000).cast("double") / 10000.0)
+          .as("ewma_prev"),
+        // NOT coalesce-on-null: Spark orders NaN as the LARGEST double, so
+        // a NaN prev would silently flag every first event true
+        when(col("prev_raw").isNaN, lit(false))
+          .otherwise(abs(col("value") - col("prev_raw")) >
+            abs(col("prev_raw")) * relBand + absBand).as("anomaly"))
+  }
+
   /** Distinct users per 1-hour SLIDING window (15-minute slide): the
     * overlapping-window form of q42's tumbling aggregate. Spark's `window`
     * generator replicates each event into its 4 covering windows map-side
@@ -94,6 +149,7 @@ object TimeSeries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_ewma" -> ((s: SparkSession, d: String) => ewma(s, d)),
     "q159_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(s, d)),
+    "q161_ewma_anomalies" -> ((s: SparkSession, d: String) => ewmaAnomalies(s, d)),
   )
 
   /** The oracle computes the SAME recurrence in closed form (safe in SQL at
@@ -120,5 +176,27 @@ object TimeSeries {
         |  FROM events, (SELECT unnest(range(4)) AS k))
         |SELECT win_start, count(DISTINCT user_id) AS ndv, true AS approx_ok
         |FROM w GROUP BY win_start""".stripMargin,
+    // the oracle replays the IDENTICAL sequential fold via a recursive
+    // CTE — same 0.5·x + 0.5·e operation order as the JVM scan, so every
+    // intermediate double is bit-identical and the un-rounded anomaly
+    // comparison plus the floor-quantized emission match exactly
+    "q161_ewma_anomalies" ->
+      """WITH RECURSIVE r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, rn, value, CAST(NULL AS DOUBLE) AS praw,
+        |         value AS e
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.rn, r.value, e.e AS praw,
+        |         0.5 * r.value + 0.5 * e.e AS e
+        |  FROM r JOIN e ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+        |SELECT user_id, event_id,
+        |  floor(praw * 10000) / 10000 AS ewma_prev,
+        |  CASE WHEN praw IS NULL THEN false
+        |       ELSE abs(value - praw) > abs(praw) * 0.5 + 10
+        |  END AS anomaly
+        |FROM e""".stripMargin,
   )
 }

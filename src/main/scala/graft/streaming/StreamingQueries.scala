@@ -222,6 +222,59 @@ object StreamingQueries {
     spark.read.parquet(sink)
   }
 
+  case class EvV(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                 value: Double)
+  case class AnomOut(user_id: Long, event_id: Long, ewma_prev: Option[Double],
+                     anomaly: Boolean)
+
+  /** Streaming per-event EWMA anomaly flags — the stateful-stream form of
+    * [[graft.operators.TimeSeries.ewmaAnomalies]]: flatMapGroupsWithState
+    * carries ONE double per user (the running smoothed value) across
+    * micro-batches, emits one flagged row per event, and the state never
+    * grows with history — the per-key-O(1) anomaly monitor that runs
+    * indefinitely at 100 TB/day. Within a batch the group iterator is sorted
+    * on (ts-to-the-microsecond, event_id), and the fold uses the identical
+    * `0.5·x + 0.5·e` op order as the batch operator, so a full drain is
+    * BIT-equal to the batch result and shares q161's recursive-CTE oracle.
+    */
+  def streamEwmaAnomalies(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import spark.implicits._
+      val stream = graft.queries.Tables.eventsStream(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")).as[EvV]
+      val out = stream
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Double, AnomOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[EvV], state: GroupState[Double]) =>
+            // getTime is millis — microsecond ties need getNanos to match
+            // the batch/SQL (ts, event_id) total order
+            val evs = rows.toArray
+              .sortBy(r => (r.ts.getTime / 1000, r.ts.getNanos, r.event_id))
+            var have = state.exists
+            var e = if (have) state.get else 0.0
+            val emitted = evs.map { r =>
+              val prev = if (have) Some(e) else None
+              val anomaly =
+                prev.exists(p => math.abs(r.value - p) > math.abs(p) * 0.5 + 10)
+              e = if (have) 0.5 * r.value + 0.5 * e else r.value
+              have = true
+              AnomOut(uid, r.event_id,
+                prev.map(p => math.floor(p * 10000) / 10000), anomaly)
+            }
+            state.update(e)
+            emitted.iterator
+        }
+      val sink = drainedSink("q162", dir) { (ckpt, outDir) =>
+        out.writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .format("parquet")
+          .trigger(Trigger.AvailableNow())
+          .start(outDir)
+      }
+      spark.read.parquet(sink)
+    }
+
   /** Built-in session windows: `groupBy(session_window(ts, gap), user)` — the
     * declarative form of q43/q52's hand-rolled mapGroupsWithState sessions.
     * Spark merges overlapping [ts, ts+gap) windows per key in the state store;
@@ -465,6 +518,7 @@ object StreamingQueries {
     "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "q141_stream_dedup_bounded" -> ((s: SparkSession, d: String) => streamDedupBounded(s, d)),
+    "q162_stream_ewma_anomalies" -> ((s: SparkSession, d: String) => streamEwmaAnomalies(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
@@ -515,6 +569,10 @@ object StreamingQueries {
     // dedup equals exact dedup
     "q141_stream_dedup_bounded" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    // identical to q161's oracle: the drained stream is bit-equal to the
+    // batch fold (same op order, same floor-quantized emission)
+    "q162_stream_ewma_anomalies" ->
+      graft.operators.TimeSeries.oracles("q161_ewma_anomalies"),
     "q42_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -162,6 +162,26 @@ class FrequencySpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n")).agg(sum("n")).as[Long].head())
   }
 
+  test("ewma anomalies: first events never flagged; stream drain == batch bit-for-bit") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = TimeSeries.ewmaAnomalies(spark, dir)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+    // no user's first event can be an anomaly (no history to deviate from)
+    val firstIds = graft.queries.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1).select("event_id").as[Long].collect().toSet
+    batch.filter(r => firstIds(r._2)).foreach { r =>
+      assert(r._3.isEmpty && !r._4, s"first event ${r._2} must be unflagged")
+    }
+    assert(batch.exists(_._4), "the band should flag at least one real deviation")
+    // the streaming stateful form must reproduce the batch fold exactly
+    val stream = graft.streaming.StreamingQueries.all("q162_stream_ewma_anomalies")(spark, dir)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+    assert(stream == batch)
+  }
+
   test("semantic dedup pairs with maxCell are a subset of the uncapped pairs") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
