@@ -38,7 +38,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
       graft.operators.TimeSeries.all ++
-      graft.operators.Graph.all
+      graft.operators.Graph.all ++
+      graft.operators.TopK.all
 
   /** Sketch-only stand-ins [[graft.Bench]] times INSTEAD of the verdict
     * forms: q51/q131/q134's `queries` entries bundle exact baselines (exact
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
       graft.operators.TimeSeries.oracles ++
-      graft.operators.Graph.oracles
+      graft.operators.Graph.oracles ++
+      graft.operators.TopK.oracles
 }
