@@ -437,6 +437,89 @@ object StreamingQueries {
       .agg(sum(col("n")).as("n_pairs"))
   }
 
+  private val outerLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stream-stream LEFT OUTER join under watermarks — the semantics q82's
+    * inner join can't show: an unmatched left row must be HELD in state
+    * until the global watermark proves no match can still arrive, then
+    * emitted with nulls. Forced to actually happen via a two-file arrival:
+    * the real events, then a flush file carrying one far-future click AND
+    * one far-future purchase (both on sentinel users) — the purchase-side
+    * sentinel matters because the global watermark is the MIN across
+    * inputs, and without it the purchase watermark would pin the join's
+    * eviction horizon a delay behind max(ts) forever, silently swallowing
+    * the tail's unmatched clicks. After the flush batch the engine runs the
+    * standard no-data finalization batch, evicting and emitting every
+    * remaining unmatched click; the drained result then equals the BATCH
+    * left-outer interval join, which is what the oracle computes. Sentinel
+    * rows themselves never emit (the watermark never passes their own
+    * horizon) but are filtered on read anyway.
+    */
+  def streamStreamOuter(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import java.time.temporal.ChronoUnit
+      val ev = graft.queries.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val streamDir = outerLayoutCache.getOrElseUpdate(dir, {
+        val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val flushTs = java.sql.Timestamp.from(mx.toInstant.plus(240, ChronoUnit.HOURS))
+        val sd = Files.createTempDirectory("graft-outer-stream-")
+        tempDirs.add(sd.toString)
+        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Files.createTempDirectory("graft-outer-part-")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          Files.move(part, sd.resolve(name))
+          Files.setLastModifiedTime(sd.resolve(name), FileTime.fromMillis(mtime))
+        }
+        val now = System.currentTimeMillis()
+        writeOne(ev, "a-events.parquet", now - 120000)
+        import spark.implicits._
+        writeOne(Seq(
+          (-1L, -1L, "click", 0.0, flushTs),
+          (-2L, -2L, "purchase", 0.0, flushTs)
+        ).toDF("event_id", "user_id", "event_type", "value", "ts"),
+          "b-flush.parquet", now - 60000)
+        sd.toString
+      })
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      val sink = drainedSink("q164", dir) { (ckpt, outDir) =>
+        joined.writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.groupBy(col("c_user"))
+              .agg(count(lit(1)).as("n"),
+                count(col("p_ts")).as("n_matched"))
+              .write.mode("overwrite").parquet(s"$outDir/__bid=$bid")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      spark.read.parquet(sink)
+        .filter(col("c_user") >= 0)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(sum(col("n")).as("n_rows"),
+          (sum(col("n")) - sum(col("n_matched"))).as("n_unmatched"))
+    }
+
   /** Late-data semantics under a watermark — the part of streaming the other
     * queries can't show (their static input drains in one batch, so nothing
     * is ever late). Two-file arrival order forced via modification times +
@@ -519,6 +602,7 @@ object StreamingQueries {
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "q141_stream_dedup_bounded" -> ((s: SparkSession, d: String) => streamDedupBounded(s, d)),
     "q162_stream_ewma_anomalies" -> ((s: SparkSession, d: String) => streamEwmaAnomalies(s, d)),
+    "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
@@ -573,6 +657,17 @@ object StreamingQueries {
     // batch fold (same op order, same floor-quantized emission)
     "q162_stream_ewma_anomalies" ->
       graft.operators.TimeSeries.oracles("q161_ewma_anomalies"),
+    // the flush-file arrival makes the drained stream equal the BATCH
+    // left-outer interval join, which is what the oracle computes
+    "q164_stream_stream_outer" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, p.ts AS pts FROM c LEFT JOIN p
+        |      ON c.user_id = p.user_id AND p.ts >= c.ts
+        |         AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM j GROUP BY user_id""".stripMargin,
     "q42_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
