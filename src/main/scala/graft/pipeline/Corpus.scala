@@ -171,6 +171,26 @@ object Corpus {
       .select(col("lang"), col("doc_id"), col("rk"))
   }
 
+  /** Class-balanced undersampling: every language keeps exactly the
+    * minority class's count, members chosen by md5-hash order — the
+    * deterministic form of random undersampling (same contract as q65/q74:
+    * reproducible across engines and runs, no RNG state). The per-class
+    * quota is a 1-row broadcast; selection is one lang-partitioned top-n
+    * window. The balanced-classes prep every classifier-training pipeline
+    * runs before fitting.
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nMin = d.groupBy(col("lang")).count()
+      .agg(min(col("count")).as("n_min"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("bal|"), col("doc_id").cast("string"))), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(nMin))
+      .filter(col("rk") <= col("n_min"))
+      .select(col("lang"), col("doc_id"))
+  }
+
   /** Token-count distribution quantiles per language: exact interpolated
     * percentiles (partial-aggregating, single shuffle on lang).
     */
@@ -564,6 +584,7 @@ object Corpus {
     "q72_token_quantiles" -> ((s: SparkSession, d: String) => tokenQuantiles(s, d)),
     "q74_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "q158_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
+    "q165_class_balance" -> ((s: SparkSession, d: String) => classBalance(s, d)),
     "q143_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
     "q144_importance_sample" -> ((s: SparkSession, d: String) => importanceSample(s, d)),
     "q146_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
@@ -600,6 +621,16 @@ object Corpus {
         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
         |  FROM d)
         |SELECT lang, doc_id, rk FROM r WHERE rk <= 3""".stripMargin,
+    // md5 hex strings compare identically in both engines, so the kept
+    // set is reproducible; the quota is the minority class's exact count
+    "q165_class_balance" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |m AS (SELECT min(cnt) AS n_min FROM
+        |      (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+        |SELECT lang, doc_id FROM r, m WHERE rk <= n_min""".stripMargin,
     "q146_mad_outliers" ->
       """WITH li AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
         |m AS (SELECT l_returnflag, round(quantile_cont(x, 0.5), 4) AS med

@@ -375,6 +375,23 @@ object Relational {
         first(col("o_orderkey")).over(w).as("first_key"))
   }
 
+  /** Distribution window functions — percent_rank and cume_dist, the rank
+    * family's relative-position members (q48 covers lag/lead/ntile/first).
+    * Both are ratios of small integers, which sit exactly on .00005
+    * rounding ties whenever the group size divides nicely — so the outputs
+    * are FLOOR-quantized (the q161 convention), where the identical IEEE
+    * division floors identically in every engine.
+    */
+  def rankDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (floor(percent_rank().over(w) * 10000) / 10000.0).as("pct_rank"),
+        (floor(cume_dist().over(w) * 10000) / 10000.0).as("cume"))
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
     * quantiles — the constant-memory 100 TB substitutes for exact distinct /
     * exact percentile. Sketch outputs are implementation-specific, so the
@@ -1020,6 +1037,7 @@ object Relational {
     "q139_supplier_diversity" -> partSupplierDiversity _,
     "q45_udf_udaf" -> udfSurface _,
     "q48_window_analytics" -> windowAnalytics _,
+    "q166_rank_distribution" -> rankDistribution _,
     "q01_scan_project" -> scanProject _,
     "q02_filter_scan" -> filterScan _,
     "q03_agg_q1" -> aggQ1 _,
@@ -1353,6 +1371,13 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY n_name""".stripMargin,
+    "q166_rank_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  floor(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
+        |  floor(cume_dist() OVER w * 10000) / 10000 AS cume
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q45_udf_udaf" ->
       """SELECT l_returnflag, reverse(l_returnflag) AS flag_rev,
         |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty,

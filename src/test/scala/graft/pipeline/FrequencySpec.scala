@@ -162,6 +162,21 @@ class FrequencySpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n")).agg(sum("n")).as[Long].head())
   }
 
+  test("class balance: every language keeps exactly the minority count, deterministically") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val kept = Corpus.classBalance(spark, dir)
+      .as[(String, Long)].collect()
+    val perClass = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perClass.values.toSet.size == 1, s"unbalanced: $perClass")
+    val trueMin = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).count().agg(min("count")).as[Long].head()
+    assert(perClass.values.head.toLong == trueMin)
+    // kept docs are a subset of their class, and the draw is reproducible
+    val again = Corpus.classBalance(spark, dir).as[(String, Long)].collect()
+    assert(kept.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+
   test("ewma anomalies: first events never flagged; stream drain == batch bit-for-bit") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
