@@ -410,7 +410,28 @@ object Dedup {
           .when(col("m_near").isNotNull, col("m_jac")).as("jac"))
   }
 
+  /** Multi-signal dedup candidates: the union of the text detector's pairs
+    * (MinHash-LSH banded Jaccard, q31) and the embedding detector's
+    * (LSH-blocked cosine, q36) with per-pair signal provenance — the
+    * ensemble shape production dedup runs, because each detector is blind
+    * where the other sees (boilerplate with divergent embeddings;
+    * paraphrases with disjoint shingles). The signal bitmask (1=text,
+    * 2=embedding, 3=both) drives the downstream keep/drop policy. Joined on
+    * the corpus's aligned doc/vec id space; both inputs are cached index
+    * serves, and the union groups on the pair key only — pair-set-sized,
+    * never corpus-sized.
+    */
+  def multiSignalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val text = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("sig"))
+    val emb = Similarity.cosineNearDup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), lit(2).as("sig"))
+    text.union(emb).groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("sig")).cast("int").as("signals"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_multi_signal_dedup" -> ((s: SparkSession, d: String) => multiSignalDedup(s, d)),
     "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
@@ -420,7 +441,35 @@ object Dedup {
     "q142_skew_audit" -> ((s: SparkSession, d: String) => skewAudit(s, d)),
   )
 
+  /** q31's oracle SQL (the exhaustive-equivalent Jaccard form) — shared by
+    * the q167 composition, which must inherit exactly this verification
+    * strength.
+    */
+  private val minhashOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |             ELSE list_distinct(list_transform(range(1, len(ws)-1),
+      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |        END AS sh
+      |      FROM w),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
+      |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // composed from the two detectors' own oracles (q31's is the
+    // exhaustive-equivalent Jaccard form, q36's the LSH replay), so the
+    // consensus oracle inherits exactly their verification strength
+    "q167_multi_signal_dedup" ->
+      s"""WITH t AS (SELECT doc_a, doc_b, 1 AS sig FROM ($minhashOracleSql)),
+         |e AS (SELECT vec_a AS doc_a, vec_b AS doc_b, 2 AS sig
+         |      FROM (${Similarity.oracles("q36_embed_near_dup")})),
+         |u AS (SELECT * FROM t UNION ALL SELECT * FROM e)
+         |SELECT doc_a, doc_b, CAST(sum(sig) AS INTEGER) AS signals
+         |FROM u GROUP BY doc_a, doc_b""".stripMargin,
     "q142_skew_audit" ->
       """WITH b AS (SELECT substr(lower(text), 1, 20) AS blk, count(*) AS bsize
         |           FROM documents GROUP BY blk)
@@ -433,19 +482,7 @@ object Dedup {
     // probability of missing a 0.5-Jaccard pair across 8 bands is ~2%, and
     // true pairs here sit well above the threshold), so the candidate-
     // generate + exact-verify output equals the exhaustive answer.
-    "q31_dedup_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |s AS (SELECT doc_id,
-        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-        |             ELSE list_distinct(list_transform(range(1, len(ws)-1),
-        |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-        |        END AS sh
-        |      FROM w),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
-        |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.5""".stripMargin,
+    "q31_dedup_minhash_lsh" -> minhashOracleSql,
     // Same pair set as q33, closed transitively with a recursive CTE; the
     // iterative Spark propagation must agree exactly.
     "q47_dedup_survivors" ->
