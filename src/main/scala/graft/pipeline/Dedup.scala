@@ -19,6 +19,15 @@ object Dedup {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Fixture hook (the streaming `clearDrains` analogue): drop every
+    * cached index/model and unpersist its blocks — needed whenever the
+    * data under a previously indexed dir is regenerated in the same JVM.
+    */
+  def clearCaches(): Unit = {
+    indexCache.values.foreach(df => { df.unpersist(); () })
+    indexCache.clear()
+  }
+
   private def cachedDf(dir: String, key: String)(build: => DataFrame): DataFrame =
     indexCache.getOrElseUpdate((dir, key), { val df = build.persist(); df.count(); df })
 
