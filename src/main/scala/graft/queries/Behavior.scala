@@ -83,13 +83,61 @@ object Behavior {
         coalesce(col("last_error") > col("first_signup"), lit(false))
           .cast("int").as("m_signup_error"))
 
+  /** Conversion-latency distribution: per click, the NEXT purchase by the
+    * same user within 7 days (the forward as-of shape, here as a bounded
+    * range join + grouped min — [[graft.operators.AsOfJoin]] is the
+    * sort-merge form for unbounded horizons), then exact percentiles over
+    * the microsecond latencies. The range bound is what keeps the join
+    * state finite at scale: every click pairs with at most a week of one
+    * user's purchases. Percentile convention = q146 (round(·,4) over the
+    * interpolated exact percentile).
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // the window predicate must live IN the join condition: filtering after
+    // a plain left join would drop a click entirely when its user's only
+    // purchases are out-of-window (it must surface as unconverted instead)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 7 DAY"),
+        "left")
+      .groupBy(col("event_id"), col("c_ts"))
+      .agg(min(col("p_ts")).as("p_ts"))
+      .select((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lat"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("lat")).as("n_converted"),
+        round(expr("percentile(lat, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(lat, 0.9)"), 4).as("p90_us"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_window_funnel" -> windowFunnel _,
     "q130_retention" -> retention _,
     "q132_sequence_match" -> sequenceMatch _,
+    "q168_conversion_latency" -> conversionLatency _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_conversion_latency" ->
+      """WITH c AS (SELECT event_id, user_id, ts AS c_ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT c.event_id, c.c_ts, min(p.p_ts) AS p_ts
+        |      FROM c LEFT JOIN p
+        |        ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+        |           AND p.p_ts <= c.c_ts + INTERVAL 7 DAY
+        |      GROUP BY c.event_id, c.c_ts),
+        |l AS (SELECT epoch_us(p_ts) - epoch_us(c_ts) AS lat FROM m)
+        |SELECT count(*) AS n_clicks, count(lat) AS n_converted,
+        |  round(quantile_cont(lat, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(lat, 0.9), 4) AS p90_us
+        |FROM l""".stripMargin,
     // the same greedy chain, computed relationally: earliest cond1, then
     // earliest in-window cond2 at-or-after it, then cond3
     "q129_window_funnel" ->
