@@ -64,7 +64,9 @@ object Bench {
     // the oracle-verdict form (sketch-only stand-ins, warm-restart streaming
     // drains) are labeled so the headline number can't silently overstate.
     val variantOf: String => Option[String] = n =>
-      if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
+      if (n == "q157_semantic_dedup" || n == "q160_neardup_pagerank")
+        Some("blocked-production-form") // verdict form bundles an O(n²) audit baseline
+      else if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")
         Some("cached-model-serve")

@@ -41,12 +41,15 @@ object SparkEntry {
       graft.operators.Graph.all ++
       graft.operators.TopK.all
 
-  /** Sketch-only stand-ins [[graft.Bench]] times INSTEAD of the verdict
-    * forms: q51/q131/q134's `queries` entries bundle exact baselines (exact
-    * NDV, exact percentiles) solely so the driver oracle can hash an
-    * accuracy verdict; the production shape — and therefore the benchmarked
-    * shape — is the sketch alone. Verify still runs the verdict forms, so
-    * correctness coverage is unchanged.
+  /** Production-shape stand-ins [[graft.Bench]] times INSTEAD of the
+    * verdict forms: q51/q131/q134's `queries` entries bundle exact
+    * baselines (exact NDV, exact percentiles) solely so the driver oracle
+    * can hash an accuracy verdict, and q157/q160's bundle exact O(n²)
+    * audit baselines beside the blocked production path — the production
+    * shape, and therefore the benchmarked shape, is the sketch/blocked
+    * form alone. Verify still runs the verdict forms, so correctness
+    * coverage is unchanged; Bench labels every substitution in its
+    * `variants` output field.
     */
   def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_sketches" ->
@@ -55,6 +58,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllDistinctSketchOnly(s, d)),
     "q134_hll_column" ->
       ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllColumnSketchOnly(s, d)),
+    "q157_semantic_dedup" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
+    "q160_neardup_pagerank" ->
+      ((s: SparkSession, d: String) => graft.operators.Graph.pageRank(
+        graft.pipeline.Similarity.semanticDedupPairs(s, d)
+          .select(org.apache.spark.sql.functions.col("vec_a").as("src"),
+            org.apache.spark.sql.functions.col("vec_b").as("dst")))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
