@@ -133,6 +133,60 @@ class PropertySpec extends AnyFunSuite {
     }, 3)
   }
 
+
+  test("property: distributed BigDecimal-checked EWMA over random series") {
+    import spark.implicits._
+    // the linear fold must match an exact-rational reference: with α = 1/2
+    // every step is (x + e)/2 in rationals; BigDecimal at high scale is an
+    // exact stand-in (inputs are 2-decimal, so denominators are powers of 2)
+    val serie = Gen.nonEmptyListOf(Gen.chooseNum(0, 50000).map(_ / 100.0))
+    check(Prop.forAll(Gen.listOfN(3, serie)) { series =>
+      val rows = series.zipWithIndex.flatMap { case (xs, u) =>
+        xs.zipWithIndex.map { case (x, i) =>
+          (u.toLong, new java.sql.Timestamp(1000L * i), i.toLong, x)
+        }
+      }
+      val got = graft.operators.TimeSeries
+        .ewmaOf(rows.toDF("user_id", "ts", "event_id", "value"), 0.5)
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, n, e) => u -> ((n, e)) }.toMap
+      series.zipWithIndex.forall { case (xs, u) =>
+        val exact = xs.tail.foldLeft(BigDecimal(xs.head)) { (e, x) =>
+          (BigDecimal(x) + e) / 2
+        }
+        val (n, e) = got(u.toLong)
+        // e is the double fold rounded to the 1e-4 grid; exact is the
+        // unrounded rational of the binary inputs — they can differ by up
+        // to one grid step when the true value sits on a .00005 boundary
+        n == xs.length.toLong && math.abs(e - exact.toDouble) <= 1.0001e-4
+      }
+    }, 10)
+  }
+
+  test("property: PageRank conserves probability mass on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(4, 24)
+      m <- Gen.chooseNum(n, 3 * n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (a.toLong, b.toLong))
+    } yield es.distinct
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val ranks = graft.operators.Graph
+          .pageRank(es.toDF("src", "dst"), iters = 6)
+          .as[(Long, Double)].collect()
+        // symmetric edges -> no dangling nodes -> mass conserved; and no
+        // node's rank may fall below the teleport floor (1-d)/n
+        val n = ranks.length
+        math.abs(ranks.map(_._2).sum - 1.0) < 1e-6 &&
+          ranks.forall(_._2 >= (1.0 - 0.85) / n - 1e-9)
+      }
+    }, 8)
+  }
+
   test("property: Aggregate-model merge is idempotent (merge ∘ merge = merge)") {
     import spark.implicits._
     val td = TableDef(
