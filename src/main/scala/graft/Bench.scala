@@ -64,8 +64,10 @@ object Bench {
     // the oracle-verdict form (sketch-only stand-ins, warm-restart streaming
     // drains) are labeled so the headline number can't silently overstate.
     val variantOf: String => Option[String] = n =>
-      if (n == "q157_semantic_dedup" || n == "q160_neardup_pagerank")
+      if (n == "q157_semantic_dedup" || n == "q160_neardup_pagerank" ||
+          n == "q171_prefix_filter_join")
         Some("blocked-production-form") // verdict form bundles an O(n²) audit baseline
+        // (q171: verdict form is quadratic-output on this corpus's density)
       else if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")

@@ -96,6 +96,21 @@ object ScaleProbe {
     // q160's production shape: PageRank doesn't care where the pair table
     // came from — feed it the BLOCKED near-dup pairs (capped cells) instead
     // of the driver query's exact O(n²) audit edges
+    // q171's production ORDER: exact dedup first (q30's groupBy), THEN the
+    // prefix-filtered exact join over survivors. Dup-heavy replication makes
+    // every text a factor-sized exact-dup cluster whose pairs all have
+    // Jaccard 1.0 — any set-similarity join pays factor² for pairs a linear
+    // groupBy already finds; running survivors-first makes the probe measure
+    // the join's real work, and its timing should stay FLAT in the factor
+    // (the survivor set does not grow under replication)
+    "q171_survivors_blocked" ->
+      ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val surv = docs.groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("text"), col("m.source").as("source"))
+        graft.pipeline.Dedup.prefixFilterJoinOf(surv, 0.8, Some("source"))
+      }),
     "q160_blocked_edges" ->
       ((s: SparkSession, d: String) => {
         val pairs = graft.pipeline.Similarity

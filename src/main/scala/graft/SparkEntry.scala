@@ -60,6 +60,14 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllColumnSketchOnly(s, d)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
+    // q171's verdict form is quadratic-OUTPUT on this degenerately-dense
+    // synthetic corpus (~3M true pairs at sf0.1); production runs the same
+    // lossless join within source blocks (within-crawl-shard dedup; global
+    // df + prefix lengths, so within-block pairs are identical to the
+    // unblocked join's same-block subset)
+    "q171_prefix_filter_join" ->
+      ((s: SparkSession, d: String) =>
+        graft.pipeline.Dedup.prefixFilterJoin(s, d, 0.8, Some("source"))),
     "q160_neardup_pagerank" ->
       ((s: SparkSession, d: String) => graft.operators.Graph.pageRank(
         graft.pipeline.Similarity.semanticDedupPairs(s, d)

@@ -567,8 +567,51 @@ object Corpus {
     (head +: rounds).mkString(",\n") + "\n" + union + "\nORDER BY rank"
   }
 
+  /** Temperature-based mixture sampling: per-source selection quotas
+    * proportional to n_s^α with α = 0.5 — the standard multilingual/
+    * multi-source rebalancing (temperature sampling in mT5/XLM-R and every
+    * data-mixture paper since): big sources are down-weighted, small
+    * sources up-weighted, smoothly between proportional (α=1) and uniform
+    * (α=0). q111 applies FIXED per-source mixing weights; this derives the
+    * weights from the corpus itself.
+    *
+    * Determinism across engines is engineered at two float hazards: α=0.5
+    * is computed as sqrt() (correctly-rounded in IEEE 754, unlike pow whose
+    * last ulp is libm-specific), and the weight NORMALIZER is summed as
+    * 6-dp DECIMAL so addition order cannot perturb the quotas (the
+    * q118/q148 pattern) — floor() then snaps quota boundaries. Selection
+    * within a source is the seeded-hash rank (md5 of doc_id, doc_id
+    * tie-break), so the chosen set is a pure function of the corpus.
+    *
+    * Scale shape: quota derivation is one grouped count folded to a
+    * source-cardinality table (mixture configs are at most thousands of
+    * rows — broadcast); selection is one per-source window over (hash, id)
+    * — at 100 TB the window sorts WITHIN sources in parallel, and a
+    * quota-sized TakeOrderedAndProject per source would be the next
+    * refinement if a single source dominated a partition.
+    */
+  def temperatureMix(spark: SparkSession, dir: String, nTarget: Int = 200): DataFrame = {
+    val d = docs(spark, dir)
+    val wts = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .withColumn("w", round(sqrt(col("ns").cast("double")), 6).cast("decimal(18,6)"))
+    val tot = wts.agg(sum(col("w")).as("wsum"))
+    val targets = wts.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(lit(nTarget) * col("w").cast("double") / col("wsum").cast("double"))
+          .as("target"))
+    val perSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(perSrc))
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("rn") <= col("target"))
+      .select(col("doc_id"), col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "q172_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q105_sliding_chunks" -> ((s: SparkSession, d: String) => slidingChunks(s, d)),
     "q89_chunk_assembly" -> ((s: SparkSession, d: String) => chunkAssembly(s, d)),
     "q84_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
@@ -593,6 +636,18 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(round(sqrt(CAST(ns AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w FROM n),
+        |t AS (SELECT source,
+        |        CAST(floor(200 * CAST(w AS DOUBLE) /
+        |          (SELECT CAST(sum(w) AS DOUBLE) FROM w)) AS BIGINT) AS target
+        |      FROM w),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN t USING (source) WHERE rn <= t.target""".stripMargin,
     "q149_bpe_merges" -> bpeOracleSql(10),
     "q150_bpe_tokenize" -> bpeTokenizeOracleSql(10),
     "q143_shuffle_shard" ->

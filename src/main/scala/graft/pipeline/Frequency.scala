@@ -134,10 +134,110 @@ object Frequency {
           col("exact_intersection") * 0.15).as("ok"))
   }
 
+  /** Count–Min sketch frequency estimation: a d×w counter matrix where
+    * row i counts tokens by `md5_prefix60(i || ':' || token) mod w`, and a
+    * key's estimate is the MIN over its d cells. The sketch is the
+    * frequency-domain sibling of HLL (q131): fixed O(d·w) space no matter
+    * the corpus size, mergeable by cell-wise addition, one-sided error
+    * (estimate ≥ truth always; over-estimate ≤ εN with probability 1−δ for
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+    *
+    * Scale shape: building the matrix is ONE token scan exploded ×d into a
+    * grouped count — partial aggregation caps every mapper's shuffle output
+    * at d·w rows (8 KB here) regardless of input size, and the finished
+    * matrix broadcasts for probing. The probe set is the exact heavy set
+    * (reusing [[heavyHittersOf]]'s two-scan shape), so the query emits
+    * (exact, estimate) side by side with the one-sided-error verdict — and
+    * because the hash is the portable md5 prefix, DuckDB replays the WHOLE
+    * sketch cell-for-cell: the estimate column is hash-checked, not just
+    * bounded.
+    */
+  def countMinSketch(spark: SparkSession, dir: String, d: Int = 4, w: Int = 512): DataFrame = {
+    val tokens = docs(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    countMinOf(tokens, heavyHittersOf(tokens, 29), d, w)
+  }
+
+  /** Core of [[countMinSketch]]: build the d×w matrix over `tokens` and
+    * probe it with `probes` (word, n_occurrences).
+    */
+  def countMinOf(tokens: DataFrame, probes: DataFrame, d: Int, w: Int): DataFrame = {
+    def bucket(word: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      pmod(graft.functions.Md5Prefix60.md5Prefix60(
+        concat(i.cast("string"), lit(":"), word)), lit(w.toLong))
+
+    val cells = tokens
+      .select(col("word"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), bucket(col("word"), col("i")).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cell"))
+
+    probes
+      .select(col("word"), col("n_occurrences").as("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("bucket", bucket(col("word"), col("i")))
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("word"), col("n_exact"))
+      .agg(min(col("cell")).as("n_cms"))
+      .select(col("word"), col("n_exact"), col("n_cms"),
+        (col("n_cms") >= col("n_exact")).as("ok"))
+  }
+
+  /** Maximal duplicated-span extraction — the substring-level exact dedup
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), re-expressed for Spark: instead of a suffix array, seed with
+    * word n-grams that occur in MORE THAN ONE document, then merge runs of
+    * consecutive duplicated gram positions into maximal spans per document
+    * (the gaps-and-islands trick: pos − row_number is constant within a
+    * run). q154 counts how MUCH of a doc is shared; this emits the actual
+    * spans a dedup pass would cut — count, longest, and total span words
+    * per doc.
+    *
+    * Scale shape: two shuffles — one gram-keyed window to decide
+    * cross-doc sharing (min(doc)≠max(doc) over the gram partition stands in
+    * for COUNT(DISTINCT doc)>1 at window cost), then one doc-keyed window +
+    * grouped rollup for the islands. No joins, no gram-set broadcast; the
+    * shared-gram set stays distributed (it is corpus-sized at 100 TB).
+    * Adjacent spans closer than n−1 words overlap in word space;
+    * span_word_sum counts both coverages by design (both engines compute
+    * the same formula).
+    */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    dupSpansOf(docs(spark, dir), n)
+
+  /** Core of [[dupSpans]] over any (doc_id, text) frame. */
+  def dupSpansOf(documents: DataFrame, n: Int): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val grams = documents
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+
+    val perGram = Window.partitionBy(col("gram"))
+    val dup = grams
+      .withColumn("mn", min(col("doc_id")).over(perGram))
+      .withColumn("mx", max(col("doc_id")).over(perGram))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("grp", col("pos") - row_number().over(perDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((count(lit(1)) + (n - 1)).as("span_words"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_words")).as("longest_span"),
+        sum(col("span_words")).as("span_word_sum"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "q154_dup_passages" -> ((s: SparkSession, d: String) => dupPassages(s, d)),
     "q155_hll_intersect" -> ((s: SparkSession, d: String) => hllIntersect(s, d)),
+    "q169_count_min" -> ((s: SparkSession, d: String) => countMinSketch(s, d)),
+    "q170_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
   )
 
   /** q153's oracle is the definitionally-exact heavy set — the MG sketch is
@@ -172,5 +272,42 @@ object Frequency {
         |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'))
         |    AS exact_intersection,
         |  true AS ok""".stripMargin,
+    // q169: DuckDB replays the ENTIRE CMS matrix cell-for-cell (the hash is
+    // the portable md5 prefix), so n_cms is hash-verified, not just bounded.
+    "q169_count_min" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |           FROM documents),
+        |cells AS (
+        |  SELECT i, CAST(('0x' || substr(md5(i::VARCHAR || ':' || word), 1, 15)) AS BIGINT) % 512 AS bucket,
+        |         count(*) AS cell
+        |  FROM t, range(0, 4) r(i) GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT word, count(*) AS n_exact FROM t GROUP BY word
+        |  HAVING count(*) * 30 > (SELECT count(*) FROM t)),
+        |e AS (
+        |  SELECT p.word, p.n_exact, min(c.cell) AS n_cms
+        |  FROM probes p CROSS JOIN range(0, 4) r(i)
+        |  JOIN cells c ON c.i = r.i
+        |   AND c.bucket = CAST(('0x' || substr(md5(r.i::VARCHAR || ':' || p.word), 1, 15)) AS BIGINT) % 512
+        |  GROUP BY 1, 2)
+        |SELECT word, n_exact, n_cms, n_cms >= n_exact AS ok FROM e""".stripMargin,
+    // q170: n = 3 unrolled (ws[pos..pos+2], count(*) + 2).
+    "q170_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS pos, ws
+        |      FROM w WHERE len(ws) >= 3),
+        |g2 AS (SELECT doc_id, pos, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS gram FROM g),
+        |d AS (SELECT doc_id, pos,
+        |        min(doc_id) OVER (PARTITION BY gram) AS mn,
+        |        max(doc_id) OVER (PARTITION BY gram) AS mx
+        |      FROM g2),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM d WHERE mn <> mx),
+        |s AS (SELECT doc_id, grp, count(*) + 2 AS span_words FROM i GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_spans, max(span_words) AS longest_span,
+        |  CAST(sum(span_words) AS BIGINT) AS span_word_sum
+        |FROM s GROUP BY doc_id""".stripMargin,
   )
 }

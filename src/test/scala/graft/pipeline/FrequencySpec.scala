@@ -210,4 +210,110 @@ class FrequencySpec extends AnyFunSuite {
     assert(lax == uncapped)
     assert(uncapped.nonEmpty)
   }
+
+  test("count-min: estimates dominate exact counts; exact when w >> keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 800).map(_ => s"t${rnd.nextInt(50)}")
+    val tokens = spark.sparkContext.parallelize(words, 3).toDF("word")
+    val probes = tokens.groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Frequency.countMinOf(tokens, probes, 4, 512)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.length == exact.size)
+    got.foreach { case (w, ne, nc, ok) =>
+      assert(ne == exact(w), w)
+      assert(nc >= ne && ok, s"$w: CMS estimate $nc below exact $ne")
+    }
+    // 50 keys in 4x512 cells: a key colliding in ALL 4 rows is ~1e-4
+    // unlikely and deterministic given the md5 hashing — estimates are exact
+    assert(got.forall { case (_, ne, nc, _) => nc == ne })
+  }
+
+  test("count-min: a tight matrix over-estimates but never under-estimates") {
+    import spark.implicits._
+    val words = (0 until 400).map(i => s"k${i % 40}")
+    val tokens = spark.sparkContext.parallelize(words, 2).toDF("word")
+    val probes = tokens.groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+    // 40 keys into 2x8 cells: collisions guaranteed
+    val got = Frequency.countMinOf(tokens, probes, 2, 8)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall { case (_, ne, nc, ok) => nc >= ne && ok })
+    assert(got.exists { case (_, ne, nc, _) => nc > ne },
+      "40 keys in 16 cells must collide somewhere")
+  }
+
+  test("dup spans: maximal cross-doc runs merge; within-doc repeats don't count") {
+    import spark.implicits._
+    val documents = Seq(
+      (1L, "a b c d e x1 y1 z1"),        // shares "a b c d e" with doc 2
+      (2L, "q a b c d e r s"),
+      (3L, "m n o p"),                    // nothing shared
+      (4L, "a b c 1 2 3 4 x y z 5"),      // two separated spans vs doc 5
+      (5L, "a b c x y z"),
+      (6L, "u v w u v w u v w")           // self-repeats only: no spans
+    ).toDF("doc_id", "text")
+    val got = Frequency.dupSpansOf(documents, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1/2: one maximal 5-word span ("a b c d e" -> 3 consecutive grams)
+    assert(got(1L) == ((1L, 5L, 5L)))
+    assert(got(2L) == ((1L, 5L, 5L)))
+    // doc 4: "a b c" and "x y z" spans; doc 5 the same two
+    assert(got(4L) == ((2L, 3L, 6L)))
+    assert(got(5L) == ((2L, 3L, 6L)))
+    assert(!got.contains(3L) && !got.contains(6L))
+  }
+
+  test("prefix-filter join: lossless vs brute force on random dense corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3; t <- Seq(0.5, 0.8)) {
+      val vocab = (0 until 20).map(i => s"w$i")
+      val corpus = (0 until 30).map { id =>
+        val n = 4 + rnd.nextInt(8)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val documents = spark.sparkContext.parallelize(corpus, 3).toDF("doc_id", "text")
+      val got = Dedup.prefixFilterJoinOf(documents, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.map { case (id, s) => id -> s.split("\\s+").toSet }.toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= t
+      } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == expected, s"trial=$trial t=$t")
+      // blocked run = the unblocked join's same-block subset
+      val blocked = Dedup.prefixFilterJoinOf(
+        documents.withColumn("source", (col("doc_id") % 3).cast("string")),
+        t, Some("source")).as[(Long, Long, Double)].collect().toSet
+      assert(blocked == expected.filter { case (a, b, _) => a % 3 == b % 3 })
+    }
+  }
+
+  test("temperature mix: sqrt-quota per source, deterministic selection") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Corpus.temperatureMix(spark, dir)
+      .as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ns = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val w = ns.view.mapValues(n =>
+      BigDecimal(math.sqrt(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val wsum = w.values.sum.toDouble
+    ns.keys.foreach { s =>
+      val quota = math.floor(200 * w(s).toDouble / wsum).toLong
+      assert(bySrc.getOrElse(s, 0L) == quota, s"source $s")
+    }
+    // selection is a pure function of the corpus
+    val again = Corpus.temperatureMix(spark, dir).as[(Long, String)].collect()
+    assert(got.toSet == again.toSet)
+    // and every selected doc belongs to its claimed source
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    got.foreach { case (id, s) => assert(srcOf(id) == s) }
+  }
 }
