@@ -350,7 +350,85 @@ object TextAnalysis {
           lit(1000000.0)).as("entropy_bits"))
   }
 
+  /** Tokenizer-vocabulary coverage: per-document OOV (out-of-vocabulary)
+    * token rate against the corpus's own top-k vocabulary — the standard
+    * pre-training diagnostic for "will this tokenizer/vocab serve this
+    * corpus" (high OOV = fragmenting into bytes/unks). The vocabulary is
+    * the top-k words by corpus frequency with a total tie-break
+    * (count desc, word asc) so the cut at rank k is deterministic in both
+    * engines.
+    *
+    * Scale shape: vocabulary selection is a grouped count + global top-k
+    * (TakeOrderedAndProject — no single-partition sort of the vocabulary);
+    * the k-row vocab then BROADCASTS into the token scan, so per-doc
+    * coverage is one grouped aggregation over a map-side-joined stream —
+    * the corpus never shuffles by word twice.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    vocabCoverageOf(docs(spark, dir), k)
+
+  /** Core of [[vocabCoverage]] over any (doc_id, text) frame. */
+  def vocabCoverageOf(documents: DataFrame, k: Int): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+      .select(col("word"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_rate"))
+  }
+
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    * word distributions — the data-mixture diagnostic that tells you which
+    * sources are linguistically far from the blend (candidates for
+    * re-weighting in q172's temperature mix, or for quality review).
+    *
+    * Engine-stable via the q140/q148 pattern: each word's
+    * (p_s)·ln(p_s/p) term rounds to 8dp and sums as DECIMAL(18,8) (exact,
+    * order-free), then one floor-quantize. KL ≥ 0 with equality iff the
+    * source matches the corpus blend; every term's log argument is finite
+    * because P_corpus dominates every P_source by construction (a source's
+    * word is in the corpus).
+    *
+    * Scale shape: ONE (source, word) grouped count is the only corpus-sized
+    * shuffle; source totals fold from it (source-cardinality broadcast),
+    * word totals fold from it (vocabulary-sized shuffle join — never
+    * broadcast), the grand total is a 1-row broadcast.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftOf(docs(spark, dir))
+
+  /** Core of [[sourceDrift]] over any (source, text) frame. */
+  def sourceDriftOf(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val sw = tok.groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
+    val s = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("t_s"))
+    val w = sw.groupBy(col("word")).agg(sum(col("n_sw")).as("n_w"))
+    val t = w.agg(sum(col("n_w")).as("t"))
+    val term = round(
+      (col("n_sw").cast("double") / col("t_s").cast("double")) *
+        log((col("n_sw").cast("double") * col("t").cast("double")) /
+          (col("t_s").cast("double") * col("n_w").cast("double"))), 8)
+      .cast("decimal(18,8)")
+    sw.join(broadcast(s), Seq("source"))
+      .join(w, Seq("word"))
+      .crossJoin(broadcast(t))
+      .withColumn("term", term)
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"),
+        (floor(sum(col("term")).cast("double") * lit(1000000.0)) /
+          lit(1000000.0)).as("kl"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
+    "q174_source_drift" -> ((s: SparkSession, d: String) => sourceDrift(s, d)),
     "q147_pmi_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "q148_char_entropy" -> ((s: SparkSession, d: String) => charEntropy(s, d)),
     "q118_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
@@ -367,6 +445,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |           FROM documents),
+        |v AS (SELECT word FROM
+        |        (SELECT word, count(*) AS n FROM t GROUP BY word
+        |         ORDER BY n DESC, word LIMIT 100)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v ON t.word = v.word)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // q174: term-wise round(8) -> DECIMAL exact sum -> floor-quantize
+    // (the q140/q148 stability pattern)
+    "q174_source_drift" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |           FROM documents),
+        |sw AS (SELECT source, word, count(*) AS n_sw FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS t_s FROM sw GROUP BY 1),
+        |w AS (SELECT word, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_w) AS BIGINT) AS t FROM w),
+        |terms AS (SELECT sw.source, s.t_s,
+        |    CAST(round((CAST(n_sw AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+        |      ln((CAST(n_sw AS DOUBLE) * CAST(t AS DOUBLE)) /
+        |         (CAST(t_s AS DOUBLE) * CAST(n_w AS DOUBLE))), 8) AS DECIMAL(18,8)) AS term
+        |  FROM sw JOIN s USING (source) JOIN w USING (word) CROSS JOIN tt)
+        |SELECT source, max(t_s) AS n_tokens,
+        |  floor(CAST(sum(term) AS DOUBLE) * 1000000.0) / 1000000.0 AS kl
+        |FROM terms GROUP BY source""".stripMargin,
     // identical count tables + the same ln over identical integer-ratio
     // doubles; floor-quantized PMI and the (pmi, w1, w2) order are
     // engine-stable

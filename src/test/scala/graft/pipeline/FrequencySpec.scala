@@ -293,6 +293,52 @@ class FrequencySpec extends AnyFunSuite {
     }
   }
 
+  test("vocab coverage: known OOV counts with a deterministic top-k cut") {
+    import spark.implicits._
+    // corpus counts: 'hot' x6, 'warm' x4, 'cold' x2, 'rare' x1 -> top-2
+    // vocab is {hot, warm}
+    val documents = Seq(
+      (1L, "hot hot warm cold"),        // 1 OOV (cold)
+      (2L, "hot hot warm warm cold"),   // 1 OOV
+      (3L, "hot hot warm rare"),        // 1 OOV
+      (4L, "")                          // "" token: 1 token, 1 OOV
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverageOf(documents, 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    assert(got(2L) == ((5L, 1L, 0.2)))
+    assert(got(3L) == ((4L, 1L, 0.25)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+    // tie at the cut: 'b' and 'c' both x2, k=2 -> vocab {a?, ...} word-asc
+    // tie-break: counts a x3, b x2, c x2 -> vocab = {a, b}
+    val tied = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverageOf(tied, 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r == ((1L, 7L, 2L, 0.2857))) // the two 'c's are OOV
+  }
+
+  test("source drift: KL is zero for identical sources, positive for skew") {
+    import spark.implicits._
+    // two sources with IDENTICAL word distributions: corpus blend equals
+    // each source, so KL = 0 exactly for both
+    val same = Seq(
+      ("s1", "x x y"), ("s2", "x x y")
+    ).toDF("source", "text")
+    val kl0 = TextAnalysis.sourceDriftOf(same)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kl0("s1") == 0.0 && kl0("s2") == 0.0)
+    // a skewed source must have strictly positive KL (Gibbs), and the
+    // floor-quantized value matches a hand fold
+    val skew = Seq(
+      ("s1", "x x x x"), ("s2", "y y y y")
+    ).toDF("source", "text")
+    val klS = TextAnalysis.sourceDriftOf(skew)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // each source: p_s(w)=1, p(w)=0.5 -> KL = ln 2 = 0.693147...
+    assert(klS("s1") == 0.693147 && klS("s2") == 0.693147)
+  }
+
   test("temperature mix: sqrt-quota per source, deterministic selection") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
