@@ -232,12 +232,66 @@ object Frequency {
         sum(col("span_words")).as("span_word_sum"))
   }
 
+  /** Duplicated-span SCRUB — the cut step that completes [[dupSpans]]'s
+    * detect step (together they are the Lee et al. 2022 substring-dedup
+    * pipeline): every word position covered by a cross-doc-duplicated
+    * n-gram is removed, and the surviving words reassemble into the
+    * cleaned text in original order. Documents whose every word is covered
+    * drop out entirely (nothing survives to emit), exactly like a dedup
+    * pass that deletes the whole document.
+    *
+    * Scale shape: [[dupSpans]]'s gram-window shuffle decides coverage; the
+    * covered-position set explodes n rows per dup gram and dedups by
+    * (doc, pos) — doc-keyed, partial-agg friendly; removal is a doc+pos
+    * anti-join (both sides already doc-keyed); reassembly is one grouped
+    * collect over word positions, bounded by document length (the same
+    * per-doc bound q89's chunk assembly rides on). No step is ever
+    * corpus-quadratic — the scrub costs O(corpus + dup mass).
+    */
+  def spanScrub(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    spanScrubOf(docs(spark, dir), n)
+
+  /** Core of [[spanScrub]] over any (doc_id, text) frame. */
+  def spanScrubOf(documents: DataFrame, n: Int): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val base = documents.select(col("doc_id"), ws.as("ws"))
+    val words = base
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        posexplode(col("ws")))
+      .select(col("doc_id"), col("n_words"), (col("pos") + 1).as("wpos"),
+        col("col").as("word"))
+    val grams = base
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val perGram = Window.partitionBy(col("gram"))
+    val covered = grams
+      .withColumn("mn", min(col("doc_id")).over(perGram))
+      .withColumn("mx", max(col("doc_id")).over(perGram))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    words.join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("word")))),
+          x => x.getField("word")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_words"), col("n_kept"),
+        (col("n_words") - col("n_kept")).as("n_removed"), col("clean_text"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "q154_dup_passages" -> ((s: SparkSession, d: String) => dupPassages(s, d)),
     "q155_hll_intersect" -> ((s: SparkSession, d: String) => hllIntersect(s, d)),
     "q169_count_min" -> ((s: SparkSession, d: String) => countMinSketch(s, d)),
     "q170_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
+    "q175_span_scrub" -> ((s: SparkSession, d: String) => spanScrub(s, d)),
   )
 
   /** q153's oracle is the definitionally-exact heavy set — the MG sketch is
@@ -309,5 +363,29 @@ object Frequency {
         |SELECT doc_id, count(*) AS n_spans, max(span_words) AS longest_span,
         |  CAST(sum(span_words) AS BIGINT) AS span_word_sum
         |FROM s GROUP BY doc_id""".stripMargin,
+    // q175: n = 3 unrolled like q170; docs with every word covered drop out
+    // of BOTH sides (no kept rows survive the anti join)
+    "q175_span_scrub" ->
+      """WITH w0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |            FROM documents),
+        |wd AS (SELECT doc_id, len(ws) AS n_words, unnest(range(1, len(ws) + 1)) AS wpos, ws
+        |       FROM w0),
+        |words AS (SELECT doc_id, n_words, wpos, ws[wpos] AS word FROM wd),
+        |g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS pos, ws
+        |      FROM w0 WHERE len(ws) >= 3),
+        |g2 AS (SELECT doc_id, pos, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS gram FROM g),
+        |d AS (SELECT doc_id, pos,
+        |        min(doc_id) OVER (PARTITION BY gram) AS mn,
+        |        max(doc_id) OVER (PARTITION BY gram) AS mx
+        |      FROM g2),
+        |cov AS (SELECT DISTINCT doc_id, wpos FROM
+        |          (SELECT doc_id, unnest(range(pos, pos + 3)) AS wpos
+        |           FROM d WHERE mn <> mx)),
+        |kept AS (SELECT w.doc_id, w.n_words, w.wpos, w.word FROM words w
+        |         ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.wpos = c.wpos)
+        |SELECT doc_id, max(n_words) AS n_words, count(*) AS n_kept,
+        |  max(n_words) - count(*) AS n_removed,
+        |  string_agg(word, ' ' ORDER BY wpos) AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
   )
 }

@@ -265,6 +265,30 @@ class FrequencySpec extends AnyFunSuite {
     assert(!got.contains(3L) && !got.contains(6L))
   }
 
+  test("span scrub: covered words removed, order kept, fully-dup docs drop") {
+    import spark.implicits._
+    val documents = Seq(
+      (1L, "a b c d e x1 y1 z1"),   // "a b c d e" covered vs doc 2
+      (2L, "q a b c d e r s"),
+      (3L, "m n o p"),               // untouched
+      (4L, "a b c d e")              // ENTIRELY covered -> drops out
+    ).toDF("doc_id", "text")
+    val got = Frequency.spanScrubOf(documents, 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((8L, 3L, 5L, "x1 y1 z1")))
+    assert(got(2L) == ((8L, 3L, 5L, "q r s")))
+    assert(got(3L) == ((4L, 4L, 0L, "m n o p")))
+    assert(!got.contains(4L), "a fully-covered doc must drop out")
+    // conservation: kept + removed = total, and scrubbing the scrubbed
+    // corpus is a fixed point when nothing is shared anymore
+    got.values.foreach { case (nw, nk, nr, _) => assert(nk + nr == nw) }
+    val rescrub = Frequency.spanScrubOf(
+      got.toSeq.map { case (id, (_, _, _, t)) => (id, t) }.toDF("doc_id", "text"), 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+    rescrub.foreach { r => assert(r._4 == 0L, s"doc ${r._1} still shares spans") }
+  }
+
   test("prefix-filter join: lossless vs brute force on random dense corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
