@@ -35,6 +35,7 @@ object SparkEntry {
       graft.pipeline.Trainer.all ++
       graft.pipeline.Multimodal.all ++
       graft.pipeline.Frequency.all ++
+      graft.pipeline.Audit.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
       graft.operators.TimeSeries.all ++
@@ -91,6 +92,7 @@ object SparkEntry {
       graft.pipeline.Trainer.oracles ++
       graft.pipeline.Multimodal.oracles ++
       graft.pipeline.Frequency.oracles ++
+      graft.pipeline.Audit.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
       graft.operators.TimeSeries.oracles ++

@@ -34,7 +34,7 @@ object Similarity {
     */
   def clearCaches(): Unit = {
     def unp(x: Any): Unit = x match {
-      case df: DataFrame => df.unpersist(); ()
+      case df: org.apache.spark.sql.Dataset[_] => df.unpersist(); ()
       case (a, b) => unp(a); unp(b)
       case _ => ()
     }

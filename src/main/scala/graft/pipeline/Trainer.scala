@@ -107,8 +107,47 @@ object Trainer {
         lit(w(0) > 0).as("w_len_pos"))
   }
 
+  /** Per-group closed-form OLS: for each source, the least-squares line
+    * tokens ≈ slope·n_chars + intercept — the grouped-trend primitive
+    * (does a source's tokenization density drift with document length?).
+    * The parameter-server counterpoint to [[logregQuality]]'s iterative GD:
+    * OLS needs NO iterations because the normal equations close over five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²), each an exact integer
+    * sum here — so the whole fit is ONE grouped aggregate, and the only
+    * floats are the final two divisions (deterministic double ops on exact
+    * BIGINT inputs; round(6) on both engines).
+    *
+    * Scale shape: one partial-aggregating grouped count over the corpus;
+    * per-group state is five numbers regardless of group size. The
+    * textbook "aggregate sufficient statistics, not data" pattern that
+    * makes regression free at 100 TB.
+    */
+  def groupOls(spark: SparkSession, dir: String): DataFrame =
+    groupOlsOf(docs(spark, dir))
+
+  /** Core of [[groupOls]] over any (source, n_chars, text) frame. */
+  def groupOlsOf(documents: DataFrame): DataFrame = {
+    val d = documents
+      .select(col("source"), col("n_chars").as("x"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("y"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_logreg_quality" -> ((s: SparkSession, d: String) => logregQuality(s, d)),
+    "q177_group_ols" -> ((s: SparkSession, d: String) => groupOls(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +157,21 @@ object Trainer {
       """SELECT 'logreg_quality' AS metric, CAST(count(*) AS BIGINT) AS n_train,
         |  50 AS iters, true AS acc_ge_085, true AS w_len_pos
         |FROM documents""".stripMargin,
+    // q177: sums are exact integers; the only floats are the two final
+    // divisions, written expression-for-expression like the Spark side
+    "q177_group_ols" ->
+      """WITH d AS (SELECT source, n_chars AS x,
+        |             len(string_split_regex(trim(lower(text)), '\s+')) AS y
+        |           FROM documents),
+        |a AS (SELECT source, count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+        |      FROM d GROUP BY source)
+        |SELECT source, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |         (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |         CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a""".stripMargin,
   )
 }

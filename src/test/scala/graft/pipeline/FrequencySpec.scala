@@ -363,6 +363,64 @@ class FrequencySpec extends AnyFunSuite {
     assert(klS("s1") == 0.693147 && klS("s2") == 0.693147)
   }
 
+  test("data quality audit: clean fixture passes; injected corruption caught") {
+    import spark.implicits._
+    val clean = Audit.dataQuality(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(clean.size == 5)
+    clean.foreach { case (c, (checked, bad)) =>
+      assert(checked > 0, c); assert(bad == 0L, s"$c flagged $bad on clean data")
+    }
+    // corrupt copies: an orphan FK, a duplicate PK, a zero quantity, a
+    // negative price, an empty doc — each rule must count exactly its own
+    val tmp = java.nio.file.Files.createTempDirectory("auditc").toString
+    Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 99L)) // dup key 2; custkey 99 orphan
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$tmp/orders.parquet")
+    Seq((10L, "a"), (11L, "b")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$tmp/customer.parquet")
+    Seq((1L, 5.0, 100.0), (2L, 0.0, 50.0), (3L, 3.0, -1.0))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, "text here"), (2L, "   ")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val dirty = Audit.dataQuality(spark, tmp)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dirty("fk_orders_customer") == ((4L, 1L)))
+    assert(dirty("pk_orders_unique") == ((4L, 1L)))
+    assert(dirty("lineitem_qty_range") == ((3L, 1L)))
+    assert(dirty("lineitem_price_positive") == ((3L, 1L)))
+    assert(dirty("documents_nonempty") == ((2L, 1L)))
+  }
+
+  test("group OLS: recovers exact lines and matches a hand least-squares fit") {
+    import spark.implicits._
+    // source A lies exactly on y = 2x + 1; source B on y = 3 (slope 0)
+    def doc(words: Int): String = Seq.fill(words)("w").mkString(" ")
+    val documents = Seq(
+      ("A", 1L, doc(3)), ("A", 2L, doc(5)), ("A", 3L, doc(7)),
+      ("B", 10L, doc(3)), ("B", 20L, doc(3)), ("B", 30L, doc(3))
+    ).toDF("source", "n_chars", "text")
+    val got = Trainer.groupOlsOf(documents)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A") == ((3L, 2.0, 1.0)))
+    assert(got("B") == ((3L, 0.0, 3.0)))
+    // noisy case against an explicit normal-equation fold
+    val xs = Seq(1L, 2L, 4L, 7L); val ys = Seq(2L, 3L, 3L, 9L)
+    val noisy = xs.zip(ys).map { case (x, y) => ("N", x, doc(y.toInt)) }
+      .toDF("source", "n_chars", "text")
+    val n = xs.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotN = Trainer.groupOlsOf(noisy)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(gotN == (("N", n, r6(slope), r6(icept))))
+  }
+
   test("temperature mix: sqrt-quota per source, deterministic selection") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
