@@ -511,8 +511,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("jaccard"))
   }
 
+  /** Leakage-safe train/val/test split: split assignment is a hash of the
+    * near-dup CLUSTER representative (q47's survivor), not of the document
+    * — so every member of a near-dup cluster lands in the same split and a
+    * test document can never have a near-duplicate in train (the benchmark-
+    * contamination failure mode of naive per-doc splits; q65 is the
+    * per-doc form this hardens). Emits per-split doc and cluster counts
+    * plus the no_leakage verdict (no cluster spans two splits) — which is
+    * true BY CONSTRUCTION here, and the column exists so the invariant is
+    * hash-checked, not assumed.
+    *
+    * Scale shape: q47's CC provides (doc, survivor) for clustered docs (a
+    * sparse table — most docs are singletons and never enter it); the
+    * left join + coalesce is doc-keyed, assignment is map-side md5, and the
+    * leakage check + split rollup are grouped aggregates on the rep key.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val surv = dedupSurvivors(spark, dir)
+    val rep = docs(spark, dir).select(col("doc_id"))
+      .join(surv, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("survivor_id"), col("doc_id")).as("rep"))
+    val bucket =
+      conv(substring(md5(col("rep").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val assigned = rep.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val leak = assigned.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns")).as("mx"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_clusters"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        (col("mx") === 1).as("no_leakage"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_multi_signal_dedup" -> ((s: SparkSession, d: String) => multiSignalDedup(s, d)),
+    "q178_leakage_safe_split" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
     "q171_prefix_filter_join" -> ((s: SparkSession, d: String) => prefixFilterJoin(s, d)),
     "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
@@ -540,6 +576,29 @@ object Dedup {
       |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
       |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.5""".stripMargin
+
+  /** q47's oracle SQL (recursive-CTE transitive closure over the blocked
+    * Jaccard pairs) — shared by the q178 composition.
+    */
+  private val survivorsOracleSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, substr(lower(text), 1, 20) AS blk,
+      |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+      |  WHERE e2.dst <> r.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS survivor_id
+      |FROM reach GROUP BY src""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q171's oracle is the brute-force word-set Jaccard over ALL pairs —
@@ -578,25 +637,24 @@ object Dedup {
     "q31_dedup_minhash_lsh" -> minhashOracleSql,
     // Same pair set as q33, closed transitively with a recursive CTE; the
     // iterative Spark propagation must agree exactly.
-    "q47_dedup_survivors" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, substr(lower(text), 1, 20) AS blk,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-        |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-        |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
-        |reach AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-        |  WHERE e2.dst <> r.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS survivor_id
-        |FROM reach GROUP BY src""".stripMargin,
+    "q47_dedup_survivors" -> survivorsOracleSql,
+    // q178 composes q47's survivor CTE (inheriting exactly its verification
+    // strength) with q65's md5-bucket split rule, keyed on the cluster rep
+    "q178_leakage_safe_split" ->
+      s"""WITH surv AS (SELECT * FROM ($survivorsOracleSql)),
+         |rep AS (SELECT doc.doc_id, coalesce(s.survivor_id, doc.doc_id) AS rep
+         |        FROM documents doc LEFT JOIN surv s ON doc.doc_id = s.doc_id),
+         |a AS (SELECT doc_id, rep,
+         |        CASE WHEN b < 80 THEN 'train'
+         |             WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, rep,
+         |              CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+         |            FROM rep)),
+         |l AS (SELECT max(ns) AS mx FROM
+         |        (SELECT rep, count(DISTINCT split) AS ns FROM a GROUP BY rep))
+         |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+         |  (SELECT mx FROM l) = 1 AS no_leakage
+         |FROM a GROUP BY split""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count, length(text) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,

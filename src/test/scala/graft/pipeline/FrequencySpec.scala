@@ -421,6 +421,29 @@ class FrequencySpec extends AnyFunSuite {
     assert(gotN == (("N", n, r6(slope), r6(icept))))
   }
 
+  test("leakage-safe split: clusters intact, totals conserved, naive split would leak") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.leakageSafeSplit(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.map(_._2).sum == 500L)
+    rows.foreach(r => assert(r._4, s"${r._1}: cluster spans splits"))
+    // the guarantee is non-vacuous on this corpus: the NAIVE per-doc hash
+    // split (q65's rule) would place members of at least one near-dup
+    // cluster into different splits
+    val naiveLeaks = Dedup.dedupSurvivors(spark, dir)
+      .withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .groupBy(col("survivor_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(naiveLeaks > 0, "fixture has no cluster that a naive split separates")
+  }
+
   test("temperature mix: sqrt-quota per source, deterministic selection") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
