@@ -129,6 +129,39 @@ object StreamingQueries {
     spark.read.parquet(sink)
   }
 
+  /** Streaming Count-Min sketch maintenance: the q169 matrix kept current
+    * over the events stream — each micro-batch folds arrivals into the d×w
+    * grouped count, and Complete mode re-emits the full (tiny) matrix. The
+    * sketch is WHY this query can run unwatermarked forever: its state is
+    * d×w counters no matter how many events or distinct users flow through
+    * — the fixed-size-state streaming answer to "top talkers over all
+    * time", where exact per-key counting (q61's shape) would grow state
+    * with key cardinality. The drained matrix must equal the batch build
+    * bit-for-bit (same grouped-count plan over the same data), which the
+    * oracle checks by recomputing every cell from the static table.
+    */
+  def streamCountMin(spark: SparkSession, dir: String,
+      d: Int = 4, w: Int = 512): DataFrame = withStateParts(spark, 4) {
+    val stream = graft.queries.Tables.eventsStream(spark, dir)
+    val cells = stream
+      .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i").cast("long").as("i"),
+        pmod(graft.functions.Md5Prefix60.md5Prefix60(
+          concat(col("i").cast("string"), lit(":"), col("user_id").cast("string"))),
+          lit(w.toLong)).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val sink = drainedSink("q179", dir) { (ckpt, out) =>
+      cells.writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    spark.read.parquet(sink)
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -602,6 +635,7 @@ object StreamingQueries {
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "q141_stream_dedup_bounded" -> ((s: SparkSession, d: String) => streamDedupBounded(s, d)),
     "q162_stream_ewma_anomalies" -> ((s: SparkSession, d: String) => streamEwmaAnomalies(s, d)),
+    "q179_stream_count_min" -> ((s: SparkSession, d: String) => streamCountMin(s, d)),
     "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -657,6 +691,13 @@ object StreamingQueries {
     // batch fold (same op order, same floor-quantized emission)
     "q162_stream_ewma_anomalies" ->
       graft.operators.TimeSeries.oracles("q161_ewma_anomalies"),
+    // q179: the oracle recomputes every matrix cell from the static events
+    // table — the drained stream must equal the batch build exactly
+    "q179_stream_count_min" ->
+      """SELECT i,
+        |  CAST(('0x' || substr(md5(i::VARCHAR || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket,
+        |  count(*) AS cell
+        |FROM events, range(0, 4) r(i) GROUP BY 1, 2""".stripMargin,
     // the flush-file arrival makes the drained stream equal the BATCH
     // left-outer interval join, which is what the oracle computes
     "q164_stream_stream_outer" ->
