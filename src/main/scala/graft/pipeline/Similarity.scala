@@ -583,10 +583,48 @@ object Similarity {
         (col("n_within") >= col("n_exact_pairs") * 0.5).as("ok"))
   }
 
+  /** Signed random projection (Johnson–Lindenstrauss style): compress the
+    * 64-dim embeddings to `outDim` dims with a ±1 projection matrix derived
+    * from the portable md5 hash — the dimensionality-reduction companion to
+    * int8 quantization (q103 shrinks per-dim precision, this shrinks the
+    * dimension count; together they are the standard 16–32× footprint cut
+    * before a billion-vector index).
+    *
+    * Engine-stable floats: each output coordinate folds v[i]·s(i,j) LEFT TO
+    * RIGHT in index order (Spark `aggregate` over `zip_with`; DuckDB
+    * `list_reduce` over `list_transform` — both sequential in index order),
+    * so the double result is bit-identical without any decimal detour;
+    * round(6) quantizes the emitted value. The sign matrix is not stored
+    * anywhere — s(i,j) recomputes from md5 on both sides.
+    *
+    * Scale shape: a pure map — no shuffle, no broadcast, no state; the
+    * projection matrix is a hash function, so a 1000-executor job carries
+    * zero coordination. (ShuffleAudit: 0 bytes.)
+    */
+  def randomProjection(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame =
+    projectOf(spark.read.parquet(s"$dir/embeddings.parquet"), outDim)
+
+  /** Core of [[randomProjection]] over any (vec_id, embedding) frame. */
+  def projectOf(embeddings: DataFrame, outDim: Int): DataFrame = {
+    def sign(i: Column, j: Column): Column =
+      when(pmod(graft.functions.Md5Prefix60.md5Prefix60(
+        concat(j.cast("string"), lit(":"), i.cast("string"))), lit(2L)) === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        explode(sequence(lit(0), lit(outDim - 1))).as("j"))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        round(aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, i) => x * sign(i, col("j"))),
+          lit(0.0), (a, b) => a + b), 6).as("y"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedupAudit(s, d)),
     "q109_ann_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q103_embed_quantize" -> ((s: SparkSession, d: String) => quantize(s, d)),
+    "q180_random_projection" -> ((s: SparkSession, d: String) => randomProjection(s, d)),
     "q60_vector_ops" -> ((s: SparkSession, d: String) => vectorOps(s, d)),
     "q50_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfRecallAudit(s, d)),
     "q151_ann_pq_topk" -> ((s: SparkSession, d: String) => pqRecallAudit(s, d)),
@@ -663,6 +701,18 @@ object Similarity {
     // range(0,8): only the first 8 dims are emitted, and per-dim min/max
     // depends only on that dim's values — identical to the engine's stats
     // over all dims restricted to dim < 8.
+    // q180: the oracle recomputes the md5-derived sign matrix and folds in
+    // the SAME index order (list_reduce is sequential), so the unrounded
+    // doubles are bit-identical before the shared round(6)
+    "q180_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, j,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, len(v) + 1), i ->
+        |      v[i] * CASE WHEN CAST(('0x' || substr(md5(j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 15)) AS BIGINT) % 2 = 0
+        |                  THEN 1.0 ELSE -1.0 END)),
+        |    (a, b) -> a + b), 6) AS y
+        |FROM e, range(0, 16) t(j)""".stripMargin,
     "q103_embed_quantize" ->
       """WITH e AS (SELECT vec_id, i AS dim, CAST(embedding AS DOUBLE[])[i+1] AS x
         |           FROM embeddings, range(0, 8) t(i)),

@@ -444,6 +444,39 @@ class FrequencySpec extends AnyFunSuite {
     assert(naiveLeaks > 0, "fixture has no cluster that a naive split separates")
   }
 
+  test("random projection: one-hot exactness, linearity, JL norm preservation") {
+    import spark.implicits._
+    // one-hot e_k projects to exactly the sign row s(k, j) = ±1
+    val oneHot = Seq((0L, Array.fill(64)(0f).updated(5, 1f)))
+      .toDF("vec_id", "embedding")
+    val s5 = Similarity.projectOf(oneHot, 16)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(s5.size == 16 && s5.values.forall(v => v == 1.0 || v == -1.0))
+    // linearity on integer vectors (exact fp): P(a+b) = P(a) + P(b)
+    val rnd = new scala.util.Random(5)
+    val a = Array.fill(64)(rnd.nextInt(7).toFloat)
+    val b = Array.fill(64)(rnd.nextInt(7).toFloat)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val proj = Similarity.projectOf(
+      Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding"), 16)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    (0L until 16L).foreach { j =>
+      assert(proj(3L)(j) == proj(1L)(j) + proj(2L)(j), s"dim $j")
+    }
+    // JL property on the real embeddings: E[|P(v)|^2 / k] = |v|^2 for ±1
+    // signs, so the mean norm ratio over the corpus must sit near 1
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ratio = Similarity.projectOf(e, 16)
+      .groupBy("vec_id").agg(sum(col("y") * col("y")).as("p2"))
+      .join(e.select(col("vec_id"),
+        aggregate(col("embedding").cast("array<double>"), lit(0.0),
+          (acc, x) => acc + x * x).as("v2")), Seq("vec_id"))
+      .agg(avg(col("p2") / (col("v2") * 16.0))).as[Double].head()
+    assert(ratio > 0.8 && ratio < 1.2, s"mean JL norm ratio $ratio")
+  }
+
   test("temperature mix: sqrt-quota per source, deterministic selection") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
