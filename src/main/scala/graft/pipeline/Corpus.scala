@@ -609,8 +609,42 @@ object Corpus {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Join-consistent sampling: sample the fact AND its child table by the
+    * SAME hash of the JOIN KEY, so the join of the samples IS a uniform
+    * sample of the join — the trick that lets a 10% dev-scale copy of a
+    * multi-table 100 TB schema keep referential integrity without ever
+    * joining the full tables (independent row sampling would orphan ~90% of
+    * child rows and bias the join sample quadratically). Emits the sampled
+    * counts plus two hash-checked verdicts: no sampled child is orphaned,
+    * and the sampled join's cardinality equals the filter-AFTER-join form
+    * (the commutation law; the full join runs here only as the audit —
+    * production ships just the two filtered tables).
+    */
+  def consistentSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    def keep(c: Column) =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100 < pct
+    val o = orders.filter(keep(col("o_orderkey")))
+    val l = lineitem.filter(keep(col("l_orderkey")))
+    val nO = o.agg(count(lit(1)).as("n_orders"))
+    val nL = l.agg(count(lit(1)).as("n_items"))
+    val nJ = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_joined"))
+    val nOrph = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orph"))
+    val nPost = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(keep(col("l_orderkey"))).agg(count(lit(1)).as("n_post"))
+    nO.crossJoin(nL).crossJoin(nJ).crossJoin(nOrph).crossJoin(nPost)
+      .select(lit("consistent_sample").as("metric"),
+        col("n_orders"), col("n_items"), col("n_joined"),
+        (col("n_orph") === 0).as("no_orphans"),
+        (col("n_joined") === col("n_post")).as("sample_commutes_with_join"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "q181_consistent_sample" -> ((s: SparkSession, d: String) => consistentSample(s, d)),
     "q172_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q105_sliding_chunks" -> ((s: SparkSession, d: String) => slidingChunks(s, d)),
     "q89_chunk_assembly" -> ((s: SparkSession, d: String) => chunkAssembly(s, d)),
@@ -636,6 +670,24 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // q181's booleans are computed checks in BOTH engines (not pinned
+    // constants): the oracle re-runs the orphan and commutation audits
+    "q181_consistent_sample" ->
+      """WITH o AS (SELECT * FROM orders
+        |           WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10),
+        |l AS (SELECT * FROM lineitem
+        |      WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10),
+        |j AS (SELECT count(*) AS n_joined FROM l JOIN o ON l_orderkey = o_orderkey),
+        |orph AS (SELECT count(*) AS n_orph FROM l ANTI JOIN o ON l.l_orderkey = o.o_orderkey),
+        |post AS (SELECT count(*) AS n_post
+        |         FROM lineitem li JOIN orders oo ON li.l_orderkey = oo.o_orderkey
+        |         WHERE CAST(('0x' || substr(md5(CAST(li.l_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10)
+        |SELECT 'consistent_sample' AS metric,
+        |  (SELECT count(*) FROM o) AS n_orders,
+        |  (SELECT count(*) FROM l) AS n_items,
+        |  (SELECT n_joined FROM j) AS n_joined,
+        |  (SELECT n_orph FROM orph) = 0 AS no_orphans,
+        |  (SELECT n_joined FROM j) = (SELECT n_post FROM post) AS sample_commutes_with_join""".stripMargin,
     "q172_temperature_mix" ->
       """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
         |w AS (SELECT source, CAST(round(sqrt(CAST(ns AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w FROM n),

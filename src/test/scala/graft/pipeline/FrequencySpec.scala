@@ -477,6 +477,28 @@ class FrequencySpec extends AnyFunSuite {
     assert(ratio > 0.8 && ratio < 1.2, s"mean JL norm ratio $ratio")
   }
 
+  test("consistent sample: integrity holds; independent sampling would orphan") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val row = Corpus.consistentSample(spark, dir).collect().head
+    assert(row.getAs[Boolean]("no_orphans"))
+    assert(row.getAs[Boolean]("sample_commutes_with_join"))
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    val frac = row.getAs[Long]("n_orders").toDouble / nOrders
+    assert(frac > 0.05 && frac < 0.15, s"sampled fraction $frac far from 10%")
+    // negative control: sampling lineitem by its own ROW key (l_linenumber
+    // mixed in) instead of the join key orphans most sampled children
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < 10)
+    val lIndep = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 10)
+    val orphans = lIndep.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(orphans > lIndep.count() / 2,
+      "independent sampling should orphan most children — fixture too small?")
+  }
+
   test("temperature mix: sqrt-quota per source, deterministic selection") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
