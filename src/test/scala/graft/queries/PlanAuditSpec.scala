@@ -101,4 +101,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(__fp"), p)
     assert(!p.contains("hashpartitioning(text"), p)
   }
+
+  test("q169: CMS matrix is partial-aggregated and BROADCAST to the probe join") {
+    val p = plan("q169_count_min")
+    // the d×w matrix build must combine map-side (the shuffle-caps-at-d·w
+    // guarantee) and the finished matrix must broadcast, never shuffle the
+    // probe side against it
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q177: grouped OLS is ONE aggregate — no join, no window, no extra exchange") {
+    val p = plan("q177_group_ols")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("WindowExec"), p)
+    // exactly one shuffle: the grouped sufficient-statistics exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q180: random projection is a pure map — zero exchanges of any kind") {
+    val p = plan("q180_random_projection")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
