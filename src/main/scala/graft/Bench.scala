@@ -34,7 +34,12 @@ object Bench {
       // SparkEntry.benchVariants)
       val q = SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))
       val t0 = System.nanoTime()
-      try { q(spark, sfDir).count() }
+      // noop sink, NOT count(): count() plants an Aggregate on top and
+      // column pruning then deletes every deterministic projection under it
+      // — a pure-map query (q180) would be timed doing only its explode.
+      // The noop sink materializes every output column, so the benchmark
+      // times the computation the oracle verified.
+      try { q(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch {
         case t: Throwable =>
           // -1.0 is the driver protocol for "red"; the exception itself must

@@ -144,7 +144,9 @@ object ScaleProbe {
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val q = probeVariants.getOrElse(name, SparkEntry.queries(name))
-      q(spark, dir).count()
+      // noop sink for the same reason as Bench: count() would let column
+      // pruning delete the projections being probed
+      q(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(runOnce) // warm-up
