@@ -30,9 +30,12 @@ object Audit {
         .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
         .select(lit(name).as("check"), col("n_checked"), col("n_violations"))
 
-    // FK: every order's customer must exist (broadcast dim anti-join)
+    // FK: every order's customer must exist (anti-join on the key). No
+    // explicit broadcast hint: customer scales linearly with SF (150k rows
+    // per SF), so at 100 TB it is NOT a broadcastable dimension — AQE
+    // decides at runtime (broadcasts when small, shuffles when not).
     val fkOrphans = orders.join(
-      broadcast(customer.select(col("c_custkey").as("o_custkey"))),
+      customer.select(col("c_custkey").as("o_custkey")),
       Seq("o_custkey"), "left_anti")
     // PK: o_orderkey must be unique (rows beyond the first of each key)
     val dupKeys = orders.groupBy(col("o_orderkey"))

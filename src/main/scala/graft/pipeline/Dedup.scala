@@ -489,7 +489,11 @@ object Dedup {
         transform(col("ts"), t => t.getField("word")).as("toks"),
         size(col("ts")).as("sz"))
       .withColumn("plen",
-        col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+        // epsilon before ceil: fl(threshold)*sz can round JUST above an
+        // integer boundary, making ceil one too large and the prefix one
+        // token too short — silently dropping qualifying pairs. Subtracting
+        // 1e-9 can only lengthen the prefix, which stays lossless.
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
 
     val prefixes = ordered.select(col("doc_id"), col("blk"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))

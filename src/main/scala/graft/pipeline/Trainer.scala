@@ -135,12 +135,18 @@ object Trainer {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("source"), col("n"),
+        // nullif guard: n*sxx - sx*sx = 0 for a single-document or
+        // constant-x group; 0/0 is NaN in Spark but engine-dependent in
+        // DuckDB, so degenerate groups must emit NULL deterministically on
+        // both engines (the oracle SQL carries the same NULLIF)
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0)), 6)
           .as("slope"),
         round((col("sy").cast("double") -
           ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              lit(0.0))) *
             col("sx").cast("double")) / col("n").cast("double"), 6)
           .as("intercept"))
   }
@@ -168,9 +174,9 @@ object Trainer {
         |        CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
         |      FROM d GROUP BY source)
         |SELECT source, n,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0), 6) AS slope,
         |  round((CAST(sy AS DOUBLE) -
-        |         (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |         (CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0)) *
         |         CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
         |FROM a""".stripMargin,
   )
