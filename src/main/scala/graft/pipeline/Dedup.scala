@@ -38,6 +38,16 @@ object Dedup {
   private def wordsCol(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
+  /** (id, blk, word-set) keyed form of the q33/q47 pair predicate — the one
+    * blocking + similarity definition every consumer (ngramJaccard,
+    * incrementalDedup, ClusterReps) must share, or their pair sets drift.
+    */
+  private[pipeline] def jaccardKeyed(df: DataFrame, idAs: String,
+                                     wsAs: String): DataFrame =
+    df.select(col("doc_id").as(idAs),
+      substring(lower(col("text")), 1, 20).as("blk"),
+      array_distinct(wordsCol(col("text"))).as(wsAs))
+
   /** Word k-gram shingles via higher-order functions (no UDF — stays
     * columnar/codegen-friendly).
     */
@@ -262,8 +272,15 @@ object Dedup {
     * boilerplate opening) pairs quadratically; a 100 TB run caps it.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                   maxBlock: Option[Int] = None): DataFrame = {
-    val keyed = graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
+                   maxBlock: Option[Int] = None): DataFrame =
+    ngramJaccardOf(docs(spark, dir), threshold, maxBlock)
+
+  /** Core of [[ngramJaccard]] over any (doc_id, text, ...) frame — also the
+    * pair predicate [[ClusterReps]] maintains its cluster index against.
+    */
+  def ngramJaccardOf(documents: DataFrame, threshold: Double = 0.3,
+                     maxBlock: Option[Int] = None): DataFrame = {
+    val keyed = graft.operators.MapWidth.widen(documents).select(col("doc_id"),
       substring(lower(col("text")), 1, 20).as("blk"),
       array_distinct(wordsCol(col("text"))).as("ws"))
     val d = maxBlock.fold(keyed)(capBuckets(keyed, Seq("blk"), _))
@@ -535,6 +552,15 @@ object Dedup {
     val rep = docs(spark, dir).select(col("doc_id"))
       .join(surv, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("survivor_id"), col("doc_id")).as("rep"))
+    splitOfReps(rep)
+  }
+
+  /** Split assignment + leakage rollup over a resolved (doc_id, rep) frame —
+    * shared by [[leakageSafeSplit]] (one-shot recompute, the audit baseline)
+    * and [[ClusterReps.splitFromReps]] (served from the maintained index,
+    * the production form). Both must agree with q178's oracle.
+    */
+  def splitOfReps(rep: DataFrame): DataFrame = {
     val bucket =
       conv(substring(md5(col("rep").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -604,6 +630,27 @@ object Dedup {
       |SELECT src AS doc_id, least(src, min(dst)) AS survivor_id
       |FROM reach GROUP BY src""".stripMargin
 
+  /** q178's oracle SQL (q47's survivor CTE composed with the md5-bucket
+    * split rule) — shared verbatim by q182, whose Spark side serves the
+    * SAME answer from the incrementally-maintained [[ClusterReps]] table:
+    * one oracle, two derivations (recompute vs maintained index).
+    */
+  private[pipeline] val splitOracleSql: String =
+    s"""WITH surv AS (SELECT * FROM ($survivorsOracleSql)),
+       |rep AS (SELECT doc.doc_id, coalesce(s.survivor_id, doc.doc_id) AS rep
+       |        FROM documents doc LEFT JOIN surv s ON doc.doc_id = s.doc_id),
+       |a AS (SELECT doc_id, rep,
+       |        CASE WHEN b < 80 THEN 'train'
+       |             WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |      FROM (SELECT doc_id, rep,
+       |              CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+       |            FROM rep)),
+       |l AS (SELECT max(ns) AS mx FROM
+       |        (SELECT rep, count(DISTINCT split) AS ns FROM a GROUP BY rep))
+       |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+       |  (SELECT mx FROM l) = 1 AS no_leakage
+       |FROM a GROUP BY split""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q171's oracle is the brute-force word-set Jaccard over ALL pairs —
     // the prefix filter is provably lossless, so the outputs must be equal.
@@ -644,21 +691,7 @@ object Dedup {
     "q47_dedup_survivors" -> survivorsOracleSql,
     // q178 composes q47's survivor CTE (inheriting exactly its verification
     // strength) with q65's md5-bucket split rule, keyed on the cluster rep
-    "q178_leakage_safe_split" ->
-      s"""WITH surv AS (SELECT * FROM ($survivorsOracleSql)),
-         |rep AS (SELECT doc.doc_id, coalesce(s.survivor_id, doc.doc_id) AS rep
-         |        FROM documents doc LEFT JOIN surv s ON doc.doc_id = s.doc_id),
-         |a AS (SELECT doc_id, rep,
-         |        CASE WHEN b < 80 THEN 'train'
-         |             WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |      FROM (SELECT doc_id, rep,
-         |              CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
-         |            FROM rep)),
-         |l AS (SELECT max(ns) AS mx FROM
-         |        (SELECT rep, count(DISTINCT split) AS ns FROM a GROUP BY rep))
-         |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
-         |  (SELECT mx FROM l) = 1 AS no_leakage
-         |FROM a GROUP BY split""".stripMargin,
+    "q178_leakage_safe_split" -> splitOracleSql,
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count, length(text) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.engine.OlapEngine
+
+/** The incrementally-maintained cluster_reps index must equal a full CC
+  * recompute after every delta fold — including the two cases a naive
+  * best-match incremental screen gets wrong: a delta doc BRIDGING two
+  * existing clusters (they must merge), and a delta doc whose id undercuts
+  * the stored rep (the component min must be re-elected cluster-wide).
+  */
+class ClusterRepsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // All docs share a 20-char prefix block ("xx yy zz qq ww eeeeee " is 22
+  // chars), so pairing is decided purely by word-set Jaccard: 6 shared
+  // prefix words + 12 tail words each ⇒ cross-cluster pairs sit at
+  // 6/30 = 0.2 < 0.3 and within-cluster pairs well above.
+  private val P = "xx yy zz qq ww eeeeee "
+  private def tail(c: String, n: Int = 12) = (1 to n).map(c + _).mkString(" ")
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = df(Seq(
+    1L -> (P + tail("a")),                                  // cluster A
+    2L -> (P + tail("a", 11) + " xa12"),                    // cluster A
+    3L -> (P + tail("b")),                                  // cluster B
+    4L -> (P + tail("b", 11) + " yb12"),                    // cluster B
+    5L -> (P + tail("c"))))                                 // singleton
+  // delta: 0 bridges A and B (6 a-words + 6 b-words) AND undercuts both
+  // reps; 20 matches nothing; 21 pulls the corpus singleton 5 into a cluster
+  private val delta = df(Seq(
+    0L -> (P + (1 to 6).map("a" + _).mkString(" ") + " " +
+      (1 to 6).map("b" + _).mkString(" ")),
+    20L -> (P + tail("d")),
+    21L -> (P + tail("c", 11) + " zc12")))
+  private val allDocs = corpus.unionByName(delta)
+
+  private def mkEngine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-creps-wh-"))
+    ClusterReps.createIndexTable(eng)
+    eng
+  }
+
+  private def stored(eng: OlapEngine): Set[(Long, Long)] =
+    eng.scan(ClusterReps.Db, ClusterReps.Table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def fullCC(docs: DataFrame): Set[(Long, Long)] =
+    Dedup.connectedComponents(Dedup.ngramJaccardOf(docs), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bootstrap stores the corpus-only closure (sparse: singletons absent)") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    assert(stored(eng) === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("delta fold ≡ full recompute: bridge merges clusters, rep re-elected, " +
+    "singleton pulled in, no-match delta stays out") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    ClusterReps.applyDelta(eng, corpus, delta)
+    val expected = fullCC(allDocs)
+    // the mini-corpus exercises every path: {0,1,2,3,4}→0 (bridge + new
+    // min), {5,21}→5 (stored row for a previously-unstored corpus doc),
+    // 20 absent (no-edge delta doc)
+    assert(expected === Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (5L, 5L), (21L, 5L)))
+    assert(stored(eng) === expected)
+  }
+
+  test("re-applying the same delta is a no-op (upserts rewrite identical rows)") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    ClusterReps.applyDelta(eng, corpus, delta)
+    val before = stored(eng)
+    ClusterReps.applyDelta(eng, corpus, delta)
+    assert(stored(eng) === before)
+  }
+
+  test("edge-free delta leaves the table untouched (empty small-CC path)") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    val before = stored(eng)
+    ClusterReps.applyDelta(eng, corpus, df(Seq(30L -> (P + tail("e")))))
+    assert(stored(eng) === before)
+  }
+
+  test("split served from the maintained index equals the one-shot q178 split") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    ClusterReps.applyDelta(eng, corpus, delta)
+    val reps = eng.scan(ClusterReps.Db, ClusterReps.Table)
+      .select(col("doc_id"), col("rep").as("stored"))
+    val served = Dedup.splitOfReps(
+      allDocs.select(col("doc_id")).join(reps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("stored"), col("doc_id")).as("rep")))
+    val oneShot = Dedup.splitOfReps(
+      allDocs.select(col("doc_id"))
+        .join(Dedup.connectedComponents(Dedup.ngramJaccardOf(allDocs),
+          "doc_a", "doc_b"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("survivor_id"), col("doc_id")).as("rep")))
+    assert(served.collect().toSet === oneShot.collect().toSet)
+  }
+}
