@@ -60,6 +60,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllDistinctSketchOnly(s, d)),
     "q134_hll_column" ->
       ((s: SparkSession, d: String) => graft.queries.EngineQueries.hllColumnSketchOnly(s, d)),
+    // q87's exact 3×countDistinct profile triggers Expand (3× scan rows
+    // through the first agg); the production profile serves NDV from HLL
+    // sketches in one partial-aggregable pass
+    "q87_profile" ->
+      ((s: SparkSession, d: String) => graft.queries.Relational.profileTableSketch(s, d)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
     // q171's verdict form is quadratic-OUTPUT on this degenerately-dense

@@ -671,6 +671,38 @@ object Relational {
         |) AS (col_name, n, nulls, ndv, min_v, max_v)""".stripMargin)
   }
 
+  /** Production form of [[profileTable]] (the Bench-timed variant): three
+    * exact `countDistinct`s in one agg trigger Expand — every scan row is
+    * replicated 3× through the first aggregate, and each distinct column's
+    * raw values must co-locate. At 100 TB a profile does not need exact NDV;
+    * `approx_count_distinct` (HLL++, default 5% rsd) keeps the whole profile
+    * a single partial-aggregable pass: fixed-size sketch state per column,
+    * no Expand, no raw-value shuffle. Same output shape; `ndv` is the
+    * estimate. [[graft.queries.BenchVariantSpec]] pins the estimates to the
+    * exact form's values at the sketch's error bound.
+    */
+  def profileTableSketch(spark: SparkSession, dir: String): DataFrame = {
+    val agged = t(spark, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn_k"),
+      approx_count_distinct(col("o_orderkey")).as("ndv_k"),
+      min(col("o_orderkey")).cast("string").as("min_k"),
+      max(col("o_orderkey")).cast("string").as("max_k"),
+      count(col("o_orderstatus")).as("nn_s"),
+      approx_count_distinct(col("o_orderstatus")).as("ndv_s"),
+      min(col("o_orderstatus")).as("min_s"), max(col("o_orderstatus")).as("max_s"),
+      count(col("o_totalprice")).as("nn_p"),
+      approx_count_distinct(col("o_totalprice")).as("ndv_p"),
+      min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("min_p"),
+      max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("max_p"))
+    agged.selectExpr(
+      """stack(3,
+        |  'o_orderkey',    n, n - nn_k, ndv_k, min_k, max_k,
+        |  'o_orderstatus', n, n - nn_s, ndv_s, min_s, max_s,
+        |  'o_totalprice',  n, n - nn_p, ndv_p, min_p, max_p
+        |) AS (col_name, n, nulls, ndv, min_v, max_v)""".stripMargin)
+  }
+
   /** Z-score normalization: standardize a value against its group's mean and
     * stddev — the feature-scaling pass of a training pipeline. The per-group
     * moments are a tiny aggregate that BROADCASTS into the scoring scan

@@ -186,4 +186,31 @@ class PipelineSpec extends AnyFunSuite {
     info(f"IVF-PQ recall@5 = $recall%.3f (${(bf & ann).size}/${bf.size})")
     assert(recall >= 0.6)
   }
+
+  test("IVF-PQ recall recovers monotonically with nprobe; full probe clears " +
+    "the escalation margin (q152 hardening)") {
+    // the escalation dial's justification: more probed cells can only ADD
+    // candidates (routing is a filter), so recall@k vs the fixed brute
+    // baseline must be nondecreasing in nprobe — and at nprobe = nCells the
+    // routing excludes nothing, so only the ADC pool bounds recall, which
+    // must clear floor + 0.1 (the margin ivfPqRecallAudit escalates to).
+    val dir = "/root/testdata/sf0.001"
+    val bf = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(2, 4, 8, 16).map { np =>
+      val ann = Similarity.ivfPqTopK(spark, dir, nprobe = np).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rc = (bf & ann).size.toDouble / bf.size
+      info(f"nprobe=$np%2d recall@5 = $rc%.3f")
+      np -> rc
+    }
+    recalls.sliding(2).foreach { case Seq((npA, a), (npB, b)) =>
+      assert(b >= a, s"recall regressed from nprobe=$npA ($a) to nprobe=$npB ($b)")
+    }
+    assert(recalls.last._2 >= 0.7,
+      s"full-probe recall ${recalls.last._2} under the escalation margin 0.7")
+    // and the audit's own verdict (post-escalation) carries the margin
+    val audit = Similarity.ivfPqRecallAudit(spark, dir).collect().head
+    assert(audit.getAs[Boolean]("ok") && audit.getAs[Boolean]("margin_ok"))
+  }
 }

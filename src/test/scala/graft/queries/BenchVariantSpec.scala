@@ -51,6 +51,32 @@ class BenchVariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q87: profileTableSketch matches the exact profile except sketched NDV") {
+    val exact = Relational.profileTable(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val est = Relational.profileTableSketch(spark, dir).collect()
+    assert(est.length == exact.size)
+    est.foreach { e =>
+      val v = exact(e.getString(0))
+      // everything but ndv is the same single-pass computation — exact match
+      assert(e.getAs[Long]("n") == v.getAs[Long]("n"), "n drift")
+      assert(e.getAs[Long]("nulls") == v.getAs[Long]("nulls"), "nulls drift")
+      assert(e.getAs[String]("min_v") == v.getAs[String]("min_v"), "min drift")
+      assert(e.getAs[String]("max_v") == v.getAs[String]("max_v"), "max drift")
+      // HLL++ at default rsd 0.05: pin the estimate inside 3σ = 15%
+      val ex = v.getAs[Long]("ndv")
+      assert(math.abs(e.getAs[Long]("ndv") - ex) <= math.max(1L, (ex * 0.15).toLong),
+        s"ndv estimate drift at ${e.getString(0)}: ${e.getAs[Long]("ndv")} vs $ex")
+    }
+    // and the variant's plan is Expand-free (the point of the substitution)
+    val plan = Relational.profileTableSketch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "sketch profile must not Expand")
+    assert(Relational.profileTable(spark, dir)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact profile is the Expand form this variant replaces")
+  }
+
   test("q131: hllDistinctSketchOnly estimate matches the verdict's accuracy bound") {
     val verdict = EngineQueries.hllDistinct(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
