@@ -127,6 +127,26 @@ object Retention {
   }
 }
 
+/** What ingest does with a string value longer than its column's declared
+  * `ColumnSpec.maxLength` (characters). The reference stores the length
+  * (src/meta.rs:20-21) but never checks it — `Ignore` is that parity
+  * default; the other two are Doris's `strict_mode` load dial, which the
+  * parity behavior is wrong to omit (a declared bound that silently doesn't
+  * bind corrupts downstream size assumptions).
+  */
+sealed trait VarcharMode
+object VarcharMode {
+  /** Reference parity: the declared length is metadata only. */
+  case object Ignore extends VarcharMode
+  /** Non-strict load: over-length values are truncated to the bound. */
+  case object Truncate extends VarcharMode
+  /** Strict load: an over-length value fails the WHOLE load loudly (inside
+    * the write projection — per-row, codegen'd, no extra pass; the manifest
+    * never publishes, so a failed load is invisible, not partial).
+    */
+  case object Strict extends VarcharMode
+}
+
 /** Full table definition: schema + placement
   * (reference: src/table.rs:11-16 + src/partition.rs:71-79).
   *
@@ -158,6 +178,9 @@ final case class TableDef(
     // stale-rowset retention window for wall-clock time travel (see
     // [[Retention]]); Manual preserves the pre-policy gc() semantics
     retention: Retention = Retention.Manual,
+    // over-length varchar handling at ingest (see [[VarcharMode]]);
+    // Ignore preserves reference parity
+    varcharMode: VarcharMode = VarcharMode.Ignore,
     partialUpdate: Boolean = false,
     // Doris sequence column (Unique model): "latest wins" is decided by THIS
     // data column first (then load order as the tiebreak), so out-of-order

@@ -28,6 +28,16 @@ import graft.functions.FnvHash64.fnvBucket
   */
 final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
 
+  // GC-vs-pinned-reader contract: a DataFrame resolved against rowsets that
+  // GC later deletes must FAIL LOUDLY at execution, never silently return
+  // the surviving subset. Spark's missing-file behavior is exactly that —
+  // but only while ignoreMissingFiles stays false, so a session that flips
+  // it would turn the race into silent partial rows. Refuse to run on one.
+  // (GcReaderRaceSpec pins the end-to-end behavior.)
+  require(!spark.conf.get("spark.sql.files.ignoreMissingFiles", "false").toBoolean,
+    "OlapEngine requires spark.sql.files.ignoreMissingFiles=false: with it on, " +
+      "a reader racing GC would silently drop the GC'd rowsets' rows")
+
   val catalog = new CatalogManager
   val rollups = new RollupManager(this)
   val mvs = new MvManager(this)
@@ -289,8 +299,37 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val missing = td.schema.columns.map(_.name).filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"input for ${td.qualified} missing columns: ${missing.mkString(", ")}")
-    df.select(td.schema.columns.map(c => col(c.name).cast(c.dataType).as(c.name)) ++
-      extras.map(col): _*)
+    val conformed = df.select(
+      td.schema.columns.map(c => col(c.name).cast(c.dataType).as(c.name)) ++
+        extras.map(col): _*)
+    enforceVarchar(td, conformed)
+  }
+
+  /** Apply the table's [[graft.catalog.VarcharMode]] to every declared
+    * varchar bound — inside the ingest projection (codegen'd per-row, no
+    * extra pass over the load). Strict mode raises from a task, so the
+    * write aborts and the manifest never publishes: a rejected load is
+    * invisible, never partial.
+    */
+  private def enforceVarchar(td: TableDef, df: DataFrame): DataFrame = {
+    val bounded = td.schema.columns.filter(c =>
+      c.maxLength > 0 && c.dataType == org.apache.spark.sql.types.StringType)
+    if (bounded.isEmpty) return df
+    td.varcharMode match {
+      case VarcharMode.Ignore => df
+      case VarcharMode.Truncate =>
+        bounded.foldLeft(df)((acc, c) =>
+          acc.withColumn(c.name, substring(col(c.name), 1, c.maxLength)))
+      case VarcharMode.Strict =>
+        bounded.foldLeft(df)((acc, c) =>
+          acc.withColumn(c.name,
+            when(length(col(c.name)) > c.maxLength,
+              raise_error(concat(
+                lit(s"strict varchar: ${td.qualified}.${c.name} exceeds " +
+                  s"varchar(${c.maxLength}), got length "),
+                length(col(c.name)).cast("string"))))
+              .otherwise(col(c.name))))
+    }
   }
 
   /** Pre-aggregate a load for an Aggregate table with HLL_UNION columns:
