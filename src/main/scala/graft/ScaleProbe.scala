@@ -119,6 +119,31 @@ object ScaleProbe {
             org.apache.spark.sql.functions.col("vec_b").as("dst"))
         graft.operators.Graph.pageRank(pairs)
       }),
+    // q178's production ORDER under dup-heavy data, same survivors-first
+    // move as q171_survivors_blocked: the exact tier (one linear groupBy)
+    // collapses the factor-sized exact-dup clusters BEFORE the blocked
+    // Jaccard + CC run, so the closure works on the constant-size survivor
+    // set; docs then take their exact-survivor's near-dup rep through a
+    // doc-keyed map-side join. Output ≡ the full closure (exact dups have
+    // Jaccard 1.0, so quotienting through the exact tier preserves
+    // components AND the component-min rep — the min doc of a component is
+    // always the min of its own text group).
+    "q178_survivors_split" ->
+      ((s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val fp = docs.groupBy(col("text")).agg(min(col("doc_id")).as("surv"))
+        val byDoc = docs.select(col("doc_id"), col("text"))
+          .join(fp, Seq("text")).select(col("doc_id"), col("surv"))
+        val survDocs = docs
+          .join(fp.select(col("surv").as("doc_id")), Seq("doc_id"), "left_semi")
+        val cc = graft.pipeline.Dedup.connectedComponents(
+          graft.pipeline.Dedup.ngramJaccardOf(survDocs), "doc_a", "doc_b")
+        val rep = byDoc
+          .join(cc.withColumnRenamed("doc_id", "surv"), Seq("surv"), "left")
+          .select(col("doc_id"),
+            coalesce(col("survivor_id"), col("surv")).as("rep"))
+        graft.pipeline.Dedup.splitOfReps(rep)
+      }),
   )
 
   def main(args: Array[String]): Unit = {

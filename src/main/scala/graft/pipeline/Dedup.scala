@@ -635,7 +635,7 @@ object Dedup {
     * SAME answer from the incrementally-maintained [[ClusterReps]] table:
     * one oracle, two derivations (recompute vs maintained index).
     */
-  private[pipeline] val splitOracleSql: String =
+  private[graft] val splitOracleSql: String =
     s"""WITH surv AS (SELECT * FROM ($survivorsOracleSql)),
        |rep AS (SELECT doc.doc_id, coalesce(s.survivor_id, doc.doc_id) AS rep
        |        FROM documents doc LEFT JOIN surv s ON doc.doc_id = s.doc_id),

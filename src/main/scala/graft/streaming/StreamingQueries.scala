@@ -61,6 +61,9 @@ object StreamingQueries {
     drainCache.clear()
     lateLayoutCache.values.foreach(d => deleteRecursively(new java.io.File(d)))
     lateLayoutCache.clear()
+    streamIdxCache.values.foreach(e =>
+      deleteRecursively(e.warehouse.toFile))
+    streamIdxCache.clear()
   }
 
   private def drainedSink(key: String, dir: String)(
@@ -161,6 +164,87 @@ object StreamingQueries {
     }
     spark.read.parquet(sink)
   }
+
+  /** Stream-maintained cluster_reps engines, one per data dir (the q183
+    * fixture: bootstrap + streamed delta folds happen once; serves reuse).
+    */
+  private val streamIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** Streaming maintenance of the near-dup cluster index (q183) — the
+    * streaming twin of q182's batch fold, closing the batch/stream pair the
+    * way q161/q162 and q169/q179 do. The index bootstraps from the corpus;
+    * the q123 delta then ARRIVES as a 3-file stream (maxFilesPerTrigger=1,
+    * arrival order forced by modification times), and each micro-batch is
+    * folded into the engine table by [[graft.pipeline.ClusterReps.applyDelta]]
+    * against corpus ∪ previously-folded batches — so batch 2 can near-match
+    * batch 1's documents, exactly the cross-batch edge a per-batch-only
+    * screen would miss. By the applyDelta exactness argument applied
+    * inductively per micro-batch, the table after the drain equals the full
+    * closure over ALL documents regardless of how the stream was batched —
+    * which is why this query can share q178/q182's full-recompute oracle.
+    * Replay safety: a replayed batch is screened against state that already
+    * contains it — applyDelta degenerates to rewriting identical rows
+    * (ClusterRepsSpec pins the no-op), and the accumulator write is
+    * bid-keyed overwrite.
+    */
+  def streamClusterIndex(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.ClusterReps
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val eng = streamIdxCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-scidx-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        ClusterReps.createIndexTable(e)
+        val corpus = d.filter(col("doc_id") % 10 =!= 0)
+        ClusterReps.bootstrap(e, corpus)
+        // arrival layout: the delta split into three doc_id bands
+        val sd = Files.createTempDirectory("graft-scidx-stream-")
+        val accDir = Files.createTempDirectory("graft-scidx-acc-")
+        val ckpt = Files.createTempDirectory("graft-scidx-ckpt-")
+        Seq(sd, accDir, ckpt).foreach(p => tempDirs.add(p.toString))
+        val delta = d.filter(col("doc_id") % 10 === 0)
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-scidx-part-")
+          delta.filter(pmod(col("doc_id") / 10, lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            // corpus-so-far = original corpus + batches already folded;
+            // listed BEFORE this batch's accumulator write
+            val prior = Files.list(accDir).iterator()
+            val priorDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (prior.hasNext) priorDirs += prior.next().toString
+            val corpusSoFar = priorDirs.foldLeft(corpus)(
+              (acc, p) => acc.unionByName(spark.read.parquet(p)))
+            ClusterReps.applyDelta(e, corpusSoFar, batch)
+            batch.write.mode("overwrite").parquet(s"$accDir/b$bid")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+      val reps = d.select(col("doc_id"))
+        .join(eng.scan(ClusterReps.Db, ClusterReps.Table)
+          .select(col("doc_id"), col("rep").as("stored")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("stored"), col("doc_id")).as("rep"))
+      graft.pipeline.Dedup.splitOfReps(reps)
+    }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
@@ -640,9 +724,14 @@ object StreamingQueries {
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
+    "q183_stream_cluster_index" ->
+      ((s: SparkSession, d: String) => streamClusterIndex(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // q183 shares q178/q182's full-recompute oracle: the stream-maintained
+    // index must converge to the same closure regardless of batching
+    "q183_stream_cluster_index" -> graft.pipeline.Dedup.splitOracleSql,
     // islands formulation of session merge: a new session starts at a gap of
     // >= 30 min (Spark merges only strictly-overlapping [ts, ts+gap) windows);
     // microsecond diffs because ts carries microsecond precision
