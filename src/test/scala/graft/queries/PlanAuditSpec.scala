@@ -126,4 +126,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q182: the index SERVE never re-runs the closure — parquet scans and " +
+    "joins only, no materialized-RDD stage from the CC loop") {
+    // connectedComponents materializes each round via localCheckpoint, which
+    // surfaces in a consuming plan as 'Scan ExistingRDD'. The serve path
+    // must read the MAINTAINED table instead — its plan may scan parquet and
+    // join, but an ExistingRDD scan means the closure leaked back into the
+    // per-query path (the exact regression q182 exists to prevent).
+    val p = plan("q182_split_from_cluster_index")
+    assert(!p.contains("ExistingRDD"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
 }
