@@ -161,26 +161,37 @@ object Frequency {
   /** Core of [[countMinSketch]]: build the d×w matrix over `tokens` and
     * probe it with `probes` (word, n_occurrences).
     */
-  def countMinOf(tokens: DataFrame, probes: DataFrame, d: Int, w: Int): DataFrame = {
-    def bucket(word: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-      pmod(graft.functions.Md5Prefix60.md5Prefix60(
-        concat(i.cast("string"), lit(":"), word)), lit(w.toLong))
+  def countMinOf(tokens: DataFrame, probes: DataFrame, d: Int, w: Int): DataFrame =
+    cmsProbe(cmsCells(tokens, d, w), probes, d, w)
 
-    val cells = tokens
+  private def cmsBucket(word: org.apache.spark.sql.Column,
+                        i: org.apache.spark.sql.Column, w: Int) =
+    pmod(graft.functions.Md5Prefix60.md5Prefix60(
+      concat(i.cast("string"), lit(":"), word)), lit(w.toLong))
+
+  /** The d×w CMS matrix of a token stream — also the per-load partial an
+    * Aggregate-model engine table ingests (q184): CMS cells are counts, so
+    * the matrix of a corpus = Sum-merge of its loads' matrices.
+    */
+  def cmsCells(tokens: DataFrame, d: Int, w: Int): DataFrame =
+    tokens
       .select(col("word"), explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .select(col("i"), bucket(col("word"), col("i")).as("bucket"))
+      .select(col("i"), cmsBucket(col("word"), col("i"), w).as("bucket"))
       .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cell"))
 
+  /** Probe a CMS matrix (however it was built/merged/served) with
+    * (word, n_occurrences) probes.
+    */
+  def cmsProbe(cells: DataFrame, probes: DataFrame, d: Int, w: Int): DataFrame =
     probes
       .select(col("word"), col("n_occurrences").as("n_exact"),
         explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .withColumn("bucket", bucket(col("word"), col("i")))
+      .withColumn("bucket", cmsBucket(col("word"), col("i"), w))
       .join(broadcast(cells), Seq("i", "bucket"))
       .groupBy(col("word"), col("n_exact"))
       .agg(min(col("cell")).as("n_cms"))
       .select(col("word"), col("n_exact"), col("n_cms"),
         (col("n_cms") >= col("n_exact")).as("ok"))
-  }
 
   /** Maximal duplicated-span extraction — the substring-level exact dedup
     * of "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -328,7 +339,14 @@ object Frequency {
         |  true AS ok""".stripMargin,
     // q169: DuckDB replays the ENTIRE CMS matrix cell-for-cell (the hash is
     // the portable md5 prefix), so n_cms is hash-verified, not just bounded.
-    "q169_count_min" ->
+    "q169_count_min" -> countMinOracleSql,
+  ) ++ moreOracles
+
+  /** q169's oracle — shared verbatim by q184, whose Spark side serves the
+    * SAME matrix from the engine's Aggregate-model table (Sum-merged across
+    * two MVCC loads): one oracle, two derivations, like q178/q182/q183.
+    */
+  private[graft] val countMinOracleSql: String =
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |           FROM documents),
         |cells AS (
@@ -344,7 +362,9 @@ object Frequency {
         |  JOIN cells c ON c.i = r.i
         |   AND c.bucket = CAST(('0x' || substr(md5(r.i::VARCHAR || ':' || p.word), 1, 15)) AS BIGINT) % 512
         |  GROUP BY 1, 2)
-        |SELECT word, n_exact, n_cms, n_cms >= n_exact AS ok FROM e""".stripMargin,
+        |SELECT word, n_exact, n_cms, n_cms >= n_exact AS ok FROM e""".stripMargin
+
+  private val moreOracles: Map[String, String] = Map(
     // q170: n = 3 unrolled (ws[pos..pos+2], count(*) + 2).
     "q170_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

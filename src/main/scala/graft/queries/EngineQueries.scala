@@ -223,6 +223,27 @@ object EngineFixture {
         ("sum_price_c", "price_c", AggType.Sum),
         ("max_price", "o_totalprice", AggType.Max)),
       countCol = Some("n_rows")))
+
+    // --- cms_agg: a Count-Min sketch AS an Aggregate-model table ----------
+    // CMS cells are counts, so the matrix of a corpus = Sum-merge of its
+    // loads' matrices: each load carries the d×w partial of ITS documents
+    // (2048 rows, never the token stream), and merge-on-read (or a
+    // compaction) produces the full-corpus matrix — incremental sketch
+    // maintenance through plain MVCC loads, no streaming state needed.
+    val cmsSchema = TableSchema(KeysType.Aggregate, Seq(
+      ColumnSpec.key("i", LongType),
+      ColumnSpec.key("bucket", LongType),
+      ColumnSpec.value("cell", LongType, AggType.Sum)))
+    eng.createTable(TableDef(
+      db = "graft", name = "cms_agg", schema = cmsSchema,
+      bucketColumn = Some("bucket"), numBuckets = 2))
+    def cmsLoad(pred: org.apache.spark.sql.Column) =
+      graft.pipeline.Frequency.cmsCells(
+        spark.read.parquet(s"$sfDir/documents.parquet").filter(pred)
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word")),
+        d = 4, w = 512)
+    eng.ingest("graft", "cms_agg", cmsLoad(col("doc_id") % 2 === 0), Some(Version(1, 1)))
+    eng.ingest("graft", "cms_agg", cmsLoad(col("doc_id") % 2 === 1), Some(Version(2, 2)))
     eng
   }
 }
@@ -549,7 +570,24 @@ object EngineQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderpriority"))
 
+  /** q184: probe the Count-Min matrix SERVED from the Aggregate-model table
+    * (Sum-merged across two MVCC loads at read) with the exact heavy-hitter
+    * probes — must equal q169's from-scratch matrix cell-for-cell, which the
+    * shared oracle hash-pins. The engine-maintained third member of the CMS
+    * family (batch q169, streaming q179): sketch updates arrive as plain
+    * loads carrying d×w partials, and compaction/merge-on-read IS the
+    * sketch merge — at 100 TB the matrix never rebuilds from raw tokens.
+    */
+  def engineCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val cells = EngineFixture.get(spark, dir).scan("graft", "cms_agg")
+    val tokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    graft.pipeline.Frequency.cmsProbe(
+      cells, graft.pipeline.Frequency.heavyHittersOf(tokens, 29), d = 4, w = 512)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_engine_count_min" -> engineCountMin _,
     "q108_engine_partial_update" -> partialUpdateScan _,
     "q127_delete_where" -> deleteWhereScan _,
     "q128_bucket_prune" -> bucketPrunePoint _,
@@ -576,6 +614,9 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q184 shares q169's cell-for-cell oracle: the Sum-merged engine table
+    // must serve the identical matrix a from-scratch build produces
+    "q184_engine_count_min" -> graft.pipeline.Frequency.countMinOracleSql,
     // HLL estimates aren't SQL-reproducible; the exact NDV is, and the
     // accuracy contract (within 5% of exact) is pinned as a verdict column
     "q131_hll_distinct" ->
