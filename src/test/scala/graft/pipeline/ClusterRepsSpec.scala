@@ -94,6 +94,20 @@ class ClusterRepsSpec extends AnyFunSuite {
     assert(stored(eng) === before)
   }
 
+  test("compaction folds the bootstrap + delta rowsets without changing the " +
+    "served mapping (the index stays read-efficient as folds accumulate)") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    ClusterReps.applyDelta(eng, corpus, delta)
+    val before = stored(eng)
+    eng.compact(ClusterReps.Db, ClusterReps.Table)
+    eng.gc(ClusterReps.Db, ClusterReps.Table)
+    assert(stored(eng) === before)
+    // and further folds keep working against the compacted base
+    ClusterReps.applyDelta(eng, corpus, df(Seq(40L -> (P + tail("c", 11) + " wc12"))))
+    assert(stored(eng) === before + ((40L, 5L)))
+  }
+
   test("split served from the maintained index equals the one-shot q178 split") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
