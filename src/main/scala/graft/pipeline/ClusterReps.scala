@@ -125,10 +125,10 @@ object ClusterReps {
       .select(col("doc_id"), col("survivor_id").as("rep"))
 
     val up = corpusUpserts.unionByName(newRows).localCheckpoint(true)
-    if (!up.isEmpty)
-      eng.ingest(Db, Table, up,
-        Some(Version(eng.manifest(Db, Table).maxVersion + 1,
-          eng.manifest(Db, Table).maxVersion + 1)))
+    if (!up.isEmpty) {
+      val v = eng.manifest(Db, Table).maxVersion + 1
+      eng.ingest(Db, Table, up, Some(Version(v, v)))
+    }
   }
 
   /** Driver fixture: bootstrap from the corpus minus the q123 delta

@@ -225,9 +225,14 @@ object StreamingQueries {
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             // corpus-so-far = original corpus + batches already folded;
             // listed BEFORE this batch's accumulator write
-            val prior = Files.list(accDir).iterator()
-            val priorDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (prior.hasNext) priorDirs += prior.next().toString
+            val ls = Files.list(accDir)
+            val priorDirs =
+              try {
+                val it = ls.iterator()
+                val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+                while (it.hasNext) buf += it.next().toString
+                buf.toSeq
+              } finally ls.close()
             val corpusSoFar = priorDirs.foldLeft(corpus)(
               (acc, p) => acc.unionByName(spark.read.parquet(p)))
             ClusterReps.applyDelta(e, corpusSoFar, batch)
