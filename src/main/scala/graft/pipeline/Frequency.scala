@@ -243,6 +243,71 @@ object Frequency {
         sum(col("span_words")).as("span_word_sum"))
   }
 
+  /** Cross-corpus duplicated-span detection (q185) — [[dupSpans]] pointed at
+    * EVAL INTEGRITY: q79's decontamination asks "does a test n-gram appear
+    * in train at all"; this asks the substring-level question the Lee et
+    * al. pipeline raises — WHERE and HOW MUCH of each test document is
+    * verbatim-covered by training text. Emits, per leaked test doc, the
+    * maximal leaked spans (gaps-and-islands over positions whose n-gram
+    * occurs anywhere in train) plus the EXACT leaked-word fraction
+    * (distinct covered positions / doc words) — the number a benchmark
+    * card should report.
+    *
+    * Scale shape: one gram-keyed window over the union of both sides'
+    * gram streams (a conditional max stands in for the membership join —
+    * the train gram set is corpus-sized at 100 TB and must never
+    * broadcast), then doc-keyed islands + rollups on the test side only.
+    * Same two-shuffle budget as [[dupSpans]].
+    */
+  def crossCorpusLeakage(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val d = docs(spark, dir)
+    crossCorpusLeakageOf(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0), n)
+  }
+
+  /** Core of [[crossCorpusLeakage]] over any (doc_id, text) frames. */
+  def crossCorpusLeakageOf(train: DataFrame, test: DataFrame, n: Int): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    def grams(df: DataFrame, side: Int) = df
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("gram"), lit(side).as("side"))
+
+    val perGram = Window.partitionBy(col("gram"))
+    val leaked = grams(train, 0).unionByName(grams(test, 1))
+      .withColumn("has_train",
+        max(when(col("side") === 0, 1).otherwise(0)).over(perGram))
+      .filter(col("side") === 1 && col("has_train") === 1)
+      .select(col("doc_id"), col("pos"))
+
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = leaked
+      .withColumn("grp", col("pos") - row_number().over(perDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((count(lit(1)) + (n - 1)).as("span_words"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("span_words")).as("longest_span"))
+    // exact coverage: DISTINCT covered positions (span sums double-count
+    // overlapping spans; a leak fraction must not)
+    val covered = leaked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("leaked_words"))
+
+    test.select(col("doc_id"), size(ws).cast("long").as("n_words"))
+      .join(spans, Seq("doc_id"))
+      .join(covered, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("longest_span"),
+        col("leaked_words"), col("n_words"),
+        round(col("leaked_words").cast("double") /
+          col("n_words").cast("double"), 4).as("leak_frac"))
+  }
+
   /** Duplicated-span SCRUB — the cut step that completes [[dupSpans]]'s
     * detect step (together they are the Lee et al. 2022 substring-dedup
     * pipeline): every word position covered by a cross-doc-duplicated
@@ -303,6 +368,8 @@ object Frequency {
     "q169_count_min" -> ((s: SparkSession, d: String) => countMinSketch(s, d)),
     "q170_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q175_span_scrub" -> ((s: SparkSession, d: String) => spanScrub(s, d)),
+    "q185_cross_corpus_leakage" ->
+      ((s: SparkSession, d: String) => crossCorpusLeakage(s, d)),
   )
 
   /** q153's oracle is the definitionally-exact heavy set — the MG sketch is
@@ -365,6 +432,32 @@ object Frequency {
         |SELECT word, n_exact, n_cms, n_cms >= n_exact AS ok FROM e""".stripMargin
 
   private val moreOracles: Map[String, String] = Map(
+    // q185: the train-gram membership is a plain IN-subquery in SQL; the
+    // Spark side computes the same membership as a windowed conditional max
+    // (the train gram set must never broadcast at scale). n = 3 unrolled.
+    "q185_cross_corpus_leakage" ->
+      """WITH w AS (SELECT doc_id, doc_id % 10 = 0 AS is_test,
+        |             string_split_regex(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, is_test, unnest(range(1, len(ws) - 1)) AS pos, ws
+        |      FROM w WHERE len(ws) >= 3),
+        |g2 AS (SELECT doc_id, is_test, pos,
+        |         ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS gram FROM g),
+        |l AS (SELECT doc_id, pos FROM g2
+        |      WHERE is_test AND gram IN (SELECT gram FROM g2 WHERE NOT is_test)),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM l),
+        |s AS (SELECT doc_id, grp, count(*) + 2 AS span_words FROM i GROUP BY 1, 2),
+        |sp AS (SELECT doc_id, count(*) AS n_spans, max(span_words) AS longest_span
+        |       FROM s GROUP BY doc_id),
+        |c AS (SELECT DISTINCT doc_id, pos + o AS wpos FROM l, range(0, 3) r(o)),
+        |cw AS (SELECT doc_id, count(*) AS leaked_words FROM c GROUP BY doc_id),
+        |nw AS (SELECT doc_id, len(ws) AS n_words FROM w WHERE is_test)
+        |SELECT sp.doc_id, sp.n_spans, sp.longest_span, cw.leaked_words,
+        |  nw.n_words,
+        |  round(CAST(cw.leaked_words AS DOUBLE) / nw.n_words, 4) AS leak_frac
+        |FROM sp JOIN cw USING (doc_id) JOIN nw USING (doc_id)""".stripMargin,
     // q170: n = 3 unrolled (ws[pos..pos+2], count(*) + 2).
     "q170_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

@@ -86,6 +86,30 @@ class FrequencySpec extends AnyFunSuite {
     assert(got == closed)
   }
 
+  test("cross-corpus leakage: spans, exact coverage, and clean docs absent") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training words here")).toDF("doc_id", "text")
+    val test = Seq(
+      // words 3..7 ("brown fox jumps over the") covered via 3-grams at
+      // positions 3,4,5 → one span of 5 words; 9 words total → frac 5/9
+      (10L, "alpha beta brown fox jumps over the gamma delta"),
+      // two DISJOINT leaked runs: "quick brown fox" (pos 1) and
+      // "the lazy dog" (pos 7) → 2 spans of 3; distinct coverage 6 of 9
+      (11L, "quick brown fox one two three the lazy dog"),
+      (12L, "nothing shared with training at all honestly")).toDF("doc_id", "text")
+    val got = Frequency.crossCorpusLeakageOf(train, test, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet === Set(10L, 11L), s"clean doc must be absent: $got")
+    assert(got(10L) === ((1L, 5L, 5L, 9L, 0.5556)))
+    // doc 11: 10 words ("quick brown fox one two three the lazy dog" = 9)…
+    assert(got(11L)._1 === 2L, s"two disjoint spans: ${got(11L)}")
+    assert(got(11L)._3 === 6L, s"distinct coverage 6: ${got(11L)}")
+  }
+
   test("dup passages: shared counts bounded by totals; unique doc shares nothing") {
     import spark.implicits._
     val docsDf = Seq(
