@@ -83,7 +83,10 @@ object ClusterReps {
     val reps = Dedup.connectedComponents(
         Dedup.ngramJaccardOf(corpus, Threshold), "doc_a", "doc_b")
       .select(col("doc_id"), col("survivor_id").as("rep"))
-    eng.ingest(Db, Table, reps, Some(Version(1, 1)))
+      .localCheckpoint(true)
+    // a fully-singleton corpus has nothing to store — an EMPTY load would
+    // publish a file-less rowset whose later scan cannot infer a schema
+    if (!reps.isEmpty) eng.ingest(Db, Table, reps, Some(Version(1, 1)))
   }
 
   /** Fold one delta batch into the index. Screens delta-vs-corpus (delta

@@ -108,6 +108,43 @@ class ClusterRepsSpec extends AnyFunSuite {
     assert(stored(eng) === before + ((40L, 5L)))
   }
 
+  test("property: maintained index ≡ full CC for random corpora and random " +
+    "corpus/delta splits (5 seeded trials)") {
+    // random cluster structure: nc clusters × up to 4 members (each member
+    // mutates up to 2 tail positions — within-cluster Jaccard ≥ ~0.57,
+    // cross-cluster 0.2 < 0.3), plus unique-tail singletons; every doc is
+    // randomly assigned corpus or delta, so the trials cover delta-bridges,
+    // delta-only clusters, rep displacement and empty-ish deltas by chance.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      var id = -1L
+      def nextId(): Long = { id += 1; id }
+      val docsRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val nc = 2 + rnd.nextInt(3)
+      for (c <- 0 until nc; _ <- 0 until (2 + rnd.nextInt(3))) {
+        val base = (1 to 12).map(j => s"c${c}w$j").toArray
+        val muts = rnd.nextInt(3)
+        for (_ <- 0 until muts)
+          base(rnd.nextInt(12)) = s"noise${rnd.nextInt(100000)}"
+        docsRows += nextId() -> (P + base.mkString(" "))
+      }
+      for (s <- 0 until rnd.nextInt(4))
+        docsRows += nextId() -> (P + (1 to 12).map(j => s"solo${seed}x${s}w$j").mkString(" "))
+      val all = df(docsRows.toSeq)
+      val corpusR = df(docsRows.filter(_ => rnd.nextBoolean()).toSeq match {
+        case s if s.nonEmpty => s
+        case _               => docsRows.take(1).toSeq
+      })
+      val corpusIds = corpusR.collect().map(_.getLong(0)).toSet
+      val deltaR = df(docsRows.filterNot(r => corpusIds(r._1)).toSeq)
+
+      val eng = mkEngine()
+      ClusterReps.bootstrap(eng, corpusR)
+      ClusterReps.applyDelta(eng, corpusR, deltaR)
+      assert(stored(eng) === fullCC(all), s"divergence at seed=$seed")
+    }
+  }
+
   test("split served from the maintained index equals the one-shot q178 split") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
