@@ -411,7 +411,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
     writer.parquet(outDir.toString)
 
-    val numRows = spark.read.parquet(outDir.toString).count()
+    // A zero-row load writes no part files, so the count-back read cannot
+    // infer a schema. Doris semantics: an empty load is still a VERSION
+    // (the graph stays hole-free, consumers see continuous versions) — so
+    // publish it with numRows = 0; the read path skips file-less rowsets.
+    val numRows =
+      try spark.read.parquet(outDir.toString).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
@@ -665,7 +671,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     */
   private def rawFromRowsets(db: String, table: String,
                              rowsets: Seq[RowsetMeta]): DataFrame = {
-    val (markers, data) = rowsets.partition(_.isDeleteMarker)
+    val (markers, allData) = rowsets.partition(_.isDeleteMarker)
+    // zero-row rowsets (empty loads) hold their version range in the graph
+    // but have no files to scan — reading their dir would fail schema
+    // inference, and they contribute nothing to the union anyway
+    val data = allData.filter(_.numRows > 0)
     val root = tableRoot(db, table)
     if (data.isEmpty) {
       val td = catalog.getTable(db, table).get
@@ -1007,7 +1017,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
       .parquet(outDir.toString)
 
-    val numRows = spark.read.parquet(outDir.toString).count()
+    // all-rows-tombstoned compactions legitimately produce zero rows;
+    // publish the empty replacement (version continuity) instead of dying
+    // on the file-less dir's schema inference
+    val numRows =
+      try spark.read.parquet(outDir.toString).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
@@ -1054,10 +1069,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     require(!m.hasVersionHoles(lo, hi),
       s"delta tier [$lo,$hi] of ${td.qualified} has version holes; cannot merge")
     val root = tableRoot(db, table)
-    val raw = backfillSchema(db, table, suffix.map { r =>
-      spark.read.parquet(root.resolve(r.relDir).toString)
-        .withColumn(VersionCol, lit(r.version.end))
-    }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    // zero-row rowsets hold their version range but have no files to read
+    val scannable = suffix.filter(_.numRows > 0)
+    val raw =
+      if (scannable.isEmpty) {
+        val st = td.schema.toStructType.add(VersionCol, "long").add(SeqCol, "long")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      } else backfillSchema(db, table, scannable.map { r =>
+        spark.read.parquet(root.resolve(r.relDir).toString)
+          .withColumn(VersionCol, lit(r.version.end))
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val merged = td.schema.keysType match {
       case KeysType.Duplicate =>
         raw.transform(projectDeclared(td))
@@ -1079,7 +1101,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
       .parquet(outDir.toString)
 
-    val numRows = spark.read.parquet(outDir.toString).count()
+    // all-rows-tombstoned compactions legitimately produce zero rows;
+    // publish the empty replacement (version continuity) instead of dying
+    // on the file-less dir's schema inference
+    val numRows =
+      try spark.read.parquet(outDir.toString).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis())
