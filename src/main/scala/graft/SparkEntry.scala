@@ -65,6 +65,15 @@ object SparkEntry {
     // sketches in one partial-aggregable pass
     "q87_profile" ->
       ((s: SparkSession, d: String) => graft.queries.Relational.profileTableSketch(s, d)),
+    // q159's verdict form co-locates every (window, user) pair for the
+    // exact baseline; production ships fixed-size HLL partials per window
+    "q159_sliding_distinct" ->
+      ((s: SparkSession, d: String) => graft.operators.TimeSeries.slidingDistinctSketchOnly(s, d)),
+    // q146's verdict form holds exact per-group percentile state; the
+    // production form runs the same three passes on percentile_approx
+    // sketches (fixed-size state on arbitrary-cardinality groups)
+    "q146_mad_outliers" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Corpus.madOutliers(s, d, approx = true)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
     // q171's verdict form is quadratic-OUTPUT on this degenerately-dense

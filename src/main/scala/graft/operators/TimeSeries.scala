@@ -146,6 +146,20 @@ object TimeSeries {
           greatest(col("ndv") * 0.1, lit(3.0))).as("approx_ok"))
   }
 
+  /** Production form of [[slidingDistinct]] (the Bench-timed variant, same
+    * pattern as q51/q131/q134): the verdict form co-locates every
+    * (window, user) pair for the exact NDV baseline; at 100 TB the sliding
+    * windows ship HLL partials — fixed bytes per (window, sketch) — and the
+    * exact side exists only so the oracle can pin the sketch's accuracy.
+    * [[graft.queries.BenchVariantSpec]] pins the estimates to the verdict
+    * form's own bound.
+    */
+  def slidingDistinctSketchOnly(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("ndv_est"))
+      .select(col("window.start").as("win_start"), col("ndv_est"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_ewma" -> ((s: SparkSession, d: String) => ewma(s, d)),
     "q159_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(s, d)),

@@ -77,6 +77,47 @@ class BenchVariantSpec extends AnyFunSuite {
       "exact profile is the Expand form this variant replaces")
   }
 
+  test("q159: slidingDistinctSketchOnly estimates clear the verdict's own bound") {
+    val verdict = graft.operators.TimeSeries.slidingDistinct(spark, dir)
+      .collect().map(r => r.get(0) -> r).toMap
+    val est = graft.operators.TimeSeries.slidingDistinctSketchOnly(spark, dir)
+      .collect()
+    assert(est.nonEmpty && est.length == verdict.size)
+    est.foreach { e =>
+      val v = verdict(e.get(0))
+      val exact = v.getAs[Long]("ndv")
+      // the verdict's bound: within max(10%, 3) per window — and the
+      // verdict itself must hold
+      assert(math.abs(e.getAs[Long]("ndv_est") - exact) <=
+        math.max(exact * 0.1, 3.0), s"estimate drift at ${e.get(0)}")
+      assert(v.getAs[Boolean]("approx_ok"))
+    }
+  }
+
+  test("q146: approx MAD reproduces the exact medians and outlier counts " +
+    "within the sketch tolerance") {
+    val exact = graft.pipeline.Corpus.madOutliers(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.pipeline.Corpus.madOutliers(spark, dir, approx = true)
+      .collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { a =>
+      val e = exact(a.getString(0))
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+      // percentile_approx at accuracy 10000 over ~15k rows/group: the
+      // median lands within 1% of exact, and the outlier count (a tail
+      // property, robust to a slightly-shifted center) within 10%
+      def close(col: String, tol: Double) = {
+        val x = a.getAs[Double](col); val y = e.getAs[Double](col)
+        assert(math.abs(x - y) <= math.abs(y) * tol, s"$col: $x vs $y")
+      }
+      close("med", 0.01); close("mad", 0.01)
+      val (no, ne) = (a.getAs[Long]("n_outliers"), e.getAs[Long]("n_outliers"))
+      assert(math.abs(no - ne) <= math.max(2L, (ne * 0.1).toLong),
+        s"n_outliers: $no vs $ne at ${a.getString(0)}")
+    }
+  }
+
   test("q131: hllDistinctSketchOnly estimate matches the verdict's accuracy bound") {
     val verdict = EngineQueries.hllDistinct(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
