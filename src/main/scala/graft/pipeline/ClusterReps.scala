@@ -57,6 +57,15 @@ object ClusterReps {
     * load), then served many times.
     */
   private val cache = TrieMap.empty[String, OlapEngine]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.values.foreach { e =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(e.warehouse.toFile)
+      }))
+  }
 
   def clearCaches(): Unit = cache.clear()
 
