@@ -127,6 +127,19 @@ object Retention {
   }
 }
 
+/** Dynamic-partition unit (Doris `dynamic_partition`): a Range table with
+  * this set EXTENDS ITSELF at ingest — loads whose partition key lands past
+  * the highest declared bound create the covering per-unit partitions
+  * instead of failing unroutable. At 100 TB with daily loads this is the
+  * difference between self-serve ingest and paging an operator to run
+  * ADD PARTITION before midnight.
+  */
+sealed trait AutoPartitionUnit
+object AutoPartitionUnit {
+  case object Day extends AutoPartitionUnit
+  case object Month extends AutoPartitionUnit
+}
+
 /** What ingest does with a string value longer than its column's declared
   * `ColumnSpec.maxLength` (characters). The reference stores the length
   * (src/meta.rs:20-21) but never checks it — `Ignore` is that parity
@@ -181,6 +194,9 @@ final case class TableDef(
     // over-length varchar handling at ingest (see [[VarcharMode]]);
     // Ignore preserves reference parity
     varcharMode: VarcharMode = VarcharMode.Ignore,
+    // Range-table self-extension at ingest (see [[AutoPartitionUnit]]);
+    // None preserves the loud-unroutable default
+    autoPartition: Option[AutoPartitionUnit] = None,
     partialUpdate: Boolean = false,
     // Doris sequence column (Unique model): "latest wins" is decided by THIS
     // data column first (then load order as the tiebreak), so out-of-order

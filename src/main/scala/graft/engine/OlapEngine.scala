@@ -87,6 +87,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   def createDatabase(db: String): Unit = catalog.createDatabase(db)
 
   def createTable(td: TableDef): TableDef = {
+    td.autoPartition.foreach { _ =>
+      require(td.policy == PartitionPolicy.Range,
+        s"autoPartition needs a Range table; ${td.qualified} is ${td.policy}")
+      require(td.partitions.forall(_.upperExclusive.isDefined),
+        s"autoPartition cannot extend past ${td.qualified}'s MAXVALUE partition")
+      require(td.partitions.flatMap(_.upperExclusive).forall(b =>
+        scala.util.Try(java.time.LocalDate.parse(b.take(10))).isSuccess),
+        s"autoPartition needs ISO date/timestamp bounds in ${td.qualified}")
+    }
     val created = catalog.createTable(td)
     Files.createDirectories(tableRoot(td.db, td.name))
     manifest(td.db, td.name) // init manifest
@@ -370,16 +379,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
           td.schema.valueColumns.exists(_.agg == AggType.HllUnion))
         preAggregate(td, df)
       else df
+    // dynamic partitioning: extend the Range ladder to cover this load's
+    // max key BEFORE routing (otherwise those rows raise unroutable)
+    val td1 = autoExtendPartitions(td, input)
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
     val rowsetId = explicitRowsetId.getOrElse(m.nextRowsetId)
     val relDir = s"r$rowsetId"
     val outDir = tableRoot(db, table).resolve(relDir)
 
-    val keyNames = td.schema.keyNames
-    var routed = conform(td, input, opColumn.toSeq)
-      .withColumn(PartCol, partitionNameCol(td))
-      .withColumn(BucketCol, bucketIdxCol(td))
+    val keyNames = td1.schema.keyNames
+    var routed = conform(td1, input, opColumn.toSeq)
+      .withColumn(PartCol, partitionNameCol(td1))
+      .withColumn(BucketCol, bucketIdxCol(td1))
     // __graft_seq: persisted load-order tiebreaker for Unique/Replace
     // determinism *within* one rowset (the reference leaves this undefined —
     // SURVEY.md §7 "hard parts"; we define it and persist it).
@@ -528,6 +540,59 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * bound, or behind a MAXVALUE catch-all, would split history: rows
     * already routed under the old scheme would not be re-routed).
     */
+  /** Dynamic partitioning (Doris `dynamic_partition`, applied lazily at
+    * load time): when the table declares an [[graft.catalog.AutoPartitionUnit]],
+    * extend the Range ladder with per-unit partitions until the load's max
+    * partition key routes. One tiny aggregate per load computes that max
+    * (a scalar — negligible beside the routed write); each new partition
+    * steps one unit from the previous highest bound, named from the day it
+    * starts (`pa_YYYYMMDD`), with the table's bucket count. Goes through
+    * [[addPartition]], so monotonicity checks and transparent prune-rule
+    * refresh apply to auto partitions exactly as to manual ones.
+    */
+  private def autoExtendPartitions(td0: TableDef, df: DataFrame): TableDef =
+    td0.autoPartition match {
+      case None => td0
+      case Some(unit) =>
+        val pc = td0.partitionColumn.get
+        val mx = df.agg(max(col(pc).cast("string"))).head().getString(0)
+        if (mx == null) td0
+        else {
+          var td = td0
+          def highest = td.partitions.flatMap(_.upperExclusive).max
+          // backstop BEFORE any catalog write: a corrupt far-future key must
+          // not mint partitions until the heat death of the driver
+          val mxDay =
+            try java.time.LocalDate.parse(mx.take(10))
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"autoPartition needs ISO-date-prefixed keys in ${td.qualified}; got '$mx'")
+            }
+          val hi0 = java.time.LocalDate.parse(highest.take(10))
+          val needed = unit match {
+            case AutoPartitionUnit.Day =>
+              java.time.temporal.ChronoUnit.DAYS.between(hi0, mxDay) + 1
+            case AutoPartitionUnit.Month =>
+              java.time.temporal.ChronoUnit.MONTHS.between(hi0, mxDay) + 1
+          }
+          require(needed <= 10000,
+            s"autoPartition would create >10000 partitions for ${td.qualified}" +
+              s" (load max key '$mx' vs bound '$highest')")
+          while (mx >= highest) {
+            val lo = java.time.LocalDate.parse(highest.take(10))
+            val next = unit match {
+              case AutoPartitionUnit.Day   => lo.plusDays(1)
+              case AutoPartitionUnit.Month => lo.plusMonths(1)
+            }
+            td = addPartition(td.db, td.name, PartitionSpec(
+              "pa_" + lo.toString.replace("-", ""),
+              upperExclusive = Some(next.toString),
+              numBuckets = td.numBuckets))
+          }
+          td
+        }
+    }
+
   def addPartition(db: String, table: String, spec: PartitionSpec): TableDef = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))

@@ -244,6 +244,24 @@ object EngineFixture {
         d = 4, w = 512)
     eng.ingest("graft", "cms_agg", cmsLoad(col("doc_id") % 2 === 0), Some(Version(1, 1)))
     eng.ingest("graft", "cms_agg", cmsLoad(col("doc_id") % 2 === 1), Some(Version(2, 2)))
+
+    // --- orders_auto: dynamic partitioning (Doris dynamic_partition) -------
+    // one declared month; the load self-extends the Range ladder to cover
+    // the full o_orderdate span, one partition per month
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_auto",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("o_orderkey", LongType),
+        ColumnSpec.value("o_orderdate", TimestampType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("o_orderdate"),
+      partitions = Seq(PartitionSpec("p0", Some("1992-02-01"), numBuckets = 2)),
+      bucketColumn = Some("o_orderkey"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Month)))
+    eng.ingest("graft", "orders_auto",
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderdate"),
+      Some(Version(1, 1)))
     eng
   }
 }
@@ -586,7 +604,21 @@ object EngineQueries {
       cells, graft.pipeline.Frequency.heavyHittersOf(tokens, 29), d = 4, w = 512)
   }
 
+  /** q186: the partition layout a dynamically-partitioned load produced —
+    * read back from the hive partition column of the raw rowset scan, so
+    * the oracle (which recomputes each order's month partition from the
+    * data) verifies BOTH halves of the feature: the ladder the load minted
+    * and the routing of every row into it.
+    */
+  def dynamicPartitionLayout(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.rawLayout("graft", "orders_auto")
+      .groupBy(col(eng.PartCol).as("part"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_dynamic_partition" -> dynamicPartitionLayout _,
     "q184_engine_count_min" -> engineCountMin _,
     "q108_engine_partial_update" -> partialUpdateScan _,
     "q127_delete_where" -> deleteWhereScan _,
@@ -614,6 +646,16 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q186: DuckDB recomputes each order's month partition (p0 holds
+    // everything below the declared 1992-02-01 bound; auto partitions are
+    // named from the month they start) — ladder + routing verified together
+    "q186_dynamic_partition" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1992-02-01' THEN 'p0'
+        |    ELSE 'pa_' || strftime(date_trunc('month', o_orderdate), '%Y%m%d')
+        |  END AS part
+        |  FROM orders)
+        |SELECT part, count(*) AS n_rows FROM m GROUP BY part""".stripMargin,
     // q184 shares q169's cell-for-cell oracle: the Sum-merged engine table
     // must serve the identical matrix a from-scratch build produces
     "q184_engine_count_min" -> graft.pipeline.Frequency.countMinOracleSql,

@@ -1,0 +1,102 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.SparkTestSession
+import graft.catalog._
+import graft.model._
+
+/** Dynamic partitioning (Doris `dynamic_partition`, lazily at load): a Range
+  * table with an [[AutoPartitionUnit]] extends its own ladder to cover each
+  * load's max key; without it, out-of-range keys stay loudly unroutable.
+  */
+class DynamicPartitionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("k", LongType, nullable = false)))
+
+  private def rows(days: Seq[String]) =
+    spark.createDataFrame(
+      days.zipWithIndex.map { case (d, i) =>
+        org.apache.spark.sql.Row(Timestamp.valueOf(s"$d 12:00:00"), i.toLong)
+      }.asJava, schema)
+
+  private def mkEngine(auto: Option[AutoPartitionUnit]): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("ts", TimestampType),
+        ColumnSpec.value("k", LongType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("ts"),
+      partitions = Seq(PartitionSpec("p0", Some("2024-01-03"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2,
+      autoPartition = auto))
+    eng
+  }
+
+  test("day unit: the ladder extends to cover the load; rows route per day") {
+    val eng = mkEngine(Some(AutoPartitionUnit.Day))
+    eng.ingest("db", "t",
+      rows(Seq("2024-01-02", "2024-01-03", "2024-01-05", "2024-01-05")))
+    val td = eng.catalog.getTable("db", "t").get
+    assert(td.partitions.map(_.name) ===
+      Seq("p0", "pa_20240103", "pa_20240104", "pa_20240105"),
+      td.partitions.mkString(", "))
+    assert(td.partitions.flatMap(_.upperExclusive) ===
+      Seq("2024-01-03", "2024-01-04", "2024-01-05", "2024-01-06"))
+    assert(eng.scan("db", "t").count() == 4)
+    // directory-level routing: each day landed in its own partition
+    assert(eng.scanPartitions("db", "t", Seq("pa_20240105")).count() == 2)
+    assert(eng.scanPartitions("db", "t", Seq("p0")).count() == 1)
+    // a later in-range load creates nothing new
+    eng.ingest("db", "t", rows(Seq("2024-01-04")))
+    assert(eng.catalog.getTable("db", "t").get.partitions.size == 4)
+  }
+
+  test("month unit steps by month from the existing bound") {
+    val eng = mkEngine(Some(AutoPartitionUnit.Month))
+    eng.ingest("db", "t", rows(Seq("2024-03-10")))
+    val bounds = eng.catalog.getTable("db", "t").get.partitions.flatMap(_.upperExclusive)
+    assert(bounds === Seq("2024-01-03", "2024-02-03", "2024-03-03", "2024-04-03"))
+  }
+
+  test("without autoPartition, an out-of-range key still fails loudly") {
+    val eng = mkEngine(None)
+    val e = intercept[Exception](eng.ingest("db", "t", rows(Seq("2024-02-01"))))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" <- ")
+    assert(msgs.contains("no partition for key"), msgs)
+  }
+
+  test("createTable refuses autoPartition on MAXVALUE/unparseable/non-Range shapes") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp2-wh-"))
+    eng.createDatabase("db")
+    def td(parts: Seq[PartitionSpec], policy: PartitionPolicy = PartitionPolicy.Range) =
+      TableDef(db = "db", name = "bad", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("ts", TimestampType), ColumnSpec.value("k", LongType))),
+        policy = policy, partitionColumn = Some("ts"), partitions = parts,
+        bucketColumn = Some("k"), numBuckets = 2,
+        autoPartition = Some(AutoPartitionUnit.Day))
+    intercept[IllegalArgumentException](
+      eng.createTable(td(Seq(PartitionSpec("pmax", None))))) // MAXVALUE
+    intercept[IllegalArgumentException](
+      eng.createTable(td(Seq(PartitionSpec("p0", Some("whenever")))))) // bound
+    intercept[IllegalArgumentException](
+      eng.createTable(td(Seq(PartitionSpec("p0")), PartitionPolicy.Unpartitioned)))
+  }
+
+  test("far-future corrupt key is rejected instead of minting 10k partitions") {
+    val eng = mkEngine(Some(AutoPartitionUnit.Day))
+    val e = intercept[Exception](eng.ingest("db", "t", rows(Seq("2999-01-01"))))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" <- ")
+    assert(msgs.contains(">10000"), msgs)
+  }
+}
