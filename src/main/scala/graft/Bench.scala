@@ -83,17 +83,35 @@ object Bench {
     val variants = names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"variants":$variants,"sf":"$sfDir"}"""
+    // Cache-health audit (round-7 verdict task 5: cached-index queries swung
+    // 4-8x between same-code runs): report every persisted RDD whose blocks
+    // are not fully resident at end of run. A non-empty list means the run
+    // evicted index blocks (memory pressure) and late probes of that index
+    // paid disk re-reads — the benign degradation of MEMORY_AND_DISK — or,
+    // for localCheckpoint sources, full recomputes.
+    val evicted = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.numCachedPartitions < i.numPartitions)
+      .map(i => "\"" + i.name.replace("\"", "'").take(60) + "\":\"" +
+        s"${i.numCachedPartitions}/${i.numPartitions}" + "\"")
+      .mkString("{", ",", "}")
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val memMb = storage.map(_.memSize).sum / 1e6
+    val diskMb = storage.map(_.diskSize).sum / 1e6
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
     println(json)
-    // Every BENCH_r*.json to date has "parsed": null — the driver greps the
-    // sbt log tail for this line and the surrounding log noise defeats it.
-    // Write the identical JSON to a stable file so the driver (and humans)
-    // can read the result without log archaeology.
+    // The full line is ~8 KB and the driver parses only the tail of the sbt
+    // log, so it also lands in a stable file for humans/judges.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${t.getMessage}") }
     spark.stop()
+    // FINAL stdout line, after spark.stop() so no shutdown logging follows
+    // it: a compact (<300 byte) summary that survives the driver's
+    // 2000-char log-tail truncation — the full per-query map is the line
+    // above and bench_out.json. ("parsed": null for 7 rounds because the
+    // 8 KB line never fit the tail.)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"cache_mem_mb":${memMb.round},"sf":"$sfDir","queries_in":"bench_out.json"}""")
   }
 }

@@ -32,8 +32,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   // GC later deletes must FAIL LOUDLY at execution, never silently return
   // the surviving subset. Spark's missing-file behavior is exactly that —
   // but only while ignoreMissingFiles stays false, so a session that flips
-  // it would turn the race into silent partial rows. Refuse to run on one.
-  // (GcReaderRaceSpec pins the end-to-end behavior.)
+  // it would turn the race into silent partial rows. Refuse to run on one —
+  // AND pin the option per-read in [[rawFromRowsets]], so flipping the conf
+  // on the shared session AFTER construction cannot re-enable the forbidden
+  // outcome for already-built engines. (GcReaderRaceSpec pins both.)
   require(!spark.conf.get("spark.sql.files.ignoreMissingFiles", "false").toBoolean,
     "OlapEngine requires spark.sql.files.ignoreMissingFiles=false: with it on, " +
       "a reader racing GC would silently drop the GC'd rowsets' rows")
@@ -87,7 +89,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   def createDatabase(db: String): Unit = catalog.createDatabase(db)
 
   def createTable(td: TableDef): TableDef = {
-    td.autoPartition.foreach { _ =>
+    td.autoPartition.foreach { unit =>
       require(td.policy == PartitionPolicy.Range,
         s"autoPartition needs a Range table; ${td.qualified} is ${td.policy}")
       require(td.partitions.forall(_.upperExclusive.isDefined),
@@ -95,6 +97,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       require(td.partitions.flatMap(_.upperExclusive).forall(b =>
         scala.util.Try(java.time.LocalDate.parse(b.take(10))).isSuccess),
         s"autoPartition needs ISO date/timestamp bounds in ${td.qualified}")
+      // Month-unit partitions are CALENDAR months: a mid-month bound would
+      // make every auto partition a shifted pseudo-month (and plusMonths
+      // drifts through short months: 01-31 → 02-29 → 03-29), so the
+      // pa_YYYYMM01 names would no longer describe the data they hold.
+      // Require alignment up front instead of documenting the drift away.
+      if (unit == AutoPartitionUnit.Month)
+        require(td.partitions.flatMap(_.upperExclusive)
+            .forall(b => b.length >= 10 && b.substring(8, 10) == "01"),
+          s"autoPartition=Month needs month-aligned (day-01) bounds in ${td.qualified}; " +
+            s"got ${td.partitions.flatMap(_.upperExclusive).mkString(", ")}")
     }
     val created = catalog.createTable(td)
     Files.createDirectories(tableRoot(td.db, td.name))
@@ -380,8 +392,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         preAggregate(td, df)
       else df
     // dynamic partitioning: extend the Range ladder to cover this load's
-    // max key BEFORE routing (otherwise those rows raise unroutable)
-    val td1 = autoExtendPartitions(td, input)
+    // max key BEFORE routing (otherwise those rows raise unroutable) — but
+    // only LOCALLY; the catalog commit happens after the write succeeds
+    val (td1, minted) = autoExtendPartitions(td, input)
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
     val rowsetId = explicitRowsetId.getOrElse(m.nextRowsetId)
@@ -430,6 +443,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val numRows =
       try spark.read.parquet(outDir.toString).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // the write validated and landed: NOW the auto-minted partitions become
+    // catalog state — before publish, so the prune rules know the new
+    // partitions by the time any reader can see the new rowset
+    commitMintedPartitions(db, table, minted)
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
@@ -540,33 +557,49 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * bound, or behind a MAXVALUE catch-all, would split history: rows
     * already routed under the old scheme would not be re-routed).
     */
+  /** Per-load cap on dynamic-partition extension. A mistyped-but-parseable
+    * far-future key must fail the load, not bloat the routing ladder (every
+    * later load pays the ladder as a nested when() routing expression);
+    * ~1000 rungs covers a multi-year daily backfill while bounding the
+    * blast radius of one bad key to three orders of magnitude less than the
+    * old 10k cap allowed.
+    */
+  val MaxAutoExtendPerLoad = 1000L
+
   /** Dynamic partitioning (Doris `dynamic_partition`, applied lazily at
     * load time): when the table declares an [[graft.catalog.AutoPartitionUnit]],
     * extend the Range ladder with per-unit partitions until the load's max
     * partition key routes. One tiny aggregate per load computes that max
     * (a scalar — negligible beside the routed write); each new partition
     * steps one unit from the previous highest bound, named from the day it
-    * starts (`pa_YYYYMMDD`), with the table's bucket count. Goes through
-    * [[addPartition]], so monotonicity checks and transparent prune-rule
-    * refresh apply to auto partitions exactly as to manual ones.
+    * starts (`pa_YYYYMMDD`), with the table's bucket count.
+    *
+    * Returns the extended TableDef WITHOUT touching the catalog — the
+    * minted specs are committed by [[ingest]] only AFTER the routed write
+    * succeeds (via [[commitMintedPartitions]]), so a load that fails
+    * validation (strict varchar, unroutable row) or errors mid-write stays
+    * COMPLETELY invisible: no rowset, no published version, and no
+    * auto-minted partitions either.
     */
-  private def autoExtendPartitions(td0: TableDef, df: DataFrame): TableDef =
+  private def autoExtendPartitions(td0: TableDef, df: DataFrame)
+  : (TableDef, Seq[PartitionSpec]) =
     td0.autoPartition match {
-      case None => td0
+      case None => (td0, Nil)
       case Some(unit) =>
         val pc = td0.partitionColumn.get
         val mx = df.agg(max(col(pc).cast("string"))).head().getString(0)
-        if (mx == null) td0
+        if (mx == null) (td0, Nil)
         else {
-          var td = td0
-          def highest = td.partitions.flatMap(_.upperExclusive).max
-          // backstop BEFORE any catalog write: a corrupt far-future key must
-          // not mint partitions until the heat death of the driver
+          var parts = td0.partitions
+          val minted = scala.collection.mutable.ArrayBuffer.empty[PartitionSpec]
+          def highest = parts.flatMap(_.upperExclusive).max
+          // backstop BEFORE any minting: a corrupt far-future key must not
+          // mint partitions until the heat death of the driver
           val mxDay =
             try java.time.LocalDate.parse(mx.take(10))
             catch { case _: java.time.format.DateTimeParseException =>
               throw new IllegalArgumentException(
-                s"autoPartition needs ISO-date-prefixed keys in ${td.qualified}; got '$mx'")
+                s"autoPartition needs ISO-date-prefixed keys in ${td0.qualified}; got '$mx'")
             }
           val hi0 = java.time.LocalDate.parse(highest.take(10))
           val needed = unit match {
@@ -575,8 +608,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
             case AutoPartitionUnit.Month =>
               java.time.temporal.ChronoUnit.MONTHS.between(hi0, mxDay) + 1
           }
-          require(needed <= 10000,
-            s"autoPartition would create >10000 partitions for ${td.qualified}" +
+          require(needed <= MaxAutoExtendPerLoad,
+            s"autoPartition would create $needed partitions (> max " +
+              s"$MaxAutoExtendPerLoad per load) for ${td0.qualified}" +
               s" (load max key '$mx' vs bound '$highest')")
           while (mx >= highest) {
             val lo = java.time.LocalDate.parse(highest.take(10))
@@ -584,13 +618,33 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
               case AutoPartitionUnit.Day   => lo.plusDays(1)
               case AutoPartitionUnit.Month => lo.plusMonths(1)
             }
-            td = addPartition(td.db, td.name, PartitionSpec(
+            val spec = PartitionSpec(
               "pa_" + lo.toString.replace("-", ""),
               upperExclusive = Some(next.toString),
-              numBuckets = td.numBuckets))
+              numBuckets = td0.numBuckets)
+            minted += spec
+            parts = parts :+ spec
           }
-          td
+          (td0.copy(partitions = parts), minted.toSeq)
         }
+    }
+
+  /** Commit partitions minted by a now-successful load. Goes through
+    * [[addPartition]] (monotonicity checks + transparent prune-rule
+    * refresh); a spec an interleaved load already committed identically is
+    * skipped, so concurrent loads minting the same days compose.
+    */
+  private def commitMintedPartitions(db: String, table: String,
+                                     specs: Seq[PartitionSpec]): Unit =
+    specs.foreach { s =>
+      val existing = catalog.getTable(db, table).get.partitions.find(_.name == s.name)
+      existing match {
+        case Some(p) =>
+          require(p.upperExclusive == s.upperExclusive,
+            s"auto partition ${s.name} of $db.$table already exists with a " +
+              s"different bound (${p.upperExclusive} vs ${s.upperExclusive})")
+        case None => addPartition(db, table, s)
+      }
     }
 
   def addPartition(db: String, table: String, spec: PartitionSpec): TableDef = {
@@ -749,7 +803,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
     val unioned = data.map { r =>
-      spark.read.parquet(root.resolve(r.relDir).toString)
+      // ignoreMissingFiles pinned false PER READ: the constructor guard
+      // covers engine creation, but the conf is session-mutable — the
+      // GC-race contract must not depend on nobody flipping it later
+      spark.read.option("ignoreMissingFiles", "false")
+        .parquet(root.resolve(r.relDir).toString)
         .withColumn(VersionCol, lit(r.version.end))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val filled = backfillSchema(db, table, unioned)

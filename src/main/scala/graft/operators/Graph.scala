@@ -23,11 +23,21 @@ object Graph {
     *
     * `localCheckpoint` every round truncates the lineage exactly like the
     * q47 CC loop: without it the plan doubles per iteration.
+    *
+    * The symmetrized edge table is itself eagerly `localCheckpoint(true)`'d
+    * BEFORE the loop — the other half of the CC-loop idiom
+    * ([[graft.pipeline.Dedup]]'s CC does the same): `sym` is referenced by
+    * the degree pass, every Jacobi round, and the final emission, so without
+    * materialization each of those re-executes the full upstream pair
+    * generation (for q160 that is the k-means cell join) ~iters+2 times.
+    * `GraphSpec` pins the contract: the edge source is evaluated exactly
+    * once per pageRank call.
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85)
   : DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     val n = nodes.count()

@@ -57,17 +57,25 @@ object ClusterReps {
     * load), then served many times.
     */
   private val cache = TrieMap.empty[String, OlapEngine]
+  private def deleteWarehouse(e: OlapEngine): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(e.warehouse.toFile)
+  }
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cache.values.foreach { e =>
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-        }
-        del(e.warehouse.toFile)
-      }))
+      cache.values.foreach(deleteWarehouse)))
   }
 
-  def clearCaches(): Unit = cache.clear()
+  /** Drops AND deletes the cached engines' temp warehouses — engines removed
+    * here would otherwise escape the shutdown hook (which only sees live
+    * cache entries) and leak their directories.
+    */
+  def clearCaches(): Unit = {
+    cache.values.foreach(deleteWarehouse)
+    cache.clear()
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -98,21 +106,46 @@ object ClusterReps {
     if (!reps.isEmpty) eng.ingest(Db, Table, reps, Some(Version(1, 1)))
   }
 
+  /** Rows above which the delta side of the screen is no longer broadcast;
+    * past it the screen falls back to a shuffle join and AQE's own broadcast
+    * decision. ~1M keyed rows ≈ hundreds of MB with word-sets — around the
+    * practical executor-broadcast ceiling.
+    */
+  val MaxBroadcastDeltaRows = 1000000L
+
   /** Fold one delta batch into the index. Screens delta-vs-corpus (delta
-    * broadcast, corpus streamed map-side — q123's posture, but keeping ALL
-    * matches ≥ threshold rather than the best one, because a delta doc that
-    * matches two clusters must MERGE them) plus delta-vs-delta, quotients
-    * through the stored reps, runs CC on the resulting delta-sized graph,
-    * and upserts the changed mappings through the Unique-model ingest.
+    * broadcast when delta-sized, corpus streamed map-side — q123's posture,
+    * but keeping ALL matches ≥ threshold rather than the best one, because a
+    * delta doc that matches two clusters must MERGE them) plus
+    * delta-vs-delta, quotients through the stored reps, runs CC on the
+    * resulting delta-sized graph, and upserts the changed mappings through
+    * the Unique-model ingest.
+    *
+    * Caller contract for SEQUENTIAL folds: `corpus` must be everything the
+    * index has already absorbed — the bootstrap corpus plus every previously
+    * folded delta — and `delta` only the new batch. (The screen compares
+    * delta against `corpus`; a delta missing from later calls' `corpus`
+    * would never pair with subsequent batches.) `ClusterRepsSpec`'s k-fold
+    * property pins this shape against a full recompute.
+    *
+    * The broadcast of the delta side is SIZE-GATED (same class of hazard as
+    * the unconditional FK-audit broadcast fixed in round 7): delta-sized
+    * batches broadcast; a delta above [[MaxBroadcastDeltaRows]] falls back
+    * to a shuffle join, where AQE may still choose to broadcast if the
+    * bytes justify it.
     */
   def applyDelta(eng: OlapEngine, corpus: DataFrame, delta: DataFrame): Unit = {
     val old = eng.scan(Db, Table).select(col("doc_id"), col("rep"))
 
     val dK = Dedup.jaccardKeyed(delta, "d_id", "d_ws")
     val cK = Dedup.jaccardKeyed(corpus, "c_id", "c_ws")
+    // gate probe: scans the delta only until the threshold is crossed —
+    // trivial for the delta-sized batches this path is built for
+    val deltaSmall =
+      delta.limit((MaxBroadcastDeltaRows + 1).toInt).count() <= MaxBroadcastDeltaRows
     // delta-vs-corpus screen: same block + UNROUNDED threshold filter as
     // ngramJaccardOf, or the incremental pair set drifts from the oracle's
-    val dc = cK.join(broadcast(dK), Seq("blk"))
+    val dc = cK.join(if (deltaSmall) broadcast(dK) else dK, Seq("blk"))
       .withColumn("inter", size(array_intersect(col("d_ws"), col("c_ws"))))
       .filter(col("inter").cast("double") /
         (size(col("d_ws")) + size(col("c_ws")) - col("inter")).cast("double")

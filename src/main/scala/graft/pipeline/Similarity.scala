@@ -417,18 +417,24 @@ object Similarity {
     * nprobe, paid only by probes whose base route came back thin.
     */
   def ivfPqRecallAudit(spark: SparkSession, dir: String,
-                       nProbes: Int = 8, k: Int = 5): DataFrame = {
+                       nProbes: Int = 8, k: Int = 5,
+                       nCells: Int = 16, nprobe: Int = 8): DataFrame = {
     val brute = bruteForceTopK(spark, dir, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
-    def hitsAt(nprobe: Int): Long =
-      ivfPqTopK(spark, dir, nProbes, k, nprobe = nprobe)
+    // base serve at the caller's nprobe; escalated serve at nprobe = nCells,
+    // which BY CONSTRUCTION probes every cell (routing loses nothing, only
+    // the ADC pool bounds recall) — derived from the parameters, not
+    // hardcoded, so changing the defaults can't silently break the
+    // "escalation equals a full probe" claim
+    def hitsAt(np: Int): Long =
+      ivfPqTopK(spark, dir, nProbes, k, nCells = nCells, nprobe = np)
         .select(col("probe_id"), col("neighbor_id"))
         .join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
         .count()
     val total = nProbes.toLong * k
     val floor = 0.6
-    val base = hitsAt(8)
-    val served = if (base < (floor + 0.1) * total) hitsAt(16) else base
+    val base = hitsAt(nprobe)
+    val served = if (base < (floor + 0.1) * total) hitsAt(nCells) else base
     spark.range(1).select(
       lit(s"ivf_pq_recall_at_$k").as("metric"),
       lit(nProbes).as("n_probes"), lit(k).as("k"),

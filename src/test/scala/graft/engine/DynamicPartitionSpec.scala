@@ -26,7 +26,8 @@ class DynamicPartitionSpec extends AnyFunSuite {
         org.apache.spark.sql.Row(Timestamp.valueOf(s"$d 12:00:00"), i.toLong)
       }.asJava, schema)
 
-  private def mkEngine(auto: Option[AutoPartitionUnit]): OlapEngine = {
+  private def mkEngine(auto: Option[AutoPartitionUnit],
+                       bound: String = "2024-01-03"): OlapEngine = {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp-wh-"))
     eng.createDatabase("db")
     eng.createTable(TableDef(
@@ -35,7 +36,7 @@ class DynamicPartitionSpec extends AnyFunSuite {
         ColumnSpec.value("k", LongType))),
       policy = PartitionPolicy.Range,
       partitionColumn = Some("ts"),
-      partitions = Seq(PartitionSpec("p0", Some("2024-01-03"), numBuckets = 2)),
+      partitions = Seq(PartitionSpec("p0", Some(bound), numBuckets = 2)),
       bucketColumn = Some("k"), numBuckets = 2,
       autoPartition = auto))
     eng
@@ -60,11 +61,18 @@ class DynamicPartitionSpec extends AnyFunSuite {
     assert(eng.catalog.getTable("db", "t").get.partitions.size == 4)
   }
 
-  test("month unit steps by month from the existing bound") {
-    val eng = mkEngine(Some(AutoPartitionUnit.Month))
+  test("month unit steps by calendar month (bounds must be month-aligned)") {
+    val eng = mkEngine(Some(AutoPartitionUnit.Month), bound = "2024-01-01")
     eng.ingest("db", "t", rows(Seq("2024-03-10")))
     val bounds = eng.catalog.getTable("db", "t").get.partitions.flatMap(_.upperExclusive)
-    assert(bounds === Seq("2024-01-03", "2024-02-03", "2024-03-03", "2024-04-03"))
+    assert(bounds === Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"))
+  }
+
+  test("month unit refuses a mid-month bound at create (pa_ names describe " +
+    "calendar months; plusMonths from day-31 would drift through Feb)") {
+    val e = intercept[IllegalArgumentException](
+      mkEngine(Some(AutoPartitionUnit.Month), bound = "2024-01-03"))
+    assert(e.getMessage.contains("month-aligned"))
   }
 
   test("without autoPartition, an out-of-range key still fails loudly") {
@@ -92,11 +100,47 @@ class DynamicPartitionSpec extends AnyFunSuite {
       eng.createTable(td(Seq(PartitionSpec("p0")), PartitionPolicy.Unpartitioned)))
   }
 
-  test("far-future corrupt key is rejected instead of minting 10k partitions") {
+  test("far-future corrupt key is rejected instead of minting partitions — " +
+    "and the rejection leaves the ladder completely untouched") {
     val eng = mkEngine(Some(AutoPartitionUnit.Day))
     val e = intercept[Exception](eng.ingest("db", "t", rows(Seq("2999-01-01"))))
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => String.valueOf(t.getMessage)).mkString(" <- ")
-    assert(msgs.contains(">10000"), msgs)
+    assert(msgs.contains("> max"), msgs)
+    assert(eng.catalog.getTable("db", "t").get.partitions.map(_.name) === Seq("p0"))
+  }
+
+  test("a failed load mints NOTHING: strict-varchar reject after an " +
+    "out-of-range key leaves no partitions, no versions, no rowsets") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp3-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("ts", TimestampType),
+        ColumnSpec.varchar("s", 4))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("ts"),
+      partitions = Seq(PartitionSpec("p0", Some("2024-01-03"), numBuckets = 2)),
+      bucketColumn = Some("s"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Day),
+      varcharMode = VarcharMode.Strict))
+    val schema2 = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("s", StringType)))
+    val bad = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(Timestamp.valueOf("2024-01-06 12:00:00"),
+        "waytoolong")).asJava, schema2)
+    intercept[Exception](eng.ingest("db", "t", bad))
+    // the whole load is invisible: the out-of-range key did NOT leave its
+    // auto-minted rungs behind (the round-7 advice hazard)
+    assert(eng.catalog.getTable("db", "t").get.partitions.map(_.name) === Seq("p0"))
+    assert(eng.manifest("db", "t").maxVersion === -1L, "no version published")
+    // and a later good load still self-extends normally
+    eng.ingest("db", "t", spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(Timestamp.valueOf("2024-01-04 08:00:00"), "ok")).asJava,
+      schema2))
+    assert(eng.catalog.getTable("db", "t").get.partitions.map(_.name) ===
+      Seq("p0", "pa_20240103", "pa_20240104"))
+    assert(eng.scan("db", "t").count() === 1)
   }
 }

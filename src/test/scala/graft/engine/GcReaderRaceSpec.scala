@@ -31,8 +31,8 @@ class GcReaderRaceSpec extends AnyFunSuite {
   private val schema = StructType(Seq(
     StructField("k", LongType, nullable = false), StructField("v", LongType)))
 
-  private def mkEngine(): OlapEngine = {
-    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-race-wh-"))
+  private def mkEngine(s: org.apache.spark.sql.SparkSession = spark): OlapEngine = {
+    val eng = new OlapEngine(s, Files.createTempDirectory("graft-race-wh-"))
     eng.createDatabase("db")
     eng.createTable(TableDef(
       db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
@@ -94,6 +94,32 @@ class GcReaderRaceSpec extends AnyFunSuite {
     eng.compact("db", "t") // auto-gc runs, but the window retains the rowset
     assert(pinned.collect().length == 30,
       "inside the retention window the pinned reader must drain completely")
+  }
+
+  test("flipping ignoreMissingFiles AFTER construction cannot re-enable the " +
+    "silent-partial outcome (the read path pins the option per scan)") {
+    val s2 = spark.newSession()
+    val eng = mkEngine(s2) // conf is false here, so construction succeeds
+    val pinned = eng.scan("db", "t")
+    // a later (mis)configuration of the shared session must not weaken the
+    // contract for plans the engine already resolved — or resolves next
+    s2.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      eng.compact("db", "t")
+      assert(eng.gc("db", "t").nonEmpty)
+      val outcome = scala.util.Try(pinned.collect())
+      outcome match {
+        case scala.util.Success(rows) =>
+          assert(rows.length == 30,
+            s"silent partial read: ${rows.length}/30 rows with the conf flipped on")
+        case scala.util.Failure(e) =>
+          val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(t => t.getClass.getName + ": " + String.valueOf(t.getMessage))
+            .mkString(" <- ")
+          assert(msgs.contains("FileNotFound") || msgs.contains("does not exist"),
+            s"race must fail on the missing files, not something else: $msgs")
+      }
+    } finally s2.conf.set("spark.sql.files.ignoreMissingFiles", "false")
   }
 
   test("the engine refuses a session where missing files would be silent") {

@@ -35,6 +35,21 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(ranks.values.head - 1.0 / n) < 1e-9)
   }
 
+  test("edge source is evaluated exactly once (sym is checkpointed pre-loop)") {
+    import spark.implicits._
+    // Accumulator-instrumented source: every evaluation of the filter scans
+    // the rows and bumps the counter. The symmetrizing union scans the
+    // source twice inside ONE checkpoint job; any further scan means the
+    // loop is recomputing its input (the q160 defect this pins against).
+    val acc = spark.sparkContext.longAccumulator("edge-scans")
+    val count = udf { (s: Long) => acc.add(1L); s }
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src0", "dst")
+      .select(count(col("src0")).as("src"), col("dst"))
+    Graph.pageRank(edges, iters = 5).collect()
+    assert(acc.value == 2L * 4, s"edge source evaluated ${acc.value / 4.0}x; " +
+      "expected exactly 2x (the two union branches of one checkpoint job)")
+  }
+
   test("quantized rank path is partitioning-independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
