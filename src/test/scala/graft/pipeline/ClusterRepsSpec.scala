@@ -145,6 +145,65 @@ class ClusterRepsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: k SEQUENTIAL delta folds ≡ full CC (k ∈ {2,3}, 5 seeded " +
+    "trials each) — each fold screens against the accumulated corpus") {
+    // production folds deltas forever; the single-delta property can't see
+    // a bug where batch i never pairs with batch j>i. Same random cluster
+    // generator, but docs are dealt across bootstrap + k delta batches, and
+    // each fold's `corpus` argument is everything already absorbed — the
+    // applyDelta caller contract.
+    for (k <- Seq(2, 3); seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 * k + seed)
+      var id = -1L
+      def nextId(): Long = { id += 1; id }
+      val docsRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val nc = 2 + rnd.nextInt(3)
+      for (c <- 0 until nc; _ <- 0 until (2 + rnd.nextInt(4))) {
+        val base = (1 to 12).map(j => s"c${c}w$j").toArray
+        for (_ <- 0 until rnd.nextInt(3))
+          base(rnd.nextInt(12)) = s"noise${rnd.nextInt(100000)}"
+        docsRows += nextId() -> (P + base.mkString(" "))
+      }
+      for (s <- 0 until rnd.nextInt(4))
+        docsRows += nextId() -> (P + (1 to 12).map(j => s"solo${k}x${seed}x${s}w$j").mkString(" "))
+      // deal each doc into batch 0 (bootstrap) .. k (delta k); batches may
+      // be empty — the empty-delta path is part of the contract
+      val batches = Array.fill(k + 1)(scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
+      docsRows.foreach(r => batches(rnd.nextInt(k + 1)) += r)
+      if (batches(0).isEmpty) batches(0) += docsRows.head
+
+      val eng = mkEngine()
+      var absorbed = batches(0).toSeq.distinct
+      ClusterReps.bootstrap(eng, df(absorbed))
+      for (b <- 1 to k) {
+        val deltaRows = batches(b).toSeq.filterNot(absorbed.contains)
+        if (deltaRows.nonEmpty) {
+          ClusterReps.applyDelta(eng, df(absorbed), df(deltaRows))
+          absorbed = absorbed ++ deltaRows
+        }
+      }
+      assert(stored(eng) === fullCC(df(docsRows.toSeq)),
+        s"divergence at k=$k seed=$seed")
+    }
+  }
+
+  test("rep-displacement chain across folds: each delta's smaller id takes " +
+    "over as rep, cluster-wide, fold after fold") {
+    // cluster starts as {10, 11}; delta 1 adds 5 (new min), delta 2 adds 2
+    // (newer min). After each fold EVERY member must point at the new min —
+    // the chain re-election the star-edge quotient argument promises.
+    val d10 = df(Seq(10L -> (P + tail("a")), 11L -> (P + tail("a", 11) + " xa12")))
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, d10)
+    assert(stored(eng) === Set((10L, 10L), (11L, 10L)))
+    val d5 = df(Seq(5L -> (P + tail("a"))))
+    ClusterReps.applyDelta(eng, d10, d5)
+    assert(stored(eng) === Set((5L, 5L), (10L, 5L), (11L, 5L)))
+    val d2 = df(Seq(2L -> (P + tail("a", 11) + " xa12")))
+    ClusterReps.applyDelta(eng, d10.unionByName(d5), d2)
+    assert(stored(eng) === Set((2L, 2L), (5L, 2L), (10L, 2L), (11L, 2L)))
+  }
+
   test("split served from the maintained index equals the one-shot q178 split") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
