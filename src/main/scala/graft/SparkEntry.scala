@@ -37,6 +37,7 @@ object SparkEntry {
       graft.pipeline.Frequency.all ++
       graft.pipeline.Audit.all ++
       graft.pipeline.ClusterReps.all ++
+      graft.pipeline.AnnIndex.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
       graft.operators.TimeSeries.all ++
@@ -114,6 +115,7 @@ object SparkEntry {
       graft.pipeline.Frequency.oracles ++
       graft.pipeline.Audit.oracles ++
       graft.pipeline.ClusterReps.oracles ++
+      graft.pipeline.AnnIndex.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
       graft.operators.TimeSeries.oracles ++

@@ -1,0 +1,319 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.manifest.Version
+import graft.model._
+
+/** The IVF-PQ ANN index AS maintained engine tables — the vector-index
+  * completion of the maintained-index family (cluster_reps q182/q183, the
+  * Count-Min matrix q184). The per-JVM `TrieMap` caches in [[Similarity]]
+  * rebuild the whole index from scratch in every new JVM; production at
+  * 100 TB stores the index artifacts as tables and folds new embeddings in
+  * incrementally. (Reference anchor: src/index/mod.rs:95-108 — an index is
+  * only real when it is consulted AND maintained; this module does both for
+  * the vector index.)
+  *
+  * Three Unique-model tables under `graft_idx`:
+  *  - `ivf_assign`    vec_id → (cell, codes): the inverted-file entry + the
+  *                    m 4-bit-ish PQ codes. Corpus-sized but 8-bytes-per-
+  *                    vector narrow; bucketed by vec_id so the serve-time
+  *                    join with the raw embedding table co-shards.
+  *  - `ivf_centroids` cell → centroid vector (nCells rows — model-sized).
+  *  - `pq_books`      (s, c) → subspace codebook entry (m·kSub rows).
+  *
+  * Maintenance contract:
+  *  - [[bootstrap]] fits the coarse quantizer + codebooks ONCE on the
+  *    existing corpus (the one unavoidable training pass) and writes all
+  *    three tables.
+  *  - [[applyDelta]] folds a new embedding batch WITHOUT any re-fit:
+  *    assign-to-nearest-centroid and per-subspace nearest-codebook-entry
+  *    are pure map-side math against the (broadcast, model-sized) centroid
+  *    and codebook tables, upserted through the Unique-model ingest.
+  *    Centroid drift under sustained deltas is repaired by re-running
+  *    [[bootstrap]] on the accumulated corpus — the scheduled-compaction
+  *    analogue of a re-fit; the table layout makes that swap atomic (the
+  *    re-fit publishes as new versions of the same tables).
+  *  - `AnnIndexSpec` pins fold-vs-fit equality: re-folding vectors the
+  *    bootstrap already indexed is a no-op, which proves the explicit
+  *    argmin math reproduces KMeansModel.transform's assignment exactly.
+  *
+  * Serve ([[topKFromTable]]): identical routing + ADC + exact-rerank shape
+  * as [[Similarity.ivfPqTopK]], but every index artifact comes from the
+  * engine tables — centroids broadcast from a nCells-row scan, codebooks
+  * collected driver-side (m·kSub rows, model-sized like the PQ LUTs), and
+  * the corpus-sized assignment table joined to the raw vectors on the
+  * shared vec_id bucketing.
+  */
+object AnnIndex {
+
+  val Db = "graft_idx"
+  val AssignTable = "ivf_assign"
+  val CentroidTable = "ivf_centroids"
+  val BookTable = "pq_books"
+
+  val NCells = 16
+  val M = 16
+  val KSub = 16
+
+  def createTables(eng: OlapEngine): Unit = {
+    eng.createDatabase(Db)
+    eng.createTable(TableDef(
+      db = Db, name = AssignTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("vec_id", LongType),
+        ColumnSpec.value("cell", IntegerType),
+        ColumnSpec.value("codes", ArrayType(IntegerType)))),
+      bucketColumn = Some("vec_id"), numBuckets = 4))
+    eng.createTable(TableDef(
+      db = Db, name = CentroidTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("cell", IntegerType),
+        ColumnSpec.value("cv", ArrayType(DoubleType)))),
+      bucketColumn = Some("cell"), numBuckets = 1))
+    eng.createTable(TableDef(
+      db = Db, name = BookTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("s", IntegerType),
+        ColumnSpec.key("c", IntegerType),
+        ColumnSpec.value("sub", ArrayType(DoubleType)))),
+      bucketColumn = Some("s"), numBuckets = 1))
+  }
+
+  /** (vec_id, v, nrm, vn) from a raw (vec_id, embedding) frame. */
+  private def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+  /** Squared L2 between two equal-length arrays — the KMeans assignment
+    * metric, as a deterministic left-to-right HOF fold.
+    */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Fit the IVF coarse quantizer + PQ codebooks on `emb` and publish all
+    * three tables. Same estimator settings as the in-memory index builds
+    * ([[Similarity.ivfTopK]]/[[Similarity.pqTopK]]): spherical-approx
+    * k-means on L2-normalized vectors, fixed seeds, m independent subspace
+    * fits.
+    */
+  def bootstrap(eng: OlapEngine, emb: DataFrame,
+                nCells: Int = NCells, m: Int = M, kSub: Int = KSub): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = eng.spark
+    import spark.implicits._
+
+    var e = normalized(emb)
+      .withColumn("features", array_to_vector(col("vn")))
+      .persist()
+    e.count()
+    val dim = e.select(size(col("vn"))).head().getInt(0)
+    val subDim = dim / m
+
+    val coarse = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
+    val centers = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    var cur = coarse.transform(e).withColumnRenamed("prediction", "cell")
+      .drop("features").persist()
+    cur.count(); e.unpersist(); e = cur
+
+    val books = Array.ofDim[Array[Array[Double]]](m)
+    for (s <- 0 until m) {
+      val withFeat = e.withColumn("features",
+        array_to_vector(slice(col("vn"), s * subDim + 1, subDim)))
+      val model = new KMeans().setK(kSub).setSeed(42L + s).setMaxIter(10)
+        .fit(withFeat)
+      books(s) = model.clusterCenters.map(_.toArray)
+      cur = model.transform(withFeat)
+        .withColumnRenamed("prediction", s"c$s").drop("features").persist()
+      cur.count(); e.unpersist(); e = cur
+    }
+
+    val assign = e.select(col("vec_id"), col("cell"),
+      array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
+    eng.ingest(Db, AssignTable, assign, Some(Version(1, 1)))
+    e.unpersist()
+    eng.ingest(Db, CentroidTable,
+      centers.toDF("cell", "cv"), Some(Version(1, 1)))
+    val bookRows = for {
+      s <- 0 until m; c <- 0 until kSub
+    } yield (s, c, books(s)(c).toSeq)
+    eng.ingest(Db, BookTable,
+      bookRows.toDF("s", "c", "sub"), Some(Version(1, 1)))
+  }
+
+  /** Fold a new embedding batch into the index: no re-fit, pure map-side
+    * assignment against the stored (model-sized, broadcast) centroids and
+    * codebooks, upserted into `ivf_assign`. Ties break to the lowest
+    * cell/code index — KMeansModel.transform's own rule — so a re-fold of
+    * already-indexed vectors is bit-for-bit a no-op (spec-pinned).
+    */
+  def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
+    if (delta.isEmpty) return // an empty batch publishes nothing
+    val cents = eng.scan(Db, CentroidTable) // nCells rows
+    val booksDf = eng.scan(Db, BookTable)   // m·kSub rows
+    val m = booksDf.agg(max(col("s"))).head().getInt(0) + 1
+    val d = normalized(delta).select(col("vec_id"), col("vn"))
+
+    val withCell = d.crossJoin(broadcast(cents))
+      .withColumn("d2", l2sq(col("vn"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("vn")), struct(col("d2"), col("cell")))
+        .as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vn").as("vn"))
+
+    val dim = d.select(size(col("vn"))).head().getInt(0)
+    val subDim = dim / m
+    val codes = withCell
+      .select(col("vec_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("vn"))
+      .withColumn("sub_v", slice(col("vn"), col("s") * subDim + 1, lit(subDim)))
+      .join(broadcast(booksDf), Seq("s"))
+      .withColumn("d2", l2sq(col("sub_v"), col("sub")))
+      .groupBy(col("vec_id"), col("cell"), col("s"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+    val up = codes.localCheckpoint(true)
+    if (!up.isEmpty) {
+      val v = eng.manifest(Db, AssignTable).maxVersion + 1
+      eng.ingest(Db, AssignTable, up, Some(Version(v, v)))
+    }
+  }
+
+  /** IVF-PQ top-k SERVED from the engine tables: same routing, ADC and
+    * exact re-rank as [[Similarity.ivfPqTopK]], with every artifact read
+    * from `graft_idx` instead of a JVM cache. The codebook collect is
+    * m·kSub rows (model-sized, like the PQ LUTs); the corpus never reaches
+    * the driver.
+    */
+  def topKFromTable(eng: OlapEngine, emb: DataFrame,
+                    nProbes: Int = 8, k: Int = 5, nprobe: Int = 8,
+                    rerank: Int = 50): DataFrame = {
+    val spark = eng.spark
+    val e = normalized(emb)
+    val assign = eng.scan(Db, AssignTable)
+    val cents = eng.scan(Db, CentroidTable)
+    val bookRows = eng.scan(Db, BookTable).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val kSub = bookRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Array[Double]]](m)
+    for (s <- 0 until m) {
+      books(s) = Array.ofDim[Array[Double]](kSub)
+      bookRows.filter(_._1 == s).foreach { case (_, c, sub) => books(s)(c) = sub }
+    }
+
+    val indexed = e.join(assign, Seq("vec_id"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        Similarity.dot(col("pv"), col("cv")) /
+          (col("pnrm") * Similarity.norm(col("cv"))))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+    val luts = Similarity.pqLuts(spark, e, books, nProbes, m, kSub)
+    val cands = indexed
+      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(luts), Seq("probe_id"))
+    Similarity.adcRerank(cands, m, k, rerank)
+  }
+
+  // --- driver fixture + query ----------------------------------------------
+
+  private val cache = TrieMap.empty[String, OlapEngine]
+  private def deleteWarehouse(e: OlapEngine): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(e.warehouse.toFile)
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.values.foreach(deleteWarehouse)))
+  }
+
+  /** Drops AND deletes the cached engines' temp warehouses (same contract
+    * as [[ClusterReps.clearCaches]]).
+    */
+  def clearCaches(): Unit = {
+    cache.values.foreach(deleteWarehouse)
+    cache.clear()
+  }
+
+  /** Driver fixture: bootstrap on 90% of the corpus (vec_id % 10 ≠ 0), fold
+    * the remaining 10% in incrementally — the served index's content is
+    * reached through BOTH maintenance paths, like the cluster_reps fixture.
+    */
+  def engineFor(spark: SparkSession, dir: String): OlapEngine =
+    cache.getOrElseUpdate(dir, {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-annidx-"))
+      createTables(eng)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      bootstrap(eng, emb.filter(col("vec_id") % 10 =!= 0))
+      applyDelta(eng, emb.filter(col("vec_id") % 10 === 0))
+      eng
+    })
+
+  /** q187: the recall contract of the TABLE-served, incrementally-folded
+    * IVF-PQ index — same auto-escalating audit shape as q152 (base serve at
+    * `nprobe`; if recall sits inside floor + 0.1, re-serve at nprobe =
+    * nCells where routing loses nothing) with the verdict booleans pinned
+    * by the oracle. A regression in ANY layer — the table round-trip, the
+    * delta fold's assignment math, the ADC serve — drops recall and flips a
+    * hash-checked value.
+    */
+  def recallAuditServed(spark: SparkSession, dir: String,
+                        nProbes: Int = 8, k: Int = 5,
+                        nCells: Int = NCells, nprobe: Int = 8): DataFrame = {
+    val eng = engineFor(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    def hitsAt(np: Int): Long =
+      topKFromTable(eng, emb, nProbes, k, nprobe = np)
+        .select(col("probe_id"), col("neighbor_id"))
+        .join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+        .count()
+    val total = nProbes.toLong * k
+    val floor = 0.6
+    val base = hitsAt(nprobe)
+    val served = if (base < (floor + 0.1) * total) hitsAt(nCells) else base
+    spark.range(1).select(
+      lit(s"ann_index_recall_at_$k").as("metric"),
+      lit(nProbes).as("n_probes"), lit(k).as("k"),
+      lit(served >= floor * total).as("ok"),
+      lit(served >= (floor + 0.1) * total).as("margin_ok"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_ann_index_served" ->
+      ((s: SparkSession, d: String) => recallAuditServed(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same contract-pinning as q50/q151/q152: DuckDB can't run the k-means
+    // fits, but it pins the recall verdict the table-served index measures
+    // against the Spark-side exact baseline
+    "q187_ann_index_served" ->
+      """SELECT 'ann_index_recall_at_5' AS metric, 8 AS n_probes, 5 AS k,
+        |  true AS ok, true AS margin_ok""".stripMargin,
+  )
+}

@@ -313,7 +313,7 @@ object Similarity {
     * vectors + the codebooks) and broadcast — per-probe cost is
     * m·kSub·subDim mults, independent of corpus size.
     */
-  private def pqLuts(spark: SparkSession, coded: DataFrame,
+  private[pipeline] def pqLuts(spark: SparkSession, coded: DataFrame,
                      books: Array[Array[Array[Double]]],
                      nProbes: Int, m: Int, kSub: Int): DataFrame = {
     import spark.implicits._
@@ -335,7 +335,7 @@ object Similarity {
   /** ADC scoring + exact re-rank over `cands` (rows carrying probe_id, lut,
     * pvn, vec_id, codes, vn).
     */
-  private def adcRerank(cands: DataFrame, m: Int, k: Int, rerank: Int): DataFrame = {
+  private[pipeline] def adcRerank(cands: DataFrame, m: Int, k: Int, rerank: Int): DataFrame = {
     // bracket indexing is 0-based in Spark SQL; codes and lut agree
     val approx = expr(
       s"aggregate(sequence(0, $m - 1), 0.0D, (acc, s) -> acc + lut[s][codes[s]])")

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.engine.OlapEngine
+
+/** The maintained IVF-PQ engine-table index: fold-vs-fit equality (the
+  * incremental path reproduces the model's own assignments), incremental
+  * fold correctness on held-out vectors, table shape invariants, and the
+  * served recall contract on the real corpus.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // deterministic synthetic corpus: 4 well-separated direction clusters in
+  // 16 dims, 20 vectors each — small enough for fast k-means, structured
+  // enough that nearest-centroid assignment is unambiguous
+  private def synth(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map { id =>
+      val cl = (id % 4).toInt
+      val rnd = new scala.util.Random(id)
+      val base = Array.tabulate(16)(j => if (j / 4 == cl) 1.0 else 0.05)
+      (id, base.map(x => (x + rnd.nextDouble() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def mkEngine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-annspec-wh-"))
+    AnnIndex.createTables(eng)
+    eng
+  }
+
+  private def stored(eng: OlapEngine): Map[Long, (Int, Seq[Int])] =
+    eng.scan(AnnIndex.Db, AnnIndex.AssignTable).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+
+  test("bootstrap writes one assignment per vector, codes of length m, " +
+    "cells within range; centroid/book tables are model-sized") {
+    val eng = mkEngine()
+    bootstrapSmall(eng, synth(0L until 80L))
+    val a = stored(eng)
+    assert(a.size == 80)
+    assert(a.values.forall { case (cell, codes) =>
+      cell >= 0 && cell < 4 && codes.size == 4 && codes.forall(c => c >= 0 && c < 4)
+    })
+    assert(eng.scan(AnnIndex.Db, AnnIndex.CentroidTable).count() == 4)
+    assert(eng.scan(AnnIndex.Db, AnnIndex.BookTable).count() == 16)
+  }
+
+  private def bootstrapSmall(eng: OlapEngine, emb: DataFrame): Unit =
+    AnnIndex.bootstrap(eng, emb, nCells = 4, m = 4, kSub = 4)
+
+  test("fold ≡ fit: re-folding vectors the bootstrap already indexed is a " +
+    "bit-for-bit no-op (the explicit argmin math reproduces " +
+    "KMeansModel.transform's assignment, ties included)") {
+    val eng = mkEngine()
+    val emb = synth(0L until 80L)
+    bootstrapSmall(eng, emb)
+    val before = stored(eng)
+    AnnIndex.applyDelta(eng, emb) // every row re-assigned through the fold path
+    assert(stored(eng) === before)
+  }
+
+  test("incremental fold: held-out vectors land in the cluster-consistent " +
+    "cell with in-range codes, and bootstrap rows are untouched") {
+    val eng = mkEngine()
+    val boot = synth(0L until 80L)
+    bootstrapSmall(eng, boot)
+    val before = stored(eng)
+    // held-out ids continue the same 4-direction structure
+    AnnIndex.applyDelta(eng, synth(100L until 120L))
+    val after = stored(eng)
+    assert(after.size == 100)
+    assert(before.forall { case (id, v) => after(id) == v }, "bootstrap rows changed")
+    // cluster consistency: a delta vector of direction d must share its cell
+    // with the bootstrap vectors of direction d (the clusters are separated
+    // enough that nearest-centroid is unambiguous)
+    val cellOfDir = (0L until 80L).groupBy(_ % 4)
+      .map { case (d, ids) => d -> ids.map(after(_)._1).groupBy(identity).maxBy(_._2.size)._1 }
+    (100L until 120L).foreach { id =>
+      assert(after(id)._1 == cellOfDir(id % 4), s"delta vec $id in wrong cell")
+    }
+  }
+
+  test("serve-from-table on the real corpus: recall contract holds and the " +
+    "audit row is the oracle-pinned verdict") {
+    val dir = "/root/testdata/sf0.001"
+    val row = AnnIndex.recallAuditServed(spark, dir).collect().head
+    assert(row.getAs[Boolean]("ok"), "table-served IVF-PQ recall below 0.6 floor")
+    assert(row.getAs[Boolean]("margin_ok"), "recall below floor + 0.1 margin")
+  }
+
+  test("empty delta is a no-op (no version published)") {
+    val eng = mkEngine()
+    bootstrapSmall(eng, synth(0L until 80L))
+    val v = eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).maxVersion
+    AnnIndex.applyDelta(eng, synth(Nil))
+    assert(eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).maxVersion == v)
+  }
+}
