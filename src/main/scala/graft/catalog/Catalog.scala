@@ -197,6 +197,12 @@ final case class TableDef(
     // Range-table self-extension at ingest (see [[AutoPartitionUnit]]);
     // None preserves the loud-unroutable default
     autoPartition: Option[AutoPartitionUnit] = None,
+    // the expiry side of the dynamic-partition lifecycle (Doris
+    // dynamic_partition.start): after each load, only the newest N declared
+    // partitions stay live — older ones are dropped through dropPartition,
+    // i.e. as delete-predicate VERSIONS (time-travel safe inside retention),
+    // never silent file deletion. Requires autoPartition.
+    autoExpireKeep: Option[Int] = None,
     partialUpdate: Boolean = false,
     // Doris sequence column (Unique model): "latest wins" is decided by THIS
     // data column first (then load order as the tiebreak), so out-of-order
@@ -216,6 +222,11 @@ final case class TableDef(
     // async delete later)
     droppedPartitions: Seq[PartitionSpec] = Nil) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
+  require(autoExpireKeep.forall(_ >= 1),
+    s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
+  require(autoExpireKeep.isEmpty || autoPartition.isDefined,
+    s"autoExpireKeep needs autoPartition on $db.$name (it is the expiry half " +
+      "of the dynamic-partition lifecycle)")
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
   sequenceColumn.foreach { sc =>

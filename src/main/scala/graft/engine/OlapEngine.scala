@@ -450,7 +450,29 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis())
     m.publish(meta)
+    // dynamic-partition EXPIRY (the complement of the self-extension above):
+    // after the load is visible, retire everything older than the newest
+    // `keep` partitions — as delete-predicate versions via dropPartition,
+    // so time travel inside the retention window still sees them
+    td.autoExpireKeep.foreach(keep => expirePartitions(db, table, keep))
     meta
+  }
+
+  /** Keep only the newest `keep` live partitions (by Range bound); drop the
+    * rest through [[dropPartition]]. Each drop is a metadata edit plus one
+    * delete-predicate VERSION — older snapshots still see the partition,
+    * full compaction makes the drop physical, and a policy-driven gc
+    * reclaims the files once retention allows. At 100 TB retiring a day of
+    * data is a manifest write, never a delete job at load time. Returns the
+    * dropped partition names (oldest first).
+    */
+  def expirePartitions(db: String, table: String, keep: Int): Seq[String] = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val live = td.partitions
+      .sortBy(_.upperExclusive.getOrElse(RangeBound.MaxValue))
+    if (live.size <= keep) Nil
+    else live.dropRight(keep).map { p => dropPartition(db, table, p.name); p.name }
   }
 
   /** Batch delete for Unique tables: `keys` carries the key columns (plus the

@@ -262,6 +262,26 @@ object EngineFixture {
       spark.read.parquet(s"$sfDir/orders.parquet")
         .select("o_orderkey", "o_orderdate"),
       Some(Version(1, 1)))
+
+    // --- orders_dyn: full dynamic-partition lifecycle (extend + EXPIRE) ----
+    // the ingest self-extends per month, then retires everything older than
+    // the newest 12 partitions as delete-predicate versions (q188)
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_dyn",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("o_orderkey", LongType),
+        ColumnSpec.value("o_orderdate", TimestampType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("o_orderdate"),
+      partitions = Seq(PartitionSpec("p0", Some("2000-01-01"), numBuckets = 2)),
+      bucketColumn = Some("o_orderkey"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Month),
+      autoExpireKeep = Some(12)))
+    eng.ingest("graft", "orders_dyn",
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+        .filter(col("o_orderdate") >= "1999-12-01"),
+      Some(Version(1, 1)))
     eng
   }
 }
@@ -617,7 +637,24 @@ object EngineQueries {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** q188: the surviving layout after the dynamic lifecycle ran BOTH halves
+    * on one load — self-extension minted a partition per month, then expiry
+    * retired all but the newest 12 as delete-predicate versions. The raw
+    * scan applies those predicates, so the oracle (which recomputes each
+    * order's month partition and keeps the newest 12 by name) verifies the
+    * ladder, the routing, AND that expiry masked exactly the retired
+    * partitions' rows — while `DynamicPartitionSpec` pins that the expired
+    * rows are still time-travel-visible (versions, not file deletion).
+    */
+  def partitionExpiryLayout(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.rawLayout("graft", "orders_dyn")
+      .groupBy(col(eng.PartCol).as("part"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_partition_expiry" -> partitionExpiryLayout _,
     "q186_dynamic_partition" -> dynamicPartitionLayout _,
     "q184_engine_count_min" -> engineCountMin _,
     "q108_engine_partial_update" -> partialUpdateScan _,
@@ -649,6 +686,20 @@ object EngineQueries {
     // q186: DuckDB recomputes each order's month partition (p0 holds
     // everything below the declared 1992-02-01 bound; auto partitions are
     // named from the month they start) — ladder + routing verified together
+    // q188: newest-12-partitions survival recomputed from the data — month
+    // partitions are named pa_YYYYMM01 so name order IS chronological order
+    // ('p0' < 'pa_' lexicographically, so p0 is always oldest); rows of
+    // expired partitions are masked by the drop's delete predicates
+    "q188_partition_expiry" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'p0'
+        |    ELSE 'pa_' || strftime(date_trunc('month', o_orderdate), '%Y%m%d')
+        |  END AS part
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-12-01'),
+        |r AS (SELECT part, count(*) AS n_rows FROM m GROUP BY part),
+        |k AS (SELECT part, n_rows, row_number() OVER (ORDER BY part DESC) AS rk
+        |      FROM r)
+        |SELECT part, n_rows FROM k WHERE rk <= 12""".stripMargin,
     "q186_dynamic_partition" ->
       """WITH m AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1992-02-01' THEN 'p0'

@@ -110,6 +110,42 @@ class DynamicPartitionSpec extends AnyFunSuite {
     assert(eng.catalog.getTable("db", "t").get.partitions.map(_.name) === Seq("p0"))
   }
 
+  test("expiry (autoExpireKeep): the load extends then retires old rungs as " +
+    "delete-predicate VERSIONS — latest scan masks them, time travel at the " +
+    "load version still sees every row, no files are deleted") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp4-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("ts", TimestampType),
+        ColumnSpec.value("k", LongType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("ts"),
+      partitions = Seq(PartitionSpec("p0", Some("2024-01-03"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Day),
+      autoExpireKeep = Some(2)))
+    // rows land in p0 (01-02), pa_20240103 (01-03), pa_20240105 (01-05 x2);
+    // ladder after the load: p0, pa_20240103, pa_20240104, pa_20240105 —
+    // keep 2 retires p0 and pa_20240103
+    eng.ingest("db", "t",
+      rows(Seq("2024-01-02", "2024-01-03", "2024-01-05", "2024-01-05")))
+    val td = eng.catalog.getTable("db", "t").get
+    assert(td.partitions.map(_.name) === Seq("pa_20240104", "pa_20240105"))
+    assert(td.droppedPartitions.map(_.name) === Seq("p0", "pa_20240103"))
+    // latest scan: only the surviving partitions' rows
+    assert(eng.scan("db", "t").count() === 2)
+    // the drops are delete-predicate versions, NOT file deletion: the load
+    // version's snapshot still serves all four rows
+    assert(eng.snapshot("db", "t", 0, 0).count() === 4)
+    assert(eng.manifest("db", "t").visibleRowsets.count(_.isDeleteMarker) === 2)
+    // a load into an expired range now fails loudly (dropped = unroutable)
+    val e = intercept[Exception](eng.ingest("db", "t", rows(Seq("2024-01-02"))))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" <- ")
+    assert(msgs.contains("no partition for key"), msgs)
+  }
+
   test("a failed load mints NOTHING: strict-varchar reject after an " +
     "out-of-range key leaves no partitions, no versions, no rowsets") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp3-wh-"))
