@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.OlapEngine
+import graft.pipeline.ClusterReps
+
+/** Scale probe for the cluster_reps FOLD path (`ClusterReps.applyDelta`):
+  * wall-time vs corpus factor at fixed delta, and vs delta factor at fixed
+  * corpus. BASELINE.md records the table.
+  *
+  * Replication model: copies get disjoint doc_ids AND a per-copy text
+  * PREFIX. The 20-char-prefix Jaccard block key then separates copies, so
+  * block density stays CONSTANT as the corpus grows — the honest model of
+  * "10× more data" (real corpora don't get denser as they grow; plain
+  * replication would instead multiply every block's size by the factor and
+  * probe the quadratic-hazard path, which the capped LSH probes already
+  * cover — see BASELINE.md's round-4 notes on the synthetic corpus's
+  * density pathology).
+  *
+  * Timed region: applyDelta only (bootstrap is the untimed offline build).
+  * Each cell bootstraps a fresh engine, then times 3 folds of the same
+  * delta (the fold is an idempotent upsert, so repeats do identical work)
+  * and reports the median.
+  */
+object FoldProbe {
+
+  private val Stride = 1000000000L
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+
+  /** `factor` copies with disjoint ids and copy-distinct block prefixes. */
+  private def repl(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      base.select((col("doc_id") + lit(i * Stride)).as("doc_id"),
+        concat(lit(f"cp$i%04d "), col("text")).as("text"))
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                  else Seq(1, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = docs(spark, sfDir)
+    // fixed pieces: the q123-style split of copy 0
+    val corpus1 = repl(d.filter(col("doc_id") % 10 =!= 0), 1)
+    val delta1 = repl(d.filter(col("doc_id") % 10 === 0), 1)
+
+    def cell(corpus: DataFrame, delta: DataFrame): Double = {
+      val c = corpus.localCheckpoint(true)
+      val dl = delta.localCheckpoint(true)
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-foldprobe-"))
+      ClusterReps.createIndexTable(eng)
+      ClusterReps.bootstrap(eng, c) // untimed offline build
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        ClusterReps.applyDelta(eng, c, dl)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(1)
+    }
+
+    cell(corpus1, delta1) // warm-up (JIT + engine machinery); discarded
+    val corpusScaled = factors.map { f =>
+      f -> cell(repl(d.filter(col("doc_id") % 10 =!= 0), f), delta1)
+    }
+    val deltaScaled = factors.map { f =>
+      f -> cell(corpus1, repl(d.filter(col("doc_id") % 10 === 0), f))
+    }
+    def fmt(xs: Seq[(Int, Double)]) =
+      xs.map { case (f, t) => "\"" + f + "\":" + t }.mkString("{", ",", "}")
+    println(s"""{"probe":"cluster_reps_fold","sf":"$sfDir","corpus_scaled_fixed_delta":${fmt(corpusScaled)},"delta_scaled_fixed_corpus":${fmt(deltaScaled)}}""")
+    spark.stop()
+  }
+}

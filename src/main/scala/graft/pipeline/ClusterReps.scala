@@ -134,7 +134,8 @@ object ClusterReps {
     * to a shuffle join, where AQE may still choose to broadcast if the
     * bytes justify it.
     */
-  def applyDelta(eng: OlapEngine, corpus: DataFrame, delta: DataFrame): Unit = {
+  def applyDelta(eng: OlapEngine, corpus: DataFrame, delta: DataFrame,
+                 maxBroadcastRows: Long = MaxBroadcastDeltaRows): Unit = {
     val old = eng.scan(Db, Table).select(col("doc_id"), col("rep"))
 
     val dK = Dedup.jaccardKeyed(delta, "d_id", "d_ws")
@@ -142,7 +143,8 @@ object ClusterReps {
     // gate probe: scans the delta only until the threshold is crossed —
     // trivial for the delta-sized batches this path is built for
     val deltaSmall =
-      delta.limit((MaxBroadcastDeltaRows + 1).toInt).count() <= MaxBroadcastDeltaRows
+      delta.limit(math.min(maxBroadcastRows + 1, Int.MaxValue).toInt).count() <=
+        maxBroadcastRows
     // delta-vs-corpus screen: same block + UNROUNDED threshold filter as
     // ngramJaccardOf, or the incremental pair set drifts from the oracle's
     val dc = cK.join(if (deltaSmall) broadcast(dK) else dK, Seq("blk"))

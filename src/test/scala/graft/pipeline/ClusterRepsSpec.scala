@@ -204,6 +204,17 @@ class ClusterRepsSpec extends AnyFunSuite {
     assert(stored(eng) === Set((2L, 2L), (5L, 2L), (10L, 2L), (11L, 2L)))
   }
 
+  test("broadcast-gate fallback: a delta above the broadcast ceiling folds " +
+    "through the shuffle-join path to the identical index") {
+    val engB = mkEngine()
+    ClusterReps.bootstrap(engB, corpus)
+    ClusterReps.applyDelta(engB, corpus, delta) // broadcast path (default gate)
+    val engS = mkEngine()
+    ClusterReps.bootstrap(engS, corpus)
+    ClusterReps.applyDelta(engS, corpus, delta, maxBroadcastRows = 0L) // forced fallback
+    assert(stored(engS) === stored(engB))
+  }
+
   test("split served from the maintained index equals the one-shot q178 split") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
