@@ -64,6 +64,9 @@ object StreamingQueries {
     streamIdxCache.values.foreach(e =>
       deleteRecursively(e.warehouse.toFile))
     streamIdxCache.clear()
+    streamAnnCache.values.foreach(e =>
+      deleteRecursively(e.warehouse.toFile))
+    streamAnnCache.clear()
   }
 
   private def drainedSink(key: String, dir: String)(
@@ -249,6 +252,92 @@ object StreamingQueries {
         .select(col("doc_id"),
           coalesce(col("stored"), col("doc_id")).as("rep"))
       graft.pipeline.Dedup.splitOfReps(reps)
+    }
+
+  /** Stream-maintained ANN-index engines, one per data dir (q189 fixture). */
+  private val streamAnnCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** Streaming maintenance of the IVF-PQ engine-table index (q189) — the
+    * streaming twin of q187's batch fold, completing the batch/stream pair
+    * for the vector index the way q182/q183 do for the cluster index. The
+    * index bootstraps from 90% of the corpus; the remaining embeddings
+    * ARRIVE as a 3-file stream (maxFilesPerTrigger=1), and each micro-batch
+    * folds through [[graft.pipeline.AnnIndex.applyDelta]] — which, unlike
+    * the cluster fold, needs NO corpus-so-far accumulator: assignment is
+    * stateless per vector (nearest stored centroid + nearest codebook entry
+    * per subspace), so any batching of the delta converges to the identical
+    * table. Replay safety is the same stateless property: a replayed batch
+    * rewrites identical rows (`AnnIndexSpec` pins fold idempotence). The
+    * drained engine then serves the same recall-contract audit as q187,
+    * sharing its oracle-pinned verdict.
+    */
+  /** The q189 fixture engine (exposed for the stream≡batch equality spec). */
+  private[graft] def streamAnnEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.AnnIndex
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      streamAnnCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sann-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        AnnIndex.createTables(e)
+        AnnIndex.bootstrap(e, emb.filter(col("vec_id") % 10 =!= 0))
+        val sd = Files.createTempDirectory("graft-sann-stream-")
+        val ckpt = Files.createTempDirectory("graft-sann-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val delta = emb.filter(col("vec_id") % 10 === 0)
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-sann-part-")
+          delta.filter(pmod(col("vec_id") / 10, lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            AnnIndex.applyDelta(e, batch)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+    }
+
+  def streamAnnIndex(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import graft.pipeline.{AnnIndex, Similarity}
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val eng = streamAnnEngineFor(spark, dir)
+      // identical audit shape to q187 (recallAuditServed), served from the
+      // STREAM-maintained engine
+      val brute = Similarity.bruteForceTopK(spark, dir)
+        .select(col("probe_id"), col("neighbor_id"))
+      def hitsAt(np: Int): Long =
+        AnnIndex.topKFromTable(eng, emb, nprobe = np)
+          .select(col("probe_id"), col("neighbor_id"))
+          .join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+          .count()
+      val total = 8L * 5
+      val floor = 0.6
+      val base = hitsAt(8)
+      val served = if (base < (floor + 0.1) * total) hitsAt(AnnIndex.NCells) else base
+      spark.range(1).select(
+        lit("ann_index_recall_at_5").as("metric"),
+        lit(8).as("n_probes"), lit(5).as("k"),
+        lit(served >= floor * total).as("ok"),
+        lit(served >= (floor + 0.1) * total).as("margin_ok"))
     }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
@@ -731,12 +820,17 @@ object StreamingQueries {
     "q52_stream_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
     "q183_stream_cluster_index" ->
       ((s: SparkSession, d: String) => streamClusterIndex(s, d)),
+    "q189_stream_ann_index" ->
+      ((s: SparkSession, d: String) => streamAnnIndex(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     // q183 shares q178/q182's full-recompute oracle: the stream-maintained
     // index must converge to the same closure regardless of batching
     "q183_stream_cluster_index" -> graft.pipeline.Dedup.splitOracleSql,
+    // q189 shares q187's contract-pinned verdict: the stream-maintained
+    // vector index must serve the same recall floor regardless of batching
+    "q189_stream_ann_index" -> graft.pipeline.AnnIndex.oracles("q187_ann_index_served"),
     // islands formulation of session merge: a new session starts at a gap of
     // >= 30 min (Spark merges only strictly-overlapping [ts, ts+gap) windows);
     // microsecond diffs because ts carries microsecond precision

@@ -94,6 +94,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("margin_ok"), "recall below floor + 0.1 margin")
   }
 
+  test("stream-maintained table ≡ batch-maintained table on the real corpus " +
+    "(the fold is stateless per vector, so delta batching is irrelevant)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = AnnIndex.engineFor(spark, dir)      // bootstrap 90% + ONE fold
+    val streamed = graft.streaming.StreamingQueries
+      .streamAnnEngineFor(spark, dir)               // same delta as a 3-file stream
+    def table(e: OlapEngine): Set[(Long, Int, Seq[Int])] =
+      e.scan(AnnIndex.Db, AnnIndex.AssignTable).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(table(streamed) === table(batch))
+  }
+
   test("empty delta is a no-op (no version published)") {
     val eng = mkEngine()
     bootstrapSmall(eng, synth(0L until 80L))
