@@ -739,7 +739,18 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       partitions = td.partitions.filterNot(_.name == name),
       droppedPartitions = td.droppedPartitions :+ spec))
     registerPartitionPruning(updated)
-    deleteWhere(db, table, pred)
+    // the marker carries BOTH forms of the mask: `deletePartition` lets the
+    // read path filter on the hive partition column (whole directories
+    // prune before any file opens — retired data costs zero read I/O),
+    // while the row predicate stays for introspection. Equivalent because
+    // the dropped range is unroutable from this version on: every row in
+    // the partition's directories is older than the marker.
+    val m = manifest(db, table)
+    val v = Version(m.maxVersion + 1, m.maxVersion + 1)
+    val rowsetId = m.nextRowsetId
+    m.publish(RowsetMeta(rowsetId, v, relDir = s"d$rowsetId", numRows = 0L,
+      createdMs = System.currentTimeMillis(),
+      deletePredicate = Some(pred), deletePartition = Some(name)))
     updated
   }
 
@@ -834,8 +845,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val filled = backfillSchema(db, table, unioned)
     markers.foldLeft(filled) { (df, mk) =>
-      df.filter(!(coalesce(expr(mk.deletePredicate.get), lit(false)) &&
-        col(VersionCol) < lit(mk.version.start)))
+      mk.deletePartition match {
+        // DROP PARTITION marker: mask by the hive partition COLUMN — the
+        // version guard constant-folds per union branch, leaving a plain
+        // `__graft_part != name` that prunes whole directories at the scan
+        case Some(p) =>
+          df.filter(!(col(PartCol) === lit(p) &&
+            col(VersionCol) < lit(mk.version.start)))
+        case None =>
+          df.filter(!(coalesce(expr(mk.deletePredicate.get), lit(false)) &&
+            col(VersionCol) < lit(mk.version.start)))
+      }
     }
   }
 

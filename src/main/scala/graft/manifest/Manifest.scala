@@ -37,8 +37,18 @@ final case class RowsetMeta(
     // with createdMs it reconstructs the visible set AS OF any instant —
     // the metadata a retention window needs to know which superseded
     // rowsets still serve time travel and which are safe to delete
-    staleMs: Option[Long] = None) {
-  def isDeleteMarker: Boolean = deletePredicate.isDefined
+    staleMs: Option[Long] = None,
+    // Some(name) on the marker a DROP PARTITION publishes: the mask is a
+    // whole hive partition, so the read path filters on `__graft_part`
+    // instead of evaluating the row predicate — Spark prunes the dropped
+    // partition's DIRECTORIES before opening a file (at 100 TB: retired
+    // data costs zero I/O at read, not scan-then-filter). Safe because a
+    // dropped partition is unroutable afterward (no newer rows can exist in
+    // the dir) and dropped names can never be re-created. deletePredicate
+    // still carries the equivalent row predicate for introspection and for
+    // engines reading a pre-upgrade manifest.
+    deletePartition: Option[String] = None) {
+  def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
 }
 
 /** Per-table rowset manifest with MVCC snapshot resolution
@@ -201,8 +211,10 @@ final class TableManifest(val tableRoot: Path) {
         "createdMs" -> JLong(r.createdMs))
       val withDel = r.deletePredicate.fold(base)(p =>
         JObject(base.obj :+ ("deletePredicate" -> (JString(p): JValue))))
-      r.staleMs.fold(withDel)(s =>
-        JObject(withDel.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withDp = r.deletePartition.fold(withDel)(p =>
+        JObject(withDel.obj :+ ("deletePartition" -> (JString(p): JValue))))
+      r.staleMs.fold(withDp)(s =>
+        JObject(withDp.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -226,7 +238,8 @@ final class TableManifest(val tableRoot: Path) {
           RowsetState.fromName((j \ "state").extract[String]),
           (j \ "createdMs").extract[Long],
           (j \ "deletePredicate").extractOpt[String],
-          (j \ "staleMs").extractOpt[Long])
+          (j \ "staleMs").extractOpt[Long],
+          (j \ "deletePartition").extractOpt[String])
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible) graph.addEdge(r.version)

@@ -74,6 +74,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q188: expired partitions prune as DIRECTORIES (PartitionFilters at " +
+    "the scan), not scan-then-filter — retired data costs zero read I/O") {
+    val p = SparkEntry.queries("q188_partition_expiry")(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // each of the 9 expiry markers becomes a partition-column exclusion in
+    // PartitionFilters; the version guard constant-folds away entirely
+    assert(p.contains("PartitionFilters:") && p.contains("NOT (__graft_part"), p)
+    assert(p.contains("= p0)"), p)
+    // no residual row filter evaluates the date-range mask
+    assert(!p.contains("coalesce(((cast(o_orderdate"), p)
+  }
+
+  test("q187: the table-served ANN probe broadcasts cells and LUTs; the only " +
+    "shuffle join is the corpus-sized vec_id equi-join") {
+    val eng = graft.pipeline.AnnIndex.engineFor(spark, dir)
+    val p = graft.pipeline.AnnIndex
+      .topKFromTable(eng, spark.read.parquet(s"$dir/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
+    // probe-cell routing + LUT attach are broadcast (model-sized sides)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q127: delete mask constant-folds away for rowsets newer than the delete") {
     import org.apache.spark.sql.execution.FilterExec
     val exec = SparkEntry.queries("q127_delete_where")(spark, dir)
