@@ -85,3 +85,69 @@ object FoldProbe {
     spark.stop()
   }
 }
+
+/** Scale probe for the ANN engine-table index (q187's machinery) in its
+  * production shape at scale: the quantizer/codebooks FIT ONCE on the base
+  * corpus (re-fitting on 100× data is the scheduled re-bootstrap, not the
+  * steady state), new embeddings FOLD in (`AnnIndex.applyDelta` — stateless
+  * per-vector assignment), and probes SERVE from the table. Reports fold
+  * wall-time vs folded-batch factor and serve wall-time vs indexed-corpus
+  * factor. Copies get disjoint vec_ids; identical vectors across copies are
+  * fine for timing (ties rank deterministically).
+  */
+object AnnProbe {
+
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    import graft.pipeline.AnnIndex
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                  else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def copies(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i =>
+        emb.select((col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ union _)
+
+    def cell(f: Int): (Double, Double) = {
+      val eng = new graft.engine.OlapEngine(
+        spark, java.nio.file.Files.createTempDirectory("graft-annprobe-"))
+      AnnIndex.createTables(eng)
+      AnnIndex.bootstrap(eng, emb) // fixed 1x fit — the steady-state shape
+      val extra = if (f > 1) Some(copies(1, f).localCheckpoint(true)) else None
+      val foldSec = extra.fold(0.0) { d =>
+        val t0 = System.nanoTime()
+        AnnIndex.applyDelta(eng, d)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val full = extra.fold(emb)(emb.union(_)).localCheckpoint(true)
+      val serveTimes = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        AnnIndex.topKFromTable(eng, full)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (foldSec, serveTimes(1))
+    }
+
+    cell(1) // warm-up; discarded
+    val rows = factors.map(f => (f, cell(f)))
+    def fmt(g: ((Int, (Double, Double))) => (Int, Double)) =
+      rows.map(g).map { case (f, t) => "\"" + f + "\":" + t }.mkString("{", ",", "}")
+    println(s"""{"probe":"ann_index","sf":"$sfDir","fold_sec_by_factor":${fmt { case (f, (a, _)) => (f, a) }},"serve_sec_by_factor":${fmt { case (f, (_, b)) => (f, b) }}}""")
+    spark.stop()
+  }
+}
