@@ -105,6 +105,14 @@ object AnnIndex {
     * ([[Similarity.ivfTopK]]/[[Similarity.pqTopK]]): spherical-approx
     * k-means on L2-normalized vectors, fixed seeds, m independent subspace
     * fits.
+    *
+    * RE-FIT: calling bootstrap again on an engine that already holds an
+    * index publishes the new fit as the next versions of the same tables —
+    * Unique merge-on-read serves it atomically, time travel reaches the old
+    * fit, and compaction retires it. The refit must keep the same
+    * (nCells, m, kSub) geometry: shrinking any of them would leave stale
+    * higher-keyed centroid/codebook rows behind (a geometry change is a new
+    * table, not a refit). `AnnIndexSpec` pins refit ≡ fresh-engine fit.
     */
   def bootstrap(eng: OlapEngine, emb: DataFrame,
                 nCells: Int = NCells, m: Int = M, kSub: Int = KSub): Unit = {
@@ -139,17 +147,26 @@ object AnnIndex {
       cur.count(); e.unpersist(); e = cur
     }
 
+    // publish at the NEXT version of each table (not a fixed v1): a RE-FIT
+    // is just bootstrap run again on the accumulated corpus, and its rowsets
+    // must supersede (not collide with) the previous fit's — Unique
+    // merge-on-read then serves the new assignment/centroids/codebooks
+    // atomically per table, and time travel still reaches the old fit
+    def nextV(table: String): Version = {
+      val v = eng.manifest(Db, table).maxVersion + 1
+      Version(v, v)
+    }
     val assign = e.select(col("vec_id"), col("cell"),
       array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
-    eng.ingest(Db, AssignTable, assign, Some(Version(1, 1)))
+    eng.ingest(Db, AssignTable, assign, Some(nextV(AssignTable)))
     e.unpersist()
     eng.ingest(Db, CentroidTable,
-      centers.toDF("cell", "cv"), Some(Version(1, 1)))
+      centers.toDF("cell", "cv"), Some(nextV(CentroidTable)))
     val bookRows = for {
       s <- 0 until m; c <- 0 until kSub
     } yield (s, c, books(s)(c).toSeq)
     eng.ingest(Db, BookTable,
-      bookRows.toDF("s", "c", "sub"), Some(Version(1, 1)))
+      bookRows.toDF("s", "c", "sub"), Some(nextV(BookTable)))
   }
 
   /** Fold a new embedding batch into the index: no re-fit, pure map-side

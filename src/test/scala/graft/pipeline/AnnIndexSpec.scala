@@ -106,6 +106,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(table(streamed) === table(batch))
   }
 
+  test("re-fit ≡ fresh fit: bootstrap on the accumulated corpus supersedes " +
+    "the old fit through plain table versions (same geometry)") {
+    val boot = synth(0L until 80L)
+    val delta = synth(100L until 120L)
+    val all = boot.unionByName(delta)
+    // maintained path: fit on boot, fold delta, then REFIT on the union
+    val eng = mkEngine()
+    bootstrapSmall(eng, boot)
+    AnnIndex.applyDelta(eng, delta)
+    val vBefore = eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).maxVersion
+    bootstrapSmall(eng, all)
+    assert(eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).maxVersion > vBefore,
+      "refit must publish NEW versions, not collide with the old fit")
+    // reference: the same fit on a fresh engine
+    val fresh = mkEngine()
+    bootstrapSmall(fresh, all)
+    assert(stored(eng) === stored(fresh))
+    assert(eng.scan(AnnIndex.Db, AnnIndex.CentroidTable).collect().toSet ===
+      fresh.scan(AnnIndex.Db, AnnIndex.CentroidTable).collect().toSet)
+  }
+
   test("empty delta is a no-op (no version published)") {
     val eng = mkEngine()
     bootstrapSmall(eng, synth(0L until 80L))
