@@ -38,6 +38,7 @@ object SparkEntry {
       graft.pipeline.Audit.all ++
       graft.pipeline.ClusterReps.all ++
       graft.pipeline.AnnIndex.all ++
+      graft.pipeline.TextIndex.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
       graft.operators.TimeSeries.all ++
@@ -116,6 +117,7 @@ object SparkEntry {
       graft.pipeline.Audit.oracles ++
       graft.pipeline.ClusterReps.oracles ++
       graft.pipeline.AnnIndex.oracles ++
+      graft.pipeline.TextIndex.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
       graft.operators.TimeSeries.oracles ++

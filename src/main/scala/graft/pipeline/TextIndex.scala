@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.manifest.Version
+import graft.model._
+
+/** The inverted TEXT index AS maintained engine tables — the keyword-search
+  * completion of the maintained-index family (cluster_reps q182/q183, the
+  * Count-Min matrix q184/q179, the IVF-PQ vector index q187/q189). q98
+  * builds an inverted index per query and q118 recomputes BM25 from the raw
+  * corpus per query; at 100 TB both are a full corpus scan + tokenize that
+  * production amortizes into an index maintained at LOAD time and merely
+  * probed at query time. (Reference anchor: src/index/mod.rs:95-108 — an
+  * index is only real when it is consulted AND maintained.)
+  *
+  * Two Unique-model tables under `graft_idx`:
+  *  - `inv_postings` (word, doc_id) → tf: the posting list, one row per
+  *    posting rather than one array per word, so no single reducer ever
+  *    materializes a hot word's full list (the q98 scale note, made real).
+  *    Bucketed by `word` so a keyword probe bucket-prunes: the serve's
+  *    `word IN (…)` filter routes through [[graft.plans.BucketPruneRewrite]]
+  *    and opens only the probed terms' buckets.
+  *  - `inv_doclen` doc_id → dl: per-document token count, the BM25 length
+  *    normalizer. Corpus-rows-but-2-columns narrow; bucketed by doc_id.
+  *
+  * There is deliberately NO stored global-stats table: n_docs/avgdl derive
+  * from `inv_doclen` at serve time (a narrow scan), which keeps EVERY stored
+  * row a pure Unique upsert keyed by its document. That makes the index
+  * idempotent by construction — re-folding a document rewrites identical
+  * rows — which is the whole replay-safety story for the streaming twin
+  * (same argument as the ANN fold, q189); a Sum-merged stats table would
+  * instead double-count a replayed batch.
+  *
+  * Maintenance contract: unlike the vector index there is NOTHING to fit —
+  * a document's postings depend on that document alone — so [[bootstrap]]
+  * IS [[applyDelta]] on the initial corpus, folds are exact (never drift),
+  * and any batching of any delta converges to the identical table
+  * (`TextIndexSpec` pins fold ≡ one-shot build, fold idempotence, and
+  * serve ≡ q118's from-scratch BM25 bit-for-bit).
+  */
+object TextIndex {
+
+  val Db = "graft_idx"
+  val PostingsTable = "inv_postings"
+  val DoclenTable = "inv_doclen"
+  val NumBuckets = 8
+
+  /** q118's probe terms — the serve shares q118's oracle verbatim. */
+  val DefaultTerms = Seq("spark", "data", "join", "query")
+
+  def createTables(eng: OlapEngine): Unit = {
+    eng.createDatabase(Db)
+    eng.createTable(TableDef(
+      db = Db, name = PostingsTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("word", StringType),
+        ColumnSpec.key("doc_id", LongType),
+        ColumnSpec.value("tf", LongType))),
+      bucketColumn = Some("word"), numBuckets = NumBuckets))
+    eng.createTable(TableDef(
+      db = Db, name = DoclenTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("doc_id", LongType),
+        ColumnSpec.value("dl", LongType))),
+      bucketColumn = Some("doc_id"), numBuckets = 4))
+  }
+
+  /** q118's tokenization exactly — the serve must be formula-identical. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+
+  /** Initial build = the delta fold on the starting corpus (no training
+    * pass exists for a text index; the symmetry with [[AnnIndex.bootstrap]]
+    * is in the calling convention, not the work).
+    */
+  def bootstrap(eng: OlapEngine, docs: DataFrame): Unit = applyDelta(eng, docs)
+
+  /** Fold a document batch into the index: per-doc term frequencies and
+    * lengths, upserted through the Unique-model ingest. Stateless per
+    * document ⇒ exact, idempotent, batching-order-free. Callers replacing a
+    * CHANGED document re-fold it (Unique upsert overwrites the old tf rows
+    * for words still present); vanished-word tombstones are the caller's
+    * `ingestDeletes`, same as any Unique table.
+    */
+  def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
+    if (delta.isEmpty) return // an empty batch publishes nothing
+    val t = tokens(delta).localCheckpoint(true) // one tokenize, two aggs
+    val postings = t.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val doclen = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    def nextV(table: String): Version = {
+      val v = eng.manifest(Db, table).maxVersion + 1
+      Version(v, v)
+    }
+    eng.ingest(Db, PostingsTable, postings, Some(nextV(PostingsTable)))
+    eng.ingest(Db, DoclenTable, doclen, Some(nextV(DoclenTable)))
+  }
+
+  /** BM25 top-k SERVED from the engine tables: q118's formula with tf/dl
+    * read from the index instead of recomputed by a corpus scan+tokenize.
+    * The term filter bucket-prunes the postings scan (≤ |terms| of
+    * [[NumBuckets]] buckets open); df for the probed terms falls out of the
+    * pruned postings themselves; n_docs/avgdl derive from the narrow doclen
+    * scan. Per-term scores round to 8 decimals into DECIMAL(18,8) and the
+    * per-doc sum is exact decimal — the same determinism route as
+    * [[TextAnalysis.bm25TopK]], so the two agree bit-for-bit.
+    */
+  def bm25FromTable(eng: OlapEngine, terms: Seq[String] = DefaultTerms,
+                    k: Int = 10): DataFrame = {
+    graft.GraftExtensions.register(eng.spark)
+    val k1 = 1.2
+    val b = 0.75
+    val tf = eng.scan(Db, PostingsTable)
+      .filter(col("word").isin(terms.map(_.asInstanceOf[Any]): _*))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val dl = eng.scan(Db, DoclenTable)
+    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.withColumnRenamed("word", "w")
+      .join(broadcast(dfreq.withColumnRenamed("word", "w")), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        round(termScore, 8).cast("decimal(18,8)").as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("ts")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // --- driver fixture + query ----------------------------------------------
+
+  private val cache = TrieMap.empty[String, OlapEngine]
+  private def deleteWarehouse(e: OlapEngine): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(e.warehouse.toFile)
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.values.foreach(deleteWarehouse)))
+  }
+
+  /** Drops AND deletes the cached engines' temp warehouses (same contract
+    * as [[ClusterReps.clearCaches]]).
+    */
+  def clearCaches(): Unit = {
+    cache.values.foreach(deleteWarehouse)
+    cache.clear()
+  }
+
+  /** Driver fixture: build on 90% of the corpus (doc_id % 10 ≠ 0), fold the
+    * remaining 10% in incrementally — the served index's content is reached
+    * through BOTH maintenance paths, like the cluster_reps and ANN fixtures,
+    * so q190's green hash certifies the fold, the table round-trip, AND the
+    * serve formula at once.
+    */
+  def engineFor(spark: SparkSession, dir: String): OlapEngine =
+    cache.getOrElseUpdate(dir, {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-txtidx-"))
+      createTables(eng)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      bootstrap(eng, docs.filter(col("doc_id") % 10 =!= 0))
+      applyDelta(eng, docs.filter(col("doc_id") % 10 === 0))
+      eng
+    })
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_text_index_served" ->
+      ((s: SparkSession, d: String) => bm25FromTable(engineFor(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // q118's oracle VERBATIM: the table-served BM25 must equal the
+    // from-scratch corpus recompute bit-for-bit — an exact-hash check on
+    // every layer (fold, Unique merge-on-read, doclen-derived stats, serve)
+    "q190_text_index_served" -> TextAnalysis.oracles("q118_bm25_topk"),
+  )
+}

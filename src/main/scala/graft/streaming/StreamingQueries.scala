@@ -67,6 +67,9 @@ object StreamingQueries {
     streamAnnCache.values.foreach(e =>
       deleteRecursively(e.warehouse.toFile))
     streamAnnCache.clear()
+    streamTextCache.values.foreach(e =>
+      deleteRecursively(e.warehouse.toFile))
+    streamTextCache.clear()
   }
 
   private def drainedSink(key: String, dir: String)(
@@ -338,6 +341,75 @@ object StreamingQueries {
         lit(8).as("n_probes"), lit(5).as("k"),
         lit(served >= floor * total).as("ok"),
         lit(served >= (floor + 0.1) * total).as("margin_ok"))
+    }
+
+  /** Stream-maintained inverted-text-index engines, one per data dir (the
+    * q191 fixture).
+    */
+  private val streamTextCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** The q191 fixture engine (exposed for the stream≡batch equality spec):
+    * the index builds from 90% of the corpus; the remaining documents ARRIVE
+    * as a 3-file stream (maxFilesPerTrigger=1) and each micro-batch folds
+    * through [[graft.pipeline.TextIndex.applyDelta]]. A document's postings
+    * depend on that document alone — the fold is stateless per doc — so any
+    * batching of the delta converges to the identical table, and a replayed
+    * batch rewrites identical rows (every stored row is a Unique upsert
+    * keyed by its document; there is deliberately no Sum-merged stats row to
+    * double-count — n_docs/avgdl derive from `inv_doclen` at serve).
+    */
+  private[graft] def streamTextEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.TextIndex
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      streamTextCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-stxt-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        TextIndex.createTables(e)
+        TextIndex.bootstrap(e, docs.filter(col("doc_id") % 10 =!= 0))
+        val sd = Files.createTempDirectory("graft-stxt-stream-")
+        val ckpt = Files.createTempDirectory("graft-stxt-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-stxt-part-")
+          delta.filter(pmod(col("doc_id") / 10, lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            TextIndex.applyDelta(e, batch)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+    }
+
+  /** q191: BM25 served from the STREAM-maintained inverted index — the
+    * streaming twin of q190's batch fold, completing the batch/stream pair
+    * for the text index the way q182/q183 do for the cluster index and
+    * q187/q189 for the vector index. Shares q118's exact-hash oracle: the
+    * drained table must serve the from-scratch corpus BM25 bit-for-bit.
+    */
+  def streamTextIndex(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      graft.pipeline.TextIndex.bm25FromTable(streamTextEngineFor(spark, dir))
     }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
@@ -822,6 +894,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamClusterIndex(s, d)),
     "q189_stream_ann_index" ->
       ((s: SparkSession, d: String) => streamAnnIndex(s, d)),
+    "q191_stream_text_index" ->
+      ((s: SparkSession, d: String) => streamTextIndex(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -831,6 +905,10 @@ object StreamingQueries {
     // q189 shares q187's contract-pinned verdict: the stream-maintained
     // vector index must serve the same recall floor regardless of batching
     "q189_stream_ann_index" -> graft.pipeline.AnnIndex.oracles("q187_ann_index_served"),
+    // q191 shares q118's exact-hash oracle: the stream-maintained text index
+    // must serve the from-scratch corpus BM25 bit-for-bit
+    "q191_stream_text_index" ->
+      graft.pipeline.TextIndex.oracles("q190_text_index_served"),
     // islands formulation of session merge: a new session starts at a gap of
     // >= 30 min (Spark merges only strictly-overlapping [ts, ts+gap) windows);
     // microsecond diffs because ts carries microsecond precision

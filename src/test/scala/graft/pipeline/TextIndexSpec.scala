@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.engine.OlapEngine
+
+/** The maintained inverted-text-index engine tables: fold ≡ one-shot build
+  * (a document's postings depend on that document alone), fold idempotence,
+  * the table-served BM25 against the from-scratch recompute, stream ≡ batch
+  * maintenance, and the bucket-pruned serve scan.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def synth(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    // deterministic texts over a small vocabulary that includes the default
+    // probe terms, with per-doc repetition so tf > 1 paths are exercised
+    val vocab = Vector("spark", "data", "join", "query", "alpha", "beta", "gamma")
+    ids.map { id =>
+      val rnd = new scala.util.Random(id)
+      val n = 5 + rnd.nextInt(20)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def mkEngine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-txtspec-wh-"))
+    TextIndex.createTables(eng)
+    eng
+  }
+
+  private def postings(eng: OlapEngine): Set[(String, Long, Long)] =
+    eng.scan(TextIndex.Db, TextIndex.PostingsTable).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def doclens(eng: OlapEngine): Set[(Long, Long)] =
+    eng.scan(TextIndex.Db, TextIndex.DoclenTable).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fold ≡ one-shot build: bootstrap(all) and bootstrap(90%) + fold(10%) " +
+    "produce identical postings and doclen tables") {
+    val docs = synth(0L until 60L)
+    val oneShot = mkEngine()
+    TextIndex.bootstrap(oneShot, docs)
+    val folded = mkEngine()
+    TextIndex.bootstrap(folded, docs.filter(col("doc_id") % 10 =!= 0))
+    TextIndex.applyDelta(folded, docs.filter(col("doc_id") % 10 === 0))
+    assert(postings(folded) === postings(oneShot))
+    assert(doclens(folded) === doclens(oneShot))
+  }
+
+  test("fold idempotence: re-folding already-indexed documents rewrites " +
+    "identical rows (the streaming replay-safety contract)") {
+    val docs = synth(0L until 40L)
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs)
+    val (p0, d0) = (postings(eng), doclens(eng))
+    TextIndex.applyDelta(eng, docs.filter(col("doc_id") < 20))
+    assert(postings(eng) === p0)
+    assert(doclens(eng) === d0)
+  }
+
+  test("changed-document re-fold: the Unique upsert replaces the doc's tf " +
+    "and dl rows") {
+    import spark.implicits._
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, Seq((1L, "spark data data")).toDF("doc_id", "text"))
+    assert(postings(eng) === Set(("spark", 1L, 1L), ("data", 1L, 2L)))
+    // the revised doc still contains both words, so no tombstones needed
+    TextIndex.applyDelta(eng, Seq((1L, "spark spark data")).toDF("doc_id", "text"))
+    assert(postings(eng) === Set(("spark", 1L, 2L), ("data", 1L, 1L)))
+    assert(doclens(eng) === Set((1L, 3L)))
+  }
+
+  test("empty delta is a no-op (no version published)") {
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, synth(0L until 10L))
+    val v = eng.manifest(TextIndex.Db, TextIndex.PostingsTable).maxVersion
+    TextIndex.applyDelta(eng, synth(Nil))
+    assert(eng.manifest(TextIndex.Db, TextIndex.PostingsTable).maxVersion == v)
+  }
+
+  test("served BM25 ≡ from-scratch corpus BM25 bit-for-bit on the real " +
+    "corpus (q190's fixture vs q118's recompute)") {
+    val dir = "/root/testdata/sf0.001"
+    val served = TextIndex.bm25FromTable(TextIndex.engineFor(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scratch = TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === scratch)
+  }
+
+  test("stream-maintained table ≡ batch-maintained table on the real corpus " +
+    "(the fold is stateless per document, so delta batching is irrelevant)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = TextIndex.engineFor(spark, dir)    // bootstrap 90% + ONE fold
+    val streamed = graft.streaming.StreamingQueries
+      .streamTextEngineFor(spark, dir)             // same delta as a 3-file stream
+    assert(postings(streamed) === postings(batch))
+    assert(doclens(streamed) === doclens(batch))
+  }
+
+  test("the serve's postings scan bucket-prunes to the probed terms' buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val eng = TextIndex.engineFor(spark, dir)
+    val plan = TextIndex.bm25FromTable(eng)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(eng.BucketCol) || plan.contains("__graft_bucket"),
+      s"no bucket-prune filter in the serve plan:\n$plan")
+  }
+}
