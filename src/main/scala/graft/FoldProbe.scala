@@ -95,6 +95,93 @@ object FoldProbe {
   * factor. Copies get disjoint vec_ids; identical vectors across copies are
   * fine for timing (ties rank deterministically).
   */
+/** Scale probe for the inverted-text-index engine tables (q190's machinery)
+  * in the production shape: the index FOLDS at load time and BM25 merely
+  * PROBES it at query time. Reports, per corpus factor f: the fold cost of
+  * a fixed delta into an f×-sized index (should be flat — the fold touches
+  * the delta's rows only), the table-served BM25 (grows with the probed
+  * terms' postings, not the corpus text), and the q118 from-scratch
+  * recompute on the same f× corpus (full tokenize every query — the cost
+  * the index amortizes away). Copies get disjoint doc_ids and unchanged
+  * text: posting lists grow linearly with f, the honest keyword-frequency
+  * model.
+  */
+object TextProbe {
+
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    import graft.pipeline.{TextIndex, TextAnalysis}
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                  else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def copies(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i =>
+        base.select((col("doc_id") + lit(i * Stride)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+    // fixed delta: 10% of copy 0's ids, shifted into their own id range
+    val delta = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(500L * Stride)).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+
+    def median3(work: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+
+    def cell(corpus0: DataFrame): (Double, Double, Double) = {
+      val corpus = corpus0.localCheckpoint(true)
+      val eng = new OlapEngine(
+        spark, Files.createTempDirectory("graft-txtprobe-"))
+      TextIndex.createTables(eng)
+      TextIndex.bootstrap(eng, corpus) // untimed: load-time maintenance
+      val foldSec = median3(TextIndex.applyDelta(eng, delta))
+      // serve in the steady state: the scheduled compaction has run (the
+      // serve cost is dominated by rowset-fragment count, not serve code)
+      TextIndex.compactIndex(eng)
+      val serveSec = median3(TextIndex.bm25FromTable(eng)
+        .write.mode("overwrite").format("noop").save())
+      // the recompute baseline reads a real parquet dir, like q118 does
+      val tmp = Files.createTempDirectory("graft-txtprobe-docs-")
+      corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val scratchSec = median3(TextAnalysis.bm25TopK(spark, tmp.toString)
+        .write.mode("overwrite").format("noop").save())
+      (foldSec, serveSec, scratchSec)
+    }
+
+    cell(base) // warm-up (JIT + engine machinery); discarded
+    val rows = factors.map(f => (f, cell(copies(0, f))))
+    // the DOC-LENGTH axis, where the index's advantage is structural: the
+    // recompute re-tokenizes every text byte per query, while the serve
+    // reads fixed-width posting/doclen rows whose COUNT is unchanged (only
+    // tf/dl values grow). Fixed 10x corpus, text repeated L times per doc.
+    val lengths = Seq(1, 4, 16)
+    val lenRows = lengths.map { l =>
+      val scaled = copies(0, 10).select(col("doc_id"),
+        concat_ws(" ", array_repeat(col("text"), l)).as("text"))
+      l -> cell(scaled)
+    }
+    def fmt[K](rs: Seq[(K, (Double, Double, Double))],
+               g: ((Double, Double, Double)) => Double) =
+      rs.map { case (f, t) => "\"" + f + "\":" + g(t) }.mkString("{", ",", "}")
+    println(s"""{"probe":"text_index","sf":"$sfDir","fold_sec_by_factor":${fmt(rows, _._1)},"serve_sec_by_factor":${fmt(rows, _._2)},"scratch_bm25_sec_by_factor":${fmt(rows, _._3)},"serve_sec_by_doclen":${fmt(lenRows, _._2)},"scratch_bm25_sec_by_doclen":${fmt(lenRows, _._3)}}""")
+    spark.stop()
+  }
+}
+
 object AnnProbe {
 
   private val Stride = 1000000000L

@@ -70,6 +70,9 @@ object StreamingQueries {
     streamTextCache.values.foreach(e =>
       deleteRecursively(e.warehouse.toFile))
     streamTextCache.clear()
+    streamDynCache.values.foreach(e =>
+      deleteRecursively(e.warehouse.toFile))
+    streamDynCache.clear()
   }
 
   private def drainedSink(key: String, dir: String)(
@@ -397,6 +400,9 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // the scheduled compaction a production owner runs after a fold
+        // burst (spec-pinned to never change the served answer)
+        TextIndex.compactIndex(e)
         e
       })
     }
@@ -410,6 +416,99 @@ object StreamingQueries {
   def streamTextIndex(spark: SparkSession, dir: String): DataFrame =
     withStateParts(spark, 4) {
       graft.pipeline.TextIndex.bm25FromTable(streamTextEngineFor(spark, dir))
+    }
+
+  /** Stream-maintained dynamic-partition engines, one per data dir (q192). */
+  private val streamDynCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** The q192 fixture engine (exposed for the lifecycle spec): q186/q188's
+    * dynamic-partition lifecycle driven by STREAMING ingest instead of one
+    * batch load. Orders arrive as a 3-file time-ordered stream; every
+    * micro-batch runs the full per-load lifecycle — self-extend the Range
+    * ladder to cover the batch, route, publish one exactly-once rowset
+    * version, then expire all but the newest 12 partitions as
+    * delete-predicate versions. Because batches arrive in time order the
+    * ladder grows monotonically, so the surviving set after the drain is
+    * the newest 12 of the full ladder — exactly what ONE batch load of the
+    * same rows leaves behind (q188's oracle, shared verbatim).
+    */
+  private[graft] def streamDynEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.types._
+      import graft.catalog._
+      import graft.model._
+      streamDynCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sdyn-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        e.createDatabase("graft")
+        e.createTable(TableDef(
+          db = "graft", name = "orders_dyn",
+          schema = TableSchema(KeysType.Duplicate, Seq(
+            ColumnSpec.key("o_orderkey", LongType),
+            ColumnSpec.value("o_orderdate", TimestampType))),
+          policy = PartitionPolicy.Range,
+          partitionColumn = Some("o_orderdate"),
+          partitions = Seq(PartitionSpec("p0", Some("2000-01-01"), numBuckets = 2)),
+          bucketColumn = Some("o_orderkey"), numBuckets = 2,
+          autoPartition = Some(AutoPartitionUnit.Month),
+          autoExpireKeep = Some(12)))
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .filter(col("o_orderdate") >= "1999-12-01")
+        val sd = Files.createTempDirectory("graft-sdyn-stream-")
+        val ckpt = Files.createTempDirectory("graft-sdyn-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        // three TIME-ORDERED arrival files — the real ingestion order of a
+        // date-partitioned fact table (out-of-order rows would route into
+        // already-expired months; that is a caller error, same as loading
+        // into a dropped partition)
+        val cuts = Seq(
+          col("o_orderdate") < "2000-07-01",
+          col("o_orderdate") >= "2000-07-01" && col("o_orderdate") < "2001-02-01",
+          col("o_orderdate") >= "2001-02-01")
+        val now = System.currentTimeMillis()
+        cuts.zipWithIndex.foreach { case (c, i) =>
+          val tmp = Files.createTempDirectory("graft-sdyn-part-")
+          orders.filter(c)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) { e.ingest("graft", "orders_dyn", batch); () }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+    }
+
+  /** q192: the surviving partition layout after the dynamic lifecycle ran
+    * under STREAMING ingest — the streaming twin of q188's batch load,
+    * completing the batch/stream pair for the partition lifecycle the way
+    * q182/q183, q187/q189 and q190/q191 do for the maintained indexes.
+    * Shares q188's oracle: ladder, routing, and expiry masking must all
+    * land exactly where one batch load puts them.
+    */
+  def streamDynamicPartitions(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      val e = streamDynEngineFor(spark, dir)
+      e.rawLayout("graft", "orders_dyn")
+        .groupBy(col(e.PartCol).as("part"))
+        .agg(count(lit(1)).as("n_rows"))
     }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
@@ -896,6 +995,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamAnnIndex(s, d)),
     "q191_stream_text_index" ->
       ((s: SparkSession, d: String) => streamTextIndex(s, d)),
+    "q192_stream_dynamic_partitions" ->
+      ((s: SparkSession, d: String) => streamDynamicPartitions(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -909,6 +1010,10 @@ object StreamingQueries {
     // must serve the from-scratch corpus BM25 bit-for-bit
     "q191_stream_text_index" ->
       graft.pipeline.TextIndex.oracles("q190_text_index_served"),
+    // q192 shares q188's oracle: the ladder, routing, and expiry masking of
+    // the streamed loads must land exactly where one batch load puts them
+    "q192_stream_dynamic_partitions" ->
+      graft.queries.EngineQueries.oracles("q188_partition_expiry"),
     // islands formulation of session merge: a new session starts at a gap of
     // >= 30 min (Spark merges only strictly-overlapping [ts, ts+gap) windows);
     // microsecond diffs because ts carries microsecond precision

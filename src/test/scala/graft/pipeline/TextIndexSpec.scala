@@ -84,6 +84,22 @@ class TextIndexSpec extends AnyFunSuite {
     assert(eng.manifest(TextIndex.Db, TextIndex.PostingsTable).maxVersion == v)
   }
 
+  test("scheduled compaction folds the fold rowsets without changing the " +
+    "index content or the served BM25") {
+    val docs = synth(0L until 60L)
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs.filter(col("doc_id") % 10 =!= 0))
+    TextIndex.applyDelta(eng, docs.filter(col("doc_id") % 10 === 0))
+    val (p0, d0) = (postings(eng), doclens(eng))
+    val served0 = TextIndex.bm25FromTable(eng).collect().toSeq
+    TextIndex.compactIndex(eng)
+    assert(eng.manifest(TextIndex.Db, TextIndex.PostingsTable)
+      .visibleRowsets.size == 1, "full compaction must leave one rowset")
+    assert(postings(eng) === p0)
+    assert(doclens(eng) === d0)
+    assert(TextIndex.bm25FromTable(eng).collect().toSeq === served0)
+  }
+
   test("served BM25 ≡ from-scratch corpus BM25 bit-for-bit on the real " +
     "corpus (q190's fixture vs q118's recompute)") {
     val dir = "/root/testdata/sf0.001"
