@@ -86,15 +86,6 @@ object FoldProbe {
   }
 }
 
-/** Scale probe for the ANN engine-table index (q187's machinery) in its
-  * production shape at scale: the quantizer/codebooks FIT ONCE on the base
-  * corpus (re-fitting on 100× data is the scheduled re-bootstrap, not the
-  * steady state), new embeddings FOLD in (`AnnIndex.applyDelta` — stateless
-  * per-vector assignment), and probes SERVE from the table. Reports fold
-  * wall-time vs folded-batch factor and serve wall-time vs indexed-corpus
-  * factor. Copies get disjoint vec_ids; identical vectors across copies are
-  * fine for timing (ties rank deterministically).
-  */
 /** Scale probe for the inverted-text-index engine tables (q190's machinery)
   * in the production shape: the index FOLDS at load time and BM25 merely
   * PROBES it at query time. Reports, per corpus factor f: the fold cost of
@@ -182,6 +173,15 @@ object TextProbe {
   }
 }
 
+/** Scale probe for the ANN engine-table index (q187's machinery) in its
+  * production shape at scale: the quantizer/codebooks FIT ONCE on the base
+  * corpus (re-fitting on 100× data is the scheduled re-bootstrap, not the
+  * steady state), new embeddings FOLD in (`AnnIndex.applyDelta` — stateless
+  * per-vector assignment), and probes SERVE from the table. Reports fold
+  * wall-time vs folded-batch factor and serve wall-time vs indexed-corpus
+  * factor. Copies get disjoint vec_ids; identical vectors across copies are
+  * fine for timing (ties rank deterministically).
+  */
 object AnnProbe {
 
   private val Stride = 1000000000L

@@ -76,6 +76,10 @@ object SparkEntry {
     // sketches (fixed-size state on arbitrary-cardinality groups)
     "q146_mad_outliers" ->
       ((s: SparkSession, d: String) => graft.pipeline.Corpus.madOutliers(s, d, approx = true)),
+    // q88's verdict form computes clip bounds with exact percentile (state =
+    // O(distinct prices) on 3 reducers); production sketches the bounds
+    "q88_winsorize" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Corpus.winsorize(s, d, approx = true)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
     // q171's verdict form is quadratic-OUTPUT on this degenerately-dense

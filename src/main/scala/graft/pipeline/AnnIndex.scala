@@ -100,98 +100,23 @@ object AnnIndex {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Fit the IVF coarse quantizer + PQ codebooks on `emb` and publish all
-    * three tables. Same estimator settings as the in-memory index builds
-    * ([[Similarity.ivfTopK]]/[[Similarity.pqTopK]]): spherical-approx
-    * k-means on L2-normalized vectors, fixed seeds, m independent subspace
-    * fits.
-    *
-    * RE-FIT: calling bootstrap again on an engine that already holds an
-    * index publishes the new fit as the next versions of the same tables —
-    * Unique merge-on-read serves it atomically, time travel reaches the old
-    * fit, and compaction retires it. The refit must keep the same
-    * (nCells, m, kSub) geometry: shrinking any of them would leave stale
-    * higher-keyed centroid/codebook rows behind (a geometry change is a new
-    * table, not a refit). `AnnIndexSpec` pins refit ≡ fresh-engine fit.
+  /** The ONE assignment formula both maintenance paths share: nearest
+    * centroid (cell) and per-subspace nearest codebook entry (codes) by the
+    * deterministic [[l2sq]] fold, ties to the lowest cell/code index. Fit
+    * and fold computing assignments through the same expression is what
+    * makes fold-of-already-indexed-vectors a STRUCTURAL no-op — no appeal
+    * to MLlib's internal distance shortcuts (whose FP rounding differs from
+    * a left-to-right fold on near-equidistant vectors) is needed.
     */
-  def bootstrap(eng: OlapEngine, emb: DataFrame,
-                nCells: Int = NCells, m: Int = M, kSub: Int = KSub): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = eng.spark
-    import spark.implicits._
-
-    var e = normalized(emb)
-      .withColumn("features", array_to_vector(col("vn")))
-      .persist()
-    e.count()
-    val dim = e.select(size(col("vn"))).head().getInt(0)
-    val subDim = dim / m
-
-    val coarse = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
-    val centers = coarse.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-    var cur = coarse.transform(e).withColumnRenamed("prediction", "cell")
-      .drop("features").persist()
-    cur.count(); e.unpersist(); e = cur
-
-    val books = Array.ofDim[Array[Array[Double]]](m)
-    for (s <- 0 until m) {
-      val withFeat = e.withColumn("features",
-        array_to_vector(slice(col("vn"), s * subDim + 1, subDim)))
-      val model = new KMeans().setK(kSub).setSeed(42L + s).setMaxIter(10)
-        .fit(withFeat)
-      books(s) = model.clusterCenters.map(_.toArray)
-      cur = model.transform(withFeat)
-        .withColumnRenamed("prediction", s"c$s").drop("features").persist()
-      cur.count(); e.unpersist(); e = cur
-    }
-
-    // publish at the NEXT version of each table (not a fixed v1): a RE-FIT
-    // is just bootstrap run again on the accumulated corpus, and its rowsets
-    // must supersede (not collide with) the previous fit's — Unique
-    // merge-on-read then serves the new assignment/centroids/codebooks
-    // atomically per table, and time travel still reaches the old fit
-    def nextV(table: String): Version = {
-      val v = eng.manifest(Db, table).maxVersion + 1
-      Version(v, v)
-    }
-    val assign = e.select(col("vec_id"), col("cell"),
-      array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
-    eng.ingest(Db, AssignTable, assign, Some(nextV(AssignTable)))
-    e.unpersist()
-    eng.ingest(Db, CentroidTable,
-      centers.toDF("cell", "cv"), Some(nextV(CentroidTable)))
-    val bookRows = for {
-      s <- 0 until m; c <- 0 until kSub
-    } yield (s, c, books(s)(c).toSeq)
-    eng.ingest(Db, BookTable,
-      bookRows.toDF("s", "c", "sub"), Some(nextV(BookTable)))
-  }
-
-  /** Fold a new embedding batch into the index: no re-fit, pure map-side
-    * assignment against the stored (model-sized, broadcast) centroids and
-    * codebooks, upserted into `ivf_assign`. Ties break to the lowest
-    * cell/code index — KMeansModel.transform's own rule — so a re-fold of
-    * already-indexed vectors is bit-for-bit a no-op (spec-pinned).
-    */
-  def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
-    if (delta.isEmpty) return // an empty batch publishes nothing
-    val cents = eng.scan(Db, CentroidTable) // nCells rows
-    val booksDf = eng.scan(Db, BookTable)   // m·kSub rows
-    val m = booksDf.agg(max(col("s"))).head().getInt(0) + 1
-    val d = normalized(delta).select(col("vec_id"), col("vn"))
-
+  private def assignAll(d: DataFrame, cents: DataFrame, booksDf: DataFrame,
+                        m: Int, subDim: Int): DataFrame = {
     val withCell = d.crossJoin(broadcast(cents))
       .withColumn("d2", l2sq(col("vn"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cell"), col("vn")), struct(col("d2"), col("cell")))
         .as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("best.vn").as("vn"))
-
-    val dim = d.select(size(col("vn"))).head().getInt(0)
-    val subDim = dim / m
-    val codes = withCell
+    withCell
       .select(col("vec_id"), col("cell"),
         explode(sequence(lit(0), lit(m - 1))).as("s"),
         col("vn"))
@@ -203,8 +128,105 @@ object AnnIndex {
       .groupBy(col("vec_id"), col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
+  }
 
-    val up = codes.localCheckpoint(true)
+  /** Fit the IVF coarse quantizer + PQ codebooks on `emb` and publish all
+    * three tables. Same estimator settings as the in-memory index builds
+    * ([[Similarity.ivfTopK]]/[[Similarity.pqTopK]]): spherical-approx
+    * k-means on L2-normalized vectors, fixed seeds, m independent subspace
+    * fits. The k-means fits find the CENTERS only; the published
+    * assignments always go through [[assignAll]] — the same formula the
+    * fold uses — so the two maintenance paths cannot drift on borderline
+    * vectors.
+    *
+    * RE-FIT: calling bootstrap again on an engine that already holds an
+    * index publishes the new fit as the next versions of the same tables —
+    * Unique merge-on-read serves it atomically, time travel reaches the old
+    * fit, and compaction retires it. The refit must keep the same
+    * (nCells, m, kSub) geometry: shrinking any of them would leave stale
+    * higher-keyed centroid/codebook rows behind (a geometry change is a new
+    * table, not a refit) — ENFORCED against the stored tables' own row
+    * counts, not just documented. `AnnIndexSpec` pins refit ≡ fresh-engine
+    * fit.
+    */
+  def bootstrap(eng: OlapEngine, emb: DataFrame,
+                nCells: Int = NCells, m: Int = M, kSub: Int = KSub): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = eng.spark
+    import spark.implicits._
+
+    val e = normalized(emb)
+      .select(col("vec_id"), col("vn"))
+      .withColumn("features", array_to_vector(col("vn")))
+      .persist()
+    e.count()
+    val dim = e.select(size(col("vn"))).head().getInt(0)
+    require(dim % m == 0,
+      s"PQ needs dim divisible by m: dim=$dim, m=$m would silently drop the " +
+        s"trailing ${dim - m * (dim / m)} dimensions from every subspace")
+    val subDim = dim / m
+
+    // refit geometry guard: a shrunk (nCells, m, kSub) would leave stale
+    // higher-keyed centroid/codebook rows serving under merge-on-read
+    if (eng.manifest(Db, CentroidTable).maxVersion >= 1) {
+      val priorCells = eng.scan(Db, CentroidTable).count()
+      val b = eng.scan(Db, BookTable)
+        .agg(max(col("s")).as("ms"), max(col("c")).as("mc")).head()
+      val (priorM, priorK) = (b.getInt(0) + 1, b.getInt(1) + 1)
+      require(priorCells == nCells && priorM == m && priorK == kSub,
+        s"refit must keep the fitted geometry: stored (nCells=$priorCells, " +
+          s"m=$priorM, kSub=$priorK) vs requested ($nCells, $m, $kSub) — " +
+          "a geometry change is a new table, not a refit")
+    }
+
+    val coarse = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
+    val centers = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val books = (0 until m).map { s =>
+      new KMeans().setK(kSub).setSeed(42L + s).setMaxIter(10)
+        .fit(e.withColumn("features",
+          array_to_vector(slice(col("vn"), s * subDim + 1, subDim))))
+        .clusterCenters.map(_.toArray)
+    }
+
+    // publish at the NEXT version of each table (not a fixed v1): a RE-FIT
+    // is just bootstrap run again on the accumulated corpus, and its rowsets
+    // must supersede (not collide with) the previous fit's — Unique
+    // merge-on-read then serves the new assignment/centroids/codebooks
+    // atomically per table, and time travel still reaches the old fit
+    def nextV(table: String): Version = {
+      val v = eng.manifest(Db, table).maxVersion + 1
+      Version(v, v)
+    }
+    val centsDf = centers.toDF("cell", "cv")
+    val bookRows = for {
+      s <- 0 until m; c <- 0 until kSub
+    } yield (s, c, books(s)(c).toSeq)
+    val booksDf = bookRows.toDF("s", "c", "sub")
+    val assign = assignAll(e.select(col("vec_id"), col("vn")),
+      centsDf, booksDf, m, subDim)
+    eng.ingest(Db, AssignTable, assign, Some(nextV(AssignTable)))
+    e.unpersist()
+    eng.ingest(Db, CentroidTable, centsDf, Some(nextV(CentroidTable)))
+    eng.ingest(Db, BookTable, booksDf, Some(nextV(BookTable)))
+  }
+
+  /** Fold a new embedding batch into the index: no re-fit, pure map-side
+    * assignment against the stored (model-sized, broadcast) centroids and
+    * codebooks, upserted into `ivf_assign`. The assignment runs through
+    * [[assignAll]] — the same expression bootstrap publishes with — so a
+    * re-fold of already-indexed vectors is bit-for-bit a no-op by
+    * construction (spec-pinned), ties included.
+    */
+  def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
+    if (delta.isEmpty) return // an empty batch publishes nothing
+    val cents = eng.scan(Db, CentroidTable) // nCells rows
+    val booksDf = eng.scan(Db, BookTable)   // m·kSub rows
+    val m = booksDf.agg(max(col("s"))).head().getInt(0) + 1
+    val d = normalized(delta).select(col("vec_id"), col("vn"))
+    val dim = d.select(size(col("vn"))).head().getInt(0)
+    val up = assignAll(d, cents, booksDf, m, dim / m).localCheckpoint(true)
     if (!up.isEmpty) {
       val v = eng.manifest(Db, AssignTable).maxVersion + 1
       eng.ingest(Db, AssignTable, up, Some(Version(v, v)))

@@ -251,13 +251,24 @@ object Corpus {
     * per-group bounds are a tiny aggregate that BROADCASTS back into the
     * clipping scan, so the corpus streams through exactly twice with no
     * corpus-sized shuffle beyond the grouped partial aggs.
+    *
+    * Percentile state: the oracle form (`approx = false`) uses EXACT
+    * `percentile`, whose per-group state is O(distinct values) — and the
+    * group key here is `l_returnflag` (3 groups), so at 100 TB each of
+    * three reducers would hold every distinct price. Production sets
+    * `approx = true` ([[madOutliers]]'s q146 pattern, BenchVariant-pinned):
+    * `percentile_approx`'s fixed-size sketch computes the CLIP BOUNDS,
+    * which is exactly the tolerable kind of sketch error — the bounds are
+    * thresholds, not reported statistics — with the identical plan shape.
     */
-  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+  def winsorize(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    def pct(q: Double): Column =
+      if (approx) expr(s"percentile_approx(l_extendedprice, $q, 10000)").cast("double")
+      else expr(s"percentile(l_extendedprice, $q)")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_returnflag"), col("l_extendedprice"))
     val bounds = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .agg(pct(0.05).as("p05"), pct(0.95).as("p95"))
     val clipped = round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 2)
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))

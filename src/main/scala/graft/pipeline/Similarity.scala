@@ -317,7 +317,11 @@ object Similarity {
                      books: Array[Array[Array[Double]]],
                      nProbes: Int, m: Int, kSub: Int): DataFrame = {
     import spark.implicits._
-    val subDim = 64 / m
+    // subDim comes from the codebooks themselves, not from an assumed
+    // embedding dim: AnnIndex.topKFromTable serves arbitrary tables through
+    // this path, and a hardcoded 64/m would silently truncate (dim > 64) or
+    // overrun (dim < 64) the LUT dot products
+    val subDim = books(0)(0).length
     val probeVecs = coded.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("vn")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

@@ -690,16 +690,29 @@ object EngineQueries {
     // partitions are named pa_YYYYMM01 so name order IS chronological order
     // ('p0' < 'pa_' lexicographically, so p0 is always oldest); rows of
     // expired partitions are masked by the drop's delete predicates
+    // The survival ladder is enumerated CONTIGUOUSLY (generate_series from
+    // the first auto rung to the max month), matching the engine's minting
+    // loop: a zero-row month still occupies a survival slot, so a date-range
+    // gap in the fixture cannot make the oracle reach back to an older month
+    // the engine expired
     "q188_partition_expiry" ->
-      """WITH m AS (
+      """WITH mx AS (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        |            FROM orders),
+        |ladder AS (
+        |  SELECT 'p0' AS part
+        |  UNION ALL
+        |  SELECT 'pa_' || strftime(m, '%Y%m%d') AS part
+        |  FROM mx, UNNEST(generate_series(DATE '2000-01-01', mx.hi,
+        |                                  INTERVAL 1 MONTH)) t(m)),
+        |k AS (SELECT part, row_number() OVER (ORDER BY part DESC) AS rk
+        |      FROM ladder),
+        |r AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'p0'
         |    ELSE 'pa_' || strftime(date_trunc('month', o_orderdate), '%Y%m%d')
-        |  END AS part
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-12-01'),
-        |r AS (SELECT part, count(*) AS n_rows FROM m GROUP BY part),
-        |k AS (SELECT part, n_rows, row_number() OVER (ORDER BY part DESC) AS rk
-        |      FROM r)
-        |SELECT part, n_rows FROM k WHERE rk <= 12""".stripMargin,
+        |  END AS part, count(*) AS n_rows
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-12-01'
+        |  GROUP BY 1)
+        |SELECT r.part, r.n_rows FROM r JOIN k USING (part) WHERE k.rk <= 12""".stripMargin,
     "q186_dynamic_partition" ->
       """WITH m AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1992-02-01' THEN 'p0'

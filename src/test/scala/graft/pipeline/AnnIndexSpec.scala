@@ -55,8 +55,8 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.bootstrap(eng, emb, nCells = 4, m = 4, kSub = 4)
 
   test("fold ≡ fit: re-folding vectors the bootstrap already indexed is a " +
-    "bit-for-bit no-op (the explicit argmin math reproduces " +
-    "KMeansModel.transform's assignment, ties included)") {
+    "bit-for-bit no-op (fit and fold publish through the ONE shared argmin " +
+    "formula, so agreement is structural, ties included)") {
     val eng = mkEngine()
     val emb = synth(0L until 80L)
     bootstrapSmall(eng, emb)
