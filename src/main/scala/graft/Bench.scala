@@ -69,8 +69,8 @@ object Bench {
     // the oracle-verdict form (sketch-only stand-ins, warm-restart streaming
     // drains) are labeled so the headline number can't silently overstate.
     val variantOf: String => Option[String] = n =>
-      if (n == "q157_semantic_dedup" || n == "q160_neardup_pagerank" ||
-          n == "q171_prefix_filter_join")
+      if (n == "q157_semantic_dedup" || n == "q196_semantic_dedup_served" ||
+          n == "q160_neardup_pagerank" || n == "q171_prefix_filter_join")
         Some("blocked-production-form") // verdict form bundles an O(n²) audit baseline
         // (q171: verdict form is quadratic-output on this corpus's density)
       else if (n == "q178_leakage_safe_split")

@@ -39,6 +39,7 @@ object SparkEntry {
       graft.pipeline.ClusterReps.all ++
       graft.pipeline.AnnIndex.all ++
       graft.pipeline.TextIndex.all ++
+      graft.pipeline.ModelStore.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
       graft.operators.TimeSeries.all ++
@@ -82,6 +83,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.pipeline.Corpus.winsorize(s, d, approx = true)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
+    // q196's verdict form bundles the same O(n²) exact baseline as q157;
+    // production emits the within-block pairs from the table-served blocks
+    "q196_semantic_dedup_served" ->
+      ((s: SparkSession, d: String) => graft.pipeline.AnnIndex.semanticDedupPairsServed(s, d)),
     // q171's verdict form is quadratic-OUTPUT on this degenerately-dense
     // synthetic corpus (~3M true pairs at sf0.1); production runs the same
     // lossless join within source blocks (within-crawl-shard dedup; global
@@ -122,6 +127,7 @@ object SparkEntry {
       graft.pipeline.ClusterReps.oracles ++
       graft.pipeline.AnnIndex.oracles ++
       graft.pipeline.TextIndex.oracles ++
+      graft.pipeline.ModelStore.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
       graft.operators.TimeSeries.oracles ++

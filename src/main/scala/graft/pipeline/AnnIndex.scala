@@ -342,9 +342,73 @@ object AnnIndex {
       lit(served >= (floor + 0.1) * total).as("margin_ok"))
   }
 
+  /** Multi-assigned semantic-dedup blocks derived from the STORED coarse
+    * quantizer: each vector indexed into its `nAssign` nearest stored
+    * centroids (nCells rows, broadcast). The q157 SemDeDup blocking, with
+    * the k-means cells read from the maintained `ivf_centroids` table
+    * instead of a per-JVM `TrieMap` — ONE stored quantizer now serves both
+    * ANN search (q187) and semantic-dedup blocking (q196), which is the
+    * production economy of maintaining it: the fit amortizes across every
+    * consumer.
+    */
+  def semanticBlocksFromTable(eng: OlapEngine, emb: DataFrame,
+                              nAssign: Int = 2): DataFrame = {
+    val cents = eng.scan(Db, CentroidTable)
+    normalized(emb)
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        Similarity.dot(col("v"), col("cv")) /
+          (col("nrm") * Similarity.norm(col("cv"))))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crk") <= nAssign)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  }
+
+  /** Production emission: within-block near-dup pairs from the table-served
+    * blocks (the [[Similarity.semanticDedupPairs]] shape, quantizer from
+    * the engine). The benchmarked form — no exact baseline bundled.
+    */
+  def semanticDedupPairsServed(spark: SparkSession, dir: String,
+                               threshold: Double = 0.4,
+                               nAssign: Int = 2): DataFrame = {
+    val eng = engineFor(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.thresholdPairs(semanticBlocksFromTable(eng, emb, nAssign),
+      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"),
+      threshold).distinct()
+  }
+
+  /** q196: q157's semantic-dedup recall audit with the blocking served
+    * from the maintained quantizer table — must satisfy the SAME oracle
+    * (exact pair count recomputed in SQL + the 0.5 recall-floor verdict),
+    * proving the stored centroids block as well as the in-JVM fit. The
+    * fixture's quantizer is fit on 90% of the corpus (the q187 bootstrap)
+    * — a blocking model is exactly the artifact that may serve data it was
+    * not fit on, and the recall floor is the contract that says how well.
+    */
+  def semanticDedupAuditServed(spark: SparkSession, dir: String,
+                               threshold: Double = 0.4,
+                               nAssign: Int = 2): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = normalized(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val within = semanticDedupPairsServed(spark, dir, threshold, nAssign)
+    val exact = Similarity.thresholdPairs(e,
+      col("a.vec_id") < col("b.vec_id"), threshold)
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(within.agg(count(lit(1)).as("n_within"))))
+      .select(lit("semantic_dedup_recall").as("metric"),
+        lit(NCells).as("n_cells"),
+        col("n_exact_pairs"),
+        (col("n_within") >= col("n_exact_pairs") * 0.5).as("ok"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_ann_index_served" ->
       ((s: SparkSession, d: String) => recallAuditServed(s, d)),
+    "q196_semantic_dedup_served" ->
+      ((s: SparkSession, d: String) => semanticDedupAuditServed(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,5 +418,9 @@ object AnnIndex {
     "q187_ann_index_served" ->
       """SELECT 'ann_index_recall_at_5' AS metric, 8 AS n_probes, 5 AS k,
         |  true AS ok, true AS margin_ok""".stripMargin,
+    // q157's oracle VERBATIM: exact pairs recomputed in SQL, recall floor
+    // pinned — one contract, two quantizer sources (in-JVM fit vs the
+    // maintained engine table)
+    "q196_semantic_dedup_served" -> Similarity.oracles("q157_semantic_dedup"),
   )
 }

@@ -444,11 +444,19 @@ object Corpus {
     * is ONE (pair, count) row — the model lives on the driver, the counts
     * stay distributed (the [[Trainer]] parameter-server shape again).
     */
-  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
+    bpeCache.getOrElseUpdate((dir, nMerges), bpeMergesOf(docs(spark, dir), nMerges))
+
+  /** The training pass itself, over any (text) frame — callable by the
+    * model-store bootstrap ([[ModelStore]]) as well as the per-dir cache
+    * wrapper above.
+    */
+  def bpeMergesOf(documents: DataFrame, nMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    bpeCache.getOrElseUpdate((dir, nMerges), {
+    locally {
       val tokPat = lit("\\(([^)]*)\\)")
-      var wc = docs(spark, dir)
+      var wc = documents
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .filter(col("word").rlike("^[a-z0-9]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -489,7 +497,7 @@ object Corpus {
       wc.unpersist()
       merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
         .repartition(1)
-    })
+    }
   }
 
   /** BPE tokenization — apply the learned merges (q149's model) to every
@@ -506,12 +514,23 @@ object Corpus {
     val merges = bpeMerges(spark, dir, nMerges).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
+    tokenizeWithMerges(docs(spark, dir), merges.toSeq)
+  }
+
+  /** Apply an already-learned merge sequence (rank order) to any
+    * (doc_id, text) frame — the serve half of BPE, shared by the per-JVM
+    * cache path above and the table-served path ([[ModelStore]], which
+    * reads the merges from a maintained engine table instead of re-training
+    * in every new JVM).
+    */
+  def tokenizeWithMerges(documents: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
     val enc0 = when(col("word").rlike("^[a-z0-9]+$"),
       regexp_replace(col("word"), "(.)", "($1)"))
     val enc = merges.foldLeft(enc0) { case (e, (a, b)) =>
       regexp_replace(e, s"\\($a\\)\\($b\\)", s"(${a}_$b)")
     }
-    docs(spark, dir)
+    documents
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .select(col("doc_id"),

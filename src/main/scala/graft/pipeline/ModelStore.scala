@@ -1,0 +1,280 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.manifest.Version
+import graft.model._
+
+/** Trained-model artifacts AS maintained engine tables — the last members
+  * of the per-JVM `TrieMap` cache family moved into the engine, completing
+  * what rounds 7-8 did for the cluster (q182), CMS (q184), vector (q187)
+  * and text (q190) indexes. A model cached in a JVM re-FITS in every new
+  * JVM; at 100 TB a BPE training pass or a 50-iteration GD fit is a corpus
+  * scan per iteration, which production runs ONCE and then serves from
+  * stored artifacts. (Reference anchor: src/index/mod.rs:95-108 — built
+  * state is only real when it is stored, consulted AND maintained.)
+  *
+  * Four tables under `graft_idx`, split by their maintenance algebra:
+  *  - `bpe_merges` (Unique, rank → lhs/rhs/merged/pair_count): the learned
+  *    merge sequence — 10 rows, model-sized. Training is globally
+  *    sequential (each round's counts depend on all prior merges), so the
+  *    maintenance story is bootstrap + scheduled re-fit publishing the next
+  *    table versions ([[AnnIndex.bootstrap]]'s contract), never a fold.
+  *  - `logreg_weights` (Unique, param → w): 4 rows. Same re-fit story —
+  *    gradient descent is iterative over the whole corpus.
+  *  - `lm_unigram` / `lm_bigram` (Aggregate Sum, word keys → counts): the
+  *    bigram LM's sufficient statistics. Counts are stateless per document,
+  *    so these DO fold: a new batch's counts Sum-merge through plain MVCC
+  *    loads — the q184 Count-Min shape — and merge-on-read (or compaction)
+  *    IS the model update. Contract: each batch folds exactly once (a
+  *    Sum-merged table is not replay-idempotent — the deliberate trade
+  *    documented at [[TextIndex]], which chose pure Unique upserts for the
+  *    streaming path; batch loads version each delta, so the fixture and
+  *    spec paths are exact).
+  *
+  * Serve functions read ONLY the tables (no training code on the path), so
+  * a fresh engine over the same warehouse serves without re-fitting —
+  * `ModelStoreSpec` pins that restart shape, and q193-q195 pin the serves
+  * against the SAME oracles as the in-JVM forms (q140/q150/q145): one
+  * answer, two derivations.
+  */
+object ModelStore {
+
+  val Db = "graft_idx"
+  val BpeTable = "bpe_merges"
+  val LogregTable = "logreg_weights"
+  val UniTable = "lm_unigram"
+  val BigTable = "lm_bigram"
+  val NMerges = 10
+
+  def createTables(eng: OlapEngine): Unit = {
+    eng.createDatabase(Db)
+    eng.createTable(TableDef(
+      db = Db, name = BpeTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("rank", IntegerType),
+        ColumnSpec.value("lhs", StringType),
+        ColumnSpec.value("rhs", StringType),
+        ColumnSpec.value("merged", StringType),
+        ColumnSpec.value("pair_count", LongType))),
+      bucketColumn = Some("rank"), numBuckets = 1))
+    eng.createTable(TableDef(
+      db = Db, name = LogregTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("param", StringType),
+        ColumnSpec.value("w", DoubleType))),
+      bucketColumn = Some("param"), numBuckets = 1))
+    eng.createTable(TableDef(
+      db = Db, name = UniTable,
+      schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("w1", StringType),
+        ColumnSpec.value("cu", LongType, AggType.Sum))),
+      bucketColumn = Some("w1"), numBuckets = 4))
+    eng.createTable(TableDef(
+      db = Db, name = BigTable,
+      schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("w1", StringType),
+        ColumnSpec.key("w2", StringType),
+        ColumnSpec.value("cb", LongType, AggType.Sum))),
+      bucketColumn = Some("w1"), numBuckets = 4))
+  }
+
+  private def nextV(eng: OlapEngine, table: String): Version = {
+    val v = eng.manifest(Db, table).maxVersion + 1
+    Version(v, v)
+  }
+
+  // --- BPE: bootstrap/re-fit only (training is globally sequential) --------
+
+  /** Train the merge sequence on `documents` and publish it. Re-running on
+    * a grown corpus IS the scheduled re-fit: the new sequence lands as the
+    * next version of each rank row and Unique merge-on-read serves it
+    * atomically (ranks are stable keys — the vocabulary size never shrinks
+    * across refits with the same nMerges).
+    */
+  def bootstrapBpe(eng: OlapEngine, documents: DataFrame,
+                   nMerges: Int = NMerges): Unit =
+    eng.ingest(Db, BpeTable, Corpus.bpeMergesOf(documents, nMerges),
+      Some(nextV(eng, BpeTable)))
+
+  /** BPE tokenization SERVED from the stored merge table: collect the
+    * model (nMerges rows), compile the same literal-regexp chain the
+    * in-JVM form uses, stream the corpus through it. No training runs.
+    */
+  def bpeTokenizeFromTable(eng: OlapEngine, documents: DataFrame): DataFrame = {
+    val merges = eng.scan(Db, BpeTable).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    Corpus.tokenizeWithMerges(documents, merges.toSeq)
+  }
+
+  // --- logreg: bootstrap/re-fit only (iterative GD) -------------------------
+
+  /** Fit the quality classifier ([[Trainer.fit]]'s exact loop) and publish
+    * the weights. Same re-fit-as-next-version contract as BPE.
+    */
+  def bootstrapLogreg(eng: OlapEngine, documents: DataFrame): Unit = {
+    val spark = eng.spark
+    import spark.implicits._
+    val features = Trainer.logregFeaturesOf(documents).cache()
+    val w =
+      try Trainer.fit(features, Trainer.Iters, Trainer.Lr)
+      finally features.unpersist()
+    eng.ingest(Db, LogregTable,
+      Seq(("w1", w(0)), ("w2", w(1)), ("w3", w(2)), ("bias", w(3)))
+        .toDF("param", "w"),
+      Some(nextV(eng, LogregTable)))
+  }
+
+  /** q145's audit verdict SERVED from the stored weights: scoring is one
+    * aggregate scan with the 4 stored doubles inlined — training never
+    * runs. Emits the identical row shape q145 pins, so the shared oracle
+    * certifies the weight round-trip AND the scorer.
+    */
+  def logregQualityFromTable(eng: OlapEngine, documents: DataFrame): DataFrame = {
+    val stored = eng.scan(Db, LogregTable).collect()
+      .map(r => r.getAs[String]("param") -> r.getAs[Double]("w")).toMap
+    val w = Array(stored("w1"), stored("w2"), stored("w3"), stored("bias"))
+    val features = Trainer.logregFeaturesOf(documents)
+    val z = col("x1") * w(0) + col("x2") * w(1) + col("x3") * w(2) + lit(w(3))
+    val acc = features
+      .agg(avg(when((z > 0) === (col("y") > 0.5), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    documents
+      .agg(count(lit(1)).as("n_train"))
+      .select(lit("logreg_quality").as("metric"), col("n_train"),
+        lit(Trainer.Iters).as("iters"), lit(acc >= 0.85).as("acc_ge_085"),
+        lit(w(0) > 0).as("w_len_pos"))
+  }
+
+  // --- bigram LM: true incremental fold (Sum-merged count tables) -----------
+
+  /** q140's exact tokenization/bigram expressions — the fold and the serve
+    * must be formula-identical to the in-JVM model build.
+    */
+  private def withBigrams(documents: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    documents.select(col("doc_id"),
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"),
+      ws.as("ws"))
+  }
+
+  /** Fold one document batch's LM counts in. Stateless per document, so
+    * any batching Sum-merges to the full-corpus counts exactly; each batch
+    * must fold exactly once (Sum tables are not replay-idempotent).
+    */
+  def lmFold(eng: OlapEngine, delta: DataFrame): Unit = {
+    if (delta.isEmpty) return // an empty batch publishes nothing
+    val d = withBigrams(delta).localCheckpoint(true) // one tokenize, two aggs
+    eng.ingest(Db, UniTable,
+      d.select(explode(col("ws")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cu")),
+      Some(nextV(eng, UniTable)))
+    eng.ingest(Db, BigTable,
+      d.select(explode(col("bg")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cb")),
+      Some(nextV(eng, BigTable)))
+  }
+
+  /** q140's perplexity-filter score SERVED from the Sum-merged count
+    * tables: identical per-bigram add-one-smoothed log-probability math
+    * (round-8dp DECIMAL terms, exact decimal per-doc sum), with the counts
+    * and vocabulary size read from the engine instead of rebuilt. The
+    * vocabulary size IS the unigram table's row count — merge-on-read
+    * already collapsed duplicate keys across folds.
+    */
+  def bigramQualityFromTables(eng: OlapEngine, documents: DataFrame): DataFrame = {
+    val d = withBigrams(graft.operators.MapWidth.widen(documents))
+    val uni = eng.scan(Db, UniTable)
+    val big = eng.scan(Db, BigTable)
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    d.select(col("doc_id"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(1)).cast("double") /
+          (col("cu") + col("vocab")).cast("double")), 8)
+          .cast("decimal(18,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
+  // --- driver fixture + queries ---------------------------------------------
+
+  private val cache = TrieMap.empty[String, OlapEngine]
+  private def deleteWarehouse(e: OlapEngine): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(e.warehouse.toFile)
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.values.foreach(deleteWarehouse)))
+  }
+
+  /** Drops AND deletes the cached engines' temp warehouses (same contract
+    * as [[ClusterReps.clearCaches]]).
+    */
+  def clearCaches(): Unit = {
+    cache.values.foreach(deleteWarehouse)
+    cache.clear()
+  }
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Driver fixture: the LM folds in two batches (90% then 10%, the q123
+    * split — its Sum-merge must reproduce full-corpus counts exactly for
+    * q193 to hash); BPE and logreg bootstrap on the full corpus (their
+    * oracles replay full-corpus training — a split fit would be a
+    * different model, which is exactly why their maintenance story is
+    * re-fit, not fold).
+    */
+  def engineFor(spark: SparkSession, dir: String): OlapEngine =
+    cache.getOrElseUpdate(dir, {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-modelstore-"))
+      createTables(eng)
+      val d = docs(spark, dir)
+      lmFold(eng, d.filter(col("doc_id") % 10 =!= 0))
+      lmFold(eng, d.filter(col("doc_id") % 10 === 0))
+      bootstrapBpe(eng, d)
+      bootstrapLogreg(eng, d)
+      eng
+    })
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_bigram_lm_served" -> ((s: SparkSession, d: String) =>
+      bigramQualityFromTables(engineFor(s, d), docs(s, d))),
+    "q194_bpe_tokenize_served" -> ((s: SparkSession, d: String) =>
+      bpeTokenizeFromTable(engineFor(s, d), docs(s, d))),
+    "q195_logreg_served" -> ((s: SparkSession, d: String) =>
+      logregQualityFromTable(engineFor(s, d), docs(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // q140's oracle VERBATIM: the table-served LM score must equal the
+    // in-JVM rebuild bit-for-bit — certifying the fold, the Sum merge, the
+    // vocabulary derivation and the serve formula in one hash
+    "q193_bigram_lm_served" -> TextAnalysis.oracles("q140_bigram_quality"),
+    // q150's oracle VERBATIM (replay training + apply): passes iff the
+    // STORED merge rows equal the trained sequence and the serve applies
+    // them identically
+    "q194_bpe_tokenize_served" -> Corpus.oracles("q150_bpe_tokenize"),
+    // q145's oracle VERBATIM: the stored weights must score the corpus to
+    // the same verdict the freshly-trained model does
+    "q195_logreg_served" -> Trainer.oracles("q145_logreg_quality"),
+  )
+}

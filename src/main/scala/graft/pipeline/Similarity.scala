@@ -567,7 +567,7 @@ object Similarity {
       df
     }
 
-  private def thresholdPairs(df: DataFrame, joinCond: Column,
+  private[pipeline] def thresholdPairs(df: DataFrame, joinCond: Column,
                              threshold: Double): DataFrame =
     df.as("a").join(df.as("b"), joinCond)
       .filter(dot(col("a.v"), col("b.v")) /

@@ -39,9 +39,16 @@ object Trainer {
     * (n_chars > 300 ≈ the corpus median — balanced classes), a deterministic
     * stand-in for the human "good/bad" labels a production filter trains on.
     */
-  private[pipeline] def logregFeatures(spark: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def logregFeatures(spark: SparkSession, dir: String): DataFrame =
+    logregFeaturesOf(docs(spark, dir))
+
+  /** The feature projection over any (doc_id, text, n_chars) frame —
+    * shared by the in-JVM trainer and the table-served scorer
+    * ([[ModelStore]]).
+    */
+  private[pipeline] def logregFeaturesOf(documents: DataFrame): DataFrame = {
     val ws = split(trim(lower(col("text"))), "\\s+")
-    docs(spark, dir).select(
+    documents.select(
       col("doc_id"),
       (size(ws).cast("double") / lit(100.0)).as("x1"),
       TextAnalysis.stopRatio.as("x2"),
@@ -73,8 +80,8 @@ object Trainer {
   /** Test/fixture hook: drop cached models (data under a dir regenerated). */
   def clear(): Unit = modelCache.clear()
 
-  private val Iters = 50
-  private val Lr = 4.0
+  private[pipeline] val Iters = 50
+  private[pipeline] val Lr = 4.0
 
   private def trainedModel(spark: SparkSession, dir: String): (Array[Double], Double) =
     modelCache.getOrElseUpdate(dir, {

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.engine.OlapEngine
+
+/** The trained-model store: LM fold ≡ one-shot counts (Sum-merge algebra),
+  * restart-shaped serving (a FRESH engine over the same warehouse serves
+  * every model without re-fitting — the gap that motivated the store), and
+  * re-fit publishing through plain table versions.
+  */
+class ModelStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Deterministic texts: small vocabulary, length spread around the n_chars
+    * label boundary so the logreg fit sees both classes.
+    */
+  private def synth(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val vocab = Vector("spark", "data", "join", "query", "the", "of", "alpha",
+      "beta", "gamma", "delta")
+    ids.map { id =>
+      val rnd = new scala.util.Random(id)
+      val n = 3 + rnd.nextInt(80)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, text, text.length)
+    }.toDF("doc_id", "text", "n_chars")
+  }
+
+  private def mkEngine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-mstore-wh-"))
+    ModelStore.createTables(eng)
+    eng
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("LM fold ≡ one-shot counts: folding in two batches Sum-merges to the " +
+    "full-corpus unigram/bigram counts exactly") {
+    val docs = synth(0L until 50L)
+    val oneShot = mkEngine()
+    ModelStore.lmFold(oneShot, docs)
+    val folded = mkEngine()
+    ModelStore.lmFold(folded, docs.filter(col("doc_id") % 10 =!= 0))
+    ModelStore.lmFold(folded, docs.filter(col("doc_id") % 10 === 0))
+    for (t <- Seq(ModelStore.UniTable, ModelStore.BigTable))
+      assert(rows(folded.scan(ModelStore.Db, t)) ===
+        rows(oneShot.scan(ModelStore.Db, t)), t)
+    // and the served score agrees between the two maintenance histories
+    assert(rows(ModelStore.bigramQualityFromTables(folded, docs)) ===
+      rows(ModelStore.bigramQualityFromTables(oneShot, docs)))
+  }
+
+  test("restart shape: a FRESH engine over the same warehouse serves all " +
+    "three models without re-fitting (publishes nothing, answers match)") {
+    val docs = synth(0L until 40L).localCheckpoint(true)
+    val eng = mkEngine()
+    ModelStore.lmFold(eng, docs)
+    ModelStore.bootstrapBpe(eng, docs, nMerges = 5)
+    ModelStore.bootstrapLogreg(eng, docs)
+    val lmA = rows(ModelStore.bigramQualityFromTables(eng, docs))
+    val bpeA = rows(ModelStore.bpeTokenizeFromTable(eng, docs))
+    val lrA = rows(ModelStore.logregQualityFromTable(eng, docs))
+
+    // "restart": a new engine object over the SAME warehouse path — the
+    // manifests reload from disk; createTables is the DDL replay a
+    // deployment runs, it touches no data
+    val fresh = new OlapEngine(spark, eng.warehouse)
+    ModelStore.createTables(fresh)
+    val before = Seq(ModelStore.BpeTable, ModelStore.LogregTable,
+      ModelStore.UniTable, ModelStore.BigTable)
+      .map(t => fresh.manifest(ModelStore.Db, t).maxVersion)
+    assert(rows(ModelStore.bigramQualityFromTables(fresh, docs)) === lmA)
+    assert(rows(ModelStore.bpeTokenizeFromTable(fresh, docs)) === bpeA)
+    assert(rows(ModelStore.logregQualityFromTable(fresh, docs)) === lrA)
+    val after = Seq(ModelStore.BpeTable, ModelStore.LogregTable,
+      ModelStore.UniTable, ModelStore.BigTable)
+      .map(t => fresh.manifest(ModelStore.Db, t).maxVersion)
+    assert(after === before, "serving must publish nothing")
+  }
+
+  test("served forms equal the in-JVM forms on the same corpus (one answer, " +
+    "two derivations — the q193/q194/q195 contract in miniature)") {
+    val docs = synth(0L until 40L).localCheckpoint(true)
+    val eng = mkEngine()
+    ModelStore.lmFold(eng, docs)
+    ModelStore.bootstrapBpe(eng, docs, nMerges = 5)
+    // LM: table-served score vs the formula recomputed from scratch
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val d = docs.select(col("doc_id"),
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"), ws.as("ws"))
+    val uni = d.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val big = d.select(explode(col("bg")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val scratch = d.select(col("doc_id"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(1)).cast("double") /
+          (col("cu") + col("vocab")).cast("double")), 8)
+          .cast("decimal(18,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+    assert(rows(ModelStore.bigramQualityFromTables(eng, docs)) === rows(scratch))
+    // BPE: table-served tokenize vs tokenize with the freshly-trained merges
+    val trained = Corpus.bpeMergesOf(docs, 5).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rows(ModelStore.bpeTokenizeFromTable(eng, docs)) ===
+      rows(Corpus.tokenizeWithMerges(docs, trained)))
+  }
+
+  test("re-fit publishes the next versions: retraining on a grown corpus " +
+    "supersedes the stored BPE/logreg models atomically") {
+    val docs0 = synth(0L until 30L).localCheckpoint(true)
+    val grown = synth(0L until 60L).localCheckpoint(true)
+    val eng = mkEngine()
+    ModelStore.bootstrapBpe(eng, docs0, nMerges = 5)
+    ModelStore.bootstrapLogreg(eng, docs0)
+    val v0 = eng.manifest(ModelStore.Db, ModelStore.BpeTable).maxVersion
+    ModelStore.bootstrapBpe(eng, grown, nMerges = 5)
+    ModelStore.bootstrapLogreg(eng, grown)
+    assert(eng.manifest(ModelStore.Db, ModelStore.BpeTable).maxVersion > v0)
+    // the refit engine serves exactly what a fresh fit on the grown corpus does
+    val ref = mkEngine()
+    ModelStore.bootstrapBpe(ref, grown, nMerges = 5)
+    ModelStore.bootstrapLogreg(ref, grown)
+    assert(rows(ModelStore.bpeTokenizeFromTable(eng, grown)) ===
+      rows(ModelStore.bpeTokenizeFromTable(ref, grown)))
+    assert(rows(ModelStore.logregQualityFromTable(eng, grown)) ===
+      rows(ModelStore.logregQualityFromTable(ref, grown)))
+  }
+}
