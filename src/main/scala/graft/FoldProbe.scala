@@ -238,3 +238,85 @@ object AnnProbe {
     spark.stop()
   }
 }
+
+/** Fold-burst probe for the scheduled-compaction loop
+  * (`OlapEngine.runScheduledCompaction`): serve cost of the ANN and
+  * cluster_reps index tables BEFORE vs AFTER compaction, as fold count
+  * grows. Each fold publishes one rowset fragment; merge-on-read unions
+  * every visible fragment per serve, so pre-compaction serve cost grows
+  * with burst size while post-compaction cost is flat — the measured
+  * argument that the C1-C3 loop (not serve code) owns steady-state probe
+  * latency. Folds replay the same delta (replay-safe upserts), so content
+  * is identical at every burst size and the timing isolates fragment count.
+  */
+object CompactionProbe {
+
+  def main(args: Array[String]): Unit = {
+    import graft.pipeline.{AnnIndex, ClusterReps}
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val bursts = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                 else Seq(1, 4, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def median3(work: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+
+    // --- ANN: serve = table-served IVF-PQ top-k over the full corpus -----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    def annCell(k: Int): (Double, Double) = {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-cprobe-ann-"))
+      AnnIndex.createTables(eng)
+      AnnIndex.bootstrap(eng, emb.filter(col("vec_id") % 10 =!= 0))
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      (1 to k).foreach(_ => AnnIndex.applyDelta(eng, delta))
+      def serve(): Unit = AnnIndex.topKFromTable(eng, emb)
+        .write.mode("overwrite").format("noop").save()
+      val pre = median3(serve())
+      eng.runScheduledCompaction()
+      val post = median3(serve())
+      (pre, post)
+    }
+
+    // --- cluster_reps: serve = full-corpus rep resolution ----------------
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(true)
+    def crCell(k: Int): (Double, Double) = {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-cprobe-cr-"))
+      ClusterReps.createIndexTable(eng)
+      val base = d.filter(col("doc_id") % 10 =!= 0)
+      val delta = d.filter(col("doc_id") % 10 === 0)
+      ClusterReps.bootstrap(eng, base)
+      ClusterReps.applyDelta(eng, base, delta)
+      (2 to k).foreach(_ => ClusterReps.applyDelta(eng, d, delta))
+      def serve(): Unit = d.select(col("doc_id"))
+        .join(eng.scan(ClusterReps.Db, ClusterReps.Table)
+          .select(col("doc_id"), col("rep").as("stored")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("stored"), col("doc_id")).as("rep"))
+        .write.mode("overwrite").format("noop").save()
+      val pre = median3(serve())
+      eng.runScheduledCompaction()
+      val post = median3(serve())
+      (pre, post)
+    }
+
+    annCell(1); crCell(1) // warm-up (JIT + engine machinery); discarded
+    val ann = bursts.map(k => (k, annCell(k)))
+    val cr = bursts.map(k => (k, crCell(k)))
+    def fmt(rs: Seq[(Int, (Double, Double))], g: ((Double, Double)) => Double) =
+      rs.map { case (f, t) => "\"" + f + "\":" + g(t) }.mkString("{", ",", "}")
+    println(s"""{"probe":"scheduled_compaction","sf":"$sfDir","ann_serve_pre":${fmt(ann, _._1)},"ann_serve_post":${fmt(ann, _._2)},"cluster_reps_serve_pre":${fmt(cr, _._1)},"cluster_reps_serve_post":${fmt(cr, _._2)}}""")
+    spark.stop()
+  }
+}

@@ -298,8 +298,11 @@ object AnnIndex {
   }
 
   /** Driver fixture: bootstrap on 90% of the corpus (vec_id % 10 ≠ 0), fold
-    * the remaining 10% in incrementally — the served index's content is
-    * reached through BOTH maintenance paths, like the cluster_reps fixture.
+    * the remaining 10% in incrementally, then run the engine's scheduled
+    * compaction — the served index's content is reached through BOTH
+    * maintenance paths PLUS the compaction rewrite, like the cluster_reps
+    * and text-index fixtures, so q187/q196's green hashes certify all
+    * three layers at once.
     */
   def engineFor(spark: SparkSession, dir: String): OlapEngine =
     cache.getOrElseUpdate(dir, {
@@ -308,6 +311,7 @@ object AnnIndex {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       bootstrap(eng, emb.filter(col("vec_id") % 10 =!= 0))
       applyDelta(eng, emb.filter(col("vec_id") % 10 === 0))
+      eng.runScheduledCompaction()
       eng
     })
 

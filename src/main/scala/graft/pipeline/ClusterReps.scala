@@ -179,10 +179,11 @@ object ClusterReps {
   }
 
   /** Driver fixture: bootstrap from the corpus minus the q123 delta
-    * (doc_id % 10 ≠ 0), then fold the delta in incrementally — so the served
-    * table's content is reached through BOTH maintenance paths, and q182's
-    * oracle (a full-corpus recompute) only matches if the incremental merge
-    * is exact.
+    * (doc_id % 10 ≠ 0), then fold the delta in incrementally, then run the
+    * engine's scheduled compaction — so the served table's content is
+    * reached through BOTH maintenance paths plus the compaction rewrite,
+    * and q182's oracle (a full-corpus recompute) only matches if the
+    * incremental merge AND the rewrite are exact.
     */
   def engineFor(spark: SparkSession, dir: String): OlapEngine =
     cache.getOrElseUpdate(dir, {
@@ -191,6 +192,7 @@ object ClusterReps {
       val d = docs(spark, dir)
       bootstrap(eng, d.filter(col("doc_id") % 10 =!= 0))
       applyDelta(eng, d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+      eng.runScheduledCompaction()
       eng
     })
 

@@ -252,6 +252,7 @@ object ModelStore {
       lmFold(eng, d.filter(col("doc_id") % 10 === 0))
       bootstrapBpe(eng, d)
       bootstrapLogreg(eng, d)
+      eng.runScheduledCompaction() // merges the LM fold fragments
       eng
     })
 

@@ -84,12 +84,12 @@ object TextIndex {
     */
   def bootstrap(eng: OlapEngine, docs: DataFrame): Unit = applyDelta(eng, docs)
 
-  /** Fold a document batch into the index: per-doc term frequencies and
+  /** Fold a NEW-document batch into the index: per-doc term frequencies and
     * lengths, upserted through the Unique-model ingest. Stateless per
-    * document ⇒ exact, idempotent, batching-order-free. Callers replacing a
-    * CHANGED document re-fold it (Unique upsert overwrites the old tf rows
-    * for words still present); vanished-word tombstones are the caller's
-    * `ingestDeletes`, same as any Unique table.
+    * document ⇒ exact, idempotent, batching-order-free. For CHANGED
+    * documents use [[refold]], which additionally tombstones the words that
+    * vanished from the new text — a plain upsert would leave their stale
+    * postings serving.
     */
   def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
     if (delta.isEmpty) return // an empty batch publishes nothing
@@ -103,6 +103,53 @@ object TextIndex {
     }
     eng.ingest(Db, PostingsTable, postings, Some(nextV(PostingsTable)))
     eng.ingest(Db, DoclenTable, doclen, Some(nextV(DoclenTable)))
+  }
+
+  /** Re-fold CHANGED documents: the update path [[applyDelta]]'s scaladoc
+    * used to leave to the caller, automated. The Unique upsert alone would
+    * overwrite tf for words still present in the new text but leave STALE
+    * postings for words that vanished from it; refold diffs the stored
+    * postings for the batch's doc_ids against the new tokenization and
+    * publishes upserts + vanished-word tombstones as ONE [[OlapEngine
+    * .mergeInto]] rowset — readers see the whole document update
+    * atomically, never a half-rewritten posting list. Doclen upserts ride
+    * in their own load (pure overwrite; no tombstones can arise).
+    *
+    * Cost note: the diff reads the postings table filtered to the batch's
+    * doc_ids. Postings are word-bucketed (for probe pruning), so this is a
+    * postings scan narrowed by a broadcast semi-join on the delta ids —
+    * linear in index size, delta-independent. A deployment hot on document
+    * updates would add a doc_id-keyed forward index (doc → words) to make
+    * the diff delta-sized; for load-time maintenance the scan is the right
+    * trade (it is the same cost class as the compaction the fold schedule
+    * already pays). Use [[applyDelta]] for NEW documents — it touches only
+    * the delta.
+    */
+  def refold(eng: OlapEngine, changed: DataFrame): Unit = {
+    if (changed.isEmpty) return // an empty batch publishes nothing
+    val t = tokens(changed).localCheckpoint(true) // one tokenize, two aggs
+    val newPost = t.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val ids = changed.select(col("doc_id")).distinct()
+    val vanished = eng.scan(Db, PostingsTable)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("word"), col("doc_id"))
+      .join(newPost.select(col("word"), col("doc_id")),
+        Seq("word", "doc_id"), "left_anti")
+    val source = newPost.withColumn("__graft_del", lit(false))
+      .unionByName(vanished
+        .withColumn("tf", lit(null).cast(LongType))
+        .withColumn("__graft_del", lit(true)))
+      .localCheckpoint(true)
+    def nextV(table: String): Version = {
+      val v = eng.manifest(Db, table).maxVersion + 1
+      Version(v, v)
+    }
+    eng.mergeInto(Db, PostingsTable, source, "__graft_del",
+      Some(nextV(PostingsTable)))
+    eng.ingest(Db, DoclenTable,
+      t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+      Some(nextV(DoclenTable)))
   }
 
   /** BM25 top-k SERVED from the engine tables: q118's formula with tf/dl
@@ -161,17 +208,19 @@ object TextIndex {
     cache.clear()
   }
 
-  /** Run the scheduled maintenance a production index owner would: full
-    * compaction of both tables. Folds accumulate rowsets (one per delta);
-    * the serve's cost is dominated by how many rowset fragments the
-    * merge-on-read unions (the factor-100 probe: 3.4 s → 0.8 s on the
-    * term-filtered postings merge after compaction), so compaction — not
-    * the serve code — is what keeps probes fast as folds pile up.
-    * `TextIndexSpec` pins that it never changes the served answer.
+  /** Run the scheduled maintenance a production index owner would — now
+    * THROUGH the engine's own C1-C3 schedule loop
+    * ([[OlapEngine.runScheduledCompaction]]: score = visible rowset count,
+    * top-N above threshold) rather than per-table ad-hoc calls. Folds
+    * accumulate rowsets (one per delta); the serve's cost is dominated by
+    * how many rowset fragments the merge-on-read unions (the factor-100
+    * probe: 3.4 s → 0.8 s on the term-filtered postings merge after
+    * compaction), so this loop — not the serve code — is what keeps probes
+    * fast as folds pile up. `TextIndexSpec` pins that it never changes the
+    * served answer.
     */
   def compactIndex(eng: OlapEngine): Unit = {
-    eng.compact(Db, PostingsTable)
-    eng.compact(Db, DoclenTable)
+    eng.runScheduledCompaction()
     ()
   }
 
@@ -193,9 +242,39 @@ object TextIndex {
       eng
     })
 
+  /** The q197 document edit, shared by the Spark fixture and the DuckDB
+    * oracle: docs with doc_id % 7 == 3 are truncated to their first 5
+    * tokens — a modification guaranteed to make words VANISH from the
+    * edited documents, the exact case [[refold]] exists for.
+    */
+  private def editedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 3,
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)))
+        .otherwise(col("text")).as("text"))
+
+  /** q197 fixture: build the index on the ORIGINAL corpus, then refold the
+    * edited documents — the served index must now equal a from-scratch
+    * index of the EDITED corpus, which the oracle recomputes in SQL. A
+    * refold that missed a vanished word would leave its stale tf serving
+    * and flip the hash.
+    */
+  def refoldEngineFor(spark: SparkSession, dir: String): OlapEngine =
+    cache.getOrElseUpdate(s"$dir|refold", {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-txtrefold-"))
+      createTables(eng)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      bootstrap(eng, docs)
+      refold(eng, editedDocs(docs.filter(col("doc_id") % 7 === 3)))
+      compactIndex(eng) // deletes become physical; answer unchanged
+      eng
+    })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_text_index_served" ->
       ((s: SparkSession, d: String) => bm25FromTable(engineFor(s, d))),
+    "q197_text_index_refold" ->
+      ((s: SparkSession, d: String) => bm25FromTable(refoldEngineFor(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +282,31 @@ object TextIndex {
     // from-scratch corpus recompute bit-for-bit — an exact-hash check on
     // every layer (fold, Unique merge-on-read, doclen-derived stats, serve)
     "q190_text_index_served" -> TextAnalysis.oracles("q118_bm25_topk"),
+    // q118's formula over the EDITED corpus: the oracle applies the same
+    // first-5-tokens truncation to doc_id % 7 == 3 and recomputes BM25 from
+    // scratch — it matches only if refold upserted the new tf AND
+    // tombstoned every vanished word
+    "q197_text_index_refold" ->
+      """WITH md AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:5], ' ')
+        |      ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM md),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+        |       WHERE w IN ('spark','data','join','query') GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        CAST(round(
+        |          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |          8) AS DECIMAL(18,8)) AS ts
+        |      FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
+        |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
   )
 }

@@ -134,4 +134,29 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.applyDelta(eng, synth(Nil))
     assert(eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).maxVersion == v)
   }
+
+  test("scheduled compaction after a fold burst is answer-neutral and " +
+    "collapses ivf_assign to one rowset (the engine's C1-C3 loop, not an " +
+    "ad-hoc compact)") {
+    val eng = mkEngine()
+    val emb = synth(0L until 80L)
+    bootstrapSmall(eng, emb.filter(col("vec_id") < 60))
+    for (i <- 0 until 4) // fold burst: 4 delta loads = 5 assign fragments
+      AnnIndex.applyDelta(eng,
+        emb.filter(col("vec_id") >= 60 && col("vec_id") % 4 === i))
+    val before = stored(eng)
+    def serve() = AnnIndex.topKFromTable(eng, emb, nProbes = 4, k = 3)
+      .collect().map(_.toSeq).toSet
+    val served = serve()
+    assert(eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).compactionScore >= 5.0)
+    val compacted = eng.runScheduledCompaction()
+    assert(compacted.contains(s"${AnnIndex.Db}.${AnnIndex.AssignTable}"))
+    assert(stored(eng) === before, "compaction must not change the index")
+    assert(serve() === served, "compaction must not change the served answer")
+    assert(eng.manifest(AnnIndex.Db, AnnIndex.AssignTable)
+      .visibleRowsets.count(!_.isDeleteMarker) == 1)
+    // a second run finds nothing above threshold: single-rowset tables
+    // never rewrite (score floor = 2)
+    assert(eng.runScheduledCompaction().isEmpty)
+  }
 }

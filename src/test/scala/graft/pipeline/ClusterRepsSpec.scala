@@ -232,4 +232,21 @@ class ClusterRepsSpec extends AnyFunSuite {
           coalesce(col("survivor_id"), col("doc_id")).as("rep")))
     assert(served.collect().toSet === oneShot.collect().toSet)
   }
+
+  test("scheduled compaction after fold bursts is answer-neutral on the " +
+    "reps table and collapses it to one rowset") {
+    val eng = mkEngine()
+    ClusterReps.bootstrap(eng, corpus)
+    ClusterReps.applyDelta(eng, corpus, delta)
+    // replay-safe re-folds pile up rowset fragments without changing content
+    ClusterReps.applyDelta(eng, allDocs, delta)
+    ClusterReps.applyDelta(eng, allDocs, delta)
+    val before = stored(eng)
+    assert(eng.manifest(ClusterReps.Db, ClusterReps.Table).compactionScore >= 3.0)
+    val compacted = eng.runScheduledCompaction()
+    assert(compacted.contains(s"${ClusterReps.Db}.${ClusterReps.Table}"))
+    assert(stored(eng) === before, "compaction must not change the mappings")
+    assert(eng.manifest(ClusterReps.Db, ClusterReps.Table)
+      .visibleRowsets.count(!_.isDeleteMarker) == 1)
+  }
 }

@@ -120,6 +120,40 @@ class TextIndexSpec extends AnyFunSuite {
     assert(doclens(streamed) === doclens(batch))
   }
 
+  test("refold of CHANGED documents ≡ fresh build of the edited corpus: " +
+    "upserts land AND vanished words are tombstoned in one atomic merge") {
+    val docs = synth(0L until 60L)
+    // edit: every 5th doc keeps only its first 3 tokens — words vanish
+    val edited = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 3)))
+        .otherwise(col("text")).as("text"))
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs)
+    val vPost = eng.manifest(TextIndex.Db, TextIndex.PostingsTable).maxVersion
+    TextIndex.refold(eng, edited.filter(col("doc_id") % 5 === 0))
+    // ONE postings version: upserts + tombstones published atomically
+    assert(eng.manifest(TextIndex.Db, TextIndex.PostingsTable).maxVersion == vPost + 1)
+    val fresh = mkEngine()
+    TextIndex.bootstrap(fresh, edited)
+    assert(postings(eng) === postings(fresh),
+      "refolded index must equal a from-scratch build of the edited corpus")
+    assert(doclens(eng) === doclens(fresh))
+    // and the tombstones survive compaction (deletes become physical)
+    TextIndex.compactIndex(eng)
+    assert(postings(eng) === postings(fresh))
+  }
+
+  test("refold of an UNCHANGED document is a pure no-op on content " +
+    "(no vanished words, identical rows rewritten)") {
+    val docs = synth(0L until 30L)
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs)
+    val before = (postings(eng), doclens(eng))
+    TextIndex.refold(eng, docs.filter(col("doc_id") % 3 === 0))
+    assert((postings(eng), doclens(eng)) === before)
+  }
+
   test("the serve's postings scan bucket-prunes to the probed terms' buckets") {
     val dir = "/root/testdata/sf0.001"
     val eng = TextIndex.engineFor(spark, dir)
