@@ -58,6 +58,15 @@ object AnnIndex {
   val AssignTable = "ivf_assign"
   val CentroidTable = "ivf_centroids"
   val BookTable = "pq_books"
+  /** Model-freshness bookkeeping (the compaction-score analogue for the
+    * FIT): `ivf_fit_stats` stores each fit generation's corpus size and
+    * mean assignment distance (Unique, one row per fit); `ivf_drift`
+    * Sum-accumulates every fold's (count, Σ cell_d2) under the generation
+    * it folded against. Both model-sized; [[driftStatus]] reads them to
+    * decide when [[scheduleRefit]] must re-bootstrap.
+    */
+  val FitStatsTable = "ivf_fit_stats"
+  val DriftTable = "ivf_drift"
 
   val NCells = 16
   val M = 16
@@ -85,6 +94,20 @@ object AnnIndex {
         ColumnSpec.key("c", IntegerType),
         ColumnSpec.value("sub", ArrayType(DoubleType)))),
       bucketColumn = Some("s"), numBuckets = 1))
+    eng.createTable(TableDef(
+      db = Db, name = FitStatsTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("gen", LongType),
+        ColumnSpec.value("n_fit", LongType),
+        ColumnSpec.value("mean_d2", DoubleType))),
+      bucketColumn = Some("gen"), numBuckets = 1))
+    eng.createTable(TableDef(
+      db = Db, name = DriftTable,
+      schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("gen", LongType),
+        ColumnSpec.value("n", LongType, AggType.Sum),
+        ColumnSpec.value("sum_d2", DoubleType, AggType.Sum))),
+      bucketColumn = Some("gen"), numBuckets = 1))
   }
 
   /** (vec_id, v, nrm, vn) from a raw (vec_id, embedding) frame. */
@@ -114,18 +137,22 @@ object AnnIndex {
       .withColumn("d2", l2sq(col("vn"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cell"), col("vn")), struct(col("d2"), col("cell")))
-        .as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vn").as("vn"))
+        .as("best"),
+        // the winning cell's distance — the per-vector drift signal both
+        // maintenance paths record (fit mean vs fold mean)
+        min(col("d2")).as("cell_d2"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vn").as("vn"),
+        col("cell_d2"))
     withCell
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"), col("cell"), col("cell_d2"),
         explode(sequence(lit(0), lit(m - 1))).as("s"),
         col("vn"))
       .withColumn("sub_v", slice(col("vn"), col("s") * subDim + 1, lit(subDim)))
       .join(broadcast(booksDf), Seq("s"))
       .withColumn("d2", l2sq(col("sub_v"), col("sub")))
-      .groupBy(col("vec_id"), col("cell"), col("s"))
+      .groupBy(col("vec_id"), col("cell"), col("cell_d2"), col("s"))
       .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("code"))
-      .groupBy(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"), col("cell"), col("cell_d2"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
   }
@@ -205,11 +232,22 @@ object AnnIndex {
     } yield (s, c, books(s)(c).toSeq)
     val booksDf = bookRows.toDF("s", "c", "sub")
     val assign = assignAll(e.select(col("vec_id"), col("vn")),
-      centsDf, booksDf, m, subDim)
-    eng.ingest(Db, AssignTable, assign, Some(nextV(AssignTable)))
+      centsDf, booksDf, m, subDim).localCheckpoint(true)
+    eng.ingest(Db, AssignTable,
+      assign.select(col("vec_id"), col("cell"), col("codes")),
+      Some(nextV(AssignTable)))
     e.unpersist()
-    eng.ingest(Db, CentroidTable, centsDf, Some(nextV(CentroidTable)))
+    val genV = nextV(CentroidTable)
+    eng.ingest(Db, CentroidTable, centsDf, Some(genV))
     eng.ingest(Db, BookTable, booksDf, Some(nextV(BookTable)))
+    // fit-generation freshness baseline: this fit's corpus size and mean
+    // assignment distance, keyed by the centroid version just published
+    val st = assign.agg(count(lit(1)).as("n_fit"),
+      avg(col("cell_d2")).as("mean_d2")).head()
+    eng.ingest(Db, FitStatsTable,
+      Seq((genV.start, st.getLong(0), st.getDouble(1)))
+        .toDF("gen", "n_fit", "mean_d2"),
+      Some(nextV(FitStatsTable)))
   }
 
   /** Fold a new embedding batch into the index: no re-fit, pure map-side
@@ -221,6 +259,8 @@ object AnnIndex {
     */
   def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
     if (delta.isEmpty) return // an empty batch publishes nothing
+    val spark = eng.spark
+    import spark.implicits._
     val cents = eng.scan(Db, CentroidTable) // nCells rows
     val booksDf = eng.scan(Db, BookTable)   // m·kSub rows
     val m = booksDf.agg(max(col("s"))).head().getInt(0) + 1
@@ -229,8 +269,64 @@ object AnnIndex {
     val up = assignAll(d, cents, booksDf, m, dim / m).localCheckpoint(true)
     if (!up.isEmpty) {
       val v = eng.manifest(Db, AssignTable).maxVersion + 1
-      eng.ingest(Db, AssignTable, up, Some(Version(v, v)))
+      eng.ingest(Db, AssignTable,
+        up.select(col("vec_id"), col("cell"), col("codes")), Some(Version(v, v)))
+      // drift accounting: fold this batch's (count, Σ best-cell distance)
+      // under the CURRENT fit generation — Sum-merge accumulates across
+      // folds, and a refit starts a fresh generation key (no reset needed).
+      // The ASSIGN upsert stays replay-idempotent; the drift row is a
+      // Sum-merged statistic, so a replayed batch double-counts here — the
+      // trigger only fires EARLIER for it (conservative), never later
+      val gen = eng.manifest(Db, CentroidTable).maxVersion
+      val st = up.agg(count(lit(1)).as("n"), sum(col("cell_d2")).as("s")).head()
+      val dv = eng.manifest(Db, DriftTable).maxVersion + 1
+      eng.ingest(Db, DriftTable,
+        Seq((gen, st.getLong(0), st.getDouble(1))).toDF("gen", "n", "sum_d2"),
+        Some(Version(dv, dv)))
     }
+  }
+
+  /** Freshness of the current fit generation, from the model-sized stats
+    * tables alone (no corpus scan): how much has folded since the fit
+    * (`folded_frac` = folded rows / fit rows) and how well the fit's cells
+    * still cover what folds (`dist_ratio` = folds' mean best-cell distance
+    * / fit-time mean). A ratio near 1 means the new data sits where the
+    * quantizer expects; a climbing ratio means folds land far from every
+    * centroid — degraded routing/codes — and is exactly the signal a recall
+    * probe would pay a corpus scan to observe.
+    */
+  def driftStatus(eng: OlapEngine): DriftStatus = {
+    val gen = eng.manifest(Db, CentroidTable).maxVersion
+    val fit = eng.scan(Db, FitStatsTable).filter(col("gen") === gen).head()
+    val (nFit, meanFit) = (fit.getAs[Long]("n_fit"), fit.getAs[Double]("mean_d2"))
+    val drift = eng.scan(Db, DriftTable).filter(col("gen") === gen).collect()
+    val nFolded = drift.map(_.getAs[Long]("n")).sum
+    val sumD2 = drift.map(_.getAs[Double]("sum_d2")).sum
+    DriftStatus(gen, nFit, nFolded,
+      foldedFrac = nFolded.toDouble / nFit,
+      distRatio = if (nFolded == 0) 1.0 else (sumD2 / nFolded) / meanFit)
+  }
+
+  final case class DriftStatus(gen: Long, nFit: Long, nFolded: Long,
+                               foldedFrac: Double, distRatio: Double)
+
+  /** The re-fit trigger — [[OlapEngine.scheduleCompaction]]'s analogue for
+    * model freshness: re-bootstrap on the accumulated corpus when either
+    * the folded fraction or the assignment-distance ratio crosses its
+    * threshold. Returns the status and whether a refit ran; the refit
+    * publishes next table versions (atomic swap) and opens a fresh drift
+    * generation. `corpus` must be everything indexed (fit + folds) — the
+    * same accumulated-corpus contract [[bootstrap]]'s refit documents.
+    */
+  def scheduleRefit(eng: OlapEngine, corpus: DataFrame,
+                    maxDistRatio: Double = 1.5,
+                    maxFoldedFrac: Double = 1.0,
+                    nCells: Int = NCells, m: Int = M, kSub: Int = KSub)
+  : (DriftStatus, Boolean) = {
+    val st = driftStatus(eng)
+    val fire = st.distRatio >= maxDistRatio || st.foldedFrac >= maxFoldedFrac
+    if (fire) bootstrap(eng, corpus, nCells, m, kSub)
+    (st, fire)
   }
 
   /** IVF-PQ top-k SERVED from the engine tables: same routing, ADC and

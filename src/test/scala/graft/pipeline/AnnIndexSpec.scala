@@ -135,6 +135,89 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(eng.manifest(AnnIndex.Db, AnnIndex.AssignTable).maxVersion == v)
   }
 
+  // --- drift trigger -------------------------------------------------------
+
+  /** Mixture cluster c: equal weight on cluster c's and cluster (c+1)%4's
+    * dimension blocks — sits on the boundary between the fitted cells, so
+    * members split across cells and nprobe=1 routing loses the half that
+    * went the other way. The engineered "distribution shifted" delta.
+    */
+  private def synthMix(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map { id =>
+      val cl = (id % 4).toInt
+      val rnd = new scala.util.Random(id)
+      val base = Array.tabulate(16) { j =>
+        if (j / 4 == cl || j / 4 == (cl + 1) % 4) 0.7 else 0.05
+      }
+      (id, base.map(x => (x + rnd.nextDouble() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** recall@k of the table-served top-k for probes vec_id < nProbes,
+    * against an exact driver-side brute force (the corpus is spec-sized).
+    */
+  private def recallAt(eng: OlapEngine, emb: DataFrame,
+                       nProbes: Int, k: Int, nprobe: Int): Double = {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val brute = (0L until nProbes).map { p =>
+      p -> vecs.toSeq.filter(_._1 != p)
+        .sortBy { case (id, v) => (-cos(vecs(p), v), id) }
+        .take(k).map(_._1).toSet
+    }.toMap
+    val served = AnnIndex.topKFromTable(eng, emb, nProbes, k, nprobe = nprobe)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    served.count { case (p, n) => brute(p).contains(n) }.toDouble / (nProbes * k)
+  }
+
+  test("drift trigger: a shifted delta raises the assignment-distance " +
+    "ratio and degrades nprobe-limited recall; scheduleRefit fires and the " +
+    "refit restores both (the q187 recall audit as harness)") {
+    // fit corpus: ids 100-179 (the 4 well-separated clusters); drifted
+    // delta: ids 0-79 on the cell boundaries. Probes are vec_id < 8, i.e.
+    // DRIFTED vectors — the data the stale fit serves worst.
+    val fitEmb = synth(100L until 180L)
+    val drifted = synthMix(0L until 80L)
+    val all = fitEmb.unionByName(drifted).localCheckpoint(true)
+    val eng = mkEngine()
+    AnnIndex.bootstrap(eng, fitEmb, nCells = 8, m = 4, kSub = 4)
+    val st0 = AnnIndex.driftStatus(eng)
+    assert(st0.nFolded == 0 && st0.distRatio == 1.0)
+
+    // benign fold: vectors from the FIT distribution do not trip the trigger
+    AnnIndex.applyDelta(eng, synth(200L until 220L))
+    val (stBenign, firedBenign) = AnnIndex.scheduleRefit(eng, all,
+      maxDistRatio = 1.5, maxFoldedFrac = 10.0, nCells = 8, m = 4, kSub = 4)
+    assert(!firedBenign, s"benign fold must not refit: $stBenign")
+    assert(stBenign.distRatio < 1.5)
+
+    // drifted fold: far from every centroid — ratio climbs, recall drops
+    AnnIndex.applyDelta(eng, drifted)
+    val recallPre = recallAt(eng,
+      all.unionByName(synth(200L until 220L)), nProbes = 8, k = 5, nprobe = 1)
+    val (stDrift, fired) = AnnIndex.scheduleRefit(eng,
+      all.unionByName(synth(200L until 220L)),
+      maxDistRatio = 1.5, maxFoldedFrac = 10.0, nCells = 8, m = 4, kSub = 4)
+    assert(fired, s"drifted fold must trip the trigger: $stDrift")
+    assert(stDrift.distRatio >= 1.5,
+      s"mixture vectors sit between cells; got ratio ${stDrift.distRatio}")
+
+    // the refit opened a fresh generation and restored routing quality
+    val stAfter = AnnIndex.driftStatus(eng)
+    assert(stAfter.gen > stDrift.gen && stAfter.nFolded == 0)
+    val recallPost = recallAt(eng,
+      all.unionByName(synth(200L until 220L)), nProbes = 8, k = 5, nprobe = 1)
+    assert(recallPost > recallPre,
+      s"refit must improve drifted-probe recall: $recallPre -> $recallPost")
+    assert(recallPost >= 0.8, s"post-refit recall too low: $recallPost")
+  }
+
   test("scheduled compaction after a fold burst is answer-neutral and " +
     "collapses ivf_assign to one rowset (the engine's C1-C3 loop, not an " +
     "ad-hoc compact)") {
