@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one warm-up pass (builds the engine fixture, warms the JIT
@@ -58,13 +60,52 @@ object Bench {
     // delta on some query only means something if the canaries agree.
     val canary = "q39_token_counts"
     val canaryFirst = if (names.contains(canary)) runOnce(canary) else -1.0
+    // Per-query runtime ATTRIBUTION (round-8 verdict task: wall-time alone
+    // cannot separate host noise from regression — driver r8 saw q33
+    // 0.25→4.14 s at like canary with eviction ruled out). Cumulative
+    // executor task-time and JVM GC-time from task-end events; the delta
+    // across a query's 3 timed runs / 3 = its per-run executor seconds. A
+    // wall-time swing WITHOUT a matching exec_sec swing is scheduler/host
+    // stall; one WITH a gc_sec swing is memory pressure.
+    val taskTimeMs = new AtomicLong
+    val gcTimeMs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          taskTimeMs.addAndGet(m.executorRunTime)
+          gcTimeMs.addAndGet(m.jvmGCTime)
+          ()
+        }
+      }
+    })
+    // listener events are async; poll until the counters stop moving
+    // (all jobs are already complete when a run returns, so this settles
+    // in ~100 ms — paid once per query, not per run)
+    def settle(): (Long, Long) = {
+      var last = (taskTimeMs.get, gcTimeMs.get)
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(50)
+        val now = (taskTimeMs.get, gcTimeMs.get)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      last
+    }
     val results = names.map { n =>
+      val (t0, g0) = settle()
       val times = (1 to 3).map(_ => runOnce(n)).sorted
-      n -> times(1) // median
+      val (t1, g1) = settle()
+      (n, times(1), (t1 - t0) / 3 / 1e3, (g1 - g0) / 3 / 1e3) // median + per-run attribution
     }
     val canaryLast = if (names.contains(canary)) runOnce(canary) else -1.0
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def attr(g: ((String, Double, Double, Double)) => Double) = results
+      .map { case r@(k, _, _, _) => "\"" + k + "\":" + f"${g(r)}%.3f" }
+      .mkString("{", ",", "}")
+    val execSec = attr(_._3)
+    val gcSec = attr(_._4)
     // Self-describing timed shape: queries where the benchmarked plan is NOT
     // the oracle-verdict form (sketch-only stand-ins, warm-restart streaming
     // drains) are labeled so the headline number can't silently overstate.
@@ -97,7 +138,7 @@ object Bench {
     val storage = spark.sparkContext.getRDDStorageInfo
     val memMb = storage.map(_.memSize).sum / 1e6
     val diskMb = storage.map(_.diskSize).sum / 1e6
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$execSec,"gc_sec":$gcSec,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
     println(json)
     // The full line is ~8 KB and the driver parses only the tail of the sbt
     // log, so it also lands in a stable file for humans/judges.
