@@ -63,10 +63,10 @@ object FoldProbe {
       val dl = delta.localCheckpoint(true)
       val eng = new OlapEngine(spark, Files.createTempDirectory("graft-foldprobe-"))
       ClusterReps.createIndexTable(eng)
-      ClusterReps.bootstrap(eng, c) // untimed offline build
+      ClusterReps.bootstrap(eng, c) // untimed offline build (absorbs c)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        ClusterReps.applyDelta(eng, c, dl)
+        ClusterReps.applyDelta(eng, dl) // screens vs the engine's absorbed set
         (System.nanoTime() - t0) / 1e9
       }.sorted
       times(1)
@@ -298,8 +298,7 @@ object CompactionProbe {
       val base = d.filter(col("doc_id") % 10 =!= 0)
       val delta = d.filter(col("doc_id") % 10 === 0)
       ClusterReps.bootstrap(eng, base)
-      ClusterReps.applyDelta(eng, base, delta)
-      (2 to k).foreach(_ => ClusterReps.applyDelta(eng, d, delta))
+      (1 to k).foreach(_ => ClusterReps.applyDelta(eng, delta))
       def serve(): Unit = d.select(col("doc_id"))
         .join(eng.scan(ClusterReps.Db, ClusterReps.Table)
           .select(col("doc_id"), col("rep").as("stored")), Seq("doc_id"), "left")

@@ -50,6 +50,16 @@ object ClusterReps {
 
   val Db = "graft_idx"
   val Table = "cluster_reps"
+  /** The absorbed corpus, tracked BY THE ENGINE in its screen-keyed form
+    * (doc_id → 20-char block key + distinct word set): the fold's screen
+    * side derives from this table, never from a caller-supplied frame. The
+    * previous caller contract — "corpus must equal everything already
+    * absorbed" — was a footgun at 100 TB (a caller missing one earlier
+    * delta would silently never pair later batches with it); now the
+    * contract is structural: bootstrap and every fold append what they
+    * absorbed, so the screen side is always exactly the absorbed set.
+    */
+  val CorpusTable = "cluster_corpus"
   val Threshold = 0.3
 
   /** Per-(JVM, sfDir) maintained index — fixture semantics like
@@ -80,7 +90,7 @@ object ClusterReps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Create the index table on `eng` (callers owning their engine — specs). */
+  /** Create the index tables on `eng` (callers owning their engine — specs). */
   def createIndexTable(eng: OlapEngine): Unit = {
     eng.createDatabase(Db)
     eng.createTable(TableDef(
@@ -89,12 +99,33 @@ object ClusterReps {
         ColumnSpec.key("doc_id", LongType),
         ColumnSpec.value("rep", LongType))),
       bucketColumn = Some("doc_id"), numBuckets = 4))
+    eng.createTable(TableDef(
+      db = Db, name = CorpusTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("doc_id", LongType),
+        ColumnSpec.value("blk", StringType),
+        ColumnSpec.value("ws", ArrayType(StringType)))),
+      bucketColumn = Some("doc_id"), numBuckets = 4))
+  }
+
+  /** Append a batch's screen-keyed rows to the tracked corpus (a Unique
+    * upsert — replays rewrite identical rows).
+    */
+  private def absorb(eng: OlapEngine, batch: DataFrame): Unit = {
+    val keyed = Dedup.jaccardKeyed(batch, "doc_id", "ws")
+      .localCheckpoint(true)
+    if (!keyed.isEmpty) {
+      val v = eng.manifest(Db, CorpusTable).maxVersion + 1
+      eng.ingest(Db, CorpusTable, keyed, Some(Version(v, v)))
+    }
   }
 
   /** Bootstrap: full CC over the EXISTING corpus only (the one unavoidable
     * corpus-sized closure; everything after is delta-sized). Stores only
     * clustered docs — singletons resolve to themselves on read, keeping the
-    * table sparse (near-dup clusters are a small fraction of a real corpus).
+    * table sparse (near-dup clusters are a small fraction of a real corpus)
+    * — and records the whole corpus in [[CorpusTable]] so later folds
+    * screen against it without the caller re-supplying it.
     */
   def bootstrap(eng: OlapEngine, corpus: DataFrame): Unit = {
     val reps = Dedup.connectedComponents(
@@ -104,6 +135,7 @@ object ClusterReps {
     // a fully-singleton corpus has nothing to store — an EMPTY load would
     // publish a file-less rowset whose later scan cannot infer a schema
     if (!reps.isEmpty) eng.ingest(Db, Table, reps, Some(Version(1, 1)))
+    absorb(eng, corpus)
   }
 
   /** Rows above which the delta side of the screen is no longer broadcast;
@@ -113,20 +145,18 @@ object ClusterReps {
     */
   val MaxBroadcastDeltaRows = 1000000L
 
-  /** Fold one delta batch into the index. Screens delta-vs-corpus (delta
-    * broadcast when delta-sized, corpus streamed map-side — q123's posture,
-    * but keeping ALL matches ≥ threshold rather than the best one, because a
-    * delta doc that matches two clusters must MERGE them) plus
-    * delta-vs-delta, quotients through the stored reps, runs CC on the
-    * resulting delta-sized graph, and upserts the changed mappings through
-    * the Unique-model ingest.
-    *
-    * Caller contract for SEQUENTIAL folds: `corpus` must be everything the
-    * index has already absorbed — the bootstrap corpus plus every previously
-    * folded delta — and `delta` only the new batch. (The screen compares
-    * delta against `corpus`; a delta missing from later calls' `corpus`
-    * would never pair with subsequent batches.) `ClusterRepsSpec`'s k-fold
-    * property pins this shape against a full recompute.
+  /** Fold one delta batch into the index. The screen side is the ENGINE's
+    * own absorbed-corpus table ([[CorpusTable]]) — the caller supplies only
+    * the new batch, so the old "corpus must equal everything absorbed"
+    * contract violation is structurally impossible. Screens
+    * delta-vs-absorbed (delta broadcast when delta-sized, absorbed corpus
+    * streamed map-side — q123's posture, but keeping ALL matches ≥
+    * threshold rather than the best one, because a delta doc that matches
+    * two clusters must MERGE them) plus delta-vs-delta, quotients through
+    * the stored reps, runs CC on the resulting delta-sized graph, upserts
+    * the changed mappings, and absorbs the delta's keyed rows for the next
+    * fold. `ClusterRepsSpec`'s k-fold property pins this shape against a
+    * full recompute.
     *
     * The broadcast of the delta side is SIZE-GATED (same class of hazard as
     * the unconditional FK-audit broadcast fixed in round 7): delta-sized
@@ -134,12 +164,15 @@ object ClusterReps {
     * to a shuffle join, where AQE may still choose to broadcast if the
     * bytes justify it.
     */
-  def applyDelta(eng: OlapEngine, corpus: DataFrame, delta: DataFrame,
+  def applyDelta(eng: OlapEngine, delta: DataFrame,
                  maxBroadcastRows: Long = MaxBroadcastDeltaRows): Unit = {
     val old = eng.scan(Db, Table).select(col("doc_id"), col("rep"))
 
     val dK = Dedup.jaccardKeyed(delta, "d_id", "d_ws")
-    val cK = Dedup.jaccardKeyed(corpus, "c_id", "c_ws")
+    // the screen side: the engine's own record of what it absorbed, already
+    // in keyed form (no re-tokenization of the corpus at fold time)
+    val cK = eng.scan(Db, CorpusTable)
+      .select(col("doc_id").as("c_id"), col("blk"), col("ws").as("c_ws"))
     // gate probe: scans the delta only until the threshold is crossed —
     // trivial for the delta-sized batches this path is built for
     val deltaSmall =
@@ -176,6 +209,9 @@ object ClusterReps {
       val v = eng.manifest(Db, Table).maxVersion + 1
       eng.ingest(Db, Table, up, Some(Version(v, v)))
     }
+    // the delta is absorbed UNCONDITIONALLY (even an edge-free one): later
+    // folds must screen against it or they would never pair with it
+    absorb(eng, delta)
   }
 
   /** Driver fixture: bootstrap from the corpus minus the q123 delta
@@ -191,7 +227,7 @@ object ClusterReps {
       createIndexTable(eng)
       val d = docs(spark, dir)
       bootstrap(eng, d.filter(col("doc_id") % 10 =!= 0))
-      applyDelta(eng, d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+      applyDelta(eng, d.filter(col("doc_id") % 10 === 0))
       eng.runScheduledCompaction()
       eng
     })

@@ -185,17 +185,19 @@ object StreamingQueries {
     * way q161/q162 and q169/q179 do. The index bootstraps from the corpus;
     * the q123 delta then ARRIVES as a 3-file stream (maxFilesPerTrigger=1,
     * arrival order forced by modification times), and each micro-batch is
-    * folded into the engine table by [[graft.pipeline.ClusterReps.applyDelta]]
-    * against corpus ∪ previously-folded batches — so batch 2 can near-match
-    * batch 1's documents, exactly the cross-batch edge a per-batch-only
-    * screen would miss. By the applyDelta exactness argument applied
-    * inductively per micro-batch, the table after the drain equals the full
-    * closure over ALL documents regardless of how the stream was batched —
-    * which is why this query can share q178/q182's full-recompute oracle.
-    * Replay safety: a replayed batch is screened against state that already
-    * contains it — applyDelta degenerates to rewriting identical rows
-    * (ClusterRepsSpec pins the no-op), and the accumulator write is
-    * bid-keyed overwrite.
+    * folded into the engine table by [[graft.pipeline.ClusterReps.applyDelta]],
+    * which screens against the engine's OWN absorbed-corpus table (corpus ∪
+    * previously-folded batches — tracked by the engine since round 9, so
+    * the foreachBatch no longer rebuilds "corpus so far" from an
+    * accumulator directory) — batch 2 can near-match batch 1's documents,
+    * exactly the cross-batch edge a per-batch-only screen would miss. By
+    * the applyDelta exactness argument applied inductively per micro-batch,
+    * the table after the drain equals the full closure over ALL documents
+    * regardless of how the stream was batched — which is why this query can
+    * share q178/q182's full-recompute oracle. Replay safety: a replayed
+    * batch is screened against state that already contains it — applyDelta
+    * degenerates to rewriting identical rows (ClusterRepsSpec pins the
+    * no-op), and the absorb is a keyed overwrite.
     */
   def streamClusterIndex(spark: SparkSession, dir: String): DataFrame =
     withStateParts(spark, 4) {
@@ -212,9 +214,8 @@ object StreamingQueries {
         ClusterReps.bootstrap(e, corpus)
         // arrival layout: the delta split into three doc_id bands
         val sd = Files.createTempDirectory("graft-scidx-stream-")
-        val accDir = Files.createTempDirectory("graft-scidx-acc-")
         val ckpt = Files.createTempDirectory("graft-scidx-ckpt-")
-        Seq(sd, accDir, ckpt).foreach(p => tempDirs.add(p.toString))
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
         val delta = d.filter(col("doc_id") % 10 === 0)
         val now = System.currentTimeMillis()
         (0 until 3).foreach { i =>
@@ -231,21 +232,10 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 1).parquet(sd.toString)
         val q = stream.writeStream
           .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (batch: DataFrame, bid: Long) =>
-            // corpus-so-far = original corpus + batches already folded;
-            // listed BEFORE this batch's accumulator write
-            val ls = Files.list(accDir)
-            val priorDirs =
-              try {
-                val it = ls.iterator()
-                val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-                while (it.hasNext) buf += it.next().toString
-                buf.toSeq
-              } finally ls.close()
-            val corpusSoFar = priorDirs.foldLeft(corpus)(
-              (acc, p) => acc.unionByName(spark.read.parquet(p)))
-            ClusterReps.applyDelta(e, corpusSoFar, batch)
-            batch.write.mode("overwrite").parquet(s"$accDir/b$bid")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // the screen side is the engine's own absorbed-corpus table —
+            // no corpus-so-far reconstruction, no accumulator directory
+            ClusterReps.applyDelta(e, batch)
           }
           .trigger(Trigger.AvailableNow())
           .start()

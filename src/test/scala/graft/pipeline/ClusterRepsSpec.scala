@@ -67,7 +67,7 @@ class ClusterRepsSpec extends AnyFunSuite {
     "singleton pulled in, no-match delta stays out") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
-    ClusterReps.applyDelta(eng, corpus, delta)
+    ClusterReps.applyDelta(eng, delta)
     val expected = fullCC(allDocs)
     // the mini-corpus exercises every path: {0,1,2,3,4}→0 (bridge + new
     // min), {5,21}→5 (stored row for a previously-unstored corpus doc),
@@ -80,9 +80,9 @@ class ClusterRepsSpec extends AnyFunSuite {
   test("re-applying the same delta is a no-op (upserts rewrite identical rows)") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
-    ClusterReps.applyDelta(eng, corpus, delta)
+    ClusterReps.applyDelta(eng, delta)
     val before = stored(eng)
-    ClusterReps.applyDelta(eng, corpus, delta)
+    ClusterReps.applyDelta(eng, delta)
     assert(stored(eng) === before)
   }
 
@@ -90,7 +90,7 @@ class ClusterRepsSpec extends AnyFunSuite {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
     val before = stored(eng)
-    ClusterReps.applyDelta(eng, corpus, df(Seq(30L -> (P + tail("e")))))
+    ClusterReps.applyDelta(eng, df(Seq(30L -> (P + tail("e")))))
     assert(stored(eng) === before)
   }
 
@@ -98,13 +98,13 @@ class ClusterRepsSpec extends AnyFunSuite {
     "served mapping (the index stays read-efficient as folds accumulate)") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
-    ClusterReps.applyDelta(eng, corpus, delta)
+    ClusterReps.applyDelta(eng, delta)
     val before = stored(eng)
     eng.compact(ClusterReps.Db, ClusterReps.Table)
     eng.gc(ClusterReps.Db, ClusterReps.Table)
     assert(stored(eng) === before)
     // and further folds keep working against the compacted base
-    ClusterReps.applyDelta(eng, corpus, df(Seq(40L -> (P + tail("c", 11) + " wc12"))))
+    ClusterReps.applyDelta(eng, df(Seq(40L -> (P + tail("c", 11) + " wc12"))))
     assert(stored(eng) === before + ((40L, 5L)))
   }
 
@@ -140,7 +140,7 @@ class ClusterRepsSpec extends AnyFunSuite {
 
       val eng = mkEngine()
       ClusterReps.bootstrap(eng, corpusR)
-      ClusterReps.applyDelta(eng, corpusR, deltaR)
+      ClusterReps.applyDelta(eng, deltaR)
       assert(stored(eng) === fullCC(all), s"divergence at seed=$seed")
     }
   }
@@ -149,9 +149,9 @@ class ClusterRepsSpec extends AnyFunSuite {
     "trials each) — each fold screens against the accumulated corpus") {
     // production folds deltas forever; the single-delta property can't see
     // a bug where batch i never pairs with batch j>i. Same random cluster
-    // generator, but docs are dealt across bootstrap + k delta batches, and
-    // each fold's `corpus` argument is everything already absorbed — the
-    // applyDelta caller contract.
+    // generator, but docs are dealt across bootstrap + k delta batches; the
+    // screen side is the ENGINE's own absorbed-corpus table, so each fold
+    // passes only its batch (the round-9 self-sourced contract).
     for (k <- Seq(2, 3); seed <- 1 to 5) {
       val rnd = new scala.util.Random(100 * k + seed)
       var id = -1L
@@ -178,7 +178,7 @@ class ClusterRepsSpec extends AnyFunSuite {
       for (b <- 1 to k) {
         val deltaRows = batches(b).toSeq.filterNot(absorbed.contains)
         if (deltaRows.nonEmpty) {
-          ClusterReps.applyDelta(eng, df(absorbed), df(deltaRows))
+          ClusterReps.applyDelta(eng, df(deltaRows))
           absorbed = absorbed ++ deltaRows
         }
       }
@@ -197,10 +197,10 @@ class ClusterRepsSpec extends AnyFunSuite {
     ClusterReps.bootstrap(eng, d10)
     assert(stored(eng) === Set((10L, 10L), (11L, 10L)))
     val d5 = df(Seq(5L -> (P + tail("a"))))
-    ClusterReps.applyDelta(eng, d10, d5)
+    ClusterReps.applyDelta(eng, d5)
     assert(stored(eng) === Set((5L, 5L), (10L, 5L), (11L, 5L)))
     val d2 = df(Seq(2L -> (P + tail("a", 11) + " xa12")))
-    ClusterReps.applyDelta(eng, d10.unionByName(d5), d2)
+    ClusterReps.applyDelta(eng, d2)
     assert(stored(eng) === Set((2L, 2L), (5L, 2L), (10L, 2L), (11L, 2L)))
   }
 
@@ -208,17 +208,17 @@ class ClusterRepsSpec extends AnyFunSuite {
     "through the shuffle-join path to the identical index") {
     val engB = mkEngine()
     ClusterReps.bootstrap(engB, corpus)
-    ClusterReps.applyDelta(engB, corpus, delta) // broadcast path (default gate)
+    ClusterReps.applyDelta(engB, delta) // broadcast path (default gate)
     val engS = mkEngine()
     ClusterReps.bootstrap(engS, corpus)
-    ClusterReps.applyDelta(engS, corpus, delta, maxBroadcastRows = 0L) // forced fallback
+    ClusterReps.applyDelta(engS, delta, maxBroadcastRows = 0L) // forced fallback
     assert(stored(engS) === stored(engB))
   }
 
   test("split served from the maintained index equals the one-shot q178 split") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
-    ClusterReps.applyDelta(eng, corpus, delta)
+    ClusterReps.applyDelta(eng, delta)
     val reps = eng.scan(ClusterReps.Db, ClusterReps.Table)
       .select(col("doc_id"), col("rep").as("stored"))
     val served = Dedup.splitOfReps(
@@ -237,10 +237,10 @@ class ClusterRepsSpec extends AnyFunSuite {
     "reps table and collapses it to one rowset") {
     val eng = mkEngine()
     ClusterReps.bootstrap(eng, corpus)
-    ClusterReps.applyDelta(eng, corpus, delta)
+    ClusterReps.applyDelta(eng, delta)
     // replay-safe re-folds pile up rowset fragments without changing content
-    ClusterReps.applyDelta(eng, allDocs, delta)
-    ClusterReps.applyDelta(eng, allDocs, delta)
+    ClusterReps.applyDelta(eng, delta)
+    ClusterReps.applyDelta(eng, delta)
     val before = stored(eng)
     assert(eng.manifest(ClusterReps.Db, ClusterReps.Table).compactionScore >= 3.0)
     val compacted = eng.runScheduledCompaction()
