@@ -220,13 +220,29 @@ final case class TableDef(
     // a load into a dropped partition fails loudly instead of silently
     // widening the neighboring range (Doris DROP PARTITION = metadata now,
     // async delete later)
-    droppedPartitions: Seq[PartitionSpec] = Nil) {
+    droppedPartitions: Seq[PartitionSpec] = Nil,
+    // Late-data policy for EXPIRED ranges (the q188/q192 lifecycle): default
+    // false = a load carrying a key in a dropped partition's range fails the
+    // WHOLE load loudly (no partial publish — the posture that makes expiry
+    // visible to the producer). Opt-in true = such rows are QUARANTINED into
+    // a companion dead-letter table (`<name>__dead_letter`, Duplicate,
+    // unpartitioned) in the same load, and the main load publishes the
+    // routable rows; quarantined rows are NOT served by scans of the main
+    // table — an operator inspects/reprocesses them via
+    // OlapEngine.deadLetterScan. This is the DLQ posture, deliberately NOT
+    // a catch-all partition: a catch-all would feed late rows back into
+    // query results that partition pruning has already promised exclude the
+    // expired range.
+    expiredToDeadLetter: Boolean = false) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
   require(autoExpireKeep.isEmpty || autoPartition.isDefined,
     s"autoExpireKeep needs autoPartition on $db.$name (it is the expiry half " +
       "of the dynamic-partition lifecycle)")
+  require(!expiredToDeadLetter || partitionColumn.isDefined,
+    s"expiredToDeadLetter quarantines late rows of EXPIRED partitions; " +
+      s"$db.$name declares no partition column")
   require(!partialUpdate || schema.keysType == graft.model.KeysType.Unique,
     s"partialUpdate is only defined for Unique tables; $db.$name is ${schema.keysType.name}")
   sequenceColumn.foreach { sc =>

@@ -111,6 +111,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val created = catalog.createTable(td)
     Files.createDirectories(tableRoot(td.db, td.name))
     manifest(td.db, td.name) // init manifest
+    // opt-in late-data quarantine (see TableDef.expiredToDeadLetter): the
+    // dead letter is a SEPARATE companion table — Duplicate (every late row
+    // kept verbatim for inspection), unpartitioned — so the main table's
+    // scan, pruning, compaction and GC semantics are completely untouched
+    if (td.expiredToDeadLetter)
+      createTable(TableDef(
+        db = td.db, name = td.name + DeadLetterSuffix,
+        schema = graft.model.TableSchema(KeysType.Duplicate,
+          td.schema.columns.map(c => c.copy(agg = graft.model.AggType.None))),
+        bucketColumn = td.bucketColumn, numBuckets = td.numBuckets))
     // hash-bucketed tables get transparent read-side bucket pruning
     if (td.bucketType == BucketType.Hash && td.bucketColumn.isDefined)
       graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
@@ -277,6 +287,45 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   private def unroutable(key: Column): Column =
     raise_error(concat(lit("no partition for key '"), key, lit("'"))).cast("string")
 
+  val DeadLetterSuffix = "__dead_letter"
+
+  /** Routing CLASS of each row — "live" (a declared partition serves it),
+    * "dropped" (its rung was expired/dropped), "none" (no rung at all) —
+    * the same ladder fold as [[partitionNameCol]] without the raise, so an
+    * opt-in dead-letter ingest can split the load BEFORE routing errors.
+    */
+  private def routeClassCol(td: TableDef): Column = td.policy match {
+    case PartitionPolicy.Unpartitioned => lit("live")
+    case PartitionPolicy.Range =>
+      val key = col(td.partitionColumn.get).cast("string")
+      val ladder = (td.partitions.map((_, true)) ++ td.droppedPartitions.map((_, false)))
+        .sortBy(_._1.upperExclusive.getOrElse(RangeBound.MaxValue))
+      ladder.foldRight(lit("none")) { case ((p, live), elseCol) =>
+        when(key < lit(p.upperExclusive.getOrElse(RangeBound.MaxValue)),
+          lit(if (live) "live" else "dropped")).otherwise(elseCol)
+      }
+    case PartitionPolicy.List =>
+      val key = col(td.partitionColumn.get).cast("string")
+      (td.partitions.map((_, true)) ++ td.droppedPartitions.map((_, false)))
+        .foldRight(lit("none")) { case ((p, live), elseCol) =>
+          when(key.isin(p.listValues.map(_.asInstanceOf[Any]): _*),
+            lit(if (live) "live" else "dropped")).otherwise(elseCol)
+        }
+  }
+
+  /** The quarantined late rows of an `expiredToDeadLetter` table — a plain
+    * scan of the companion table. Reprocessing is the operator's move:
+    * inspect, fix (e.g. re-declare the partition or re-date the rows),
+    * re-ingest into the main table.
+    */
+  def deadLetterScan(db: String, table: String): DataFrame = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(td.expiredToDeadLetter,
+      s"$db.$table does not declare expiredToDeadLetter — it has no dead letter")
+    scan(db, table + DeadLetterSuffix)
+  }
+
   /** Within-file clustering order. Default: the key columns (the reference's
     * sorted segments + short-key prefix index, src/index/mod.rs:114-147 —
     * parquet min/max stats on sorted data give the same seek pruning). With
@@ -395,6 +444,20 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // max key BEFORE routing (otherwise those rows raise unroutable) — but
     // only LOCALLY; the catalog commit happens after the write succeeds
     val (td1, minted) = autoExtendPartitions(td, input)
+    // opt-in late-data quarantine (TableDef.expiredToDeadLetter): rows whose
+    // keys fall in EXPIRED (dropped) rungs are split off into the companion
+    // dead-letter table in this same load, and the main rowset publishes the
+    // routable remainder. Rows matching NO rung still fail loudly — that is
+    // schema corruption, not lateness. Default (flag off) keeps the loud
+    // whole-load failure.
+    val routable =
+      if (td1.expiredToDeadLetter && td1.droppedPartitions.nonEmpty) {
+        val cls = routeClassCol(td1)
+        val late = input.filter(cls === "dropped")
+        if (!late.isEmpty)
+          ingest(db, table + DeadLetterSuffix, late)
+        input.filter(cls =!= "dropped")
+      } else input
     val m = manifest(db, table)
     val v = version.getOrElse(Version(m.maxVersion + 1, m.maxVersion + 1))
     val rowsetId = explicitRowsetId.getOrElse(m.nextRowsetId)
@@ -402,7 +465,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val outDir = tableRoot(db, table).resolve(relDir)
 
     val keyNames = td1.schema.keyNames
-    var routed = conform(td1, input, opColumn.toSeq)
+    var routed = conform(td1, routable, opColumn.toSeq)
       .withColumn(PartCol, partitionNameCol(td1))
       .withColumn(BucketCol, bucketIdxCol(td1))
     // __graft_seq: persisted load-order tiebreaker for Unique/Replace

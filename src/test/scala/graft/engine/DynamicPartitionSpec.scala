@@ -179,4 +179,55 @@ class DynamicPartitionSpec extends AnyFunSuite {
       Seq("p0", "pa_20240103", "pa_20240104"))
     assert(eng.scan("db", "t").count() === 1)
   }
+
+  test("expired-partition late-load policy: loud by default; opt-in " +
+    "expiredToDeadLetter quarantines late rows into the companion table " +
+    "without touching main-table serves") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-dynp4-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("ts", TimestampType),
+        ColumnSpec.value("k", LongType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("ts"),
+      partitions = Seq(PartitionSpec("p0", Some("2024-01-03"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Day),
+      autoExpireKeep = Some(2),
+      expiredToDeadLetter = true))
+    // extend + expire: keep 2 retires p0 and pa_20240103
+    eng.ingest("db", "t",
+      rows(Seq("2024-01-02", "2024-01-03", "2024-01-05", "2024-01-05")))
+    assert(eng.catalog.getTable("db", "t").get.droppedPartitions.map(_.name) ===
+      Seq("p0", "pa_20240103"))
+    assert(eng.scan("db", "t").count() === 2)
+    // a MIXED late load: the expired-range row is quarantined, the live
+    // row publishes normally — no exception, no partial loss
+    eng.ingest("db", "t", rows(Seq("2024-01-02", "2024-01-05")))
+    assert(eng.scan("db", "t").count() === 3,
+      "the live row of the mixed load must serve")
+    val dl = eng.deadLetterScan("db", "t")
+    assert(dl.count() === 1)
+    assert(dl.head().getTimestamp(0).toString.startsWith("2024-01-02"))
+    // quarantined rows never reach main-table serves
+    assert(eng.scan("db", "t")
+      .filter(org.apache.spark.sql.functions.col("ts") < "2024-01-04")
+      .count() === 0)
+    // a table WITHOUT the opt-in has no dead letter to scan
+    val engLoud = new OlapEngine(spark, Files.createTempDirectory("graft-dynp5-wh-"))
+    engLoud.createDatabase("db")
+    engLoud.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("ts", TimestampType),
+        ColumnSpec.value("k", LongType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("ts"),
+      partitions = Seq(PartitionSpec("p0", Some("2024-01-03"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Day),
+      autoExpireKeep = Some(2)))
+    val e = intercept[IllegalArgumentException](engLoud.deadLetterScan("db", "t"))
+    assert(e.getMessage.contains("expiredToDeadLetter"))
+  }
 }
