@@ -185,6 +185,39 @@ object ModelStore {
       Some(nextV(eng, BigTable)))
   }
 
+  /** Exactly-once STREAMING fold for the Sum-merged LM tables. The other
+    * streaming index folds (cluster q183, ANN q189, text q191) get replay
+    * safety free — their stored rows are Unique upserts, so a replayed
+    * micro-batch rewrites identical rows — but a Sum-merged count table
+    * would DOUBLE-COUNT a replay. The ledger is the MVCC manifest itself:
+    * each table's rowset id derives deterministically from the batch id
+    * ([[graft.streaming.StreamIngest]]'s pattern), so a replayed batch hits
+    * the duplicate check and is skipped PER TABLE — a crash between the two
+    * table publishes heals on replay (the published table skips, the
+    * missing one folds), converging to exactly-once without any extra
+    * ledger table.
+    */
+  def lmFoldBatch(eng: OlapEngine, batch: DataFrame, batchId: Long,
+                  ridBase: Long = 1000000L): Unit = {
+    if (batch.isEmpty) return
+    val rid = ridBase + batchId
+    def pending(table: String): Boolean =
+      !eng.manifest(Db, table).allRowsets.exists(_.rowsetId == rid)
+    if (!pending(UniTable) && !pending(BigTable)) return // full replay
+    val d = withBigrams(batch).localCheckpoint(true)
+    if (pending(UniTable))
+      eng.ingest(Db, UniTable,
+        d.select(explode(col("ws")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("cu")),
+        Some(nextV(eng, UniTable)), explicitRowsetId = Some(rid))
+    if (pending(BigTable))
+      eng.ingest(Db, BigTable,
+        d.select(explode(col("bg")).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("cb")),
+        Some(nextV(eng, BigTable)), explicitRowsetId = Some(rid))
+  }
+
   /** q140's perplexity-filter score SERVED from the Sum-merged count
     * tables: identical per-bigram add-one-smoothed log-probability math
     * (round-8dp DECIMAL terms, exact decimal per-doc sum), with the counts

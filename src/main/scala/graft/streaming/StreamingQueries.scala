@@ -408,6 +408,78 @@ object StreamingQueries {
       graft.pipeline.TextIndex.bm25FromTable(streamTextEngineFor(spark, dir))
     }
 
+  /** Stream-maintained bigram-LM engines, one per data dir (the q198
+    * fixture).
+    */
+  private val streamLmCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** The q198 fixture engine: the LM count tables bootstrap from 90% of the
+    * corpus (one batch fold); the remaining documents ARRIVE as a 3-file
+    * stream and each micro-batch folds through
+    * [[graft.pipeline.ModelStore.lmFoldBatch]] — the EXACTLY-ONCE Sum fold,
+    * where the MVCC manifest's deterministic-rowset-id duplicate check is
+    * the replay ledger. This is the one streaming index fold in the family
+    * whose replay safety is NOT free (Sum merges double-count; Unique
+    * upserts don't), which is exactly why it exists as its own fixture.
+    */
+  private[graft] def streamLmEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.ModelStore
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      streamLmCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-slm-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        ModelStore.createTables(e)
+        ModelStore.lmFold(e, docs.filter(col("doc_id") % 10 =!= 0))
+        val sd = Files.createTempDirectory("graft-slm-stream-")
+        val ckpt = Files.createTempDirectory("graft-slm-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-slm-part-")
+          delta.filter(pmod(col("doc_id") / 10, lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            ModelStore.lmFoldBatch(e, batch, bid)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e.runScheduledCompaction() // fold-fragment maintenance, answer-neutral
+        e
+      })
+    }
+
+  /** q198: the bigram-LM quality score served from the STREAM-maintained
+    * Sum-merged count tables — the streaming twin of q193's batch fold,
+    * completing the batch/stream maintenance pair for the model store the
+    * way q182/q183, q184/q179, q187/q189 and q190/q191 do for the other
+    * maintained-index families. Shares q140's exact-hash oracle: any
+    * double-counted replay or lost batch flips the hash.
+    */
+  def streamBigramLm(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      graft.pipeline.ModelStore.bigramQualityFromTables(
+        streamLmEngineFor(spark, dir),
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+
   /** Stream-maintained dynamic-partition engines, one per data dir (q192). */
   private val streamDynCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
@@ -972,6 +1044,7 @@ object StreamingQueries {
     "q82_stream_stream_join" -> ((s: SparkSession, d: String) => streamStreamJoin(s, d)),
     "q75_stream_static_join" -> ((s: SparkSession, d: String) => streamStaticJoin(s, d)),
     "q61_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
+    "q198_stream_lm_fold" -> ((s: SparkSession, d: String) => streamBigramLm(s, d)),
     "q141_stream_dedup_bounded" -> ((s: SparkSession, d: String) => streamDedupBounded(s, d)),
     "q162_stream_ewma_anomalies" -> ((s: SparkSession, d: String) => streamEwmaAnomalies(s, d)),
     "q179_stream_count_min" -> ((s: SparkSession, d: String) => streamCountMin(s, d)),
@@ -990,6 +1063,11 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q198 shares q140's exact-hash oracle: the stream-maintained Sum tables
+    // must serve the from-scratch LM score bit-for-bit — which holds ONLY if
+    // no micro-batch double-counted (the exactly-once ledger contract)
+    "q198_stream_lm_fold" ->
+      graft.pipeline.ModelStore.oracles("q193_bigram_lm_served"),
     // q183 shares q178/q182's full-recompute oracle: the stream-maintained
     // index must converge to the same closure regardless of batching
     "q183_stream_cluster_index" -> graft.pipeline.Dedup.splitOracleSql,

@@ -119,6 +119,56 @@ class ModelStoreSpec extends AnyFunSuite {
       rows(Corpus.tokenizeWithMerges(docs, trained)))
   }
 
+  test("exactly-once streaming LM fold: a replayed micro-batch is skipped " +
+    "(Sum tables would double-count), and a crash between the two table " +
+    "publishes heals on replay") {
+    val docs = synth(0L until 40L).localCheckpoint(true)
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val eng = mkEngine()
+    ModelStore.lmFoldBatch(eng, b1, batchId = 0)
+    ModelStore.lmFoldBatch(eng, b2, batchId = 1)
+    val after = (rows(eng.scan(ModelStore.Db, ModelStore.UniTable)),
+      rows(eng.scan(ModelStore.Db, ModelStore.BigTable)))
+    // full replay of both batches: the manifest's duplicate-rowset check is
+    // the ledger — counts unchanged
+    ModelStore.lmFoldBatch(eng, b1, batchId = 0)
+    ModelStore.lmFoldBatch(eng, b2, batchId = 1)
+    assert((rows(eng.scan(ModelStore.Db, ModelStore.UniTable)),
+      rows(eng.scan(ModelStore.Db, ModelStore.BigTable))) === after,
+      "replayed batches must not double-count")
+    // and the ledgered fold equals the plain batch fold of the same data
+    val ref = mkEngine()
+    ModelStore.lmFold(ref, b1)
+    ModelStore.lmFold(ref, b2)
+    assert(rows(eng.scan(ModelStore.Db, ModelStore.UniTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.UniTable)))
+    assert(rows(eng.scan(ModelStore.Db, ModelStore.BigTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.BigTable)))
+
+    // crash-heal: simulate "uni published, big lost" for batch 7 by folding
+    // uni alone at batch 7's deterministic rowset id, then replaying the
+    // whole batch — uni skips, big folds, state converges
+    val eng2 = mkEngine()
+    ModelStore.lmFoldBatch(eng2, b1, batchId = 0)
+    val b3 = docs.filter(col("doc_id") % 2 === 1)
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    eng2.ingest(ModelStore.Db, ModelStore.UniTable,
+      b3.select(explode(ws).as("w1")).groupBy(col("w1"))
+        .agg(count(lit(1)).as("cu")),
+      Some(graft.manifest.Version(
+        eng2.manifest(ModelStore.Db, ModelStore.UniTable).maxVersion + 1,
+        eng2.manifest(ModelStore.Db, ModelStore.UniTable).maxVersion + 1)),
+      explicitRowsetId = Some(1000000L + 7))
+    ModelStore.lmFoldBatch(eng2, b3, batchId = 7) // the replay after the crash
+    assert(rows(eng2.scan(ModelStore.Db, ModelStore.UniTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.UniTable)),
+      "uni must not double-count across the partial publish + replay")
+    assert(rows(eng2.scan(ModelStore.Db, ModelStore.BigTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.BigTable)),
+      "big must fold on the replay (it missed the first attempt)")
+  }
+
   test("re-fit publishes the next versions: retraining on a grown corpus " +
     "supersedes the stored BPE/logreg models atomically") {
     val docs0 = synth(0L until 30L).localCheckpoint(true)
