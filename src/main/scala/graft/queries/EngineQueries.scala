@@ -282,6 +282,31 @@ object EngineFixture {
         .select("o_orderkey", "o_orderdate")
         .filter(col("o_orderdate") >= "1999-12-01"),
       Some(Version(1, 1)))
+
+    // --- orders_dlq: q188's lifecycle + the opt-in dead-letter policy ------
+    // load 1 extends + expires (newest 12 rungs survive); load 2 is LATE
+    // data entirely inside the expired range — with expiredToDeadLetter it
+    // quarantines into graft.orders_dlq__dead_letter instead of failing the
+    // load (q199 pins the quarantine content against the oracle)
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_dlq",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("o_orderkey", LongType),
+        ColumnSpec.value("o_orderdate", TimestampType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("o_orderdate"),
+      partitions = Seq(PartitionSpec("p0", Some("2000-01-01"), numBuckets = 2)),
+      bucketColumn = Some("o_orderkey"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Month),
+      autoExpireKeep = Some(12),
+      expiredToDeadLetter = true))
+    val ordersAll = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+    eng.ingest("graft", "orders_dlq",
+      ordersAll.filter(col("o_orderdate") >= "1999-12-01"), Some(Version(1, 1)))
+    eng.ingest("graft", "orders_dlq",
+      ordersAll.filter(col("o_orderdate") >= "1999-06-01" &&
+        col("o_orderdate") < "1999-12-01"), Some(Version(2, 2)))
     eng
   }
 }
@@ -653,7 +678,24 @@ object EngineQueries {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** q199: the dead-letter quarantine's CONTENT after a late load into the
+    * expired range — grouped by month so the oracle (which recomputes the
+    * late-load rows straight from the data) verifies both halves of the
+    * policy at once: every late row was quarantined (nothing lost to the
+    * empty main publish) and ONLY late rows were (nothing routable leaked
+    * into the quarantine). The main-table exclusion side is spec-pinned
+    * (`DynamicPartitionSpec`).
+    */
+  def deadLetterQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.deadLetterScan("graft", "orders_dlq")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyyMMdd")
+        .as("m"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_dead_letter_quarantine" -> deadLetterQuarantine _,
     "q188_partition_expiry" -> partitionExpiryLayout _,
     "q186_dynamic_partition" -> dynamicPartitionLayout _,
     "q184_engine_count_min" -> engineCountMin _,
@@ -690,6 +732,16 @@ object EngineQueries {
     // partitions are named pa_YYYYMM01 so name order IS chronological order
     // ('p0' < 'pa_' lexicographically, so p0 is always oldest); rows of
     // expired partitions are masked by the drop's delete predicates
+    // q199: the quarantine must hold EXACTLY the late load's rows — the
+    // oracle recomputes them from the raw data (the [1999-06, 1999-12)
+    // window is entirely inside the expired p0 range)
+    "q199_dead_letter_quarantine" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
+        |  count(*) AS n_rows
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-06-01'
+        |  AND o_orderdate < TIMESTAMP '1999-12-01'
+        |GROUP BY 1""".stripMargin,
     // The survival ladder is enumerated CONTIGUOUSLY (generate_series from
     // the first auto rung to the max month), matching the engine's minting
     // loop: a zero-row month still occupies a survival slot, so a date-range
