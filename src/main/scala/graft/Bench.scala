@@ -114,8 +114,8 @@ object Bench {
           n == "q160_neardup_pagerank" || n == "q171_prefix_filter_join")
         Some("blocked-production-form") // verdict form bundles an O(n²) audit baseline
         // (q171: verdict form is quadratic-output on this corpus's density)
-      else if (n == "q178_leakage_safe_split")
-        Some("served-from-index") // production reads the maintained cluster_reps table
+      else if (n == "q178_leakage_safe_split" || n == "q200_hybrid_retrieval")
+        Some("served-from-index") // production reads the maintained index tables
       else if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")

@@ -40,6 +40,7 @@ object SparkEntry {
       graft.pipeline.AnnIndex.all ++
       graft.pipeline.TextIndex.all ++
       graft.pipeline.ModelStore.all ++
+      graft.pipeline.Retrieval.all ++
       graft.streaming.StreamingQueries.all ++
       graft.operators.AsOfJoin.all ++
       graft.operators.TimeSeries.all ++
@@ -83,6 +84,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.pipeline.Corpus.winsorize(s, d, approx = true)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
+    // q200's verdict form uses exact cosine ranks so the fusion is
+    // oracle-replayable; production serves the vector leg from the ANN index
+    "q200_hybrid_retrieval" ->
+      ((s: SparkSession, d: String) => graft.pipeline.Retrieval.hybridRrfServed(s, d)),
     // q196's verdict form bundles the same O(n²) exact baseline as q157;
     // production emits the within-block pairs from the table-served blocks
     "q196_semantic_dedup_served" ->
@@ -128,6 +133,7 @@ object SparkEntry {
       graft.pipeline.AnnIndex.oracles ++
       graft.pipeline.TextIndex.oracles ++
       graft.pipeline.ModelStore.oracles ++
+      graft.pipeline.Retrieval.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.operators.AsOfJoin.oracles ++
       graft.operators.TimeSeries.oracles ++

@@ -213,4 +213,19 @@ class PipelineSpec extends AnyFunSuite {
     val audit = Similarity.ivfPqRecallAudit(spark, dir).collect().head
     assert(audit.getAs[Boolean]("ok") && audit.getAs[Boolean]("margin_ok"))
   }
+
+  test("hybrid RRF retrieval: the index-served form (ANN vector leg) " +
+    "substantially agrees with the exact-rank verdict form, and both fuse " +
+    "both legs (ranks present from text AND vector sides)") {
+    val dir = "/root/testdata/sf0.001"
+    val verdict = Retrieval.hybridRrf(spark, dir).collect()
+    val served = Retrieval.hybridRrfServed(spark, dir).collect()
+    assert(verdict.length == 10 && served.length == 10)
+    def ids(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.getLong(0)).toSet
+    val overlap = (ids(verdict) intersect ids(served)).size
+    assert(overlap >= 6, s"served top-10 overlaps verdict only $overlap/10")
+    // genuine fusion: the verdict list contains docs ranked by each leg
+    assert(verdict.exists(r => !r.isNullAt(1)), "no text-ranked doc in top-k")
+    assert(verdict.exists(r => !r.isNullAt(2)), "no vector-ranked doc in top-k")
+  }
 }
