@@ -52,6 +52,14 @@ object ModelStore {
   val LogregTable = "logreg_weights"
   val UniTable = "lm_unigram"
   val BigTable = "lm_bigram"
+  /** Fit-time freshness baselines, one row per (model, fit generation) —
+    * the [[AnnIndex.FitStatsTable]] analogue for the trained models: BPE
+    * stores its training-corpus compression (tokens per word under the
+    * learned merges), logreg its training accuracy. [[bpeDriftStatus]] /
+    * [[logregDriftStatus]] compare a new batch against the latest baseline
+    * and the schedule*Refit triggers fire the re-fit when crossed.
+    */
+  val FitStatsTable = "model_fit_stats"
   val NMerges = 10
 
   def createTables(eng: OlapEngine): Unit = {
@@ -84,6 +92,13 @@ object ModelStore {
         ColumnSpec.key("w2", StringType),
         ColumnSpec.value("cb", LongType, AggType.Sum))),
       bucketColumn = Some("w1"), numBuckets = 4))
+    eng.createTable(TableDef(
+      db = Db, name = FitStatsTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("model", StringType),
+        ColumnSpec.key("gen", LongType),
+        ColumnSpec.value("stat", DoubleType))),
+      bucketColumn = Some("model"), numBuckets = 1))
   }
 
   private def nextV(eng: OlapEngine, table: String): Version = {
@@ -100,9 +115,59 @@ object ModelStore {
     * across refits with the same nMerges).
     */
   def bootstrapBpe(eng: OlapEngine, documents: DataFrame,
-                   nMerges: Int = NMerges): Unit =
-    eng.ingest(Db, BpeTable, Corpus.bpeMergesOf(documents, nMerges),
-      Some(nextV(eng, BpeTable)))
+                   nMerges: Int = NMerges): Unit = {
+    val spark = eng.spark
+    import spark.implicits._
+    val merges = Corpus.bpeMergesOf(documents, nMerges).localCheckpoint(true)
+    val v = nextV(eng, BpeTable)
+    eng.ingest(Db, BpeTable, merges, Some(v))
+    // freshness baseline: the training corpus's compression under its OWN
+    // merges (tokens per word). New text the merges don't compress scores
+    // higher — the vocabulary-drift signal bpeDriftStatus reads
+    val pairs = merges.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val st = Corpus.tokenizeWithMerges(documents, pairs)
+      .agg((sum(col("n_tokens")).cast("double") /
+        sum(col("n_words")).cast("double")).as("r")).head()
+    eng.ingest(Db, FitStatsTable,
+      Seq(("bpe", v.start, st.getDouble(0))).toDF("model", "gen", "stat"),
+      Some(nextV(eng, FitStatsTable)))
+  }
+
+  private def latestFitStat(eng: OlapEngine, model: String): (Long, Double) = {
+    val r = eng.scan(Db, FitStatsTable).filter(col("model") === model)
+      .orderBy(col("gen").desc).head()
+    (r.getAs[Long]("gen"), r.getAs[Double]("stat"))
+  }
+
+  /** Compression of `batch` under the STORED merges vs the fit baseline:
+    * ratio ≈ 1 means the vocabulary still fits the data; a climbing ratio
+    * means new text the merges cannot compress — the tokens-per-word
+    * inflation a stale tokenizer vocabulary causes downstream.
+    */
+  def bpeDriftStatus(eng: OlapEngine, batch: DataFrame): ModelDrift = {
+    val (gen, fitRatio) = latestFitStat(eng, "bpe")
+    val st = bpeTokenizeFromTable(eng, batch)
+      .agg((sum(col("n_tokens")).cast("double") /
+        sum(col("n_words")).cast("double")).as("r")).head()
+    ModelDrift("bpe", gen, fitRatio, st.getDouble(0), st.getDouble(0) / fitRatio)
+  }
+
+  final case class ModelDrift(model: String, gen: Long, fitStat: Double,
+                              batchStat: Double, ratio: Double)
+
+  /** Re-fit trigger for the BPE vocabulary (the [[AnnIndex.scheduleRefit]]
+    * analogue): re-train on the accumulated corpus when a batch's
+    * compression ratio inflates past `maxRatio` × the fit baseline.
+    */
+  def scheduleBpeRefit(eng: OlapEngine, corpus: DataFrame, batch: DataFrame,
+                       maxRatio: Double = 1.3,
+                       nMerges: Int = NMerges): (ModelDrift, Boolean) = {
+    val st = bpeDriftStatus(eng, batch)
+    val fire = st.ratio >= maxRatio
+    if (fire) bootstrapBpe(eng, corpus, nMerges)
+    (st, fire)
+  }
 
   /** BPE tokenization SERVED from the stored merge table: collect the
     * model (nMerges rows), compile the same literal-regexp chain the
@@ -124,13 +189,55 @@ object ModelStore {
     val spark = eng.spark
     import spark.implicits._
     val features = Trainer.logregFeaturesOf(documents).cache()
-    val w =
-      try Trainer.fit(features, Trainer.Iters, Trainer.Lr)
-      finally features.unpersist()
+    val (w, acc) =
+      try {
+        val w = Trainer.fit(features, Trainer.Iters, Trainer.Lr)
+        (w, accuracyOf(features, w))
+      } finally features.unpersist()
+    val v = nextV(eng, LogregTable)
     eng.ingest(Db, LogregTable,
       Seq(("w1", w(0)), ("w2", w(1)), ("w3", w(2)), ("bias", w(3)))
         .toDF("param", "w"),
-      Some(nextV(eng, LogregTable)))
+      Some(v))
+    // freshness baseline: training-set accuracy of this fit generation
+    eng.ingest(Db, FitStatsTable,
+      Seq(("logreg", v.start, acc)).toDF("model", "gen", "stat"),
+      Some(nextV(eng, FitStatsTable)))
+  }
+
+  private def accuracyOf(features: DataFrame, w: Array[Double]): Double = {
+    val z = col("x1") * w(0) + col("x2") * w(1) + col("x3") * w(2) + lit(w(3))
+    features
+      .agg(avg(when((z > 0) === (col("y") > 0.5), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+  }
+
+  private def storedWeights(eng: OlapEngine): Array[Double] = {
+    val stored = eng.scan(Db, LogregTable).collect()
+      .map(r => r.getAs[String]("param") -> r.getAs[Double]("w")).toMap
+    Array(stored("w1"), stored("w2"), stored("w3"), stored("bias"))
+  }
+
+  /** Accuracy of the STORED weights on `batch` vs the fit baseline: a
+    * dropping ratio means the feature→label relationship shifted since the
+    * fit — the classifier-rot signal.
+    */
+  def logregDriftStatus(eng: OlapEngine, batch: DataFrame): ModelDrift = {
+    val (gen, fitAcc) = latestFitStat(eng, "logreg")
+    val acc = accuracyOf(Trainer.logregFeaturesOf(batch), storedWeights(eng))
+    ModelDrift("logreg", gen, fitAcc, acc, acc / fitAcc)
+  }
+
+  /** Re-fit trigger for the quality classifier: re-train on the accumulated
+    * corpus when a batch's accuracy under the stored weights falls below
+    * `minRatio` × the fit baseline.
+    */
+  def scheduleLogregRefit(eng: OlapEngine, corpus: DataFrame, batch: DataFrame,
+                          minRatio: Double = 0.8): (ModelDrift, Boolean) = {
+    val st = logregDriftStatus(eng, batch)
+    val fire = st.ratio <= minRatio
+    if (fire) bootstrapLogreg(eng, corpus)
+    (st, fire)
   }
 
   /** q145's audit verdict SERVED from the stored weights: scoring is one
@@ -139,14 +246,8 @@ object ModelStore {
     * certifies the weight round-trip AND the scorer.
     */
   def logregQualityFromTable(eng: OlapEngine, documents: DataFrame): DataFrame = {
-    val stored = eng.scan(Db, LogregTable).collect()
-      .map(r => r.getAs[String]("param") -> r.getAs[Double]("w")).toMap
-    val w = Array(stored("w1"), stored("w2"), stored("w3"), stored("bias"))
-    val features = Trainer.logregFeaturesOf(documents)
-    val z = col("x1") * w(0) + col("x2") * w(1) + col("x3") * w(2) + lit(w(3))
-    val acc = features
-      .agg(avg(when((z > 0) === (col("y") > 0.5), 1.0).otherwise(0.0)))
-      .head().getDouble(0)
+    val w = storedWeights(eng)
+    val acc = accuracyOf(Trainer.logregFeaturesOf(documents), w)
     documents
       .agg(count(lit(1)).as("n_train"))
       .select(lit("logreg_quality").as("metric"), col("n_train"),

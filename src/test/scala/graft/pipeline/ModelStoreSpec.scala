@@ -169,6 +169,62 @@ class ModelStoreSpec extends AnyFunSuite {
       "big must fold on the replay (it missed the first attempt)")
   }
 
+  test("BPE drift trigger: a disjoint-alphabet batch inflates the " +
+    "compression ratio, the refit fires and restores it; a same-alphabet " +
+    "batch does not fire") {
+    import spark.implicits._
+    val docs = synth(0L until 40L).localCheckpoint(true)
+    val eng = mkEngine()
+    ModelStore.bootstrapBpe(eng, docs, nMerges = 5)
+    // benign: more text from the same vocabulary — merges still compress
+    val (stSame, firedSame) = ModelStore.scheduleBpeRefit(
+      eng, docs, synth(100L until 120L), maxRatio = 1.3, nMerges = 5)
+    assert(!firedSame, s"same-distribution batch must not refit: $stSame")
+    // drifted: a disjoint alphabet no learned merge applies to — every word
+    // tokenizes to its characters, tokens-per-word inflates. Large enough
+    // that the accumulated-corpus refit's top merge counts come from the
+    // NEW vocabulary (the realistic shift: new data dominates)
+    val drifted = (200L until 400L).map { id =>
+      val rnd = new scala.util.Random(id)
+      val vocab = Vector("zzyx", "qwvk", "xjplm", "vbnqr", "kwzzt")
+      val text = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, text, text.length)
+    }.toDF("doc_id", "text", "n_chars").localCheckpoint(true)
+    val (stDrift, fired) = ModelStore.scheduleBpeRefit(
+      eng, docs.unionByName(drifted), drifted, maxRatio = 1.3, nMerges = 5)
+    assert(fired, s"disjoint-alphabet batch must trip the trigger: $stDrift")
+    assert(stDrift.ratio >= 1.3)
+    // the refit learned the new vocabulary: the same batch now compresses
+    val after = ModelStore.bpeDriftStatus(eng, drifted)
+    assert(after.gen > stDrift.gen, "refit must open a new generation")
+    assert(after.batchStat < stDrift.batchStat,
+      s"refit must restore compression: ${stDrift.batchStat} -> ${after.batchStat}")
+  }
+
+  test("logreg drift trigger: a batch with a flipped feature-label " +
+    "relationship craters stored-model accuracy and fires the refit; a " +
+    "same-distribution batch does not") {
+    import spark.implicits._
+    val docs = synth(0L until 60L).localCheckpoint(true)
+    val eng = mkEngine()
+    ModelStore.bootstrapLogreg(eng, docs)
+    val (stSame, firedSame) = ModelStore.scheduleLogregRefit(
+      eng, docs, synth(100L until 130L), minRatio = 0.8)
+    assert(!firedSame, s"same-distribution batch must not refit: $stSame")
+    // drift: invert the label-bearing column — long texts carry SMALL
+    // n_chars, so the stored length-sign weight misclassifies
+    val flipped = synth(200L until 230L)
+      .select(col("doc_id"), col("text"),
+        (lit(700) - col("n_chars")).as("n_chars")).localCheckpoint(true)
+    val vBefore = eng.manifest(ModelStore.Db, ModelStore.LogregTable).maxVersion
+    val (stDrift, fired) = ModelStore.scheduleLogregRefit(
+      eng, docs, flipped, minRatio = 0.8)
+    assert(fired, s"flipped-label batch must trip the trigger: $stDrift")
+    assert(stDrift.ratio <= 0.8)
+    assert(eng.manifest(ModelStore.Db, ModelStore.LogregTable).maxVersion > vBefore,
+      "the refit must publish a new weights version")
+  }
+
   test("re-fit publishes the next versions: retraining on a grown corpus " +
     "supersedes the stored BPE/logreg models atomically") {
     val docs0 = synth(0L until 30L).localCheckpoint(true)
