@@ -558,6 +558,97 @@ object StreamingQueries {
       })
     }
 
+  /** Stream-fed dead-letter engines, one per data dir (q201). */
+  private val streamDlqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** The q201 fixture engine: q199's opt-in dead-letter policy driven by
+    * STREAMING ingest. Three arrival files — two in time order (the live
+    * fact feed), then a LATE band entirely inside the range the lifecycle
+    * has already expired. Each micro-batch runs the full per-load pipeline
+    * (self-extend, route, quarantine-split, publish, expire); the late
+    * batch's rows all fall in expired rungs, so its main-table publish is
+    * empty and every row lands in `orders_dlq__dead_letter` — without
+    * failing the stream, which is the policy's point: one poison batch
+    * must not wedge a continuous pipeline the way it aborts a batch load.
+    */
+  private[graft] def streamDlqEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.types._
+      import graft.catalog._
+      import graft.model._
+      streamDlqCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sdlq-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        e.createDatabase("graft")
+        e.createTable(TableDef(
+          db = "graft", name = "orders_dlq",
+          schema = TableSchema(KeysType.Duplicate, Seq(
+            ColumnSpec.key("o_orderkey", LongType),
+            ColumnSpec.value("o_orderdate", TimestampType))),
+          policy = PartitionPolicy.Range,
+          partitionColumn = Some("o_orderdate"),
+          partitions = Seq(PartitionSpec("p0", Some("2000-01-01"), numBuckets = 2)),
+          bucketColumn = Some("o_orderkey"), numBuckets = 2,
+          autoPartition = Some(AutoPartitionUnit.Month),
+          autoExpireKeep = Some(12),
+          expiredToDeadLetter = true))
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val sd = Files.createTempDirectory("graft-sdlq-stream-")
+        val ckpt = Files.createTempDirectory("graft-sdlq-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        // bands 0-1: the live feed in time order (exactly q199's load 1,
+        // split); band 2: the late replay inside the expired range (q199's
+        // load 2) arriving after expiry has retired those rungs
+        val cuts = Seq(
+          col("o_orderdate") >= "1999-12-01" && col("o_orderdate") < "2000-07-01",
+          col("o_orderdate") >= "2000-07-01",
+          col("o_orderdate") >= "1999-06-01" && col("o_orderdate") < "1999-12-01")
+        val now = System.currentTimeMillis()
+        cuts.zipWithIndex.foreach { case (c, i) =>
+          val tmp = Files.createTempDirectory("graft-sdlq-part-")
+          orders.filter(c)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) { e.ingest("graft", "orders_dlq", batch); () }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+    }
+
+  /** q201: the dead-letter quarantine's content after the STREAMED late
+    * band — q199's streaming twin, sharing its oracle verbatim (the late
+    * window recomputed from raw data): nothing of the late batch was lost
+    * to its empty main publish, nothing routable leaked into the DLQ, and
+    * the stream itself survived the poison batch.
+    */
+  def streamDeadLetter(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      val e = streamDlqEngineFor(spark, dir)
+      e.deadLetterScan("graft", "orders_dlq")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyyMMdd")
+          .as("m"))
+        .agg(count(lit(1)).as("n_rows"))
+    }
+
   /** q192: the surviving partition layout after the dynamic lifecycle ran
     * under STREAMING ingest — the streaming twin of q188's batch load,
     * completing the batch/stream pair for the partition lifecycle the way
@@ -1060,6 +1151,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamTextIndex(s, d)),
     "q192_stream_dynamic_partitions" ->
       ((s: SparkSession, d: String) => streamDynamicPartitions(s, d)),
+    "q201_stream_dead_letter" ->
+      ((s: SparkSession, d: String) => streamDeadLetter(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1082,6 +1175,10 @@ object StreamingQueries {
     // the streamed loads must land exactly where one batch load puts them
     "q192_stream_dynamic_partitions" ->
       graft.queries.EngineQueries.oracles("q188_partition_expiry"),
+    // q201 shares q199's oracle: the streamed late band must quarantine to
+    // exactly the rows one batch late-load quarantines
+    "q201_stream_dead_letter" ->
+      graft.queries.EngineQueries.oracles("q199_dead_letter_quarantine"),
     // islands formulation of session merge: a new session starts at a gap of
     // >= 30 min (Spark merges only strictly-overlapping [ts, ts+gap) windows);
     // microsecond diffs because ts carries microsecond precision

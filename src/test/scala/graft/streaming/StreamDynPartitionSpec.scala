@@ -24,6 +24,22 @@ class StreamDynPartitionSpec extends AnyFunSuite {
     assert(streamed.size <= 12 + 1) // newest 12 (+p0 only if it survives)
   }
 
+  test("q201 streamed dead letter ≡ batch late-load quarantine: content " +
+    "matches q199's fixture, the main table is untouched by the late band, " +
+    "and the stream survived the poison batch") {
+    val streamed = layout(StreamingQueries.streamDeadLetter(spark, dir))
+    val batch = layout(graft.queries.EngineQueries.all(
+      "q199_dead_letter_quarantine")(spark, dir))
+    assert(streamed === batch)
+    // main table = exactly the surviving live rows (no late leak-in): its
+    // head scan matches the stream-WITHOUT-dead-letter engine's head scan
+    val dlqMain = StreamingQueries.streamDlqEngineFor(spark, dir)
+      .scan("graft", "orders_dlq").count()
+    val plainMain = StreamingQueries.streamDynEngineFor(spark, dir)
+      .scan("graft", "orders_dyn").count()
+    assert(dlqMain === plainMain)
+  }
+
   test("expiry under streaming is versions, not deletion: the first " +
     "micro-batch's rows — including later-expired months — are still " +
     "time-travel visible at version 1") {
