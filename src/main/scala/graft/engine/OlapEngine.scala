@@ -1383,14 +1383,20 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
     val m = manifest(db, table)
+    // a rowset borrowed by a live shallow clone is never deletable here,
+    // whatever the retention policy says — the clone reads those files
+    val unborrowed: RowsetMeta => Boolean = {
+      val pinned = cloneProtectedIds(db, table)
+      r => !pinned.contains(r.rowsetId)
+    }
     td.retention match {
-      case Retention.Manual          => m.gc()
+      case Retention.Manual          => m.gc(unborrowed)
       case Retention.Forever         => Nil
       case Retention.KeepMs(t)       =>
-        m.gc(r => r.staleMs.exists(_ <= nowMs - t))
+        m.gc(r => unborrowed(r) && r.staleMs.exists(_ <= nowMs - t))
       case Retention.KeepVersions(n) =>
         val floor = m.maxVersion - n + 1
-        m.gc(r => r.version.end < floor)
+        m.gc(r => unborrowed(r) && r.version.end < floor)
     }
   }
 
@@ -1400,6 +1406,119 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   private def autoGc(db: String, table: String): Unit =
     catalog.getTable(db, table).foreach { td =>
       if (td.retention.automated) gc(db, table): Unit
+    }
+
+  // --- shallow clone ---------------------------------------------------------
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`, Iceberg
+    * snapshot-ref semantics): a new table whose manifest REFERENCES the
+    * source's rowset files instead of copying them — the zero-copy sibling
+    * of [[backup]]/[[restore]]. Metadata-only and O(rowsets) regardless of
+    * table size: at 100 TB a clone of a PB-scale table is one manifest
+    * write, which is what makes dev snapshots, experiment branches, and
+    * audit pins viable at all.
+    *
+    * Mechanics: borrowed entries carry the source rowset dir as an
+    * ABSOLUTE path ([[TableManifest]] resolves relative entries against
+    * the table root and absolute ones as-is), keeping their version
+    * ranges, delete markers and timestamps — so MVCC reads, time travel
+    * and key-model merge-on-read behave in the clone exactly as in the
+    * source at clone time. Both tables then diverge freely: new loads land
+    * under each table's own root with fresh rowset ids.
+    *
+    * Safety contract (spec-pinned, `CloneSpec`):
+    *  - the source's [[gc]] consults the clone registry (`_clones.json`
+    *    under the source root) and never physically deletes a rowset a
+    *    LIVE clone borrows — so compacting the source cannot break clones
+    *    (registry entries of dropped clones are pruned on the next gc);
+    *  - the clone's own gc drops borrowed entries from its manifest but
+    *    never deletes their files ([[TableManifest.gc]] treats an absolute
+    *    relDir as not-owned), so a compacted clone releases, not destroys,
+    *    its references.
+    *
+    * `upToVersion` clones the snapshot as of that version instead of the
+    * head — the time-travel clone (`VERSION AS OF`).
+    */
+  def cloneTable(srcDb: String, srcTable: String,
+                 dstDb: String, dstTable: String,
+                 upToVersion: Option[Long] = None): TableDef = {
+    val td = catalog.getTable(srcDb, srcTable).getOrElse(
+      throw new NoSuchElementException(s"no table $srcDb.$srcTable"))
+    val m = manifest(srcDb, srcTable)
+    val rowsets = upToVersion match {
+      case Some(v) =>
+        val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+        m.captureConsistentVersions(lo, v)
+      case None => m.visibleRowsets
+    }
+    val cloneTd = td.copy(db = dstDb, name = dstTable)
+    createTable(cloneTd)
+    val srcRoot = tableRoot(srcDb, srcTable)
+    manifest(dstDb, dstTable).publishAll(rowsets.map { r =>
+      // markers and empty loads own no files; their relDir is never read
+      if (r.isDeleteMarker || r.numRows == 0) r
+      else r.copy(relDir =
+        srcRoot.resolve(r.relDir).toAbsolutePath.normalize.toString)
+    })
+    registerClone(srcDb, srcTable, dstDb, dstTable, rowsets.map(_.rowsetId))
+    cloneTd
+  }
+
+  /** The source-side clone registry: which of this table's rowset ids are
+    * borrowed by which clone. Stored beside the manifest; consulted (and
+    * pruned of dropped clones) by [[gc]].
+    */
+  private def clonesPath(db: String, table: String): Path =
+    tableRoot(db, table).resolve("_clones.json")
+
+  private def readClones(db: String, table: String): Seq[(String, String, Seq[Long])] = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val p = clonesPath(db, table)
+    if (!Files.exists(p)) Nil
+    else org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+      .extract[List[JValue]].map { j =>
+        ((j \ "db").extract[String], (j \ "table").extract[String],
+          (j \ "rowsetIds").extract[List[Long]].toSeq)
+      }
+  }
+
+  private def writeClones(db: String, table: String,
+                          entries: Seq[(String, String, Seq[Long])]): Unit = {
+    import org.json4s._
+    val doc = JArray(entries.toList.map { case (cdb, ctbl, ids) =>
+      JObject("db" -> JString(cdb), "table" -> JString(ctbl),
+        "rowsetIds" -> JArray(ids.toList.map(JLong(_): JValue)))
+    })
+    val tmp = clonesPath(db, table)
+      .resolveSibling(s"_clones.json.tmp${Thread.currentThread().getId}")
+    Files.writeString(tmp, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(doc)))
+    Files.move(tmp, clonesPath(db, table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def registerClone(srcDb: String, srcTable: String,
+                            dstDb: String, dstTable: String,
+                            ids: Seq[Long]): Unit = synchronized {
+    writeClones(srcDb, srcTable,
+      readClones(srcDb, srcTable) :+ ((dstDb, dstTable, ids)))
+  }
+
+  /** Rowset ids a LIVE clone still borrows — never physically deletable
+    * here. Entries whose clone table no longer exists are pruned (a clone
+    * that compacted away its borrowed entries keeps them protected until
+    * it is dropped: conservative, metadata-sized).
+    */
+  private def cloneProtectedIds(db: String, table: String): Set[Long] =
+    synchronized {
+      val all = readClones(db, table)
+      val live = all.filter { case (cdb, ctbl, _) =>
+        catalog.getTable(cdb, ctbl).isDefined
+      }
+      if (live.size != all.size) writeClones(db, table, live)
+      live.flatMap(_._3).toSet
     }
 
   // --- backup / restore ------------------------------------------------------

@@ -186,7 +186,12 @@ final class TableManifest(val tableRoot: Path) {
     val stale = rowsets.values
       .filter(r => r.state == RowsetState.Stale && eligible(r)).toSeq
     stale.foreach { r =>
-      deleteRecursively(tableRoot.resolve(r.relDir))
+      // an ABSOLUTE relDir marks a BORROWED rowset (a shallow clone's
+      // zero-copy reference into its source table, OlapEngine.cloneTable):
+      // this manifest never owns those files, so GC drops only the entry —
+      // the source table's own GC (clone-registry-aware) governs the files
+      if (!Paths.get(r.relDir).isAbsolute)
+        deleteRecursively(tableRoot.resolve(r.relDir))
       rowsets.remove(r.rowsetId)
       gcFloorV = math.max(gcFloorV, r.staleMs.getOrElse(r.createdMs))
     }

@@ -307,6 +307,16 @@ object EngineFixture {
     eng.ingest("graft", "orders_dlq",
       ordersAll.filter(col("o_orderdate") >= "1999-06-01" &&
         col("o_orderdate") < "1999-12-01"), Some(Version(2, 2)))
+
+    // --- orders_clone: zero-copy SHALLOW CLONE of orders_dup + divergence --
+    // the clone borrows orders_dup's two rowsets (no file is copied), then
+    // receives its OWN load — every 100th key re-ingested. q204 pins that
+    // the clone serves source-at-clone-time content plus exactly its
+    // divergent rows; orders_dup itself stays untouched (q20/q21 keep
+    // hashing the unmodified source through the same fixture)
+    eng.cloneTable("graft", "orders_dup", "graft", "orders_clone")
+    eng.ingest("graft", "orders_clone",
+      orders.filter(col("o_orderkey") % 100 === 0), Some(Version(4, 4)))
     eng
   }
 }
@@ -694,7 +704,24 @@ object EngineQueries {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** q204: the shallow clone's content after both sides diverged — grouped
+    * by month with an exact decimal money sum, so the hash pins all three
+    * clone properties at once: the borrowed rowsets still serve (zero-copy
+    * references resolve), the clone sees the source AS OF clone time (no
+    * leak-in from later source state), and its own divergent load (every
+    * 100th key re-ingested, so those orders count twice) landed only here.
+    */
+  def cloneDiverged(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "orders_clone")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyyMMdd")
+        .as("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSumAsDouble(sum(col("price_c"))).as("total"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_shallow_clone" -> cloneDiverged _,
     "q199_dead_letter_quarantine" -> deadLetterQuarantine _,
     "q188_partition_expiry" -> partitionExpiryLayout _,
     "q186_dynamic_partition" -> dynamicPartitionLayout _,
@@ -735,6 +762,18 @@ object EngineQueries {
     // q199: the quarantine must hold EXACTLY the late load's rows — the
     // oracle recomputes them from the raw data (the [1999-06, 1999-12)
     // window is entirely inside the expired p0 range)
+    // q204: the clone = the full source (both loads cover every order) plus
+    // the divergent re-ingest of every 100th key — recomputed from raw data
+    "q204_shallow_clone" ->
+      """WITH c AS (
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS price_c
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
+        |  count(*) AS n_rows, CAST(sum(price_c) AS DOUBLE) AS total
+        |FROM c GROUP BY 1""".stripMargin,
     "q199_dead_letter_quarantine" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
         |  count(*) AS n_rows
