@@ -88,6 +88,16 @@ object SparkEntry {
     // oracle-replayable; production serves the vector leg from the ANN index
     "q200_hybrid_retrieval" ->
       ((s: SparkSession, d: String) => graft.pipeline.Retrieval.hybridRrfServed(s, d)),
+    // q202's verdict form is the exact filtered ranking (SQL-replayable);
+    // production serves the pre-filtered candidates from the IVF-PQ tables
+    "q202_filtered_ann" ->
+      ((s: SparkSession, d: String) => graft.pipeline.AnnIndex.filteredAnnServed(s, d)),
+    // q203's verdict form re-tokenizes the corpus for both BM25 passes so
+    // the oracle can replay it; production serves both passes + the
+    // expansion stage from the inverted-index tables
+    "q203_rm3_expansion" ->
+      ((s: SparkSession, d: String) => graft.pipeline.TextIndex.rm3FromTable(
+        graft.pipeline.TextIndex.engineFor(s, d))),
     // q196's verdict form bundles the same O(n²) exact baseline as q157;
     // production emits the within-block pairs from the table-served blocks
     "q196_semantic_dedup_served" ->

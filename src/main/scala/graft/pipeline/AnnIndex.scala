@@ -337,9 +337,16 @@ object AnnIndex {
     */
   def topKFromTable(eng: OlapEngine, emb: DataFrame,
                     nProbes: Int = 8, k: Int = 5, nprobe: Int = 8,
-                    rerank: Int = 50): DataFrame = {
+                    rerank: Int = 50,
+                    candFilter: Option[org.apache.spark.sql.Column] = None)
+  : DataFrame = {
     val spark = eng.spark
-    val e = normalized(emb)
+    // metadata-filtered search (q202): the predicate prunes the CANDIDATE
+    // side before the assignment join — pre-filtering, so ADC ranks only
+    // eligible vectors and selectivity shrinks the pool instead of
+    // starving a post-filtered top-k. Probes stay unfiltered.
+    val eAll = normalized(emb)
+    val e = candFilter.map(f => normalized(emb.filter(f))).getOrElse(eAll)
     val assign = eng.scan(Db, AssignTable)
     val cents = eng.scan(Db, CentroidTable)
     val bookRows = eng.scan(Db, BookTable).collect()
@@ -353,7 +360,7 @@ object AnnIndex {
     }
 
     val indexed = e.join(assign, Seq("vec_id"))
-    val probes = e.filter(col("vec_id") < nProbes)
+    val probes = eAll.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
     val probeCells = probes.crossJoin(broadcast(cents))
       .withColumn("cdist",
@@ -364,7 +371,7 @@ object AnnIndex {
           .partitionBy(col("probe_id")).orderBy(col("cdist").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
       .select(col("probe_id"), col("cell"))
-    val luts = Similarity.pqLuts(spark, e, books, nProbes, m, kSub)
+    val luts = Similarity.pqLuts(spark, eAll, books, nProbes, m, kSub)
     val cands = indexed
       .join(broadcast(probeCells), Seq("cell"))
       .join(broadcast(luts), Seq("probe_id"))
@@ -502,6 +509,23 @@ object AnnIndex {
         lit(NCells).as("n_cells"),
         col("n_exact_pairs"),
         (col("n_within") >= col("n_exact_pairs") * 0.5).as("ok"))
+  }
+
+  /** Production/bench twin of q202: metadata-filtered top-k served from
+    * the IVF-PQ engine tables. The label predicate prunes the assignment
+    * join BEFORE ADC ranking (pre-filter), so a 10%-selective filter
+    * shrinks the scored pool ~10× rather than requiring a 10× over-fetch;
+    * `nprobe` doubles vs the unfiltered default because a sparse candidate
+    * class concentrates in fewer cells and routing recall is what the
+    * filtered contract (`AnnIndexSpec`) pins.
+    */
+  def filteredAnnServed(spark: SparkSession, dir: String,
+                        nProbes: Int = 8, k: Int = 5,
+                        labelVal: Int = 3): DataFrame = {
+    val eng = engineFor(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    topKFromTable(eng, emb, nProbes, k, nprobe = NCells, rerank = 50,
+      candFilter = Some(col("label") === labelVal))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -86,6 +86,36 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk"))
   }
 
+  /** q202: metadata-FILTERED vector search, the verdict form — exact cosine
+    * top-k where the CANDIDATE set is restricted to one metadata class
+    * (`label = labelVal`, ~10% of the corpus) while probes stay unfiltered.
+    * This is the filtered-search shape every production vector store needs
+    * (tenant/language/quality predicates over the same index); the exact
+    * form is fully SQL-replayable, and [[AnnIndex.topKFromTable]] with
+    * `candFilter` is the index-served production twin the bench times: the
+    * predicate prunes the assignment join BEFORE ADC ranking (pre-filter),
+    * so selectivity shrinks the candidate pool instead of starving the
+    * post-filtered top-k the way over-fetch-then-drop does.
+    */
+  def bruteForceTopKFiltered(spark: SparkSession, dir: String,
+                             nProbes: Int = 8, k: Int = 5,
+                             labelVal: Int = 3): DataFrame = {
+    val all = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", norm(col("v")))
+    val probes = all.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val cands = all.filter(col("label") === labelVal)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim): the top
     * 60 bits of md5("plane:dim") mapped to [-1, 1). md5 (not xxhash64) so the
     * whole LSH pipeline is reproducible OUTSIDE this engine — any system with
@@ -654,6 +684,7 @@ object Similarity {
     "q151_ann_pq_topk" -> ((s: SparkSession, d: String) => pqRecallAudit(s, d)),
     "q152_ann_ivf_pq" -> ((s: SparkSession, d: String) => ivfPqRecallAudit(s, d)),
     "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "q202_filtered_ann" -> ((s: SparkSession, d: String) => bruteForceTopKFiltered(s, d)),
     "q35_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "q36_embed_near_dup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
   )
@@ -783,6 +814,19 @@ object Similarity {
         |  round(list_aggregate(list_transform(v, x -> x*x), 'sum') / len(v), 4) AS mean_sq,
         |  round(v[1] / sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')), 4) AS unit0
         |FROM e""".stripMargin,
+    // q202: q34's exact ranking restricted to the label = 3 candidate class
+    // (probes unfiltered, the probe row itself excluded as in q34)
+    "q202_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |     p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+        |     s AS (SELECT probe_id, e.vec_id,
+        |             list_cosine_similarity(pv, v) AS sim,
+        |             row_number() OVER (PARTITION BY probe_id
+        |               ORDER BY list_cosine_similarity(pv, v) DESC, e.vec_id) AS rk
+        |           FROM e CROSS JOIN p
+        |           WHERE e.vec_id <> p.probe_id AND e.label = 3)
+        |SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS sim, rk
+        |FROM s WHERE rk <= 5""".stripMargin,
     "q34_ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),

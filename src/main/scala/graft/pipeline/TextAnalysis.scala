@@ -203,6 +203,70 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q203: pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko
+    * & Croft 2001 as used in Anserini/Lucene): BM25 the seed terms, treat the
+    * top-`nFb` documents as relevant, weight each of their terms by
+    * Σ_d (tf(w,d)/dl(d)) · score(d) (relevance-model weight with the BM25
+    * score as the document prior), expand the query with the top-`nExp` new
+    * terms, and re-run BM25 over seed ∪ expansion. Deterministic end-to-end:
+    * pass-1 scores travel q118's decimal route, the expansion weights are
+    * exact DECIMAL products (round(tf/dl, 8) × the 4-decimal score), and
+    * both rankings break ties on the id/word — so the DuckDB oracle replays
+    * every layer, including WHICH terms got picked (a different expansion
+    * set flips the final scores, hence the hash).
+    *
+    * Scale shape: pass 1 and pass 2 are q118's plan (term-filtered tf,
+    * broadcast df, corpus-wide dl reused across both passes via one
+    * tokenize); the expansion stage touches only the nFb feedback docs'
+    * words (a broadcast semi-join), and the term-weight shuffle carries at
+    * most nFb · distinct-words-per-doc rows. [[TextIndex.rm3FromTable]] is
+    * the index-served production twin the bench times.
+    */
+  def rm3TopK(spark: SparkSession, dir: String, k: Int = 10,
+              nFb: Int = 10, nExp: Int = 5): DataFrame = {
+    import spark.implicits._
+    val seed = Seq("spark", "data", "join", "query")
+    val stop = Seq("a", "the")
+    val k1 = 1.2
+    val b = 0.75
+    val words = docs(spark, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .localCheckpoint(true) // one tokenize feeds dl + both BM25 passes
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    def bm25(terms: DataFrame): DataFrame = { // terms: one column "w"
+      val tf = words.join(broadcast(terms), "w")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val termScore = idf * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(termScore, 8).cast("decimal(18,8)").as("ts"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("ts")).cast("double"), 4).as("score"))
+    }
+    val fb = bm25(seed.toDF("w"))
+      .orderBy(col("score").desc, col("doc_id")).limit(nFb)
+    val wgt = words
+      .join(broadcast(fb), "doc_id")
+      .filter(!col("w").isin((seed ++ stop).map(_.asInstanceOf[Any]): _*))
+      .groupBy(col("doc_id"), col("w"), col("score")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("w"),
+        (round(col("tf") / col("dl"), 8).cast("decimal(18,8)") *
+          col("score").cast("decimal(18,4)")).as("c"))
+      .groupBy(col("w")).agg(sum(col("c")).as("wgt"))
+    val expTerms = wgt.orderBy(col("wgt").desc, col("w")).limit(nExp)
+      .select(col("w"))
+    bm25(expTerms.union(seed.toDF("w")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Inverted index build (word -> sorted posting list + document frequency),
     * the IR-side sibling of TF-IDF: one (doc, word)-distinct explode, one
     * shuffle on the word. Restricted to words with df >= minDf (the useful
@@ -432,6 +496,7 @@ object TextAnalysis {
     "q147_pmi_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "q148_char_entropy" -> ((s: SparkSession, d: String) => charEntropy(s, d)),
     "q118_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "q203_rm3_expansion" -> ((s: SparkSession, d: String) => rm3TopK(s, d)),
     "q140_bigram_quality" -> ((s: SparkSession, d: String) => bigramQuality(s, d)),
     "q98_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
     "q100_doc_diversity" -> ((s: SparkSession, d: String) => diversity(s, d)),
@@ -545,6 +610,51 @@ object TextAnalysis {
         |      FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
         |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
         |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q203: RM3 replayed end-to-end — pass-1 BM25 (q118's decimal route),
+    // the DECIMAL-exact relevance-model term weights, the top-nExp
+    // expansion pick (weight desc, word asc), and the expanded pass-2 BM25;
+    // a different expansion set changes pass-2 scores, hence the hash
+    "q203_rm3_expansion" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf1 AS (SELECT doc_id, w, count(*) AS tf FROM w
+        |        WHERE w IN ('spark','data','join','query') GROUP BY 1, 2),
+        |df1 AS (SELECT w, count(*) AS df FROM tf1 GROUP BY 1),
+        |s1 AS (SELECT tf1.doc_id,
+        |         CAST(round(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * tf1.tf * (1.2 + 1) / (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |           8) AS DECIMAL(18,8)) AS ts
+        |       FROM tf1 JOIN df1 USING (w) JOIN dl ON tf1.doc_id = dl.doc_id CROSS JOIN g),
+        |fb AS (SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |       FROM s1 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10),
+        |ctf AS (SELECT w.doc_id, w.w, count(*) AS tf
+        |        FROM w JOIN fb ON w.doc_id = fb.doc_id
+        |        WHERE w.w NOT IN ('spark','data','join','query','a','the')
+        |        GROUP BY 1, 2),
+        |wgt AS (SELECT ctf.w,
+        |          sum(CAST(round(ctf.tf / dl.dl, 8) AS DECIMAL(18,8))
+        |              * CAST(fb.score AS DECIMAL(18,4))) AS wgt
+        |        FROM ctf JOIN dl ON ctf.doc_id = dl.doc_id
+        |                 JOIN fb ON ctf.doc_id = fb.doc_id
+        |        GROUP BY 1),
+        |ex AS (SELECT w FROM wgt ORDER BY wgt DESC, w LIMIT 5),
+        |terms AS (SELECT w FROM ex
+        |          UNION SELECT unnest(['spark','data','join','query']) AS w),
+        |tf2 AS (SELECT doc_id, w.w, count(*) AS tf FROM w
+        |        JOIN terms USING (w) GROUP BY 1, 2),
+        |df2 AS (SELECT w, count(*) AS df FROM tf2 GROUP BY 1),
+        |s2 AS (SELECT tf2.doc_id,
+        |         CAST(round(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * tf2.tf * (1.2 + 1) / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |           8) AS DECIMAL(18,8)) AS ts
+        |       FROM tf2 JOIN df2 USING (w) JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN g)
+        |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |FROM s2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q98_inverted_index" ->
       """WITH w AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word

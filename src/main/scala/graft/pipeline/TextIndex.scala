@@ -186,6 +186,57 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Production/bench twin of q203: RM3 pseudo-relevance feedback with
+    * BOTH BM25 passes and the expansion stage served from the index tables
+    * — the stored per-(word, doc) tf replaces re-tokenizing the corpus, so
+    * the expansion stage is a broadcast semi-join of the postings against
+    * the nFb feedback docs (word-bucketing doesn't prune a doc-keyed probe;
+    * the postings table is the narrow 3-column index, not the corpus, and
+    * the doc-keyed slice is one predicate pushdown over it). Formula and
+    * tie-breaks identical to [[TextAnalysis.rm3TopK]].
+    */
+  def rm3FromTable(eng: OlapEngine, seed: Seq[String] = DefaultTerms,
+                   k: Int = 10, nFb: Int = 10, nExp: Int = 5): DataFrame = {
+    val spark = eng.spark
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val stop = Seq("a", "the")
+    val k1 = 1.2
+    val b = 0.75
+    val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
+    val dl = eng.scan(Db, DoclenTable)
+    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    def bm25(terms: DataFrame): DataFrame = { // terms: one column "w"
+      val tf = post.join(broadcast(terms), "w")
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val termScore = idf * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(termScore, 8).cast("decimal(18,8)").as("ts"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("ts")).cast("double"), 4).as("score"))
+    }
+    val fb = bm25(seed.toDF("w"))
+      .orderBy(col("score").desc, col("doc_id")).limit(nFb)
+    val wgt = post
+      .join(broadcast(fb), "doc_id")
+      .filter(!col("w").isin((seed ++ stop).map(_.asInstanceOf[Any]): _*))
+      .join(dl, "doc_id")
+      .select(col("w"),
+        (round(col("tf") / col("dl"), 8).cast("decimal(18,8)") *
+          col("score").cast("decimal(18,4)")).as("c"))
+      .groupBy(col("w")).agg(sum(col("c")).as("wgt"))
+    val expTerms = wgt.orderBy(col("wgt").desc, col("w")).limit(nExp)
+      .select(col("w"))
+    bm25(expTerms.union(seed.toDF("w")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // --- driver fixture + query ----------------------------------------------
 
   private val cache = TrieMap.empty[String, OlapEngine]

@@ -94,6 +94,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("margin_ok"), "recall below floor + 0.1 margin")
   }
 
+  test("filtered serve (q202): every result satisfies the predicate, and " +
+    "with exhaustive routing + a pool-covering rerank the served set equals " +
+    "the exact filtered top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val served = AnnIndex.filteredAnnServed(spark, dir).collect()
+    val lbl = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(served.nonEmpty)
+    assert(served.forall(r => lbl(r.getAs[Long]("neighbor_id")) == 3),
+      "a served neighbor violates the label filter")
+    // nprobe = NCells routes everywhere and rerank (50) covers the whole
+    // ~10% candidate class, so the only remaining approximation is PQ's ADC
+    // pre-rank — which the exact rerank then undoes: sets must match
+    val exact = Similarity.bruteForceTopKFiltered(spark, dir)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = served.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got === exact)
+  }
+
   test("stream-maintained table ≡ batch-maintained table on the real corpus " +
     "(the fold is stateless per vector, so delta batching is irrelevant)") {
     val dir = "/root/testdata/sf0.001"

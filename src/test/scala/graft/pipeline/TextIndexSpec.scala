@@ -110,6 +110,21 @@ class TextIndexSpec extends AnyFunSuite {
     assert(served === scratch)
   }
 
+  test("served RM3 ≡ from-scratch RM3 bit-for-bit on the real corpus " +
+    "(q203: same feedback docs, same expansion pick, same final ranking)") {
+    val dir = "/root/testdata/sf0.001"
+    val served = TextIndex.rm3FromTable(TextIndex.engineFor(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scratch = TextAnalysis.rm3TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === scratch)
+    // and the expansion actually changed the ranking vs plain BM25 — the
+    // feedback loop is live, not a fixed-point no-op
+    val plain = TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served !== plain)
+  }
+
   test("stream-maintained table ≡ batch-maintained table on the real corpus " +
     "(the fold is stateless per document, so delta batching is irrelevant)") {
     val dir = "/root/testdata/sf0.001"
