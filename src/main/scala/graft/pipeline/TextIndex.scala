@@ -237,6 +237,51 @@ object TextIndex {
       .limit(k)
   }
 
+  /** q205: BATCH retrieval — many queries served from the index in ONE
+    * plan, no per-query loop. The query workload is itself a relation
+    * (query_id, term), so retrieval is a join: one broadcast of the term
+    * table against the word-bucketed postings scores every (query, doc)
+    * pair, one aggregation sums per-query BM25, and the per-query top-k is
+    * a rank window PARTITIONED BY query_id (Spark's WindowGroupLimit keeps
+    * per-partition heaps of k before the shuffle — no global sort). This is
+    * the 100 TB shape for serving a query LOG: cost is one pass over the
+    * touched postings regardless of how many queries batch together,
+    * where a loop would re-scan per query. Corpus stats (df, dl, avgdl)
+    * are shared across queries — computed once, joined in.
+    */
+  def batchBm25FromTable(eng: OlapEngine, k: Int = 5): DataFrame = {
+    val spark = eng.spark
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val k1 = 1.2
+    val b = 0.75
+    val queries = Seq((0L, "spark"), (0L, "data"), (1L, "join"),
+      (1L, "query"), (2L, "merge"), (2L, "sort")).toDF("query_id", "w")
+    val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
+    val dl = eng.scan(Db, DoclenTable)
+    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // df is a corpus property of the word, shared by every query probing it
+    val dfreq = post.join(broadcast(queries.select(col("w")).distinct()), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = post.join(broadcast(queries), "w")
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col("doc_id"),
+        round(termScore, 8).cast("decimal(18,8)").as("ts"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("ts")).cast("double"), 4).as("score"))
+    scored.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+  }
+
   // --- driver fixture + query ----------------------------------------------
 
   private val cache = TrieMap.empty[String, OlapEngine]
@@ -326,6 +371,8 @@ object TextIndex {
       ((s: SparkSession, d: String) => bm25FromTable(engineFor(s, d))),
     "q197_text_index_refold" ->
       ((s: SparkSession, d: String) => bm25FromTable(refoldEngineFor(s, d))),
+    "q205_batch_retrieval" ->
+      ((s: SparkSession, d: String) => batchBm25FromTable(engineFor(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +380,33 @@ object TextIndex {
     // from-scratch corpus recompute bit-for-bit — an exact-hash check on
     // every layer (fold, Unique merge-on-read, doclen-derived stats, serve)
     "q190_text_index_served" -> TextAnalysis.oracles("q118_bm25_topk"),
+    // q205: three query term-sets replayed through q118's decimal route in
+    // one SQL — the served batch join must reproduce every per-query
+    // ranking (df/dl/avgdl shared across queries, ranks per query_id)
+    "q205_batch_retrieval" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q(query_id, w) AS (VALUES (0, 'spark'), (0, 'data'), (1, 'join'),
+        |                          (1, 'query'), (2, 'merge'), (2, 'sort')),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+        |       WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(round(
+        |          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |          8) AS DECIMAL(18,8)) AS ts
+        |      FROM tf JOIN q USING (w) JOIN df USING (w)
+        |           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
+        |sc AS (SELECT query_id, doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |       FROM s GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS INT) AS rk
+        |FROM sc QUALIFY rk <= 5""".stripMargin,
     // q118's formula over the EDITED corpus: the oracle applies the same
     // first-5-tokens truncation to doc_id % 7 == 3 and recomputes BM25 from
     // scratch — it matches only if refold upserted the new tf AND

@@ -110,6 +110,22 @@ class TextIndexSpec extends AnyFunSuite {
     assert(served === scratch)
   }
 
+  test("batch retrieval (q205): each query's slice of the one-join batch " +
+    "plan equals that query's standalone single-query serve") {
+    val dir = "/root/testdata/sf0.001"
+    val eng = TextIndex.engineFor(spark, dir)
+    val batch = TextIndex.batchBm25FromTable(eng).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    val termSets = Map(0L -> Seq("spark", "data"), 1L -> Seq("join", "query"),
+      2L -> Seq("merge", "sort"))
+    termSets.foreach { case (qid, terms) =>
+      val solo = TextIndex.bm25FromTable(eng, terms, k = 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) === solo, s"query $qid diverges from its solo serve")
+    }
+  }
+
   test("served RM3 ≡ from-scratch RM3 bit-for-bit on the real corpus " +
     "(q203: same feedback docs, same expansion pick, same final ranking)") {
     val dir = "/root/testdata/sf0.001"
