@@ -116,6 +116,64 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk"))
   }
 
+  /** Ranking-quality metrics of a system ranking against a binary-relevance
+    * truth set, per probe: hits, recall@k, MRR, and NDCG@k. The DCG terms
+    * travel the q118 decimal route (round(ln 2 / ln(rank+1), 8) as
+    * DECIMAL(18,8), summed exactly, one final double division + round) so
+    * the whole scorecard is engine-replayable. Probes the system returned
+    * nothing for score zeros — an empty result is a quality fact, not a
+    * missing row. Scale shape: one broadcast-sized join of two top-k lists
+    * (k rows per probe each) + one per-probe aggregation; the corpus never
+    * appears.
+    */
+  private[pipeline] def rankingEval(truth: DataFrame, sys: DataFrame,
+                                    k: Int): DataFrame = {
+    val ln2 = lit(math.log(2.0))
+    val judged = sys.join(truth.withColumn("rel", lit(1)),
+        Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val idcg = (1 to k).map(i =>
+      BigDecimal(math.log(2.0) / math.log(i + 1.0))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+    val perProbe = judged.groupBy(col("probe_id")).agg(
+      sum(col("rel")).cast("int").as("n_hits"),
+      round(sum(col("rel")).cast("double") / lit(k.toDouble), 4).as("recall"),
+      round(coalesce(
+        lit(1.0) / min(when(col("rel") === 1, col("rk"))), lit(0.0)), 6)
+        .as("mrr"),
+      round(coalesce(
+          sum(when(col("rel") === 1,
+            round(ln2 / log(col("rk") + lit(1.0)), 8).cast("decimal(18,8)"))),
+          lit(0).cast("decimal(18,8)")).cast("double") / lit(idcg.toDouble), 6)
+        .as("ndcg"))
+    truth.select(col("probe_id")).distinct()
+      .join(perProbe, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        coalesce(col("recall"), lit(0.0)).as("recall"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        coalesce(col("ndcg"), lit(0.0)).as("ndcg"))
+  }
+
+  /** q206: retrieval-quality EVALUATION as an operator — the per-probe
+    * recall@5 / MRR / NDCG@5 scorecard of the LSH ANN (q35's system)
+    * against the exact cosine ranking (q34's truth). Evaluation over a
+    * probe log is itself a data-pipeline operator (every index change
+    * needs a quality regression gate); picking the LSH leg makes the WHOLE
+    * scorecard oracle-exact, because the md5-derived hyperplanes let
+    * DuckDB rebuild the system ranking itself — metric VALUES are
+    * hash-checked, not just floor booleans (contrast q50/q187, where the
+    * k-means fit forces contract-pinning).
+    */
+  def annEvalLsh(spark: SparkSession, dir: String,
+                 nProbes: Int = 8, k: Int = 5): DataFrame =
+    rankingEval(
+      bruteForceTopK(spark, dir, nProbes, k)
+        .select(col("probe_id"), col("neighbor_id")),
+      lshTopK(spark, dir, nProbes, k)
+        .select(col("probe_id"), col("neighbor_id"), col("rk")),
+      k)
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim): the top
     * 60 bits of md5("plane:dim") mapped to [-1, 1). md5 (not xxhash64) so the
     * whole LSH pipeline is reproducible OUTSIDE this engine — any system with
@@ -685,6 +743,7 @@ object Similarity {
     "q152_ann_ivf_pq" -> ((s: SparkSession, d: String) => ivfPqRecallAudit(s, d)),
     "q34_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q202_filtered_ann" -> ((s: SparkSession, d: String) => bruteForceTopKFiltered(s, d)),
+    "q206_retrieval_eval" -> ((s: SparkSession, d: String) => annEvalLsh(s, d)),
     "q35_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "q36_embed_near_dup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
   )
@@ -795,6 +854,47 @@ object Similarity {
          |      FROM c)
          |SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS sim, rk
          |FROM r WHERE rk <= 5""".stripMargin,
+    // q206: the full scorecard replayed — truth (q34's exact ranking),
+    // system (q35's md5-LSH ranking), and every metric's arithmetic route
+    // (decimal DCG terms, double MRR/recall, final 6/4-digit rounds)
+    "q206_retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, ${lshSigSql(8)} AS sig,
+         |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,b)->a+b)) AS nrm
+         |      FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, sig AS psig, nrm AS pnrm
+         |      FROM s WHERE vec_id < 8),
+         |x AS (SELECT probe_id, e.vec_id,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY list_cosine_similarity(pv, v) DESC, e.vec_id) AS xrk
+         |      FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+         |ex AS (SELECT probe_id, vec_id FROM x WHERE xrk <= 5),
+         |c AS (SELECT probe_id, s.vec_id,
+         |        list_reduce(list_prepend(0.0, list_transform(range(0, len(pv)),
+         |          j -> pv[j+1] * s.v[j+1])), (a,b)->a+b) / (pnrm * s.nrm) AS sim
+         |      FROM s JOIN p ON s.sig = p.psig AND s.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, vec_id,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM c),
+         |sys AS (SELECT probe_id, vec_id, rk FROM r WHERE rk <= 5),
+         |j AS (SELECT sys.probe_id, sys.rk,
+         |        CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS rel
+         |      FROM sys LEFT JOIN ex
+         |        ON sys.probe_id = ex.probe_id AND sys.vec_id = ex.vec_id),
+         |idcg AS (SELECT CAST(sum(CAST(round(ln(2.0)/ln(i+1.0), 8) AS DECIMAL(18,8))) AS DOUBLE) AS idcg
+         |         FROM range(1, 6) t(i)),
+         |m AS (SELECT probe_id,
+         |        CAST(sum(rel) AS INT) AS n_hits,
+         |        round(CAST(sum(rel) AS DOUBLE) / 5.0, 4) AS recall,
+         |        round(COALESCE(1.0 / min(CASE WHEN rel = 1 THEN rk END), 0.0), 6) AS mrr,
+         |        round(CAST(COALESCE(sum(CASE WHEN rel = 1 THEN
+         |            CAST(round(ln(2.0)/ln(rk+1.0), 8) AS DECIMAL(18,8)) END),
+         |          0) AS DOUBLE) / idcg, 6) AS ndcg
+         |      FROM j CROSS JOIN idcg GROUP BY probe_id, idcg)
+         |SELECT pp.probe_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(recall, 0.0) AS recall, COALESCE(mrr, 0.0) AS mrr,
+         |  COALESCE(ndcg, 0.0) AS ndcg
+         |FROM (SELECT DISTINCT probe_id FROM p) pp LEFT JOIN m USING (probe_id)""".stripMargin,
     "q36_embed_near_dup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v, ${lshSigSql(6)} AS sig,

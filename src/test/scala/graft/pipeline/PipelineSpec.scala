@@ -150,6 +150,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6)
   }
 
+  test("ranking eval (q206): a perfect system scores 1.0 on every metric, " +
+    "and the LSH scorecard is internally consistent") {
+    val dir = "/root/testdata/sf0.001"
+    // identity check: evaluating the exact ranking against itself
+    val exact = Similarity.bruteForceTopK(spark, dir)
+    val perfect = Similarity.rankingEval(
+      exact.select(col("probe_id"), col("neighbor_id")),
+      exact.select(col("probe_id"), col("neighbor_id"), col("rk")), 5)
+      .collect()
+    assert(perfect.length === 8)
+    perfect.foreach { r =>
+      assert(r.getAs[Int]("n_hits") === 5)
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Double]("mrr") === 1.0)
+      assert(r.getAs[Double]("ndcg") === 1.0)
+    }
+    // the real scorecard: metrics in [0,1], recall consistent with n_hits,
+    // and ndcg = 0 exactly when nothing relevant was returned
+    val card = Similarity.annEvalLsh(spark, dir).collect()
+    assert(card.length === 8)
+    card.foreach { r =>
+      val (h, rec, mrr, ndcg) = (r.getAs[Int]("n_hits"),
+        r.getAs[Double]("recall"), r.getAs[Double]("mrr"),
+        r.getAs[Double]("ndcg"))
+      assert(math.abs(rec - h / 5.0) < 1e-4)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert((ndcg == 0.0) === (h == 0))
+    }
+  }
+
+  test("context pack (q207): running totals are exact prefix sums, inclusion " +
+    "is a rank-prefix (stop-at-overflow is monotone), budget respected") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Retrieval.contextPack(spark, dir).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(rows.length === 10)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("tokens")
+      assert(r.getAs[Long]("cum_tokens") === cum)
+    }
+    val flags = rows.map(_.getAs[Boolean]("included"))
+    assert(flags.zip(flags.tail).forall { case (a, b) => a || !b },
+      "an excluded rank must never be followed by an included one")
+    rows.filter(_.getAs[Boolean]("included"))
+      .foreach(r => assert(r.getAs[Long]("cum_tokens") <= 200L))
+    assert(flags.exists(!_), "fixture budget should overflow inside the top-10")
+    // the served-ranking production pack runs the same budget algebra
+    val served = Retrieval.contextPack(spark, dir, served = true).collect()
+    assert(served.length === 10)
+  }
+
   test("PQ top-k recall vs exact brute force >= 0.6 (q151 accuracy contract)") {
     // 8-byte codes (16 subspaces x 4-bit codebook ids) + ADC routing +
     // exact re-rank of the top-50 pool; measured 0.95 at sf0.01 (0.85 /
