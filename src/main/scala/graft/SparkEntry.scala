@@ -98,6 +98,11 @@ object SparkEntry {
     "q203_rm3_expansion" ->
       ((s: SparkSession, d: String) => graft.pipeline.TextIndex.rm3FromTable(
         graft.pipeline.TextIndex.engineFor(s, d))),
+    // q207's verdict form packs the exact-rank fusion (oracle-replayable);
+    // production packs the both-legs-index-served ranking (q200's variant)
+    "q207_context_pack" ->
+      ((s: SparkSession, d: String) =>
+        graft.pipeline.Retrieval.contextPack(s, d, served = true)),
     // q196's verdict form bundles the same O(n²) exact baseline as q157;
     // production emits the within-block pairs from the table-served blocks
     "q196_semantic_dedup_served" ->

@@ -92,17 +92,54 @@ object Retrieval {
     fuse(textRanks(spark, dir, pool), vec, k)
   }
 
+  /** q207: CONTEXT ASSEMBLY — the RAG prompt-builder step after retrieval.
+    * The fused top-k (q200's RRF ranking) is packed greedily into a token
+    * budget in rank order: a document is included while the running token
+    * total stays within budget, and packing STOPS at the first overflow
+    * (the deterministic stop-at-overflow policy — no skip-and-backfill, so
+    * the packed prefix is a pure function of the ranking). Emits the
+    * context manifest (rank, doc, tokens, running total, included), not
+    * the concatenated text — the manifest is what a prompt cache keys on.
+    * Complements q89's training-side budget packing: same budget algebra,
+    * driven by a retrieval ranking instead of corpus order.
+    *
+    * Scale shape: everything after the retrieval serve is k rows — the
+    * rank/cumsum window runs over the top-k list, never the corpus.
+    */
+  def contextPack(spark: SparkSession, dir: String,
+                  k: Int = 10, pool: Int = 50, budget: Long = 200,
+                  served: Boolean = false): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    val fused = if (served) hybridRrfServed(spark, dir, k, pool)
+                else hybridRrf(spark, dir, k, pool)
+    val ranked = fused
+      .select(col("doc_id"), col("rrf"))
+      .join(toks, "doc_id")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+    ranked
+      .withColumn("cum_tokens", sum(col("tokens")).over(
+        Window.orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("included", col("cum_tokens") <= budget)
+      .select(col("rnk"), col("doc_id"), col("tokens"), col("cum_tokens"),
+        col("included"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q200_hybrid_retrieval" ->
       ((s: SparkSession, d: String) => hybridRrf(s, d)),
+    "q207_context_pack" ->
+      ((s: SparkSession, d: String) => contextPack(s, d)),
   )
 
-  val oracles: Map[String, String] = Map(
-    // full replay: BM25 formula (q118's decimal route) + exact cosine fold
-    // (q109's left-to-right route) + integer-rank RRF — every layer of the
-    // fusion is hash-checked
-    "q200_hybrid_retrieval" ->
-      """WITH w AS (SELECT doc_id,
+  /** The q200 fusion, as shared CTEs: q200 selects the fused top-10; q207
+    * extends with token counts + the budget cumsum over that same top-10.
+    */
+  private val fusionCtes: String =
+    """WITH w AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
         |  FROM documents),
         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
@@ -138,8 +175,35 @@ object Retrieval {
         |f AS (SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
         |        round(COALESCE(1.0/(60 + r_text), 0.0) +
         |              COALESCE(1.0/(60 + r_vec), 0.0), 6) AS rrf
-        |      FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
+        |      FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // full replay: BM25 formula (q118's decimal route) + exact cosine fold
+    // (q109's left-to-right route) + integer-rank RRF — every layer of the
+    // fusion is hash-checked
+    "q200_hybrid_retrieval" -> (fusionCtes +
+      """
         |SELECT doc_id, r_text, r_vec, rrf FROM f
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+    // q207: the same fused top-10, packed — token counts, the running
+    // total in rank order, and the stop-at-overflow inclusion flag are all
+    // recomputed; a different ranking, token count, or budget edge flips
+    // the hash
+    "q207_context_pack" -> (fusionCtes +
+      """,
+        |top AS (SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |       FROM documents),
+        |rkd AS (SELECT top.doc_id, tokens,
+        |          CAST(row_number() OVER (ORDER BY rrf DESC, top.doc_id) AS INT) AS rnk
+        |        FROM top JOIN tk USING (doc_id)),
+        |cum AS (SELECT rnk, doc_id, tokens,
+        |          CAST(sum(tokens) OVER (ORDER BY rnk
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |        FROM rkd)
+        |SELECT rnk, doc_id, tokens, cum_tokens,
+        |  cum_tokens <= 200 AS included
+        |FROM cum""".stripMargin),
   )
 }
