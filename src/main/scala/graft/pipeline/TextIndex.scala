@@ -282,6 +282,38 @@ object TextIndex {
       .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
   }
 
+  /** q208: REVERSE search (the Elasticsearch percolator / standing-query
+    * shape): instead of a query probing the document index, a document
+    * batch probes a QUERY index — which stored queries does each document
+    * satisfy? The matching rule is conjunctive (every term of the query
+    * present in the document), evaluated as pure relational algebra: join
+    * the (query_id, term) table against the postings on the word, count
+    * DISTINCT matched terms per (query, doc), keep pairs where the count
+    * equals the query's arity. No per-query scan, no regex engine — one
+    * broadcast join sized by the standing queries, which is the 100 TB
+    * alerting shape (matching N standing alerts against a firehose costs
+    * one pass over the batch's postings however large N grows).
+    */
+  def reverseSearch(eng: OlapEngine): DataFrame = {
+    val spark = eng.spark
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val queries = Seq(
+      (0L, "spark"), (0L, "data"), (0L, "join"), (0L, "query"),
+      (1L, "merge"), (1L, "sort"), (1L, "hash"), (1L, "scan"),
+      (2L, "vector"), (2L, "window"), (2L, "stream"), (2L, "batch"))
+      .toDF("query_id", "w")
+    val arity = queries.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"))
+    val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
+    post.join(broadcast(queries), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_matched"))
+      .join(broadcast(arity), "query_id")
+      .filter(col("n_matched") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
   // --- driver fixture + query ----------------------------------------------
 
   private val cache = TrieMap.empty[String, OlapEngine]
@@ -373,6 +405,8 @@ object TextIndex {
       ((s: SparkSession, d: String) => bm25FromTable(refoldEngineFor(s, d))),
     "q205_batch_retrieval" ->
       ((s: SparkSession, d: String) => batchBm25FromTable(engineFor(s, d))),
+    "q208_reverse_search" ->
+      ((s: SparkSession, d: String) => reverseSearch(engineFor(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +414,23 @@ object TextIndex {
     // from-scratch corpus recompute bit-for-bit — an exact-hash check on
     // every layer (fold, Unique merge-on-read, doclen-derived stats, serve)
     "q190_text_index_served" -> TextAnalysis.oracles("q118_bm25_topk"),
+    // q208: conjunctive standing-query matching replayed as relational
+    // algebra — a (query, doc) pair survives iff the doc contains every
+    // term of the query
+    "q208_reverse_search" ->
+      """WITH q(query_id, w) AS (VALUES
+        |  (0, 'spark'), (0, 'data'), (0, 'join'), (0, 'query'),
+        |  (1, 'merge'), (1, 'sort'), (1, 'hash'), (1, 'scan'),
+        |  (2, 'vector'), (2, 'window'), (2, 'stream'), (2, 'batch')),
+        |a AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+        |w AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |m AS (SELECT q.query_id, w.doc_id, count(DISTINCT q.w) AS n_matched
+        |      FROM w JOIN q USING (w) GROUP BY 1, 2)
+        |SELECT CAST(m.query_id AS BIGINT) AS query_id, doc_id
+        |FROM m JOIN a ON m.query_id = a.query_id
+        |WHERE n_matched = n_terms""".stripMargin,
     // q205: three query term-sets replayed through q118's decimal route in
     // one SQL — the served batch join must reproduce every per-query
     // ranking (df/dl/avgdl shared across queries, ranks per query_id)

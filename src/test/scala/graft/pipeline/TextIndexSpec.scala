@@ -126,6 +126,28 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("reverse search (q208): the served pairs are exactly the conjunctive " +
+    "matches a direct corpus recompute produces") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextIndex.reverseSearch(TextIndex.engineFor(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val queries = Map(
+      0L -> Set("spark", "data", "join", "query"),
+      1L -> Set("merge", "sort", "hash", "scan"),
+      2L -> Set("vector", "window", "stream", "batch"))
+    val expected = (for {
+      (qid, terms) <- queries.toSeq
+      (doc, ws) <- words if terms.subsetOf(ws)
+    } yield (qid, doc)).toSet
+    assert(got === expected)
+    assert(got.size < 3 * words.length, "conjunction should exclude some docs")
+  }
+
   test("served RM3 ≡ from-scratch RM3 bit-for-bit on the real corpus " +
     "(q203: same feedback docs, same expansion pick, same final ranking)") {
     val dir = "/root/testdata/sf0.001"
