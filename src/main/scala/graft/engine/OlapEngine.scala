@@ -1408,6 +1408,41 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       if (td.retention.automated) gc(db, table): Unit
     }
 
+  // --- restore to version ----------------------------------------------------
+
+  /** RESTORE TABLE TO VERSION (Delta `RESTORE`, Doris has nothing —
+    * operator rollback after a bad load is the missing half of MVCC): make
+    * the snapshot at version `v` the new head, METADATA-ONLY. No data
+    * moves: every rowset newer than `v` (loads, delete markers, compaction
+    * outputs) is retired to Stale, and an EMPTY rowset bridges
+    * `(v, maxVersion+1]` so the head version still resolves a covering
+    * path. A restore is an event in the version history, not an erasure —
+    * the pre-restore head stays wall-clock time-travelable
+    * ([[snapshotAsOf]]) until retention lets GC drop it, exactly like a
+    * compaction's inputs. Publish-the-bridge-then-retire ordering makes
+    * the operation crash-safe: after the bridge lands, BOTH covering paths
+    * resolve the restored content at head; the retire step then removes
+    * the dead branch in one manifest rewrite.
+    *
+    * Scope note (differs from Delta): restore governs the DATA version
+    * history; catalog state (schema evolution, partition ladder) keeps its
+    * current definition — a dropped partition stays dropped.
+    */
+  def restoreToVersion(db: String, table: String, v: Long): Unit = {
+    val m = manifest(db, table)
+    val head = m.maxVersion
+    require(v < head, s"restore target $v is not before the head $head")
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    m.captureConsistentVersions(lo, v) // fails loudly if v is not coverable
+    val rid = m.nextRowsetId
+    m.publish(RowsetMeta(rid, Version(v + 1, head + 1), relDir = s"d$rid",
+      numRows = 0L, createdMs = System.currentTimeMillis()))
+    m.markStaleAll(
+      m.visibleRowsets.filter(r => r.version.start > v && r.rowsetId != rid)
+        .map(_.rowsetId))
+    autoGc(db, table)
+  }
+
   // --- shallow clone ---------------------------------------------------------
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`, Iceberg

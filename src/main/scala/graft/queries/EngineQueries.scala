@@ -317,6 +317,23 @@ object EngineFixture {
     eng.cloneTable("graft", "orders_dup", "graft", "orders_clone")
     eng.ingest("graft", "orders_clone",
       orders.filter(col("o_orderkey") % 100 === 0), Some(Version(4, 4)))
+
+    // --- orders_restore: RESTORE TO VERSION (bad-load rollback) ------------
+    // load1 (keys %3=0) at v1; load2 (%3=1 — "the bad load") at v2; restore
+    // to v1 (metadata-only: an empty rowset bridges (1,3], load2 retires to
+    // Stale); load3 (%3=2) then lands on the restored head. q209 pins that
+    // the head serves load1 + load3 with load2 fully rolled back — and that
+    // post-restore ingest works (the bridge keeps the version graph whole)
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_restore", schema = ordersSchema,
+      bucketColumn = Some("o_orderkey"), numBuckets = 4))
+    eng.ingest("graft", "orders_restore",
+      orders.filter(col("o_orderkey") % 3 === 0), Some(Version(1, 1)))
+    eng.ingest("graft", "orders_restore",
+      orders.filter(col("o_orderkey") % 3 === 1), Some(Version(2, 2)))
+    eng.restoreToVersion("graft", "orders_restore", 1)
+    eng.ingest("graft", "orders_restore",
+      orders.filter(col("o_orderkey") % 3 === 2), Some(Version(4, 4)))
     eng
   }
 }
@@ -720,7 +737,22 @@ object EngineQueries {
         decSumAsDouble(sum(col("price_c"))).as("total"))
   }
 
+  /** q209: the restored table's head — load2 rolled back by a metadata-only
+    * RESTORE, load3 landed after it. The month/count/decimal-sum hash pins
+    * both halves: nothing of the bad load survives at head, nothing of the
+    * good loads was lost to the rollback.
+    */
+  def restoredScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "orders_restore")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyyMMdd")
+        .as("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSumAsDouble(sum(col("price_c"))).as("total"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_restore_version" -> restoredScan _,
     "q204_shallow_clone" -> cloneDiverged _,
     "q199_dead_letter_quarantine" -> deadLetterQuarantine _,
     "q188_partition_expiry" -> partitionExpiryLayout _,
@@ -762,6 +794,14 @@ object EngineQueries {
     // q199: the quarantine must hold EXACTLY the late load's rows — the
     // oracle recomputes them from the raw data (the [1999-06, 1999-12)
     // window is entirely inside the expired p0 range)
+    // q209: the restored head = loads 1 + 3 only (keys %3 in {0,2}) — the
+    // rolled-back load 2 must contribute nothing
+    "q209_restore_version" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 <> 1
+        |GROUP BY 1""".stripMargin,
     // q204: the clone = the full source (both loads cover every order) plus
     // the divergent re-ingest of every 100th key — recomputed from raw data
     "q204_shallow_clone" ->
