@@ -319,3 +319,102 @@ object CompactionProbe {
     spark.stop()
   }
 }
+
+/** Scale probe for the round-9 retrieval family served from the inverted
+  * index (q205 batch retrieval, q208 reverse search): the claim under test
+  * is that a query WORKLOAD is a relation, so serving Q queries (or matching
+  * N standing queries) is ONE join pass whose cost tracks the touched
+  * postings — not Q (or N) corpus scans. Reports:
+  *  - batch-serve wall-time vs batched query count Q (one plan, per-query
+  *    top-k via WindowGroupLimit), next to the per-query LOOP baseline
+  *    (bm25FromTable once per query — the shape the batch form replaces;
+  *    capped at the smaller Q values, its cost is visibly linear);
+  *  - reverse-search wall-time vs standing-query count N (one pass over the
+  *    batch's postings however large N grows).
+  * Queries are synthesized from the corpus vocabulary in descending-df
+  * order (2 terms each, deterministic), so every query touches real
+  * postings; beyond the vocabulary the terms cycle — shared terms across
+  * queries are the realistic query-log shape.
+  */
+object RetrievalProbe {
+
+  def main(args: Array[String]): Unit = {
+    import graft.pipeline.TextIndex
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val qCounts = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                  else Seq(3, 30, 300)
+    val loopCounts = qCounts.filter(_ <= 30)
+    val nCounts = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+                  else Seq(3, 300, 3000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val eng = new OlapEngine(
+      spark, Files.createTempDirectory("graft-retrprobe-"))
+    TextIndex.createTables(eng)
+    TextIndex.bootstrap(eng, corpus)
+    TextIndex.compactIndex(eng) // steady state: maintenance has run
+
+    // vocabulary in descending document frequency (model-sized driver pull:
+    // bounded by 2 * max workload size, and the vocab itself is tiny)
+    val maxTerms = 2 * (qCounts ++ nCounts).max
+    val vocab = eng.scan("graft_idx", "inv_postings")
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(maxTerms).select(col("word")).collect().map(_.getString(0))
+    def workload(q: Int): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      (0 until q).flatMap { i =>
+        val a = vocab((2 * i) % vocab.length)
+        val bRaw = vocab((2 * i + 1) % vocab.length)
+        val b = if (bRaw == a) vocab((2 * i + 2) % vocab.length) else bRaw
+        Seq((i.toLong, a), (i.toLong, b))
+      }.toDF("query_id", "w")
+    }
+
+    def median3(work: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+
+    // warm-up (JIT, index file listing); discarded
+    TextIndex.batchBm25FromTable(eng, workload(3), 5)
+      .write.mode("overwrite").format("noop").save()
+
+    val batch = qCounts.map { q =>
+      val w = workload(q).localCheckpoint(true)
+      q -> median3(TextIndex.batchBm25FromTable(eng, w, 5)
+        .write.mode("overwrite").format("noop").save())
+    }
+    val loop = loopCounts.map { q =>
+      q -> median3 {
+        (0 until q).foreach { i =>
+          val a = vocab((2 * i) % vocab.length)
+          val bRaw = vocab((2 * i + 1) % vocab.length)
+          val b = if (bRaw == a) vocab((2 * i + 2) % vocab.length) else bRaw
+          TextIndex.bm25FromTable(eng, Seq(a, b), 5)
+            .write.mode("overwrite").format("noop").save()
+        }
+      }
+    }
+    val reverse = nCounts.map { n =>
+      val w = workload(n).localCheckpoint(true)
+      n -> median3(TextIndex.reverseSearch(eng, w)
+        .write.mode("overwrite").format("noop").save())
+    }
+    def fmt(xs: Seq[(Int, Double)]) =
+      xs.map { case (f, t) => "\"" + f + "\":" + t }.mkString("{", ",", "}")
+    println(s"""{"probe":"retrieval_batch","sf":"$sfDir","batch_serve_sec_by_q":${fmt(batch)},"loop_serve_sec_by_q":${fmt(loop)},"reverse_search_sec_by_n":${fmt(reverse)}}""")
+    spark.stop()
+  }
+}

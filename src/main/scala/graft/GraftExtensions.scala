@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.JoinMvRewrite)
     e.injectOptimizerRule(_ => graft.plans.BucketPruneRewrite)
     e.injectOptimizerRule(_ => graft.plans.PartitionPruneRewrite)
+    // SQL front door: engine DDL/DML/lifecycle statements become Spark SQL
+    // (inert until an engine is bound via GraftSql.bind — unclaimed text
+    // always delegates to Spark's own parser)
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParserInterface(delegate))
   }
 }
 

@@ -252,11 +252,18 @@ object TextIndex {
   def batchBm25FromTable(eng: OlapEngine, k: Int = 5): DataFrame = {
     val spark = eng.spark
     import spark.implicits._
+    batchBm25FromTable(eng, Seq((0L, "spark"), (0L, "data"), (1L, "join"),
+      (1L, "query"), (2L, "merge"), (2L, "sort")).toDF("query_id", "w"), k)
+  }
+
+  /** The general form: serve an arbitrary (query_id, w) workload relation.
+    * (`RetrievalProbe` drives this with synthesized logs of growing size.)
+    */
+  def batchBm25FromTable(eng: OlapEngine, queries: DataFrame, k: Int): DataFrame = {
+    val spark = eng.spark
     graft.GraftExtensions.register(spark)
     val k1 = 1.2
     val b = 0.75
-    val queries = Seq((0L, "spark"), (0L, "data"), (1L, "join"),
-      (1L, "query"), (2L, "merge"), (2L, "sort")).toDF("query_id", "w")
     val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
     val dl = eng.scan(Db, DoclenTable)
     val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -297,12 +304,19 @@ object TextIndex {
   def reverseSearch(eng: OlapEngine): DataFrame = {
     val spark = eng.spark
     import spark.implicits._
-    graft.GraftExtensions.register(spark)
-    val queries = Seq(
+    reverseSearch(eng, Seq(
       (0L, "spark"), (0L, "data"), (0L, "join"), (0L, "query"),
       (1L, "merge"), (1L, "sort"), (1L, "hash"), (1L, "scan"),
       (2L, "vector"), (2L, "window"), (2L, "stream"), (2L, "batch"))
-      .toDF("query_id", "w")
+      .toDF("query_id", "w"))
+  }
+
+  /** The general form: match an arbitrary standing-query (query_id, w)
+    * relation. (`RetrievalProbe` drives this with growing N.)
+    */
+  def reverseSearch(eng: OlapEngine, queries: DataFrame): DataFrame = {
+    val spark = eng.spark
+    graft.GraftExtensions.register(spark)
     val arity = queries.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_terms"))
     val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")

@@ -334,6 +334,29 @@ object EngineFixture {
     eng.restoreToVersion("graft", "orders_restore", 1)
     eng.ingest("graft", "orders_restore",
       orders.filter(col("o_orderkey") % 3 === 2), Some(Version(4, 4)))
+
+    // --- orders_sql: built ENTIRELY through the SQL front door (q210) ------
+    // The same DDL/DML/lifecycle a Doris-lineage user would type, via
+    // GraftSql: create, two loads (v0 good, v1 bad), RESTORE rolls the bad
+    // load back (bridge v2), a DELETE that SURVIVES at head (v3), and a
+    // post-restore load (v4). One head aggregate discriminates all three
+    // lifecycle facts: the bad load contributes nothing, the delete holds,
+    // the late load landed.
+    graft.sql.GraftSql.bind(spark, eng)
+    orders.createOrReplaceTempView("graft_orders_raw_sql")
+    def sql(s: String): Unit = graft.sql.GraftSql.sql(spark, s).collect(): Unit
+    sql("""CREATE TABLE graft.orders_sql (
+          |  o_orderkey BIGINT, o_orderdate TIMESTAMP, price_c DECIMAL(18, 2)
+          |) DUPLICATE KEY (o_orderkey)
+          |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin)
+    sql("INSERT INTO graft.orders_sql SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 3 = 0")
+    sql("INSERT INTO graft.orders_sql SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 3 = 1")
+    sql("RESTORE TABLE graft.orders_sql TO VERSION 0")
+    sql("DELETE FROM graft.orders_sql WHERE o_orderkey % 6 = 0")
+    sql("INSERT INTO graft.orders_sql SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 3 = 2")
     eng
   }
 }
@@ -751,7 +774,26 @@ object EngineQueries {
         decSumAsDouble(sum(col("price_c"))).as("total"))
   }
 
+  /** q210: the SQL-front-door table's head, read back through a SQL scan
+    * view. The whole lifecycle behind it (create / insert / bad-load
+    * restore / delete / late insert) ran as `GraftSql.sql` statements in
+    * the fixture; the hash pins all three lifecycle facts at once — the
+    * rolled-back load absent, the delete holding, the post-restore load
+    * present.
+    */
+  def sqlLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.sql.GraftSql.bind(spark, eng)
+    graft.sql.GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW q210_head AS SCAN graft.orders_sql").collect()
+    spark.sql(
+      """SELECT date_format(date_trunc('month', o_orderdate), 'yyyyMMdd') AS m,
+        |  count(1) AS n_rows, CAST(sum(price_c) AS DOUBLE) AS total
+        |FROM q210_head GROUP BY 1""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_sql_lifecycle" -> sqlLifecycle _,
     "q209_restore_version" -> restoredScan _,
     "q204_shallow_clone" -> cloneDiverged _,
     "q199_dead_letter_quarantine" -> deadLetterQuarantine _,
@@ -794,6 +836,15 @@ object EngineQueries {
     // q199: the quarantine must hold EXACTLY the late load's rows — the
     // oracle recomputes them from the raw data (the [1999-06, 1999-12)
     // window is entirely inside the expired p0 range)
+    // q210: the SQL-front-door lifecycle — head = (%3=0 survivors of the
+    // %6=0 delete) + the %3=2 late load; the rolled-back %3=1 load absent
+    "q210_sql_lifecycle" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0) OR o_orderkey % 3 = 2
+        |GROUP BY 1""".stripMargin,
     // q209: the restored head = loads 1 + 3 only (keys %3 in {0,2}) — the
     // rolled-back load 2 must contribute nothing
     "q209_restore_version" ->

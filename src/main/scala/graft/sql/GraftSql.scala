@@ -1,0 +1,341 @@
+package graft.sql
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.model.{ColumnSpec, KeysType, TableSchema}
+
+/** The engine's SQL front door: binds an [[OlapEngine]] to a session and
+  * executes [[GraftStatement]]s against it.
+  *
+  * Two entry points share this executor:
+  *  1. `GraftSql.sql(spark, text)` — a dispatcher usable on ANY session:
+  *     graft statements run against the bound engine, everything else
+  *     falls through to `spark.sql` (so a script can mix engine lifecycle
+  *     commands with ordinary Spark SQL over the registered scan views).
+  *  2. The injected parser ([[GraftSqlParserInterface]], wired by
+  *     `GraftExtensions` / `--conf spark.sql.extensions=graft.GraftExtensions`)
+  *     — `spark.sql("...")` itself understands the statements, the
+  *     idiomatic Catalyst route for a session built with the extension.
+  *
+  * Ownership policy (who claims an ambiguous verb): statements with
+  * graft-only markers (RESTORE...TO VERSION, COMPACT TABLE, SHALLOW CLONE,
+  * AS SCAN, SHOW ROWSETS, DISTRIBUTED BY / model-KEY CREATE TABLE) are
+  * always ours; generic verbs (INSERT/DELETE/DROP/ALTER/SHOW TABLES,
+  * SHOW PARTITIONS) are ours iff their `db.t` target exists in the bound
+  * engine's catalog — a session using the extension keeps full access to
+  * Spark's own tables under names the engine doesn't claim. CREATE
+  * DATABASE is engine-side whenever an engine is bound (the bound session
+  * is the engine's front door; Spark-side databases remain reachable via
+  * `spark_catalog.<db>` multi-part names, which this parser never claims).
+  */
+object GraftSql {
+
+  // ---- binding --------------------------------------------------------------
+
+  private val bound = TrieMap.empty[SparkSession, OlapEngine]
+
+  /** Bind `engine` as the session's SQL target. Re-binding replaces. */
+  def bind(spark: SparkSession, engine: OlapEngine): Unit = bound.put(spark, engine): Unit
+
+  def unbind(spark: SparkSession): Unit = bound.remove(spark): Unit
+
+  /** The engine for `spark`: an exact binding, else the single global
+    * binding (covers `newSession()` twins of a bound session), else None.
+    */
+  def engineFor(spark: SparkSession): Option[OlapEngine] =
+    bound.get(spark).orElse(if (bound.size == 1) Some(bound.head._2) else None)
+
+  private def engineOrFail(spark: SparkSession): OlapEngine =
+    engineFor(spark).getOrElse(throw new IllegalStateException(
+      "no OlapEngine bound to this session — call GraftSql.bind(spark, engine) first"))
+
+  // ---- claiming -------------------------------------------------------------
+
+  import GraftStatement._
+
+  /** Does the bound engine claim this statement? (See ownership policy.) */
+  def claims(eng: OlapEngine, stmt: GraftStatement): Boolean = stmt match {
+    // graft-only shapes: always ours
+    case _: CreateTable | _: RestoreToVersion | _: ShallowClone | _: Compact |
+         _: Vacuum | _: BackupTable | _: RestoreFromBackup | _: ShowRowsets |
+         _: ScanView | _: CreateDatabase => true
+    // generic verbs: ours iff the target lives in the engine catalog
+    case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
+    case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
+    case DropTable(db, t)         => eng.catalog.getTable(db, t).isDefined
+    case AddColumn(db, t, _)      => eng.catalog.getTable(db, t).isDefined
+    case DropColumn(db, t, _)     => eng.catalog.getTable(db, t).isDefined
+    case ModifyColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
+    case AddPartition(db, t, _)   => eng.catalog.getTable(db, t).isDefined
+    case DropPartition(db, t, _)  => eng.catalog.getTable(db, t).isDefined
+    case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
+    case ShowTablesIn(db)         => eng.catalog.databaseExists(db)
+  }
+
+  // ---- result schemas (static per statement type — the injected-parser
+  //      path must declare command output before execution) ------------------
+
+  val statusSchema: StructType = StructType(Seq(
+    StructField("command", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  val rowsetSchema: StructType = StructType(Seq(
+    StructField("rowset_id", LongType, nullable = false),
+    StructField("version_start", LongType, nullable = false),
+    StructField("version_end", LongType, nullable = false),
+    StructField("num_rows", LongType, nullable = false)))
+
+  val rowsetsSchema: StructType = StructType(Seq(
+    StructField("rowset_id", LongType, nullable = false),
+    StructField("version_start", LongType, nullable = false),
+    StructField("version_end", LongType, nullable = false),
+    StructField("num_rows", LongType, nullable = false),
+    StructField("num_files", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("created", TimestampType, nullable = true)))
+
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("upper_exclusive", StringType, nullable = true),
+    StructField("list_values", StringType, nullable = true),
+    StructField("buckets", IntegerType, nullable = false),
+    StructField("dropped", BooleanType, nullable = false)))
+
+  val tablesSchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false)))
+
+  def outputSchema(stmt: GraftStatement): StructType = stmt match {
+    case _: InsertInto | _: DeleteFrom | _: Compact => rowsetSchema
+    case _: ShowRowsets => rowsetsSchema
+    case _: ShowPartitions => partitionsSchema
+    case _: ShowTablesIn => tablesSchema
+    case _ => statusSchema
+  }
+
+  // ---- dispatcher -----------------------------------------------------------
+
+  /** Run `text`: a graft statement executes against the bound engine, any
+    * other SQL delegates to `spark.sql`.
+    */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    GraftSqlParser.parse(text) match {
+      case Some(stmt) if engineFor(spark).exists(claims(_, stmt)) =>
+        exec(spark, engineOrFail(spark), stmt)
+      case _ => spark.sql(text)
+    }
+
+  // ---- executor -------------------------------------------------------------
+
+  private def status(spark: SparkSession, command: String, target: String,
+                     detail: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(Row(command, target, detail)).asJava, statusSchema)
+  }
+
+  private def rowsetDf(spark: SparkSession, m: graft.manifest.RowsetMeta): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(Row(m.rowsetId, m.version.start, m.version.end, m.numRows)).asJava,
+      rowsetSchema)
+  }
+
+  def exec(spark: SparkSession, eng: OlapEngine, stmt: GraftStatement): DataFrame =
+    stmt match {
+      case CreateDatabase(db, ifNot) =>
+        if (!ifNot) require(!eng.catalog.databaseExists(db), s"database $db exists")
+        eng.createDatabase(db)
+        status(spark, "CREATE DATABASE", db, "ok")
+
+      case ct: CreateTable =>
+        val td = toTableDef(ct)
+        eng.createTable(td)
+        status(spark, "CREATE TABLE", td.qualified,
+          s"${td.schema.keysType.name} keys=${td.schema.keyNames.mkString(",")}")
+
+      case InsertInto(db, t, query) =>
+        val td = eng.catalog.getTable(db, t).getOrElse(
+          throw new NoSuchElementException(s"no table $db.$t"))
+        val df = spark.sql(query)
+        val want = td.schema.columns.map(_.name)
+        require(df.columns.length == want.length,
+          s"INSERT INTO $db.$t: query yields ${df.columns.length} columns, " +
+            s"table declares ${want.length} (${want.mkString(", ")})")
+        // positional alignment, the classic INSERT contract; engine-side
+        // conform() owns type validation/casts
+        rowsetDf(spark, eng.ingest(db, t, df.toDF(want: _*)))
+
+      case DeleteFrom(db, t, predicate) =>
+        rowsetDf(spark, eng.deleteWhere(db, t, predicate))
+
+      case RestoreToVersion(db, t, v) =>
+        eng.restoreToVersion(db, t, v)
+        status(spark, "RESTORE", s"$db.$t",
+          s"restored to version $v; head=${eng.manifest(db, t).maxVersion}")
+
+      case ShallowClone(sdb, st, ddb, dt, asOf) =>
+        eng.cloneTable(sdb, st, ddb, dt, asOf)
+        status(spark, "SHALLOW CLONE", s"$ddb.$dt",
+          s"from $sdb.$st${asOf.fold("")(v => s" version as of $v")}")
+
+      case Compact(db, t, cumulativeAt) =>
+        val meta = cumulativeAt match {
+          case Some(layer) => eng.compactCumulative(db, t, layer)
+          case None => eng.compact(db, t)
+        }
+        rowsetDf(spark, meta)
+
+      case Vacuum(db, t) =>
+        val deleted = eng.gc(db, t)
+        status(spark, "VACUUM", s"$db.$t", s"deleted ${deleted.size} rowsets")
+
+      case BackupTable(db, t, dest) =>
+        val ids = eng.backup(db, t, java.nio.file.Paths.get(dest))
+        status(spark, "BACKUP", s"$db.$t", s"backed up ${ids.size} rowsets to $dest")
+
+      case RestoreFromBackup(db, t, src) =>
+        val ids = eng.restore(db, t, java.nio.file.Paths.get(src))
+        status(spark, "RESTORE FROM", s"$db.$t", s"restored ${ids.size} rowsets from $src")
+
+      case ShowRowsets(db, t) =>
+        eng.describeRowsets(db, t)
+
+      case ShowPartitions(db, t) =>
+        import scala.jdk.CollectionConverters._
+        val td = eng.catalog.getTable(db, t).getOrElse(
+          throw new NoSuchElementException(s"no table $db.$t"))
+        val rows = (td.partitions.map((_, false)) ++ td.droppedPartitions.map((_, true)))
+          .map { case (p, dropped) =>
+            Row(p.name, p.upperExclusive.orNull,
+              if (p.listValues.isEmpty) null else p.listValues.mkString(","),
+              p.numBuckets.max(td.numBuckets), dropped)
+          }
+        spark.createDataFrame(rows.asJava, partitionsSchema)
+
+      case ShowTablesIn(db) =>
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          eng.catalog.listTables(db).map(Row(_)).asJava, tablesSchema)
+
+      case DropTable(db, t) =>
+        require(eng.catalog.dropTable(db, t), s"no table $db.$t")
+        status(spark, "DROP TABLE", s"$db.$t", "ok")
+
+      case AddColumn(db, t, spec) =>
+        eng.addColumn(db, t, spec)
+        status(spark, "ALTER TABLE ADD COLUMN", s"$db.$t", spec.name)
+
+      case DropColumn(db, t, name) =>
+        eng.dropColumn(db, t, name)
+        status(spark, "ALTER TABLE DROP COLUMN", s"$db.$t", name)
+
+      case ModifyColumn(db, t, name, to) =>
+        eng.modifyColumnType(db, t, name, to)
+        status(spark, "ALTER TABLE MODIFY COLUMN", s"$db.$t", s"$name -> ${to.sql}")
+
+      case AddPartition(db, t, spec) =>
+        eng.addPartition(db, t, spec)
+        status(spark, "ALTER TABLE ADD PARTITION", s"$db.$t", spec.name)
+
+      case DropPartition(db, t, name) =>
+        eng.dropPartition(db, t, name)
+        status(spark, "ALTER TABLE DROP PARTITION", s"$db.$t", name)
+
+      case ScanView(view, replace, db, t, asOfV, asOfTs, parts) =>
+        require(asOfV.isEmpty || asOfTs.isEmpty,
+          "VERSION AS OF and TIMESTAMP AS OF cannot combine")
+        require(parts.isEmpty || (asOfV.isEmpty && asOfTs.isEmpty),
+          "PARTITIONS (...) applies to head scans only")
+        val df = (asOfV, asOfTs) match {
+          case (Some(v), _) =>
+            val m = eng.manifest(db, t)
+            val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+            eng.snapshot(db, t, lo, v)
+          case (_, Some(ts)) =>
+            eng.snapshotAsOf(db, t, java.sql.Timestamp.valueOf(ts).getTime)
+          case _ if parts.nonEmpty => eng.scanPartitions(db, t, parts)
+          case _ => eng.scan(db, t)
+        }
+        if (replace) df.createOrReplaceTempView(view) else df.createTempView(view)
+        status(spark, "CREATE TEMP VIEW", view,
+          s"scan of $db.$t" + asOfV.fold("")(v => s" version as of $v") +
+            asOfTs.fold("")(ts => s" timestamp as of $ts") +
+            (if (parts.nonEmpty) s" partitions ${parts.mkString(",")}" else ""))
+    }
+
+  // ---- CreateTable → TableDef ----------------------------------------------
+
+  private def toTableDef(ct: CreateTable): TableDef = {
+    val keySet = ct.keyColumns.toSet
+    val unknownKeys = keySet -- ct.columns.map(_.name).toSet
+    require(unknownKeys.isEmpty,
+      s"KEY clause names unknown columns: ${unknownKeys.mkString(", ")}")
+    val cols = ct.columns.map { c =>
+      if (keySet.contains(c.name)) c.copy(isKey = true, nullable = false)
+      else c
+    }
+    val schema = TableSchema(KeysType.fromName(ct.keysType), cols)
+    val (policy, parts) = ct.partitionBy match {
+      case Some(("RANGE", _)) => (PartitionPolicy.Range, ct.partitions)
+      case Some(("LIST", _))  => (PartitionPolicy.List, ct.partitions)
+      case Some((other, _))   =>
+        throw new GraftParseException(s"unknown partition policy $other")
+      case None => (PartitionPolicy.Unpartitioned, Seq(PartitionSpec("p0")))
+    }
+    var td = TableDef(
+      db = ct.db, name = ct.table, schema = schema,
+      policy = policy,
+      partitionColumn = ct.partitionBy.map(_._2),
+      partitions = parts,
+      bucketType =
+        if (ct.bucketType == "RANDOM") BucketType.Random else BucketType.Hash,
+      bucketColumn = ct.bucketColumn,
+      numBuckets = ct.numBuckets)
+    // PROPERTIES: the lifecycle dials. Unknown keys fail loudly — a typo'd
+    // property silently defaulting is exactly the config rot Doris's loose
+    // property bag suffers from.
+    ct.properties.foreach { case (k, v) => td = applyProperty(td, k, v) }
+    td
+  }
+
+  private def applyProperty(td: TableDef, k: String, v: String): TableDef =
+    k.toLowerCase match {
+      case "replication_num" => td.copy(replication = v.toInt)
+      case "retention" => v.toLowerCase match {
+        case "manual"  => td.copy(retention = Retention.Manual)
+        case "forever" => td.copy(retention = Retention.Forever)
+        case kv if kv.startsWith("keep_versions:") =>
+          td.copy(retention = Retention.KeepVersions(kv.stripPrefix("keep_versions:").toInt))
+        case km if km.startsWith("keep_ms:") =>
+          td.copy(retention = Retention.KeepMs(km.stripPrefix("keep_ms:").toLong))
+        case other => throw new GraftParseException(
+          s"unknown retention '$other' (manual|forever|keep_versions:N|keep_ms:N)")
+      }
+      case "dynamic_partition.unit" => v.toLowerCase match {
+        case "day"   => td.copy(autoPartition = Some(AutoPartitionUnit.Day))
+        case "month" => td.copy(autoPartition = Some(AutoPartitionUnit.Month))
+        case other => throw new GraftParseException(
+          s"unknown dynamic_partition.unit '$other' (day|month)")
+      }
+      case "dynamic_partition.keep" => td.copy(autoExpireKeep = Some(v.toInt))
+      case "varchar_mode" => v.toLowerCase match {
+        case "ignore"   => td.copy(varcharMode = VarcharMode.Ignore)
+        case "truncate" => td.copy(varcharMode = VarcharMode.Truncate)
+        case "strict"   => td.copy(varcharMode = VarcharMode.Strict)
+        case other => throw new GraftParseException(
+          s"unknown varchar_mode '$other' (ignore|truncate|strict)")
+      }
+      case "sequence_column" => td.copy(sequenceColumn = Some(v))
+      case "partial_update" => td.copy(partialUpdate = v.toBoolean)
+      case "expired_to_dead_letter" => td.copy(expiredToDeadLetter = v.toBoolean)
+      case "zorder" => v.split(",").map(_.trim).toSeq match {
+        case Seq(x, y) => td.copy(zorderColumns = Some((x, y)))
+        case _ => throw new GraftParseException(s"zorder needs exactly two columns, got '$v'")
+      }
+      case other => throw new GraftParseException(
+        s"unknown table property '$other'")
+    }
+}

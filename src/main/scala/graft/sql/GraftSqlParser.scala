@@ -1,0 +1,563 @@
+package graft.sql
+
+import org.apache.spark.sql.types.DataType
+import graft.catalog.PartitionSpec
+import graft.model.{AggType, ColumnSpec}
+
+/** Parsed engine statement — the SQL front door's AST. One case per
+  * lifecycle verb the reference's lineage (Doris/StarRocks) exposes as SQL
+  * and this engine exposes as Scala API ([[graft.engine.OlapEngine]]):
+  * DDL (CREATE/ALTER/DROP), DML (INSERT/DELETE), MVCC lifecycle
+  * (RESTORE/CLONE/COMPACT/VACUUM/BACKUP), and introspection (SHOW).
+  *
+  * The reference itself has NO SQL at all (SURVEY.md TL;DR: "no parser, no
+  * planner"); its users drive these operations through `examples/
+  * basic_usage.rs`-style API calls. The SQL surface is the Spark-world
+  * completion of that API: the same operations, phrased the way the Doris
+  * family phrases them, so `spark.sql("...")` is the only entry point a
+  * user needs.
+  */
+sealed trait GraftStatement
+
+object GraftStatement {
+  final case class CreateDatabase(db: String, ifNotExists: Boolean) extends GraftStatement
+  /** Doris-flavored CREATE TABLE: column list with per-column aggregate
+    * markers, a `<MODEL> KEY (...)` clause naming the key columns, optional
+    * RANGE/LIST partitioning, `DISTRIBUTED BY HASH|RANDOM ... BUCKETS n`,
+    * and a PROPERTIES map for the lifecycle dials (retention, dynamic
+    * partitioning, varchar mode, sequence column, ...).
+    */
+  final case class CreateTable(
+      db: String, table: String,
+      columns: Seq[ColumnSpec],
+      keysType: String,                       // DUPLICATE | UNIQUE | AGGREGATE
+      keyColumns: Seq[String],
+      partitionBy: Option[(String, String)],  // (RANGE|LIST, column)
+      partitions: Seq[PartitionSpec],
+      bucketType: String,                     // HASH | RANDOM
+      bucketColumn: Option[String],
+      numBuckets: Int,
+      properties: Map[String, String]) extends GraftStatement
+  /** INSERT INTO db.t <query> — the query tail is raw Spark SQL, executed
+    * by the session and ingested as one load (one MVCC version).
+    */
+  final case class InsertInto(db: String, table: String, query: String) extends GraftStatement
+  /** DELETE FROM db.t WHERE <predicate> — the predicate tail is raw Spark
+    * SQL, stored as a metadata-only delete version (engine `deleteWhere`).
+    */
+  final case class DeleteFrom(db: String, table: String, predicate: String) extends GraftStatement
+  final case class RestoreToVersion(db: String, table: String, version: Long) extends GraftStatement
+  final case class ShallowClone(srcDb: String, srcTable: String,
+      dstDb: String, dstTable: String, asOfVersion: Option[Long]) extends GraftStatement
+  final case class Compact(db: String, table: String,
+      cumulativeAt: Option[Long]) extends GraftStatement
+  final case class Vacuum(db: String, table: String) extends GraftStatement
+  final case class BackupTable(db: String, table: String, dest: String) extends GraftStatement
+  final case class RestoreFromBackup(db: String, table: String, src: String) extends GraftStatement
+  final case class ShowRowsets(db: String, table: String) extends GraftStatement
+  final case class ShowPartitions(db: String, table: String) extends GraftStatement
+  final case class ShowTablesIn(db: String) extends GraftStatement
+  final case class DropTable(db: String, table: String) extends GraftStatement
+  final case class AddColumn(db: String, table: String, spec: ColumnSpec) extends GraftStatement
+  final case class DropColumn(db: String, table: String, name: String) extends GraftStatement
+  final case class ModifyColumn(db: String, table: String, name: String,
+      to: DataType) extends GraftStatement
+  final case class AddPartition(db: String, table: String,
+      spec: PartitionSpec) extends GraftStatement
+  final case class DropPartition(db: String, table: String, name: String) extends GraftStatement
+  /** CREATE [OR REPLACE] TEMP VIEW v AS SCAN db.t [VERSION AS OF n |
+    * TIMESTAMP AS OF 'ts'] [PARTITIONS (p, ...)] — the READ half: registers
+    * an engine scan (head, version-as-of, wall-clock time travel, or
+    * partition-restricted) as a Spark temp view, after which the full Spark
+    * SQL surface queries it. Deliberately a view registration rather than a
+    * parser-rewritten SELECT: the engine never has to re-implement Spark's
+    * own query language to be queryable from it.
+    */
+  final case class ScanView(view: String, replace: Boolean,
+      db: String, table: String,
+      asOfVersion: Option[Long], asOfTimestamp: Option[String],
+      partitions: Seq[String]) extends GraftStatement
+}
+
+final class GraftParseException(msg: String) extends IllegalArgumentException(msg)
+
+/** Hand-rolled tokenizer + recursive-descent parser for the engine's SQL
+  * command grammar. `parse` is purely syntactic: it returns `Some(stmt)`
+  * when the text matches a graft statement shape and `None` when it does
+  * not (the caller then delegates to Spark's own parser) — and it THROWS
+  * [[GraftParseException]] when the text unambiguously claims a graft-only
+  * verb (RESTORE ... TO VERSION, COMPACT TABLE, SHALLOW CLONE, AS SCAN,
+  * SHOW ROWSETS) but the tail is malformed, so a typo in an engine command
+  * fails loudly instead of falling through to Spark and producing a
+  * confusing unrelated error.
+  *
+  * Statements with raw Spark-SQL tails (INSERT's query, DELETE's predicate)
+  * capture the tail verbatim — the tail's grammar belongs to Spark, not to
+  * this parser.
+  */
+object GraftSqlParser {
+
+  // ---- tokens ---------------------------------------------------------------
+
+  private sealed trait Tok { def pos: Int }
+  private final case class Ident(s: String, pos: Int) extends Tok
+  private final case class Str(s: String, pos: Int) extends Tok
+  private final case class Num(s: String, pos: Int) extends Tok
+  private final case class Sym(c: Char, pos: Int) extends Tok
+
+  private def tokenize(text: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (text.charAt(i).isLetterOrDigit || text.charAt(i) == '_')) i += 1
+        out += Ident(text.substring(start, i), start)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && text.charAt(i).isDigit) i += 1
+        out += Num(text.substring(start, i), start)
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val ch = text.charAt(i)
+          if (ch == quote) {
+            if (i + 1 < n && text.charAt(i + 1) == quote) { sb += quote; i += 2 } // '' escape
+            else { closed = true; i += 1 }
+          } else { sb += ch; i += 1 }
+        }
+        if (!closed) throw new GraftParseException(
+          s"unterminated string literal starting at offset $start")
+        out += Str(sb.toString, start)
+      } else {
+        out += Sym(c, i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---- cursor ---------------------------------------------------------------
+
+  private final class Cursor(toks: Vector[Tok], text: String) {
+    var i = 0
+    def atEnd: Boolean = i >= toks.length
+    def peek: Option[Tok] = toks.lift(i)
+    def next(): Tok = {
+      val t = toks.lift(i).getOrElse(fail("unexpected end of statement"))
+      i += 1; t
+    }
+    /** Case-insensitive keyword test without consuming. */
+    def isKw(kw: String): Boolean = peek match {
+      case Some(Ident(s, _)) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def tryKw(kw: String): Boolean = { val ok = isKw(kw); if (ok) i += 1; ok }
+    def kw(kwd: String): Unit =
+      if (!tryKw(kwd)) fail(s"expected keyword $kwd, got ${describe(peek)}")
+    def ident(): String = next() match {
+      case Ident(s, _) => s
+      case t => fail(s"expected identifier, got ${describe(Some(t))}")
+    }
+    def num(): Long = next() match {
+      case Num(s, _) => s.toLong
+      case t => fail(s"expected number, got ${describe(Some(t))}")
+    }
+    def str(): String = next() match {
+      case Str(s, _) => s
+      case t => fail(s"expected string literal, got ${describe(Some(t))}")
+    }
+    def sym(c: Char): Unit = next() match {
+      case Sym(`c`, _) => ()
+      case t => fail(s"expected '$c', got ${describe(Some(t))}")
+    }
+    def trySym(c: Char): Boolean = peek match {
+      case Some(Sym(`c`, _)) => i += 1; true
+      case _ => false
+    }
+    /** `db.t` qualified name. */
+    def qname(): (String, String) = {
+      val a = ident(); sym('.'); val b = ident(); (a, b)
+    }
+    def end(): Unit =
+      if (!atEnd && !trySemicolonEnd()) fail(s"trailing input: ${describe(peek)}")
+    private def trySemicolonEnd(): Boolean = {
+      if (trySym(';')) { if (!atEnd) fail(s"trailing input: ${describe(peek)}"); true }
+      else false
+    }
+    private def describe(t: Option[Tok]): String = t match {
+      case Some(Ident(s, p)) => s"'$s' at offset $p"
+      case Some(Str(s, p)) => s"string '${s.take(20)}' at offset $p"
+      case Some(Num(s, p)) => s"number $s at offset $p"
+      case Some(Sym(c, p)) => s"'$c' at offset $p"
+      case None => "end of statement"
+    }
+    def fail(msg: String): Nothing =
+      throw new GraftParseException(s"$msg in: ${text.trim.take(120)}")
+  }
+
+  // ---- raw-tail prefixes (the tail's grammar belongs to Spark) --------------
+
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+(.+)""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+WHERE\s+(.+)""".r
+
+  private val aggNames =
+    Set("SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL", "HLL_UNION")
+
+  // ---- entry ----------------------------------------------------------------
+
+  /** Parse `text` as a graft statement. `None` = not ours (delegate). */
+  def parse(text: String): Option[GraftStatement] = {
+    import GraftStatement._
+    text match {
+      case InsertRe(db, t, tail) => return Some(InsertInto(db, t, stripTrailing(tail)))
+      case DeleteRe(db, t, tail) => return Some(DeleteFrom(db, t, stripTrailing(tail)))
+      case _ => ()
+    }
+    val c = new Cursor(tokenize(text), text)
+    if (c.atEnd) return None
+    c.peek match {
+      case Some(Ident(v, _)) => v.toUpperCase match {
+        case "RESTORE" => parseRestore(c)
+        case "COMPACT" => Some(parseCompact(c))
+        case "VACUUM"  => { c.kw("VACUUM"); val (db, t) = c.qname(); c.end()
+                            Some(Vacuum(db, t)) }
+        case "BACKUP"  => Some(parseBackup(c))
+        case "SHOW"    => parseShow(c)
+        case "CREATE"  => parseCreate(c, text)
+        case "ALTER"   => parseAlter(c)
+        case "DROP"    => parseDrop(c)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def stripTrailing(tail: String): String = {
+    val t = tail.trim
+    if (t.endsWith(";")) t.dropRight(1).trim else t
+  }
+
+  // ---- per-verb parsers -----------------------------------------------------
+
+  import GraftStatement._
+
+  private def parseRestore(c: Cursor): Option[GraftStatement] = {
+    c.kw("RESTORE")
+    if (!c.tryKw("TABLE")) return None // not our RESTORE shape
+    val (db, t) = c.qname()
+    if (c.tryKw("TO")) {
+      c.kw("VERSION"); val v = c.num(); c.end()
+      Some(RestoreToVersion(db, t, v))
+    } else if (c.tryKw("FROM")) {
+      val p = c.str(); c.end()
+      Some(RestoreFromBackup(db, t, p))
+    } else c.fail("expected TO VERSION <n> or FROM '<path>' after RESTORE TABLE")
+  }
+
+  private def parseCompact(c: Cursor): GraftStatement = {
+    c.kw("COMPACT"); c.kw("TABLE")
+    val (db, t) = c.qname()
+    val cum = if (c.tryKw("CUMULATIVE")) { c.kw("AT"); Some(c.num()) } else None
+    c.end()
+    Compact(db, t, cum)
+  }
+
+  private def parseBackup(c: Cursor): GraftStatement = {
+    c.kw("BACKUP"); c.kw("TABLE")
+    val (db, t) = c.qname()
+    c.kw("TO"); val p = c.str(); c.end()
+    BackupTable(db, t, p)
+  }
+
+  private def parseShow(c: Cursor): Option[GraftStatement] = {
+    c.kw("SHOW")
+    if (c.tryKw("ROWSETS")) {
+      c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowRowsets(db, t))
+    } else if (c.tryKw("PARTITIONS")) {
+      if (!c.tryKw("IN")) return None // Spark's own SHOW PARTITIONS <tbl>
+      val (db, t) = c.qname(); c.end(); Some(ShowPartitions(db, t))
+    } else if (c.tryKw("TABLES")) {
+      if (!c.tryKw("IN")) return None
+      val db = c.ident()
+      // one-part db name only; Spark catalogs are multi-part
+      if (!c.atEnd && !c.trySym(';')) return None
+      Some(ShowTablesIn(db))
+    } else None
+  }
+
+  private def parseDrop(c: Cursor): Option[GraftStatement] = {
+    c.kw("DROP")
+    if (!c.tryKw("TABLE")) return None
+    c.peek match {
+      case Some(Ident(_, _)) =>
+        val save = c.i
+        val db = c.ident()
+        if (!c.trySym('.')) { c.i = save; return None }
+        val t = c.ident()
+        if (!c.atEnd && !c.trySym(';')) return None
+        Some(DropTable(db, t))
+      case _ => None
+    }
+  }
+
+  private def parseAlter(c: Cursor): Option[GraftStatement] = {
+    c.kw("ALTER")
+    if (!c.tryKw("TABLE")) return None
+    val save = c.i
+    val db = c.ident()
+    if (!c.trySym('.')) { c.i = save; return None }
+    val t = c.ident()
+    if (c.tryKw("ADD")) {
+      if (c.tryKw("COLUMN")) {
+        val name = c.ident()
+        val ts = parseType(c)
+        val agg = parseAggMarker(c)
+        val key = c.tryKw("KEY")
+        c.end()
+        Some(AddColumn(db, t,
+          if (key) ColumnSpec.key(name, ts.dt)
+          else ColumnSpec.value(name, ts.dt, agg.getOrElse(AggType.None))
+            .copy(maxLength = ts.maxLen)))
+      } else if (c.tryKw("PARTITION")) {
+        val name = c.ident()
+        c.kw("VALUES")
+        val spec =
+          if (c.tryKw("LESS")) {
+            c.kw("THAN"); c.sym('(')
+            val bound =
+              if (c.tryKw("MAXVALUE")) None
+              else Some(c.str())
+            c.sym(')')
+            PartitionSpec(name, upperExclusive =
+              bound.orElse(Some(graft.catalog.RangeBound.MaxValue)))
+          } else if (c.tryKw("IN")) {
+            c.sym('(')
+            val vals = Seq.newBuilder[String]
+            vals += c.str()
+            while (c.trySym(',')) vals += c.str()
+            c.sym(')')
+            PartitionSpec(name, listValues = vals.result())
+          } else c.fail("expected VALUES LESS THAN (...) or VALUES IN (...)")
+        val buckets = if (c.tryKw("BUCKETS")) c.num().toInt else 1
+        c.end()
+        Some(AddPartition(db, t, spec.copy(numBuckets = buckets)))
+      } else c.fail("expected ADD COLUMN or ADD PARTITION")
+    } else if (c.tryKw("DROP")) {
+      if (c.tryKw("COLUMN")) {
+        val name = c.ident(); c.end(); Some(DropColumn(db, t, name))
+      } else if (c.tryKw("PARTITION")) {
+        val name = c.ident(); c.end(); Some(DropPartition(db, t, name))
+      } else c.fail("expected DROP COLUMN or DROP PARTITION")
+    } else if (c.tryKw("MODIFY")) {
+      c.kw("COLUMN")
+      val name = c.ident()
+      val ts = parseType(c)
+      c.end()
+      Some(ModifyColumn(db, t, name, ts.dt))
+    } else None // other ALTER TABLE forms are Spark's
+  }
+
+  private def parseCreate(c: Cursor, text: String): Option[GraftStatement] = {
+    c.kw("CREATE")
+    if (c.tryKw("DATABASE")) {
+      val ifNot = if (c.tryKw("IF")) { c.kw("NOT"); c.kw("EXISTS"); true } else false
+      val db = c.ident()
+      if (!c.atEnd && !c.trySym(';')) return None // multi-part / Spark options
+      Some(CreateDatabase(db, ifNot))
+    } else if (c.isKw("TABLE")) {
+      parseCreateTable(c)
+    } else if (c.isKw("OR") || c.isKw("TEMP") || c.isKw("TEMPORARY")) {
+      parseScanView(c, text)
+    } else None
+  }
+
+  /** CREATE TABLE: ours iff it carries a graft marker — `SHALLOW CLONE`, a
+    * `<MODEL> KEY (...)` clause, or `DISTRIBUTED BY` (none are valid Spark
+    * SQL). A plain Spark `CREATE TABLE t (c INT) USING parquet` has none
+    * and delegates.
+    */
+  private def parseCreateTable(c: Cursor): Option[GraftStatement] = {
+    c.kw("TABLE")
+    val save = c.i
+    val db = c.ident()
+    if (!c.trySym('.')) { c.i = save; return None }
+    val t = c.ident()
+    if (c.tryKw("SHALLOW")) {
+      c.kw("CLONE")
+      val (sdb, st) = c.qname()
+      val asOf = if (c.tryKw("VERSION")) { c.kw("AS"); c.kw("OF"); Some(c.num()) } else None
+      c.end()
+      return Some(ShallowClone(sdb, st, db, t, asOf))
+    }
+    if (!c.trySym('(')) return None
+    // column list
+    val cols = Seq.newBuilder[ColumnSpec]
+    var done = false
+    while (!done) {
+      val name = c.ident()
+      val ts = parseType(c)
+      val agg = parseAggMarker(c)
+      var nullable = true
+      if (c.tryKw("NOT")) { c.kw("NULL"); nullable = false }
+      else if (c.tryKw("NULL")) ()
+      cols += ColumnSpec(name, ts.dt, isKey = false, nullable = nullable,
+        agg = agg.getOrElse(AggType.None), maxLength = ts.maxLen)
+      if (c.trySym(')')) done = true else c.sym(',')
+    }
+    // model clause
+    var keysType = "DUPLICATE"
+    var keyCols = Seq.empty[String]
+    c.peek match {
+      case Some(Ident(s, _))
+          if Set("DUPLICATE", "UNIQUE", "AGGREGATE").contains(s.toUpperCase) =>
+        keysType = s.toUpperCase; c.i += 1
+        c.kw("KEY"); c.sym('(')
+        val ks = Seq.newBuilder[String]
+        ks += c.ident()
+        while (c.trySym(',')) ks += c.ident()
+        c.sym(')')
+        keyCols = ks.result()
+      case _ => ()
+    }
+    // partition clause
+    var partBy: Option[(String, String)] = None
+    var parts = Seq.empty[PartitionSpec]
+    if (c.tryKw("PARTITION")) {
+      c.kw("BY")
+      val kind =
+        if (c.tryKw("RANGE")) "RANGE"
+        else if (c.tryKw("LIST")) "LIST"
+        else c.fail("expected RANGE or LIST after PARTITION BY")
+      c.sym('('); val pcol = c.ident(); c.sym(')')
+      partBy = Some((kind, pcol))
+      c.sym('(')
+      val ps = Seq.newBuilder[PartitionSpec]
+      var pdone = false
+      while (!pdone) {
+        c.kw("PARTITION")
+        val pname = c.ident()
+        c.kw("VALUES")
+        if (kind == "RANGE") {
+          c.kw("LESS"); c.kw("THAN"); c.sym('(')
+          val bound = if (c.tryKw("MAXVALUE")) graft.catalog.RangeBound.MaxValue else c.str()
+          c.sym(')')
+          ps += PartitionSpec(pname, upperExclusive = Some(bound))
+        } else {
+          c.kw("IN"); c.sym('(')
+          val vals = Seq.newBuilder[String]
+          vals += c.str()
+          while (c.trySym(',')) vals += c.str()
+          c.sym(')')
+          ps += PartitionSpec(pname, listValues = vals.result())
+        }
+        if (c.trySym(')')) pdone = true else c.sym(',')
+      }
+      parts = ps.result()
+    }
+    // distribution clause
+    var bucketType = "HASH"
+    var bucketCol: Option[String] = None
+    var numBuckets = 1
+    var sawMarker = parts.nonEmpty || keyCols.nonEmpty
+    if (c.tryKw("DISTRIBUTED")) {
+      sawMarker = true
+      c.kw("BY")
+      if (c.tryKw("HASH")) {
+        c.sym('('); bucketCol = Some(c.ident()); c.sym(')')
+      } else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
+      else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
+      c.kw("BUCKETS")
+      numBuckets = c.num().toInt
+    }
+    // properties
+    var props = Map.empty[String, String]
+    if (c.tryKw("PROPERTIES")) {
+      c.sym('(')
+      var pdone = false
+      while (!pdone) {
+        val k = c.str(); c.sym('='); val v = c.str()
+        props += (k -> v)
+        if (c.trySym(')')) pdone = true else c.sym(',')
+      }
+    }
+    c.end()
+    if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
+    Some(CreateTable(db, t, cols.result(), keysType, keyCols,
+      partBy, parts, bucketType, bucketCol, numBuckets, props))
+  }
+
+  /** CREATE [OR REPLACE] TEMP[ORARY] VIEW v AS SCAN db.t [...] — the `AS
+    * SCAN` marker decides ownership; a normal `AS SELECT` view delegates.
+    */
+  private def parseScanView(c: Cursor, text: String): Option[GraftStatement] = {
+    var replace = false
+    if (c.tryKw("OR")) { c.kw("REPLACE"); replace = true }
+    if (!c.tryKw("TEMP") && !c.tryKw("TEMPORARY")) return None
+    if (!c.tryKw("VIEW")) return None
+    val view = c.ident()
+    if (!c.tryKw("AS")) return None
+    if (!c.tryKw("SCAN")) return None // AS SELECT... is Spark's
+    val (db, t) = c.qname()
+    var asOfV: Option[Long] = None
+    var asOfTs: Option[String] = None
+    if (c.tryKw("VERSION")) { c.kw("AS"); c.kw("OF"); asOfV = Some(c.num()) }
+    else if (c.tryKw("TIMESTAMP")) { c.kw("AS"); c.kw("OF"); asOfTs = Some(c.str()) }
+    var partNames = Seq.empty[String]
+    if (c.tryKw("PARTITIONS")) {
+      c.sym('(')
+      val ps = Seq.newBuilder[String]
+      ps += c.ident()
+      while (c.trySym(',')) ps += c.ident()
+      c.sym(')')
+      partNames = ps.result()
+    }
+    c.end()
+    Some(ScanView(view, replace, db, t, asOfV, asOfTs, partNames))
+  }
+
+  // ---- types ----------------------------------------------------------------
+
+  /** A parsed column type: the Spark type plus the declared VARCHAR bound
+    * (0 = unbounded). VARCHAR(n) maps to StringType + maxLength, exactly the
+    * reference's Varchar→Bytes mapping (SURVEY.md §1.2).
+    */
+  private final case class TypeSpec(dt: DataType, maxLen: Int)
+
+  /** Parse a column type: the reference's 8-type parity surface spelled the
+    * Doris way (TINYINT..BIGINT, FLOAT/DOUBLE, DATE, VARCHAR(n)) plus any
+    * other single-token Spark DDL type (DECIMAL(p,s), TIMESTAMP, STRING,
+    * BINARY...) resolved through Spark's own DDL parser.
+    */
+  private def parseType(c: Cursor): TypeSpec = {
+    val base = c.ident().toUpperCase
+    if (base == "VARCHAR") {
+      c.sym('('); val len = c.num().toInt; c.sym(')')
+      TypeSpec(org.apache.spark.sql.types.StringType, len)
+    } else if (c.trySym('(')) {
+      val args = Seq.newBuilder[Long]
+      args += c.num()
+      while (c.trySym(',')) args += c.num()
+      c.sym(')')
+      TypeSpec(DataType.fromDDL(s"$base(${args.result().mkString(",")})"), 0)
+    } else TypeSpec(DataType.fromDDL(base), 0)
+  }
+
+  private def parseAggMarker(c: Cursor): Option[AggType] = c.peek match {
+    case Some(Ident(s, _)) if aggNames.contains(s.toUpperCase) =>
+      c.i += 1
+      Some(AggType.fromName(s.toUpperCase))
+    case _ => None
+  }
+}
