@@ -39,6 +39,7 @@ object SparkEntry {
       graft.pipeline.ClusterReps.all ++
       graft.pipeline.AnnIndex.all ++
       graft.pipeline.TextIndex.all ++
+      graft.pipeline.PhraseIndex.all ++
       graft.pipeline.ModelStore.all ++
       graft.pipeline.Retrieval.all ++
       graft.streaming.StreamingQueries.all ++
@@ -147,6 +148,7 @@ object SparkEntry {
       graft.pipeline.ClusterReps.oracles ++
       graft.pipeline.AnnIndex.oracles ++
       graft.pipeline.TextIndex.oracles ++
+      graft.pipeline.PhraseIndex.oracles ++
       graft.pipeline.ModelStore.oracles ++
       graft.pipeline.Retrieval.oracles ++
       graft.streaming.StreamingQueries.oracles ++

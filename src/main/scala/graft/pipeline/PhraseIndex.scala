@@ -1,0 +1,279 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.manifest.Version
+import graft.model._
+
+/** The POSITIONAL index AS maintained engine tables — the phrase-query
+  * completion of the text-index family. [[TextIndex]]'s `inv_postings`
+  * stores (word, doc) → tf, which answers "does the doc contain the terms"
+  * (BM25, reverse search) but cannot answer "does it contain them
+  * ADJACENTLY": phrase search, and the keyword-in-context snippets a search
+  * UI shows, need token positions. (Reference anchor: src/index/mod.rs:95-108
+  * — the index family is declared, never populated; this module keeps the
+  * populated-and-maintained discipline of q187/q190.)
+  *
+  * One Unique-model table under `graft_idx`:
+  *  - `inv_positions` (word, doc_id) → pos_list: the Lucene-shaped
+  *    positional posting — one row per (word, document) whose value is the
+  *    sorted 1-based positions of that word IN that document. The array is
+  *    bounded by one word's occurrences in ONE document (never a corpus-wide
+  *    hot-word list, the q98 scale rule), and row-count equals
+  *    `inv_postings` — positions cost array payload, not cardinality.
+  *    Bucketed by `word` so a phrase probe bucket-prunes to its terms.
+  *
+  * Phrase matching is the SAME conjunctive-arity algebra as
+  * [[TextIndex.reverseSearch]], transposed to positions: slot `i` of the
+  * phrase emits (doc_id, pos - i) for each of its word's positions, and a
+  * phrase occurrence is a (doc_id, start) group containing EVERY slot —
+  * one aggregation, one shuffle, no n-way self-join chain growing with
+  * phrase length. Stats-free and exact.
+  *
+  * Maintenance contract matches [[TextIndex]] exactly: nothing is fitted, a
+  * document's positions depend on that document alone, so [[bootstrap]] IS
+  * [[applyDelta]], folds are exact/idempotent/batching-order-free, and
+  * [[refold]] handles CHANGED documents by tombstoning (word, doc) rows
+  * whose word vanished from the new text (position-array changes for
+  * surviving words are plain Unique upserts).
+  */
+object PhraseIndex {
+
+  val Db = "graft_idx"
+  val PositionsTable = "inv_positions"
+  val NumBuckets = 8
+
+  /** q211's standing phrases: lengths 2 and 3, so the slot algebra is
+    * exercised beyond the bigram case.
+    */
+  val DefaultPhrases: Seq[(Long, Seq[String])] =
+    Seq(0L -> Seq("table", "hash"), 1L -> Seq("big", "order", "scan"))
+
+  def createTables(eng: OlapEngine): Unit = {
+    eng.createDatabase(Db)
+    eng.createTable(TableDef(
+      db = Db, name = PositionsTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("word", StringType),
+        ColumnSpec.key("doc_id", LongType),
+        ColumnSpec.value("pos_list", ArrayType(IntegerType)))),
+      bucketColumn = Some("word"), numBuckets = NumBuckets))
+  }
+
+  /** [[TextIndex]]'s tokenization with 1-based positions (1-based to match
+    * the oracle's `generate_subscripts`, and so snippet windows are closed
+    * intervals with no off-by-one at the document head).
+    */
+  private def positions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("pos"),
+        col("col").as("word"))
+
+  /** Per-(word, doc) sorted position arrays for a document batch. */
+  private def postingRows(docs: DataFrame): DataFrame =
+    positions(docs)
+      .groupBy(col("word"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("pos_list"))
+
+  /** Initial build = the delta fold on the starting corpus (stateless per
+    * document, like [[TextIndex.bootstrap]]).
+    */
+  def bootstrap(eng: OlapEngine, docs: DataFrame): Unit = applyDelta(eng, docs)
+
+  /** Fold a NEW-document batch: per-doc position arrays upserted through the
+    * Unique-model ingest. For CHANGED documents use [[refold]].
+    */
+  def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
+    if (delta.isEmpty) return // an empty batch publishes nothing
+    val v = eng.manifest(Db, PositionsTable).maxVersion + 1
+    eng.ingest(Db, PositionsTable, postingRows(delta), Some(Version(v, v)))
+  }
+
+  /** Re-fold CHANGED documents: upserts for words still present (their
+    * whole position array is replaced — positions are per-document state,
+    * so no partial-merge hazard exists) plus tombstones for words that
+    * vanished from the new text, published as ONE mergeInto rowset so
+    * readers see each document's update atomically. Same diff shape and
+    * cost class as [[TextIndex.refold]].
+    */
+  def refold(eng: OlapEngine, changed: DataFrame): Unit = {
+    if (changed.isEmpty) return // an empty batch publishes nothing
+    val newRows = postingRows(changed).localCheckpoint(true)
+    val ids = changed.select(col("doc_id")).distinct()
+    val vanished = eng.scan(Db, PositionsTable)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("word"), col("doc_id"))
+      .join(newRows.select(col("word"), col("doc_id")),
+        Seq("word", "doc_id"), "left_anti")
+    val source = newRows.withColumn("__graft_del", lit(false))
+      .unionByName(vanished
+        .withColumn("pos_list", lit(null).cast(ArrayType(IntegerType)))
+        .withColumn("__graft_del", lit(true)))
+      .localCheckpoint(true)
+    val v = eng.manifest(Db, PositionsTable).maxVersion + 1
+    eng.mergeInto(Db, PositionsTable, source, "__graft_del",
+      Some(Version(v, v)))
+  }
+
+  /** Every occurrence of `phrase`: (doc_id, start) with start = the 1-based
+    * position of the phrase's first token. Slot i of the phrase contributes
+    * (doc_id, pos - i) per position of its word; an occurrence is a group
+    * matching ALL slots (countDistinct, so a phrase with repeated words
+    * can't satisfy two slots with one token). The word filter bucket-prunes
+    * the positions scan; the single shuffle is the groupBy.
+    */
+  def phraseHits(eng: OlapEngine, phrase: Seq[String]): DataFrame = {
+    val spark = eng.spark
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    require(phrase.nonEmpty, "empty phrase")
+    val slots = phrase.zipWithIndex.map { case (w, i) => (w, i) }
+      .toDF("w", "slot")
+    val pos = eng.scan(Db, PositionsTable)
+      .filter(col("word").isin(phrase.distinct.map(_.asInstanceOf[Any]): _*))
+      .select(col("word").as("w"), col("doc_id"),
+        explode(col("pos_list")).as("pos"))
+    pos.join(broadcast(slots), "w")
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"),
+        col("slot"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === phrase.length && col("start") >= 1)
+      .select(col("doc_id"), col("start").cast(IntegerType).as("start"))
+  }
+
+  /** q211: per-document occurrence counts for the standing phrases — the
+    * phrase-search result page. One plan per phrase (different arities),
+    * unioned with the phrase id.
+    */
+  def phraseCounts(eng: OlapEngine,
+                   phrases: Seq[(Long, Seq[String])] = DefaultPhrases)
+  : DataFrame =
+    phrases.map { case (pid, phrase) =>
+      phraseHits(eng, phrase)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_hits"))
+    }.reduce(_ unionByName _)
+
+  /** q212: keyword-in-context snippets for a phrase, SERVED from the index
+    * (no document text touched): each match's window
+    * [start - ctx, start + len - 1 + ctx] is re-assembled by inverting the
+    * position arrays of the matched documents. The positions scan is
+    * semi-filtered to matched docs (matches are query-sized — broadcast);
+    * tokens land in their slots via the window join; the snippet is the
+    * pos-sorted concat. Clamped at the document head by construction
+    * (positions are ≥ 1) and at the tail by absence (no tokens exist past
+    * the end).
+    */
+  def kwicSnippets(eng: OlapEngine, phrase: Seq[String] = Seq("table", "hash"),
+                   ctx: Int = 2): DataFrame = {
+    val hits = phraseHits(eng, phrase)
+    val lo = col("start") - ctx
+    val hi = col("start") + (phrase.length - 1) + ctx
+    val matchedDocs = hits.select(col("doc_id")).distinct()
+    val tok = eng.scan(Db, PositionsTable)
+      .join(broadcast(matchedDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("word"), explode(col("pos_list")).as("pos"))
+    tok.join(broadcast(hits.withColumn("lo", lo).withColumn("hi", hi)),
+        Seq("doc_id"))
+      .filter(col("pos").between(col("lo"), col("hi")))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("word")))),
+        t => t.getField("word")), " ").as("snippet"))
+      .select(col("doc_id"), col("start"), col("snippet"))
+  }
+
+  // --- driver fixture + queries --------------------------------------------
+
+  private val cache = TrieMap.empty[String, OlapEngine]
+  private def deleteWarehouse(e: OlapEngine): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(e.warehouse.toFile)
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.values.foreach(deleteWarehouse)))
+  }
+
+  /** Drops AND deletes the cached engines' temp warehouses. */
+  def clearCaches(): Unit = {
+    cache.values.foreach(deleteWarehouse)
+    cache.clear()
+  }
+
+  /** Driver fixture, same discipline as [[TextIndex.engineFor]]: bootstrap
+    * on 90% of the corpus, fold the rest, then the engine's scheduled
+    * compaction — q211's green hash certifies fold + Unique round-trip +
+    * compaction + the phrase algebra at once.
+    */
+  def engineFor(spark: SparkSession, dir: String): OlapEngine =
+    cache.getOrElseUpdate(dir, {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-phridx-"))
+      createTables(eng)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      bootstrap(eng, docs.filter(col("doc_id") % 10 =!= 0))
+      applyDelta(eng, docs.filter(col("doc_id") % 10 === 0))
+      eng.runScheduledCompaction()
+      eng
+    })
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_phrase_search" ->
+      ((s: SparkSession, d: String) => phraseCounts(engineFor(s, d))),
+    "q212_kwic_snippets" ->
+      ((s: SparkSession, d: String) => kwicSnippets(engineFor(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // q211: the slot algebra replayed from the raw corpus — position of
+    // slot i's word minus i, a (phrase, doc, start) group must cover every
+    // slot. generate_subscripts zips with unnest (1-based, matching the
+    // index's positions).
+    "q211_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS pos FROM t),
+        |q(phrase_id, slot, w) AS (VALUES
+        |  (0, 0, 'table'), (0, 1, 'hash'),
+        |  (1, 0, 'big'), (1, 1, 'order'), (1, 2, 'scan')),
+        |a AS (SELECT phrase_id, count(*) AS n_terms FROM q GROUP BY 1),
+        |m AS (SELECT q.phrase_id, w.doc_id, w.pos - q.slot AS start,
+        |        count(DISTINCT q.slot) AS n_slots
+        |      FROM w JOIN q USING (w) GROUP BY 1, 2, 3),
+        |hit AS (SELECT m.phrase_id, m.doc_id FROM m JOIN a USING (phrase_id)
+        |        WHERE n_slots = n_terms AND start >= 1)
+        |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+        |  count(*) AS n_hits
+        |FROM hit GROUP BY 1, 2""".stripMargin,
+    // q212: snippets replayed by array slicing — [start-2, start+3] for the
+    // 2-token phrase with 2 context tokens each side, clamped at the head
+    // (DuckDB slices are 1-based inclusive; the tail clamps itself).
+    "q212_kwic_snippets" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS pos FROM t),
+        |m AS (SELECT a.doc_id, a.pos AS start
+        |      FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |      WHERE a.w = 'table' AND b.w = 'hash')
+        |SELECT m.doc_id, CAST(m.start AS INT) AS start,
+        |  array_to_string(t.arr[greatest(1, m.start - 2):m.start + 3], ' ')
+        |    AS snippet
+        |FROM m JOIN t ON m.doc_id = t.doc_id""".stripMargin,
+  )
+}
