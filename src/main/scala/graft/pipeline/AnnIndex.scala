@@ -286,6 +286,31 @@ object AnnIndex {
     }
   }
 
+  /** UNINDEX a set of vectors — the delete half of the maintenance contract
+    * ([[TextIndex.refold]]'s analogue for the vector index; without it a
+    * vector deleted from the corpus keeps serving as an ANN candidate
+    * forever). `ids` (one `vec_id` column) becomes tombstones in
+    * `ivf_assign` via the Unique-model merge: the serve's
+    * embeddings ⋈ assignment join then drops the vectors — no assignment
+    * row, no candidacy — and compaction later removes the rows physically.
+    * The quantizer/codebook tables are deliberately untouched (they are the
+    * MODEL, not per-vector state: survivors' routing is unaffected by who
+    * left), as are the drift stats (deletes remove mass the fit already
+    * covered — they never make routing worse; a corpus REPLACED wholesale
+    * shows up as folds, which the drift trigger does watch). Re-adding a
+    * deleted vector is just [[applyDelta]] — the newer upsert beats the
+    * tombstone.
+    */
+  def deleteVectors(eng: OlapEngine, ids: DataFrame): Unit = {
+    if (ids.isEmpty) return // an empty batch publishes nothing
+    val source = ids.select(col("vec_id")).distinct()
+      .withColumn("cell", lit(null).cast(IntegerType))
+      .withColumn("codes", lit(null).cast(ArrayType(IntegerType)))
+      .withColumn("__graft_del", lit(true))
+    val v = eng.manifest(Db, AssignTable).maxVersion + 1
+    eng.mergeInto(Db, AssignTable, source, "__graft_del", Some(Version(v, v)))
+  }
+
   /** Freshness of the current fit generation, from the model-sized stats
     * tables alone (no corpus scan): how much has folded since the fit
     * (`folded_frac` = folded rows / fit rows) and how well the fit's cells
@@ -418,6 +443,81 @@ object AnnIndex {
       eng
     })
 
+  /** q213 fixture: the q187 lifecycle (bootstrap 90% / fold 10% / compact)
+    * followed by UNINDEXING every `vec_id % 5 == 1` — a separate cached
+    * engine so q187's fixture keeps serving the full corpus. The deletes
+    * land BEFORE the scheduled compaction, so the green hash also certifies
+    * that compaction preserves tombstone semantics on the assignment table.
+    */
+  private[pipeline] def deletesEngineFor(spark: SparkSession, dir: String)
+  : OlapEngine =
+    cache.getOrElseUpdate(s"$dir|deletes", {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-anndel-"))
+      createTables(eng)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      bootstrap(eng, emb.filter(col("vec_id") % 10 =!= 0))
+      applyDelta(eng, emb.filter(col("vec_id") % 10 === 0))
+      deleteVectors(eng, emb.filter(col("vec_id") % 5 === 1).select("vec_id"))
+      eng.runScheduledCompaction()
+      eng
+    })
+
+  /** q213: the delete contract of the maintained vector index. Two facts in
+    * one verdict row: (a) `n_deleted_served` — deleted vectors appearing in
+    * ANY served top-k — must be EXACTLY zero (a hard invariant: no
+    * assignment row, no candidacy; hash-pinned, not floor-pinned); (b) the
+    * survivors still serve — recall vs the exact brute-force top-k over the
+    * SURVIVING corpus, with q187's auto-escalating nprobe audit shape. A
+    * tombstone lost anywhere (merge view, compaction rewrite) flips (a); an
+    * over-delete flips (b).
+    */
+  def deleteAuditServed(spark: SparkSession, dir: String,
+                        nProbes: Int = 8, k: Int = 5,
+                        nCells: Int = NCells, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eng = deletesEngineFor(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // exact top-k over the survivors (bruteForceTopK's semantics, candidate
+    // set = corpus minus the deleted ids; probes stay unfiltered)
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val brute = e.filter(col("vec_id") % 5 =!= 1)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        Similarity.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint(true)
+    def servedAt(np: Int): DataFrame =
+      topKFromTable(eng, emb, nProbes, k, nprobe = np)
+        .select(col("probe_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+    def hits(served: DataFrame): Long =
+      served.join(brute, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    def deletedServed(served: DataFrame): Long =
+      served.filter(col("neighbor_id") % 5 === 1).count()
+    val total = nProbes.toLong * k
+    val floor = 0.6
+    val base = servedAt(nprobe)
+    val escalated = hits(base) < (floor + 0.1) * total
+    val served = if (escalated) servedAt(nCells) else base
+    val h = hits(served)
+    spark.range(1).select(
+      lit(s"ann_index_delete_recall_at_$k").as("metric"),
+      lit(nProbes).as("n_probes"), lit(k).as("k"),
+      lit(deletedServed(base) + (if (escalated) deletedServed(served) else 0L))
+        .as("n_deleted_served"),
+      lit(h >= floor * total).as("ok"),
+      lit(h >= (floor + 0.1) * total).as("margin_ok"))
+  }
+
   /** q187: the recall contract of the TABLE-served, incrementally-folded
     * IVF-PQ index — same auto-escalating audit shape as q152 (base serve at
     * `nprobe`; if recall sits inside floor + 0.1, re-serve at nprobe =
@@ -533,6 +633,8 @@ object AnnIndex {
       ((s: SparkSession, d: String) => recallAuditServed(s, d)),
     "q196_semantic_dedup_served" ->
       ((s: SparkSession, d: String) => semanticDedupAuditServed(s, d)),
+    "q213_ann_index_deletes" ->
+      ((s: SparkSession, d: String) => deleteAuditServed(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +648,12 @@ object AnnIndex {
     // pinned — one contract, two quantizer sources (in-JVM fit vs the
     // maintained engine table)
     "q196_semantic_dedup_served" -> Similarity.oracles("q157_semantic_dedup"),
+    // q213: n_deleted_served is a HARD zero (tombstoned vectors cannot be
+    // candidates — exact, not a floor), recall over the survivors passes
+    // the same pinned contract as q187
+    "q213_ann_index_deletes" ->
+      """SELECT 'ann_index_delete_recall_at_5' AS metric, 8 AS n_probes,
+        |  5 AS k, CAST(0 AS BIGINT) AS n_deleted_served,
+        |  true AS ok, true AS margin_ok""".stripMargin,
   )
 }

@@ -264,4 +264,37 @@ class AnnIndexSpec extends AnyFunSuite {
     // never rewrite (score floor = 2)
     assert(eng.runScheduledCompaction().isEmpty)
   }
+
+  test("deleteVectors: tombstoned vectors leave the assignment table, never " +
+    "serve as candidates, survive compaction, and re-adding resurrects") {
+    import spark.implicits._
+    val emb = synth(0L until 80L)
+    val eng = mkEngine()
+    bootstrapSmall(eng, emb)
+    val before = stored(eng)
+    AnnIndex.deleteVectors(eng, emb.filter(col("vec_id") % 5 === 1)
+      .select("vec_id"))
+    // index state: exactly the survivors, with their pre-delete assignments
+    val after = stored(eng)
+    assert(after.keySet === before.keySet.filter(_ % 5 != 1))
+    assert(after === before.filter { case (id, _) => id % 5 != 1 })
+    // serve: a deleted vector is never a candidate, survivors still rank
+    def served(): Seq[(Long, Long)] =
+      AnnIndex.topKFromTable(eng, emb, nProbes = 4, k = 3, nprobe = 4)
+        .select(col("probe_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s1 = served()
+    assert(s1.nonEmpty && s1.forall(_._2 % 5 != 1))
+    // compaction makes the tombstones physical without changing the answer
+    eng.runScheduledCompaction()
+    assert(stored(eng) === after)
+    assert(served() === s1)
+    // re-adding a deleted vector is applyDelta: the upsert beats the
+    // tombstone and its assignment equals the pre-delete one (same formula)
+    AnnIndex.applyDelta(eng, emb.filter(col("vec_id") === 6L))
+    assert(stored(eng).get(6L) === before.get(6L))
+    // deleting an unknown id is harmless (tombstone of nothing)
+    AnnIndex.deleteVectors(eng, Seq(9999L).toDF("vec_id"))
+    assert(stored(eng).keySet.contains(6L))
+  }
 }
