@@ -408,6 +408,75 @@ object StreamingQueries {
       graft.pipeline.TextIndex.bm25FromTable(streamTextEngineFor(spark, dir))
     }
 
+  /** Stream-maintained positional-index engines, one per data dir (the q214
+    * fixture).
+    */
+  private val streamPhraseCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** The q214 fixture engine (exposed for the stream≡batch equality spec):
+    * same drill as [[streamTextEngineFor]] — the positional index builds
+    * from 90% of the corpus, the rest arrives as a 3-file stream and each
+    * micro-batch folds through [[graft.pipeline.PhraseIndex.applyDelta]].
+    * A document's position arrays depend on that document alone, so the
+    * replay-safety argument is q191's verbatim: every stored row is a
+    * Unique upsert keyed by (word, doc), batching is irrelevant, replays
+    * rewrite identical rows.
+    */
+  private[graft] def streamPhraseEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.PhraseIndex
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      streamPhraseCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sphr-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        PhraseIndex.createTables(e)
+        PhraseIndex.bootstrap(e, docs.filter(col("doc_id") % 10 =!= 0))
+        val sd = Files.createTempDirectory("graft-sphr-stream-")
+        val ckpt = Files.createTempDirectory("graft-sphr-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-sphr-part-")
+          delta.filter(pmod(col("doc_id") / 10, lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            PhraseIndex.applyDelta(e, batch)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e.runScheduledCompaction()
+        e
+      })
+    }
+
+  /** q214: phrase search served from the STREAM-maintained positional index
+    * — the streaming twin of q211's batch fold, completing the batch/stream
+    * pair for the last member of the maintained-index family. Shares q211's
+    * oracle: the drained table must reproduce the slot algebra's hit counts
+    * from the raw corpus exactly.
+    */
+  def streamPhraseIndex(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      graft.pipeline.PhraseIndex.phraseCounts(streamPhraseEngineFor(spark, dir))
+    }
+
   /** Stream-maintained bigram-LM engines, one per data dir (the q198
     * fixture).
     */
@@ -1149,6 +1218,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamAnnIndex(s, d)),
     "q191_stream_text_index" ->
       ((s: SparkSession, d: String) => streamTextIndex(s, d)),
+    "q214_stream_phrase_index" ->
+      ((s: SparkSession, d: String) => streamPhraseIndex(s, d)),
     "q192_stream_dynamic_partitions" ->
       ((s: SparkSession, d: String) => streamDynamicPartitions(s, d)),
     "q201_stream_dead_letter" ->
@@ -1171,6 +1242,11 @@ object StreamingQueries {
     // must serve the from-scratch corpus BM25 bit-for-bit
     "q191_stream_text_index" ->
       graft.pipeline.TextIndex.oracles("q190_text_index_served"),
+    // q214 shares q211's exact-hash oracle: the stream-maintained positional
+    // index must reproduce the slot algebra's phrase hits from the raw
+    // corpus regardless of batching
+    "q214_stream_phrase_index" ->
+      graft.pipeline.PhraseIndex.oracles("q211_phrase_search"),
     // q192 shares q188's oracle: the ladder, routing, and expiry masking of
     // the streamed loads must land exactly where one batch load puts them
     "q192_stream_dynamic_partitions" ->

@@ -106,6 +106,16 @@ class PhraseIndexSpec extends AnyFunSuite {
     assert(rows(eng) === expected)
   }
 
+  test("stream-maintained table ≡ batch-maintained table on the real corpus " +
+    "(the fold is stateless per document, so delta batching is irrelevant)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = PhraseIndex.engineFor(spark, dir)  // bootstrap 90% + ONE fold
+    val streamed = graft.streaming.StreamingQueries
+      .streamPhraseEngineFor(spark, dir)           // same delta, 3-file stream
+    assert(rows(streamed) === rows(batch))
+    assert(rows(streamed).nonEmpty)
+  }
+
   test("KWIC snippets clamp at the document head and tail and re-assemble " +
     "token order from the index alone") {
     val eng = mkEngine()
