@@ -123,6 +123,29 @@ object PhraseIndex {
       Some(Version(v, v)))
   }
 
+  /** DELETE documents from the positional index ([[TextIndex.deleteDocs]]'s
+    * analogue): every (word, doc) row of the doomed docs tombstones in one
+    * merge. The doomed rows come from a broadcast semi-join over the
+    * positions table itself — linear in index size per delete batch, the
+    * trade [[TextIndex]] eliminated with its doc-keyed forward table; a
+    * deployment hot on phrase-index deletes would share that forward table
+    * (same engine, same doc_ids — the word sets are identical by
+    * construction). Unknown ids are harmless no-ops.
+    */
+  def deleteDocs(eng: OlapEngine, ids: DataFrame): Unit = {
+    val docIds = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    if (docIds.isEmpty) return // an empty batch publishes nothing
+    val doomed = eng.scan(Db, PositionsTable)
+      .join(broadcast(docIds), Seq("doc_id"), "left_semi")
+      .select(col("word"), col("doc_id"))
+      .withColumn("pos_list", lit(null).cast(ArrayType(IntegerType)))
+      .withColumn("__graft_del", lit(true))
+      .localCheckpoint(true)
+    val v = eng.manifest(Db, PositionsTable).maxVersion + 1
+    eng.mergeInto(Db, PositionsTable, doomed, "__graft_del",
+      Some(Version(v, v)))
+  }
+
   /** Every occurrence of `phrase`: (doc_id, start) with start = the 1-based
     * position of the phrase's first token. Slot i of the phrase contributes
     * (doc_id, pos - i) per position of its word; an occurrence is a group

@@ -51,7 +51,26 @@ object TextIndex {
   val Db = "graft_idx"
   val PostingsTable = "inv_postings"
   val DoclenTable = "inv_doclen"
+  /** The doc-keyed FORWARD index (doc_id → distinct words): what makes
+    * document UPDATES and DELETES delta-sized. The postings table is
+    * word-bucketed (right for probes, wrong for "which words does doc X
+    * hold"), so without this table a refold/delete must scan the postings
+    * to find the rows to tombstone — linear in index size per batch, the
+    * cost trade [[refold]]'s scaladoc used to document. One corpus-rows
+    * narrow table (keyed, sorted and bucketed by doc_id, so the lookup
+    * rides the engine's key-sorted files + bloom filters) turns that scan
+    * into a point-ish lookup sized by the batch.
+    */
+  val FwdTable = "fwd_words"
   val NumBuckets = 8
+
+  /** Below this many changed/deleted doc_ids the forward lookup collects
+    * them into an IN-literal predicate (pushed to parquet: bucket prune +
+    * bloom/row-group skip on the doc_id key); above it, a broadcast
+    * semi-join over the narrow forward table. Same size-gate idiom as
+    * [[ClusterReps.applyDelta]]'s delta broadcast.
+    */
+  val FwdLookupMaxIds = 10000
 
   /** q118's probe terms — the serve shares q118's oracle verbatim. */
   val DefaultTerms = Seq("spark", "data", "join", "query")
@@ -70,6 +89,12 @@ object TextIndex {
       schema = TableSchema(KeysType.Unique, Seq(
         ColumnSpec.key("doc_id", LongType),
         ColumnSpec.value("dl", LongType))),
+      bucketColumn = Some("doc_id"), numBuckets = 4))
+    eng.createTable(TableDef(
+      db = Db, name = FwdTable,
+      schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("doc_id", LongType),
+        ColumnSpec.value("words", ArrayType(StringType)))),
       bucketColumn = Some("doc_id"), numBuckets = 4))
   }
 
@@ -93,47 +118,56 @@ object TextIndex {
     */
   def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
     if (delta.isEmpty) return // an empty batch publishes nothing
-    val t = tokens(delta).localCheckpoint(true) // one tokenize, two aggs
+    val t = tokens(delta).localCheckpoint(true) // one tokenize, three aggs
     val postings = t.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val doclen = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val fwd = t.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("word"))).as("words"))
     def nextV(table: String): Version = {
       val v = eng.manifest(Db, table).maxVersion + 1
       Version(v, v)
     }
     eng.ingest(Db, PostingsTable, postings, Some(nextV(PostingsTable)))
     eng.ingest(Db, DoclenTable, doclen, Some(nextV(DoclenTable)))
+    eng.ingest(Db, FwdTable, fwd, Some(nextV(FwdTable)))
+  }
+
+  /** The stored (doc_id, word) pairs for a batch of doc_ids, via the
+    * forward table — the delta-sized lookup refold/delete tombstoning rides.
+    * Small batches (≤ [[FwdLookupMaxIds]]) collect into an IN-literal so the
+    * scan prunes files on the doc_id key; larger ones broadcast-semi-join.
+    */
+  private def storedWords(eng: OlapEngine, ids: DataFrame): DataFrame = {
+    val n = ids.limit(FwdLookupMaxIds + 1).count()
+    val fwd = eng.scan(Db, FwdTable)
+    val rows =
+      if (n <= FwdLookupMaxIds) {
+        val lits = ids.collect().map(_.getLong(0).asInstanceOf[Any])
+        fwd.filter(col("doc_id").isin(lits: _*))
+      } else fwd.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    rows.select(col("doc_id"), explode(col("words")).as("word"))
   }
 
   /** Re-fold CHANGED documents: the update path [[applyDelta]]'s scaladoc
     * used to leave to the caller, automated. The Unique upsert alone would
     * overwrite tf for words still present in the new text but leave STALE
-    * postings for words that vanished from it; refold diffs the stored
-    * postings for the batch's doc_ids against the new tokenization and
-    * publishes upserts + vanished-word tombstones as ONE [[OlapEngine
-    * .mergeInto]] rowset — readers see the whole document update
-    * atomically, never a half-rewritten posting list. Doclen upserts ride
-    * in their own load (pure overwrite; no tombstones can arise).
-    *
-    * Cost note: the diff reads the postings table filtered to the batch's
-    * doc_ids. Postings are word-bucketed (for probe pruning), so this is a
-    * postings scan narrowed by a broadcast semi-join on the delta ids —
-    * linear in index size, delta-independent. A deployment hot on document
-    * updates would add a doc_id-keyed forward index (doc → words) to make
-    * the diff delta-sized; for load-time maintenance the scan is the right
-    * trade (it is the same cost class as the compaction the fold schedule
-    * already pays). Use [[applyDelta]] for NEW documents — it touches only
-    * the delta.
+    * postings for words that vanished from it; refold diffs the STORED word
+    * set for the batch's doc_ids (via the forward table — delta-sized, see
+    * [[storedWords]]; the word-bucketed postings are never scanned) against
+    * the new tokenization and publishes upserts + vanished-word tombstones
+    * as ONE [[OlapEngine.mergeInto]] rowset — readers see the whole
+    * document update atomically, never a half-rewritten posting list.
+    * Doclen and forward upserts ride in their own loads (pure overwrites;
+    * no tombstones can arise). Use [[applyDelta]] for NEW documents.
     */
   def refold(eng: OlapEngine, changed: DataFrame): Unit = {
     if (changed.isEmpty) return // an empty batch publishes nothing
-    val t = tokens(changed).localCheckpoint(true) // one tokenize, two aggs
+    val t = tokens(changed).localCheckpoint(true) // one tokenize, three aggs
     val newPost = t.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val ids = changed.select(col("doc_id")).distinct()
-    val vanished = eng.scan(Db, PostingsTable)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select(col("word"), col("doc_id"))
+    val vanished = storedWords(eng, ids)
       .join(newPost.select(col("word"), col("doc_id")),
         Seq("word", "doc_id"), "left_anti")
     val source = newPost.withColumn("__graft_del", lit(false))
@@ -150,6 +184,46 @@ object TextIndex {
     eng.ingest(Db, DoclenTable,
       t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
       Some(nextV(DoclenTable)))
+    eng.ingest(Db, FwdTable,
+      t.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("word"))).as("words")),
+      Some(nextV(FwdTable)))
+  }
+
+  /** DELETE documents from the index — [[AnnIndex.deleteVectors]]'s
+    * analogue for text: without it a document deleted from the corpus keeps
+    * scoring (and keeps inflating n_docs/avgdl) forever. The forward table
+    * supplies each doomed doc's word set (delta-sized, [[storedWords]]),
+    * which becomes postings tombstones; doclen and forward rows tombstone by
+    * key alone. Three per-table merges: doclen FIRST, so a reader between
+    * publishes sees the document fully absent from scoring (the BM25 serve
+    * inner-joins postings ⋈ doclen — no doclen row, no score, and
+    * n_docs/avgdl are already survivor-only) rather than a document with
+    * half its words. Deleting an unknown doc_id is a harmless no-op
+    * (tombstones of nothing). Compaction later removes all three tables'
+    * rows physically.
+    */
+  def deleteDocs(eng: OlapEngine, ids: DataFrame): Unit = {
+    val docIds = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    if (docIds.isEmpty) return // an empty batch publishes nothing
+    val doomedWords = storedWords(eng, docIds).localCheckpoint(true)
+    def nextV(table: String): Version = {
+      val v = eng.manifest(Db, table).maxVersion + 1
+      Version(v, v)
+    }
+    eng.mergeInto(Db, DoclenTable,
+      docIds.withColumn("dl", lit(null).cast(LongType))
+        .withColumn("__graft_del", lit(true)),
+      "__graft_del", Some(nextV(DoclenTable)))
+    eng.mergeInto(Db, PostingsTable,
+      doomedWords.select(col("word"), col("doc_id"))
+        .withColumn("tf", lit(null).cast(LongType))
+        .withColumn("__graft_del", lit(true)),
+      "__graft_del", Some(nextV(PostingsTable)))
+    eng.mergeInto(Db, FwdTable,
+      docIds.withColumn("words", lit(null).cast(ArrayType(StringType)))
+        .withColumn("__graft_del", lit(true)),
+      "__graft_del", Some(nextV(FwdTable)))
   }
 
   /** BM25 top-k SERVED from the engine tables: q118's formula with tf/dl
@@ -412,9 +486,28 @@ object TextIndex {
       eng
     })
 
+  /** q215 fixture: full-corpus build, then [[deleteDocs]] on doc_id % 9 == 4,
+    * then the scheduled compaction — the served BM25 must equal a
+    * from-scratch index of the SURVIVING corpus, which deletes state
+    * everywhere the formula looks: the doomed docs' tf rows, their df
+    * contributions, and the n_docs/avgdl denominators.
+    */
+  def deletesEngineFor(spark: SparkSession, dir: String): OlapEngine =
+    cache.getOrElseUpdate(s"$dir|deletes", {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-txtdel-"))
+      createTables(eng)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      bootstrap(eng, docs)
+      deleteDocs(eng, docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+      compactIndex(eng) // deletes become physical; answer unchanged
+      eng
+    })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_text_index_served" ->
       ((s: SparkSession, d: String) => bm25FromTable(engineFor(s, d))),
+    "q215_text_index_deletes" ->
+      ((s: SparkSession, d: String) => bm25FromTable(deletesEngineFor(s, d))),
     "q197_text_index_refold" ->
       ((s: SparkSession, d: String) => bm25FromTable(refoldEngineFor(s, d))),
     "q205_batch_retrieval" ->
@@ -428,6 +521,27 @@ object TextIndex {
     // from-scratch corpus recompute bit-for-bit — an exact-hash check on
     // every layer (fold, Unique merge-on-read, doclen-derived stats, serve)
     "q190_text_index_served" -> TextAnalysis.oracles("q118_bm25_topk"),
+    // q118's formula over the SURVIVING corpus: deletion must be visible in
+    // every term — vanished tf rows, shrunken df, survivor-only
+    // n_docs/avgdl. A tombstone lost in any of the three tables (postings,
+    // doclen, fwd→postings diff) flips the hash.
+    "q215_text_index_deletes" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 9 <> 4),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+        |       WHERE w IN ('spark','data','join','query') GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        CAST(round(
+        |          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |          8) AS DECIMAL(18,8)) AS ts
+        |      FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
+        |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // q208: conjunctive standing-query matching replayed as relational
     // algebra — a (query, doc) pair survives iff the doc contains every
     // term of the query

@@ -106,6 +106,27 @@ class PhraseIndexSpec extends AnyFunSuite {
     assert(rows(eng) === expected)
   }
 
+  test("deleteDocs: every row of the doomed documents tombstones, phrase " +
+    "hits vanish, survivors and unknown ids are untouched") {
+    import spark.implicits._
+    val eng = mkEngine()
+    PhraseIndex.bootstrap(eng, docsOf(
+      1L -> "table hash alpha",
+      2L -> "table hash beta",
+      3L -> "big order scan"))
+    PhraseIndex.deleteDocs(eng, Seq(1L, 999L).toDF("doc_id"))
+    assert(rows(eng).map(_._2).toSet === Set(2L, 3L))
+    assert(hits(eng, "table", "hash") === Set(2L -> 1))
+    assert(hits(eng, "big", "order", "scan") === Set(3L -> 1))
+    // compaction makes the tombstones physical without changing the answer
+    eng.runScheduledCompaction()
+    assert(hits(eng, "table", "hash") === Set(2L -> 1))
+    // re-adding a deleted document is applyDelta: the upsert beats the
+    // tombstone
+    PhraseIndex.applyDelta(eng, docsOf(1L -> "table hash alpha"))
+    assert(hits(eng, "table", "hash") === Set(1L -> 1, 2L -> 1))
+  }
+
   test("stream-maintained table ≡ batch-maintained table on the real corpus " +
     "(the fold is stateless per document, so delta batching is irrelevant)") {
     val dir = "/root/testdata/sf0.001"

@@ -207,6 +207,65 @@ class TextIndexSpec extends AnyFunSuite {
     assert((postings(eng), doclens(eng)) === before)
   }
 
+  private def fwdRows(eng: OlapEngine): Set[(Long, Seq[String])] =
+    eng.scan(TextIndex.Db, TextIndex.FwdTable).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+
+  test("forward table tracks the index: after fold AND refold it holds " +
+    "exactly each document's sorted distinct words") {
+    val docs = synth(0L until 40L)
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs.filter(col("doc_id") % 10 =!= 0))
+    TextIndex.applyDelta(eng, docs.filter(col("doc_id") % 10 === 0))
+    def expected(d: org.apache.spark.sql.DataFrame): Set[(Long, Seq[String])] =
+      d.collect().map { r =>
+        (r.getLong(0),
+          r.getString(1).trim.toLowerCase.split("\\s+").distinct.sorted.toSeq)
+      }.toSet
+    assert(fwdRows(eng) === expected(docs))
+    // refold keeps it current (the diff source must never go stale)
+    val edited = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 3)))
+        .otherwise(col("text")).as("text"))
+    TextIndex.refold(eng, edited.filter(col("doc_id") % 5 === 0))
+    assert(fwdRows(eng) === expected(edited))
+  }
+
+  test("deleteDocs: postings, doclen and forward rows all tombstone, the " +
+    "served BM25 equals a fresh index of the survivors, unknown ids no-op") {
+    import spark.implicits._
+    val docs = synth(0L until 50L)
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs)
+    TextIndex.deleteDocs(eng,
+      docs.filter(col("doc_id") % 4 === 1).select("doc_id"))
+    TextIndex.deleteDocs(eng, Seq(99999L).toDF("doc_id")) // unknown: no-op
+    val fresh = mkEngine()
+    TextIndex.bootstrap(fresh, docs.filter(col("doc_id") % 4 =!= 1))
+    assert(postings(eng) === postings(fresh))
+    assert(doclens(eng) === doclens(fresh))
+    assert(fwdRows(eng) === fwdRows(fresh))
+    def serve(e: OlapEngine): Seq[(Long, Double)] =
+      TextIndex.bm25FromTable(e).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(serve(eng) === serve(fresh))
+    // compaction makes the tombstones physical without changing anything
+    TextIndex.compactIndex(eng)
+    assert(postings(eng) === postings(fresh))
+    assert(serve(eng) === serve(fresh))
+    // re-adding a deleted document is applyDelta: upsert beats tombstone
+    TextIndex.applyDelta(eng, docs.filter(col("doc_id") === 1L))
+    assert(doclens(eng) === doclens(fresh) ++
+      doclens(mkEngineWith(docs.filter(col("doc_id") === 1L))))
+  }
+
+  private def mkEngineWith(docs: org.apache.spark.sql.DataFrame): OlapEngine = {
+    val e = mkEngine()
+    TextIndex.bootstrap(e, docs)
+    e
+  }
+
   test("the serve's postings scan bucket-prunes to the probed terms' buckets") {
     val dir = "/root/testdata/sf0.001"
     val eng = TextIndex.engineFor(spark, dir)
