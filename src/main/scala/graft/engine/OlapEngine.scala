@@ -44,6 +44,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   val rollups = new RollupManager(this)
   val mvs = new MvManager(this)
   private val manifests = TrieMap.empty[String, TableManifest]
+  // cross-table LOAD GROUPS (the Doris global-transaction-id shape): staged
+  // rowsets are invisible until the ledger's one atomic rename commits the
+  // whole group; the coord lock makes a reader racing the activation sweep
+  // see every table pre-group or post-group, never a mix
+  private val groupLedger = new GroupLedger(warehouse)
+  private val groupCoord = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   // Internal column names (never leak out of scan()).
   val PartCol = "__graft_part"
@@ -84,7 +90,45 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
 
   def manifest(db: String, table: String): TableManifest =
-    manifests.getOrElseUpdate(s"$db.$table", new TableManifest(tableRoot(db, table)))
+    manifests.getOrElseUpdate(s"$db.$table",
+      new TableManifest(tableRoot(db, table), () => groupLedger.committed,
+        Some(groupCoord)))
+
+  // --- cross-table load groups ----------------------------------------------
+
+  /** Open a load group: pass the id as the `group` of any number of
+    * [[ingest]]/[[mergeInto]] calls across any tables, then [[commitGroup]].
+    * Staged loads are written and persisted but invisible everywhere (reads,
+    * compaction, time travel) until the commit — which is ONE atomic ledger
+    * rename for the whole group, the multi-table atomicity a maintained
+    * index family (postings + doclen + forward; assignments + centroids +
+    * codebooks) needs so no reader ever sees half an index update.
+    */
+  def newLoadGroup(): String = "grp-" + java.util.UUID.randomUUID().toString
+
+  /** Commit a load group. Durability point = the ledger rename (crash after
+    * it: every table self-heals to committed at next manifest load; crash
+    * before: nothing moved, the stage reaps as garbage). The activation
+    * sweep then makes the staged rowsets serve, under the coord write lock
+    * so concurrent snapshot captures land wholly before or wholly after the
+    * whole group.
+    */
+  def commitGroup(group: String): Unit = {
+    groupCoord.writeLock().lock()
+    try {
+      groupLedger.commit(group)
+      manifests.values.foreach(_.activateGroup(group))
+    } finally groupCoord.writeLock().unlock()
+  }
+
+  /** Abort a load group that must never commit: reap its staged rowsets
+    * (files + manifest entries) from every table. Refuses committed groups.
+    */
+  def abortGroup(group: String): Unit = {
+    require(!groupLedger.isCommitted(group),
+      s"group $group already committed — a committed group cannot abort")
+    manifests.values.foreach(_.reapGroup(group))
+  }
 
   def createDatabase(db: String): Unit = catalog.createDatabase(db)
 
@@ -430,11 +474,20 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
              version: Option[Version] = None,
              explicitRowsetId: Option[Long] = None,
              op: Int = 0,
-             opColumn: Option[String] = None): RowsetMeta = {
+             opColumn: Option[String] = None,
+             group: Option[String] = None): RowsetMeta = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
     require((op == 0 && opColumn.isEmpty) || td.schema.keysType == KeysType.Unique,
       s"delete loads (op=1) are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
+    // a staged load must have NO pre-commit side effects; dynamic-partition
+    // minting/expiry are catalog edits that cannot stage, so refuse the
+    // combination loudly instead of leaking them before the group commits
+    require(group.isEmpty ||
+        (td.autoPartition.isEmpty && td.autoExpireKeep.isEmpty),
+      s"load groups are not defined for dynamic-partition tables " +
+        s"(${td.qualified} has autoPartition/autoExpireKeep): partition " +
+        "minting and expiry are catalog edits that cannot stage")
     val input =
       if (td.schema.keysType == KeysType.Aggregate &&
           td.schema.valueColumns.exists(_.agg == AggType.HllUnion))
@@ -511,7 +564,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // partitions by the time any reader can see the new rowset
     commitMintedPartitions(db, table, minted)
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
-      createdMs = System.currentTimeMillis())
+      createdMs = System.currentTimeMillis(), pendingGroup = group)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -576,7 +629,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * write: MVCC, time travel, incremental reads and compaction compose.
     */
   def mergeInto(db: String, table: String, source: DataFrame, deleteFlag: String,
-                version: Option[Version] = None): RowsetMeta = {
+                version: Option[Version] = None,
+                group: Option[String] = None): RowsetMeta = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
     require(td.schema.keysType == KeysType.Unique,
@@ -606,7 +660,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val tagged = full
       .withColumn("__graft_op_in", when(flag, 1).otherwise(0))
       .drop(deleteFlag)
-    ingest(db, table, tagged, version, opColumn = Some("__graft_op_in"))
+    ingest(db, table, tagged, version, opColumn = Some("__graft_op_in"),
+      group = group)
   }
 
   /** Partial-update load (StarRocks/Doris partial update mode; requires
@@ -830,7 +885,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * time. Duplicate tables may delete by any column.
     */
   def deleteWhere(db: String, table: String, predicateSql: String,
-                  version: Option[Version] = None): RowsetMeta = {
+                  version: Option[Version] = None,
+                  group: Option[String] = None): RowsetMeta = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
     val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
@@ -851,7 +907,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val rowsetId = m.nextRowsetId
     val meta = RowsetMeta(rowsetId, v, relDir = s"d$rowsetId", numRows = 0L,
       createdMs = System.currentTimeMillis(),
-      deletePredicate = Some(predicateSql))
+      deletePredicate = Some(predicateSql), pendingGroup = group)
     m.publish(meta)
     meta
   }

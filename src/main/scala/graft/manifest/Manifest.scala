@@ -47,8 +47,18 @@ final case class RowsetMeta(
     // the dir) and dropped names can never be re-created. deletePredicate
     // still carries the equivalent row predicate for introspection and for
     // engines reading a pre-upgrade manifest.
-    deletePartition: Option[String] = None) {
+    deletePartition: Option[String] = None,
+    // Some(groupId) marks a STAGED rowset of a cross-table load group
+    // (OlapEngine.newLoadGroup/commitGroup — the Doris global-transaction-id
+    // shape): written and persisted, but invisible to every read, absent
+    // from the version graph, and exempt from compaction until its group
+    // commits in the engine's [[GroupLedger]] (one atomic rename for the
+    // WHOLE group, however many tables it spans). Activation strips the
+    // marker; a crash between ledger commit and activation self-heals at
+    // the next manifest load (the ledger is the source of truth).
+    pendingGroup: Option[String] = None) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
+  def isPending: Boolean = pendingGroup.isDefined
 }
 
 /** Per-table rowset manifest with MVCC snapshot resolution
@@ -73,7 +83,18 @@ final case class RowsetMeta(
   *    an append-only edit log + periodic checkpoint) without changing
   *    readers.
   */
-final class TableManifest(val tableRoot: Path) {
+final class TableManifest(
+    val tableRoot: Path,
+    // resolver for committed load groups (OlapEngine wires the engine's
+    // GroupLedger in; the default keeps standalone manifests — backup
+    // readers, specs — group-free)
+    committedGroups: () => Set[String] = () => Set.empty,
+    // engine-shared read/write coordination: snapshot capture holds the
+    // read side, group activation the write side, so a reader racing a
+    // multi-table commit sees every table pre-group or every table
+    // post-group, never a mix. Lock order is coord → manifest monitor,
+    // everywhere.
+    coord: Option[java.util.concurrent.locks.ReadWriteLock] = None) {
   private implicit val formats: Formats = DefaultFormats
   private val manifestPath = tableRoot.resolve("_manifest.json")
   private val rowsets = mutable.LinkedHashMap.empty[Long, RowsetMeta]
@@ -91,8 +112,17 @@ final class TableManifest(val tableRoot: Path) {
   def maxVersion: Long = synchronized(maxVersionV)
 
   def allRowsets: Seq[RowsetMeta] = synchronized(rowsets.values.toSeq)
+  /** Serving rowsets: Visible AND not staged under an uncommitted group —
+    * staged rowsets are invisible to reads, compaction scoring, and GC
+    * until [[activateGroup]].
+    */
   def visibleRowsets: Seq[RowsetMeta] =
-    synchronized(rowsets.values.filter(_.state == RowsetState.Visible).toSeq)
+    synchronized(rowsets.values
+      .filter(r => r.state == RowsetState.Visible && !r.isPending).toSeq)
+
+  /** Staged rowsets of one load group (empty once activated/reaped). */
+  def pendingRowsets(group: String): Seq[RowsetMeta] =
+    synchronized(rowsets.values.filter(_.pendingGroup.contains(group)).toSeq)
 
   /** Publish a rowset: dedup by id, add version edge, bump max version,
     * persist atomically (reference: src/tablet.rs:116-128, src/storage.rs:79-87).
@@ -112,24 +142,79 @@ final class TableManifest(val tableRoot: Path) {
     require(dup.isEmpty, s"duplicate rowset id ${dup.head}")
     metas.foreach { meta =>
       rowsets(meta.rowsetId) = meta
-      graph.addEdge(meta.version)
-      maxVersionV = math.max(maxVersionV, meta.version.end)
+      // a STAGED rowset is persisted but takes no version edge and bumps no
+      // maxVersion — to every reader the table has not moved until its
+      // group commits ([[activateGroup]])
+      if (!meta.isPending) {
+        graph.addEdge(meta.version)
+        maxVersionV = math.max(maxVersionV, meta.version.end)
+      }
       idGen.updateAndGet(cur => math.max(cur, meta.rowsetId))
     }
     if (metas.nonEmpty) persist()
   }
 
+  /** Activate this table's staged rowsets of `group`: strip the marker, add
+    * the version edges, bump maxVersion, stamp createdMs to the activation
+    * instant (wall-clock time travel keys on when a rowset became VISIBLE,
+    * not when its files were written). Engine-level [[OlapEngine
+    * .commitGroup]] calls this under the coord write lock AFTER the group
+    * ledger's atomic commit; a version collision with a later non-group
+    * publish fails loudly here rather than corrupting the graph.
+    */
+  def activateGroup(group: String): Unit = synchronized {
+    val staged = rowsets.values.filter(_.pendingGroup.contains(group)).toSeq
+    val now = System.currentTimeMillis()
+    staged.foreach { r =>
+      // a version collision means an abandoned stage's version was reused by
+      // a later publish and the stale group is being committed anyway —
+      // refuse rather than leave two visible rowsets claiming one version
+      val clash = rowsets.values.find(o => o.rowsetId != r.rowsetId &&
+        o.state == RowsetState.Visible && !o.isPending && o.version == r.version)
+      require(clash.isEmpty,
+        s"cannot activate group $group: staged rowset ${r.rowsetId} claims " +
+          s"version ${r.version}, already held by visible rowset " +
+          s"${clash.get.rowsetId} — the stage predates a conflicting publish")
+      rowsets(r.rowsetId) = r.copy(pendingGroup = None, createdMs = now)
+      graph.addEdge(r.version)
+      maxVersionV = math.max(maxVersionV, r.version.end)
+    }
+    if (staged.nonEmpty) persist()
+  }
+
+  /** Reap a group that will never commit (abort, or an abandoned stage from
+    * a crashed session): delete the staged rowsets' directories and drop
+    * their entries. A no-op for groups this table never staged.
+    */
+  def reapGroup(group: String): Seq[Long] = synchronized {
+    val staged = rowsets.values.filter(_.pendingGroup.contains(group)).toSeq
+    staged.foreach { r =>
+      if (!Paths.get(r.relDir).isAbsolute)
+        deleteRecursively(tableRoot.resolve(r.relDir))
+      rowsets.remove(r.rowsetId)
+    }
+    if (staged.nonEmpty) persist()
+    staged.map(_.rowsetId)
+  }
+
   /** Snapshot resolution: rowsets exactly covering `[lo, hi]`
     * (reference: src/tablet.rs:131-144). Fails fast on version holes.
     */
-  def captureConsistentVersions(lo: Long, hi: Long): Seq[RowsetMeta] = synchronized {
-    val path = graph.findCoveringPath(lo, hi).getOrElse(
-      throw new IllegalStateException(s"version hole: no covering path for [$lo,$hi]"))
-    path.map { v =>
-      rowsets.values
-        .find(r => r.state == RowsetState.Visible && r.version == v)
-        .getOrElse(throw new IllegalStateException(s"no visible rowset for $v"))
-    }
+  def captureConsistentVersions(lo: Long, hi: Long): Seq[RowsetMeta] = {
+    // coord read side OUTSIDE the monitor (lock order coord → monitor,
+    // matching commitGroup's write side) — a capture racing a multi-table
+    // group commit lands wholly before or wholly after it
+    coord.foreach(_.readLock().lock())
+    try synchronized {
+      val path = graph.findCoveringPath(lo, hi).getOrElse(
+        throw new IllegalStateException(s"version hole: no covering path for [$lo,$hi]"))
+      path.map { v =>
+        rowsets.values
+          .find(r => r.state == RowsetState.Visible && !r.isPending &&
+            r.version == v)
+          .getOrElse(throw new IllegalStateException(s"no visible rowset for $v"))
+      }
+    } finally coord.foreach(_.readLock().unlock())
   }
 
   def hasVersionHoles(lo: Long, hi: Long): Boolean = synchronized(graph.hasVersionHoles(lo, hi))
@@ -164,7 +249,7 @@ final class TableManifest(val tableRoot: Path) {
     * ACROSS compactions/deletes until retention physically drops it.
     */
   def rowsetsAsOf(asOfMs: Long): Seq[RowsetMeta] = synchronized {
-    rowsets.values.filter(r =>
+    rowsets.values.filter(r => !r.isPending &&
       r.createdMs <= asOfMs && r.staleMs.forall(_ > asOfMs)).toSeq
   }
 
@@ -218,8 +303,10 @@ final class TableManifest(val tableRoot: Path) {
         JObject(base.obj :+ ("deletePredicate" -> (JString(p): JValue))))
       val withDp = r.deletePartition.fold(withDel)(p =>
         JObject(withDel.obj :+ ("deletePartition" -> (JString(p): JValue))))
-      r.staleMs.fold(withDp)(s =>
-        JObject(withDp.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withPg = r.pendingGroup.fold(withDp)(g =>
+        JObject(withDp.obj :+ ("pendingGroup" -> (JString(g): JValue))))
+      r.staleMs.fold(withPg)(s =>
+        JObject(withPg.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -234,8 +321,12 @@ final class TableManifest(val tableRoot: Path) {
       val doc = JsonMethods.parse(Files.readString(manifestPath))
       maxVersionV = (doc \ "maxVersion").extract[Long]
       gcFloorV = (doc \ "gcFloorMs").extractOpt[Long].getOrElse(-1L)
+      // the ledger is read ONCE per load: a group committed there activates
+      // now (the crash-between-ledger-commit-and-activation self-heal); an
+      // uncommitted group stays staged-invisible until commit or reap
+      val committed = committedGroups()
       (doc \ "rowsets").extract[List[JValue]].foreach { j =>
-        val r = RowsetMeta(
+        val stored = RowsetMeta(
           (j \ "rowsetId").extract[Long],
           Version((j \ "start").extract[Long], (j \ "end").extract[Long]),
           (j \ "relDir").extract[String],
@@ -244,10 +335,16 @@ final class TableManifest(val tableRoot: Path) {
           (j \ "createdMs").extract[Long],
           (j \ "deletePredicate").extractOpt[String],
           (j \ "staleMs").extractOpt[Long],
-          (j \ "deletePartition").extractOpt[String])
+          (j \ "deletePartition").extractOpt[String],
+          (j \ "pendingGroup").extractOpt[String])
+        val r = if (stored.pendingGroup.exists(committed))
+          stored.copy(pendingGroup = None) else stored
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
-        if (r.state == RowsetState.Visible) graph.addEdge(r.version)
+        if (r.state == RowsetState.Visible && !r.isPending) {
+          graph.addEdge(r.version)
+          maxVersionV = math.max(maxVersionV, r.version.end)
+        }
       }
     }
   }

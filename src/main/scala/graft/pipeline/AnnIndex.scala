@@ -233,13 +233,18 @@ object AnnIndex {
     val booksDf = bookRows.toDF("s", "c", "sub")
     val assign = assignAll(e.select(col("vec_id"), col("vn")),
       centsDf, booksDf, m, subDim).localCheckpoint(true)
+    // one load group across all four tables: on a RE-FIT especially, no
+    // reader may ever pair the new centroids with the old codes (or new
+    // codes with old codebooks) — the whole fit generation lands in one
+    // commit, which is what "the table layout makes the swap atomic" means
+    val g = eng.newLoadGroup()
     eng.ingest(Db, AssignTable,
       assign.select(col("vec_id"), col("cell"), col("codes")),
-      Some(nextV(AssignTable)))
+      Some(nextV(AssignTable)), group = Some(g))
     e.unpersist()
     val genV = nextV(CentroidTable)
-    eng.ingest(Db, CentroidTable, centsDf, Some(genV))
-    eng.ingest(Db, BookTable, booksDf, Some(nextV(BookTable)))
+    eng.ingest(Db, CentroidTable, centsDf, Some(genV), group = Some(g))
+    eng.ingest(Db, BookTable, booksDf, Some(nextV(BookTable)), group = Some(g))
     // fit-generation freshness baseline: this fit's corpus size and mean
     // assignment distance, keyed by the centroid version just published
     val st = assign.agg(count(lit(1)).as("n_fit"),
@@ -247,7 +252,8 @@ object AnnIndex {
     eng.ingest(Db, FitStatsTable,
       Seq((genV.start, st.getLong(0), st.getDouble(1)))
         .toDF("gen", "n_fit", "mean_d2"),
-      Some(nextV(FitStatsTable)))
+      Some(nextV(FitStatsTable)), group = Some(g))
+    eng.commitGroup(g)
   }
 
   /** Fold a new embedding batch into the index: no re-fit, pure map-side
@@ -268,9 +274,11 @@ object AnnIndex {
     val dim = d.select(size(col("vn"))).head().getInt(0)
     val up = assignAll(d, cents, booksDf, m, dim / m).localCheckpoint(true)
     if (!up.isEmpty) {
+      val g = eng.newLoadGroup() // assignments + drift row land as one unit
       val v = eng.manifest(Db, AssignTable).maxVersion + 1
       eng.ingest(Db, AssignTable,
-        up.select(col("vec_id"), col("cell"), col("codes")), Some(Version(v, v)))
+        up.select(col("vec_id"), col("cell"), col("codes")),
+        Some(Version(v, v)), group = Some(g))
       // drift accounting: fold this batch's (count, Σ best-cell distance)
       // under the CURRENT fit generation — Sum-merge accumulates across
       // folds, and a refit starts a fresh generation key (no reset needed).
@@ -282,7 +290,8 @@ object AnnIndex {
       val dv = eng.manifest(Db, DriftTable).maxVersion + 1
       eng.ingest(Db, DriftTable,
         Seq((gen, st.getLong(0), st.getDouble(1))).toDF("gen", "n", "sum_d2"),
-        Some(Version(dv, dv)))
+        Some(Version(dv, dv)), group = Some(g))
+      eng.commitGroup(g)
     }
   }
 

@@ -128,9 +128,15 @@ object TextIndex {
       val v = eng.manifest(Db, table).maxVersion + 1
       Version(v, v)
     }
-    eng.ingest(Db, PostingsTable, postings, Some(nextV(PostingsTable)))
-    eng.ingest(Db, DoclenTable, doclen, Some(nextV(DoclenTable)))
-    eng.ingest(Db, FwdTable, fwd, Some(nextV(FwdTable)))
+    // one load group: a probe never sees postings for a document whose
+    // doclen (or forward row) has not landed — the three tables move as one
+    val g = eng.newLoadGroup()
+    eng.ingest(Db, PostingsTable, postings, Some(nextV(PostingsTable)),
+      group = Some(g))
+    eng.ingest(Db, DoclenTable, doclen, Some(nextV(DoclenTable)),
+      group = Some(g))
+    eng.ingest(Db, FwdTable, fwd, Some(nextV(FwdTable)), group = Some(g))
+    eng.commitGroup(g)
   }
 
   /** The stored (doc_id, word) pairs for a batch of doc_ids, via the
@@ -179,15 +185,20 @@ object TextIndex {
       val v = eng.manifest(Db, table).maxVersion + 1
       Version(v, v)
     }
+    // one load group across all three tables: the whole document update —
+    // new tf rows, vanished-word tombstones, new length, new word set —
+    // becomes visible in one commit
+    val g = eng.newLoadGroup()
     eng.mergeInto(Db, PostingsTable, source, "__graft_del",
-      Some(nextV(PostingsTable)))
+      Some(nextV(PostingsTable)), group = Some(g))
     eng.ingest(Db, DoclenTable,
       t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
-      Some(nextV(DoclenTable)))
+      Some(nextV(DoclenTable)), group = Some(g))
     eng.ingest(Db, FwdTable,
       t.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("word"))).as("words")),
-      Some(nextV(FwdTable)))
+      Some(nextV(FwdTable)), group = Some(g))
+    eng.commitGroup(g)
   }
 
   /** DELETE documents from the index — [[AnnIndex.deleteVectors]]'s
@@ -195,13 +206,11 @@ object TextIndex {
     * scoring (and keeps inflating n_docs/avgdl) forever. The forward table
     * supplies each doomed doc's word set (delta-sized, [[storedWords]]),
     * which becomes postings tombstones; doclen and forward rows tombstone by
-    * key alone. Three per-table merges: doclen FIRST, so a reader between
-    * publishes sees the document fully absent from scoring (the BM25 serve
-    * inner-joins postings ⋈ doclen — no doclen row, no score, and
-    * n_docs/avgdl are already survivor-only) rather than a document with
-    * half its words. Deleting an unknown doc_id is a harmless no-op
-    * (tombstones of nothing). Compaction later removes all three tables'
-    * rows physically.
+    * key alone. The three per-table merges stage under ONE load group and
+    * commit atomically — no reader can see a document half-deleted (postings
+    * gone but still counted in n_docs/avgdl, or vice versa). Deleting an
+    * unknown doc_id is a harmless no-op (tombstones of nothing). Compaction
+    * later removes all three tables' rows physically.
     */
   def deleteDocs(eng: OlapEngine, ids: DataFrame): Unit = {
     val docIds = ids.select(col("doc_id")).distinct().localCheckpoint(true)
@@ -211,19 +220,21 @@ object TextIndex {
       val v = eng.manifest(Db, table).maxVersion + 1
       Version(v, v)
     }
+    val g = eng.newLoadGroup()
     eng.mergeInto(Db, DoclenTable,
       docIds.withColumn("dl", lit(null).cast(LongType))
         .withColumn("__graft_del", lit(true)),
-      "__graft_del", Some(nextV(DoclenTable)))
+      "__graft_del", Some(nextV(DoclenTable)), group = Some(g))
     eng.mergeInto(Db, PostingsTable,
       doomedWords.select(col("word"), col("doc_id"))
         .withColumn("tf", lit(null).cast(LongType))
         .withColumn("__graft_del", lit(true)),
-      "__graft_del", Some(nextV(PostingsTable)))
+      "__graft_del", Some(nextV(PostingsTable)), group = Some(g))
     eng.mergeInto(Db, FwdTable,
       docIds.withColumn("words", lit(null).cast(ArrayType(StringType)))
         .withColumn("__graft_del", lit(true)),
-      "__graft_del", Some(nextV(FwdTable)))
+      "__graft_del", Some(nextV(FwdTable)), group = Some(g))
+    eng.commitGroup(g)
   }
 
   /** BM25 top-k SERVED from the engine tables: q118's formula with tf/dl

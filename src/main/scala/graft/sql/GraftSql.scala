@@ -36,6 +36,9 @@ object GraftSql {
   // ---- binding --------------------------------------------------------------
 
   private val bound = TrieMap.empty[SparkSession, OlapEngine]
+  // the session's OPEN load group (BEGIN LOAD GROUP ... COMMIT/ABORT):
+  // INSERT/DELETE statements executed while one is open stage under it
+  private val activeGroup = TrieMap.empty[SparkSession, String]
 
   /** Bind `engine` as the session's SQL target. Re-binding replaces. */
   def bind(spark: SparkSession, engine: OlapEngine): Unit = bound.put(spark, engine): Unit
@@ -61,7 +64,8 @@ object GraftSql {
     // graft-only shapes: always ours
     case _: CreateTable | _: RestoreToVersion | _: ShallowClone | _: Compact |
          _: Vacuum | _: BackupTable | _: RestoreFromBackup | _: ShowRowsets |
-         _: ScanView | _: CreateDatabase => true
+         _: ScanView | _: CreateDatabase | BeginLoadGroup | CommitLoadGroup |
+         AbortLoadGroup => true
     // generic verbs: ours iff the target lives in the engine catalog
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -165,11 +169,35 @@ object GraftSql {
           s"INSERT INTO $db.$t: query yields ${df.columns.length} columns, " +
             s"table declares ${want.length} (${want.mkString(", ")})")
         // positional alignment, the classic INSERT contract; engine-side
-        // conform() owns type validation/casts
-        rowsetDf(spark, eng.ingest(db, t, df.toDF(want: _*)))
+        // conform() owns type validation/casts. An open BEGIN LOAD GROUP
+        // stages the load (invisible until COMMIT LOAD GROUP).
+        rowsetDf(spark, eng.ingest(db, t, df.toDF(want: _*),
+          group = activeGroup.get(spark)))
 
       case DeleteFrom(db, t, predicate) =>
-        rowsetDf(spark, eng.deleteWhere(db, t, predicate))
+        rowsetDf(spark,
+          eng.deleteWhere(db, t, predicate, group = activeGroup.get(spark)))
+
+      case BeginLoadGroup =>
+        require(!activeGroup.contains(spark),
+          s"a load group is already open (${activeGroup(spark)}) — " +
+            "COMMIT LOAD GROUP or ABORT LOAD GROUP first")
+        val g = eng.newLoadGroup()
+        activeGroup.put(spark, g)
+        status(spark, "BEGIN LOAD GROUP", g, "staged loads are invisible " +
+          "until COMMIT LOAD GROUP")
+
+      case CommitLoadGroup =>
+        val g = activeGroup.remove(spark).getOrElse(
+          throw new IllegalStateException("no open load group — BEGIN LOAD GROUP first"))
+        eng.commitGroup(g)
+        status(spark, "COMMIT LOAD GROUP", g, "ok")
+
+      case AbortLoadGroup =>
+        val g = activeGroup.remove(spark).getOrElse(
+          throw new IllegalStateException("no open load group — BEGIN LOAD GROUP first"))
+        eng.abortGroup(g)
+        status(spark, "ABORT LOAD GROUP", g, "staged loads reaped")
 
       case RestoreToVersion(db, t, v) =>
         eng.restoreToVersion(db, t, v)

@@ -57,6 +57,14 @@ object GraftStatement {
   final case class ShowRowsets(db: String, table: String) extends GraftStatement
   final case class ShowPartitions(db: String, table: String) extends GraftStatement
   final case class ShowTablesIn(db: String) extends GraftStatement
+  /** BEGIN LOAD GROUP / COMMIT LOAD GROUP / ABORT LOAD GROUP — the SQL face
+    * of [[graft.engine.OlapEngine]]'s cross-table load groups: INSERT/DELETE
+    * statements between BEGIN and COMMIT stage invisibly and land atomically
+    * at COMMIT (across however many tables they touched); ABORT reaps them.
+    */
+  case object BeginLoadGroup extends GraftStatement
+  case object CommitLoadGroup extends GraftStatement
+  case object AbortLoadGroup extends GraftStatement
   final case class DropTable(db: String, table: String) extends GraftStatement
   final case class AddColumn(db: String, table: String, spec: ColumnSpec) extends GraftStatement
   final case class DropColumn(db: String, table: String, name: String) extends GraftStatement
@@ -238,6 +246,9 @@ object GraftSqlParser {
         case "CREATE"  => parseCreate(c, text)
         case "ALTER"   => parseAlter(c)
         case "DROP"    => parseDrop(c)
+        case "BEGIN"   => parseGroupVerb(c, "BEGIN", BeginLoadGroup)
+        case "COMMIT"  => parseGroupVerb(c, "COMMIT", CommitLoadGroup)
+        case "ABORT"   => parseGroupVerb(c, "ABORT", AbortLoadGroup)
         case _ => None
       }
       case _ => None
@@ -252,6 +263,17 @@ object GraftSqlParser {
   // ---- per-verb parsers -----------------------------------------------------
 
   import GraftStatement._
+
+  /** `<verb> LOAD GROUP` — claimed only with the full marker (a bare
+    * BEGIN/COMMIT is not ours and delegates).
+    */
+  private def parseGroupVerb(c: Cursor, verb: String,
+                             stmt: GraftStatement): Option[GraftStatement] = {
+    c.kw(verb)
+    if (!c.tryKw("LOAD")) return None
+    c.kw("GROUP"); c.end()
+    Some(stmt)
+  }
 
   private def parseRestore(c: Cursor): Option[GraftStatement] = {
     c.kw("RESTORE")

@@ -1,0 +1,147 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestSession
+import graft.catalog._
+import graft.manifest.{GroupLedger, RowsetMeta, TableManifest, Version}
+import graft.model._
+
+/** Cross-table load groups: staged loads are invisible everywhere until the
+  * group ledger's single atomic rename commits the WHOLE group; crash
+  * before = nothing moved (reapable), crash after = every table self-heals
+  * to committed at the next manifest load.
+  */
+class LoadGroupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkEngine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-grpspec-wh-"))
+    eng.createDatabase("g")
+    for (t <- Seq("a", "b"))
+      eng.createTable(TableDef(
+        db = "g", name = t,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("k", LongType),
+          ColumnSpec.value("v", LongType))),
+        bucketColumn = Some("k"), numBuckets = 2))
+    eng
+  }
+
+  private def rows(eng: OlapEngine, t: String): Set[(Long, Long)] =
+    eng.scan("g", t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def kv(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  test("staged loads are invisible to scans, compaction scoring and time " +
+    "travel until commit; the commit makes BOTH tables move at once") {
+    val eng = mkEngine()
+    eng.ingest("g", "a", kv(1L -> 10L))
+    eng.ingest("g", "b", kv(1L -> 100L))
+    val g = eng.newLoadGroup()
+    eng.ingest("g", "a", kv(2L -> 20L), group = Some(g))
+    eng.mergeInto("g", "b",
+      kv(1L -> 0L).withColumn("__graft_del", lit(true)),
+      "__graft_del", group = Some(g))
+    // staged: nothing visible, versions unmoved, score unmoved
+    assert(rows(eng, "a") === Set(1L -> 10L))
+    assert(rows(eng, "b") === Set(1L -> 100L))
+    assert(eng.manifest("g", "a").maxVersion == 0L)
+    assert(eng.manifest("g", "a").compactionScore == 1.0)
+    assert(eng.manifest("g", "a").pendingRowsets(g).size == 1)
+    eng.commitGroup(g)
+    assert(rows(eng, "a") === Set(1L -> 10L, 2L -> 20L))
+    assert(rows(eng, "b") === Set.empty[(Long, Long)]) // the delete landed
+    assert(eng.manifest("g", "a").maxVersion == 1L)
+    assert(eng.manifest("g", "a").pendingRowsets(g).isEmpty)
+    // commit is idempotent
+    eng.commitGroup(g)
+    assert(rows(eng, "a") === Set(1L -> 10L, 2L -> 20L))
+  }
+
+  test("abortGroup reaps the staged rowsets' files and entries; a committed " +
+    "group refuses to abort") {
+    val eng = mkEngine()
+    eng.ingest("g", "a", kv(1L -> 10L))
+    val g = eng.newLoadGroup()
+    val staged = eng.ingest("g", "a", kv(2L -> 20L), group = Some(g))
+    val stagedDir = eng.tableRoot("g", "a").resolve(staged.relDir)
+    assert(Files.exists(stagedDir))
+    eng.abortGroup(g)
+    assert(!Files.exists(stagedDir), "aborted stage must reap its files")
+    assert(eng.manifest("g", "a").pendingRowsets(g).isEmpty)
+    assert(rows(eng, "a") === Set(1L -> 10L))
+    // and the table still loads normally afterwards (the version was never
+    // taken, so the next load can reuse it)
+    eng.ingest("g", "a", kv(3L -> 30L))
+    assert(rows(eng, "a") === Set(1L -> 10L, 3L -> 30L))
+
+    val g2 = eng.newLoadGroup()
+    eng.ingest("g", "a", kv(4L -> 40L), group = Some(g2))
+    eng.commitGroup(g2)
+    assertThrows[IllegalArgumentException](eng.abortGroup(g2))
+  }
+
+  test("crash BEFORE the ledger commit: a fresh manifest load keeps the " +
+    "stage invisible (and reapGroup cleans it); crash AFTER: the stage " +
+    "self-heals to committed") {
+    val root = Files.createTempDirectory("graft-grpspec-man-")
+    def rs(id: Long, v: Long, g: Option[String]) =
+      RowsetMeta(id, Version(v, v), s"r$id", 1L,
+        createdMs = System.currentTimeMillis(), pendingGroup = g)
+    // base rowset + a staged one under group "gX"
+    val m = new TableManifest(root)
+    m.publishAll(Seq(rs(1, 1, None), rs(2, 2, Some("gX"))))
+    assert(m.maxVersion == 1L && m.visibleRowsets.map(_.rowsetId) == Seq(1L))
+
+    // restart WITHOUT the ledger entry (crash before commit): still staged
+    val uncommitted = new TableManifest(root)
+    assert(uncommitted.maxVersion == 1L)
+    assert(uncommitted.visibleRowsets.map(_.rowsetId) == Seq(1L))
+    assert(uncommitted.pendingRowsets("gX").map(_.rowsetId) == Seq(2L))
+
+    // restart WITH the group committed in the ledger (crash after the
+    // rename, before the activation sweep): self-heals to visible
+    val ledgerDir = Files.createTempDirectory("graft-grpspec-ledger-")
+    new GroupLedger(ledgerDir).commit("gX")
+    val healedLedger = new GroupLedger(ledgerDir) // reloads from disk
+    assert(healedLedger.isCommitted("gX"))
+    val healed = new TableManifest(root, () => healedLedger.committed)
+    assert(healed.maxVersion == 2L)
+    assert(healed.visibleRowsets.map(_.rowsetId).toSet == Set(1L, 2L))
+    assert(healed.pendingRowsets("gX").isEmpty)
+    assert(healed.captureConsistentVersions(1, 2).size == 2)
+  }
+
+  test("ledger: commit is durable and idempotent across reloads") {
+    val dir = Files.createTempDirectory("graft-grpspec-ledger2-")
+    val l1 = new GroupLedger(dir)
+    l1.commit("a"); l1.commit("b"); l1.commit("a")
+    val l2 = new GroupLedger(dir)
+    assert(l2.committed === Set("a", "b"))
+  }
+
+  test("grouped loads refuse dynamic-partition tables (partition minting " +
+    "and expiry are catalog edits that cannot stage)") {
+    val eng = mkEngine()
+    eng.createTable(TableDef(
+      db = "g", name = "dyn",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("d", TimestampType),
+        ColumnSpec.value("v", LongType))),
+      policy = PartitionPolicy.Range, partitionColumn = Some("d"),
+      partitions = Seq(PartitionSpec("p0", Some("2020-02-01"), numBuckets = 2)),
+      bucketColumn = Some("v"), numBuckets = 2,
+      autoPartition = Some(AutoPartitionUnit.Month)))
+    import spark.implicits._
+    val df = Seq(("2020-01-05 00:00:00", 1L)).toDF("d", "v")
+      .select(col("d").cast("timestamp").as("d"), col("v"))
+    assertThrows[IllegalArgumentException](
+      eng.ingest("g", "dyn", df, group = Some(eng.newLoadGroup())))
+  }
+}

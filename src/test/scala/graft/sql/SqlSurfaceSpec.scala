@@ -142,6 +142,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("BEGIN/COMMIT/ABORT LOAD GROUP: staged INSERT and DELETE across two " +
+    "tables are invisible until COMMIT, land together, and ABORT reaps") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_grp")
+      for (t <- Seq("x", "y"))
+        g(s"""CREATE TABLE g_grp.$t (k BIGINT, v BIGINT) UNIQUE KEY (k)
+             |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      g("INSERT INTO g_grp.x VALUES (1, 10)")
+      g("INSERT INTO g_grp.y VALUES (1, 100)")
+
+      g("BEGIN LOAD GROUP")
+      g("INSERT INTO g_grp.x VALUES (2, 20)")
+      g("DELETE FROM g_grp.y WHERE k = 1")
+      // staged: both tables still serve the pre-group state
+      g("CREATE OR REPLACE TEMP VIEW grp_x AS SCAN g_grp.x")
+      g("CREATE OR REPLACE TEMP VIEW grp_y AS SCAN g_grp.y")
+      assert(spark.table("grp_x").count() === 1L)
+      assert(spark.table("grp_y").count() === 1L)
+      // a second BEGIN while one is open is refused
+      intercept[IllegalArgumentException] { g("BEGIN LOAD GROUP") }
+      g("COMMIT LOAD GROUP")
+      g("CREATE OR REPLACE TEMP VIEW grp_x2 AS SCAN g_grp.x")
+      g("CREATE OR REPLACE TEMP VIEW grp_y2 AS SCAN g_grp.y")
+      assert(spark.table("grp_x2").count() === 2L)
+      assert(spark.table("grp_y2").count() === 0L) // the delete landed with it
+
+      // ABORT: the staged load vanishes without a trace
+      g("BEGIN LOAD GROUP")
+      g("INSERT INTO g_grp.x VALUES (3, 30)")
+      g("ABORT LOAD GROUP")
+      g("CREATE OR REPLACE TEMP VIEW grp_x3 AS SCAN g_grp.x")
+      assert(spark.table("grp_x3").count() === 2L)
+      // COMMIT with nothing open is loud
+      intercept[IllegalStateException] { g("COMMIT LOAD GROUP") }
+      // a bare BEGIN (no LOAD GROUP marker) is NOT ours → delegates to Spark
+      intercept[Exception] { g("BEGIN TRANSACTION").collect() }
+    } finally GraftSql.unbind(spark)
+  }
+
   test("ownership: non-graft SQL delegates; graft-only verbs fail loudly on typos") {
     val eng = mkEngine()
     GraftSql.bind(spark, eng)
