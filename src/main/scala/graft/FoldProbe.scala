@@ -418,3 +418,78 @@ object RetrievalProbe {
     spark.stop()
   }
 }
+
+/** Scale probe for the doc-keyed FORWARD index paths (q215): the claim
+  * under test is that refold and deleteDocs are DELTA-sized — their diff /
+  * tombstone source is an IN-literal lookup over the doc-keyed `fwd_words`
+  * table (bloom + row-group skip on the key), never a scan of the
+  * word-bucketed postings. Measures, at growing corpus scale, the wall time
+  * of a FIXED-size refold batch and a FIXED-size delete batch (three
+  * disjoint batches per cell, median — re-using one batch would make the
+  * second rep a cheap no-op and flatter the number). Growth beyond the
+  * batch cost is file-count overhead (footers of a bigger index), reported
+  * honestly rather than hidden.
+  */
+object FwdProbe {
+
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    import graft.pipeline.TextIndex
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factors = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                  else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def copies(n: Int): DataFrame =
+      (0 until n).map(i =>
+        base.select((col("doc_id") + lit(i * Stride)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+    // three disjoint FIXED-size batches from copy 0 (~ |corpus@sf|/30 docs
+    // each, constant across factors)
+    def batch(k: Int): DataFrame = base.filter(col("doc_id") % 30 === k)
+    // the refold edit: truncate to the first 5 tokens (words VANISH — the
+    // tombstone-producing case)
+    def edited(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5))
+        .as("text"))
+
+    def medianOf3(work: Int => Unit): Double =
+      (1 to 3).map { k =>
+        val t0 = System.nanoTime(); work(k); (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+
+    def cell(f: Int): (Double, Double) = {
+      val corpus = copies(f).localCheckpoint(true)
+      val eng = new OlapEngine(
+        spark, Files.createTempDirectory("graft-fwdprobe-"))
+      TextIndex.createTables(eng)
+      TextIndex.bootstrap(eng, corpus) // untimed: load-time maintenance
+      TextIndex.compactIndex(eng)      // steady state
+      val refoldSec = medianOf3(k =>
+        TextIndex.refold(eng, edited(batch(k)).localCheckpoint(true)))
+      val deleteSec = medianOf3(k =>
+        TextIndex.deleteDocs(eng, batch(k).select("doc_id").localCheckpoint(true)))
+      (refoldSec, deleteSec)
+    }
+
+    cell(1) // warm-up (JIT + engine machinery); discarded
+    val rows = factors.map(f => f -> cell(f))
+    def fmt(sel: ((Double, Double)) => Double) =
+      rows.map { case (f, c) => "\"" + f + "\":" + sel(c) }
+        .mkString("{", ",", "}")
+    println(s"""{"probe":"fwd_index","sf":"$sfDir","refold_sec_by_factor":${fmt(_._1)},"delete_sec_by_factor":${fmt(_._2)}}""")
+    spark.stop()
+  }
+}

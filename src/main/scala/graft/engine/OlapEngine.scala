@@ -117,7 +117,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     groupCoord.writeLock().lock()
     try {
       groupLedger.commit(group)
-      manifests.values.foreach(_.activateGroup(group))
+      // one visibility instant for the whole group: wall-clock time travel
+      // at any asOf sees every table's piece of the group, or none
+      val atMs = System.currentTimeMillis()
+      manifests.values.foreach(_.activateGroup(group, atMs))
     } finally groupCoord.writeLock().unlock()
   }
 

@@ -162,9 +162,18 @@ final class TableManifest(
     * ledger's atomic commit; a version collision with a later non-group
     * publish fails loudly here rather than corrupting the graph.
     */
-  def activateGroup(group: String): Unit = synchronized {
+  def activateGroup(group: String): Unit =
+    activateGroup(group, System.currentTimeMillis())
+
+  /** As [[activateGroup]], with the visibility instant supplied by the
+    * caller: [[graft.engine.OlapEngine.commitGroup]] stamps ONE instant
+    * across every table it sweeps, so wall-clock time travel
+    * (`snapshotAsOf`) at any instant sees the whole group in every table or
+    * in none — cross-table snapshot consistency extends to the time axis.
+    */
+  def activateGroup(group: String, atMs: Long): Unit = synchronized {
     val staged = rowsets.values.filter(_.pendingGroup.contains(group)).toSeq
-    val now = System.currentTimeMillis()
+    val now = atMs
     staged.foreach { r =>
       // a version collision means an abandoned stage's version was reused by
       // a later publish and the stale group is being committed anyway —

@@ -275,48 +275,77 @@ object ModelStore {
   def lmFold(eng: OlapEngine, delta: DataFrame): Unit = {
     if (delta.isEmpty) return // an empty batch publishes nothing
     val d = withBigrams(delta).localCheckpoint(true) // one tokenize, two aggs
+    // one load group: the perplexity serve reads BOTH count tables, so the
+    // unigram and bigram counts of a batch must become visible together
+    val g = eng.newLoadGroup()
     eng.ingest(Db, UniTable,
       d.select(explode(col("ws")).as("w1"))
         .groupBy(col("w1")).agg(count(lit(1)).as("cu")),
-      Some(nextV(eng, UniTable)))
+      Some(nextV(eng, UniTable)), group = Some(g))
     eng.ingest(Db, BigTable,
       d.select(explode(col("bg")).as("b"))
         .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .agg(count(lit(1)).as("cb")),
-      Some(nextV(eng, BigTable)))
+      Some(nextV(eng, BigTable)), group = Some(g))
+    eng.commitGroup(g)
   }
 
   /** Exactly-once STREAMING fold for the Sum-merged LM tables. The other
     * streaming index folds (cluster q183, ANN q189, text q191) get replay
     * safety free — their stored rows are Unique upserts, so a replayed
     * micro-batch rewrites identical rows — but a Sum-merged count table
-    * would DOUBLE-COUNT a replay. The ledger is the MVCC manifest itself:
-    * each table's rowset id derives deterministically from the batch id
-    * ([[graft.streaming.StreamIngest]]'s pattern), so a replayed batch hits
-    * the duplicate check and is skipped PER TABLE — a crash between the two
-    * table publishes heals on replay (the published table skips, the
-    * missing one folds), converging to exactly-once without any extra
-    * ledger table.
+    * would DOUBLE-COUNT a replay. Two mechanisms compose:
+    *  - exactly-once: each table's rowset id derives deterministically from
+    *    the batch id ([[graft.streaming.StreamIngest]]'s pattern), so a
+    *    replayed COMMITTED batch hits the manifest's duplicate check and
+    *    skips;
+    *  - atomicity: both tables stage under one load group and land in one
+    *    commit, so no reader sees a batch's unigrams without its bigrams.
+    * Replay of a batch that crashed MID-STAGE (group never committed) first
+    * reaps the stale stage — its rowset ids must be freed before the
+    * deterministic ids can publish again — then refolds; a batch that
+    * crashed AFTER the ledger commit self-healed to visible at engine
+    * restart, so the duplicate check skips it. Every crash point converges
+    * to exactly-once, now with no window where half the batch serves.
     */
   def lmFoldBatch(eng: OlapEngine, batch: DataFrame, batchId: Long,
                   ridBase: Long = 1000000L): Unit = {
     if (batch.isEmpty) return
     val rid = ridBase + batchId
-    def pending(table: String): Boolean =
-      !eng.manifest(Db, table).allRowsets.exists(_.rowsetId == rid)
-    if (!pending(UniTable) && !pending(BigTable)) return // full replay
-    val d = withBigrams(batch).localCheckpoint(true)
-    if (pending(UniTable))
-      eng.ingest(Db, UniTable,
-        d.select(explode(col("ws")).as("w1"))
-          .groupBy(col("w1")).agg(count(lit(1)).as("cu")),
-        Some(nextV(eng, UniTable)), explicitRowsetId = Some(rid))
-    if (pending(BigTable))
-      eng.ingest(Db, BigTable,
-        d.select(explode(col("bg")).as("b"))
-          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .agg(count(lit(1)).as("cb")),
-        Some(nextV(eng, BigTable)), explicitRowsetId = Some(rid))
+    // reap a mid-stage crash's leftovers (uncommitted by construction: a
+    // committed group's rowsets are never pending after restart)
+    Seq(UniTable, BigTable)
+      .flatMap(t => eng.manifest(Db, t).allRowsets
+        .filter(r => r.rowsetId == rid && r.isPending)
+        .flatMap(_.pendingGroup))
+      .distinct.foreach(eng.abortGroup)
+    def landed(table: String): Boolean =
+      eng.manifest(Db, table).allRowsets.exists(r => r.rowsetId == rid && !r.isPending)
+    if (landed(UniTable) && landed(BigTable)) return // committed replay
+    lazy val d = withBigrams(batch).localCheckpoint(true)
+    def uniCounts = d.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    def bigCounts = d.select(explode(col("bg")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    if (landed(UniTable) || landed(BigTable)) {
+      // legacy partial publish (pre-group writers could crash between the
+      // two table commits): heal by folding ONLY the missing table, at the
+      // same deterministic id, exactly as before
+      if (!landed(UniTable))
+        eng.ingest(Db, UniTable, uniCounts,
+          Some(nextV(eng, UniTable)), explicitRowsetId = Some(rid))
+      if (!landed(BigTable))
+        eng.ingest(Db, BigTable, bigCounts,
+          Some(nextV(eng, BigTable)), explicitRowsetId = Some(rid))
+    } else {
+      val g = eng.newLoadGroup()
+      eng.ingest(Db, UniTable, uniCounts,
+        Some(nextV(eng, UniTable)), explicitRowsetId = Some(rid), group = Some(g))
+      eng.ingest(Db, BigTable, bigCounts,
+        Some(nextV(eng, BigTable)), explicitRowsetId = Some(rid), group = Some(g))
+      eng.commitGroup(g)
+    }
   }
 
   /** q140's perplexity-filter score SERVED from the Sum-merged count

@@ -64,6 +64,27 @@ class LoadGroupSpec extends AnyFunSuite {
     assert(rows(eng, "a") === Set(1L -> 10L, 2L -> 20L))
   }
 
+  test("group commit stamps ONE visibility instant across tables: wall-clock " +
+    "time travel at any asOf sees the whole group everywhere or nowhere") {
+    val eng = mkEngine()
+    eng.ingest("g", "a", kv(1L -> 10L))
+    eng.ingest("g", "b", kv(1L -> 100L))
+    val g = eng.newLoadGroup()
+    eng.ingest("g", "a", kv(2L -> 20L), group = Some(g))
+    Thread.sleep(5) // the stage instants differ; the commit instant must not
+    eng.ingest("g", "b", kv(2L -> 200L), group = Some(g))
+    eng.commitGroup(g)
+    val aMs = eng.manifest("g", "a").allRowsets.maxBy(_.rowsetId).createdMs
+    val bMs = eng.manifest("g", "b").allRowsets.maxBy(_.rowsetId).createdMs
+    assert(aMs === bMs,
+      "both tables' group rowsets must carry the same visibility instant")
+    // just before the instant: neither table has the group; at it: both do
+    assert(eng.snapshotAsOf("g", "a", aMs - 1).count() === 1L)
+    assert(eng.snapshotAsOf("g", "b", aMs - 1).count() === 1L)
+    assert(eng.snapshotAsOf("g", "a", aMs).count() === 2L)
+    assert(eng.snapshotAsOf("g", "b", aMs).count() === 2L)
+  }
+
   test("abortGroup reaps the staged rowsets' files and entries; a committed " +
     "group refuses to abort") {
     val eng = mkEngine()

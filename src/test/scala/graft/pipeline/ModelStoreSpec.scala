@@ -169,6 +169,36 @@ class ModelStoreSpec extends AnyFunSuite {
       "big must fold on the replay (it missed the first attempt)")
   }
 
+  test("streaming LM fold heals a MID-STAGE crash: an uncommitted staged " +
+    "group at the batch's deterministic ids is reaped and the batch refolds") {
+    val docs = synth(0L until 30L).localCheckpoint(true)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val eng = mkEngine()
+    // simulate the crash: stage batch 5's unigram half under a group that
+    // never commits (the process died before commitGroup)
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val g = eng.newLoadGroup()
+    eng.ingest(ModelStore.Db, ModelStore.UniTable,
+      b.select(explode(ws).as("w1")).groupBy(col("w1"))
+        .agg(count(lit(1)).as("cu")),
+      Some(graft.manifest.Version(0, 0)),
+      explicitRowsetId = Some(1000000L + 5), group = Some(g))
+    // nothing serves from the stale stage
+    assert(rows(eng.scan(ModelStore.Db, ModelStore.UniTable)).isEmpty)
+    // the replay reaps the stage (freeing the deterministic id) and refolds
+    ModelStore.lmFoldBatch(eng, b, batchId = 5)
+    val ref = mkEngine()
+    ModelStore.lmFold(ref, b)
+    assert(rows(eng.scan(ModelStore.Db, ModelStore.UniTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.UniTable)))
+    assert(rows(eng.scan(ModelStore.Db, ModelStore.BigTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.BigTable)))
+    // and a second replay is the committed-skip case
+    ModelStore.lmFoldBatch(eng, b, batchId = 5)
+    assert(rows(eng.scan(ModelStore.Db, ModelStore.UniTable)) ===
+      rows(ref.scan(ModelStore.Db, ModelStore.UniTable)))
+  }
+
   test("BPE drift trigger: a disjoint-alphabet batch inflates the " +
     "compression ratio, the refit fires and restores it; a same-alphabet " +
     "batch does not fire") {
