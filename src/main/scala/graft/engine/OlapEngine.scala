@@ -1347,6 +1347,82 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     meta
   }
 
+  /** RE-BUCKETING — the Doris schema-change job this engine's ALTER surface
+    * was missing: re-distribute a table into a new hash-bucket count (and
+    * optionally a new bucket column) as ONE full merged rewrite, exactly
+    * [[compact]]'s shape with the NEW layout's routing. The bucket count
+    * chosen at CREATE is the one physical dial that data growth invalidates
+    * (a 4-bucket table at 100 TB has 25 TB buckets — no parallelism, no
+    * useful pruning); without an online rebucket the only cure is a manual
+    * copy-table migration.
+    *
+    * MVCC semantics match compaction: the rewrite publishes one rowset
+    * covering the full version range, inputs retire to Stale (time travel
+    * inside retention still reads the OLD layout — correctly unpruned, see
+    * below), merge-on-read tombstones become physical. Ordering within the
+    * swap: catalog + prune-routing update FIRST, then the manifest swap — a
+    * reader in the window resolves the old covering set under the new
+    * routing, which is exactly the case the prune rule's layout floor
+    * ([[graft.plans.BucketPruneRewrite.Entry.layoutFloorRowsetId]]) makes
+    * safe: relations reading any pre-rebucket rowset are never pruned
+    * (unpruned is always correct), and the first post-publish reader prunes
+    * with the new layout. Future ingests route with the new layout from the
+    * catalog.
+    */
+  def rebucket(db: String, table: String, newBuckets: Int,
+               newBucketColumn: Option[String] = None): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(newBuckets >= 1, s"need at least 1 bucket, got $newBuckets")
+    require(td.bucketType == BucketType.Hash,
+      s"rebucket is defined for hash-bucketed tables; ${td.qualified} is ${td.bucketType}")
+    val bcol = newBucketColumn.orElse(td.bucketColumn).getOrElse(
+      throw new IllegalArgumentException(s"${td.qualified} has no bucket column"))
+    require(td.schema.columns.exists(_.name == bcol),
+      s"bucket column $bcol is not a column of ${td.qualified}")
+    if (td.schema.keysType != KeysType.Duplicate)
+      require(td.schema.keyNames.contains(bcol),
+        s"${td.schema.keysType.name} tables must bucket on a key column; $bcol is not")
+    val m = manifest(db, table)
+    val inputs = m.visibleRowsets
+    require(inputs.exists(!_.isDeleteMarker), s"nothing to rebucket in $db.$table")
+    val lo = inputs.map(_.version.start).min
+    val hi = inputs.map(_.version.end).max
+    val merged = snapshot(db, table, lo, hi)
+    val newTd = td.copy(bucketColumn = Some(bcol), numBuckets = newBuckets,
+      partitions = td.partitions.map(_.copy(numBuckets = newBuckets)))
+    val rowsetId = m.nextRowsetId
+    val relDir = s"r$rowsetId"
+    val outDir = tableRoot(db, table).resolve(relDir)
+    var out = merged
+      .withColumn(PartCol, partitionNameCol(newTd))
+      .withColumn(BucketCol, bucketIdxCol(newTd))
+    if (td.schema.keysType != KeysType.Duplicate)
+      out = out.withColumn(SeqCol, monotonically_increasing_id())
+    if (td.schema.keysType == KeysType.Unique)
+      out = out.withColumn(OpCol, lit(0))
+    out.repartition(col(PartCol), col(BucketCol))
+      .sortWithinPartitions(Seq(PartCol, BucketCol).map(col) ++ clusterCols(newTd): _*)
+      .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
+      .parquet(outDir.toString)
+    val numRows =
+      try spark.read.parquet(outDir.toString).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // routing swap before the manifest swap (see scaladoc ordering argument)
+    catalog.alterTable(newTd)
+    graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
+      tableRoot(db, table).toAbsolutePath.normalize.toString,
+      bcol, newBuckets,
+      k => newTd.bucketType.bucketForKey(k, newBuckets),
+      layoutFloorRowsetId = rowsetId))
+    m.markStaleAll(inputs.map(_.rowsetId))
+    val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
+      createdMs = System.currentTimeMillis())
+    m.publish(meta)
+    autoGc(db, table)
+    meta
+  }
+
   /** Cumulative compaction (the reference declares the Base/Cumulative split
     * and a `cumulative_layer_point` but implements neither —
     * src/common.rs:62-63, src/meta.rs:137-138): merge ONLY the delta rowsets

@@ -39,9 +39,15 @@ object BucketPruneRewrite extends Rule[LogicalPlan] {
 
   private val BucketCol = "__graft_bucket"
 
-  /** A registered hash-bucketed table: normalized table root + routing. */
+  /** A registered hash-bucketed table: normalized table root + routing.
+    * `layoutFloorRowsetId`: the first rowset id written under THIS layout —
+    * set by [[graft.engine.OlapEngine.rebucket]] so the rule stands down
+    * for relations that read any PRE-rebucket rowset (a time-travel scan of
+    * the old layout routed with the new bucket count would silently read
+    * the wrong directory; unpruned is always correct).
+    */
   final case class Entry(tableRoot: String, bucketCol: String, numBuckets: Int,
-      bucketForKey: String => Int)
+      bucketForKey: String => Int, layoutFloorRowsetId: Long = 0L)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -91,6 +97,17 @@ object BucketPruneRewrite extends Rule[LogicalPlan] {
     val entry = parents.distinct match {
       case Seq(Some(root)) => entries.get(root).getOrElse(return None)
       case _ => return None
+    }
+    // layout guard: every scanned rowset must be written under the CURRENT
+    // bucket layout, else routing literals would point at wrong directories
+    if (entry.layoutFloorRowsetId > 0L) {
+      val allCurrent = fs.location.rootPaths.forall { p =>
+        val seg = p.getName
+        seg.length > 1 && seg.startsWith("r") &&
+          seg.drop(1).forall(_.isDigit) &&
+          seg.drop(1).toLong >= entry.layoutFloorRowsetId
+      }
+      if (!allCurrent) return None
     }
     val bucketAttr = lr.output.find(_.name == BucketCol).getOrElse(return None)
 

@@ -357,6 +357,29 @@ object EngineFixture {
     sql("DELETE FROM graft.orders_sql WHERE o_orderkey % 6 = 0")
     sql("INSERT INTO graft.orders_sql SELECT o_orderkey, o_orderdate, price_c " +
       "FROM graft_orders_raw_sql WHERE o_orderkey % 3 = 2")
+
+    // --- orders_rb: the online re-bucketing schema-change job (q216) -------
+    // A Unique table with real lifecycle (two loads, an upsert band, a
+    // key-ranged delete) that then changes its physical layout 2 → 7
+    // buckets THROUGH THE SQL FACE of OlapEngine.rebucket. The q216 hash
+    // pins that the merged content survived the full layout rewrite —
+    // upserts still winning, deletes still absent — and later loads route
+    // with the new bucket count into the same serving table.
+    sql("""CREATE TABLE graft.orders_rb (
+          |  o_orderkey BIGINT, o_orderdate TIMESTAMP, price_c DECIMAL(18, 2)
+          |) UNIQUE KEY (o_orderkey)
+          |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 2""".stripMargin)
+    sql("INSERT INTO graft.orders_rb SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 2 = 0")
+    // upsert band: even keys divisible by 10 get a doubled price
+    sql("INSERT INTO graft.orders_rb SELECT o_orderkey, o_orderdate, " +
+      "CAST(price_c * 2 AS DECIMAL(18,2)) FROM graft_orders_raw_sql " +
+      "WHERE o_orderkey % 10 = 0")
+    sql("DELETE FROM graft.orders_rb WHERE o_orderkey % 14 = 0")
+    sql("ALTER TABLE graft.orders_rb DISTRIBUTED BY HASH(o_orderkey) BUCKETS 7")
+    // a post-rebucket load routes with the new layout
+    sql("INSERT INTO graft.orders_rb SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0")
     eng
   }
 }
@@ -792,7 +815,28 @@ object EngineQueries {
         |FROM q210_head GROUP BY 1""".stripMargin)
   }
 
+  /** q216: the re-bucketed table's head. The fixture ran a full Unique
+    * lifecycle (two loads, an upsert band, a key-ranged delete) and then
+    * rewrote the physical layout 2 → 7 buckets via
+    * `ALTER TABLE ... DISTRIBUTED BY HASH(...) BUCKETS 7`
+    * ([[graft.engine.OlapEngine.rebucket]]), then loaded more rows under
+    * the new routing. The hash pins content preservation through the
+    * layout rewrite: upserts still win, deletes stay deleted, pre- and
+    * post-rebucket loads serve together.
+    */
+  def rebucketScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.sql.GraftSql.bind(spark, eng)
+    graft.sql.GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW q216_head AS SCAN graft.orders_rb").collect()
+    spark.sql(
+      """SELECT date_format(date_trunc('month', o_orderdate), 'yyyyMMdd') AS m,
+        |  count(1) AS n_rows, CAST(sum(price_c) AS DOUBLE) AS total
+        |FROM q216_head GROUP BY 1""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
     "q209_restore_version" -> restoredScan _,
     "q204_shallow_clone" -> cloneDiverged _,
@@ -838,6 +882,20 @@ object EngineQueries {
     // window is entirely inside the expired p0 range)
     // q210: the SQL-front-door lifecycle — head = (%3=0 survivors of the
     // %6=0 delete) + the %3=2 late load; the rolled-back %3=1 load absent
+    // q216: the rebucketed head = (evens minus the %14 delete, with the %10
+    // upsert band's doubled price) + the post-rebucket odd-multiples-of-3
+    // load — a layout rewrite that lost an upsert, resurrected a delete, or
+    // dropped/duplicated any row flips a month's count or decimal sum
+    "q216_rebucket_lifecycle" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 0
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE (o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0)
+        |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+        |GROUP BY 1""".stripMargin,
     "q210_sql_lifecycle" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
         |  count(*) AS n_rows,

@@ -75,6 +75,7 @@ object GraftSql {
     case ModifyColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case AddPartition(db, t, _)   => eng.catalog.getTable(db, t).isDefined
     case DropPartition(db, t, _)  => eng.catalog.getTable(db, t).isDefined
+    case Rebucket(db, t, _, _)    => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
     case ShowTablesIn(db)         => eng.catalog.databaseExists(db)
   }
@@ -113,7 +114,7 @@ object GraftSql {
     StructField("table", StringType, nullable = false)))
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
-    case _: InsertInto | _: DeleteFrom | _: Compact => rowsetSchema
+    case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
     case _: ShowPartitions => partitionsSchema
     case _: ShowTablesIn => tablesSchema
@@ -271,6 +272,9 @@ object GraftSql {
       case DropPartition(db, t, name) =>
         eng.dropPartition(db, t, name)
         status(spark, "ALTER TABLE DROP PARTITION", s"$db.$t", name)
+
+      case Rebucket(db, t, colOpt, n) =>
+        rowsetDf(spark, eng.rebucket(db, t, n, colOpt))
 
       case ScanView(view, replace, db, t, asOfV, asOfTs, parts) =>
         require(asOfV.isEmpty || asOfTs.isEmpty,

@@ -73,6 +73,11 @@ object GraftStatement {
   final case class AddPartition(db: String, table: String,
       spec: PartitionSpec) extends GraftStatement
   final case class DropPartition(db: String, table: String, name: String) extends GraftStatement
+  /** ALTER TABLE db.t DISTRIBUTED BY HASH(col) BUCKETS n — the online
+    * re-bucketing schema-change job ([[graft.engine.OlapEngine.rebucket]]).
+    */
+  final case class Rebucket(db: String, table: String,
+      bucketColumn: Option[String], numBuckets: Int) extends GraftStatement
   /** CREATE [OR REPLACE] TEMP VIEW v AS SCAN db.t [VERSION AS OF n |
     * TIMESTAMP AS OF 'ts'] [PARTITIONS (p, ...)] — the READ half: registers
     * an engine scan (head, version-as-of, wall-clock time travel, or
@@ -388,6 +393,13 @@ object GraftSqlParser {
       val ts = parseType(c)
       c.end()
       Some(ModifyColumn(db, t, name, ts.dt))
+    } else if (c.tryKw("DISTRIBUTED")) {
+      c.kw("BY"); c.kw("HASH"); c.sym('(')
+      val colName = c.ident(); c.sym(')')
+      c.kw("BUCKETS")
+      val n = c.num().toInt
+      c.end()
+      Some(Rebucket(db, t, Some(colName), n))
     } else None // other ALTER TABLE forms are Spark's
   }
 
