@@ -40,8 +40,16 @@ object GraftSql {
   // INSERT/DELETE statements executed while one is open stage under it
   private val activeGroup = TrieMap.empty[SparkSession, String]
 
-  /** Bind `engine` as the session's SQL target. Re-binding replaces. */
-  def bind(spark: SparkSession, engine: OlapEngine): Unit = bound.put(spark, engine): Unit
+  /** Bind `engine` as the session's SQL target. Re-binding replaces. Also
+    * registers the engine's Catalyst extensions (functions + the
+    * rollup/MV/prune rewrites) on the session — idempotent — so SQL issued
+    * through the front door gets the same transparent optimizations a
+    * `spark.sql.extensions`-built session gets.
+    */
+  def bind(spark: SparkSession, engine: OlapEngine): Unit = {
+    graft.GraftExtensions.register(spark)
+    bound.put(spark, engine): Unit
+  }
 
   def unbind(spark: SparkSession): Unit = bound.remove(spark): Unit
 
@@ -65,7 +73,8 @@ object GraftSql {
     case _: CreateTable | _: RestoreToVersion | _: ShallowClone | _: Compact |
          _: Vacuum | _: BackupTable | _: RestoreFromBackup | _: ShowRowsets |
          _: ScanView | _: CreateDatabase | BeginLoadGroup | CommitLoadGroup |
-         AbortLoadGroup => true
+         AbortLoadGroup | _: AddRollup | _: RefreshRollup | _: CreateMv |
+         _: RefreshMv => true
     // generic verbs: ours iff the target lives in the engine catalog
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -275,6 +284,25 @@ object GraftSql {
 
       case Rebucket(db, t, colOpt, n) =>
         rowsetDf(spark, eng.rebucket(db, t, n, colOpt))
+
+      case AddRollup(db, t, rd) =>
+        val src = eng.rollups.materialize(db, t, rd)
+        status(spark, "ADD ROLLUP", s"$db.$t", s"${rd.name} built from $src")
+
+      case RefreshRollup(db, t, name) =>
+        eng.rollups.refreshIncremental(db, t, name)
+        status(spark, "REFRESH ROLLUP", s"$db.$t",
+          s"$name fresh=${eng.rollups.isFresh(db, t, name)}")
+
+      case CreateMv(d) =>
+        eng.mvs.materialize(d)
+        status(spark, "CREATE MATERIALIZED VIEW",
+          s"${d.factDb}.${d.factTable} ⋈ ${d.dimDb}.${d.dimTable}", d.name)
+
+      case RefreshMv(db, t, name) =>
+        eng.mvs.refreshIncremental(db, t, name)
+        status(spark, "REFRESH MATERIALIZED VIEW", s"$db.$t",
+          s"$name fresh=${eng.mvs.isFresh(db, t, name)}")
 
       case ScanView(view, replace, db, t, asOfV, asOfTs, parts) =>
         require(asOfV.isEmpty || asOfTs.isEmpty,

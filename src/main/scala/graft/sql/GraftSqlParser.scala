@@ -78,6 +78,22 @@ object GraftStatement {
     */
   final case class Rebucket(db: String, table: String,
       bucketColumn: Option[String], numBuckets: Int) extends GraftStatement
+  /** ALTER TABLE db.t ADD ROLLUP name (dims) AGG (SUM(c) AS o, COUNT(*) AS
+    * n, BITMAP(c) AS b, HLL(c) AS h) [WHERE '<pred>'] — materializes a
+    * Doris-style sync rollup; the transparent [[graft.plans.RollupRewrite]]
+    * then serves matching aggregations from it.
+    */
+  final case class AddRollup(db: String, table: String,
+      rd: graft.engine.RollupDef) extends GraftStatement
+  final case class RefreshRollup(db: String, table: String,
+      name: String) extends GraftStatement
+  /** CREATE MATERIALIZED VIEW name ON db.fact JOIN db.dim ON fk = dk
+    * GROUP BY (g1, ...) AGG (SUM(c) AS o, COUNT(*) AS n) — the async join
+    * MV; [[graft.plans.JoinMvRewrite]] serves matching join-aggregates.
+    */
+  final case class CreateMv(d: graft.engine.MvJoinDef) extends GraftStatement
+  final case class RefreshMv(db: String, table: String,
+      name: String) extends GraftStatement
   /** CREATE [OR REPLACE] TEMP VIEW v AS SCAN db.t [VERSION AS OF n |
     * TIMESTAMP AS OF 'ts'] [PARTITIONS (p, ...)] — the READ half: registers
     * an engine scan (head, version-as-of, wall-clock time travel, or
@@ -251,6 +267,7 @@ object GraftSqlParser {
         case "CREATE"  => parseCreate(c, text)
         case "ALTER"   => parseAlter(c)
         case "DROP"    => parseDrop(c)
+        case "REFRESH" => parseRefresh(c)
         case "BEGIN"   => parseGroupVerb(c, "BEGIN", BeginLoadGroup)
         case "COMMIT"  => parseGroupVerb(c, "COMMIT", CommitLoadGroup)
         case "ABORT"   => parseGroupVerb(c, "ABORT", AbortLoadGroup)
@@ -268,6 +285,64 @@ object GraftSqlParser {
   // ---- per-verb parsers -----------------------------------------------------
 
   import GraftStatement._
+
+  private def parseRefresh(c: Cursor): Option[GraftStatement] = {
+    c.kw("REFRESH")
+    if (c.tryKw("ROLLUP")) {
+      val name = c.ident(); c.kw("ON"); val (db, t) = c.qname(); c.end()
+      Some(RefreshRollup(db, t, name))
+    } else if (c.tryKw("MATERIALIZED")) {
+      c.kw("VIEW")
+      val name = c.ident(); c.kw("ON"); val (db, t) = c.qname(); c.end()
+      Some(RefreshMv(db, t, name))
+    } else None // not our REFRESH shape
+  }
+
+  /** The (out, src, agg) items of a rollup/MV AGG clause. Returns
+    * (sum/min/max aggs, count-star column, bitmap column, hll column).
+    */
+  private def parseAggItems(c: Cursor)
+  : (Seq[(String, String, AggType)], Option[String],
+     Option[(String, String)], Option[(String, String)]) = {
+    c.kw("AGG"); c.sym('(')
+    val aggs = Seq.newBuilder[(String, String, AggType)]
+    var cnt: Option[String] = None
+    var bm: Option[(String, String)] = None
+    var hll: Option[(String, String)] = None
+    var more = true
+    while (more) {
+      val fn = c.ident().toUpperCase
+      c.sym('(')
+      fn match {
+        case "COUNT" =>
+          c.sym('*'); c.sym(')'); c.kw("AS")
+          cnt = Some(c.ident())
+        case "SUM" | "MIN" | "MAX" =>
+          val src = c.ident(); c.sym(')'); c.kw("AS")
+          aggs += ((c.ident(), src, AggType.fromName(fn)))
+        case "BITMAP" =>
+          val src = c.ident(); c.sym(')'); c.kw("AS")
+          bm = Some((c.ident(), src))
+        case "HLL" =>
+          val src = c.ident(); c.sym(')'); c.kw("AS")
+          hll = Some((c.ident(), src))
+        case other =>
+          c.fail(s"unknown rollup aggregate '$other' (SUM|MIN|MAX|COUNT|BITMAP|HLL)")
+      }
+      more = c.trySym(',')
+    }
+    c.sym(')')
+    (aggs.result(), cnt, bm, hll)
+  }
+
+  private def parseIdentList(c: Cursor): Seq[String] = {
+    c.sym('(')
+    val out = Seq.newBuilder[String]
+    out += c.ident()
+    while (c.trySym(',')) out += c.ident()
+    c.sym(')')
+    out.result()
+  }
 
   /** `<verb> LOAD GROUP` — claimed only with the full marker (a bare
     * BEGIN/COMMIT is not ours and delegates).
@@ -347,7 +422,16 @@ object GraftSqlParser {
     if (!c.trySym('.')) { c.i = save; return None }
     val t = c.ident()
     if (c.tryKw("ADD")) {
-      if (c.tryKw("COLUMN")) {
+      if (c.tryKw("ROLLUP")) {
+        val name = c.ident()
+        val dims = parseIdentList(c)
+        val (aggs, cnt, bm, hll) = parseAggItems(c)
+        val filter = if (c.tryKw("WHERE")) Some(c.str()) else None
+        c.end()
+        Some(AddRollup(db, t, graft.engine.RollupDef(
+          name, dims, aggs, countCol = cnt, bitmapCol = bm, hllCol = hll,
+          filter = filter)))
+      } else if (c.tryKw("COLUMN")) {
         val name = c.ident()
         val ts = parseType(c)
         val agg = parseAggMarker(c)
@@ -380,7 +464,7 @@ object GraftSqlParser {
         val buckets = if (c.tryKw("BUCKETS")) c.num().toInt else 1
         c.end()
         Some(AddPartition(db, t, spec.copy(numBuckets = buckets)))
-      } else c.fail("expected ADD COLUMN or ADD PARTITION")
+      } else c.fail("expected ADD ROLLUP, ADD COLUMN or ADD PARTITION")
     } else if (c.tryKw("DROP")) {
       if (c.tryKw("COLUMN")) {
         val name = c.ident(); c.end(); Some(DropColumn(db, t, name))
@@ -412,6 +496,20 @@ object GraftSqlParser {
       Some(CreateDatabase(db, ifNot))
     } else if (c.isKw("TABLE")) {
       parseCreateTable(c)
+    } else if (c.tryKw("MATERIALIZED")) {
+      c.kw("VIEW")
+      val name = c.ident()
+      c.kw("ON"); val (fdb, ft) = c.qname()
+      c.kw("JOIN"); val (ddb, dt) = c.qname()
+      c.kw("ON"); val fk = c.ident(); c.sym('='); val dk = c.ident()
+      c.kw("GROUP"); c.kw("BY")
+      val dims = parseIdentList(c)
+      val (aggs, cnt, bm, hll) = parseAggItems(c)
+      if (bm.nonEmpty || hll.nonEmpty)
+        c.fail("join MVs support SUM/MIN/MAX/COUNT aggregates only")
+      c.end()
+      Some(CreateMv(graft.engine.MvJoinDef(
+        name, fdb, ft, ddb, dt, fk, dk, dims, aggs, countCol = cnt)))
     } else if (c.isKw("OR") || c.isKw("TEMP") || c.isKw("TEMPORARY")) {
       parseScanView(c, text)
     } else None

@@ -183,6 +183,71 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  private def usesDir(df: org.apache.spark.sql.DataFrame, frag: String): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(frag))
+          case _ => false
+        }
+    }.exists(identity)
+
+  test("ADD ROLLUP / REFRESH ROLLUP and CREATE/REFRESH MATERIALIZED VIEW " +
+    "through SQL: the transparent rewrites then serve plain spark.sql") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_rup")
+      g("""CREATE TABLE g_rup.fact (k BIGINT, grp VARCHAR(8), fk BIGINT, v BIGINT)
+          |DUPLICATE KEY (k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      g("""CREATE TABLE g_rup.dim (dk BIGINT, seg VARCHAR(8))
+          |DUPLICATE KEY (dk) DISTRIBUTED BY HASH(dk) BUCKETS 1""".stripMargin)
+      import spark.implicits._
+      (0L until 90L).map(i => (i, s"g${i % 3}", i % 5, i))
+        .toDF("k", "grp", "fk", "v").createOrReplaceTempView("rup_src")
+      (0L until 5L).map(d => (d, s"s${d % 2}")).toDF("dk", "seg")
+        .createOrReplaceTempView("dim_src")
+      g("INSERT INTO g_rup.fact SELECT * FROM rup_src WHERE k < 60")
+      g("INSERT INTO g_rup.dim SELECT * FROM dim_src")
+
+      g("ALTER TABLE g_rup.fact ADD ROLLUP by_grp (grp) " +
+        "AGG (SUM(v) AS s_v, COUNT(*) AS n_rows)")
+      g("CREATE OR REPLACE TEMP VIEW rup_fact AS SCAN g_rup.fact")
+      def agg() = spark.sql(
+        "SELECT grp, sum(v) AS s_v, count(*) AS n_rows FROM rup_fact GROUP BY grp")
+      assert(usesDir(agg(), "rollups"), "the rollup must serve the SQL aggregate")
+      val got = agg().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === (0L until 60L).groupBy(i => s"g${i % 3}")
+        .map { case (grp, is) => (grp, is.sum, is.size.toLong) }.toSet)
+
+      // a new load makes the rollup stale — the rewrite must stand down
+      g("INSERT INTO g_rup.fact SELECT * FROM rup_src WHERE k >= 60")
+      g("CREATE OR REPLACE TEMP VIEW rup_fact AS SCAN g_rup.fact")
+      assert(!usesDir(agg(), "rollups"), "a stale rollup must not serve")
+      g("REFRESH ROLLUP by_grp ON g_rup.fact")
+      assert(usesDir(agg(), "rollups"), "the refreshed rollup serves again")
+      assert(agg().collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        (0L until 90L).groupBy(i => s"g${i % 3}")
+          .map { case (grp, is) => (grp, is.sum) }.toSet)
+
+      // async join MV through SQL: the join itself is eliminated
+      g("CREATE MATERIALIZED VIEW mv_seg ON g_rup.fact JOIN g_rup.dim " +
+        "ON fk = dk GROUP BY (seg) AGG (SUM(v) AS s_v, COUNT(*) AS n_rows)")
+      g("CREATE OR REPLACE TEMP VIEW rup_dim AS SCAN g_rup.dim")
+      def mvq() = spark.sql(
+        """SELECT seg, sum(v) AS s_v FROM rup_fact f
+          |JOIN rup_dim d ON f.fk = d.dk GROUP BY seg""".stripMargin)
+      assert(usesDir(mvq(), "mvs"), "the MV must serve the SQL join-aggregate")
+      assert(mvq().collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        (0L until 90L).groupBy(i => s"s${(i % 5) % 2}")
+          .map { case (seg, is) => (seg, is.sum) }.toSet)
+      // refresh path exists and reports fresh
+      val st = g("REFRESH MATERIALIZED VIEW mv_seg ON g_rup.fact").collect().head
+      assert(st.getString(2).contains("fresh=true"))
+    } finally GraftSql.unbind(spark)
+  }
+
   test("ownership: non-graft SQL delegates; graft-only verbs fail loudly on typos") {
     val eng = mkEngine()
     GraftSql.bind(spark, eng)
