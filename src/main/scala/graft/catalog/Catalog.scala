@@ -233,7 +233,15 @@ final case class TableDef(
     // a catch-all partition: a catch-all would feed late rows back into
     // query results that partition pruning has already promised exclude the
     // expired range.
-    expiredToDeadLetter: Boolean = false) {
+    expiredToDeadLetter: Boolean = false,
+    // physical-name history from renameColumn: OLD physical column name →
+    // CURRENT declared name. The read path renames each rowset's frame
+    // before the union, so files written under any former name serve under
+    // the current one; new loads write the current name. The map is tiny
+    // (bounded by schema churn) and deliberately NOT cleared by compaction:
+    // stale pre-rename rowsets stay wall-clock time-travelable inside
+    // retention, and they need the mapping for as long as they serve.
+    renamedColumns: Map[String, String] = Map.empty) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")

@@ -299,6 +299,65 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       droppedColumns = td.droppedColumns :+ name))
   }
 
+  /** RENAME COLUMN — the schema-evolution verb add/drop/widen was missing
+    * (Doris: ALTER TABLE ... RENAME COLUMN). Metadata-only: the catalog
+    * records old → new in [[graft.catalog.TableDef.renamedColumns]] and the
+    * read path maps each rowset's physical former name to the current one
+    * before the union (see [[rawFromRowsets]]) — no data rewrite, old
+    * rowsets keep serving, new loads write the new name, and every
+    * TableDef reference (keys, routing, sequence, z-order) follows the
+    * rename. Refused while a VISIBLE delete-predicate marker references the
+    * column (the stored predicate text would dangle — compact first to make
+    * those deletes physical), and the new name must be genuinely free
+    * (schema + pending dropped names). Registered rollups/MVs that
+    * reference the old name simply stop matching queries (they stand down,
+    * never mis-serve) until re-materialized under the new name.
+    */
+  def renameColumn(db: String, table: String, oldName: String,
+                   newName: String): TableDef = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(oldName != newName, s"rename to the same name: $oldName")
+    require(td.schema.columns.exists(_.name == oldName),
+      s"no column $oldName in ${td.qualified}")
+    require(!td.schema.columns.exists(_.name == newName),
+      s"column $newName already exists in ${td.qualified}")
+    require(!td.droppedColumns.contains(newName),
+      s"$newName was dropped and its data may still exist in old rowsets of " +
+        s"${td.qualified}; run a full compaction before re-using the name")
+    val dangling = manifest(db, table).visibleRowsets
+      .flatMap(_.deletePredicate)
+      .filter { p =>
+        spark.sessionState.sqlParser.parseExpression(p).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }.contains(oldName)
+      }
+    require(dangling.isEmpty,
+      s"cannot rename $oldName: visible delete predicate(s) reference it " +
+        s"(${dangling.mkString("; ")}) — compact ${td.qualified} first")
+    val newTd = td.copy(
+      schema = td.schema.copy(columns = td.schema.columns.map(c =>
+        if (c.name == oldName) c.copy(name = newName) else c)),
+      partitionColumn = td.partitionColumn.map(c => if (c == oldName) newName else c),
+      bucketColumn = td.bucketColumn.map(c => if (c == oldName) newName else c),
+      sequenceColumn = td.sequenceColumn.map(c => if (c == oldName) newName else c),
+      zorderColumns = td.zorderColumns.map { case (x, y) =>
+        (if (x == oldName) newName else x, if (y == oldName) newName else y) },
+      // chain-collapse: any former name whose current target is oldName now
+      // maps straight to newName, so a file from ANY era renames in one hop
+      renamedColumns = td.renamedColumns.map { case (o, n) =>
+        o -> (if (n == oldName) newName else n) } + (oldName -> newName))
+    catalog.alterTable(newTd)
+    // routing rules follow the rename (the layout itself is unchanged, so a
+    // rebucket-installed layout floor must survive the re-registration)
+    if (td.bucketColumn.contains(oldName) && td.bucketType == BucketType.Hash)
+      graft.plans.BucketPruneRewrite.rename(
+        tableRoot(db, table).toAbsolutePath.normalize.toString, newName)
+    if (td.partitionColumn.contains(oldName))
+      registerPartitionPruning(newTd)
+    newTd
+  }
+
   // --- write path ------------------------------------------------------------
 
   /** Partition-name column for a row, evaluated distributed on executors —
@@ -957,13 +1016,25 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
+    // renameColumn history: map each rowset's PHYSICAL former names to the
+    // current declared names BEFORE the union — unionByName would otherwise
+    // treat old-name and new-name rowsets as having disjoint columns and
+    // null-fill both sides. Guarded per rowset (old present, new absent) so
+    // a pathological stale rowset from a freed-then-reused name era can
+    // never be silently mis-mapped.
+    val renames = catalog.getTable(db, table).map(_.renamedColumns)
+      .getOrElse(Map.empty)
     val unioned = data.map { r =>
       // ignoreMissingFiles pinned false PER READ: the constructor guard
       // covers engine creation, but the conf is session-mutable — the
       // GC-race contract must not depend on nobody flipping it later
-      spark.read.option("ignoreMissingFiles", "false")
+      val raw = spark.read.option("ignoreMissingFiles", "false")
         .parquet(root.resolve(r.relDir).toString)
-        .withColumn(VersionCol, lit(r.version.end))
+      renames.foldLeft(raw) { case (d, (oldName, newName)) =>
+        if (d.columns.contains(oldName) && !d.columns.contains(newName))
+          d.withColumnRenamed(oldName, newName)
+        else d
+      }.withColumn(VersionCol, lit(r.version.end))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val filled = backfillSchema(db, table, unioned)
     markers.foldLeft(filled) { (df, mk) =>

@@ -54,6 +54,11 @@ object BucketPruneRewrite extends Rule[LogicalPlan] {
   /** Called by OlapEngine.createTable for hash-bucketed tables. */
   def register(e: Entry): Unit = entries(e.tableRoot) = e
 
+  /** Follow a column RENAME: same routing, same layout floor, new name. */
+  def rename(tableRoot: String, newBucketCol: String): Unit =
+    entries.get(tableRoot).foreach(e =>
+      entries(tableRoot) = e.copy(bucketCol = newBucketCol))
+
   def clear(): Unit = entries.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan =

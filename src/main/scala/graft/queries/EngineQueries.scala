@@ -380,6 +380,30 @@ object EngineFixture {
     // a post-rebucket load routes with the new layout
     sql("INSERT INTO graft.orders_rb SELECT o_orderkey, o_orderdate, price_c " +
       "FROM graft_orders_raw_sql WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0")
+
+    // --- orders_rn: RENAME COLUMN mid-lifecycle (q217) ----------------------
+    // Loads land in three naming eras (price_c; price_r; price_r +
+    // renamed key ok_id), with an upsert band CROSSING the first rename —
+    // latest-wins must resolve across physically-differently-named rowsets.
+    // Metadata-only: no rewrite happens; the read path maps old physical
+    // names per rowset.
+    sql("""CREATE TABLE graft.orders_rn (
+          |  o_orderkey BIGINT, o_orderdate TIMESTAMP, price_c DECIMAL(18, 2)
+          |) UNIQUE KEY (o_orderkey)
+          |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin)
+    sql("INSERT INTO graft.orders_rn SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 4 IN (0, 1)")
+    sql("ALTER TABLE graft.orders_rn RENAME COLUMN price_c TO price_r")
+    sql("INSERT INTO graft.orders_rn SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 4 = 2")
+    // upsert band across the rename: keys loaded in the price_c era get a
+    // doubled price written in the price_r era — the newer rowset must win
+    sql("INSERT INTO graft.orders_rn SELECT o_orderkey, o_orderdate, " +
+      "CAST(price_c * 2 AS DECIMAL(18,2)) FROM graft_orders_raw_sql " +
+      "WHERE o_orderkey % 8 = 0")
+    sql("ALTER TABLE graft.orders_rn RENAME COLUMN o_orderkey TO ok_id")
+    sql("INSERT INTO graft.orders_rn SELECT o_orderkey, o_orderdate, price_c " +
+      "FROM graft_orders_raw_sql WHERE o_orderkey % 4 = 3")
     eng
   }
 }
@@ -835,7 +859,27 @@ object EngineQueries {
         |FROM q216_head GROUP BY 1""".stripMargin)
   }
 
+  /** q217: the renamed table's head under its CURRENT names. Three loads
+    * landed under three physical namings (price_c; price_r; price_r with a
+    * renamed key), plus an upsert band crossing the first rename; the hash
+    * pins that every era serves under the current declared names and that
+    * Unique latest-wins resolved across the rename — a read path that
+    * null-backfilled instead of renaming, or a merge that treated the eras
+    * as different columns, flips a month's sum or count.
+    */
+  def renameScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.sql.GraftSql.bind(spark, eng)
+    graft.sql.GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW q217_head AS SCAN graft.orders_rn").collect()
+    spark.sql(
+      """SELECT date_format(date_trunc('month', o_orderdate), 'yyyyMMdd') AS m,
+        |  count(1) AS n_rows, CAST(sum(price_r) AS DOUBLE) AS total_r
+        |FROM q217_head GROUP BY 1""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
     "q209_restore_version" -> restoredScan _,
@@ -882,6 +926,17 @@ object EngineQueries {
     // window is entirely inside the expired p0 range)
     // q210: the SQL-front-door lifecycle — head = (%3=0 survivors of the
     // %6=0 delete) + the %3=2 late load; the rolled-back %3=1 load absent
+    // q217: all keys serve (the four %4 bands), price doubled where the
+    // %8 upsert band crossed the rename — a lost rename mapping or a
+    // mis-merged era flips the decimal sum
+    "q217_rename_column" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 8 = 0
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_r
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     // q216: the rebucketed head = (evens minus the %14 delete, with the %10
     // upsert band's doubled price) + the post-rebucket odd-multiples-of-3
     // load — a layout rewrite that lost an upsert, resurrected a delete, or

@@ -85,6 +85,7 @@ object GraftSql {
     case AddPartition(db, t, _)   => eng.catalog.getTable(db, t).isDefined
     case DropPartition(db, t, _)  => eng.catalog.getTable(db, t).isDefined
     case Rebucket(db, t, _, _)    => eng.catalog.getTable(db, t).isDefined
+    case RenameColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
     case ShowTablesIn(db)         => eng.catalog.databaseExists(db)
   }
@@ -284,6 +285,10 @@ object GraftSql {
 
       case Rebucket(db, t, colOpt, n) =>
         rowsetDf(spark, eng.rebucket(db, t, n, colOpt))
+
+      case RenameColumn(db, t, o, n) =>
+        eng.renameColumn(db, t, o, n)
+        status(spark, "ALTER TABLE RENAME COLUMN", s"$db.$t", s"$o -> $n")
 
       case AddRollup(db, t, rd) =>
         val src = eng.rollups.materialize(db, t, rd)

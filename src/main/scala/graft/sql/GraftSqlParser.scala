@@ -94,6 +94,8 @@ object GraftStatement {
   final case class CreateMv(d: graft.engine.MvJoinDef) extends GraftStatement
   final case class RefreshMv(db: String, table: String,
       name: String) extends GraftStatement
+  final case class RenameColumn(db: String, table: String,
+      oldName: String, newName: String) extends GraftStatement
   /** CREATE [OR REPLACE] TEMP VIEW v AS SCAN db.t [VERSION AS OF n |
     * TIMESTAMP AS OF 'ts'] [PARTITIONS (p, ...)] — the READ half: registers
     * an engine scan (head, version-as-of, wall-clock time travel, or
@@ -477,6 +479,10 @@ object GraftSqlParser {
       val ts = parseType(c)
       c.end()
       Some(ModifyColumn(db, t, name, ts.dt))
+    } else if (c.tryKw("RENAME")) {
+      c.kw("COLUMN")
+      val o = c.ident(); c.kw("TO"); val n = c.ident(); c.end()
+      Some(RenameColumn(db, t, o, n))
     } else if (c.tryKw("DISTRIBUTED")) {
       c.kw("BY"); c.kw("HASH"); c.sym('(')
       val colName = c.ident(); c.sym(')')
