@@ -86,6 +86,7 @@ object GraftSql {
     case DropPartition(db, t, _)  => eng.catalog.getTable(db, t).isDefined
     case Rebucket(db, t, _, _)    => eng.catalog.getTable(db, t).isDefined
     case RenameColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
+    case ShowCreateTable(db, t)   => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
     case ShowTablesIn(db)         => eng.catalog.databaseExists(db)
   }
@@ -123,11 +124,15 @@ object GraftSql {
   val tablesSchema: StructType = StructType(Seq(
     StructField("table", StringType, nullable = false)))
 
+  val ddlSchema: StructType = StructType(Seq(
+    StructField("ddl", StringType, nullable = false)))
+
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
     case _: ShowPartitions => partitionsSchema
     case _: ShowTablesIn => tablesSchema
+    case _: ShowCreateTable => ddlSchema
     case _ => statusSchema
   }
 
@@ -254,6 +259,12 @@ object GraftSql {
           }
         spark.createDataFrame(rows.asJava, partitionsSchema)
 
+      case ShowCreateTable(db, t) =>
+        import scala.jdk.CollectionConverters._
+        val td = eng.catalog.getTable(db, t).getOrElse(
+          throw new NoSuchElementException(s"no table $db.$t"))
+        spark.createDataFrame(Seq(Row(createTableSql(td))).asJava, ddlSchema)
+
       case ShowTablesIn(db) =>
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(
@@ -330,6 +341,71 @@ object GraftSql {
             asOfTs.fold("")(ts => s" timestamp as of $ts") +
             (if (parts.nonEmpty) s" partitions ${parts.mkString(",")}" else ""))
     }
+
+  // ---- TableDef → DDL (SHOW CREATE TABLE) -----------------------------------
+
+  /** Render a TableDef as CREATE TABLE DDL in EXACTLY the grammar
+    * [[GraftSqlParser]] accepts — executing the output on a fresh engine
+    * recreates an equivalent table (spec-pinned round trip). Lifecycle
+    * state that is not declaration (dropped columns/partitions, rename
+    * history, data) is deliberately absent: this is the CREATE statement,
+    * not a backup.
+    */
+  def createTableSql(td: TableDef): String = {
+    import graft.model.AggType
+    def typeSql(c: ColumnSpec): String =
+      if (c.maxLength > 0) s"VARCHAR(${c.maxLength})" else c.dataType.sql
+    val cols = td.schema.columns.map { c =>
+      val agg = if (!c.isKey && c.agg != AggType.None) " " + c.agg.name else ""
+      val nn = if (!c.isKey && !c.nullable) " NOT NULL" else ""
+      s"  ${c.name} ${typeSql(c)}$agg$nn"
+    }.mkString(",\n")
+    val model = s"${td.schema.keysType.name} KEY (${td.schema.keyNames.mkString(", ")})"
+    val partClause = td.policy match {
+      case PartitionPolicy.Unpartitioned => ""
+      case p =>
+        val kind = if (p == PartitionPolicy.Range) "RANGE" else "LIST"
+        val specs = td.partitions.map { ps =>
+          if (kind == "RANGE") {
+            val b = ps.upperExclusive.get
+            val bs = if (b == RangeBound.MaxValue) "MAXVALUE" else s"'$b'"
+            s"  PARTITION ${ps.name} VALUES LESS THAN ($bs)"
+          } else
+            s"  PARTITION ${ps.name} VALUES IN (${ps.listValues.map(v => s"'$v'").mkString(", ")})"
+        }.mkString(",\n")
+        s"\nPARTITION BY $kind(${td.partitionColumn.get}) (\n$specs\n)"
+    }
+    val dist =
+      if (td.bucketType == BucketType.Random) s"DISTRIBUTED BY RANDOM BUCKETS ${td.numBuckets}"
+      else s"DISTRIBUTED BY HASH(${td.bucketColumn.get}) BUCKETS ${td.numBuckets}"
+    val props = Seq.newBuilder[(String, String)]
+    if (td.replication != 1) props += ("replication_num" -> td.replication.toString)
+    td.retention match {
+      case Retention.Manual => ()
+      case Retention.Forever => props += ("retention" -> "forever")
+      case Retention.KeepVersions(n) => props += ("retention" -> s"keep_versions:$n")
+      case Retention.KeepMs(ms) => props += ("retention" -> s"keep_ms:$ms")
+    }
+    td.autoPartition.foreach(u => props +=
+      ("dynamic_partition.unit" -> u.toString.toLowerCase))
+    td.autoExpireKeep.foreach(k => props += ("dynamic_partition.keep" -> k.toString))
+    td.varcharMode match {
+      case VarcharMode.Ignore => ()
+      case VarcharMode.Truncate => props += ("varchar_mode" -> "truncate")
+      case VarcharMode.Strict => props += ("varchar_mode" -> "strict")
+    }
+    td.sequenceColumn.foreach(sc => props += ("sequence_column" -> sc))
+    if (td.partialUpdate) props += ("partial_update" -> "true")
+    if (td.expiredToDeadLetter) props += ("expired_to_dead_letter" -> "true")
+    td.zorderColumns.foreach { case (x, y) => props += ("zorder" -> s"$x,$y") }
+    val propClause = {
+      val ps = props.result()
+      if (ps.isEmpty) ""
+      else "\nPROPERTIES (" +
+        ps.map { case (k, v) => "\"" + k + "\" = \"" + v + "\"" }.mkString(", ") + ")"
+    }
+    s"CREATE TABLE ${td.db}.${td.name} (\n$cols\n) $model$partClause\n$dist$propClause"
+  }
 
   // ---- CreateTable → TableDef ----------------------------------------------
 

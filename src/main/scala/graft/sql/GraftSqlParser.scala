@@ -96,6 +96,10 @@ object GraftStatement {
       name: String) extends GraftStatement
   final case class RenameColumn(db: String, table: String,
       oldName: String, newName: String) extends GraftStatement
+  /** SHOW CREATE TABLE db.t — renders the engine table's DDL in exactly the
+    * grammar this parser accepts (round-trip pinned by `SqlSurfaceSpec`).
+    */
+  final case class ShowCreateTable(db: String, table: String) extends GraftStatement
   /** CREATE [OR REPLACE] TEMP VIEW v AS SCAN db.t [VERSION AS OF n |
     * TIMESTAMP AS OF 'ts'] [PARTITIONS (p, ...)] — the READ half: registers
     * an engine scan (head, version-as-of, wall-clock time travel, or
@@ -387,7 +391,15 @@ object GraftSqlParser {
 
   private def parseShow(c: Cursor): Option[GraftStatement] = {
     c.kw("SHOW")
-    if (c.tryKw("ROWSETS")) {
+    if (c.tryKw("CREATE")) {
+      if (!c.tryKw("TABLE")) return None
+      val save = c.i
+      val db = c.ident()
+      if (!c.trySym('.')) { c.i = save; return None } // one-part → Spark's
+      val t = c.ident()
+      c.end()
+      Some(ShowCreateTable(db, t))
+    } else if (c.tryKw("ROWSETS")) {
       c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowRowsets(db, t))
     } else if (c.tryKw("PARTITIONS")) {
       if (!c.tryKw("IN")) return None // Spark's own SHOW PARTITIONS <tbl>

@@ -248,6 +248,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("SHOW CREATE TABLE round-trips: executing the rendered DDL on a " +
+    "fresh engine recreates an equivalent TableDef") {
+    val eng1 = mkEngine()
+    GraftSql.bind(spark, eng1)
+    val ddl =
+      try {
+        g("CREATE DATABASE g_sct")
+        g("""CREATE TABLE g_sct.t (
+            |  k BIGINT, d DATE, s VARCHAR(12), amt DECIMAL(18, 2) SUM,
+            |  mx BIGINT MAX, note STRING
+            |) AGGREGATE KEY (k, d)
+            |PARTITION BY RANGE(d) (
+            |  PARTITION p0 VALUES LESS THAN ('1996-01-01'),
+            |  PARTITION p1 VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(k) BUCKETS 4
+            |PROPERTIES ("retention" = "keep_versions:5",
+            |  "varchar_mode" = "truncate")""".stripMargin)
+        g("SHOW CREATE TABLE g_sct.t").collect().head.getString(0)
+      } finally GraftSql.unbind(spark)
+    val eng2 = mkEngine()
+    GraftSql.bind(spark, eng2)
+    try {
+      g("CREATE DATABASE g_sct")
+      g(ddl) // the rendered statement must parse and execute as-is
+      assert(eng2.catalog.getTable("g_sct", "t").get ===
+        eng1.catalog.getTable("g_sct", "t").get,
+        s"round-trip diverged; rendered DDL was:\n$ddl")
+    } finally GraftSql.unbind(spark)
+    // non-engine targets delegate to Spark's own SHOW CREATE TABLE (which
+    // then rejects the unknown names itself) — the ownership contract
+    GraftSql.bind(spark, eng1)
+    try {
+      intercept[Exception] { g("SHOW CREATE TABLE g_sct.nosuch").collect() }
+      intercept[Exception] { g("SHOW CREATE TABLE nosuchtbl").collect() }
+    } finally GraftSql.unbind(spark)
+  }
+
   test("ownership: non-graft SQL delegates; graft-only verbs fail loudly on typos") {
     val eng = mkEngine()
     GraftSql.bind(spark, eng)
