@@ -125,12 +125,79 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   }
 
   /** Abort a load group that must never commit: reap its staged rowsets
-    * (files + manifest entries) from every table. Refuses committed groups.
+    * (files + manifest entries) from every table — enumerated from the
+    * ON-DISK warehouse, not just this instance's lazily-populated manifest
+    * cache, so stages written by a crashed or sibling session reap too.
+    * Refuses committed groups.
     */
   def abortGroup(group: String): Unit = {
     require(!groupLedger.isCommitted(group),
       s"group $group already committed — a committed group cannot abort")
-    manifests.values.foreach(_.reapGroup(group))
+    allManifests().foreach(_.reapGroup(group))
+  }
+
+  /** Every table manifest of the warehouse — the on-disk layout (db/table
+    * dirs holding a `_manifest.json`) unioned with the in-memory cache.
+    * Group hygiene ([[abortGroup]], [[sweepGroups]]) must see EVERY table
+    * or it silently skips stages this engine instance never touched.
+    * Loading a manifest self-heals (and persists) any of its stages whose
+    * group the ledger has committed.
+    */
+  private def allManifests(): Seq[TableManifest] = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(warehouse)) {
+      val dbs = Files.list(warehouse).iterator().asScala
+        .filter(Files.isDirectory(_)).toSeq
+      dbs.foreach { dbDir =>
+        Files.list(dbDir).iterator().asScala
+          .filter(td => Files.exists(td.resolve("_manifest.json")))
+          .foreach(td =>
+            manifest(dbDir.getFileName.toString, td.getFileName.toString))
+      }
+    }
+    manifests.values.toSeq
+  }
+
+  /** Default grace before an uncommitted stage counts as abandoned: long
+    * enough that no live multi-table load is mid-stage, short enough that a
+    * crashed session's files don't leak for weeks.
+    */
+  val StageGraceMs: Long = 6L * 3600 * 1000
+
+  /** Warehouse-wide load-group hygiene, run by the scheduled-maintenance
+    * loop ([[runScheduledCompaction]]) and callable directly:
+    *  1. ACTIVATE committed groups any manifest still stages (the
+    *     crash-between-ledger-commit-and-activation heal, forced warehouse-
+    *     wide rather than waiting for each table's next lazy load);
+    *  2. RETIRE ledger ids no table stages any more — the ledger stays
+    *     O(in-flight groups), not O(lifetime commits), so a one-group-per-
+    *     micro-batch streaming fold no longer rewrites its whole history
+    *     every commit;
+    *  3. REAP abandoned stages: groups absent from the ledger whose staged
+    *     rowsets are all older than `graceMs` (a crashed session's leftovers)
+    *     — their files and manifest entries stop leaking.
+    * Runs under the group write lock so a racing snapshot capture or commit
+    * sees a consistent world. Returns (retiredLedgerIds, reapedRowsets).
+    */
+  def sweepGroups(graceMs: Long = StageGraceMs): (Int, Int) = {
+    groupCoord.writeLock().lock()
+    try {
+      val ms = allManifests()
+      val atMs = System.currentTimeMillis()
+      val committed = groupLedger.committed
+      ms.foreach(m => m.pendingGroupIds.intersect(committed)
+        .foreach(g => m.activateGroup(g, atMs)))
+      val stillPending = ms.flatMap(_.pendingGroupIds).toSet
+      val retired = groupLedger.retire(committed -- stillPending)
+      // a group reaps atomically or not at all: one young stage (a slow
+      // load still in flight) protects the group's stages in EVERY table —
+      // half-reaping would let a later commit publish half a group
+      val abandoned = stillPending.filterNot(groupLedger.isCommitted)
+        .filter(g => ms.forall(
+          _.pendingRowsets(g).forall(_.createdMs <= atMs - graceMs)))
+      val reaped = ms.map(m => abandoned.toSeq.map(m.reapGroup(_).size).sum).sum
+      (retired, reaped)
+    } finally groupCoord.writeLock().unlock()
   }
 
   def createDatabase(db: String): Unit = catalog.createDatabase(db)
@@ -542,6 +609,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     require((op == 0 && opColumn.isEmpty) || td.schema.keysType == KeysType.Unique,
       s"delete loads (op=1) are only defined for Unique tables; ${td.qualified} is ${td.schema.keysType}")
+    // staging under an ALREADY-COMMITTED group would self-activate at the
+    // next manifest load (or orphan forever once the id retires) — group
+    // ids are single-use by contract, so refuse loudly
+    require(group.forall(g => !groupLedger.isCommitted(g)),
+      s"group ${group.getOrElse("")} already committed — open a new load group")
     // a staged load must have NO pre-commit side effects; dynamic-partition
     // minting/expiry are catalog edits that cannot stage, so refuse the
     // combination loudly instead of leaking them before the group commits
@@ -1355,7 +1427,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * up. Answer-neutral by compaction's contract (spec-pinned per index).
     * Returns the compacted `db.table` keys.
     */
-  def runScheduledCompaction(minScore: Double = 2.0, topN: Int = 10): Seq[String] =
+  def runScheduledCompaction(minScore: Double = 2.0, topN: Int = 10): Seq[String] = {
+    // group hygiene rides the same maintenance tick: heal committed stages,
+    // retire fully-activated ledger ids, reap abandoned (post-grace) stages
+    sweepGroups()
     scheduleCompaction(topN)
       .filter { case (k, score) =>
         score >= minScore &&
@@ -1366,6 +1441,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         compact(db, table)
         k
       }
+  }
 
   /** Merge all visible rowsets into one (filling the reference's declared-but-
     * absent C4 merge, SURVEY.md §2.6): read covering set → apply the key-model

@@ -17,11 +17,19 @@ import org.json4s.jackson.JsonMethods
   * manifest load sees the committed id and activates its staged rowsets —
   * the ledger, not the per-table activation sweep, is the source of truth.
   *
-  * Scale posture: the ledger holds committed GROUP IDS only — O(#multi-table
-  * maintenance commits), driver-side metadata, no row data, one small JSON.
-  * Same single-file commit discipline as the per-table manifest; the same
-  * sharding/edit-log escape hatches apply if a deployment ever approaches
-  * 1e5 group commits between GCs.
+  * Scale posture: the ledger holds IN-FLIGHT committed group ids only, not
+  * lifetime history. A committed id is load-bearing exactly until every
+  * table's manifest has activated (and persisted) its staged rowsets; after
+  * that the engine's hygiene sweep ([[graft.engine.OlapEngine.sweepGroups]],
+  * run by the scheduled-maintenance loop) RETIRES it via [[retire]]. That
+  * keeps the file — rewritten whole on each commit, same single-file
+  * atomic-rename discipline as the per-table manifest — O(groups between
+  * sweeps) instead of O(lifetime commits): a year of one-group-per-minute
+  * streaming folds stays a few-entry JSON, not a 500k-entry rewrite per
+  * micro-batch (`LedgerScaleSpec` pins 10k commit+sweep cycles at bounded
+  * file size). Retirement is safe because activation persists the stripped
+  * marker BEFORE the sweep can observe "no pending stage" — a retired id
+  * can never orphan a stage that still needs the heal.
   */
 final class GroupLedger(warehouseRoot: Path) {
   private implicit val formats: Formats = DefaultFormats
@@ -44,14 +52,33 @@ final class GroupLedger(warehouseRoot: Path) {
   def commit(group: String): Unit = synchronized {
     if (!ids.contains(group)) {
       ids.add(group)
-      Files.createDirectories(warehouseRoot)
-      val doc = JObject("committed" ->
-        JArray(ids.toList.map(g => JString(g): JValue)))
-      val tmp = warehouseRoot.resolve(
-        s"_group_commits.json.tmp${Thread.currentThread().getId}")
-      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)))
-      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      persistLocked()
     }
+  }
+
+  /** Retire committed ids whose groups NO table still stages — the caller
+    * ([[graft.engine.OlapEngine.sweepGroups]]) proves that by force-loading
+    * every warehouse manifest first (loads self-heal AND persist). One file
+    * rewrite for the whole batch; unknown ids are no-ops. Returns how many
+    * retired.
+    */
+  def retire(groups: Set[String]): Int = synchronized {
+    val doomed = groups.filter(ids.contains)
+    if (doomed.nonEmpty) {
+      doomed.foreach(ids.remove)
+      persistLocked()
+    }
+    doomed.size
+  }
+
+  private def persistLocked(): Unit = {
+    Files.createDirectories(warehouseRoot)
+    val doc = JObject("committed" ->
+      JArray(ids.toList.map(g => JString(g): JValue)))
+    val tmp = warehouseRoot.resolve(
+      s"_group_commits.json.tmp${Thread.currentThread().getId}")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }

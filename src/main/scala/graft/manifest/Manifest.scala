@@ -124,6 +124,14 @@ final class TableManifest(
   def pendingRowsets(group: String): Seq[RowsetMeta] =
     synchronized(rowsets.values.filter(_.pendingGroup.contains(group)).toSeq)
 
+  /** Ids of every load group this table still stages (uncommitted, or
+    * committed-elsewhere-but-not-yet-swept). The engine's group-hygiene
+    * sweep reads this to decide which ledger ids are retirable and which
+    * abandoned stages to reap.
+    */
+  def pendingGroupIds: Set[String] =
+    synchronized(rowsets.values.flatMap(_.pendingGroup).toSet)
+
   /** Publish a rowset: dedup by id, add version edge, bump max version,
     * persist atomically (reference: src/tablet.rs:116-128, src/storage.rs:79-87).
     * Duplicate rowset ids are rejected, mirroring src/tablet.rs:118-120.
@@ -170,25 +178,33 @@ final class TableManifest(
     * across every table it sweeps, so wall-clock time travel
     * (`snapshotAsOf`) at any instant sees the whole group in every table or
     * in none — cross-table snapshot consistency extends to the time axis.
+    *
+    * Versions are assigned HERE, not at stage time: a staged rowset's
+    * stored version is provisional (computed before sibling stages or
+    * interleaved normal loads could be known), so activation discards it
+    * and allocates from the table's live maxVersion in rowsetId (= stage)
+    * order. That makes version collisions between two stages into one
+    * table — or a stage racing a normal publish — structurally impossible,
+    * with no version holes and no pre-reserved numbers a failed write would
+    * burn. For Unique tables the rowsetId order preserves the intended
+    * last-stage-wins merge-on-read semantics.
     */
   def activateGroup(group: String, atMs: Long): Unit = synchronized {
+    if (activateGroupLocked(group, atMs)) persist()
+  }
+
+  /** Activation body; returns whether anything changed. Caller persists. */
+  private def activateGroupLocked(group: String, atMs: Long): Boolean = {
     val staged = rowsets.values.filter(_.pendingGroup.contains(group)).toSeq
-    val now = atMs
+      .sortBy(_.rowsetId)
     staged.foreach { r =>
-      // a version collision means an abandoned stage's version was reused by
-      // a later publish and the stale group is being committed anyway —
-      // refuse rather than leave two visible rowsets claiming one version
-      val clash = rowsets.values.find(o => o.rowsetId != r.rowsetId &&
-        o.state == RowsetState.Visible && !o.isPending && o.version == r.version)
-      require(clash.isEmpty,
-        s"cannot activate group $group: staged rowset ${r.rowsetId} claims " +
-          s"version ${r.version}, already held by visible rowset " +
-          s"${clash.get.rowsetId} — the stage predates a conflicting publish")
-      rowsets(r.rowsetId) = r.copy(pendingGroup = None, createdMs = now)
-      graph.addEdge(r.version)
-      maxVersionV = math.max(maxVersionV, r.version.end)
+      val v = Version(maxVersionV + 1, maxVersionV + 1)
+      rowsets(r.rowsetId) = r.copy(pendingGroup = None, createdMs = atMs,
+        version = v)
+      graph.addEdge(v)
+      maxVersionV = v.end
     }
-    if (staged.nonEmpty) persist()
+    staged.nonEmpty
   }
 
   /** Reap a group that will never commit (abort, or an abandoned stage from
@@ -330,12 +346,8 @@ final class TableManifest(
       val doc = JsonMethods.parse(Files.readString(manifestPath))
       maxVersionV = (doc \ "maxVersion").extract[Long]
       gcFloorV = (doc \ "gcFloorMs").extractOpt[Long].getOrElse(-1L)
-      // the ledger is read ONCE per load: a group committed there activates
-      // now (the crash-between-ledger-commit-and-activation self-heal); an
-      // uncommitted group stays staged-invisible until commit or reap
-      val committed = committedGroups()
       (doc \ "rowsets").extract[List[JValue]].foreach { j =>
-        val stored = RowsetMeta(
+        val r = RowsetMeta(
           (j \ "rowsetId").extract[Long],
           Version((j \ "start").extract[Long], (j \ "end").extract[Long]),
           (j \ "relDir").extract[String],
@@ -346,8 +358,6 @@ final class TableManifest(
           (j \ "staleMs").extractOpt[Long],
           (j \ "deletePartition").extractOpt[String],
           (j \ "pendingGroup").extractOpt[String])
-        val r = if (stored.pendingGroup.exists(committed))
-          stored.copy(pendingGroup = None) else stored
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible && !r.isPending) {
@@ -355,6 +365,18 @@ final class TableManifest(
           maxVersionV = math.max(maxVersionV, r.version.end)
         }
       }
+      // the ledger is read ONCE per load: a group committed there activates
+      // now (the crash-between-ledger-commit-and-activation self-heal); an
+      // uncommitted group stays staged-invisible until commit or reap. The
+      // heal runs AFTER the full pass (activation-time version assignment
+      // needs the loaded maxVersion) and PERSISTS, so the on-disk manifest
+      // stops referencing the group — which is what lets the engine's
+      // hygiene sweep retire the ledger id without orphaning this stage.
+      val committed = committedGroups()
+      val healed = rowsets.values.flatMap(_.pendingGroup).toSet
+        .intersect(committed).toSeq.sorted
+        .map(g => activateGroupLocked(g, System.currentTimeMillis()))
+      if (healed.exists(identity)) persist()
     }
   }
 

@@ -17,8 +17,14 @@ import graft.model._
 class LoadGroupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private def mkEngine(): OlapEngine = {
-    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-grpspec-wh-"))
+  private def mkEngine(): OlapEngine =
+    mkEngineAt(Files.createTempDirectory("graft-grpspec-wh-"))
+
+  /** The DDL replay a restarted deployment runs (the catalog is in-memory;
+    * manifests and data reload from the warehouse).
+    */
+  private def mkEngineAt(warehouse: java.nio.file.Path): OlapEngine = {
+    val eng = new OlapEngine(spark, warehouse)
     eng.createDatabase("g")
     for (t <- Seq("a", "b"))
       eng.createTable(TableDef(
@@ -145,6 +151,95 @@ class LoadGroupSpec extends AnyFunSuite {
     l1.commit("a"); l1.commit("b"); l1.commit("a")
     val l2 = new GroupLedger(dir)
     assert(l2.committed === Set("a", "b"))
+  }
+
+  test("two loads staged into ONE table in one group get DISTINCT versions " +
+    "at activation (stage order = merge-on-read order), even with a normal " +
+    "load interleaved") {
+    val eng = mkEngine()
+    eng.ingest("g", "a", kv(1L -> 10L)) // v0
+    val g = eng.newLoadGroup()
+    eng.ingest("g", "a", kv(2L -> 20L, 5L -> 1L), group = Some(g))
+    // a NORMAL load racing the open group takes the next real version
+    eng.ingest("g", "a", kv(3L -> 30L)) // v1
+    // second stage into the SAME table: upserts key 5 (last stage must win)
+    eng.ingest("g", "a", kv(5L -> 2L), group = Some(g))
+    eng.commitGroup(g)
+    val m = eng.manifest("g", "a")
+    val versions = m.visibleRowsets.map(_.version.start).sorted
+    assert(versions == Seq(0L, 1L, 2L, 3L), s"collision-free versions, got $versions")
+    assert(m.captureConsistentVersions(0L, m.maxVersion).size == 4)
+    assert(rows(eng, "a") ===
+      Set(1L -> 10L, 2L -> 20L, 3L -> 30L, 5L -> 2L),
+      "second stage's upsert of key 5 must win (stage order preserved)")
+  }
+
+  test("abortGroup reaps stages from tables this engine instance never " +
+    "touched (on-disk enumeration, not the manifest cache)") {
+    val eng = mkEngine()
+    val g = eng.newLoadGroup()
+    val staged = eng.ingest("g", "a", kv(1L -> 1L), group = Some(g))
+    val stagedDir = eng.tableRoot("g", "a").resolve(staged.relDir)
+    // a FRESH engine over the same warehouse (cold manifest cache) must
+    // still find and reap the stage
+    val eng2 = new OlapEngine(spark, eng.warehouse)
+    eng2.abortGroup(g)
+    assert(!Files.exists(stagedDir), "restart abort must reap on-disk stages")
+    assert(eng.warehouse.resolve("g").resolve("a").toFile.exists())
+    assert(new OlapEngine(spark, eng.warehouse)
+      .manifest("g", "a").pendingRowsets(g).isEmpty)
+  }
+
+  test("sweepGroups: retires fully-activated ledger ids, reaps abandoned " +
+    "stages past grace, and protects groups with any young stage") {
+    val eng = mkEngine()
+    // committed group → its id retires once nothing stages it
+    val g1 = eng.newLoadGroup()
+    eng.ingest("g", "a", kv(1L -> 1L), group = Some(g1))
+    eng.commitGroup(g1)
+    // abandoned group (never committed)
+    val g2 = eng.newLoadGroup()
+    val orphan = eng.ingest("g", "b", kv(9L -> 9L), group = Some(g2))
+    val orphanDir = eng.tableRoot("g", "b").resolve(orphan.relDir)
+    // young grace: nothing reaps, id retires
+    val (retired1, reaped1) = eng.sweepGroups(graceMs = 3600 * 1000L)
+    assert(retired1 == 1, "g1 is fully activated — its ledger id must retire")
+    assert(reaped1 == 0 && Files.exists(orphanDir),
+      "a stage younger than grace must survive the sweep")
+    // zero grace: the abandoned stage reaps
+    val (_, reaped2) = eng.sweepGroups(graceMs = 0L)
+    assert(reaped2 == 1 && !Files.exists(orphanDir))
+    // a retired id must not resurrect or orphan anything on replay: a fresh
+    // engine over the same warehouse serves the committed rows
+    val eng2 = mkEngineAt(eng.warehouse)
+    assert(eng2.scan("g", "a").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set(1L -> 1L))
+    assert(eng2.manifest("g", "a").pendingGroupIds.isEmpty)
+    // and staging under a STILL-COMMITTED (unretired) id refuses loudly —
+    // it would self-activate at the next load instead of staging
+    val g3 = eng2.newLoadGroup()
+    eng2.ingest("g", "b", kv(3L -> 3L), group = Some(g3))
+    eng2.commitGroup(g3)
+    assertThrows[IllegalArgumentException](
+      eng2.ingest("g", "b", kv(4L -> 4L), group = Some(g3)))
+  }
+
+  test("crash between ledger commit and activation, then sweep BEFORE the " +
+    "table's next lazy load: the sweep itself heals the stage (persisted), " +
+    "so the retired id orphans nothing") {
+    val eng = mkEngine()
+    val g = eng.newLoadGroup()
+    eng.ingest("g", "a", kv(1L -> 1L), group = Some(g))
+    // simulate the crash: commit the ledger WITHOUT the activation sweep
+    new GroupLedger(eng.warehouse).commit(g)
+    // a fresh engine never touches g.a before sweeping
+    val eng2 = new OlapEngine(spark, eng.warehouse)
+    val (retired, _) = eng2.sweepGroups()
+    assert(retired == 1)
+    // the heal persisted: a third engine (ledger id now gone) still serves
+    val eng3 = mkEngineAt(eng.warehouse)
+    assert(eng3.scan("g", "a").count() === 1L)
+    assert(eng3.manifest("g", "a").pendingGroupIds.isEmpty)
   }
 
   test("grouped loads refuse dynamic-partition tables (partition minting " +
