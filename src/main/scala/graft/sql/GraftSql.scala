@@ -53,11 +53,21 @@ object GraftSql {
 
   def unbind(spark: SparkSession): Unit = bound.remove(spark): Unit
 
-  /** The engine for `spark`: an exact binding, else the single global
-    * binding (covers `newSession()` twins of a bound session), else None.
+  /** The engine for `spark`: an exact binding, else the unique binding
+    * among sessions sharing this session's SparkContext (covers
+    * `newSession()`/`cloneSession()` twins of a bound session), else None.
+    * The twin check is what keeps the fallback from laundering statements
+    * across trust boundaries: a session on a DIFFERENT context — or a twin
+    * when two engines are bound ambiguously on one context — never
+    * silently claims another session's warehouse.
     */
   def engineFor(spark: SparkSession): Option[OlapEngine] =
-    bound.get(spark).orElse(if (bound.size == 1) Some(bound.head._2) else None)
+    bound.get(spark).orElse {
+      val twins = bound.collect {
+        case (s, e) if s.sparkContext eq spark.sparkContext => e
+      }
+      if (twins.size == 1) twins.headOption else None
+    }
 
   private def engineOrFail(spark: SparkSession): OlapEngine =
     engineFor(spark).getOrElse(throw new IllegalStateException(
@@ -353,6 +363,11 @@ object GraftSql {
     */
   def createTableSql(td: TableDef): String = {
     import graft.model.AggType
+    // string literals render with the '' / "" escape the tokenizer already
+    // understands — a partition bound or property value containing a quote
+    // must survive the parse round trip, not break it
+    def sq(v: String): String = "'" + v.replace("'", "''") + "'"
+    def dq(v: String): String = "\"" + v.replace("\"", "\"\"") + "\""
     def typeSql(c: ColumnSpec): String =
       if (c.maxLength > 0) s"VARCHAR(${c.maxLength})" else c.dataType.sql
     val cols = td.schema.columns.map { c =>
@@ -368,10 +383,10 @@ object GraftSql {
         val specs = td.partitions.map { ps =>
           if (kind == "RANGE") {
             val b = ps.upperExclusive.get
-            val bs = if (b == RangeBound.MaxValue) "MAXVALUE" else s"'$b'"
+            val bs = if (b == RangeBound.MaxValue) "MAXVALUE" else sq(b)
             s"  PARTITION ${ps.name} VALUES LESS THAN ($bs)"
           } else
-            s"  PARTITION ${ps.name} VALUES IN (${ps.listValues.map(v => s"'$v'").mkString(", ")})"
+            s"  PARTITION ${ps.name} VALUES IN (${ps.listValues.map(sq).mkString(", ")})"
         }.mkString(",\n")
         s"\nPARTITION BY $kind(${td.partitionColumn.get}) (\n$specs\n)"
     }
@@ -402,7 +417,7 @@ object GraftSql {
       val ps = props.result()
       if (ps.isEmpty) ""
       else "\nPROPERTIES (" +
-        ps.map { case (k, v) => "\"" + k + "\" = \"" + v + "\"" }.mkString(", ") + ")"
+        ps.map { case (k, v) => dq(k) + " = " + dq(v) }.mkString(", ") + ")"
     }
     s"CREATE TABLE ${td.db}.${td.name} (\n$cols\n) $model$partClause\n$dist$propClause"
   }

@@ -428,6 +428,29 @@ object GraftSqlParser {
     }
   }
 
+  /** Attempt a SHARED-grammar parse: `body` runs, and ANY parse failure
+    * delegates (returns None) instead of throwing — the cursor position
+    * afterwards is irrelevant because the caller hands the whole text to
+    * Spark. Use ONLY for verbs Spark also owns (ALTER TABLE ADD COLUMN,
+    * DROP PARTITION, CREATE TABLE ...): a statement that has established a
+    * graft-only marker must keep failing loudly, so those parsers don't
+    * route through here past the marker.
+    */
+  private def attempt(body: => Option[GraftStatement]): Option[GraftStatement] =
+    try body
+    catch {
+      case _: GraftParseException => None
+      case scala.util.control.NonFatal(_) => None // e.g. Spark type-DDL errors
+    }
+
+  /** ALTER TABLE db.t — graft owns ADD ROLLUP and DISTRIBUTED BY outright
+    * (not valid Spark SQL → loud failures past those markers); the forms
+    * whose grammar Spark shares (ADD/DROP COLUMN, ADD/DROP PARTITION,
+    * RENAME ...) delegate on ANY mismatch rather than failing, so standard
+    * Spark DDL (`ADD COLUMNS (...)`, `RENAME TO new`, `ADD PARTITION
+    * (spec)`, `SET TBLPROPERTIES`, ...) issued on a session with the
+    * injected parser still reaches Spark untouched.
+    */
   private def parseAlter(c: Cursor): Option[GraftStatement] = {
     c.kw("ALTER")
     if (!c.tryKw("TABLE")) return None
@@ -445,7 +468,8 @@ object GraftSqlParser {
         Some(AddRollup(db, t, graft.engine.RollupDef(
           name, dims, aggs, countCol = cnt, bitmapCol = bm, hllCol = hll,
           filter = filter)))
-      } else if (c.tryKw("COLUMN")) {
+      } else if (c.isKw("COLUMN")) attempt {
+        c.kw("COLUMN")
         val name = c.ident()
         val ts = parseType(c)
         val agg = parseAggMarker(c)
@@ -455,8 +479,9 @@ object GraftSqlParser {
           if (key) ColumnSpec.key(name, ts.dt)
           else ColumnSpec.value(name, ts.dt, agg.getOrElse(AggType.None))
             .copy(maxLength = ts.maxLen)))
-      } else if (c.tryKw("PARTITION")) {
-        val name = c.ident()
+      } else if (c.isKw("PARTITION")) attempt {
+        c.kw("PARTITION")
+        val name = c.ident() // Spark's ADD PARTITION (spec) delegates here
         c.kw("VALUES")
         val spec =
           if (c.tryKw("LESS")) {
@@ -478,23 +503,32 @@ object GraftSqlParser {
         val buckets = if (c.tryKw("BUCKETS")) c.num().toInt else 1
         c.end()
         Some(AddPartition(db, t, spec.copy(numBuckets = buckets)))
-      } else c.fail("expected ADD ROLLUP, ADD COLUMN or ADD PARTITION")
+      } else None // ADD COLUMNS / IF NOT EXISTS / constraints are Spark's
     } else if (c.tryKw("DROP")) {
-      if (c.tryKw("COLUMN")) {
+      if (c.isKw("COLUMN")) attempt {
+        c.kw("COLUMN")
         val name = c.ident(); c.end(); Some(DropColumn(db, t, name))
-      } else if (c.tryKw("PARTITION")) {
+      } else if (c.isKw("PARTITION")) attempt {
+        c.kw("PARTITION")
         val name = c.ident(); c.end(); Some(DropPartition(db, t, name))
-      } else c.fail("expected DROP COLUMN or DROP PARTITION")
+      } else None // DROP COLUMNS / IF EXISTS forms are Spark's
     } else if (c.tryKw("MODIFY")) {
+      // MODIFY COLUMN is Doris-only grammar (Spark spells it ALTER COLUMN) —
+      // a malformed tail past this marker fails loudly
       c.kw("COLUMN")
       val name = c.ident()
       val ts = parseType(c)
       c.end()
       Some(ModifyColumn(db, t, name, ts.dt))
     } else if (c.tryKw("RENAME")) {
-      c.kw("COLUMN")
-      val o = c.ident(); c.kw("TO"); val n = c.ident(); c.end()
-      Some(RenameColumn(db, t, o, n))
+      // Spark's RENAME TO <table> delegates; only RENAME COLUMN o TO n is
+      // ours (and Spark's own RENAME COLUMN has the same shape, which the
+      // engine-claims check in GraftSql routes by table ownership)
+      if (!c.tryKw("COLUMN")) return None
+      attempt {
+        val o = c.ident(); c.kw("TO"); val n = c.ident(); c.end()
+        Some(RenameColumn(db, t, o, n))
+      }
     } else if (c.tryKw("DISTRIBUTED")) {
       c.kw("BY"); c.kw("HASH"); c.sym('(')
       val colName = c.ident(); c.sym(')')
@@ -534,9 +568,15 @@ object GraftSqlParser {
   }
 
   /** CREATE TABLE: ours iff it carries a graft marker — `SHALLOW CLONE`, a
-    * `<MODEL> KEY (...)` clause, or `DISTRIBUTED BY` (none are valid Spark
-    * SQL). A plain Spark `CREATE TABLE t (c INT) USING parquet` has none
-    * and delegates.
+    * `<MODEL> KEY (...)` clause, a Doris `PARTITION BY RANGE|LIST (...)
+    * (PARTITION ...)` ladder, `DISTRIBUTED BY`, a per-column aggregate
+    * marker, or a Doris `PROPERTIES (...)` bag (none are valid Spark SQL).
+    * UNTIL one of those is seen, ANY parse failure — a Spark type this
+    * tokenizer can't read (`ARRAY<INT>`), a column `COMMENT`, a Spark tail
+    * (`USING parquet`, `TBLPROPERTIES`, `PARTITIONED BY`, ...) — DELEGATES,
+    * so a session built with the injected parser keeps ordinary Spark
+    * CREATE TABLE on two-part names working. AFTER a marker the statement
+    * is unambiguously ours and malformed tails fail loudly.
     */
   private def parseCreateTable(c: Cursor): Option[GraftStatement] = {
     c.kw("TABLE")
@@ -552,100 +592,115 @@ object GraftSqlParser {
       return Some(ShallowClone(sdb, st, db, t, asOf))
     }
     if (!c.trySym('(')) return None
-    // column list
-    val cols = Seq.newBuilder[ColumnSpec]
-    var done = false
-    while (!done) {
-      val name = c.ident()
-      val ts = parseType(c)
-      val agg = parseAggMarker(c)
-      var nullable = true
-      if (c.tryKw("NOT")) { c.kw("NULL"); nullable = false }
-      else if (c.tryKw("NULL")) ()
-      cols += ColumnSpec(name, ts.dt, isKey = false, nullable = nullable,
-        agg = agg.getOrElse(AggType.None), maxLength = ts.maxLen)
-      if (c.trySym(')')) done = true else c.sym(',')
-    }
-    // model clause
-    var keysType = "DUPLICATE"
-    var keyCols = Seq.empty[String]
-    c.peek match {
-      case Some(Ident(s, _))
-          if Set("DUPLICATE", "UNIQUE", "AGGREGATE").contains(s.toUpperCase) =>
-        keysType = s.toUpperCase; c.i += 1
-        c.kw("KEY"); c.sym('(')
-        val ks = Seq.newBuilder[String]
-        ks += c.ident()
-        while (c.trySym(',')) ks += c.ident()
-        c.sym(')')
-        keyCols = ks.result()
-      case _ => ()
-    }
-    // partition clause
-    var partBy: Option[(String, String)] = None
-    var parts = Seq.empty[PartitionSpec]
-    if (c.tryKw("PARTITION")) {
-      c.kw("BY")
-      val kind =
-        if (c.tryKw("RANGE")) "RANGE"
-        else if (c.tryKw("LIST")) "LIST"
-        else c.fail("expected RANGE or LIST after PARTITION BY")
-      c.sym('('); val pcol = c.ident(); c.sym(')')
-      partBy = Some((kind, pcol))
-      c.sym('(')
-      val ps = Seq.newBuilder[PartitionSpec]
-      var pdone = false
-      while (!pdone) {
-        c.kw("PARTITION")
-        val pname = c.ident()
-        c.kw("VALUES")
-        if (kind == "RANGE") {
-          c.kw("LESS"); c.kw("THAN"); c.sym('(')
-          val bound = if (c.tryKw("MAXVALUE")) graft.catalog.RangeBound.MaxValue else c.str()
+    var sawMarker = false
+    try {
+      // column list (an aggregate marker like `cost BIGINT SUM` is graft-only)
+      val cols = Seq.newBuilder[ColumnSpec]
+      var done = false
+      while (!done) {
+        val name = c.ident()
+        val ts = parseType(c)
+        val agg = parseAggMarker(c)
+        if (agg.isDefined) sawMarker = true
+        var nullable = true
+        if (c.tryKw("NOT")) { c.kw("NULL"); nullable = false }
+        else if (c.tryKw("NULL")) ()
+        cols += ColumnSpec(name, ts.dt, isKey = false, nullable = nullable,
+          agg = agg.getOrElse(AggType.None), maxLength = ts.maxLen)
+        if (c.trySym(')')) done = true else c.sym(',')
+      }
+      // model clause (graft-only)
+      var keysType = "DUPLICATE"
+      var keyCols = Seq.empty[String]
+      c.peek match {
+        case Some(Ident(s, _))
+            if Set("DUPLICATE", "UNIQUE", "AGGREGATE").contains(s.toUpperCase) =>
+          keysType = s.toUpperCase; c.i += 1
+          c.kw("KEY"); sawMarker = true
+          c.sym('(')
+          val ks = Seq.newBuilder[String]
+          ks += c.ident()
+          while (c.trySym(',')) ks += c.ident()
           c.sym(')')
-          ps += PartitionSpec(pname, upperExclusive = Some(bound))
-        } else {
-          c.kw("IN"); c.sym('(')
-          val vals = Seq.newBuilder[String]
-          vals += c.str()
-          while (c.trySym(',')) vals += c.str()
-          c.sym(')')
-          ps += PartitionSpec(pname, listValues = vals.result())
+          keyCols = ks.result()
+        case _ => ()
+      }
+      // partition clause (Doris PARTITION BY; Spark spells it PARTITIONED BY)
+      var partBy: Option[(String, String)] = None
+      var parts = Seq.empty[PartitionSpec]
+      if (c.tryKw("PARTITION")) {
+        c.kw("BY")
+        val kind =
+          if (c.tryKw("RANGE")) "RANGE"
+          else if (c.tryKw("LIST")) "LIST"
+          else c.fail("expected RANGE or LIST after PARTITION BY")
+        sawMarker = true
+        c.sym('('); val pcol = c.ident(); c.sym(')')
+        partBy = Some((kind, pcol))
+        c.sym('(')
+        val ps = Seq.newBuilder[PartitionSpec]
+        var pdone = false
+        while (!pdone) {
+          c.kw("PARTITION")
+          val pname = c.ident()
+          c.kw("VALUES")
+          if (kind == "RANGE") {
+            c.kw("LESS"); c.kw("THAN"); c.sym('(')
+            val bound = if (c.tryKw("MAXVALUE")) graft.catalog.RangeBound.MaxValue else c.str()
+            c.sym(')')
+            ps += PartitionSpec(pname, upperExclusive = Some(bound))
+          } else {
+            c.kw("IN"); c.sym('(')
+            val vals = Seq.newBuilder[String]
+            vals += c.str()
+            while (c.trySym(',')) vals += c.str()
+            c.sym(')')
+            ps += PartitionSpec(pname, listValues = vals.result())
+          }
+          if (c.trySym(')')) pdone = true else c.sym(',')
         }
-        if (c.trySym(')')) pdone = true else c.sym(',')
+        parts = ps.result()
       }
-      parts = ps.result()
-    }
-    // distribution clause
-    var bucketType = "HASH"
-    var bucketCol: Option[String] = None
-    var numBuckets = 1
-    var sawMarker = parts.nonEmpty || keyCols.nonEmpty
-    if (c.tryKw("DISTRIBUTED")) {
-      sawMarker = true
-      c.kw("BY")
-      if (c.tryKw("HASH")) {
-        c.sym('('); bucketCol = Some(c.ident()); c.sym(')')
-      } else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
-      else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
-      c.kw("BUCKETS")
-      numBuckets = c.num().toInt
-    }
-    // properties
-    var props = Map.empty[String, String]
-    if (c.tryKw("PROPERTIES")) {
-      c.sym('(')
-      var pdone = false
-      while (!pdone) {
-        val k = c.str(); c.sym('='); val v = c.str()
-        props += (k -> v)
-        if (c.trySym(')')) pdone = true else c.sym(',')
+      // distribution clause (graft-only)
+      var bucketType = "HASH"
+      var bucketCol: Option[String] = None
+      var numBuckets = 1
+      if (c.tryKw("DISTRIBUTED")) {
+        sawMarker = true
+        c.kw("BY")
+        if (c.tryKw("HASH")) {
+          c.sym('('); bucketCol = Some(c.ident()); c.sym(')')
+        } else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
+        else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
+        c.kw("BUCKETS")
+        numBuckets = c.num().toInt
       }
+      // properties (Doris PROPERTIES; Spark spells it TBLPROPERTIES)
+      var props = Map.empty[String, String]
+      if (c.tryKw("PROPERTIES")) {
+        sawMarker = true
+        c.sym('(')
+        var pdone = false
+        while (!pdone) {
+          val k = c.str(); c.sym('='); val v = c.str()
+          props += (k -> v)
+          if (c.trySym(')')) pdone = true else c.sym(',')
+        }
+      }
+      c.end()
+      if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
+      Some(CreateTable(db, t, cols.result(), keysType, keyCols,
+        partBy, parts, bucketType, bucketCol, numBuckets, props))
+    } catch {
+      // pre-marker failure = not our grammar (Spark tails, Spark types,
+      // column COMMENTs...) → delegate; post-marker = a malformed graft
+      // statement → loud
+      case e: GraftParseException => if (sawMarker) throw e else None
+      case scala.util.control.NonFatal(e) =>
+        if (sawMarker) throw new GraftParseException(
+          s"in CREATE TABLE $db.$t: ${e.getMessage}")
+        else None
     }
-    c.end()
-    if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
-    Some(CreateTable(db, t, cols.result(), keysType, keyCols,
-      partBy, parts, bucketType, bucketCol, numBuckets, props))
   }
 
   /** CREATE [OR REPLACE] TEMP[ORARY] VIEW v AS SCAN db.t [...] — the `AS

@@ -309,6 +309,138 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("delegation: standard Spark DDL on two-part names is NOT claimed — " +
+    "the injected parser must hand it to Spark untouched") {
+    def delegates(sql: String): Unit =
+      assert(GraftSqlParser.parse(sql).isEmpty, s"must delegate: $sql")
+    // CREATE TABLE: Spark tails, Spark types, column COMMENTs
+    delegates("CREATE TABLE db.t (c INT) USING parquet")
+    delegates("CREATE TABLE db.t (c INT, d STRING) USING parquet " +
+      "TBLPROPERTIES ('a' = 'b')")
+    delegates("CREATE TABLE db.t (c INT, d DATE) USING parquet PARTITIONED BY (d)")
+    delegates("CREATE TABLE db.t (c ARRAY<INT>, m MAP<STRING, INT>)")
+    delegates("CREATE TABLE db.t (c INT COMMENT 'the c column')")
+    delegates("CREATE TABLE db.t (c INT) COMMENT 'tbl' LOCATION '/tmp/x'")
+    delegates("CREATE TABLE db.t AS SELECT 1 AS c")
+    // ALTER TABLE: every standard Spark form
+    delegates("ALTER TABLE db.t RENAME TO db.t2")
+    delegates("ALTER TABLE db.t ADD COLUMNS (c INT, d STRING)")
+    delegates("ALTER TABLE db.t ADD COLUMN c INT FIRST")
+    delegates("ALTER TABLE db.t ADD COLUMN c INT COMMENT 'x' AFTER b")
+    delegates("ALTER TABLE db.t ADD IF NOT EXISTS PARTITION (dt = '2021-01-01')")
+    delegates("ALTER TABLE db.t ADD PARTITION (dt = '2021-01-01')")
+    delegates("ALTER TABLE db.t DROP IF EXISTS PARTITION (dt = '2021-01-01')")
+    delegates("ALTER TABLE db.t DROP PARTITION (dt = '2021-01-01')")
+    delegates("ALTER TABLE db.t DROP COLUMNS (c, d)")
+    delegates("ALTER TABLE db.t SET TBLPROPERTIES ('a' = 'b')")
+    delegates("ALTER TABLE db.t ALTER COLUMN c TYPE BIGINT")
+    delegates("ALTER TABLE db.t RECOVER PARTITIONS")
+    // and a graft marker still claims + a malformed tail PAST it stays loud
+    assert(GraftSqlParser.parse(
+      "CREATE TABLE db.t (k BIGINT, v BIGINT) UNIQUE KEY (k) " +
+        "DISTRIBUTED BY HASH(k) BUCKETS 2").isDefined)
+    intercept[GraftParseException] {
+      GraftSqlParser.parse("CREATE TABLE db.t (k BIGINT) UNIQUE KEY (k) " +
+        "DISTRIBUTED BY HASH(k) BUCKET 2") // BUCKETS misspelled post-marker
+    }
+    intercept[GraftParseException] {
+      GraftSqlParser.parse("CREATE TABLE db.t (k BIGINT SUM) USING parquet")
+    } // an aggregate marker claims, so the Spark tail is now a loud error
+  }
+
+  test("delegated Spark DDL EXECUTES on an extension session (end to end, " +
+    "not just parse-level): two-part CREATE TABLE ... USING parquet works " +
+    "with an engine bound") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      GraftSql.bind(s2, mkEngine())
+      // `default` is a Spark-side database the engine does not know: every
+      // statement below must delegate (two-part names throughout)
+      s2.sql("DROP TABLE IF EXISTS default.graft_delegation_plain")
+      s2.sql("CREATE TABLE default.graft_delegation_plain (c INT, d STRING) USING parquet")
+      s2.sql("INSERT INTO default.graft_delegation_plain SELECT 1, 'a'")
+      assert(s2.sql("SELECT c FROM default.graft_delegation_plain")
+        .collect().head.getInt(0) === 1)
+      s2.sql("ALTER TABLE default.graft_delegation_plain ADD COLUMNS (e INT)")
+      assert(s2.table("default.graft_delegation_plain").columns.contains("e"))
+      s2.sql("DROP TABLE default.graft_delegation_plain")
+      GraftSql.unbind(s2)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("SHOW CREATE TABLE round-trips values containing quotes (bounds, " +
+    "list values, properties)") {
+    val eng1 = mkEngine()
+    GraftSql.bind(spark, eng1)
+    val ddl =
+      try {
+        g("CREATE DATABASE g_q")
+        g("""CREATE TABLE g_q.t (
+            |  k BIGINT, s VARCHAR(20), v BIGINT
+            |) UNIQUE KEY (k)
+            |PARTITION BY LIST(s) (
+            |  PARTITION pa VALUES IN ('o''brien', 'plain'),
+            |  PARTITION pb VALUES IN ('x')
+            |)
+            |DISTRIBUTED BY HASH(k) BUCKETS 2
+            |PROPERTIES ("sequence_column" = "v")""".stripMargin)
+        val td = eng1.catalog.getTable("g_q", "t").get
+        assert(td.partitions.head.listValues === Seq("o'brien", "plain"),
+          "the '' escape must decode at parse time")
+        g("SHOW CREATE TABLE g_q.t").collect().head.getString(0)
+      } finally GraftSql.unbind(spark)
+    val eng2 = mkEngine()
+    GraftSql.bind(spark, eng2)
+    try {
+      g("CREATE DATABASE g_q")
+      g(ddl)
+      assert(eng2.catalog.getTable("g_q", "t").get ===
+        eng1.catalog.getTable("g_q", "t").get,
+        s"quoted-value round trip diverged; rendered DDL was:\n$ddl")
+    } finally GraftSql.unbind(spark)
+  }
+
+  test("engineFor never crosses sessions ambiguously: a newSession twin " +
+    "resolves the unique binding; with TWO bindings it resolves neither") {
+    val engA = mkEngine()
+    val twin = spark.newSession()
+    GraftSql.bind(spark, engA)
+    try {
+      assert(GraftSql.engineFor(twin).contains(engA),
+        "a newSession twin of the bound session shares its engine")
+      // second engine bound on another twin → ambiguity → unbound sessions
+      // resolve NOTHING (no silent cross-warehouse claims)
+      val other = spark.newSession()
+      val engB = mkEngine()
+      GraftSql.bind(other, engB)
+      try {
+        assert(GraftSql.engineFor(twin).isEmpty,
+          "two bindings on one context must not fall back for a third session")
+        assert(GraftSql.engineFor(spark).contains(engA))
+        assert(GraftSql.engineFor(other).contains(engB))
+        // the dispatcher on the unbound twin delegates engine DDL to Spark
+        // rather than executing it against someone's warehouse
+        engA.createDatabase("g_scope")
+        intercept[Exception] {
+          GraftSql.sql(twin, "SHOW ROWSETS IN g_scope.nosuch").collect()
+        }
+      } finally GraftSql.unbind(other)
+    } finally GraftSql.unbind(spark)
+  }
+
   test("injected parser: spark.sql on an extension-built session understands " +
     "engine statements and still delegates everything else") {
     val prevDefault = SparkSession.getDefaultSession
