@@ -484,12 +484,31 @@ object FwdProbe {
       (refoldSec, deleteSec)
     }
 
+    // the POSITIONAL family, same claim (round-9 verdict item 2): its
+    // refold/delete now source doomed keys from the shared forward table,
+    // so a fixed batch must stay flat as the positions index grows
+    def cellPhrase(f: Int): (Double, Double) = {
+      import graft.pipeline.PhraseIndex
+      val corpus = copies(f).localCheckpoint(true)
+      val eng = new OlapEngine(
+        spark, Files.createTempDirectory("graft-phrprobe-"))
+      PhraseIndex.createTables(eng)
+      PhraseIndex.bootstrap(eng, corpus)
+      eng.runScheduledCompaction()
+      val refoldSec = medianOf3(k =>
+        PhraseIndex.refold(eng, edited(batch(k)).localCheckpoint(true)))
+      val deleteSec = medianOf3(k =>
+        PhraseIndex.deleteDocs(eng, batch(k).select("doc_id").localCheckpoint(true)))
+      (refoldSec, deleteSec)
+    }
+
     cell(1) // warm-up (JIT + engine machinery); discarded
     val rows = factors.map(f => f -> cell(f))
-    def fmt(sel: ((Double, Double)) => Double) =
-      rows.map { case (f, c) => "\"" + f + "\":" + sel(c) }
+    val phraseRows = factors.map(f => f -> cellPhrase(f))
+    def fmtIn(rs: Seq[(Int, (Double, Double))], sel: ((Double, Double)) => Double) =
+      rs.map { case (f, c) => "\"" + f + "\":" + sel(c) }
         .mkString("{", ",", "}")
-    println(s"""{"probe":"fwd_index","sf":"$sfDir","refold_sec_by_factor":${fmt(_._1)},"delete_sec_by_factor":${fmt(_._2)}}""")
+    println(s"""{"probe":"fwd_index","sf":"$sfDir","refold_sec_by_factor":${fmtIn(rows, _._1)},"delete_sec_by_factor":${fmtIn(rows, _._2)},"phrase_refold_sec_by_factor":${fmtIn(phraseRows, _._1)},"phrase_delete_sec_by_factor":${fmtIn(phraseRows, _._2)}}""")
     spark.stop()
   }
 }

@@ -65,6 +65,10 @@ object PhraseIndex {
         ColumnSpec.key("doc_id", LongType),
         ColumnSpec.value("pos_list", ArrayType(IntegerType)))),
       bucketColumn = Some("word"), numBuckets = NumBuckets))
+    // the positional family maintains the SAME doc-keyed forward table the
+    // keyword family uses (one tokenization ⇒ identical word sets), which
+    // is what makes refold/deleteDocs delta-sized here too
+    TextIndex.ensureFwdTable(eng)
   }
 
   /** [[TextIndex]]'s tokenization with 1-based positions (1-based to match
@@ -77,8 +81,10 @@ object PhraseIndex {
       .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("pos"),
         col("col").as("word"))
 
-  /** Per-(word, doc) sorted position arrays for a document batch. */
-  private def postingRows(docs: DataFrame): DataFrame =
+  /** Per-(word, doc) sorted position arrays for a document batch. Shared
+    * with [[TextIndex.refold]]'s family-wide update path.
+    */
+  private[pipeline] def postingRows(docs: DataFrame): DataFrame =
     positions(docs)
       .groupBy(col("word"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("pos_list"))
@@ -88,63 +94,45 @@ object PhraseIndex {
     */
   def bootstrap(eng: OlapEngine, docs: DataFrame): Unit = applyDelta(eng, docs)
 
-  /** Fold a NEW-document batch: per-doc position arrays upserted through the
-    * Unique-model ingest. For CHANGED documents use [[refold]].
+  /** Fold a NEW-document batch: per-doc position arrays upserted through
+    * the Unique-model ingest, plus the doc's word set into the shared
+    * forward table, under one load group (a probe never sees positions for
+    * a document whose forward row has not landed). Idempotent — both
+    * tables' rows are pure Unique upserts, and a co-resident
+    * [[TextIndex.applyDelta]] of the same batch writes the identical
+    * forward rows. For CHANGED documents use [[refold]].
     */
   def applyDelta(eng: OlapEngine, delta: DataFrame): Unit = {
     if (delta.isEmpty) return // an empty batch publishes nothing
-    val v = eng.manifest(Db, PositionsTable).maxVersion + 1
-    eng.ingest(Db, PositionsTable, postingRows(delta), Some(Version(v, v)))
+    val pos = positions(delta).localCheckpoint(true) // one tokenize, two aggs
+    val g = eng.newLoadGroup()
+    eng.ingest(Db, PositionsTable,
+      pos.groupBy(col("word"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("pos_list")),
+      group = Some(g))
+    eng.ingest(Db, TextIndex.FwdTable,
+      pos.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("word"))).as("words")),
+      group = Some(g))
+    eng.commitGroup(g)
   }
 
-  /** Re-fold CHANGED documents: upserts for words still present (their
-    * whole position array is replaced — positions are per-document state,
-    * so no partial-merge hazard exists) plus tombstones for words that
-    * vanished from the new text, published as ONE mergeInto rowset so
-    * readers see each document's update atomically. Same diff shape and
-    * cost class as [[TextIndex.refold]].
+  /** Re-fold CHANGED documents: delegates to the family-wide
+    * [[TextIndex.refold]] — the vanished-word diff comes from the shared
+    * doc-keyed forward table (delta-sized; the word-bucketed positions
+    * index is never scanned), and every resident family's tables update
+    * under one commit. `FwdProbe` pins the flat-at-1×/10×/100× cost.
     */
-  def refold(eng: OlapEngine, changed: DataFrame): Unit = {
-    if (changed.isEmpty) return // an empty batch publishes nothing
-    val newRows = postingRows(changed).localCheckpoint(true)
-    val ids = changed.select(col("doc_id")).distinct()
-    val vanished = eng.scan(Db, PositionsTable)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select(col("word"), col("doc_id"))
-      .join(newRows.select(col("word"), col("doc_id")),
-        Seq("word", "doc_id"), "left_anti")
-    val source = newRows.withColumn("__graft_del", lit(false))
-      .unionByName(vanished
-        .withColumn("pos_list", lit(null).cast(ArrayType(IntegerType)))
-        .withColumn("__graft_del", lit(true)))
-      .localCheckpoint(true)
-    val v = eng.manifest(Db, PositionsTable).maxVersion + 1
-    eng.mergeInto(Db, PositionsTable, source, "__graft_del",
-      Some(Version(v, v)))
-  }
+  def refold(eng: OlapEngine, changed: DataFrame): Unit =
+    TextIndex.refold(eng, changed)
 
-  /** DELETE documents from the positional index ([[TextIndex.deleteDocs]]'s
-    * analogue): every (word, doc) row of the doomed docs tombstones in one
-    * merge. The doomed rows come from a broadcast semi-join over the
-    * positions table itself — linear in index size per delete batch, the
-    * trade [[TextIndex]] eliminated with its doc-keyed forward table; a
-    * deployment hot on phrase-index deletes would share that forward table
-    * (same engine, same doc_ids — the word sets are identical by
-    * construction). Unknown ids are harmless no-ops.
+  /** DELETE documents from the positional index: delegates to the
+    * family-wide [[TextIndex.deleteDocs]] — the doomed (word, doc) keys
+    * come from the shared forward table (delta-sized), never from a scan
+    * of the positions index. Unknown ids are harmless no-ops.
     */
-  def deleteDocs(eng: OlapEngine, ids: DataFrame): Unit = {
-    val docIds = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    if (docIds.isEmpty) return // an empty batch publishes nothing
-    val doomed = eng.scan(Db, PositionsTable)
-      .join(broadcast(docIds), Seq("doc_id"), "left_semi")
-      .select(col("word"), col("doc_id"))
-      .withColumn("pos_list", lit(null).cast(ArrayType(IntegerType)))
-      .withColumn("__graft_del", lit(true))
-      .localCheckpoint(true)
-    val v = eng.manifest(Db, PositionsTable).maxVersion + 1
-    eng.mergeInto(Db, PositionsTable, doomed, "__graft_del",
-      Some(Version(v, v)))
-  }
+  def deleteDocs(eng: OlapEngine, ids: DataFrame): Unit =
+    TextIndex.deleteDocs(eng, ids)
 
   /** Every occurrence of `phrase`: (doc_id, start) with start = the 1-based
     * position of the phrase's first token. Slot i of the phrase contributes

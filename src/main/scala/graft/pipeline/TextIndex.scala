@@ -90,13 +90,33 @@ object TextIndex {
         ColumnSpec.key("doc_id", LongType),
         ColumnSpec.value("dl", LongType))),
       bucketColumn = Some("doc_id"), numBuckets = 4))
-    eng.createTable(TableDef(
-      db = Db, name = FwdTable,
-      schema = TableSchema(KeysType.Unique, Seq(
-        ColumnSpec.key("doc_id", LongType),
-        ColumnSpec.value("words", ArrayType(StringType)))),
-      bucketColumn = Some("doc_id"), numBuckets = 4))
+    ensureFwdTable(eng)
   }
+
+  /** Create the SHARED forward table if absent — both index families of the
+    * text family ([[TextIndex]] and [[PhraseIndex]]) maintain and read the
+    * same `fwd_words` (the word sets are identical by construction: one
+    * tokenization), so whichever family's createTables runs first creates
+    * it and the other adopts it.
+    */
+  private[pipeline] def ensureFwdTable(eng: OlapEngine): Unit =
+    if (eng.catalog.getTable(Db, FwdTable).isEmpty) {
+      eng.createTable(TableDef(
+        db = Db, name = FwdTable,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("doc_id", LongType),
+          ColumnSpec.value("words", ArrayType(StringType)))),
+        bucketColumn = Some("doc_id"), numBuckets = 4))
+      ()
+    }
+
+  /** Is this doc-keyed table materialized in `eng`? The family-wide update
+    * paths ([[refold]], [[deleteDocs]]) touch only resident tables, so one
+    * code path serves keyword-only, positional-only and co-resident
+    * deployments.
+    */
+  private def resident(eng: OlapEngine, table: String): Boolean =
+    eng.catalog.getTable(Db, table).isDefined
 
   /** q118's tokenization exactly — the serve must be formula-identical. */
   private def tokens(docs: DataFrame): DataFrame =
@@ -144,7 +164,7 @@ object TextIndex {
     * Small batches (≤ [[FwdLookupMaxIds]]) collect into an IN-literal so the
     * scan prunes files on the doc_id key; larger ones broadcast-semi-join.
     */
-  private def storedWords(eng: OlapEngine, ids: DataFrame): DataFrame = {
+  private[pipeline] def storedWords(eng: OlapEngine, ids: DataFrame): DataFrame = {
     val n = ids.limit(FwdLookupMaxIds + 1).count()
     val fwd = eng.scan(Db, FwdTable)
     val rows =
@@ -155,85 +175,106 @@ object TextIndex {
     rows.select(col("doc_id"), explode(col("words")).as("word"))
   }
 
-  /** Re-fold CHANGED documents: the update path [[applyDelta]]'s scaladoc
-    * used to leave to the caller, automated. The Unique upsert alone would
-    * overwrite tf for words still present in the new text but leave STALE
-    * postings for words that vanished from it; refold diffs the STORED word
-    * set for the batch's doc_ids (via the forward table — delta-sized, see
-    * [[storedWords]]; the word-bucketed postings are never scanned) against
-    * the new tokenization and publishes upserts + vanished-word tombstones
-    * as ONE [[OlapEngine.mergeInto]] rowset — readers see the whole
-    * document update atomically, never a half-rewritten posting list.
-    * Doclen and forward upserts ride in their own loads (pure overwrites;
-    * no tombstones can arise). Use [[applyDelta]] for NEW documents.
+  /** Re-fold CHANGED documents — FAMILY-wide: the Unique upsert alone would
+    * overwrite tf / position arrays for words still present in the new text
+    * but leave STALE rows for words that vanished from it; refold diffs the
+    * STORED word set for the batch's doc_ids (via the shared forward table —
+    * delta-sized, see [[storedWords]]; neither the word-bucketed postings
+    * nor the positions index is ever scanned) against the new tokenization
+    * and publishes upserts + vanished-word tombstones for EVERY resident
+    * doc-keyed table (postings, positions, doclen, fwd) under one load
+    * group — readers see the whole document update atomically across the
+    * family. Use [[applyDelta]] for NEW documents.
     */
   def refold(eng: OlapEngine, changed: DataFrame): Unit = {
     if (changed.isEmpty) return // an empty batch publishes nothing
-    val t = tokens(changed).localCheckpoint(true) // one tokenize, three aggs
-    val newPost = t.groupBy(col("word"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val t = tokens(changed).localCheckpoint(true) // one tokenize, all aggs
     val ids = changed.select(col("doc_id")).distinct()
+    // the vanished-word diff: computed ONCE from the shared forward table
+    // (delta-sized — storedWords) and reused by every resident family.
+    // fwd is SHARED state, so the families must refold in the SAME commit:
+    // per-family refolds would race on it (whichever ran second would diff
+    // against the already-updated word sets, find nothing vanished, and
+    // leave its stale rows serving).
     val vanished = storedWords(eng, ids)
-      .join(newPost.select(col("word"), col("doc_id")),
+      .join(t.select(col("word"), col("doc_id")).distinct(),
         Seq("word", "doc_id"), "left_anti")
-    val source = newPost.withColumn("__graft_del", lit(false))
-      .unionByName(vanished
-        .withColumn("tf", lit(null).cast(LongType))
-        .withColumn("__graft_del", lit(true)))
       .localCheckpoint(true)
-    def nextV(table: String): Version = {
-      val v = eng.manifest(Db, table).maxVersion + 1
-      Version(v, v)
-    }
-    // one load group across all three tables: the whole document update —
-    // new tf rows, vanished-word tombstones, new length, new word set —
-    // becomes visible in one commit
+    // one load group across every resident table: the whole document
+    // update — new tf rows / position arrays, vanished-word tombstones,
+    // new length, new word set — becomes visible in one commit
     val g = eng.newLoadGroup()
-    eng.mergeInto(Db, PostingsTable, source, "__graft_del",
-      Some(nextV(PostingsTable)), group = Some(g))
-    eng.ingest(Db, DoclenTable,
-      t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
-      Some(nextV(DoclenTable)), group = Some(g))
+    if (resident(eng, PostingsTable)) {
+      val newPost = t.groupBy(col("word"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val source = newPost.withColumn("__graft_del", lit(false))
+        .unionByName(vanished
+          .withColumn("tf", lit(null).cast(LongType))
+          .withColumn("__graft_del", lit(true)))
+      eng.mergeInto(Db, PostingsTable, source, "__graft_del", group = Some(g))
+    }
+    if (resident(eng, PhraseIndex.PositionsTable)) {
+      val source = PhraseIndex.postingRows(changed)
+        .withColumn("__graft_del", lit(false))
+        .unionByName(vanished
+          .withColumn("pos_list", lit(null).cast(ArrayType(IntegerType)))
+          .withColumn("__graft_del", lit(true)))
+      eng.mergeInto(Db, PhraseIndex.PositionsTable, source, "__graft_del",
+        group = Some(g))
+    }
+    if (resident(eng, DoclenTable))
+      eng.ingest(Db, DoclenTable,
+        t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+        group = Some(g))
     eng.ingest(Db, FwdTable,
       t.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("word"))).as("words")),
-      Some(nextV(FwdTable)), group = Some(g))
+      group = Some(g))
     eng.commitGroup(g)
   }
 
   /** DELETE documents from the index — [[AnnIndex.deleteVectors]]'s
-    * analogue for text: without it a document deleted from the corpus keeps
-    * scoring (and keeps inflating n_docs/avgdl) forever. The forward table
-    * supplies each doomed doc's word set (delta-sized, [[storedWords]]),
-    * which becomes postings tombstones; doclen and forward rows tombstone by
-    * key alone. The three per-table merges stage under ONE load group and
-    * commit atomically — no reader can see a document half-deleted (postings
-    * gone but still counted in n_docs/avgdl, or vice versa). Deleting an
-    * unknown doc_id is a harmless no-op (tombstones of nothing). Compaction
-    * later removes all three tables' rows physically.
+    * analogue for text, FAMILY-wide: without it a document deleted from the
+    * corpus keeps scoring (and keeps inflating n_docs/avgdl) forever. The
+    * forward table supplies each doomed doc's word set (delta-sized,
+    * [[storedWords]]), which becomes postings AND position tombstones;
+    * doclen and forward rows tombstone by key alone. Every resident
+    * table's merge stages under ONE load group and commits atomically — no
+    * reader can see a document half-deleted (postings gone but still
+    * counted in n_docs/avgdl, positions still phrase-matching a deleted
+    * doc, or vice versa). Deleting an unknown doc_id is a harmless no-op
+    * (tombstones of nothing). Compaction later removes the rows physically.
     */
   def deleteDocs(eng: OlapEngine, ids: DataFrame): Unit = {
     val docIds = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     if (docIds.isEmpty) return // an empty batch publishes nothing
+    // one delta-sized forward lookup feeds every resident family's
+    // tombstones; like [[refold]], the delete is family-WIDE in one commit
+    // because fwd is shared — deleting it per family would strand the
+    // other family's rows with no way to find them but a full index scan
     val doomedWords = storedWords(eng, docIds).localCheckpoint(true)
-    def nextV(table: String): Version = {
-      val v = eng.manifest(Db, table).maxVersion + 1
-      Version(v, v)
-    }
     val g = eng.newLoadGroup()
-    eng.mergeInto(Db, DoclenTable,
-      docIds.withColumn("dl", lit(null).cast(LongType))
-        .withColumn("__graft_del", lit(true)),
-      "__graft_del", Some(nextV(DoclenTable)), group = Some(g))
-    eng.mergeInto(Db, PostingsTable,
-      doomedWords.select(col("word"), col("doc_id"))
-        .withColumn("tf", lit(null).cast(LongType))
-        .withColumn("__graft_del", lit(true)),
-      "__graft_del", Some(nextV(PostingsTable)), group = Some(g))
+    if (resident(eng, DoclenTable))
+      eng.mergeInto(Db, DoclenTable,
+        docIds.withColumn("dl", lit(null).cast(LongType))
+          .withColumn("__graft_del", lit(true)),
+        "__graft_del", group = Some(g))
+    if (resident(eng, PostingsTable))
+      eng.mergeInto(Db, PostingsTable,
+        doomedWords.select(col("word"), col("doc_id"))
+          .withColumn("tf", lit(null).cast(LongType))
+          .withColumn("__graft_del", lit(true)),
+        "__graft_del", group = Some(g))
+    if (resident(eng, PhraseIndex.PositionsTable))
+      eng.mergeInto(Db, PhraseIndex.PositionsTable,
+        doomedWords.select(col("word"), col("doc_id"))
+          .withColumn("pos_list", lit(null).cast(ArrayType(IntegerType)))
+          .withColumn("__graft_del", lit(true)),
+        "__graft_del", group = Some(g))
     eng.mergeInto(Db, FwdTable,
       docIds.withColumn("words", lit(null).cast(ArrayType(StringType)))
         .withColumn("__graft_del", lit(true)),
-      "__graft_del", Some(nextV(FwdTable)), group = Some(g))
+      "__graft_del", group = Some(g))
     eng.commitGroup(g)
   }
 
@@ -386,15 +427,8 @@ object TextIndex {
     * alerting shape (matching N standing alerts against a firehose costs
     * one pass over the batch's postings however large N grows).
     */
-  def reverseSearch(eng: OlapEngine): DataFrame = {
-    val spark = eng.spark
-    import spark.implicits._
-    reverseSearch(eng, Seq(
-      (0L, "spark"), (0L, "data"), (0L, "join"), (0L, "query"),
-      (1L, "merge"), (1L, "sort"), (1L, "hash"), (1L, "scan"),
-      (2L, "vector"), (2L, "window"), (2L, "stream"), (2L, "batch"))
-      .toDF("query_id", "w"))
-  }
+  def reverseSearch(eng: OlapEngine): DataFrame =
+    reverseSearch(eng, defaultRules(eng.spark))
 
   /** The general form: match an arbitrary standing-query (query_id, w)
     * relation. (`RetrievalProbe` drives this with growing N.)
@@ -406,6 +440,107 @@ object TextIndex {
       .agg(count(lit(1)).as("n_terms"))
     val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
     post.join(broadcast(queries), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_matched"))
+      .join(broadcast(arity), "query_id")
+      .filter(col("n_matched") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
+  // --- standing-query REGISTRY (round-9 verdict item 3) ---------------------
+  // A real alerting system's standing queries ARE engine state, not a
+  // caller-supplied argument: rules are registered once, matched against
+  // every arriving batch forever, and removed when retired. Two tables:
+
+  /** (query_id, w) → enabled: the rule registry. Unique-keyed by (rule,
+    * term) so registration/retirement are ordinary upserts/tombstones, and
+    * a rule edit (add/remove a term) is a row operation, not a rewrite.
+    * Rule-count-sized — the broadcast side of every percolation.
+    */
+  val QueriesTable = "standing_queries"
+  /** (query_id, doc_id) → hit: the streaming percolator's output table.
+    * Unique-keyed, so micro-batch replays rewrite identical rows —
+    * exactly-once for free, the q191 argument.
+    */
+  val HitsTable = "percolator_hits"
+
+  def createPercolatorTables(eng: OlapEngine): Unit = {
+    eng.createDatabase(Db)
+    if (eng.catalog.getTable(Db, QueriesTable).isEmpty) {
+      eng.createTable(TableDef(
+        db = Db, name = QueriesTable,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("query_id", LongType),
+          ColumnSpec.key("w", StringType),
+          ColumnSpec.value("enabled", BooleanType))),
+        bucketColumn = Some("query_id"), numBuckets = 1))
+      ()
+    }
+    if (eng.catalog.getTable(Db, HitsTable).isEmpty) {
+      eng.createTable(TableDef(
+        db = Db, name = HitsTable,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("query_id", LongType),
+          ColumnSpec.key("doc_id", LongType),
+          ColumnSpec.value("hit", BooleanType))),
+        bucketColumn = Some("doc_id"), numBuckets = 4))
+      ()
+    }
+  }
+
+  /** Register (or re-register — idempotent upsert) standing rules given as
+    * a (query_id, w) relation.
+    */
+  def registerQueries(eng: OlapEngine, rules: DataFrame): Unit = {
+    eng.ingest(Db, QueriesTable,
+      rules.select(col("query_id"), col("w")).distinct()
+        .withColumn("enabled", lit(true)))
+    ()
+  }
+
+  /** Retire whole rules by query_id: every term row of the rule tombstones
+    * in one merge (the term set comes from the registry itself — the
+    * registry is rule-sized, never corpus-sized). Unknown ids are no-ops.
+    */
+  def unregisterQueries(eng: OlapEngine, ids: DataFrame): Unit = {
+    val doomed = eng.scan(Db, QueriesTable)
+      .join(broadcast(ids.select(col("query_id")).distinct()),
+        Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("w"))
+      .withColumn("enabled", lit(null).cast(BooleanType))
+      .withColumn("__graft_del", lit(true))
+      .localCheckpoint(true)
+    if (!doomed.isEmpty) {
+      eng.mergeInto(Db, QueriesTable, doomed, "__graft_del")
+      ()
+    }
+  }
+
+  /** The live rules (registered, enabled, not retired). */
+  def storedQueries(eng: OlapEngine): DataFrame =
+    eng.scan(Db, QueriesTable).filter(col("enabled"))
+      .select(col("query_id"), col("w"))
+
+  /** q218: [[reverseSearch]] with the rules read from the REGISTRY table —
+    * the percolator in its production shape (no caller-supplied query set).
+    * Shares q208's oracle: stored rules ≡ the literal rules.
+    */
+  def reverseSearchStored(eng: OlapEngine): DataFrame =
+    reverseSearch(eng, storedQueries(eng))
+
+  /** Direct (index-free) percolation of a DOCUMENT BATCH against the stored
+    * registry — the firehose/streaming shape: each arriving micro-batch
+    * tokenizes once and joins the broadcast rule registry; cost is one pass
+    * over the batch however many rules stand. Same conjunctive algebra as
+    * [[reverseSearch]] (a doc matches a rule iff it contains every term),
+    * so batch-over-index and stream-over-firehose agree exactly.
+    */
+  def percolate(eng: OlapEngine, docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(eng.spark)
+    val q = storedQueries(eng)
+    val arity = q.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    tokens(docs).withColumnRenamed("word", "w").distinct()
+      .join(broadcast(q), "w")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(countDistinct(col("w")).as("n_matched"))
       .join(broadcast(arity), "query_id")
@@ -469,6 +604,38 @@ object TextIndex {
       eng
     })
 
+  /** q208's rules as a relation — both the literal argument of q208 and
+    * the content the q218 registry fixture stores.
+    */
+  private[graft] def defaultRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark"), (0L, "data"), (0L, "join"), (0L, "query"),
+      (1L, "merge"), (1L, "sort"), (1L, "hash"), (1L, "scan"),
+      (2L, "vector"), (2L, "window"), (2L, "stream"), (2L, "batch"))
+      .toDF("query_id", "w")
+  }
+
+  /** q218 fixture: the shared index engine with the standing rules landed
+    * in the REGISTRY table — plus a broad-matching decoy rule registered
+    * and then retired, so the shared q208 oracle also certifies the
+    * registry's delete path (a lost tombstone would leave rule 99 matching
+    * half the corpus and flip the hash).
+    */
+  def registryEngineFor(spark: SparkSession, dir: String): OlapEngine = {
+    val eng = engineFor(spark, dir)
+    this.synchronized {
+      if (eng.catalog.getTable(Db, QueriesTable).isEmpty) {
+        import spark.implicits._
+        createPercolatorTables(eng)
+        registerQueries(eng, defaultRules(spark))
+        registerQueries(eng, Seq((99L, "data")).toDF("query_id", "w"))
+        unregisterQueries(eng, Seq(99L).toDF("query_id"))
+      }
+    }
+    eng
+  }
+
   /** The q197 document edit, shared by the Spark fixture and the DuckDB
     * oracle: docs with doc_id % 7 == 3 are truncated to their first 5
     * tokens — a modification guaranteed to make words VANISH from the
@@ -525,7 +692,29 @@ object TextIndex {
       ((s: SparkSession, d: String) => batchBm25FromTable(engineFor(s, d))),
     "q208_reverse_search" ->
       ((s: SparkSession, d: String) => reverseSearch(engineFor(s, d))),
+    "q218_percolator_stored" ->
+      ((s: SparkSession, d: String) => reverseSearchStored(registryEngineFor(s, d))),
   )
+
+  /** The conjunctive-matching replay shared by q208 (literal rules), q218
+    * (registry-served rules) and q219 (stream-percolated firehose): a
+    * (query, doc) pair survives iff the doc contains every term of the
+    * query. Three derivations, one answer, one SQL.
+    */
+  private[pipeline] val percolatorOracle: String =
+    """WITH q(query_id, w) AS (VALUES
+      |  (0, 'spark'), (0, 'data'), (0, 'join'), (0, 'query'),
+      |  (1, 'merge'), (1, 'sort'), (1, 'hash'), (1, 'scan'),
+      |  (2, 'vector'), (2, 'window'), (2, 'stream'), (2, 'batch')),
+      |a AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+      |w AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |m AS (SELECT q.query_id, w.doc_id, count(DISTINCT q.w) AS n_matched
+      |      FROM w JOIN q USING (w) GROUP BY 1, 2)
+      |SELECT CAST(m.query_id AS BIGINT) AS query_id, doc_id
+      |FROM m JOIN a ON m.query_id = a.query_id
+      |WHERE n_matched = n_terms""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q118's oracle VERBATIM: the table-served BM25 must equal the
@@ -554,22 +743,12 @@ object TextIndex {
         |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
         |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // q208: conjunctive standing-query matching replayed as relational
-    // algebra — a (query, doc) pair survives iff the doc contains every
-    // term of the query
-    "q208_reverse_search" ->
-      """WITH q(query_id, w) AS (VALUES
-        |  (0, 'spark'), (0, 'data'), (0, 'join'), (0, 'query'),
-        |  (1, 'merge'), (1, 'sort'), (1, 'hash'), (1, 'scan'),
-        |  (2, 'vector'), (2, 'window'), (2, 'stream'), (2, 'batch')),
-        |a AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
-        |w AS (SELECT DISTINCT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |m AS (SELECT q.query_id, w.doc_id, count(DISTINCT q.w) AS n_matched
-        |      FROM w JOIN q USING (w) GROUP BY 1, 2)
-        |SELECT CAST(m.query_id AS BIGINT) AS query_id, doc_id
-        |FROM m JOIN a ON m.query_id = a.query_id
-        |WHERE n_matched = n_terms""".stripMargin,
+    // algebra (the shared [[percolatorOracle]])
+    "q208_reverse_search" -> percolatorOracle,
+    // q218: the SAME oracle with the rules read from the registry table —
+    // passes iff registration round-trips AND the decoy rule's retirement
+    // tombstoned every term row
+    "q218_percolator_stored" -> percolatorOracle,
     // q205: three query term-sets replayed through q118's decimal route in
     // one SQL — the served batch join must reproduce every per-query
     // ranking (df/dl/avgdl shared across queries, ranks per query_id)

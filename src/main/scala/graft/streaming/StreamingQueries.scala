@@ -477,6 +477,80 @@ object StreamingQueries {
       graft.pipeline.PhraseIndex.phraseCounts(streamPhraseEngineFor(spark, dir))
     }
 
+  /** Stream-percolator engines, one per data dir (the q219 fixture). */
+  private val streamPercolCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** The q219 fixture engine (exposed for the stream≡batch equality spec):
+    * the ALERTING production shape — the standing rules live in the
+    * registry TABLE ([[graft.pipeline.TextIndex.QueriesTable]]), the whole
+    * corpus arrives as a 3-file stream, and each micro-batch percolates
+    * directly against the broadcast registry (no document index needed —
+    * this is the firehose path) with its hits upserted into the
+    * `percolator_hits` engine table. Replay safety is structural: hits are
+    * Unique-keyed (query_id, doc_id) upserts, and a document's conjunctive
+    * match is decided within its own batch (tokenization is per-document),
+    * so batching and replays are irrelevant.
+    */
+  private[graft] def streamPercolEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.TextIndex
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      streamPercolCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sperc-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        TextIndex.createPercolatorTables(e)
+        TextIndex.registerQueries(e, TextIndex.defaultRules(spark))
+        val sd = Files.createTempDirectory("graft-sperc-stream-")
+        val ckpt = Files.createTempDirectory("graft-sperc-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-sperc-part-")
+          docs.filter(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val hits = TextIndex.percolate(e, batch)
+              .withColumn("hit", lit(true))
+            if (!hits.isEmpty) { e.ingest(TextIndex.Db, TextIndex.HitsTable, hits); () }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e.runScheduledCompaction()
+        e
+      })
+    }
+
+  /** q219: the hits table of the STREAM percolator — the standing rules'
+    * matches over the whole corpus, accumulated one firehose micro-batch
+    * at a time. Shares q208's oracle (and q218's): rule registry + stream
+    * matching + hits-table round-trip must equal the one-shot conjunctive
+    * replay exactly.
+    */
+  def streamPercolator(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import graft.pipeline.TextIndex
+      streamPercolEngineFor(spark, dir)
+        .scan(TextIndex.Db, TextIndex.HitsTable)
+        .filter(col("hit"))
+        .select(col("query_id"), col("doc_id"))
+    }
+
   /** Stream-maintained bigram-LM engines, one per data dir (the q198
     * fixture).
     */
@@ -1224,6 +1298,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamDynamicPartitions(s, d)),
     "q201_stream_dead_letter" ->
       ((s: SparkSession, d: String) => streamDeadLetter(s, d)),
+    "q219_stream_percolator" ->
+      ((s: SparkSession, d: String) => streamPercolator(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1242,6 +1318,11 @@ object StreamingQueries {
     // must serve the from-scratch corpus BM25 bit-for-bit
     "q191_stream_text_index" ->
       graft.pipeline.TextIndex.oracles("q190_text_index_served"),
+    // q219 shares q208/q218's conjunctive-matching oracle: registry +
+    // firehose stream matching + the hits-table round trip must equal the
+    // one-shot replay exactly
+    "q219_stream_percolator" ->
+      graft.pipeline.TextIndex.oracles("q208_reverse_search"),
     // q214 shares q211's exact-hash oracle: the stream-maintained positional
     // index must reproduce the slot algebra's phrase hits from the raw
     // corpus regardless of batching

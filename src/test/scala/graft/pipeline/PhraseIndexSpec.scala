@@ -137,6 +137,37 @@ class PhraseIndexSpec extends AnyFunSuite {
     assert(rows(streamed).nonEmpty)
   }
 
+  test("co-resident family: ONE deleteDocs/refold updates keyword AND " +
+    "positional tables atomically from the shared forward table") {
+    import spark.implicits._
+    val eng = mkEngine() // positions + fwd
+    TextIndex.createTables(eng) // postings + doclen; adopts the same fwd
+    val docs = docsOf(
+      1L -> "table hash alpha",
+      2L -> "table hash beta",
+      3L -> "big order scan")
+    TextIndex.bootstrap(eng, docs)
+    PhraseIndex.bootstrap(eng, docs)
+    // family-wide delete through EITHER entry point
+    PhraseIndex.deleteDocs(eng, Seq(1L).toDF("doc_id"))
+    assert(rows(eng).map(_._2).toSet === Set(2L, 3L), "positions tombstoned")
+    assert(eng.scan(TextIndex.Db, TextIndex.PostingsTable)
+      .filter(col("doc_id") === 1L).count() === 0L, "postings tombstoned too")
+    assert(eng.scan(TextIndex.Db, TextIndex.DoclenTable)
+      .filter(col("doc_id") === 1L).count() === 0L, "doclen tombstoned too")
+    assert(hits(eng, "table", "hash") === Set(2L -> 1))
+    // family-wide refold: 'hash' vanishes from doc 2 in BOTH indexes
+    TextIndex.refold(eng, docsOf(2L -> "table beta"))
+    assert(hits(eng, "table", "hash") === Set.empty[(Long, Int)])
+    assert(eng.scan(TextIndex.Db, TextIndex.PostingsTable)
+      .filter(col("doc_id") === 2L && col("word") === "hash").count() === 0L)
+    assert(rows(eng).filter(_._2 == 2L).map(_._1) === Set("table", "beta"))
+    // the forward table holds the post-refold word sets
+    assert(eng.scan(TextIndex.Db, TextIndex.FwdTable)
+      .filter(col("doc_id") === 2L).select(explode(col("words")))
+      .collect().map(_.getString(0)).toSet === Set("table", "beta"))
+  }
+
   test("KWIC snippets clamp at the document head and tail and re-assemble " +
     "token order from the index alone") {
     val eng = mkEngine()

@@ -274,4 +274,49 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains(eng.BucketCol) || plan.contains("__graft_bucket"),
       s"no bucket-prune filter in the serve plan:\n$plan")
   }
+
+  test("standing-query registry: register/unregister round-trip; the stored " +
+    "rules serve reverseSearch and percolate identically; a retired rule " +
+    "stops matching everywhere") {
+    import spark.implicits._
+    val eng = mkEngine()
+    TextIndex.createPercolatorTables(eng)
+    val docs = synth(0L until 50L).localCheckpoint(true)
+    TextIndex.bootstrap(eng, docs)
+    val rules = Seq((0L, "spark"), (0L, "data"), (7L, "alpha"))
+      .toDF("query_id", "w")
+    TextIndex.registerQueries(eng, rules)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = pairs(TextIndex.reverseSearchStored(eng))
+    val viaFirehose = pairs(TextIndex.percolate(eng, docs))
+    val literal = pairs(TextIndex.reverseSearch(eng, rules))
+    assert(viaIndex === literal, "stored rules must serve like literal rules")
+    assert(viaFirehose === literal, "direct percolation must agree with the index route")
+    assert(viaIndex.exists(_._1 == 7L), "the 1-term rule matches something")
+    // retire rule 7: every route stops matching it; rule 0 is untouched
+    TextIndex.unregisterQueries(eng, Seq(7L).toDF("query_id"))
+    val after = pairs(TextIndex.reverseSearchStored(eng))
+    assert(after === literal.filterNot(_._1 == 7L))
+    assert(pairs(TextIndex.percolate(eng, docs)) === after)
+    // unknown id: harmless no-op
+    TextIndex.unregisterQueries(eng, Seq(123L).toDF("query_id"))
+    assert(pairs(TextIndex.reverseSearchStored(eng)) === after)
+    // re-registering beats the tombstone (rule resurrection is an upsert)
+    TextIndex.registerQueries(eng, Seq((7L, "alpha")).toDF("query_id", "w"))
+    assert(pairs(TextIndex.reverseSearchStored(eng)) === literal)
+  }
+
+  test("stream percolator ≡ batch reverse search on the real corpus (the " +
+    "hits table accumulates exactly the conjunctive matches)") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(graft.streaming.StreamingQueries
+      .streamPercolator(spark, dir))
+    val batch = pairs(TextIndex.reverseSearchStored(
+      TextIndex.registryEngineFor(spark, dir)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
