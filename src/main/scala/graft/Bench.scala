@@ -59,6 +59,21 @@ object Bench {
     // every BENCH_r*.json is self-describing about host noise. A cross-round
     // delta on some query only means something if the canaries agree.
     val canary = "q39_token_counts"
+    // SCAN canary (round-9 verdict task 6): q39 is CPU-bound and cannot see
+    // OS page-cache state, but exec_sec includes in-task I/O wait, so a
+    // scan-heavy query's wall+exec co-moving across rounds (q32's 0.68→8.35s
+    // swing, identical code) was only attributable procedurally. This canary
+    // reads a fixed parquet (full lineitem scan → noop) first and last, so
+    // cold-cache runs are MEASURED: a run whose scan canary is several times
+    // another run's is reading from disk, not from the page cache, and every
+    // scan-heavy per-query delta between them must be discounted first.
+    def scanCanary(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val scanCanaryFirst = scanCanary()
     val canaryFirst = if (names.contains(canary)) runOnce(canary) else -1.0
     // Per-query runtime ATTRIBUTION (round-8 verdict task: wall-time alone
     // cannot separate host noise from regression — driver r8 saw q33
@@ -69,12 +84,17 @@ object Bench {
     // stall; one WITH a gc_sec swing is memory pressure.
     val taskTimeMs = new AtomicLong
     val gcTimeMs = new AtomicLong
+    // bytes read from storage per query (the other half of task 6: a
+    // wall-time swing WITH a bytes-read swing is data-size/plan change; one
+    // WITHOUT is cache/host state — now measurable instead of argued)
+    val bytesRead = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           taskTimeMs.addAndGet(m.executorRunTime)
           gcTimeMs.addAndGet(m.jvmGCTime)
+          bytesRead.addAndGet(m.inputMetrics.bytesRead)
           ()
         }
       }
@@ -82,30 +102,33 @@ object Bench {
     // listener events are async; poll until the counters stop moving
     // (all jobs are already complete when a run returns, so this settles
     // in ~100 ms — paid once per query, not per run)
-    def settle(): (Long, Long) = {
-      var last = (taskTimeMs.get, gcTimeMs.get)
+    def settle(): (Long, Long, Long) = {
+      var last = (taskTimeMs.get, gcTimeMs.get, bytesRead.get)
       var stable = 0
       while (stable < 2) {
         Thread.sleep(50)
-        val now = (taskTimeMs.get, gcTimeMs.get)
+        val now = (taskTimeMs.get, gcTimeMs.get, bytesRead.get)
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
       last
     }
     val results = names.map { n =>
-      val (t0, g0) = settle()
+      val (t0, g0, b0) = settle()
       val times = (1 to 3).map(_ => runOnce(n)).sorted
-      val (t1, g1) = settle()
-      (n, times(1), (t1 - t0) / 3 / 1e3, (g1 - g0) / 3 / 1e3) // median + per-run attribution
+      val (t1, g1, b1) = settle()
+      // median wall + per-run attribution (deltas across the 3 runs / 3)
+      (n, times(1), (t1 - t0) / 3 / 1e3, (g1 - g0) / 3 / 1e3, (b1 - b0) / 3 / 1e6)
     }
     val canaryLast = if (names.contains(canary)) runOnce(canary) else -1.0
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val scanCanaryLast = scanCanary()
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def attr(g: ((String, Double, Double, Double)) => Double) = results
-      .map { case r@(k, _, _, _) => "\"" + k + "\":" + f"${g(r)}%.3f" }
+    def attr(g: ((String, Double, Double, Double, Double)) => Double) = results
+      .map { case r@(k, _, _, _, _) => "\"" + k + "\":" + f"${g(r)}%.3f" }
       .mkString("{", ",", "}")
     val execSec = attr(_._3)
     val gcSec = attr(_._4)
+    val readMb = attr(_._5)
     // Self-describing timed shape: queries where the benchmarked plan is NOT
     // the oracle-verdict form (sketch-only stand-ins, warm-restart streaming
     // drains) are labeled so the headline number can't silently overstate.
@@ -114,7 +137,9 @@ object Bench {
           n == "q160_neardup_pagerank" || n == "q171_prefix_filter_join")
         Some("blocked-production-form") // verdict form bundles an O(n²) audit baseline
         // (q171: verdict form is quadratic-output on this corpus's density)
-      else if (n == "q178_leakage_safe_split" || n == "q200_hybrid_retrieval")
+      else if (n == "q178_leakage_safe_split" || n == "q200_hybrid_retrieval" ||
+          n == "q202_filtered_ann" || n == "q203_rm3_expansion" ||
+          n == "q207_context_pack")
         Some("served-from-index") // production reads the maintained index tables
       else if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
@@ -138,7 +163,7 @@ object Bench {
     val storage = spark.sparkContext.getRDDStorageInfo
     val memMb = storage.map(_.memSize).sum / 1e6
     val diskMb = storage.map(_.diskSize).sum / 1e6
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$execSec,"gc_sec":$gcSec,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$execSec,"gc_sec":$gcSec,"read_mb":$readMb,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"canary_scan_first":$scanCanaryFirst,"canary_scan_last":$scanCanaryLast,"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
     println(json)
     // The full line is ~8 KB and the driver parses only the tail of the sbt
     // log, so it also lands in a stable file for humans/judges.
@@ -153,6 +178,6 @@ object Bench {
     // 2000-char log-tail truncation — the full per-query map is the line
     // above and bench_out.json. ("parsed": null for 7 rounds because the
     // 8 KB line never fit the tail.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"cache_mem_mb":${memMb.round},"sf":"$sfDir","queries_in":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"canary_scan_first":$scanCanaryFirst,"canary_scan_last":$scanCanaryLast,"cache_mem_mb":${memMb.round},"sf":"$sfDir","queries_in":"bench_out.json"}""")
   }
 }

@@ -369,7 +369,6 @@ object Similarity {
   : (DataFrame, Array[Array[Array[Double]]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val subDim = 64 / m
     cached[(DataFrame, Array[Array[Array[Double]]])](dir, s"pq-$m-$kSub") {
       var e = emb(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -377,6 +376,12 @@ object Similarity {
         .withColumn("vn", transform(col("v"), x => x / col("nrm")))
         .persist()
       e.count()
+      // the subspace width comes from the DATA, not an assumed embedding
+      // dim (the served path already derives it from the stored codebooks,
+      // AnnIndex pqLuts) — a hardcoded 64/m would mis-slice any other corpus
+      val dim = e.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
+      val subDim = dim / m
       val books = Array.ofDim[Array[Array[Double]]](m)
       for (s <- 0 until m) {
         val withFeat = e.withColumn("features",

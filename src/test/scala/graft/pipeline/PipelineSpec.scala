@@ -281,4 +281,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(verdict.exists(r => !r.isNullAt(1)), "no text-ranked doc in top-k")
     assert(verdict.exists(r => !r.isNullAt(2)), "no vector-ranked doc in top-k")
   }
+
+  test("PQ index build derives the subspace width from the DATA: an 8-dim " +
+    "corpus builds and ranks correctly (no 64-dim assumption), and a " +
+    "non-divisible m fails loudly") {
+    import spark.implicits._
+    // 4 well-separated clusters in 8 dims: cluster c lives on axes (2c,
+    // 2c+1) with small deterministic jitter — ADC top-k must stay in-cluster
+    val dim = 8
+    val rows = (0L until 40L).map { id =>
+      val c = (id % 4).toInt
+      val rnd = new scala.util.Random(id)
+      val v = Array.fill(dim)(rnd.nextFloat() * 0.05f)
+      v(2 * c) += 1.0f
+      v(2 * c + 1) += 0.5f
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq8-")
+    rows.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.pqTopK(spark, tmp.toString,
+        nProbes = 4, k = 3, m = 4, kSub = 4, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 4 * 3, s"expected 4 probes x top-3, got ${got.length}")
+    got.foreach { case (p, n) =>
+      assert(p % 4 == n % 4,
+        s"probe $p (cluster ${p % 4}) got out-of-cluster neighbor $n")
+    }
+    // dim % m != 0 is a loud build error, not a silent mis-slice
+    val ex = intercept[IllegalArgumentException](
+      Similarity.pqTopK(spark, tmp.toString,
+        nProbes = 2, k = 2, m = 3, kSub = 4, rerank = 10).collect())
+    assert(ex.getMessage.contains("not divisible"), ex.getMessage)
+  }
 }
