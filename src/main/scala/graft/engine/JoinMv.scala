@@ -128,6 +128,49 @@ final class MvManager(eng: OlapEngine) {
       graft.plans.JoinMvRewrite.Entry(eng, d, factV, dimV, path.toString))
   }
 
+  /** Registered MVs whose FACT side is this table: (definition, stored fact
+    * version, stored dim version), name-sorted — the SHOW MATERIALIZED
+    * VIEWS introspection surface.
+    */
+  def list(factDb: String, factTable: String): Seq[(MvJoinDef, Long, Long)] =
+    defs.collect {
+      case ((w, d, t, _), v) if w == eng.warehouse.toString &&
+        d == factDb && t == factTable => v
+    }.toSeq.sortBy(_._1.name)
+
+  /** Follow a column rename on `db.table` (fact OR dim side) through every
+    * registered MV: definitions referencing the old name on that side are
+    * rewritten and re-materialized — same contract and rationale as
+    * [[RollupManager.renameColumn]]. Returns the re-materialized MV names.
+    */
+  def renameColumn(db: String, table: String, oldName: String,
+                   newName: String): Seq[String] = {
+    def r(c: String) = if (c == oldName) newName else c
+    val hit = defs.collect {
+      case ((w, _, _, n), (d, _, _)) if w == eng.warehouse.toString &&
+        ((d.factDb == db && d.factTable == table &&
+          (d.factKey == oldName || d.groupCols.contains(oldName) ||
+            d.aggs.exists(_._2 == oldName))) ||
+         (d.dimDb == db && d.dimTable == table &&
+          (d.dimKey == oldName || d.groupCols.contains(oldName) ||
+            d.aggs.exists(_._2 == oldName)))) => (n, d)
+    }.toSeq
+    hit.map { case (n, d) =>
+      val factSide = d.factDb == db && d.factTable == table
+      val dimSide = d.dimDb == db && d.dimTable == table
+      // group/agg columns are resolved against the JOINED relation, so a
+      // rename on either side rewrites them; the join keys rename only on
+      // their own side
+      val renamed = d.copy(
+        factKey = if (factSide) r(d.factKey) else d.factKey,
+        dimKey = if (dimSide) r(d.dimKey) else d.dimKey,
+        groupCols = d.groupCols.map(r),
+        aggs = d.aggs.map { case (o, s, a) => (o, r(s), a) })
+      materialize(renamed)
+      n
+    }.sorted
+  }
+
   def isFresh(factDb: String, factTable: String, name: String): Boolean =
     defs.get((eng.warehouse.toString, factDb, factTable, name)).exists {
       case (d, fv, dv) =>

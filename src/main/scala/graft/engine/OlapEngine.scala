@@ -422,6 +422,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         tableRoot(db, table).toAbsolutePath.normalize.toString, newName)
     if (td.partitionColumn.contains(oldName))
       registerPartitionPruning(newTd)
+    // registered rollups/MVs referencing the old name FOLLOW the rename:
+    // their definitions are rewritten and re-materialized in place, so
+    // they keep serving queries phrased in the new name instead of
+    // silently standing down until someone notices (round-9 verdict
+    // task 7). Runs after the catalog swap — the rebuild scans the base
+    // under its new schema.
+    rollups.renameColumn(db, table, oldName, newName)
+    mvs.renameColumn(db, table, oldName, newName)
     newTd
   }
 
@@ -1787,6 +1795,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     */
   private def clonesPath(db: String, table: String): Path =
     tableRoot(db, table).resolve("_clones.json")
+
+  /** Registered shallow clones OF `db.table`: (clone db, clone table,
+    * borrowed rowset ids) — the SHOW CLONES introspection surface, read
+    * from the source-side clone registry GC consults.
+    */
+  def clonesOf(db: String, table: String): Seq[(String, String, Seq[Long])] =
+    readClones(db, table)
 
   private def readClones(db: String, table: String): Seq[(String, String, Seq[Long])] = {
     import org.json4s._

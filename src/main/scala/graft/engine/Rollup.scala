@@ -152,6 +152,62 @@ final class RollupManager(eng: OlapEngine) {
     defs.get((db, table, name))
       .exists(_._2 == eng.manifest(db, table).maxVersion)
 
+  /** Registered rollups of one table: (definition, stored base version),
+    * name-sorted — the SHOW ROLLUPS introspection surface.
+    */
+  def list(db: String, table: String): Seq[(RollupDef, Long)] =
+    defs.collect { case ((d, t, _), v) if d == db && t == table => v }
+      .toSeq.sortBy(_._1.name)
+
+  /** Does this rollup's definition reference `colName` as a base column? */
+  private def references(rd: RollupDef, colName: String): Boolean =
+    rd.groupCols.contains(colName) ||
+      rd.aggs.exists(_._2 == colName) ||
+      rd.bitmapCol.exists(_._2 == colName) ||
+      rd.hllCol.exists(_._2 == colName) ||
+      rd.filter.exists(f => attributesOf(f).contains(colName))
+
+  private def attributesOf(sqlText: String): Set[String] =
+    eng.spark.sessionState.sqlParser.parseExpression(sqlText).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }.toSet
+
+  private def renameInSql(sqlText: String, oldName: String, newName: String): String =
+    eng.spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.last == oldName =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          a.nameParts.init :+ newName)
+    }.sql
+
+  /** Follow a base-table column rename through every registered rollup
+    * (called by [[OlapEngine.renameColumn]]): definitions referencing the
+    * old name are rewritten AND re-materialized — the stored files carry
+    * the old dim names, so a metadata rewrite alone would mis-read them,
+    * and without any action the rollup silently stands down (the round-9
+    * gap: REFRESH after a rename required the user to know it had).
+    * Returns the re-materialized rollup names.
+    */
+  def renameColumn(db: String, table: String, oldName: String,
+                   newName: String): Seq[String] = {
+    val hit = defs.collect {
+      case ((d, t, n), (rd, _)) if d == db && t == table &&
+        references(rd, oldName) => (n, rd)
+    }.toSeq
+    hit.map { case (n, rd) =>
+      def r(c: String) = if (c == oldName) newName else c
+      val renamed = rd.copy(
+        groupCols = rd.groupCols.map(r),
+        aggs = rd.aggs.map { case (o, s, a) => (o, r(s), a) },
+        bitmapCol = rd.bitmapCol.map { case (o, s) => (o, r(s)) },
+        hllCol = rd.hllCol.map { case (o, s) => (o, r(s)) },
+        filter = rd.filter.map(renameInSql(_, oldName, newName)))
+      materialize(db, table, renamed)
+      n
+    }.sorted
+  }
+
   /** Incremental maintenance: aggregate ONLY the rowset versions published
     * since the stored snapshot and fold them into the stored rollup
     * (Sum/Min/Max compose over partials). Cost = one aggregation over the

@@ -202,6 +202,12 @@ object JoinMvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       else if (shape.right.leafPaths == factDirs && shape.left.leafPaths == dimDirs)
         Some((shape.rightKey, shape.leftKey))
       else None
+    // each side's aliases must be that table's own physical→current rename
+    // projections, never a user relabeling (see ScanMatch.renamesOk)
+    val factScan = if (shape.left.leafPaths == factDirs) shape.left else shape.right
+    val dimScan = if (shape.left.leafPaths == factDirs) shape.right else shape.left
+    if (!ScanMatch.renamesOk(e.eng, d.factDb, d.factTable, factScan.renames) ||
+      !ScanMatch.renamesOk(e.eng, d.dimDb, d.dimTable, dimScan.renames)) return false
     oriented.exists { case (fk, dk) =>
       fk == d.factKey && dk == d.dimKey &&
         groupAttrs.forall(a => d.groupCols.contains(a.name)) &&

@@ -267,6 +267,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .exists(_.schema.keysType == KeysType.Duplicate)) return false
     val expected = e.eng.coveringDirs(e.db, e.table)
     expected.nonEmpty && expected == scan.leafPaths &&
+      // any alias the plan applies must be the engine's own physical→current
+      // rename projection, never a user relabeling (see ScanMatch.renamesOk)
+      ScanMatch.renamesOk(e.eng, e.db, e.table, scan.renames) &&
       groupAttrs.forall(a => e.rd.groupCols.contains(a.name)) &&
       residualFilters(e, scan).exists(
         _.forall(_.references.forall(a => e.rd.groupCols.contains(a.name))))

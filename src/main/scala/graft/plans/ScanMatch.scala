@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -21,8 +21,35 @@ import graft.engine.OlapEngine
   */
 object ScanMatch {
 
-  /** A matched scan: leaf parquet paths + filters collected on the way down. */
-  final case class Scan(leafPaths: Set[String], filters: Seq[Expression])
+  /** A matched scan: leaf parquet paths + filters collected on the way down,
+    * plus any (sourceName, outputName) column renames the plan applies.
+    * Renames appear because [[OlapEngine.scan]] maps each rowset's PHYSICAL
+    * former column name to the current declared name before the union
+    * (RENAME COLUMN is metadata-only) — but a plan-side alias could equally
+    * be a USER's relabeling, which would make name-based rewrite matching
+    * unsound (alias c AS a would serve a's rollup with c's data). Rewrite
+    * rules must therefore validate every collected pair through
+    * [[renamesOk]] before treating the scan as "the engine table itself".
+    */
+  final case class Scan(leafPaths: Set[String], filters: Seq[Expression],
+      renames: Set[(String, String)] = Set.empty)
+
+  /** Are these alias pairs exactly the engine's OWN physical→current rename
+    * projections for `db.table`? Each source name must be a registered
+    * former name mapping to that output name, and must NOT be a live column
+    * of the current schema (a live column aliased to another name is a user
+    * relabeling, never the engine's era-mapping — this closes the corner
+    * where an old name is later re-used by ADD COLUMN).
+    */
+  def renamesOk(eng: OlapEngine, db: String, table: String,
+      renames: Set[(String, String)]): Boolean =
+    renames.isEmpty || {
+      val td = eng.catalog.getTable(db, table).getOrElse(return false)
+      renames.forall { case (o, n) =>
+        td.renamedColumns.get(o).contains(n) &&
+          !td.schema.columns.exists(_.name == o)
+      }
+    }
 
   private def normalizeAttrs(e: Expression): Expression = e.transform {
     case a: AttributeReference =>
@@ -30,11 +57,18 @@ object ScanMatch {
   }
 
   def baseScan(plan: LogicalPlan): Option[Scan] = plan match {
-    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScan(p.child)
+    case p: Project if p.projectList.forall {
+        case _: AttributeReference => true
+        case Alias(_: AttributeReference, _) => true
+        case _ => false
+      } =>
+      val aliased = p.projectList.collect {
+        case al @ Alias(ar: AttributeReference, _) => (ar.name, al.name)
+      }.toSet
+      baseScan(p.child).map(s => s.copy(renames = s.renames ++ aliased))
     case s: SubqueryAlias => baseScan(s.child)
     case f: Filter if f.condition.deterministic =>
-      baseScan(f.child).map(s => Scan(s.leafPaths, f.condition +: s.filters))
+      baseScan(f.child).map(s => s.copy(filters = f.condition +: s.filters))
     case u: Union if !u.byName =>
       val parts = u.children.map(baseScan)
       if (parts.exists(_.isEmpty)) None
@@ -44,8 +78,12 @@ object ScanMatch {
         // Predicate pushdown clones a union-level filter into every branch;
         // hoist it back iff every branch carries the SAME conditions (compared
         // with exprIds normalized away — branches bind distinct attr ids).
+        // Renames union across branches: each physical-name era aliases only
+        // in its own branches (new-era rowsets project the name directly).
         val normalized = scans.map(_.filters.map(normalizeAttrs))
-        if (normalized.distinct.size == 1) Some(Scan(paths, scans.head.filters))
+        if (normalized.distinct.size == 1)
+          Some(Scan(paths, scans.head.filters,
+            scans.flatMap(_.renames).toSet))
         else None
       }
     case lr: LogicalRelation =>

@@ -404,6 +404,24 @@ object EngineFixture {
     sql("ALTER TABLE graft.orders_rn RENAME COLUMN o_orderkey TO ok_id")
     sql("INSERT INTO graft.orders_rn SELECT o_orderkey, o_orderdate, price_c " +
       "FROM graft_orders_raw_sql WHERE o_orderkey % 4 = 3")
+
+    // --- orders_rr: a ROLLUP that survives RENAME COLUMN (q220) -------------
+    // The rollup is added through the SQL face, THEN its source column is
+    // renamed: the engine rewrites the registered definition and
+    // re-materializes in place (OlapEngine.renameColumn → rollups
+    // .renameColumn), so the aggregate phrased in the NEW name keeps being
+    // served from the rollup instead of the rollup silently standing down.
+    // q220's query asserts the plan reads the rollup files AND hash-checks
+    // the values.
+    sql("""CREATE TABLE graft.orders_rr (
+          |  o_orderkey BIGINT, o_orderstatus VARCHAR(1), price_c DECIMAL(18, 2)
+          |) DUPLICATE KEY (o_orderkey)
+          |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin)
+    sql("INSERT INTO graft.orders_rr SELECT o_orderkey, o_orderstatus, price_c " +
+      "FROM graft_orders_raw_sql")
+    sql("ALTER TABLE graft.orders_rr ADD ROLLUP rr_status (o_orderstatus) " +
+      "AGG (SUM(price_c) AS sum_price, COUNT(*) AS n)")
+    sql("ALTER TABLE graft.orders_rr RENAME COLUMN price_c TO amount_c")
     eng
   }
 }
@@ -839,6 +857,44 @@ object EngineQueries {
         |FROM q210_head GROUP BY 1""".stripMargin)
   }
 
+  /** q220: an aggregate phrased in the POST-RENAME column name, REQUIRED to
+    * be served from the rollup that was defined pre-rename — the
+    * rename-following re-materialize (`RollupManager.renameColumn`) in one
+    * oracle-checked query. The plan assertion makes "silently stood down
+    * and recomputed from base" a loud failure, not a quiet slowdown; the
+    * hash pins the re-materialized content. SHOW ROLLUPS must also list
+    * the rollup as fresh under the same SQL face that created it.
+    */
+  def rollupRenameServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    graft.sql.GraftSql.bind(spark, eng)
+    val shown = graft.sql.GraftSql
+      .sql(spark, "SHOW ROLLUPS IN graft.orders_rr").collect()
+    require(shown.exists(r => r.getAs[String]("name") == "rr_status" &&
+        r.getAs[String]("aggs").contains("amount_c") &&
+        r.getAs[Boolean]("fresh")),
+      s"SHOW ROLLUPS must list rr_status fresh under the renamed source: " +
+        shown.mkString("; "))
+    val df = eng.scan("graft", "orders_rr")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("amount_c")).as("sum_amount"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("sum_amount", col("sum_amount").cast("double"))
+    val leaves = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    require(leaves.exists(_.contains("rollups/rr_status/")),
+      s"q220 must serve from the renamed-and-rematerialized rollup, " +
+        s"read instead: ${leaves.mkString(", ")}")
+    df
+  }
+
   /** q216: the re-bucketed table's head. The fixture ran a full Unique
     * lifecycle (two loads, an upsert band, a key-ranged delete) and then
     * rewrote the physical layout 2 → 7 buckets via
@@ -882,6 +938,7 @@ object EngineQueries {
     "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
+    "q220_rollup_rename_serve" -> rollupRenameServe _,
     "q209_restore_version" -> restoredScan _,
     "q204_shallow_clone" -> cloneDiverged _,
     "q199_dead_letter_quarantine" -> deadLetterQuarantine _,
@@ -951,6 +1008,15 @@ object EngineQueries {
         |WHERE (o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0)
         |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
         |GROUP BY 1""".stripMargin,
+    // q220: the rollup content re-materialized after the rename must equal
+    // the raw-data aggregate — the query side additionally REQUIRES the
+    // plan to read the rollup files, so this hash certifies the
+    // rename-following rebuild, not a base-scan fallback
+    "q220_rollup_rename_serve" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "q210_sql_lifecycle" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS m,
         |  count(*) AS n_rows,

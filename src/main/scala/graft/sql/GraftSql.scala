@@ -98,6 +98,9 @@ object GraftSql {
     case RenameColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case ShowCreateTable(db, t)   => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
+    case ShowRollups(db, t)       => eng.catalog.getTable(db, t).isDefined
+    case ShowMvs(db, t)           => eng.catalog.getTable(db, t).isDefined
+    case ShowClones(db, t)        => eng.catalog.getTable(db, t).isDefined
     case ShowTablesIn(db)         => eng.catalog.databaseExists(db)
   }
 
@@ -137,12 +140,37 @@ object GraftSql {
   val ddlSchema: StructType = StructType(Seq(
     StructField("ddl", StringType, nullable = false)))
 
+  val rollupsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("group_by", StringType, nullable = false),
+    StructField("aggs", StringType, nullable = false),
+    StructField("filter", StringType, nullable = true),
+    StructField("stored_version", LongType, nullable = false),
+    StructField("fresh", BooleanType, nullable = false)))
+
+  val mvsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("join", StringType, nullable = false),
+    StructField("group_by", StringType, nullable = false),
+    StructField("aggs", StringType, nullable = false),
+    StructField("stored_fact_version", LongType, nullable = false),
+    StructField("stored_dim_version", LongType, nullable = false),
+    StructField("fresh", BooleanType, nullable = false)))
+
+  val clonesSchema: StructType = StructType(Seq(
+    StructField("clone_db", StringType, nullable = false),
+    StructField("clone_table", StringType, nullable = false),
+    StructField("borrowed_rowsets", LongType, nullable = false)))
+
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
     case _: ShowPartitions => partitionsSchema
     case _: ShowTablesIn => tablesSchema
     case _: ShowCreateTable => ddlSchema
+    case _: ShowRollups => rollupsSchema
+    case _: ShowMvs => mvsSchema
+    case _: ShowClones => clonesSchema
     case _ => statusSchema
   }
 
@@ -279,6 +307,38 @@ object GraftSql {
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(
           eng.catalog.listTables(db).map(Row(_)).asJava, tablesSchema)
+
+      case ShowRollups(db, t) =>
+        import scala.jdk.CollectionConverters._
+        val rows = eng.rollups.list(db, t).map { case (rd, v) =>
+          val aggs = (rd.aggs.map { case (o, s, a) => s"${a.name}($s) AS $o" } ++
+            rd.countCol.map(c => s"COUNT(*) AS $c") ++
+            rd.bitmapCol.map { case (o, s) => s"BITMAP($s) AS $o" } ++
+            rd.hllCol.map { case (o, s) => s"HLL($s) AS $o" }).mkString(", ")
+          Row(rd.name, rd.groupCols.mkString(", "), aggs, rd.filter.orNull,
+            v, eng.rollups.isFresh(db, t, rd.name))
+        }
+        spark.createDataFrame(rows.asJava, rollupsSchema)
+
+      case ShowMvs(db, t) =>
+        import scala.jdk.CollectionConverters._
+        val rows = eng.mvs.list(db, t).map { case (d, fv, dv) =>
+          val aggs = (d.aggs.map { case (o, s, a) => s"${a.name}($s) AS $o" } ++
+            d.countCol.map(c => s"COUNT(*) AS $c")).mkString(", ")
+          Row(d.name,
+            s"${d.factDb}.${d.factTable} JOIN ${d.dimDb}.${d.dimTable} " +
+              s"ON ${d.factKey} = ${d.dimKey}",
+            d.groupCols.mkString(", "), aggs, fv, dv,
+            eng.mvs.isFresh(db, t, d.name))
+        }
+        spark.createDataFrame(rows.asJava, mvsSchema)
+
+      case ShowClones(db, t) =>
+        import scala.jdk.CollectionConverters._
+        val rows = eng.clonesOf(db, t).map { case (cdb, ctbl, ids) =>
+          Row(cdb, ctbl, ids.size.toLong)
+        }
+        spark.createDataFrame(rows.asJava, clonesSchema)
 
       case DropTable(db, t) =>
         require(eng.catalog.dropTable(db, t), s"no table $db.$t")

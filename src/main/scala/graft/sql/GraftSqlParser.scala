@@ -57,6 +57,12 @@ object GraftStatement {
   final case class ShowRowsets(db: String, table: String) extends GraftStatement
   final case class ShowPartitions(db: String, table: String) extends GraftStatement
   final case class ShowTablesIn(db: String) extends GraftStatement
+  /** SHOW ROLLUPS IN db.t — the registered rollups with freshness. */
+  final case class ShowRollups(db: String, table: String) extends GraftStatement
+  /** SHOW MATERIALIZED VIEWS IN db.t — the registered join MVs (fact side). */
+  final case class ShowMvs(db: String, table: String) extends GraftStatement
+  /** SHOW CLONES IN db.t — live shallow clones borrowing this table's rowsets. */
+  final case class ShowClones(db: String, table: String) extends GraftStatement
   /** BEGIN LOAD GROUP / COMMIT LOAD GROUP / ABORT LOAD GROUP — the SQL face
     * of [[graft.engine.OlapEngine]]'s cross-table load groups: INSERT/DELETE
     * statements between BEGIN and COMMIT stage invisibly and land atomically
@@ -401,6 +407,13 @@ object GraftSqlParser {
       Some(ShowCreateTable(db, t))
     } else if (c.tryKw("ROWSETS")) {
       c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowRowsets(db, t))
+    } else if (c.tryKw("ROLLUPS")) {
+      c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowRollups(db, t))
+    } else if (c.tryKw("MATERIALIZED")) {
+      c.kw("VIEWS"); c.kw("IN"); val (db, t) = c.qname(); c.end()
+      Some(ShowMvs(db, t))
+    } else if (c.tryKw("CLONES")) {
+      c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowClones(db, t))
     } else if (c.tryKw("PARTITIONS")) {
       if (!c.tryKw("IN")) return None // Spark's own SHOW PARTITIONS <tbl>
       val (db, t) = c.qname(); c.end(); Some(ShowPartitions(db, t))

@@ -441,6 +441,72 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("SHOW ROLLUPS / SHOW MATERIALIZED VIEWS / SHOW CLONES: the lifecycle " +
+    "objects a table carries are introspectable through SQL, and a RENAME " +
+    "COLUMN re-materializes the rollups/MVs that reference it") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_show")
+      g("""CREATE TABLE g_show.fact (k BIGINT, grp VARCHAR(4), fk BIGINT,
+          |  v BIGINT) DUPLICATE KEY (k)
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      g("""CREATE TABLE g_show.dim (dk BIGINT, seg VARCHAR(4))
+          |DUPLICATE KEY (dk) DISTRIBUTED BY HASH(dk) BUCKETS 2""".stripMargin)
+      g("INSERT INTO g_show.fact SELECT id, CAST(id % 3 AS STRING), id % 5, " +
+        "id * 10 FROM range(100)")
+      g("INSERT INTO g_show.dim SELECT id, CAST(id % 2 AS STRING) FROM range(5)")
+      g("ALTER TABLE g_show.fact ADD ROLLUP by_grp (grp) AGG (SUM(v) AS s_v, " +
+        "COUNT(*) AS n)")
+      g("CREATE MATERIALIZED VIEW by_seg ON g_show.fact JOIN g_show.dim " +
+        "ON fk = dk GROUP BY (seg) AGG (SUM(v) AS s_v, COUNT(*) AS n)")
+      g("CREATE TABLE g_show.fact_clone SHALLOW CLONE g_show.fact")
+
+      val rollups = g("SHOW ROLLUPS IN g_show.fact").collect()
+      assert(rollups.length == 1 && rollups.head.getAs[String]("name") == "by_grp")
+      assert(rollups.head.getAs[Boolean]("fresh"))
+      assert(rollups.head.getAs[String]("aggs").contains("SUM(v) AS s_v"))
+      val mvs = g("SHOW MATERIALIZED VIEWS IN g_show.fact").collect()
+      assert(mvs.length == 1 && mvs.head.getAs[String]("name") == "by_seg")
+      assert(mvs.head.getAs[String]("join").contains("g_show.dim"))
+      assert(mvs.head.getAs[Boolean]("fresh"))
+      val clones = g("SHOW CLONES IN g_show.fact").collect()
+      assert(clones.length == 1 &&
+        clones.head.getAs[String]("clone_table") == "fact_clone")
+      assert(clones.head.getAs[Long]("borrowed_rowsets") >= 1L)
+      // a table with none of them lists empty (not an error)
+      assert(g("SHOW ROLLUPS IN g_show.dim").count() === 0L)
+      assert(g("SHOW CLONES IN g_show.dim").count() === 0L)
+
+      // RENAME COLUMN v -> amount: the rollup AND the MV reference v; both
+      // must follow the rename (re-materialized, still fresh, new name in
+      // the listing) instead of standing down
+      g("ALTER TABLE g_show.fact RENAME COLUMN v TO amount")
+      val after = g("SHOW ROLLUPS IN g_show.fact").collect().head
+      assert(after.getAs[Boolean]("fresh"),
+        "rollup must be re-materialized, not stood down, after the rename")
+      assert(after.getAs[String]("aggs").contains("SUM(amount) AS s_v"))
+      val mvAfter = g("SHOW MATERIALIZED VIEWS IN g_show.fact").collect().head
+      assert(mvAfter.getAs[Boolean]("fresh"))
+      assert(mvAfter.getAs[String]("aggs").contains("SUM(amount) AS s_v"))
+      // and the rewritten rollup genuinely serves the new-name aggregate
+      graft.GraftExtensions.register(spark)
+      import org.apache.spark.sql.functions.{col, sum}
+      val q = eng.scan("g_show", "fact").groupBy(col("grp"))
+        .agg(sum(col("amount")).as("s_v"))
+      val leaves = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(leaves.exists(_.contains("rollups/by_grp/")),
+        s"post-rename aggregate not rollup-served; read: ${leaves.mkString(", ")}")
+    } finally GraftSql.unbind(spark)
+  }
+
   test("injected parser: spark.sql on an extension-built session understands " +
     "engine statements and still delegates everything else") {
     val prevDefault = SparkSession.getDefaultSession
