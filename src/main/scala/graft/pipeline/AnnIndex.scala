@@ -363,6 +363,145 @@ object AnnIndex {
     (st, fire)
   }
 
+  // --- retrieval-quality regression gate (round-9 verdict item 8) -----------
+  // driftStatus watches the FIT's geometry; this gate watches what users
+  // actually feel — ranking quality. A pinned truth set (exact cosine top-k
+  // of a probe sample, stored as an engine table at install time) plus the
+  // install-time scorecard become the reference; every later evaluation —
+  // after a refit, a compaction, a delete burst — serves the same probes
+  // from the CURRENT index and compares q206's metrics against it. An index
+  // maintenance action that degrades retrieval is detected by the ENGINE,
+  // not by a judge reading bench numbers.
+
+  /** (probe_id, neighbor_id) — the pinned binary-relevance truth. */
+  val TruthTable = "eval_truth"
+  /** One scorecard row per evaluation: gen → (mean recall@k, mean NDCG@k).
+    * The MINIMUM gen row is the pinned install-time baseline.
+    */
+  val EvalStatsTable = "eval_stats"
+
+  final case class EvalGateStatus(gen: Long, recall: Double, ndcg: Double,
+      baselineRecall: Double, baselineNdcg: Double,
+      recallRatio: Double, pass: Boolean)
+
+  private def createEvalTables(eng: OlapEngine): Unit = {
+    if (eng.catalog.getTable(Db, TruthTable).isEmpty) {
+      eng.createTable(TableDef(
+        db = Db, name = TruthTable,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("probe_id", LongType),
+          ColumnSpec.key("neighbor_id", LongType),
+          ColumnSpec.value("rel", IntegerType))),
+        bucketColumn = Some("probe_id"), numBuckets = 1))
+      ()
+    }
+    if (eng.catalog.getTable(Db, EvalStatsTable).isEmpty) {
+      eng.createTable(TableDef(
+        db = Db, name = EvalStatsTable,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("gen", LongType),
+          ColumnSpec.value("recall", DoubleType),
+          ColumnSpec.value("ndcg", DoubleType))),
+        bucketColumn = Some("gen"), numBuckets = 1))
+      ()
+    }
+  }
+
+  /** Exact cosine top-k of the first `nProbes` vectors against the whole
+    * corpus — linear in corpus size per install (probes broadcast), the
+    * brute-force baseline the gate pins as truth.
+    */
+  private def exactTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val e = normalized(emb)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        Similarity.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Mean recall@k / NDCG@k of the CURRENT served index against the stored
+    * truth (q206's rankingEval, gate-shaped).
+    */
+  private def servedScorecard(eng: OlapEngine, emb: DataFrame)
+  : (Double, Double) = {
+    val truth = eng.scan(Db, TruthTable)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
+    // the probe set AND k are properties of the PINNED truth, never of the
+    // caller: every evaluation across generations must score the identical
+    // task or the ratios mean nothing
+    val shape = truth.groupBy(col("probe_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("probe_id")).as("p"), max(col("n")).as("k")).head()
+    val nProbes = (shape.getLong(0) + 1).toInt
+    val k = shape.getLong(1).toInt
+    val sys = topKFromTable(eng, emb, nProbes = nProbes, k = k)
+      .select(col("probe_id"), col("neighbor_id"), col("rk"))
+    val m = Similarity.rankingEval(truth, sys, k)
+      .agg(avg(col("recall")).as("r"), avg(col("ndcg")).as("n")).head()
+    (m.getDouble(0), m.getDouble(1))
+  }
+
+  /** Install the gate: pin the truth (exact top-k over the CURRENTLY indexed
+    * corpus) and record the install-time served scorecard as the baseline.
+    */
+  def installEvalGate(eng: OlapEngine, emb: DataFrame,
+                      nProbes: Int = 8, k: Int = 5): EvalGateStatus = {
+    createEvalTables(eng)
+    eng.ingest(Db, TruthTable,
+      exactTopK(emb, nProbes, k).withColumn("rel", lit(1)))
+    evalGate(eng, emb, minRecallRatio = 0.0)
+  }
+
+  /** Evaluate the served index against the pinned truth and baseline. The
+    * scorecard lands in [[EvalStatsTable]] under the current fit generation
+    * (Unique — re-evaluating a generation overwrites its row), so quality
+    * history accrues next to the fit history. `pass` = mean recall within
+    * `minRecallRatio` of the pinned baseline.
+    */
+  def evalGate(eng: OlapEngine, emb: DataFrame,
+               minRecallRatio: Double = 0.8): EvalGateStatus = {
+    val gen = eng.manifest(Db, CentroidTable).maxVersion
+    val (recall, ndcg) = servedScorecard(eng, emb)
+    val spark = eng.spark
+    import spark.implicits._
+    eng.ingest(Db, EvalStatsTable,
+      Seq((gen, recall, ndcg)).toDF("gen", "recall", "ndcg"))
+    val base = eng.scan(Db, EvalStatsTable)
+      .orderBy(col("gen").asc).head()
+    val (bR, bN) = (base.getAs[Double]("recall"), base.getAs[Double]("ndcg"))
+    val ratio = if (bR == 0.0) 1.0 else recall / bR
+    EvalGateStatus(gen, recall, ndcg, bR, bN, ratio, ratio >= minRecallRatio)
+  }
+
+  /** [[scheduleRefit]] with the quality gate wired in: when the drift
+    * trigger fires a refit, the refitted index is immediately evaluated
+    * against the pinned truth — a refit that DEGRADES retrieval (bad
+    * params, corrupted corpus, a fit gone wrong) is reported by the engine
+    * the moment it lands, instead of surfacing as a slow rot in user
+    * queries. The gate result is returned (and its scorecard stored), never
+    * swallowed; rolling back is the operator's call ([[OlapEngine
+    * .restoreToVersion]] on the index tables makes that a metadata op).
+    */
+  def guardedRefit(eng: OlapEngine, corpus: DataFrame,
+                   maxDistRatio: Double = 1.5,
+                   maxFoldedFrac: Double = 1.0,
+                   minRecallRatio: Double = 0.8,
+                   nCells: Int = NCells, m: Int = M, kSub: Int = KSub)
+  : (DriftStatus, Boolean, Option[EvalGateStatus]) = {
+    val (st, fired) = scheduleRefit(eng, corpus, maxDistRatio, maxFoldedFrac,
+      nCells, m, kSub)
+    val gate = if (fired) Some(evalGate(eng, corpus, minRecallRatio = minRecallRatio))
+               else None
+    (st, fired, gate)
+  }
+
   /** IVF-PQ top-k SERVED from the engine tables: same routing, ADC and
     * exact re-rank as [[Similarity.ivfPqTopK]], with every artifact read
     * from `graft_idx` instead of a JVM cache. The codebook collect is
@@ -423,14 +562,15 @@ object AnnIndex {
   }
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cache.values.foreach(deleteWarehouse)))
+      (cache.values ++ gateCache.values.map(_._1)).foreach(deleteWarehouse)))
   }
 
   /** Drops AND deletes the cached engines' temp warehouses (same contract
     * as [[ClusterReps.clearCaches]]).
     */
   def clearCaches(): Unit = {
-    cache.values.foreach(deleteWarehouse)
+    (cache.values ++ gateCache.values.map(_._1)).foreach(deleteWarehouse)
+    gateCache.clear()
     cache.clear()
   }
 
@@ -637,7 +777,47 @@ object AnnIndex {
       candFilter = Some(col("label") === labelVal))
   }
 
+  /** q221: the retrieval-quality regression gate, end to end on the real
+    * corpus — its own engine (the gate's second act deliberately corrupts
+    * the index, so the shared q187 fixture must not be touched). Acts:
+    * bootstrap 90% + fold 10% (the standard lifecycle), PIN the gate, force
+    * a HEALTHY refit on the accumulated corpus (must pass at ratio ≥ 0.5 —
+    * a refit on the data the truth came from cannot halve recall), then a
+    * CORRUPTED refit (vectors shuffled across ids — geometry identical, so
+    * driftStatus is blind to it; ranking quality is not) which the gate
+    * must flag. Contract-pinned like q187: DuckDB can't run the fits, but
+    * it pins both verdicts.
+    */
+  def gateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val eng = gateCache.getOrElseUpdate(dir, {
+      val e = new OlapEngine(spark, Files.createTempDirectory("graft-anngate-"))
+      createTables(e)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      bootstrap(e, emb.filter(col("vec_id") % 10 =!= 0))
+      applyDelta(e, emb.filter(col("vec_id") % 10 === 0))
+      installEvalGate(e, emb)
+      val (_, _, healthy) = guardedRefit(e, emb,
+        maxFoldedFrac = 0.0, minRecallRatio = 0.5)
+      val n = emb.count()
+      val shuffled = emb.select(
+        pmod(col("vec_id") + lit(n / 3 + 1), lit(n)).as("vec_id"),
+        col("embedding"))
+      val (_, _, degraded) = guardedRefit(e, shuffled,
+        maxFoldedFrac = 0.0, minRecallRatio = 0.5)
+      (e, healthy.get, degraded.get)
+    })
+    import spark.implicits._
+    Seq(("retrieval_gate", eng._2.pass, !eng._3.pass))
+      .toDF("metric", "healthy_pass", "degraded_detected")
+  }
+
+  private val gateCache =
+    TrieMap.empty[String, (OlapEngine, EvalGateStatus, EvalGateStatus)]
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_retrieval_gate" ->
+      ((s: SparkSession, d: String) => gateAudit(s, d)),
     "q187_ann_index_served" ->
       ((s: SparkSession, d: String) => recallAuditServed(s, d)),
     "q196_semantic_dedup_served" ->
@@ -647,6 +827,11 @@ object AnnIndex {
   )
 
   val oracles: Map[String, String] = Map(
+    // q221: both gate verdicts pinned — the healthy refit passes, the
+    // corrupted refit is detected (same contract-pin style as q187)
+    "q221_retrieval_gate" ->
+      """SELECT 'retrieval_gate' AS metric, true AS healthy_pass,
+        |  true AS degraded_detected""".stripMargin,
     // same contract-pinning as q50/q151/q152: DuckDB can't run the k-means
     // fits, but it pins the recall verdict the table-served index measures
     // against the Spark-side exact baseline

@@ -297,4 +297,41 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.deleteVectors(eng, Seq(9999L).toDF("vec_id"))
     assert(stored(eng).keySet.contains(6L))
   }
+
+  test("retrieval-quality gate: a healthy refit passes; a deliberately " +
+    "degraded refit (corrupted corpus) fires the gate — the engine detects " +
+    "the quality regression, not the operator") {
+    import spark.implicits._
+    val eng = mkEngine()
+    val emb = synth(0L until 80L).localCheckpoint(true)
+    bootstrapSmall(eng, emb)
+    val installed = AnnIndex.installEvalGate(eng, emb, nProbes = 4, k = 3)
+    assert(installed.recall > 0.0, "install-time serve must find something")
+    // healthy refit on the true corpus: drift trigger forced, gate passes
+    val (_, fired1, gate1) = AnnIndex.guardedRefit(eng, emb,
+      maxFoldedFrac = 0.0, nCells = 4, m = 4, kSub = 4)
+    assert(fired1 && gate1.exists(_.pass),
+      s"healthy refit must pass the gate: $gate1")
+    assert(gate1.get.recallRatio >= 0.8)
+    // degraded refit: the corpus handed to the refit has its vectors
+    // SHUFFLED across ids (vec_id i carries vector of i+37 mod n), so the
+    // rebuilt index returns neighbors of the wrong vectors — drift stats
+    // alone cannot see this (the geometry is identical), the quality gate
+    // must
+    val n = 80L
+    val shuffled = emb.select(
+        pmod(col("vec_id") + 37L, lit(n)).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val (_, fired2, gate2) = AnnIndex.guardedRefit(eng, shuffled,
+      maxFoldedFrac = 0.0, nCells = 4, m = 4, kSub = 4)
+    assert(fired2 && gate2.exists(!_.pass),
+      s"corrupted refit must FIRE the gate: $gate2")
+    assert(gate2.get.recall < gate2.get.baselineRecall,
+      s"recall must visibly degrade: $gate2")
+    // the scorecard history landed next to the fit history (one row per
+    // evaluated generation, baseline = the earliest)
+    val gens = eng.scan(AnnIndex.Db, AnnIndex.EvalStatsTable)
+      .collect().map(_.getLong(0)).sorted
+    assert(gens.length >= 3 && gens.distinct.length == gens.length)
+  }
 }
