@@ -241,7 +241,15 @@ final case class TableDef(
     // (bounded by schema churn) and deliberately NOT cleared by compaction:
     // stale pre-rename rowsets stay wall-clock time-travelable inside
     // retention, and they need the mapping for as long as they serve.
-    renamedColumns: Map[String, String] = Map.empty) {
+    renamedColumns: Map[String, String] = Map.empty,
+    // first rowset id written under the CURRENT bucket layout (0 = the
+    // create-time layout, never rebucketted). Set by OlapEngine.rebucket and
+    // persisted with the catalog, so a restarted engine re-arms the bucket
+    // prune rule with the same safety floor: rowsets BELOW the floor were
+    // written under an older layout and must never be pruned by the new
+    // routing (unpruned is always correct; a new-count route against
+    // old-layout dirs would silently drop rows).
+    bucketLayoutFloor: Long = 0L) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
@@ -279,33 +287,231 @@ final case class TableDef(
   }
 }
 
-/** In-memory database/table registry (reference: src/table.rs:46-97,
+/** Lossless TableDef ↔ JSON codec — what makes the warehouse
+  * SELF-DESCRIBING: the catalog persists beside the manifests, so opening
+  * an engine over an existing warehouse needs no DDL replay (the restart
+  * posture every other piece of engine state — manifests, the group
+  * ledger, index tables, trained models — already had). Deliberately NOT
+  * the SHOW CREATE TABLE DDL text: that renders the DECLARATION, while a
+  * restart needs the full lifecycle state (dropped columns/partitions,
+  * rename history) or old rowsets stop being readable.
+  */
+object CatalogStore {
+  import org.json4s._
+  import graft.model.{AggType, ColumnSpec, KeysType, TableSchema}
+
+  private def jOpt(o: Option[String]): JValue = o.fold(JNothing: JValue)(JString(_))
+
+  private def partJson(p: PartitionSpec): JValue = JObject(
+    "name" -> JString(p.name),
+    "upperExclusive" -> jOpt(p.upperExclusive),
+    "listValues" -> JArray(p.listValues.toList.map(JString(_): JValue)),
+    "numBuckets" -> JInt(p.numBuckets))
+
+  private def partFrom(j: JValue)(implicit f: Formats): PartitionSpec =
+    PartitionSpec(
+      (j \ "name").extract[String],
+      (j \ "upperExclusive").extractOpt[String],
+      (j \ "listValues").extract[List[String]],
+      (j \ "numBuckets").extract[Int])
+
+  def toJson(td: TableDef): JValue = {
+    val cols = td.schema.columns.toList.map { c =>
+      JObject("name" -> JString(c.name),
+        // Spark DDL text round-trips every type the engine declares
+        "type" -> JString(c.dataType.sql),
+        "isKey" -> JBool(c.isKey), "nullable" -> JBool(c.nullable),
+        "agg" -> JString(c.agg.name), "maxLength" -> JInt(c.maxLength)): JValue
+    }
+    val retention: JValue = td.retention match {
+      case Retention.Manual => JString("manual")
+      case Retention.Forever => JString("forever")
+      case Retention.KeepMs(ms) => JString(s"keep_ms:$ms")
+      case Retention.KeepVersions(n) => JString(s"keep_versions:$n")
+    }
+    JObject(
+      "db" -> JString(td.db), "name" -> JString(td.name),
+      "keysType" -> JString(td.schema.keysType.name),
+      "columns" -> JArray(cols),
+      "policy" -> JString(td.policy match {
+        case PartitionPolicy.Range => "RANGE"
+        case PartitionPolicy.List => "LIST"
+        case PartitionPolicy.Unpartitioned => "UNPARTITIONED"
+      }),
+      "partitionColumn" -> jOpt(td.partitionColumn),
+      "partitions" -> JArray(td.partitions.toList.map(partJson)),
+      "bucketType" -> JString(if (td.bucketType == BucketType.Random) "RANDOM" else "HASH"),
+      "bucketColumn" -> jOpt(td.bucketColumn),
+      "numBuckets" -> JInt(td.numBuckets),
+      "replication" -> JInt(td.replication),
+      "retention" -> retention,
+      "varcharMode" -> JString(td.varcharMode match {
+        case VarcharMode.Ignore => "ignore"
+        case VarcharMode.Truncate => "truncate"
+        case VarcharMode.Strict => "strict"
+      }),
+      "autoPartition" -> td.autoPartition.fold(JNothing: JValue)(u =>
+        JString(u.toString.toLowerCase)),
+      "autoExpireKeep" -> td.autoExpireKeep.fold(JNothing: JValue)(n => JInt(n)),
+      "partialUpdate" -> JBool(td.partialUpdate),
+      "sequenceColumn" -> jOpt(td.sequenceColumn),
+      "zorderColumns" -> td.zorderColumns.fold(JNothing: JValue) { case (x, y) =>
+        JArray(List(JString(x), JString(y))) },
+      "droppedColumns" -> JArray(td.droppedColumns.toList.map(JString(_): JValue)),
+      "droppedPartitions" -> JArray(td.droppedPartitions.toList.map(partJson)),
+      "expiredToDeadLetter" -> JBool(td.expiredToDeadLetter),
+      "renamedColumns" -> JObject(td.renamedColumns.toList.map {
+        case (o, n) => o -> (JString(n): JValue) }),
+      "bucketLayoutFloor" -> JInt(td.bucketLayoutFloor))
+  }
+
+  def fromJson(j: JValue): TableDef = {
+    implicit val formats: Formats = DefaultFormats
+    val cols = (j \ "columns").extract[List[JValue]].map { c =>
+      ColumnSpec(
+        (c \ "name").extract[String],
+        org.apache.spark.sql.types.DataType.fromDDL((c \ "type").extract[String]),
+        (c \ "isKey").extract[Boolean],
+        (c \ "nullable").extract[Boolean],
+        AggType.fromName((c \ "agg").extract[String]),
+        (c \ "maxLength").extract[Int])
+    }
+    TableDef(
+      db = (j \ "db").extract[String],
+      name = (j \ "name").extract[String],
+      schema = TableSchema(
+        KeysType.fromName((j \ "keysType").extract[String]), cols),
+      policy = (j \ "policy").extract[String] match {
+        case "RANGE" => PartitionPolicy.Range
+        case "LIST" => PartitionPolicy.List
+        case _ => PartitionPolicy.Unpartitioned
+      },
+      partitionColumn = (j \ "partitionColumn").extractOpt[String],
+      partitions = (j \ "partitions").extract[List[JValue]].map(partFrom),
+      bucketType = if ((j \ "bucketType").extract[String] == "RANDOM")
+        BucketType.Random else BucketType.Hash,
+      bucketColumn = (j \ "bucketColumn").extractOpt[String],
+      numBuckets = (j \ "numBuckets").extract[Int],
+      replication = (j \ "replication").extract[Int],
+      retention = (j \ "retention").extract[String] match {
+        case "manual" => Retention.Manual
+        case "forever" => Retention.Forever
+        case s if s.startsWith("keep_ms:") =>
+          Retention.KeepMs(s.stripPrefix("keep_ms:").toLong)
+        case s if s.startsWith("keep_versions:") =>
+          Retention.KeepVersions(s.stripPrefix("keep_versions:").toInt)
+      },
+      varcharMode = (j \ "varcharMode").extract[String] match {
+        case "truncate" => VarcharMode.Truncate
+        case "strict" => VarcharMode.Strict
+        case _ => VarcharMode.Ignore
+      },
+      autoPartition = (j \ "autoPartition").extractOpt[String].map {
+        case "day" => AutoPartitionUnit.Day
+        case "month" => AutoPartitionUnit.Month
+      },
+      autoExpireKeep = (j \ "autoExpireKeep").extractOpt[Int],
+      partialUpdate = (j \ "partialUpdate").extract[Boolean],
+      sequenceColumn = (j \ "sequenceColumn").extractOpt[String],
+      // explicit match: extractOpt[List[...]] of JNothing is Some(Nil)
+      zorderColumns = (j \ "zorderColumns") match {
+        case JArray(List(JString(x), JString(y))) => Some((x, y))
+        case _ => scala.None
+      },
+      droppedColumns = (j \ "droppedColumns").extract[List[String]],
+      droppedPartitions =
+        (j \ "droppedPartitions").extract[List[JValue]].map(partFrom),
+      expiredToDeadLetter = (j \ "expiredToDeadLetter").extract[Boolean],
+      renamedColumns = (j \ "renamedColumns") match {
+        case JObject(fs) => fs.map { case (k, v) =>
+          k -> v.asInstanceOf[JString].s }.toMap
+        case _ => Map.empty
+      },
+      bucketLayoutFloor = (j \ "bucketLayoutFloor").extractOpt[Long].getOrElse(0L))
+  }
+}
+
+/** Database/table registry (reference: src/table.rs:46-97,
   * src/storage.rs:35-60). Driver-side only; thread-safe via TrieMap instead of
   * the reference's RwLock shards — executors scale instead of lock shards
   * (SURVEY.md §2.7 D4).
+  *
+  * With `store = Some(path)` (how [[graft.engine.OlapEngine]] constructs it)
+  * the catalog is DURABLE: every mutation rewrites the JSON atomically
+  * (tmp + rename, the manifest discipline) and construction reloads it —
+  * opening an engine over an existing warehouse needs no DDL replay.
+  * Persist cost is O(tables) per DDL statement; DDL rate is human-scale, so
+  * a single file holds to ~1e4 tables before the per-db sharding the layout
+  * already permits would be worth it. Replayed identical CREATEs are
+  * idempotent no-ops (so bootstrap scripts stay runnable); a CREATE whose
+  * definition DIFFERS from the stored one still fails loudly.
   */
-final class CatalogManager {
+final class CatalogManager(store: Option[java.nio.file.Path] = None) {
   private val dbs = TrieMap.empty[String, Unit]
   private val tables = TrieMap.empty[String, TableDef]
 
-  def createDatabase(name: String): Unit = dbs.putIfAbsent(name, ())
+  locally {
+    store.foreach { p =>
+      if (java.nio.file.Files.exists(p)) {
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        val doc = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(p))
+        (doc \ "databases").extract[List[String]].foreach(dbs.put(_, ()))
+        (doc \ "tables").extract[List[org.json4s.JValue]].foreach { j =>
+          val td = CatalogStore.fromJson(j)
+          tables.put(td.qualified, td)
+        }
+      }
+    }
+  }
+
+  private def persist(): Unit = store.foreach { p =>
+    import org.json4s._
+    val doc = JObject(
+      "databases" -> JArray(dbs.keys.toList.sorted.map(JString(_): JValue)),
+      "tables" -> JArray(tables.values.toList.sortBy(_.qualified)
+        .map(CatalogStore.toJson)))
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(
+      s"${p.getFileName}.tmp${Thread.currentThread().getId}")
+    java.nio.file.Files.writeString(tmp,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(doc)))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def createDatabase(name: String): Unit =
+    if (dbs.putIfAbsent(name, ()).isEmpty) persist()
   def databaseExists(name: String): Boolean = dbs.contains(name)
   def listDatabases: Seq[String] = dbs.keys.toSeq.sorted
 
   def createTable(td: TableDef): TableDef = {
     require(dbs.contains(td.db), s"database ${td.db} does not exist")
-    require(tables.putIfAbsent(td.qualified, td).isEmpty, s"table ${td.qualified} exists")
-    td
+    tables.putIfAbsent(td.qualified, td) match {
+      case scala.None => persist(); td
+      // an IDENTICAL replayed CREATE is a no-op (bootstrap scripts rerun
+      // over a persisted catalog); a different definition fails loudly
+      case Some(existing) if existing == td => td
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          s"table ${td.qualified} exists with a different definition")
+    }
   }
 
   /** Replace an existing table's definition (schema evolution). */
   def alterTable(td: TableDef): TableDef = {
     require(tables.contains(td.qualified), s"table ${td.qualified} does not exist")
     tables.put(td.qualified, td)
+    persist()
     td
   }
   def getTable(db: String, name: String): Option[TableDef] = tables.get(s"$db.$name")
-  def dropTable(db: String, name: String): Boolean = tables.remove(s"$db.$name").isDefined
+  def dropTable(db: String, name: String): Boolean = {
+    val dropped = tables.remove(s"$db.$name").isDefined
+    if (dropped) persist()
+    dropped
+  }
   def listTables(db: String): Seq[String] =
     tables.values.filter(_.db == db).map(_.name).toSeq.sorted
 }

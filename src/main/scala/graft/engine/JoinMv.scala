@@ -45,6 +45,78 @@ final class MvManager(eng: OlapEngine) {
   private def mvDir(d: MvJoinDef): Path =
     eng.tableRoot(d.factDb, d.factTable).resolve("mvs").resolve(d.name)
 
+  // --- persistence: registrations survive restarts (the RollupManager
+  // argument verbatim: the MV parquet always survived, the registration
+  // didn't, so a restart forced a full fact⋈dim rebuild before the rewrite
+  // could serve again) ------------------------------------------------------
+
+  private def defsPath(factDb: String, factTable: String): Path =
+    eng.tableRoot(factDb, factTable).resolve("mvs").resolve("_mvs.json")
+
+  private def persistDefs(factDb: String, factTable: String): Unit = {
+    import org.json4s._
+    val mine = defs.collect {
+      case ((w, d, t, _), v) if w == eng.warehouse.toString &&
+        d == factDb && t == factTable => v
+    }.toList.sortBy(_._1.name)
+    val doc = JArray(mine.map { case (d, fv, dv) =>
+      JObject(
+        "name" -> JString(d.name),
+        "factDb" -> JString(d.factDb), "factTable" -> JString(d.factTable),
+        "dimDb" -> JString(d.dimDb), "dimTable" -> JString(d.dimTable),
+        "factKey" -> JString(d.factKey), "dimKey" -> JString(d.dimKey),
+        "groupCols" -> JArray(d.groupCols.toList.map(JString(_): JValue)),
+        "aggs" -> JArray(d.aggs.toList.map { case (o, s, a) =>
+          JArray(List(JString(o), JString(s), JString(a.name))): JValue }),
+        "countCol" -> d.countCol.fold(JNothing: JValue)(JString(_)),
+        "factVersion" -> JInt(fv), "dimVersion" -> JInt(dv)): JValue
+    })
+    val p = defsPath(factDb, factTable)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"_mvs.json.tmp${Thread.currentThread().getId}")
+    java.nio.file.Files.writeString(tmp,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(doc)))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Reload this fact table's persisted MV registrations and re-arm the
+    * rewrite rule (engine constructor sweep).
+    */
+  private[engine] def loadPersisted(factDb: String, factTable: String): Unit = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val p = defsPath(factDb, factTable)
+    if (!java.nio.file.Files.exists(p)) return
+    org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+      .extract[List[JValue]].foreach { j =>
+        val d = MvJoinDef(
+          name = (j \ "name").extract[String],
+          factDb = (j \ "factDb").extract[String],
+          factTable = (j \ "factTable").extract[String],
+          dimDb = (j \ "dimDb").extract[String],
+          dimTable = (j \ "dimTable").extract[String],
+          factKey = (j \ "factKey").extract[String],
+          dimKey = (j \ "dimKey").extract[String],
+          groupCols = (j \ "groupCols").extract[List[String]],
+          aggs = (j \ "aggs").extract[List[JValue]].map {
+            case JArray(List(JString(o), JString(s), JString(a))) =>
+              (o, s, graft.model.AggType.fromName(a))
+            case other => throw new IllegalArgumentException(s"bad agg $other")
+          },
+          countCol = (j \ "countCol").extractOpt[String])
+        val fv = (j \ "factVersion").extract[Long]
+        val dv = (j \ "dimVersion").extract[Long]
+        val stored = mvDir(d).resolve(s"f${fv}_d$dv")
+        if (java.nio.file.Files.exists(stored)) {
+          defs((eng.warehouse.toString, factDb, factTable, d.name)) = (d, fv, dv)
+          graft.plans.JoinMvRewrite.register(
+            graft.plans.JoinMvRewrite.Entry(eng, d, fv, dv, stored.toString))
+        }
+      }
+  }
+
   private def aggCol(src: String, agg: AggType, out: String): Column = (agg match {
     case AggType.Sum => sum(col(src))
     case AggType.Min => min(col(src))
@@ -68,6 +140,7 @@ final class MvManager(eng: OlapEngine) {
     val path = mvDir(d).resolve(s"f${factV}_d$dimV")
     baseAggregate(d).write.mode("overwrite").parquet(path.toString)
     defs((eng.warehouse.toString, d.factDb, d.factTable, d.name)) = (d, factV, dimV)
+    persistDefs(d.factDb, d.factTable)
     graft.plans.JoinMvRewrite.register(
       graft.plans.JoinMvRewrite.Entry(eng, d, factV, dimV, path.toString))
   }
@@ -124,6 +197,7 @@ final class MvManager(eng: OlapEngine) {
     val path = mvDir(d).resolve(s"f${factV}_d$dimV")
     merged.write.mode("overwrite").parquet(path.toString)
     defs(key) = (d, factV, dimV)
+    persistDefs(factDb, factTable)
     graft.plans.JoinMvRewrite.register(
       graft.plans.JoinMvRewrite.Entry(eng, d, factV, dimV, path.toString))
   }

@@ -40,7 +40,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     "OlapEngine requires spark.sql.files.ignoreMissingFiles=false: with it on, " +
       "a reader racing GC would silently drop the GC'd rowsets' rows")
 
-  val catalog = new CatalogManager
+  // the catalog persists beside the manifests (warehouse/_catalog.json):
+  // opening an engine over an existing warehouse restores every table
+  // definition — schema, routing, lifecycle state, rename history — with
+  // no DDL replay. Replayed identical CREATEs stay harmless no-ops.
+  val catalog = new CatalogManager(Some(warehouse.resolve("_catalog.json")))
   val rollups = new RollupManager(this)
   val mvs = new MvManager(this)
   private val manifests = TrieMap.empty[String, TableManifest]
@@ -50,6 +54,18 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   // see every table pre-group or post-group, never a mix
   private val groupLedger = new GroupLedger(warehouse)
   private val groupCoord = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  locally {
+    // re-arm the transparent prune rules and the rollup/MV rewrite entries
+    // for every table the persisted catalog restored: a restarted engine
+    // must serve the same pruned, rewrite-served plans (incl. the rebucket
+    // layout floor) as the session that created them — with zero rebuilds
+    catalog.listDatabases.foreach(db => catalog.listTables(db).foreach { t =>
+      catalog.getTable(db, t).foreach(registerRouting)
+      rollups.loadPersisted(db, t)
+      mvs.loadPersisted(db, t)
+    })
+  }
 
   // Internal column names (never leak out of scan()).
   val PartCol = "__graft_part"
@@ -235,14 +251,24 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         schema = graft.model.TableSchema(KeysType.Duplicate,
           td.schema.columns.map(c => c.copy(agg = graft.model.AggType.None))),
         bucketColumn = td.bucketColumn, numBuckets = td.numBuckets))
+    registerRouting(td)
+    created
+  }
+
+  /** Arm the transparent prune rules for `td` (bucket + partition). Called
+    * at createTable and — via the constructor sweep — for every table a
+    * PERSISTED catalog restores, so a restarted engine serves the same
+    * pruned plans the creating session did.
+    */
+  private def registerRouting(td: TableDef): Unit = {
     // hash-bucketed tables get transparent read-side bucket pruning
     if (td.bucketType == BucketType.Hash && td.bucketColumn.isDefined)
       graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
         tableRoot(td.db, td.name).toAbsolutePath.normalize.toString,
         td.bucketColumn.get, td.numBuckets,
-        k => td.bucketType.bucketForKey(k, td.numBuckets)))
+        k => td.bucketType.bucketForKey(k, td.numBuckets),
+        layoutFloorRowsetId = td.bucketLayoutFloor))
     registerPartitionPruning(td)
-    created
   }
 
   /** Register/refresh the transparent partition-prune entry for this table.
@@ -1544,9 +1570,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val lo = inputs.map(_.version.start).min
     val hi = inputs.map(_.version.end).max
     val merged = snapshot(db, table, lo, hi)
-    val newTd = td.copy(bucketColumn = Some(bcol), numBuckets = newBuckets,
-      partitions = td.partitions.map(_.copy(numBuckets = newBuckets)))
     val rowsetId = m.nextRowsetId
+    val newTd = td.copy(bucketColumn = Some(bcol), numBuckets = newBuckets,
+      partitions = td.partitions.map(_.copy(numBuckets = newBuckets)),
+      // the layout floor persists with the catalog, so a RESTARTED engine
+      // re-arms the prune rule with the same old-rowsets-never-pruned guard
+      bucketLayoutFloor = rowsetId)
     val relDir = s"r$rowsetId"
     val outDir = tableRoot(db, table).resolve(relDir)
     var out = merged

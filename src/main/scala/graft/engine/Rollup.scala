@@ -67,6 +67,83 @@ final class RollupManager(eng: OlapEngine) {
   private def rollupDir(db: String, table: String, name: String): Path =
     eng.tableRoot(db, table).resolve("rollups").resolve(name)
 
+  // --- persistence: registrations survive restarts --------------------------
+  // The stored rollup PARQUET always survived a restart; the REGISTRATION
+  // (definition + which base version it reflects) lived only in this JVM,
+  // so a restarted engine had to re-materialize — a full base aggregation —
+  // before the transparent rewrite could fire again. One small JSON beside
+  // the rollup dirs (same atomic-rename discipline as the manifest) makes
+  // restart = reload + re-register: zero rebuild.
+
+  private def defsPath(db: String, table: String): Path =
+    eng.tableRoot(db, table).resolve("rollups").resolve("_rollups.json")
+
+  private def persistDefs(db: String, table: String): Unit = {
+    import org.json4s._
+    val mine = defs.collect {
+      case ((d, t, _), (rd, v)) if d == db && t == table => (rd, v)
+    }.toList.sortBy(_._1.name)
+    val doc = JArray(mine.map { case (rd, v) =>
+      JObject(
+        "name" -> JString(rd.name),
+        "groupCols" -> JArray(rd.groupCols.toList.map(JString(_): JValue)),
+        "aggs" -> JArray(rd.aggs.toList.map { case (o, s, a) =>
+          JArray(List(JString(o), JString(s), JString(a.name))): JValue }),
+        "countCol" -> rd.countCol.fold(JNothing: JValue)(JString(_)),
+        "bitmapCol" -> rd.bitmapCol.fold(JNothing: JValue) { case (o, s) =>
+          JArray(List(JString(o), JString(s))) },
+        "hllCol" -> rd.hllCol.fold(JNothing: JValue) { case (o, s) =>
+          JArray(List(JString(o), JString(s))) },
+        "filter" -> rd.filter.fold(JNothing: JValue)(JString(_)),
+        "baseVersion" -> JInt(v)): JValue
+    })
+    val p = defsPath(db, table)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"_rollups.json.tmp${Thread.currentThread().getId}")
+    java.nio.file.Files.writeString(tmp,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(doc)))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Reload this table's persisted registrations and re-arm the rewrite
+    * rule (engine constructor sweep). A registration whose stored parquet
+    * version dir vanished is skipped — the next materialize recreates it.
+    */
+  private[engine] def loadPersisted(db: String, table: String): Unit = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val p = defsPath(db, table)
+    if (!java.nio.file.Files.exists(p)) return
+    def pair(j: JValue): Option[(String, String)] = j match {
+      case JArray(List(JString(a), JString(b))) => Some((a, b))
+      case _ => scala.None
+    }
+    org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+      .extract[List[JValue]].foreach { j =>
+        val rd = RollupDef(
+          name = (j \ "name").extract[String],
+          groupCols = (j \ "groupCols").extract[List[String]],
+          aggs = (j \ "aggs").extract[List[JValue]].map {
+            case JArray(List(JString(o), JString(s), JString(a))) =>
+              (o, s, AggType.fromName(a))
+            case other => throw new IllegalArgumentException(s"bad agg $other")
+          },
+          countCol = (j \ "countCol").extractOpt[String],
+          bitmapCol = pair(j \ "bitmapCol"),
+          hllCol = pair(j \ "hllCol"),
+          filter = (j \ "filter").extractOpt[String])
+        val v = (j \ "baseVersion").extract[Long]
+        val stored = rollupDir(db, table, rd.name).resolve(s"v$v")
+        if (java.nio.file.Files.exists(stored)) {
+          defs((db, table, rd.name)) = (rd, v)
+          graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
+            eng, db, table, rd, v, stored.toString))
+        }
+      }
+  }
+
   private def aggCol(src: String, agg: AggType, out: String): Column = (agg match {
     case AggType.Sum => sum(col(src))
     case AggType.Min => min(col(src))
@@ -143,6 +220,7 @@ final class RollupManager(eng: OlapEngine) {
     val dir = rollupDir(db, table, rd.name)
     out.write.mode("overwrite").parquet(dir.resolve(s"v$baseVersion").toString)
     defs((db, table, rd.name)) = (rd, baseVersion)
+    persistDefs(db, table)
     graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
       eng, db, table, rd, baseVersion, dir.resolve(s"v$baseVersion").toString))
     fine.map(f => s"rollup:${f._1}").getOrElse("base")
@@ -255,6 +333,7 @@ final class RollupManager(eng: OlapEngine) {
     merged.write.mode("overwrite")
       .parquet(rollupDir(db, table, name).resolve(s"v$maxV").toString)
     defs(key) = (rd, maxV)
+    persistDefs(db, table)
     graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.Entry(
       eng, db, table, rd, maxV, rollupDir(db, table, name).resolve(s"v$maxV").toString))
   }

@@ -857,6 +857,71 @@ object EngineQueries {
         |FROM q210_head GROUP BY 1""".stripMargin)
   }
 
+  private val restartCache =
+    scala.collection.concurrent.TrieMap.empty[String, OlapEngine]
+
+  /** q222: the SELF-DESCRIBING-warehouse restart, oracle-checked. The
+    * fixture builds a table + rollup entirely through the SQL face, then
+    * COPIES the warehouse to a fresh path and opens a brand-new engine over
+    * it with ZERO DDL replay — the persisted catalog restores the table,
+    * the persisted registration re-arms the rollup rewrite. The query runs
+    * on the restarted engine and REQUIRES the plan to read the reloaded
+    * rollup's parquet (a restart that silently fell back to base scans
+    * fails loudly, not slowly); the hash pins the values against a raw-data
+    * recompute. The copy (not a same-path reopen) is what makes the
+    * assertion honest: the rewrite registries are JVM-global and keyed by
+    * path, so only on-disk state can serve the new path.
+    */
+  def warehouseRestartServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng2 = restartCache.getOrElseUpdate(dir, {
+      val eng = new OlapEngine(spark, Files.createTempDirectory("graft-q222-"))
+      graft.sql.GraftSql.bind(spark, eng)
+      spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("price_c", col("o_totalprice").cast("decimal(18,2)"))
+        .createOrReplaceTempView("graft_q222_raw")
+      def sql(s: String): Unit = graft.sql.GraftSql.sql(spark, s).collect(): Unit
+      sql("""CREATE DATABASE IF NOT EXISTS g222""")
+      sql("""CREATE TABLE g222.orders (
+            |  o_orderkey BIGINT, o_orderpriority VARCHAR(15), price_c DECIMAL(18, 2)
+            |) DUPLICATE KEY (o_orderkey)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin)
+      sql("INSERT INTO g222.orders SELECT o_orderkey, o_orderpriority, price_c " +
+        "FROM graft_q222_raw")
+      sql("ALTER TABLE g222.orders ADD ROLLUP by_prio (o_orderpriority) " +
+        "AGG (SUM(price_c) AS sum_price, COUNT(*) AS n)")
+      graft.sql.GraftSql.unbind(spark)
+      // "restart": copy the warehouse, open a fresh engine, replay NOTHING
+      val dst = Files.createTempDirectory("graft-q222-restart-")
+      def copyDir(src: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = to.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+        }
+      }
+      copyDir(eng.warehouse, dst)
+      new OlapEngine(spark, dst)
+    })
+    graft.GraftExtensions.register(spark)
+    val df = eng2.scan("g222", "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price_c")).as("sum_price"), count(lit(1)).as("n_orders"))
+      .withColumn("sum_price", col("sum_price").cast("double"))
+    val leaves = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    require(leaves.exists(_.contains("rollups/by_prio/")),
+      s"q222 must serve from the RELOADED rollup after the zero-DDL restart; " +
+        s"read instead: ${leaves.mkString(", ")}")
+    df
+  }
+
   /** q220: an aggregate phrased in the POST-RENAME column name, REQUIRED to
     * be served from the rollup that was defined pre-rename — the
     * rename-following re-materialize (`RollupManager.renameColumn`) in one
@@ -939,6 +1004,7 @@ object EngineQueries {
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
     "q220_rollup_rename_serve" -> rollupRenameServe _,
+    "q222_warehouse_restart" -> warehouseRestartServe _,
     "q209_restore_version" -> restoredScan _,
     "q204_shallow_clone" -> cloneDiverged _,
     "q199_dead_letter_quarantine" -> deadLetterQuarantine _,
@@ -1008,6 +1074,15 @@ object EngineQueries {
         |WHERE (o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0)
         |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
         |GROUP BY 1""".stripMargin,
+    // q222: the restarted (copied-warehouse, zero-DDL) engine's rollup-served
+    // aggregate must equal the raw-data recompute — the query side REQUIRES
+    // the rollup leaves, so this hash certifies catalog + registration
+    // persistence end to end
+    "q222_warehouse_restart" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     // q220: the rollup content re-materialized after the rename must equal
     // the raw-data aggregate — the query side additionally REQUIRES the
     // plan to read the rollup files, so this hash certifies the
