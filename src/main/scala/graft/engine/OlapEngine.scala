@@ -403,8 +403,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * column (the stored predicate text would dangle — compact first to make
     * those deletes physical), and the new name must be genuinely free
     * (schema + pending dropped names). Registered rollups/MVs that
-    * reference the old name simply stop matching queries (they stand down,
-    * never mis-serve) until re-materialized under the new name.
+    * reference the old name FOLLOW the rename: their definitions are
+    * rewritten and re-materialized in place ([[RollupManager.renameColumn]]
+    * / [[MvManager.renameColumn]]), so they keep serving queries phrased in
+    * the new name — the one non-metadata cost of this verb, paid at the
+    * explicit DDL rather than discovered as a standing-down later.
     */
   def renameColumn(db: String, table: String, oldName: String,
                    newName: String): TableDef = {

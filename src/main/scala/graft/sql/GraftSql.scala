@@ -97,6 +97,7 @@ object GraftSql {
     case Rebucket(db, t, _, _)    => eng.catalog.getTable(db, t).isDefined
     case RenameColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case ShowCreateTable(db, t)   => eng.catalog.getTable(db, t).isDefined
+    case DescribeTable(db, t)     => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
     case ShowRollups(db, t)       => eng.catalog.getTable(db, t).isDefined
     case ShowMvs(db, t)           => eng.catalog.getTable(db, t).isDefined
@@ -157,6 +158,14 @@ object GraftSql {
     StructField("stored_dim_version", LongType, nullable = false),
     StructField("fresh", BooleanType, nullable = false)))
 
+  val describeSchema: StructType = StructType(Seq(
+    StructField("col_name", StringType, nullable = false),
+    StructField("data_type", StringType, nullable = false),
+    StructField("is_key", BooleanType, nullable = false),
+    StructField("agg", StringType, nullable = true),
+    StructField("nullable", BooleanType, nullable = false),
+    StructField("max_length", IntegerType, nullable = true)))
+
   val clonesSchema: StructType = StructType(Seq(
     StructField("clone_db", StringType, nullable = false),
     StructField("clone_table", StringType, nullable = false),
@@ -171,6 +180,7 @@ object GraftSql {
     case _: ShowRollups => rollupsSchema
     case _: ShowMvs => mvsSchema
     case _: ShowClones => clonesSchema
+    case _: DescribeTable => describeSchema
     case _ => statusSchema
   }
 
@@ -296,6 +306,21 @@ object GraftSql {
               p.numBuckets.max(td.numBuckets), dropped)
           }
         spark.createDataFrame(rows.asJava, partitionsSchema)
+
+      case DescribeTable(db, t) =>
+        import scala.jdk.CollectionConverters._
+        import graft.model.AggType
+        val td = eng.catalog.getTable(db, t).getOrElse(
+          throw new NoSuchElementException(s"no table $db.$t"))
+        val rows = td.schema.columns.map { c =>
+          Row(c.name,
+            if (c.maxLength > 0) s"VARCHAR(${c.maxLength})" else c.dataType.sql,
+            c.isKey,
+            if (c.agg == AggType.None) null else c.agg.name,
+            c.nullable,
+            if (c.maxLength > 0) Int.box(c.maxLength) else null)
+        }
+        spark.createDataFrame(rows.asJava, describeSchema)
 
       case ShowCreateTable(db, t) =>
         import scala.jdk.CollectionConverters._

@@ -106,6 +106,11 @@ object GraftStatement {
     * grammar this parser accepts (round-trip pinned by `SqlSurfaceSpec`).
     */
   final case class ShowCreateTable(db: String, table: String) extends GraftStatement
+  /** DESCRIBE db.t — the Doris-shaped column listing (key flag, aggregate,
+    * varchar bound), claimed only for engine tables (Spark keeps its own
+    * DESCRIBE for everything else).
+    */
+  final case class DescribeTable(db: String, table: String) extends GraftStatement
   /** CREATE [OR REPLACE] TEMP VIEW v AS SCAN db.t [VERSION AS OF n |
     * TIMESTAMP AS OF 'ts'] [PARTITIONS (p, ...)] — the READ half: registers
     * an engine scan (head, version-as-of, wall-clock time travel, or
@@ -280,6 +285,7 @@ object GraftSqlParser {
         case "ALTER"   => parseAlter(c)
         case "DROP"    => parseDrop(c)
         case "REFRESH" => parseRefresh(c)
+        case "DESCRIBE" | "DESC" => parseDescribe(c)
         case "BEGIN"   => parseGroupVerb(c, "BEGIN", BeginLoadGroup)
         case "COMMIT"  => parseGroupVerb(c, "COMMIT", CommitLoadGroup)
         case "ABORT"   => parseGroupVerb(c, "ABORT", AbortLoadGroup)
@@ -393,6 +399,24 @@ object GraftSqlParser {
     val (db, t) = c.qname()
     c.kw("TO"); val p = c.str(); c.end()
     BackupTable(db, t, p)
+  }
+
+  /** DESCRIBE/DESC db.t — two-part names only (one-part and EXTENDED/
+    * FORMATTED forms are Spark's own DESCRIBE).
+    */
+  private def parseDescribe(c: Cursor): Option[GraftStatement] = {
+    c.i += 1 // the DESCRIBE/DESC keyword
+    if (c.tryKw("TABLE")) () // optional, as in Spark
+    c.peek match {
+      case Some(Ident(_, _)) =>
+        val save = c.i
+        val db = c.ident()
+        if (!c.trySym('.')) { c.i = save; return None }
+        val t = c.ident()
+        if (!c.atEnd && !c.trySym(';')) return None // EXTENDED etc -> Spark
+        Some(DescribeTable(db, t))
+      case _ => None
+    }
   }
 
   private def parseShow(c: Cursor): Option[GraftStatement] = {

@@ -507,6 +507,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("DESCRIBE db.t: engine tables get the Doris-shaped listing (key " +
+    "flag, aggregate, varchar bound); everything else delegates to Spark") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_desc")
+      g("""CREATE TABLE g_desc.t (
+          |  k BIGINT, s VARCHAR(12), amt DECIMAL(18, 2) SUM, note STRING
+          |) AGGREGATE KEY (k)
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      val rows = g("DESCRIBE g_desc.t").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          Option(r.getString(3)))).toList
+      assert(rows === List(
+        ("k", "BIGINT", true, None),
+        ("s", "VARCHAR(12)", false, None),
+        ("amt", "DECIMAL(18,2)", false, Some("SUM")),
+        ("note", "STRING", false, None)))
+      // DESC alias + optional TABLE keyword
+      assert(g("DESC TABLE g_desc.t").count() === 4L)
+      // one-part names, EXTENDED, and unknown tables are Spark's
+      assert(GraftSqlParser.parse("DESCRIBE sometable").isEmpty)
+      assert(GraftSqlParser.parse("DESCRIBE EXTENDED db.t").isEmpty)
+      assert(GraftSqlParser.parse("DESCRIBE db.t PARTITION (p='x')").isEmpty)
+      intercept[Exception] { g("DESCRIBE nosuchdb.nosuchtable").collect() }
+    } finally GraftSql.unbind(spark)
+  }
+
   test("injected parser: spark.sql on an extension-built session understands " +
     "engine statements and still delegates everything else") {
     val prevDefault = SparkSession.getDefaultSession
