@@ -84,7 +84,7 @@ object GraftSql {
          _: Vacuum | _: BackupTable | _: RestoreFromBackup | _: ShowRowsets |
          _: ScanView | _: CreateDatabase | BeginLoadGroup | CommitLoadGroup |
          AbortLoadGroup | _: AddRollup | _: RefreshRollup | _: CreateMv |
-         _: RefreshMv => true
+         _: RefreshMv | MaintainWarehouse => true
     // generic verbs: ours iff the target lives in the engine catalog
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -241,6 +241,15 @@ object GraftSql {
       case DeleteFrom(db, t, predicate) =>
         rowsetDf(spark,
           eng.deleteWhere(db, t, predicate, group = activeGroup.get(spark)))
+
+      case MaintainWarehouse =>
+        // one tick of the scheduled-maintenance loop: C1-C3 compaction over
+        // every registered table, with the group-hygiene sweep riding inside
+        val compacted = eng.runScheduledCompaction()
+        status(spark, "MAINTAIN WAREHOUSE", "*",
+          s"compacted ${compacted.size} table(s)" +
+            (if (compacted.isEmpty) "" else s": ${compacted.mkString(", ")}") +
+            "; group hygiene swept")
 
       case BeginLoadGroup =>
         require(!activeGroup.contains(spark),

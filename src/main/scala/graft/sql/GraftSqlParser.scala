@@ -68,6 +68,13 @@ object GraftStatement {
     * statements between BEGIN and COMMIT stage invisibly and land atomically
     * at COMMIT (across however many tables they touched); ABORT reaps them.
     */
+  /** MAINTAIN WAREHOUSE — one SQL verb for the engine's scheduled
+    * maintenance tick: the C1-C3 compaction loop over every registered
+    * table plus the load-group hygiene sweep (heal committed stragglers,
+    * retire fully-activated ledger ids, reap abandoned stages). What a
+    * production owner crons.
+    */
+  case object MaintainWarehouse extends GraftStatement
   case object BeginLoadGroup extends GraftStatement
   case object CommitLoadGroup extends GraftStatement
   case object AbortLoadGroup extends GraftStatement
@@ -280,6 +287,9 @@ object GraftSqlParser {
         case "VACUUM"  => { c.kw("VACUUM"); val (db, t) = c.qname(); c.end()
                             Some(Vacuum(db, t)) }
         case "BACKUP"  => Some(parseBackup(c))
+        case "MAINTAIN" => { c.kw("MAINTAIN")
+                             if (!c.tryKw("WAREHOUSE")) None
+                             else { c.end(); Some(MaintainWarehouse) } }
         case "SHOW"    => parseShow(c)
         case "CREATE"  => parseCreate(c, text)
         case "ALTER"   => parseAlter(c)

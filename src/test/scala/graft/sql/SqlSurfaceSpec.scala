@@ -507,6 +507,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("MAINTAIN WAREHOUSE: one SQL verb runs the scheduled compaction " +
+    "loop + group hygiene; answers are unchanged and fragments collapse") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_mw")
+      g("""CREATE TABLE g_mw.t (k BIGINT, v BIGINT) UNIQUE KEY (k)
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      (0 until 4).foreach(i =>
+        g(s"INSERT INTO g_mw.t VALUES ($i, ${i * 10}), (99, $i)"))
+      // an abandoned stage from a 'crashed session' for the hygiene sweep
+      val orphanGroup = eng.newLoadGroup()
+      import spark.implicits._
+      eng.ingest("g_mw", "t", Seq((500L, 1L)).toDF("k", "v"),
+        group = Some(orphanGroup))
+      assert(eng.manifest("g_mw", "t").pendingGroupIds.nonEmpty)
+      val before = eng.manifest("g_mw", "t").visibleRowsets.size
+      assert(before >= 4)
+      val out = g("MAINTAIN WAREHOUSE").collect().head
+      assert(out.getString(0) === "MAINTAIN WAREHOUSE")
+      assert(out.getString(2).contains("g_mw.t"), out.getString(2))
+      assert(eng.manifest("g_mw", "t").visibleRowsets.size === 1,
+        "fragments must collapse to one rowset")
+      // grace protects the young stage; a zero-grace sweep reaps it
+      assert(eng.manifest("g_mw", "t").pendingGroupIds.nonEmpty)
+      eng.sweepGroups(graceMs = 0L)
+      assert(eng.manifest("g_mw", "t").pendingGroupIds.isEmpty)
+      g("CREATE TEMP VIEW g_mw_t AS SCAN g_mw.t")
+      assert(spark.sql("SELECT v FROM g_mw_t WHERE k = 99").collect()
+        .head.getLong(0) === 3L, "latest upsert must win through compaction")
+      // bare MAINTAIN without WAREHOUSE is not ours
+      assert(GraftSqlParser.parse("MAINTAIN somethingelse").isEmpty)
+    } finally GraftSql.unbind(spark)
+  }
+
   test("DESCRIBE db.t: engine tables get the Doris-shaped listing (key " +
     "flag, aggregate, varchar bound); everything else delegates to Spark") {
     val eng = mkEngine()
