@@ -148,6 +148,19 @@ final class TableManifest(
     val dup = metas.map(_.rowsetId).diff(metas.map(_.rowsetId).distinct) ++
       metas.map(_.rowsetId).filter(rowsets.contains)
     require(dup.isEmpty, s"duplicate rowset id ${dup.head}")
+    // a VISIBLE version must be unique: two concurrent ingests that both
+    // derived maxVersion+1 before either published would otherwise add the
+    // same edge twice and make the covering path ambiguous (silently
+    // serving one rowset and dropping the other). Loud beats lost data;
+    // staged rowsets are exempt — their versions are provisional until
+    // activation assigns real ones.
+    val live = metas.filterNot(_.isPending)
+    val vdup = live.map(_.version).diff(live.map(_.version).distinct) ++
+      live.map(_.version).filter(v => rowsets.values.exists(r =>
+        r.state == RowsetState.Visible && !r.isPending && r.version == v))
+    require(vdup.isEmpty,
+      s"version ${vdup.head} is already visible — concurrent publishes must " +
+        "not reuse a version (re-derive from maxVersion and retry)")
     metas.foreach { meta =>
       rowsets(meta.rowsetId) = meta
       // a STAGED rowset is persisted but takes no version edge and bumps no

@@ -302,11 +302,15 @@ object EngineFixture {
       expiredToDeadLetter = true))
     val ordersAll = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_orderdate")
+    // versions are engine-allocated here: load 1's partition EXPIRY mints
+    // delete-marker versions of its own (one per dropped rung), so an
+    // explicit Version(2,2) on load 2 would collide with the first marker —
+    // the exact mistake TableManifest's visible-version guard now refuses
     eng.ingest("graft", "orders_dlq",
-      ordersAll.filter(col("o_orderdate") >= "1999-12-01"), Some(Version(1, 1)))
+      ordersAll.filter(col("o_orderdate") >= "1999-12-01"))
     eng.ingest("graft", "orders_dlq",
       ordersAll.filter(col("o_orderdate") >= "1999-06-01" &&
-        col("o_orderdate") < "1999-12-01"), Some(Version(2, 2)))
+        col("o_orderdate") < "1999-12-01"))
 
     // --- orders_clone: zero-copy SHALLOW CLONE of orders_dup + divergence --
     // the clone borrows orders_dup's two rowsets (no file is copied), then

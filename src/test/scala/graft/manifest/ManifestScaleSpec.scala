@@ -57,4 +57,27 @@ class ManifestScaleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](m.publishAll(Seq(meta(4L), meta(4L))))
     assert(m.visibleRowsets.size == 2)
   }
+
+  test("publishAll refuses a VISIBLE version collision loudly (the lost " +
+    "second-writer corruption becomes an error); staged rowsets are exempt") {
+    val root = Files.createTempDirectory("graft-manifest-vdup-")
+    val m = new TableManifest(root)
+    m.publishAll(Seq(meta(1L)))
+    // a second writer that derived the same maxVersion+1: refused whole
+    val clash = RowsetMeta(2L, Version(1L, 1L), "r2", 10L, createdMs = 2L)
+    intercept[IllegalArgumentException](m.publishAll(Seq(clash)))
+    assert(m.visibleRowsets.map(_.rowsetId) == Seq(1L))
+    // within one batch too
+    intercept[IllegalArgumentException](m.publishAll(Seq(
+      RowsetMeta(3L, Version(5L, 5L), "r3", 1L, createdMs = 3L),
+      RowsetMeta(4L, Version(5L, 5L), "r4", 1L, createdMs = 4L))))
+    assert(m.visibleRowsets.size == 1)
+    // a STAGED rowset may carry any provisional version (activation
+    // re-assigns), and a stale-but-same version is not a VISIBLE collision
+    m.publishAll(Seq(RowsetMeta(5L, Version(1L, 1L), "r5", 1L,
+      createdMs = 5L, pendingGroup = Some("g"))))
+    m.markStale(1L)
+    m.publishAll(Seq(RowsetMeta(6L, Version(1L, 1L), "r6", 1L, createdMs = 6L)))
+    assert(m.visibleRowsets.map(_.rowsetId) == Seq(6L))
+  }
 }
