@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.JoinMvRewrite)
     e.injectOptimizerRule(_ => graft.plans.BucketPruneRewrite)
     e.injectOptimizerRule(_ => graft.plans.PartitionPruneRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RowsetPruneRewrite)
     // SQL front door: engine DDL/DML/lifecycle statements become Spark SQL
     // (inert until an engine is bound via GraftSql.bind — unclaimed text
     // always delegates to Spark's own parser)
@@ -88,5 +89,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PartitionPruneRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PartitionPruneRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RowsetPruneRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RowsetPruneRewrite
   }
 }

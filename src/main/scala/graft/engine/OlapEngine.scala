@@ -47,6 +47,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   val catalog = new CatalogManager(Some(warehouse.resolve("_catalog.json")))
   val rollups = new RollupManager(this)
   val mvs = new MvManager(this)
+  /** Version-keyed query result cache (the Doris SQL-cache shape): results
+    * keyed by input tables' visible versions + schema, so entries are
+    * self-invalidating; MAINTAIN WAREHOUSE sweeps the unaddressable ones.
+    */
+  val results = new ResultCache(this)
   private val manifests = TrieMap.empty[String, TableManifest]
   // cross-table LOAD GROUPS (the Doris global-transaction-id shape): staged
   // rowsets are invisible until the ledger's one atomic rename commits the
@@ -723,19 +728,22 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
     writer.parquet(outDir.toString)
 
-    // A zero-row load writes no part files, so the count-back read cannot
-    // infer a schema. Doris semantics: an empty load is still a VERSION
-    // (the graph stays hole-free, consumers see continuous versions) — so
-    // publish it with numRows = 0; the read path skips file-less rowsets.
-    val numRows =
-      try spark.read.parquet(outDir.toString).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // Row count + rowset zone map in ONE parquet-footer pass (StatsHarvest):
+    // a metadata read costing O(files in this load) — cheaper than the
+    // count-back Spark job it replaces, and it yields the per-column
+    // min/max/null stats that power transparent rowset pruning
+    // (plans.RowsetPruneRewrite) and metadata-served MIN/MAX (minMaxStats).
+    // A zero-row load writes no part files and harvests (0, empty): Doris
+    // semantics — an empty load is still a VERSION (the graph stays
+    // hole-free); the read path skips file-less rowsets.
+    val (numRows, colStats) = harvestStats(outDir)
     // the write validated and landed: NOW the auto-minted partitions become
     // catalog state — before publish, so the prune rules know the new
     // partitions by the time any reader can see the new rowset
     commitMintedPartitions(db, table, minted)
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
-      createdMs = System.currentTimeMillis(), pendingGroup = group)
+      createdMs = System.currentTimeMillis(), pendingGroup = group,
+      stats = colStats)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1133,6 +1141,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // never be silently mis-mapped.
     val renames = catalog.getTable(db, table).map(_.renamedColumns)
       .getOrElse(Map.empty)
+    // arm transparent rowset pruning: every scanned rowset with a harvested
+    // zone map registers (dir → stats), so a pushed-down filter provably
+    // disjoint from a rowset's min/max collapses that branch to an empty
+    // relation at optimization time (plans.RowsetPruneRewrite) — the scan
+    // never lists or opens the directory
+    data.foreach { r =>
+      if (r.stats.nonEmpty)
+        graft.plans.RowsetPruneRewrite.register(
+          root.resolve(r.relDir).toAbsolutePath.normalize.toString,
+          graft.plans.RowsetPruneRewrite.Entry(r.numRows, r.stats))
+    }
     val unioned = data.map { r =>
       // ignoreMissingFiles pinned false PER READ: the constructor guard
       // covers engine creation, but the conf is session-mutable — the
@@ -1421,6 +1440,131 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Footer-pass row count + zone map of a freshly written rowset dir —
+    * shared by every data-writing path (ingest, compact, rebucket). Never
+    * fails a load over stats: a harvest error degrades to (spark count, no
+    * stats) so the rowset still publishes (unknown stats never prune).
+    */
+  private def harvestStats(outDir: Path): (Long, Map[String, ColStats]) =
+    try StatsHarvest.harvest(outDir, spark.sparkContext.hadoopConfiguration)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARN stats harvest failed for $outDir: $e")
+        val n = try spark.read.parquet(outDir.toString).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        (n, Map.empty)
+    }
+
+  /** Metadata-only MIN/MAX over `cols`: when every covering rowset carries a
+    * usable zone map ([[StatsHarvest]]), the answer is a fold over manifest
+    * entries — zero files opened, zero tasks — the metadata twin of
+    * [[countStar]] and the read-side completion of the reference's
+    * write-only zone maps (src/index/mod.rs:95-108). Returns
+    * `(one-row DataFrame of min_<col>/max_<col>, servedFromMetadata)`.
+    *
+    * Serve guards (any miss ⇒ transparent fallback to the scanned
+    * aggregate, which is always correct):
+    *  - Duplicate model only: merge-on-read can suppress rows, so a
+    *    superseded extreme would lie;
+    *  - no delete markers in the covering set (a masked row may be the
+    *    extreme);
+    *  - every data rowset has stats for the column (under its era's
+    *    physical name) whose kind matches the declared type's space;
+    *  - string bounds shorter than 64 chars (a truncating parquet writer
+    *    keeps bounds conservative — safe to PRUNE on, not to SERVE).
+    */
+  def minMaxStats(db: String, table: String, cols: Seq[String]): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.types._
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    def fallback: (DataFrame, Boolean) =
+      (scan(db, table).agg(
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          .head, cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*), false)
+
+    if (td.schema.keysType != KeysType.Duplicate) return fallback
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    if (covering.exists(_.isDeleteMarker)) return fallback
+    val data = covering.filter(_.numRows > 0)
+    // declared name → this rowset's stats entry, reaching through rename eras
+    val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    def statsFor(r: RowsetMeta, c: String): Option[ColStats] =
+      r.stats.get(c).orElse(
+        oldNames.getOrElse(c, Nil).flatMap(r.stats.get).headOption)
+
+    val exprs = cols.map { c =>
+      val dt = td.schema.columns.find(_.name == c).getOrElse(
+        throw new NoSuchElementException(s"no column $c in $db.$table")).dataType
+      val expectedKind = dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType => "i"
+        case FloatType | DoubleType => "f"
+        case StringType => "s"
+        case _ => return fallback
+      }
+      val perRowset = data.map(r => statsFor(r, c))
+      if (perRowset.exists(_.isEmpty)) return fallback
+      val ss = perRowset.flatten
+      if (ss.exists(s => s.kind != expectedKind &&
+          !(expectedKind == "f" && s.kind == "i"))) return fallback
+      if (expectedKind == "s" && ss.exists(s =>
+          s.min.exists(_.length >= 64) || s.max.exists(_.length >= 64)))
+        return fallback
+      def fold(pickMin: Boolean): Option[String] = {
+        val vals = ss.flatMap(s => if (pickMin) s.min else s.max)
+        if (vals.isEmpty) None
+        else Some(vals.reduce((a, b) =>
+          if ((ColStats.compare(ss.head.kind, a, b) <= 0) == pickMin) a else b))
+      }
+      def toLit(v: Option[String]): Column = v match {
+        case None => lit(null).cast(dt)
+        case Some(s) => dt match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            lit(s.toLong).cast(dt)
+          case DateType => lit(java.time.LocalDate.ofEpochDay(s.toLong))
+          case TimestampType => lit(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(s.toLong))
+          case FloatType => lit(s.toDouble.toFloat)
+          case DoubleType => lit(s.toDouble)
+          case StringType => lit(s)
+          case other => throw new IllegalStateException(s"unservable type $other")
+        }
+      }
+      Seq(toLit(fold(pickMin = true)).as(s"min_$c"),
+        toLit(fold(pickMin = false)).as(s"max_$c"))
+    }
+    (spark.range(1).select(exprs.flatten: _*), true)
+  }
+
+  /** Per-column zone-map introspection (`SHOW STATS FOR db.t`): one row per
+    * declared column with the covering set's folded min/max/null-count and
+    * how many of its rowsets carry stats for it — the operator's view of
+    * what [[minMaxStats]] and the rowset prune can serve.
+    */
+  def describeStats(db: String, table: String): DataFrame = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    val data = m.visibleRowsets.filter(r => !r.isDeleteMarker && r.numRows > 0)
+    val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val rows = td.schema.columns.map { cs =>
+      val entries = data.flatMap(r => r.stats.get(cs.name).orElse(
+        oldNames.getOrElse(cs.name, Nil).flatMap(r.stats.get).headOption))
+      val mn = entries.flatMap(_.min).reduceOption((a, b) =>
+        if (ColStats.compare(entries.head.kind, a, b) <= 0) a else b)
+      val mx = entries.flatMap(_.max).reduceOption((a, b) =>
+        if (ColStats.compare(entries.head.kind, a, b) >= 0) a else b)
+      (cs.name, mn.orNull, mx.orNull,
+        entries.map(_.nullCount).sum, entries.size.toLong, data.size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("column", "min", "max", "null_count", "rowsets_with_stats",
+      "data_rowsets")
+  }
+
   /** Route one key pair to its (partition, bucket) — the reference's
     * `tablet_for_row` (src/table.rs:32-41).
     */
@@ -1514,14 +1658,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .parquet(outDir.toString)
 
     // all-rows-tombstoned compactions legitimately produce zero rows;
-    // publish the empty replacement (version continuity) instead of dying
-    // on the file-less dir's schema inference
-    val numRows =
-      try spark.read.parquet(outDir.toString).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // the footer harvest yields (0, empty) for the file-less dir — publish
+    // the empty replacement (version continuity) instead of dying
+    val (numRows, colStats) = harvestStats(outDir)
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
-      createdMs = System.currentTimeMillis())
+      createdMs = System.currentTimeMillis(), stats = colStats)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -1592,9 +1734,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .sortWithinPartitions(Seq(PartCol, BucketCol).map(col) ++ clusterCols(newTd): _*)
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
       .parquet(outDir.toString)
-    val numRows =
-      try spark.read.parquet(outDir.toString).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val (numRows, colStats) = harvestStats(outDir)
     // routing swap before the manifest swap (see scaladoc ordering argument)
     catalog.alterTable(newTd)
     graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
@@ -1604,7 +1744,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       layoutFloorRowsetId = rowsetId))
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
-      createdMs = System.currentTimeMillis())
+      createdMs = System.currentTimeMillis(), stats = colStats)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -1677,14 +1817,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .parquet(outDir.toString)
 
     // all-rows-tombstoned compactions legitimately produce zero rows;
-    // publish the empty replacement (version continuity) instead of dying
-    // on the file-less dir's schema inference
-    val numRows =
-      try spark.read.parquet(outDir.toString).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // the footer harvest yields (0, empty) for the file-less dir — publish
+    // the empty replacement (version continuity) instead of dying
+    val (numRows, colStats) = harvestStats(outDir)
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
-      createdMs = System.currentTimeMillis())
+      createdMs = System.currentTimeMillis(), stats = colStats)
     m.publish(meta)
     autoGc(db, table)
     meta

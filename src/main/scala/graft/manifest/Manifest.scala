@@ -56,7 +56,14 @@ final case class RowsetMeta(
     // WHOLE group, however many tables it spans). Activation strips the
     // marker; a crash between ledger commit and activation self-heals at
     // the next manifest load (the ledger is the source of truth).
-    pendingGroup: Option[String] = None) {
+    pendingGroup: Option[String] = None,
+    // rowset-level zone map: per-column min/max/null-count harvested from
+    // the rowset's parquet footers at write time ([[StatsHarvest]]). Keyed
+    // by the column's PHYSICAL name in this rowset's files (renameColumn
+    // eras resolve through TableDef.renamedColumns). Empty on delete
+    // markers, pre-stats rowsets, and columns without usable footer stats —
+    // absence means UNKNOWN (unbounded), never empty.
+    stats: Map[String, ColStats] = Map.empty) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
   def isPending: Boolean = pendingGroup.isDefined
 }
@@ -343,8 +350,18 @@ final class TableManifest(
         JObject(withDel.obj :+ ("deletePartition" -> (JString(p): JValue))))
       val withPg = r.pendingGroup.fold(withDp)(g =>
         JObject(withDp.obj :+ ("pendingGroup" -> (JString(g): JValue))))
-      r.staleMs.fold(withPg)(s =>
-        JObject(withPg.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withStats =
+        if (r.stats.isEmpty) withPg
+        else JObject(withPg.obj :+ ("stats" -> (JObject(r.stats.toList.sortBy(_._1)
+          .map { case (c, s) =>
+            val base = List[(String, JValue)]("kind" -> JString(s.kind),
+              "nulls" -> JLong(s.nullCount))
+            val withMin = s.min.fold(base)(m => base :+ ("min" -> (JString(m): JValue)))
+            val withMax = s.max.fold(withMin)(m => withMin :+ ("max" -> (JString(m): JValue)))
+            c -> (JObject(withMax): JValue)
+          }): JValue)))
+      r.staleMs.fold(withStats)(s =>
+        JObject(withStats.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -370,7 +387,15 @@ final class TableManifest(
           (j \ "deletePredicate").extractOpt[String],
           (j \ "staleMs").extractOpt[Long],
           (j \ "deletePartition").extractOpt[String],
-          (j \ "pendingGroup").extractOpt[String])
+          (j \ "pendingGroup").extractOpt[String],
+          (j \ "stats") match {
+            case JObject(fields) => fields.map { case (c, v) =>
+              c -> ColStats((v \ "kind").extract[String],
+                (v \ "min").extractOpt[String], (v \ "max").extractOpt[String],
+                (v \ "nulls").extract[Long])
+            }.toMap
+            case _ => Map.empty[String, ColStats]
+          })
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible && !r.isPending) {

@@ -1,0 +1,224 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.manifest.ColStats
+
+/** Transparent ROWSET pruning by manifest zone maps — the reference's
+  * ZoneMapIndex (src/index/mod.rs:61-108) finally wired into reads, one
+  * level above where the reference built it. An engine snapshot is a UNION
+  * of per-rowset parquet scans; when a pushed-down filter's bounds are
+  * provably disjoint from a rowset's stored min/max ([[graft.manifest
+  * .StatsHarvest]], persisted in the manifest), that rowset's branch
+  * collapses to an empty relation at OPTIMIZATION time — no directory
+  * listing, no footer read, no task. Parquet's own row-group stats already
+  * prune WITHIN a file; this tier prunes files that never open, which at
+  * 100 TB with years of versioned loads is the difference between touching
+  * one day's rowsets and all of them.
+  *
+  * Correctness: the rewrite is locally exact — `Filter(cond, scan)` is
+  * replaced by an empty [[LocalRelation]] (same output attributes) ONLY when
+  * no row of the rowset can satisfy `cond`: some deterministic conjunct's
+  * bounds are disjoint from the zone map, or the conjunct needs a non-null
+  * value from an all-null column. Stats bound the file contents by the
+  * parquet writer's contract; a column absent from the map is UNKNOWN and
+  * never prunes. Since the replacement equals the node's actual output,
+  * whatever sits above (merge-on-read windows, delete masks, unions) is
+  * untouched.
+  *
+  * Registration happens on the read path (OlapEngine.rawFromRowsets): every
+  * scanned rowset with stats registers its directory. Keys are rowset dirs,
+  * so entries for GC'd rowsets are dead weight at worst, never wrong.
+  */
+object RowsetPruneRewrite extends Rule[LogicalPlan] {
+
+  final case class Entry(numRows: Long, cols: Map[String, ColStats])
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  def register(rowsetDir: String, e: Entry): Unit = entries(rowsetDir) = e
+
+  def clear(): Unit = entries.clear()
+
+  /** The relation beneath any stack of graft-injected pruning filters
+    * (bucket + partition pruning may each have nested one).
+    */
+  private object PeeledRelation {
+    def unapply(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case lr: LogicalRelation => Some(lr)
+      case Filter(ic, child)
+          if ic.references.forall(_.name.startsWith("__graft_")) =>
+        unapply(child)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (entries.isEmpty) plan
+    else plan.transformUp {
+      case f @ Filter(cond, PeeledRelation(lr)) =>
+        try { if (mustBeEmpty(cond, lr)) LocalRelation(f.output) else f }
+        catch { case e: Exception => // never fail a query over a missed prune
+          logWarning(s"rowset prune bailed: $e"); f }
+    }
+
+  private def mustBeEmpty(cond: Expression, lr: LogicalRelation): Boolean = {
+    val fs = lr.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
+      case _ => return false
+    }
+    val entry = fs.location.rootPaths.map(_.toUri.getPath).distinct match {
+      case Seq(root) => entries.get(root).getOrElse(return false)
+      case _ => return false
+    }
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists(c => c.deterministic && disjoint(c, entry))
+  }
+
+  /** Comparison space of an attribute's type; the zone map's `kind`s this
+    * space may read. Integral stats widen into the double space (a column
+    * type widened int→double still compares correctly); nothing else mixes.
+    */
+  private def space(dt: DataType): Option[(String, Set[String])] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType =>
+      Some(("i", Set("i")))
+    case FloatType | DoubleType => Some(("f", Set("i", "f")))
+    case StringType => Some(("s", Set("s")))
+    case _ => None
+  }
+
+  /** Literal's value projected into its comparison space: Left(long) /
+    * Right-double encoded as Double / string. None = null or unsupported.
+    */
+  private def litValue(l: Literal): Option[Any] = Option(l.value).flatMap { v =>
+    l.dataType match {
+      case ByteType => Some(v.asInstanceOf[Byte].toLong)
+      case ShortType => Some(v.asInstanceOf[Short].toLong)
+      case IntegerType | DateType => Some(v.asInstanceOf[Int].toLong)
+      case LongType | TimestampType => Some(v.asInstanceOf[Long])
+      case FloatType =>
+        val d = v.asInstanceOf[Float].toDouble
+        if (d.isNaN) None else Some(d)
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN) None else Some(d)
+      case StringType => Some(v.asInstanceOf[UTF8String])
+      case _ => None
+    }
+  }
+
+  /** cmp(statValue, literal) in the literal's space. */
+  private def cmpStat(kind: String, stat: String, lit: Any): Int = lit match {
+    case l: Long => java.lang.Long.compare(stat.toLong, l)
+    case d: Double =>
+      java.lang.Double.compare(if (kind == "i") stat.toLong.toDouble else stat.toDouble, d)
+    case s: UTF8String => UTF8String.fromString(stat).compareTo(s)
+    case other => throw new IllegalStateException(s"bad literal space $other")
+  }
+
+  /** Is this conjunct provably unsatisfiable for every row of the rowset? */
+  private def disjoint(c: Expression, entry: Entry): Boolean = {
+    def stats(a: AttributeReference): Option[ColStats] =
+      space(a.dataType).flatMap { case (_, okKinds) =>
+        entry.cols.get(a.name).filter(s => okKinds.contains(s.kind))
+      }
+    // a comparison needs a non-null value; an all-null column satisfies none
+    def bounds(a: AttributeReference): Option[(ColStats, String, String)] =
+      stats(a).flatMap(s => (s.min, s.max) match {
+        case (Some(mn), Some(mx)) => Some((s, mn, mx))
+        case _ => None
+      })
+    def allNull(a: AttributeReference): Boolean =
+      stats(a).exists(s => s.min.isEmpty && s.max.isEmpty &&
+        s.nullCount >= entry.numRows && entry.numRows > 0)
+
+    def eqDisjoint(a: AttributeReference, l: Literal): Boolean =
+      allNull(a) || (litValue(l) match {
+        case Some(v) => bounds(a).exists { case (s, mn, mx) =>
+          cmpStat(s.kind, mn, v) > 0 || cmpStat(s.kind, mx, v) < 0
+        }
+        case None => false
+      })
+
+    def cmp(a: AttributeReference, l: Literal, op: String): Boolean =
+      allNull(a) || (litValue(l) match {
+        case Some(v) => bounds(a).exists { case (s, mn, mx) =>
+          op match {
+            case "<" => cmpStat(s.kind, mn, v) >= 0 // min >= lit: no row < lit
+            case "<=" => cmpStat(s.kind, mn, v) > 0
+            case ">" => cmpStat(s.kind, mx, v) <= 0
+            case ">=" => cmpStat(s.kind, mx, v) < 0
+          }
+        }
+        case None => false
+      })
+
+    c match {
+      case EqualTo(a: AttributeReference, l: Literal) => eqDisjoint(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eqDisjoint(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        eqDisjoint(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        eqDisjoint(a, l)
+      case LessThan(a: AttributeReference, l: Literal) => cmp(a, l, "<")
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, l, "<=")
+      case GreaterThan(a: AttributeReference, l: Literal) => cmp(a, l, ">")
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, l, ">=")
+      case LessThan(l: Literal, a: AttributeReference) => cmp(a, l, ">")
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, l, ">=")
+      case GreaterThan(l: Literal, a: AttributeReference) => cmp(a, l, "<")
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, l, "<=")
+      case In(a: AttributeReference, ls)
+          if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+        allNull(a) || bounds(a).exists { case (s, mn, mx) =>
+          ls.forall { l =>
+            litValue(l.asInstanceOf[Literal]).forall(v =>
+              cmpStat(s.kind, mn, v) > 0 || cmpStat(s.kind, mx, v) < 0)
+          }
+        }
+      case IsNull(a: AttributeReference) =>
+        stats(a).exists(_.nullCount == 0) && entry.numRows > 0
+      case IsNotNull(a: AttributeReference) => allNull(a)
+      case StartsWith(a: AttributeReference, l: Literal) if l.value != null =>
+        // v startsWith p ⇒ p <= v < nextPrefix(p); disjoint when the whole
+        // zone map sits outside that interval
+        allNull(a) || bounds(a).exists { case (s, mn, mx) =>
+          if (s.kind != "s") false
+          else {
+            val p = l.value.asInstanceOf[UTF8String]
+            if (p.numBytes == 0) false
+            else if (UTF8String.fromString(mx).compareTo(p) < 0) true
+            else nextPrefix(p).exists(np =>
+              UTF8String.fromString(mn).compareTo(np) >= 0)
+          }
+        }
+      case _ => false
+    }
+  }
+
+  /** Smallest string strictly greater than every string with prefix `p`:
+    * increment the last non-0xFF byte, drop the tail. None when all bytes
+    * are 0xFF (unbounded above).
+    */
+  private def nextPrefix(p: UTF8String): Option[UTF8String] = {
+    val bytes = p.getBytes.clone()
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      bytes(i) = (bytes(i) + 1).toByte
+      Some(UTF8String.fromBytes(java.util.Arrays.copyOf(bytes, i + 1)))
+    }
+  }
+}

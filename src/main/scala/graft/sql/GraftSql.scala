@@ -102,6 +102,7 @@ object GraftSql {
     case ShowRollups(db, t)       => eng.catalog.getTable(db, t).isDefined
     case ShowMvs(db, t)           => eng.catalog.getTable(db, t).isDefined
     case ShowClones(db, t)        => eng.catalog.getTable(db, t).isDefined
+    case ShowStats(db, t)         => eng.catalog.getTable(db, t).isDefined
     case ShowTablesIn(db)         => eng.catalog.databaseExists(db)
   }
 
@@ -171,6 +172,14 @@ object GraftSql {
     StructField("clone_table", StringType, nullable = false),
     StructField("borrowed_rowsets", LongType, nullable = false)))
 
+  val statsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = false),
+    StructField("rowsets_with_stats", LongType, nullable = false),
+    StructField("data_rowsets", LongType, nullable = false)))
+
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
@@ -180,6 +189,7 @@ object GraftSql {
     case _: ShowRollups => rollupsSchema
     case _: ShowMvs => mvsSchema
     case _: ShowClones => clonesSchema
+    case _: ShowStats => statsSchema
     case _: DescribeTable => describeSchema
     case _ => statusSchema
   }
@@ -244,12 +254,14 @@ object GraftSql {
 
       case MaintainWarehouse =>
         // one tick of the scheduled-maintenance loop: C1-C3 compaction over
-        // every registered table, with the group-hygiene sweep riding inside
+        // every registered table (group-hygiene sweep rides inside), plus
+        // the result-cache sweep (entries orphaned by version/schema moves)
         val compacted = eng.runScheduledCompaction()
+        val sweptResults = eng.results.sweep()
         status(spark, "MAINTAIN WAREHOUSE", "*",
           s"compacted ${compacted.size} table(s)" +
             (if (compacted.isEmpty) "" else s": ${compacted.mkString(", ")}") +
-            "; group hygiene swept")
+            s"; group hygiene swept; $sweptResults stale cached result(s) reclaimed")
 
       case BeginLoadGroup =>
         require(!activeGroup.contains(spark),
@@ -373,6 +385,11 @@ object GraftSql {
           Row(cdb, ctbl, ids.size.toLong)
         }
         spark.createDataFrame(rows.asJava, clonesSchema)
+
+      case ShowStats(db, t) =>
+        import scala.jdk.CollectionConverters._
+        val rows = eng.describeStats(db, t).collect().toSeq
+        spark.createDataFrame(rows.asJava, statsSchema)
 
       case DropTable(db, t) =>
         require(eng.catalog.dropTable(db, t), s"no table $db.$t")

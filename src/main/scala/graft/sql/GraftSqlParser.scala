@@ -61,6 +61,11 @@ object GraftStatement {
   final case class ShowRollups(db: String, table: String) extends GraftStatement
   /** SHOW MATERIALIZED VIEWS IN db.t — the registered join MVs (fact side). */
   final case class ShowMvs(db: String, table: String) extends GraftStatement
+  /** SHOW STATS IN db.t — the manifest's folded per-column zone maps
+    * (min/max/null-count and stats coverage), i.e. what rowset pruning and
+    * metadata-served MIN/MAX can answer from.
+    */
+  final case class ShowStats(db: String, table: String) extends GraftStatement
   /** SHOW CLONES IN db.t — live shallow clones borrowing this table's rowsets. */
   final case class ShowClones(db: String, table: String) extends GraftStatement
   /** BEGIN LOAD GROUP / COMMIT LOAD GROUP / ABORT LOAD GROUP — the SQL face
@@ -448,6 +453,8 @@ object GraftSqlParser {
       Some(ShowMvs(db, t))
     } else if (c.tryKw("CLONES")) {
       c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowClones(db, t))
+    } else if (c.tryKw("STATS")) {
+      c.kw("IN"); val (db, t) = c.qname(); c.end(); Some(ShowStats(db, t))
     } else if (c.tryKw("PARTITIONS")) {
       if (!c.tryKw("IN")) return None // Spark's own SHOW PARTITIONS <tbl>
       val (db, t) = c.qname(); c.end(); Some(ShowPartitions(db, t))

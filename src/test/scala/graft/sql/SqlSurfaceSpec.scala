@@ -605,4 +605,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("SHOW STATS: the manifest zone maps are introspectable through SQL") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_stats")
+      g("""CREATE TABLE g_stats.t (k BIGINT, s VARCHAR(8)) DUPLICATE KEY (k)
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      g("INSERT INTO g_stats.t SELECT id, CAST(id AS STRING) FROM range(100)")
+      val rows = g("SHOW STATS IN g_stats.t").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(rows("k").getString(1) == "0" && rows("k").getString(2) == "99")
+      assert(rows("k").getLong(3) == 0L)   // no nulls
+      assert(rows("k").getLong(4) == 1L && rows("k").getLong(5) == 1L)
+      // string bounds are unsigned-bytewise: "99" is the lexicographic max
+      assert(rows("s").getString(2) == "99")
+    } finally GraftSql.unbind(spark)
+  }
 }
