@@ -100,6 +100,31 @@ object EngineFixture {
         .withColumn("value", col("value") + 5000.0),
       Some(Version(3, 3)))
 
+    // --- events_seg: RANGE-SPLIT loads → rowset zone maps prune reads -------
+    // Three MVCC loads over disjoint event_id thirds (the natural shape of
+    // time-keyed ingest). q224 filters above the top boundary and REQUIRES
+    // the plan to scan exactly one rowset: the manifest zone maps
+    // (StatsHarvest → RowsetPruneRewrite) drop the other two branches at
+    // optimization time — no listing, no footer read, no task.
+    val segSchema = TableSchema(KeysType.Duplicate, Seq(
+      ColumnSpec.key("event_id", LongType),
+      ColumnSpec.value("user_id", LongType),
+      ColumnSpec.value("value", DoubleType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "events_seg", schema = segSchema,
+      bucketColumn = Some("event_id"), numBuckets = 2))
+    val segEv = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val segMax = segEv.agg(max(col("event_id"))).head.getLong(0)
+    val (segK1, segK2) = (segMax / 3, (2 * segMax) / 3)
+    eng.ingest("graft", "events_seg", segEv.filter(col("event_id") <= segK1),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "events_seg",
+      segEv.filter(col("event_id") > segK1 && col("event_id") <= segK2),
+      Some(Version(2, 2)))
+    eng.ingest("graft", "events_seg", segEv.filter(col("event_id") > segK2),
+      Some(Version(3, 3)))
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -244,6 +269,26 @@ object EngineFixture {
         d = 4, w = 512)
     eng.ingest("graft", "cms_agg", cmsLoad(col("doc_id") % 2 === 0), Some(Version(1, 1)))
     eng.ingest("graft", "cms_agg", cmsLoad(col("doc_id") % 2 === 1), Some(Version(2, 2)))
+
+    // --- hist_agg: a QUANTILE HISTOGRAM as an Aggregate-model table --------
+    // The missing sketch beside CMS/HLL/bitmap: fixed-boundary bin counts
+    // are Sum-mergeable, so each load carries the partial histogram of ITS
+    // rows (bins-sized, never the values) and merge-on-read IS the sketch
+    // union. q226 serves percentiles from the merged cells (error ≤ width);
+    // q227 is the streaming twin over the same oracle.
+    val histSchema = TableSchema(KeysType.Aggregate, Seq(
+      ColumnSpec.key("bin", LongType),
+      ColumnSpec.value("n", LongType, AggType.Sum)))
+    eng.createTable(TableDef(
+      db = "graft", name = "hist_agg", schema = histSchema,
+      bucketColumn = Some("bin"), numBuckets = 2))
+    def histLoad(pred: org.apache.spark.sql.Column) =
+      graft.pipeline.Quantile.histCells(
+        Tables.events(spark, sfDir).filter(pred), "value", lo = 0.0, width = 5.0)
+    eng.ingest("graft", "hist_agg", histLoad(col("event_id") % 2 === 0),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "hist_agg", histLoad(col("event_id") % 2 === 1),
+      Some(Version(2, 2)))
 
     // --- orders_auto: dynamic partitioning (Doris dynamic_partition) -------
     // one declared month; the load self-extends the Range ladder to cover
@@ -734,6 +779,85 @@ object EngineQueries {
     spark.range(1).select(lit(n).as("n"))
   }
 
+  /** q223: MIN/MAX + COUNT answered ENTIRELY from manifest metadata — the
+    * rowset zone maps ([[graft.manifest.StatsHarvest]], folded by
+    * `OlapEngine.minMaxStats`) and the manifest row counts. Zero files
+    * opened, zero tasks: at 100 TB the commonest table-health queries
+    * (`SELECT min(ts), max(ts), count(*)`) become driver-side manifest
+    * folds. The `require` makes a silent fallback-to-scan a loud failure;
+    * the oracle hash pins the served values against a raw recompute.
+    */
+  def minMaxMeta(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val (mm, served) = eng.minMaxStats("graft", "orders_dup",
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    require(served, "q223 must serve min/max from the manifest zone maps, " +
+      "not a scan fallback")
+    mm.withColumn("n_rows", lit(eng.countStar("graft", "orders_dup")))
+  }
+
+  /** q226: percentiles SERVED from the engine-maintained histogram table —
+    * the quantile member of the sketch-as-Aggregate-table family
+    * (CMS q184, HLL q131, bitmap q124). The scan Sum-merges the two loads'
+    * partial histograms; the estimates are deterministic interpolations the
+    * oracle replays bit-for-bit (cells AND estimates), so the hash pins the
+    * whole pipeline: binning, MVCC merge, cumulative walk.
+    */
+  def engineQuantile(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Quantile.percentileFromHist(
+      EngineFixture.get(spark, dir).scan("graft", "hist_agg"),
+      lo = 0.0, width = 5.0, qs = Seq(0.5, 0.9, 0.99))
+
+  /** q225: the version-keyed RESULT CACHE serving a dashboard aggregate.
+    * The first `cached` call computes and stores the result keyed by the
+    * table's visible version + schema signature; the second call is
+    * REQUIRED to hit (a silent recompute fails loudly). The oracle pins the
+    * served parquet's content against a raw recompute — and because the
+    * fingerprint moves on every answer-changing commit (`ResultCacheSpec`
+    * pins ingest/rename invalidation and compaction survival), a hit can
+    * never serve stale rows. At 100 TB the second dashboard refresh costs
+    * one small parquet read instead of the scan.
+    */
+  def cachedAggServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    def compute = eng.scan("graft", "orders_dup")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_c")).as("sum_price"))
+      .withColumn("sum_price", col("sum_price").cast("double"))
+    eng.results.cached("q225", Seq(("graft", "orders_dup")), compute)
+    val (served, hit) = eng.results.cached("q225",
+      Seq(("graft", "orders_dup")), compute)
+    require(hit, "q225 must serve from the result cache on the second call")
+    served
+  }
+
+  /** q224: transparent ROWSET pruning by manifest zone maps. The filter's
+    * bound is re-derived with the same arithmetic the fixture used to split
+    * the loads, so the predicate excludes two of the three rowsets by
+    * range; [[graft.plans.RowsetPruneRewrite]] collapses their branches at
+    * optimization time and the `require` pins that the final plan reads
+    * exactly ONE parquet relation. On a year of versioned loads this is
+    * the difference between touching one day's rowsets and all of them —
+    * before any directory is listed.
+    */
+  def rowsetPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val maxId = Tables.events(spark, dir).agg(max(col("event_id"))).head.getLong(0)
+    val k2 = (2 * maxId) / 3
+    val df = eng.scan("graft", "events_seg")
+      .filter(col("event_id") > k2)
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.size == 1,
+      s"zone maps must prune 2 of events_seg's 3 rowsets; plan reads ${rels.size}")
+    df
+  }
+
   /** Incremental (CDC-style) read: only the rows added in version range
     * [2,3] — the second rowset load (odd order keys). Version-range snapshot
     * reads make every downstream consumer incremental: process the delta
@@ -1004,6 +1128,10 @@ object EngineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_minmax_metadata" -> minMaxMeta _,
+    "q224_rowset_prune" -> rowsetPruneScan _,
+    "q225_result_cache" -> cachedAggServe _,
+    "q226_engine_quantile" -> engineQuantile _,
     "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
@@ -1041,6 +1169,45 @@ object EngineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q223: the engine serves these from manifest zone maps + row counts
+    // (no scan — the query REQUIRES the metadata path); the oracle
+    // recomputes them from the raw rows
+    "q223_minmax_metadata" ->
+      """SELECT min(o_orderkey) AS min_o_orderkey, max(o_orderkey) AS max_o_orderkey,
+        |  min(o_totalprice) AS min_o_totalprice, max(o_totalprice) AS max_o_totalprice,
+        |  min(o_orderstatus) AS min_o_orderstatus, max(o_orderstatus) AS max_o_orderstatus,
+        |  count(*) AS n_rows
+        |FROM orders""".stripMargin,
+    // q224: same split arithmetic as the fixture's three range loads; the
+    // engine answers it scanning ONE of the three rowsets (plan-asserted)
+    "q224_rowset_prune" ->
+      """WITH b AS (SELECT (2 * max(event_id)) // 3 AS k2 FROM events)
+        |SELECT count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events, b WHERE event_id > b.k2""".stripMargin,
+    // q225: the engine serves this from the version-keyed result cache
+    // (hit REQUIRED on the second call); the oracle recomputes from raw rows
+    "q225_result_cache" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q226: full replay of the histogram pipeline — cells (same binning),
+    // cumulative walk, rank targets, and the interpolated estimates with
+    // the SAME double arithmetic and parenthesization as the Spark side
+    "q226_engine_quantile" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor((value - CAST(0.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+        |c AS (SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM cells),
+        |tgt AS (SELECT CAST(q AS DOUBLE) AS q,
+        |    CAST(ceil(CAST(q AS DOUBLE) * total) AS BIGINT) AS target
+        |  FROM (VALUES (0.5), (0.9), (0.99)) qs(q), t)
+        |SELECT q,
+        |  (CAST(0.0 AS DOUBLE) + CAST(bin AS DOUBLE) * CAST(5.0 AS DOUBLE)) +
+        |    CAST(5.0 AS DOUBLE) * (CAST(target - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE)) AS est
+        |FROM tgt JOIN c ON cum >= target AND (cum - n) < target""".stripMargin,
     // q186: DuckDB recomputes each order's month partition (p0 holds
     // everything below the declared 1992-02-01 bound; auto partitions are
     // named from the month they start) — ladder + routing verified together

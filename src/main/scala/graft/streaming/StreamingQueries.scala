@@ -174,6 +174,34 @@ object StreamingQueries {
     spark.read.parquet(sink)
   }
 
+  /** Streaming quantile-histogram maintenance (q227) — the streaming twin
+    * of q226's engine-table histogram, closing the batch/stream pair the
+    * way q169/q179 does for Count-Min. Fixed-boundary bin counts are the
+    * fixed-size state that lets this run unwatermarked forever: the
+    * grouped state is bins-sized no matter how many events flow through.
+    * The drained cells must equal the batch build (same binning over the
+    * same data), so the percentile estimates reuse q226's oracle VERBATIM:
+    * stream-served must equal batch-served bit-for-bit.
+    */
+  def streamQuantile(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      val stream = graft.queries.Tables.eventsStream(spark, dir)
+      val cells = stream.filter(col("value").isNotNull)
+        .select(floor((col("value") - lit(0.0)) / lit(5.0)).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val sink = drainedSink("q227", dir) { (ckpt, out) =>
+        cells.writeStream.outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      graft.pipeline.Quantile.percentileFromHist(
+        spark.read.parquet(sink), lo = 0.0, width = 5.0, qs = Seq(0.5, 0.9, 0.99))
+    }
+
   /** Stream-maintained cluster_reps engines, one per data dir (the q183
     * fixture: bootstrap + streamed delta folds happen once; serves reuse).
     */
@@ -1282,6 +1310,7 @@ object StreamingQueries {
     "q141_stream_dedup_bounded" -> ((s: SparkSession, d: String) => streamDedupBounded(s, d)),
     "q162_stream_ewma_anomalies" -> ((s: SparkSession, d: String) => streamEwmaAnomalies(s, d)),
     "q179_stream_count_min" -> ((s: SparkSession, d: String) => streamCountMin(s, d)),
+    "q227_stream_quantile" -> ((s: SparkSession, d: String) => streamQuantile(s, d)),
     "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -1384,6 +1413,10 @@ object StreamingQueries {
     // batch fold (same op order, same floor-quantized emission)
     "q162_stream_ewma_anomalies" ->
       graft.operators.TimeSeries.oracles("q161_ewma_anomalies"),
+    // q227: q226's oracle VERBATIM — the drained stream histogram must
+    // serve the same percentile estimates as the batch engine table
+    "q227_stream_quantile" ->
+      graft.queries.EngineQueries.oracles("q226_engine_quantile"),
     // q179: the oracle recomputes every matrix cell from the static events
     // table — the drained stream must equal the batch build exactly
     "q179_stream_count_min" ->
