@@ -141,6 +141,10 @@ object Bench {
           n == "q202_filtered_ann" || n == "q203_rm3_expansion" ||
           n == "q207_context_pack")
         Some("served-from-index") // production reads the maintained index tables
+      else if (n == "q223_minmax_metadata")
+        Some("served-from-metadata") // manifest zone-map fold, zero files opened
+      else if (n == "q225_result_cache")
+        Some("served-from-cache") // version-keyed result cache hit (that IS the shape)
       else if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")

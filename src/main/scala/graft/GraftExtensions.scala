@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.BucketPruneRewrite)
     e.injectOptimizerRule(_ => graft.plans.PartitionPruneRewrite)
     e.injectOptimizerRule(_ => graft.plans.RowsetPruneRewrite)
+    e.injectOptimizerRule(_ => graft.plans.StatsAggRewrite)
     // SQL front door: engine DDL/DML/lifecycle statements become Spark SQL
     // (inert until an engine is bound via GraftSql.bind — unclaimed text
     // always delegates to Spark's own parser)
@@ -92,5 +93,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RowsetPruneRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RowsetPruneRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.StatsAggRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.StatsAggRewrite
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.engine.OlapEngine
+import graft.model._
+
+/** Rowset-zone-map probe: the measured form of "does pruning rowsets before
+  * any I/O matter on a long version history". Builds ONE Duplicate table
+  * from `loads` range-disjoint MVCC loads of the events table (the natural
+  * time-keyed ingest shape: each load owns a key band), then times a
+  * narrow-band aggregate three ways:
+  *
+  *  - pruned: the filter's band intersects ~1 rowset; RowsetPruneRewrite
+  *    collapses every other branch at optimization time (no listing, no
+  *    footer, no task);
+  *  - unpruned: same plan with the rule's registry cleared — every rowset
+  *    is listed, opened, and parquet row-group stats do the filtering;
+  *  - full: the unfiltered aggregate (the scan floor).
+  *
+  * Also reports scan-branch counts as plan evidence. Expectation at scale:
+  * pruned latency is FLAT in the number of loads while unpruned grows with
+  * them — the same contract FwdProbe pins for delta-sized index updates.
+  *
+  * Usage: PruneProbe <sfDir> [loads] — prints one JSON line.
+  */
+object PruneProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val loads = if (args.length > 1) args(1).toInt else 48
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val eng = new OlapEngine(spark,
+      Files.createTempDirectory(java.nio.file.Paths.get(FastTmp.dir), "prune-probe-"))
+    eng.createDatabase("probe")
+    eng.createTable(TableDef(
+      db = "probe", name = "t",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+        ColumnSpec.value("user_id", org.apache.spark.sql.types.LongType),
+        ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 4))
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val maxId = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val band = math.max(1L, maxId / loads)
+    (0 until loads).foreach { i =>
+      eng.ingest("probe", "t",
+        ev.filter(col("event_id") >= i * band &&
+          (if (i == loads - 1) lit(true) else col("event_id") < (i + 1) * band)))
+    }
+
+    // the probe band: one load's range, mid-table
+    val lo = (loads / 2) * band
+    val hi = lo + band / 2
+    def query = eng.scan("probe", "t")
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s"))
+    def full = eng.scan("probe", "t")
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s"))
+
+    def scansIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.size
+
+    def median3(work: => Unit): Double = {
+      work // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+
+    val prunedScans = scansIn(query)
+    val pruned = median3(query.write.mode("overwrite").format("noop").save())
+    val fullSec = median3(full.write.mode("overwrite").format("noop").save())
+    // disarm the rule (clear() is not enough: the read path re-registers at
+    // DataFrame construction): same query, every branch survives to execution
+    graft.plans.RowsetPruneRewrite.setEnabled(false)
+    val unprunedScans = scansIn(query)
+    val unpruned = median3(query.write.mode("overwrite").format("noop").save())
+    graft.plans.RowsetPruneRewrite.setEnabled(true)
+
+    println(s"""{"loads":$loads,"pruned_scan_branches":$prunedScans,""" +
+      s""""unpruned_scan_branches":$unprunedScans,""" +
+      s""""pruned_sec":${f"$pruned%.3f"},"unpruned_sec":${f"$unpruned%.3f"},""" +
+      s""""full_scan_sec":${f"$fullSec%.3f"}}""")
+    spark.stop()
+  }
+}

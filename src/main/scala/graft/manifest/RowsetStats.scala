@@ -158,7 +158,10 @@ object StatsHarvest {
           Some(("i", v => v.toString))
         case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation if it.isSigned =>
           Some(("i", v => v.toString))
-        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            // NTZ (non-UTC-adjusted) micros read as TimestampType shift with
+            // the session zone — only instant-semantics stats are portable
+            if ts.isAdjustedToUTC =>
           ts.getUnit match {
             case LogicalTypeAnnotation.TimeUnit.MICROS =>
               Some(("i", v => v.toString))

@@ -47,6 +47,15 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
 
   def clear(): Unit = entries.clear()
 
+  /** Probe/audit switch: clearing the registry is NOT enough to observe the
+    * unpruned plan, because the engine re-registers every scanned rowset's
+    * stats at DataFrame construction (rawFromRowsets) — the next scan
+    * re-arms the rule. Disabling stops the rewrite while keeping the
+    * registry intact; PruneProbe and the equality spec use it.
+    */
+  @volatile private var enabledV = true
+  def setEnabled(on: Boolean): Unit = enabledV = on
+
   /** The relation beneath any stack of graft-injected pruning filters
     * (bucket + partition pruning may each have nested one).
     */
@@ -61,7 +70,7 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (entries.isEmpty) plan
+    if (!enabledV || entries.isEmpty) plan
     else plan.transformUp {
       case f @ Filter(cond, PeeledRelation(lr)) =>
         try { if (mustBeEmpty(cond, lr)) LocalRelation(f.output) else f }

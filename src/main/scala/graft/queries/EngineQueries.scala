@@ -796,6 +796,49 @@ object EngineQueries {
     mm.withColumn("n_rows", lit(eng.countStar("graft", "orders_dup")))
   }
 
+  /** q228: the TRANSPARENT form of q223 — a plain group-less
+    * MIN/MAX/COUNT aggregate written against the base scan, no engine API.
+    * [[graft.plans.StatsAggRewrite]] proves the child is exactly the
+    * current covering snapshot and replaces the whole subtree with a
+    * one-row literal Project served from the manifest zone maps; the
+    * `require` pins that the optimized plan reads NO parquet relation at
+    * all. Same oracle as q223: one answer, two derivations (API fold vs
+    * transparent rewrite).
+    */
+  def minMaxTransparent(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val df = eng.scan("graft", "orders_dup").agg(
+      min(col("o_orderkey")).as("min_o_orderkey"),
+      max(col("o_orderkey")).as("max_o_orderkey"),
+      min(col("o_totalprice")).as("min_o_totalprice"),
+      max(col("o_totalprice")).as("max_o_totalprice"),
+      min(col("o_orderstatus")).as("min_o_orderstatus"),
+      max(col("o_orderstatus")).as("max_o_orderstatus"),
+      count(lit(1)).as("n_rows"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.isEmpty,
+      s"q228 must serve entirely from metadata; plan still reads ${rels.size} relation(s)")
+    df
+  }
+
+  /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
+    * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
+    * events_seg's third (highest-band) load, so the two-phase bound
+    * refinement reads ONE of the three rowsets — `require`-pinned — and
+    * the oracle pins exactness against a full-table sort. On a year of
+    * daily loads this is a 1–2-rowset read instead of a 365-way sort.
+    */
+  def topKServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val (df, rowsetsRead) = eng.topKByStats("graft", "events_seg", "event_id", 100)
+    require(rowsetsRead == 1,
+      s"zone-map top-k must read 1 of events_seg's 3 rowsets, read $rowsetsRead")
+    df.select(col("event_id"), col("user_id"), col("value"))
+  }
+
   /** q226: percentiles SERVED from the engine-maintained histogram table —
     * the quantile member of the sketch-as-Aggregate-table family
     * (CMS q184, HLL q131, bitmap q124). The scan Sum-merges the two loads'
@@ -1132,6 +1175,8 @@ object EngineQueries {
     "q224_rowset_prune" -> rowsetPruneScan _,
     "q225_result_cache" -> cachedAggServe _,
     "q226_engine_quantile" -> engineQuantile _,
+    "q228_minmax_transparent" -> minMaxTransparent _,
+    "q229_topk_zonemap" -> topKServe _,
     "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
@@ -1178,6 +1223,19 @@ object EngineQueries {
         |  min(o_orderstatus) AS min_o_orderstatus, max(o_orderstatus) AS max_o_orderstatus,
         |  count(*) AS n_rows
         |FROM orders""".stripMargin,
+    // q228: q223's oracle verbatim — API fold and transparent Catalyst
+    // rewrite must produce the same metadata-served row
+    "q228_minmax_transparent" ->
+      """SELECT min(o_orderkey) AS min_o_orderkey, max(o_orderkey) AS max_o_orderkey,
+        |  min(o_totalprice) AS min_o_totalprice, max(o_totalprice) AS max_o_totalprice,
+        |  min(o_orderstatus) AS min_o_orderstatus, max(o_orderstatus) AS max_o_orderstatus,
+        |  count(*) AS n_rows
+        |FROM orders""".stripMargin,
+    // q229: a full-table sort in the oracle; the engine reads one rowset
+    // (event_id is unique, so the top-100 SET is deterministic)
+    "q229_topk_zonemap" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
     // q224: same split arithmetic as the fixture's three range loads; the
     // engine answers it scanning ONE of the three rowsets (plan-asserted)
     "q224_rowset_prune" ->

@@ -1,0 +1,78 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestSession
+import graft.catalog._
+import graft.manifest.Version
+import graft.model._
+
+/** Zone-map top-k: the two-phase bound refinement is EXACT (equal to the
+  * full-table sort) while reading only the rowsets whose bounds can reach
+  * the answer; anything unservable falls back to the full scan.
+  */
+class TopKStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", DoubleType)))
+
+  /** Four loads over interleaved-but-bounded bands: load i holds keys
+    * [i*1000, i*1000+500), so bands are disjoint and ordered.
+    */
+  private def mkEngine(): OlapEngine = {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-topk-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    (0 until 4).foreach { i =>
+      eng.ingest("db", "t", spark.createDataFrame(
+        (0L until 500L).map(j =>
+          Row(i * 1000L + j, if (j == 13) null else (i * 1000L + j) * 0.5))
+          .asJava, schema),
+        Some(Version(i + 1L, i + 1L)))
+    }
+    eng
+  }
+
+  test("top-k equals the full sort and reads only the reachable rowsets") {
+    val eng = mkEngine()
+    val (df, read) = eng.topKByStats("db", "t", "k", 100)
+    assert(read == 1, s"top-100 lives in the last band; read $read rowsets")
+    val expect = eng.scan("db", "t").orderBy(col("k").desc_nulls_last).limit(100)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(df.select("k").collect().map(_.getLong(0)).toSeq == expect)
+    // k larger than one band pulls in the next rowset
+    val (df2, read2) = eng.topKByStats("db", "t", "k", 600)
+    assert(read2 == 2, s"top-600 spans two bands; read $read2")
+    assert(df2.count() == 600L)
+    // ascending mirrors with min bounds
+    val (df3, read3) = eng.topKByStats("db", "t", "k", 100, desc = false)
+    assert(read3 == 1)
+    assert(df3.select("k").collect().map(_.getLong(0)).toSeq ==
+      (0L until 100L))
+  }
+
+  test("null values never rank; double column serves; fallbacks are loud-correct") {
+    val eng = mkEngine()
+    // v has a null per band; nulls-last means they never enter the top-k
+    val (df, read) = eng.topKByStats("db", "t", "v", 50)
+    assert(read == 1)
+    assert(!df.select("v").collect().exists(_.isNullAt(0)))
+    assert(df.select("v").collect().map(_.getDouble(0)).toSeq ==
+      eng.scan("db", "t").orderBy(col("v").desc_nulls_last).limit(50)
+        .select("v").collect().map(_.getDouble(0)).toSeq)
+    // a delete marker forces the full-scan fallback — still exact
+    eng.deleteWhere("db", "t", "k = 3499", Some(Version(5, 5)))
+    val (df4, read4) = eng.topKByStats("db", "t", "k", 10)
+    assert(read4 == -1)
+    assert(df4.select("k").collect().map(_.getLong(0)).max == 3498L)
+  }
+}

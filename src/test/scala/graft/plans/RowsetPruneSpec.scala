@@ -114,12 +114,17 @@ class RowsetPruneSpec extends AnyFunSuite {
       col("s") > "s0150", col("k").isin(5L, 105L), col("v").isNull)
     val withRule = preds.map(p =>
       eng.scan("db", "t").filter(p).orderBy("k").collect().toSeq)
-    RowsetPruneRewrite.clear()
+    // clearing the registry is not enough — the read path re-registers at
+    // DataFrame construction; the disable switch observes the true unpruned
+    // plan (PruneProbe relies on the same)
+    RowsetPruneRewrite.setEnabled(false)
     try {
       val without = preds.map(p =>
         eng.scan("db", "t").filter(p).orderBy("k").collect().toSeq)
       assert(withRule == without)
-    } finally eng.scan("db", "t").count() // re-register via the read path
+      assert(scansIn(eng.scan("db", "t").filter(col("k") >= 150L)) == 2,
+        "disabled rule must leave every branch")
+    } finally RowsetPruneRewrite.setEnabled(true)
   }
 
   test("IS NULL prunes a null-free rowset; all-null columns prune comparisons") {
