@@ -95,10 +95,37 @@ object PruneProbe {
     val unpruned = median3(query.write.mode("overwrite").format("noop").save())
     graft.plans.RowsetPruneRewrite.setEnabled(true)
 
+    // --- bloom tier: INTERLEAVED loads (every load spans the full id range,
+    // zone maps useless by construction) + a declared bloom column; a point
+    // lookup must drop every rowset whose sidecar excludes the key
+    eng.createTable(TableDef(
+      db = "probe", name = "b",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+        ColumnSpec.value("user_id", org.apache.spark.sql.types.LongType),
+        ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 4,
+      bloomColumns = Seq("event_id")))
+    (0 until loads).foreach { i =>
+      eng.ingest("probe", "b", ev.filter(col("event_id") % loads === i))
+    }
+    val probeKey = (maxId - 1) - ((maxId - 1) % loads) // lives in load 0
+    def point = eng.scan("probe", "b")
+      .filter(col("event_id") === probeKey)
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s"))
+    val bloomScans = scansIn(point)
+    val bloomSec = median3(point.write.mode("overwrite").format("noop").save())
+    graft.plans.RowsetPruneRewrite.setEnabled(false)
+    val noBloomScans = scansIn(point)
+    val noBloomSec = median3(point.write.mode("overwrite").format("noop").save())
+    graft.plans.RowsetPruneRewrite.setEnabled(true)
+
     println(s"""{"loads":$loads,"pruned_scan_branches":$prunedScans,""" +
       s""""unpruned_scan_branches":$unprunedScans,""" +
       s""""pruned_sec":${f"$pruned%.3f"},"unpruned_sec":${f"$unpruned%.3f"},""" +
-      s""""full_scan_sec":${f"$fullSec%.3f"}}""")
+      s""""full_scan_sec":${f"$fullSec%.3f"},""" +
+      s""""bloom_scan_branches":$bloomScans,"no_bloom_scan_branches":$noBloomScans,""" +
+      s""""bloom_point_sec":${f"$bloomSec%.3f"},"no_bloom_point_sec":${f"$noBloomSec%.3f"}}""")
     spark.stop()
   }
 }

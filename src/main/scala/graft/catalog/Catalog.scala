@@ -170,6 +170,19 @@ object VarcharMode {
   * a partial-update table NULL means "not set" — a load cannot set a column
   * to NULL, it can only leave it alone.
   */
+/** Types the rowset bloom index supports: anything [[graft.manifest
+  * .RowsetBloom]] can hash identically on both the build side (xxhash64 over
+  * the column) and the probe side (XxHash64 of a pushed-down literal).
+  */
+object RowsetBloomTypes {
+  import org.apache.spark.sql.types._
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | FloatType | DoubleType | StringType => true
+    case _ => false
+  }
+}
+
 final case class TableDef(
     db: String,
     name: String,
@@ -249,8 +262,20 @@ final case class TableDef(
     // written under an older layout and must never be pruned by the new
     // routing (unpruned is always correct; a new-count route against
     // old-layout dirs would silently drop rows).
-    bucketLayoutFloor: Long = 0L) {
+    bucketLayoutFloor: Long = 0L,
+    // columns carrying a rowset-level BLOOM skipping index
+    // ([[graft.manifest.RowsetBloom]]): each data write also builds one
+    // bloom sidecar per listed column, and equality/IN point lookups prune
+    // rowsets whose bloom excludes the key — the high-cardinality complement
+    // of the zone maps (Doris's bloom_filter_columns table property)
+    bloomColumns: Seq[String] = Nil) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
+  require(bloomColumns.forall(c => schema.columns.exists(_.name == c)),
+    s"bloom_filter_columns names unknown columns on $db.$name: " +
+      bloomColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  require(bloomColumns.forall(c => schema.columns.find(_.name == c).forall(s =>
+    RowsetBloomTypes.supported(s.dataType))),
+    s"bloom_filter_columns must be integral/float/string/date/timestamp on $db.$name")
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
   require(autoExpireKeep.isEmpty || autoPartition.isDefined,
@@ -362,7 +387,9 @@ object CatalogStore {
       "expiredToDeadLetter" -> JBool(td.expiredToDeadLetter),
       "renamedColumns" -> JObject(td.renamedColumns.toList.map {
         case (o, n) => o -> (JString(n): JValue) }),
-      "bucketLayoutFloor" -> JInt(td.bucketLayoutFloor))
+      "bucketLayoutFloor" -> JInt(td.bucketLayoutFloor),
+      "bloomColumns" -> (if (td.bloomColumns.isEmpty) JNothing
+        else JArray(td.bloomColumns.toList.map(JString(_): JValue))))
   }
 
   def fromJson(j: JValue): TableDef = {
@@ -427,7 +454,11 @@ object CatalogStore {
           k -> v.asInstanceOf[JString].s }.toMap
         case _ => Map.empty
       },
-      bucketLayoutFloor = (j \ "bucketLayoutFloor").extractOpt[Long].getOrElse(0L))
+      bucketLayoutFloor = (j \ "bucketLayoutFloor").extractOpt[Long].getOrElse(0L),
+      bloomColumns = (j \ "bloomColumns") match {
+        case JArray(vs) => vs.collect { case JString(c) => c }
+        case _ => Nil
+      })
   }
 }
 

@@ -360,6 +360,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // integral → floating is lossless up to the mantissa: byte/short fit
+      // float's 24 bits, byte/short/int fit double's 53; long → double is
+      // NOT lossless (> 2^53 rounds) and stays refused
+      case (ByteType | ShortType, FloatType | DoubleType) => true
+      case (IntegerType, DoubleType) => true
       case (d1: DecimalType, d2: DecimalType) =>
         d1.scale == d2.scale && d2.precision >= d1.precision
       case _ => false
@@ -409,6 +414,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     require(td.schema.columns.size > 1, s"cannot drop the last column of ${td.qualified}")
     catalog.alterTable(td.copy(
       schema = td.schema.copy(columns = td.schema.columns.filterNot(_.name == name)),
+      bloomColumns = td.bloomColumns.filterNot(_ == name),
       droppedColumns = td.droppedColumns :+ name))
   }
 
@@ -459,6 +465,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       sequenceColumn = td.sequenceColumn.map(c => if (c == oldName) newName else c),
       zorderColumns = td.zorderColumns.map { case (x, y) =>
         (if (x == oldName) newName else x, if (y == oldName) newName else y) },
+      // bloom declarations follow the rename: NEW loads build sidecars under
+      // the new name; old rowsets' sidecars stay keyed by their era's
+      // physical name, which is exactly the name their scan attributes carry
+      bloomColumns = td.bloomColumns.map(c => if (c == oldName) newName else c),
       // chain-collapse: any former name whose current target is oldName now
       // maps straight to newName, so a file from ANY era renames in one hop
       renamedColumns = td.renamedColumns.map { case (o, n) =>
@@ -752,13 +762,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // semantics — an empty load is still a VERSION (the graph stays
     // hole-free); the read path skips file-less rowsets.
     val (numRows, colStats) = harvestStats(outDir)
+    val blooms = buildBlooms(db, table, outDir, numRows)
     // the write validated and landed: NOW the auto-minted partitions become
     // catalog state — before publish, so the prune rules know the new
     // partitions by the time any reader can see the new rowset
     commitMintedPartitions(db, table, minted)
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis(), pendingGroup = group,
-      stats = colStats)
+      stats = colStats, bloomCols = blooms)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1162,10 +1173,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // relation at optimization time (plans.RowsetPruneRewrite) — the scan
     // never lists or opens the directory
     data.foreach { r =>
-      if (r.stats.nonEmpty)
+      if (r.stats.nonEmpty || r.bloomCols.nonEmpty) {
+        val dir = root.resolve(r.relDir).toAbsolutePath.normalize.toString
         graft.plans.RowsetPruneRewrite.register(
-          root.resolve(r.relDir).toAbsolutePath.normalize.toString,
-          graft.plans.RowsetPruneRewrite.Entry(r.numRows, r.stats))
+          dir, graft.plans.RowsetPruneRewrite.Entry(
+            r.numRows, r.stats, dir, r.bloomCols.toSet))
+      }
     }
     val unioned = data.map { r =>
       // ignoreMissingFiles pinned false PER READ: the constructor guard
@@ -1471,6 +1484,50 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         (n, Map.empty)
     }
 
+  /** Build one [[RowsetBloom]] sidecar per declared bloom column for a
+    * freshly written rowset dir (pre-publish, so the sidecars land
+    * atomically with the rowset). Cost: one delta-sized Spark job per bloom
+    * column over THIS load only. Returns the columns whose sidecars landed;
+    * never fails a load — a bloom error degrades to no-bloom (no pruning).
+    */
+  private def buildBlooms(db: String, table: String, outDir: Path,
+      numRows: Long): Seq[String] = {
+    val td = catalog.getTable(db, table).getOrElse(return Nil)
+    if (td.bloomColumns.isEmpty || numRows == 0) return Nil
+    import spark.implicits._
+    val df = try spark.read.parquet(outDir.toString)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    td.bloomColumns.filter(df.columns.contains).flatMap { c =>
+      try {
+        val dt = df.schema(c).dataType
+        val nLongs = RowsetBloom.sizeLongs(numRows)
+        // xxhash64 (seed 42) per non-null value, OR-folded into per-partition
+        // bitsets. treeAggregate so a 1000-executor load merges bitsets
+        // executor-side instead of hauling every partition's array to the
+        // driver; the zero value also makes an all-null column legal (an
+        // empty bloom correctly excludes every probe — no non-null value
+        // can equal anything).
+        val or = (x: Array[Long], y: Array[Long]) => {
+          var i = 0; while (i < x.length) { x(i) |= y(i); i += 1 }; x
+        }
+        val bits = df.filter(col(c).isNotNull)
+          .select(xxhash64(col(c))).as[Long]
+          .mapPartitions { it =>
+            val arr = new Array[Long](nLongs)
+            it.foreach(h => RowsetBloom.add(arr, h))
+            Iterator.single(arr)
+          }.rdd.treeAggregate(new Array[Long](nLongs))(or, or, depth = 2)
+        RowsetBloom.write(outDir, c,
+          new RowsetBloom(RowsetBloom.K, bits, dt.catalogString))
+        Some(c)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] WARN bloom build failed for $outDir/$c: $e")
+          None
+      }
+    }
+  }
+
   /** Metadata-only MIN/MAX over `cols`: when every covering rowset carries a
     * usable zone map ([[StatsHarvest]]), the answer is a fold over manifest
     * entries — zero files opened, zero tasks — the metadata twin of
@@ -1529,11 +1586,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     if (expectedKind == "s" && ss.exists(s =>
         s.min.exists(_.length >= 64) || s.max.exists(_.length >= 64)))
       return None
+    // compare in the DECLARED space: a widened int→double column may mix
+    // "i"- and "f"-kind rowsets, and "i" canonical strings parse as doubles
     def fold(pickMin: Boolean): Option[String] = {
       val vals = ss.flatMap(s => if (pickMin) s.min else s.max)
       if (vals.isEmpty) None
       else Some(vals.reduce((a, b) =>
-        if ((ColStats.compare(ss.head.kind, a, b) <= 0) == pickMin) a else b))
+        if ((ColStats.compare(expectedKind, a, b) <= 0) == pickMin) a else b))
     }
     val nonNull = data.map(_.numRows).sum - ss.map(_.nullCount).sum
     Some((dt, fold(pickMin = true), fold(pickMin = false), nonNull))
@@ -1657,10 +1716,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       case StringType => kth.getString(0)
       case _ => return fallback
     }
-    // phase 2: anything whose bound can reach L competes (ties included)
+    // phase 2: anything whose bound can reach L competes (ties included).
+    // Compare in the DECLARED space: a widened int→double column has
+    // "i"-kind bounds but a double-rendered L ("123.0" breaks toLong);
+    // "i" canonical strings parse as doubles, so "f" covers both.
+    val cmpKind = dt match {
+      case FloatType | DoubleType => "f"
+      case _ => kind
+    }
     val canBeat: String => Boolean =
-      if (desc) b => ColStats.compare(kind, b, lCanon) >= 0
-      else b => ColStats.compare(kind, b, lCanon) <= 0
+      if (desc) b => ColStats.compare(cmpKind, b, lCanon) >= 0
+      else b => ColStats.compare(cmpKind, b, lCanon) <= 0
     val prefixIds = prefix.map(_._1.rowsetId).toSet
     val candidates = ranked.filter { case (r, s) =>
       prefixIds.contains(r.rowsetId) || bound(s).exists(canBeat)
@@ -1685,10 +1751,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val rows = td.schema.columns.map { cs =>
       val entries = data.flatMap(r => r.stats.get(cs.name).orElse(
         oldNames.getOrElse(cs.name, Nil).flatMap(r.stats.get).headOption))
+      // a widened int→double column mixes "i" and "f" rowsets; "i" strings
+      // parse as doubles, so fold mixed kinds in the "f" space
+      val foldKind = entries.map(_.kind).distinct match {
+        case Seq(k) => k
+        case ks if ks.forall(k => k == "i" || k == "f") => "f"
+        case _ => "s"
+      }
       val mn = entries.flatMap(_.min).reduceOption((a, b) =>
-        if (ColStats.compare(entries.head.kind, a, b) <= 0) a else b)
+        if (ColStats.compare(foldKind, a, b) <= 0) a else b)
       val mx = entries.flatMap(_.max).reduceOption((a, b) =>
-        if (ColStats.compare(entries.head.kind, a, b) >= 0) a else b)
+        if (ColStats.compare(foldKind, a, b) >= 0) a else b)
       (cs.name, mn.orNull, mx.orNull,
         entries.map(_.nullCount).sum, entries.size.toLong, data.size.toLong)
     }
@@ -1793,9 +1866,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // the footer harvest yields (0, empty) for the file-less dir — publish
     // the empty replacement (version continuity) instead of dying
     val (numRows, colStats) = harvestStats(outDir)
+    val blooms = buildBlooms(db, table, outDir, numRows)
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
-      createdMs = System.currentTimeMillis(), stats = colStats)
+      createdMs = System.currentTimeMillis(), stats = colStats,
+      bloomCols = blooms)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -1867,6 +1942,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
       .parquet(outDir.toString)
     val (numRows, colStats) = harvestStats(outDir)
+    val blooms = buildBlooms(db, table, outDir, numRows)
     // routing swap before the manifest swap (see scaladoc ordering argument)
     catalog.alterTable(newTd)
     graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
@@ -1876,7 +1952,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       layoutFloorRowsetId = rowsetId))
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
-      createdMs = System.currentTimeMillis(), stats = colStats)
+      createdMs = System.currentTimeMillis(), stats = colStats,
+      bloomCols = blooms)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -1952,9 +2029,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // the footer harvest yields (0, empty) for the file-less dir — publish
     // the empty replacement (version continuity) instead of dying
     val (numRows, colStats) = harvestStats(outDir)
+    val blooms = buildBlooms(db, table, outDir, numRows)
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
-      createdMs = System.currentTimeMillis(), stats = colStats)
+      createdMs = System.currentTimeMillis(), stats = colStats,
+      bloomCols = blooms)
     m.publish(meta)
     autoGc(db, table)
     meta

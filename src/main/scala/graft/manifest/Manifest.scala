@@ -63,7 +63,12 @@ final case class RowsetMeta(
     // eras resolve through TableDef.renamedColumns). Empty on delete
     // markers, pre-stats rowsets, and columns without usable footer stats —
     // absence means UNKNOWN (unbounded), never empty.
-    stats: Map[String, ColStats] = Map.empty) {
+    stats: Map[String, ColStats] = Map.empty,
+    // columns with a bloom sidecar file in this rowset's dir (physical
+    // names, like `stats`) — the equality skipping index ([[RowsetBloom]]).
+    // Bits load lazily at prune time; a listed column whose sidecar is
+    // unreadable degrades to no-prune, never to wrong data.
+    bloomCols: Seq[String] = Nil) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
   def isPending: Boolean = pendingGroup.isDefined
 }
@@ -360,8 +365,12 @@ final class TableManifest(
             val withMax = s.max.fold(withMin)(m => withMin :+ ("max" -> (JString(m): JValue)))
             c -> (JObject(withMax): JValue)
           }): JValue)))
-      r.staleMs.fold(withStats)(s =>
-        JObject(withStats.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withBlooms =
+        if (r.bloomCols.isEmpty) withStats
+        else JObject(withStats.obj :+ ("blooms" ->
+          (JArray(r.bloomCols.toList.map(JString(_): JValue)): JValue)))
+      r.staleMs.fold(withBlooms)(s =>
+        JObject(withBlooms.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -395,6 +404,10 @@ final class TableManifest(
                 (v \ "nulls").extract[Long])
             }.toMap
             case _ => Map.empty[String, ColStats]
+          },
+          (j \ "blooms") match {
+            case JArray(vs) => vs.collect { case JString(c) => c }
+            case _ => Nil
           })
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))

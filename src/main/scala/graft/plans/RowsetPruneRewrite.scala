@@ -39,7 +39,11 @@ import graft.manifest.ColStats
   */
 object RowsetPruneRewrite extends Rule[LogicalPlan] {
 
-  final case class Entry(numRows: Long, cols: Map[String, ColStats])
+  final case class Entry(numRows: Long, cols: Map[String, ColStats],
+      // rowset dir + columns with a bloom sidecar there (RowsetBloom) — the
+      // equality skipping index; bits load lazily, only when a zone map
+      // failed to prune an equality/IN conjunct
+      dir: String = "", bloomCols: Set[String] = Set.empty)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -152,13 +156,28 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
       stats(a).exists(s => s.min.isEmpty && s.max.isEmpty &&
         s.nullCount >= entry.numRows && entry.numRows > 0)
 
+    // bloom probe: every literal provably absent from the rowset's bloom
+    // sidecar. Hash = the SAME Catalyst XxHash64 (seed 42) the build side
+    // used; typeTag must match the attribute's physical type (a widened
+    // column's old sidecars hash a different byte form — skip, never trust).
+    // False negatives are impossible by construction, so pruning is exact.
+    def bloomExcludes(a: AttributeReference, ls: Seq[Literal]): Boolean =
+      entry.bloomCols.contains(a.name) && entry.dir.nonEmpty &&
+        graft.manifest.RowsetBloom.load(entry.dir, a.name).exists { b =>
+          b.typeTag == a.dataType.catalogString && ls.nonEmpty && ls.forall { l =>
+            // a null element never matches (IN yields null, not true)
+            l.value == null || (l.dataType == a.dataType && !b.mightContain(
+              new XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
+          }
+        }
+
     def eqDisjoint(a: AttributeReference, l: Literal): Boolean =
       allNull(a) || (litValue(l) match {
         case Some(v) => bounds(a).exists { case (s, mn, mx) =>
           cmpStat(s.kind, mn, v) > 0 || cmpStat(s.kind, mx, v) < 0
         }
         case None => false
-      })
+      }) || bloomExcludes(a, Seq(l))
 
     def cmp(a: AttributeReference, l: Literal, op: String): Boolean =
       allNull(a) || (litValue(l) match {
@@ -195,7 +214,7 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
             litValue(l.asInstanceOf[Literal]).forall(v =>
               cmpStat(s.kind, mn, v) > 0 || cmpStat(s.kind, mx, v) < 0)
           }
-        }
+        } || bloomExcludes(a, ls.map(_.asInstanceOf[Literal]))
       case IsNull(a: AttributeReference) =>
         stats(a).exists(_.nullCount == 0) && entry.numRows > 0
       case IsNotNull(a: AttributeReference) => allNull(a)

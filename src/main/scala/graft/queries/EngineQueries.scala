@@ -125,6 +125,22 @@ object EngineFixture {
     eng.ingest("graft", "events_seg", segEv.filter(col("event_id") > segK2),
       Some(Version(3, 3)))
 
+    // --- events_bloom: INTERLEAVED loads → rowset BLOOM prunes point reads --
+    // Three MVCC loads split by event_id % 3, so every load spans the whole
+    // id range — zone maps overlap completely and can never separate them.
+    // The declared bloom_filter_columns build one RowsetBloom sidecar per
+    // load at ingest; q230's equality lookup REQUIRES the plan to read
+    // exactly one rowset: the other two branches drop because their blooms
+    // exclude the key (high-cardinality complement of q224's zone maps).
+    eng.createTable(TableDef(
+      db = "graft", name = "events_bloom", schema = segSchema,
+      bucketColumn = Some("event_id"), numBuckets = 2,
+      bloomColumns = Seq("event_id")))
+    (0 until 3).foreach { r =>
+      eng.ingest("graft", "events_bloom",
+        segEv.filter(col("event_id") % 3 === r), Some(Version(r + 1L, r + 1L)))
+    }
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -839,6 +855,31 @@ object EngineQueries {
     df.select(col("event_id"), col("user_id"), col("value"))
   }
 
+  /** q230: point lookup pruned by the rowset BLOOM skipping index
+    * ([[graft.manifest.RowsetBloom]]): events_bloom's three loads interleave
+    * by `event_id % 3`, so every rowset spans the full id range and zone
+    * maps (q224's tier) can never separate them — yet the plan is REQUIRED
+    * to read exactly ONE parquet relation, because the other two rowsets'
+    * bloom sidecars exclude the key at optimization time. At a year of
+    * interleaved-key loads this is the difference between a point lookup
+    * touching 1–2 rowsets and touching all 365.
+    */
+  def bloomPruneLookup(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val maxId = Tables.events(spark, dir).agg(max(col("event_id"))).head.getLong(0)
+    val k = maxId - (maxId % 3) // ≡ 0 (mod 3): lives in the FIRST load
+    val df = eng.scan("graft", "events_bloom")
+      .filter(col("event_id") === k)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.size == 1,
+      s"bloom must prune 2 of events_bloom's 3 rowsets; plan reads ${rels.size}")
+    df
+  }
+
   /** q226: percentiles SERVED from the engine-maintained histogram table —
     * the quantile member of the sketch-as-Aggregate-table family
     * (CMS q184, HLL q131, bitmap q124). The scan Sum-merges the two loads'
@@ -1177,6 +1218,7 @@ object EngineQueries {
     "q226_engine_quantile" -> engineQuantile _,
     "q228_minmax_transparent" -> minMaxTransparent _,
     "q229_topk_zonemap" -> topKServe _,
+    "q230_bloom_prune" -> bloomPruneLookup _,
     "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
@@ -1236,6 +1278,12 @@ object EngineQueries {
     "q229_topk_zonemap" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    // q230: same mod-3 key arithmetic as the fixture's interleaved loads;
+    // the engine answers it scanning ONE of the three rowsets (bloom-pruned,
+    // plan-asserted) while the oracle recomputes from raw rows
+    "q230_bloom_prune" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id = (SELECT max(event_id) - (max(event_id) % 3) FROM events)""".stripMargin,
     // q224: same split arithmetic as the fixture's three range loads; the
     // engine answers it scanning ONE of the three rowsets (plan-asserted)
     "q224_rowset_prune" ->

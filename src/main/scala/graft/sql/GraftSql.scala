@@ -524,6 +524,8 @@ object GraftSql {
     if (td.partialUpdate) props += ("partial_update" -> "true")
     if (td.expiredToDeadLetter) props += ("expired_to_dead_letter" -> "true")
     td.zorderColumns.foreach { case (x, y) => props += ("zorder" -> s"$x,$y") }
+    if (td.bloomColumns.nonEmpty)
+      props += ("bloom_filter_columns" -> td.bloomColumns.mkString(","))
     val propClause = {
       val ps = props.result()
       if (ps.isEmpty) ""
@@ -602,6 +604,9 @@ object GraftSql {
         case Seq(x, y) => td.copy(zorderColumns = Some((x, y)))
         case _ => throw new GraftParseException(s"zorder needs exactly two columns, got '$v'")
       }
+      // Doris's own property name for the per-rowset bloom skipping index
+      case "bloom_filter_columns" =>
+        td.copy(bloomColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case other => throw new GraftParseException(
         s"unknown table property '$other'")
     }

@@ -204,6 +204,44 @@ class RowsetPruneSpec extends AnyFunSuite {
     assert(rows("k").getLong(4) == 2L && rows("k").getLong(5) == 2L)
   }
 
+  test("widened int->double columns serve from mixed-kind stats") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-rp-wid-"))
+    eng.createDatabase("db")
+    val intSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("w", IntegerType)))
+    eng.createTable(TableDef(
+      db = "db", name = "w", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("w", IntegerType))),
+      bucketColumn = Some("k"), numBuckets = 1))
+    eng.ingest("db", "w", spark.createDataFrame(
+      (0L until 100L).map(i => Row(i, i.toInt * 10)).asJava, intSchema),
+      Some(Version(1, 1)))
+    eng.modifyColumnType("db", "w", "w", DoubleType)
+    // all rowsets still "i"-kind under a double declared type: top-k's
+    // phase-2 compare must not parse the double-rendered L as a long
+    val (tk, read) = eng.topKByStats("db", "w", "w", 5)
+    assert(read >= 1)
+    assert(tk.select("w").collect().map(_.getDouble(0)).toSeq ==
+      Seq(990.0, 980.0, 970.0, 960.0, 950.0))
+    // a post-widen double load mixes "f" stats in; zoneFold folds across kinds
+    val dblSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("w", DoubleType)))
+    eng.ingest("db", "w", spark.createDataFrame(
+      Seq(Row(100L, 1234.5), Row(101L, -3.25)).asJava, dblSchema),
+      Some(Version(2, 2)))
+    val kinds = eng.manifest("db", "w").visibleRowsets.map(_.stats("w").kind)
+    assert(kinds.toSet == Set("i", "f"), s"expected mixed kinds, got $kinds")
+    val (served, fromMeta) = eng.minMaxStats("db", "w", Seq("w"))
+    assert(fromMeta, "mixed-kind stats must still serve a widened column")
+    assert(served.collect().head.toSeq == Seq(-3.25, 1234.5))
+    val stats = eng.describeStats("db", "w").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("w").getString(1).toDouble == -3.25)
+    assert(stats("w").getString(2).toDouble == 1234.5)
+  }
+
   test("compaction re-harvests stats for the merged rowset") {
     val eng = engine()
     eng.compact("db", "t")
