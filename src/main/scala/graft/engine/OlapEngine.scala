@@ -1537,8 +1537,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     *
     * Serve guards (any miss ⇒ transparent fallback to the scanned
     * aggregate, which is always correct):
-    *  - Duplicate model only: merge-on-read can suppress rows, so a
-    *    superseded extreme would lie;
+    *  - Duplicate model on any column; Unique model on KEY columns over a
+    *    tombstone-free covering set (upserts collapse but never change a
+    *    key column's value set — see [[zoneFold]]);
     *  - no delete markers in the covering set (a masked row may be the
     *    extreme);
     *  - every data rowset has stats for the column (under its era's
@@ -1548,25 +1549,36 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     */
   /** Folded zone map for one DECLARED column over the current covering set:
     * `Some((dataType, min, max, nonNullCount))` in canonical-string form
-    * when metadata can serve it exactly, else None. Shared by
-    * [[minMaxStats]] and the transparent [[graft.plans.StatsAggRewrite]].
-    * Guards (any miss ⇒ None): Duplicate model; no delete markers in the
-    * covering set; every data rowset carries stats for the column under its
-    * era's physical name; stats kind matches the declared type's space
-    * (integral stats may serve a widened float/double column); string
-    * bounds under 64 chars (a truncating writer keeps bounds conservative —
-    * safe to prune on, not to serve).
+    * when metadata can serve it exactly, else None. The count is None when
+    * merge-on-read makes row counts inexact (Unique — upserts collapse) even
+    * though the bounds themselves are exact. Shared by [[minMaxStats]],
+    * [[topKByStats]], and the transparent [[graft.plans.StatsAggRewrite]].
+    * Guards (any miss ⇒ None): Duplicate model — or Unique restricted to
+    * KEY columns with a provably tombstone-free covering set (merge-on-read
+    * collapses upserts of a key but never changes a key column's value set,
+    * and the op column's own zone map proves no key was deleted); no delete
+    * markers in the covering set; every data rowset carries stats for the
+    * column under its era's physical name; stats kind matches the declared
+    * type's space (integral stats may serve a widened float/double column);
+    * string bounds under 64 chars (a truncating writer keeps bounds
+    * conservative — safe to prune on, not to serve).
     */
   def zoneFold(db: String, table: String, c: String)
-      : Option[(org.apache.spark.sql.types.DataType, Option[String], Option[String], Long)] = {
+      : Option[(org.apache.spark.sql.types.DataType, Option[String], Option[String], Option[Long])] = {
     import org.apache.spark.sql.types._
     val td = catalog.getTable(db, table).getOrElse(return None)
-    if (td.schema.keysType != KeysType.Duplicate) return None
     val m = manifest(db, table)
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
     val covering = m.captureConsistentVersions(lo, m.maxVersion)
     if (covering.exists(_.isDeleteMarker)) return None
     val data = covering.filter(_.numRows > 0)
+    val servable = td.schema.keysType match {
+      case KeysType.Duplicate => true
+      case KeysType.Unique =>
+        td.schema.columns.find(_.name == c).exists(_.isKey) && noTombstones(data)
+      case _ => false
+    }
+    if (!servable) return None
     val dt = td.schema.columns.find(_.name == c).getOrElse(return None).dataType
     val expectedKind = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -1594,9 +1606,21 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       else Some(vals.reduce((a, b) =>
         if ((ColStats.compare(expectedKind, a, b) <= 0) == pickMin) a else b))
     }
-    val nonNull = data.map(_.numRows).sum - ss.map(_.nullCount).sum
+    // exact only when nothing collapses at read time (Duplicate); Unique
+    // bounds are exact but its raw counts double-count upserts
+    val nonNull =
+      if (td.schema.keysType == KeysType.Duplicate)
+        Some(data.map(_.numRows).sum - ss.map(_.nullCount).sum)
+      else None
     Some((dt, fold(pickMin = true), fold(pickMin = false), nonNull))
   }
+
+  /** Provably no tombstoned key in any of these rowsets: the op column's own
+    * zone map shows max == 0 everywhere (ingest/compaction always write the
+    * column on Unique tables, so missing stats = unknown = refuse).
+    */
+  private def noTombstones(data: Seq[RowsetMeta]): Boolean =
+    data.forall(_.stats.get(OpCol).exists(s => s.kind == "i" && s.max.contains("0")))
 
   def minMaxStats(db: String, table: String, cols: Seq[String]): (DataFrame, Boolean) = {
     import org.apache.spark.sql.types._
@@ -1643,9 +1667,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * On a year of daily loads this reads 1–2 rowsets instead of 365. Null
     * ordering is pinned NULLS LAST in both directions (so nulls never rank;
     * a table with fewer than k non-null values falls back to the full
-    * scan). Fallback (full scan, always correct) on merge-on-read models,
-    * delete markers, or incomplete stats. Returns (top-k rows in declared
-    * columns, rowsets read; -1 = fallback read everything).
+    * scan). Serves Duplicate tables on any column, and Unique tables on
+    * KEY columns over a tombstone-free covering set (the subset read is
+    * then merged on read — see the inline completeness argument). Fallback
+    * (full scan, always correct) on anything else: Aggregate models,
+    * non-key Unique columns, tombstones, delete markers, incomplete stats.
+    * Returns (top-k rows in declared columns, rowsets read; -1 = fallback
+    * read everything).
     */
   def topKByStats(db: String, table: String, c: String, k: Int,
       desc: Boolean = true): (DataFrame, Int) = {
@@ -1654,13 +1682,23 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     val order = if (desc) col(c).desc_nulls_last else col(c).asc_nulls_last
     def fallback = (scan(db, table).orderBy(order).limit(k), -1)
-    if (td.schema.keysType != KeysType.Duplicate) return fallback
+    // Unique serves too, restricted to KEY columns on a provably
+    // tombstone-free covering set: upserts collapse at merge time but never
+    // change a key column's value set, and any rowset holding a row of a
+    // qualifying key has a zone-map bound at least that key — so the
+    // candidate set is complete for every key that can rank (the same
+    // argument zoneFold's scaladoc makes for Unique MIN/MAX)
+    val unique = td.schema.keysType == KeysType.Unique
+    if (!unique && td.schema.keysType != KeysType.Duplicate) return fallback
+    if (unique && !td.schema.columns.find(_.name == c).exists(_.isKey))
+      return fallback
     val m = manifest(db, table)
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
     val covering = m.captureConsistentVersions(lo, m.maxVersion)
     if (covering.exists(_.isDeleteMarker)) return fallback
     val data = covering.filter(_.numRows > 0)
     if (data.isEmpty) return (scan(db, table).orderBy(order).limit(k), 0)
+    if (unique && !noTombstones(data)) return fallback
     val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     val withStats = data.map(r => r -> r.stats.get(c).orElse(
       oldNames.getOrElse(c, Nil).flatMap(r.stats.get).headOption))
@@ -1691,7 +1729,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         case _ => false
       }
     }
-    val prefix = {
+    val prefix0 = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(RowsetMeta, ColStats)]
       var acc = 0L
       ranked.iterator.takeWhile(_ => acc < k).foreach { rs =>
@@ -1699,10 +1737,32 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       }
       buf.toSeq
     }
-    // phase 1: the prefix's k-th value L (≥ k rankable rows by construction)
-    val kth = rawFromRowsets(db, table, prefix.map(_._1))
+    // Unique: raw counts double-count upserts, so the raw-count prefix may
+    // hold fewer than k MERGED rows — grow it until the distinct count of
+    // `c` covers k (distinct raw key values ≡ merged key values: key
+    // columns are immutable per key and the covering set is tombstone-free).
+    // Typically zero or one extra step; each probe is one distinct-count
+    // over the prefix only.
+    val prefix =
+      if (!unique) prefix0
+      else {
+        def distinctN(n: Int): Long =
+          rawFromRowsets(db, table, ranked.take(n).map(_._1))
+            .select(col(c)).distinct().count()
+        var n = prefix0.size
+        var dn = distinctN(n)
+        while (dn < k && n < ranked.size) { n += 1; dn = distinctN(n) }
+        if (dn < k) return fallback // fewer than k keys exist: sort it all
+        ranked.take(n)
+      }
+    // phase 1: the prefix's k-th value L (≥ k rankable rows by construction;
+    // for Unique, the k-th DISTINCT value — a lower bound on the merged
+    // k-th, so phase 2 can only over-include, never exclude a true answer)
+    val phase1 = rawFromRowsets(db, table, prefix.map(_._1))
       .transform(projectDeclared(td))
-      .filter(col(c).isNotNull).orderBy(order).limit(k)
+      .filter(col(c).isNotNull).select(col(c))
+    val kth = (if (unique) phase1.distinct() else phase1)
+      .orderBy(order).limit(k)
       .agg((if (desc) min(col(c)) else max(col(c))).as("l")).head
     if (kth.isNullAt(0)) return fallback
     val lCanon: String = dt match {
@@ -1731,9 +1791,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val candidates = ranked.filter { case (r, s) =>
       prefixIds.contains(r.rowsetId) || bound(s).exists(canBeat)
     }
-    val out = rawFromRowsets(db, table, candidates.map(_._1))
-      .transform(projectDeclared(td))
-      .orderBy(order).limit(k)
+    val rawOut = rawFromRowsets(db, table, candidates.map(_._1))
+    // Unique: merge-on-read over the candidate subset is complete for every
+    // key ≥ L (all of a qualifying key's rowsets are candidates — bound
+    // argument above), and ≥ k such keys exist in the prefix, so keys below
+    // L (whose subset-merge could be stale) can never reach the top k
+    val out =
+      if (unique) MergeView(td, rawOut, VersionCol, SeqCol).orderBy(order).limit(k)
+      else rawOut.transform(projectDeclared(td)).orderBy(order).limit(k)
     (out, candidates.size)
   }
 

@@ -115,8 +115,8 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
         case Count(Seq(l: Literal)) if l.value != null =>
           Some(Literal(totalRows, LongType))
         case Count(Seq(a: AttributeReference)) =>
-          eng.zoneFold(db, table, a.name).map { case (_, _, _, nonNull) =>
-            Literal(nonNull, LongType)
+          eng.zoneFold(db, table, a.name).flatMap { case (_, _, _, nonNull) =>
+            nonNull.map(Literal(_, LongType)) // None = counts inexact (Unique)
           }
         case Min(a: AttributeReference) =>
           eng.zoneFold(db, table, a.name).flatMap { case (dt, mn, _, _) =>

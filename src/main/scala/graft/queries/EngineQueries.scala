@@ -141,6 +141,29 @@ object EngineFixture {
         segEv.filter(col("event_id") % 3 === r), Some(Version(r + 1L, r + 1L)))
     }
 
+    // --- events_useg: UNIQUE model, banded loads + an upsert load -----------
+    // Two range-disjoint halves (v1/v2) plus a v3 upsert of every 10th key
+    // in the UPPER half (value+1000). q231's zone-map top-k must read the
+    // upper band and the upsert rowset (2 of 3 — the lower band prunes) and
+    // its merged rows must show the upserts; q232 serves key MIN/MAX from
+    // metadata, exact because the covering set is provably tombstone-free.
+    val usegSchema = TableSchema(KeysType.Unique, Seq(
+      ColumnSpec.key("event_id", LongType),
+      ColumnSpec.value("user_id", LongType),
+      ColumnSpec.value("value", DoubleType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "events_useg", schema = usegSchema,
+      bucketColumn = Some("event_id"), numBuckets = 2))
+    val usegMid = segMax / 2
+    eng.ingest("graft", "events_useg", segEv.filter(col("event_id") <= usegMid),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "events_useg", segEv.filter(col("event_id") > usegMid),
+      Some(Version(2, 2)))
+    eng.ingest("graft", "events_useg",
+      segEv.filter(col("event_id") > usegMid && col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      Some(Version(3, 3)))
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -880,6 +903,35 @@ object EngineQueries {
     df
   }
 
+  /** q231: zone-map top-k on a UNIQUE table — the subset read is merged on
+    * read. events_useg has a lower band (v1), an upper band (v2), and a v3
+    * upsert of every 10th upper key: the top-100 lives in the upper band,
+    * so the lower band prunes (REQUIRE reads 2 of 3 rowsets) while the
+    * merged output must show the v3 values — exactness across
+    * merge-on-read, pinned by an oracle that replays the upsert rule.
+    */
+  def topKUniqueServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val (df, rowsetsRead) =
+      eng.topKByStats("graft", "events_useg", "event_id", 100)
+    require(rowsetsRead == 2,
+      s"unique top-k must read the upper band + its upsert rowset (2 of 3), read $rowsetsRead")
+    df.select(col("event_id"), col("user_id"), col("value"))
+  }
+
+  /** q232: metadata-served key MIN/MAX on a UNIQUE table: merge-on-read
+    * collapses upserts but never changes the key column's value set, and
+    * the op column's own zone map proves the covering set tombstone-free —
+    * so the manifest fold is exact with zero files opened (REQUIREd).
+    */
+  def minMaxUniqueServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val (df, fromMeta) = eng.minMaxStats("graft", "events_useg", Seq("event_id"))
+    require(fromMeta,
+      "unique key MIN/MAX must serve from metadata on a tombstone-free covering set")
+    df
+  }
+
   /** q226: percentiles SERVED from the engine-maintained histogram table —
     * the quantile member of the sketch-as-Aggregate-table family
     * (CMS q184, HLL q131, bitmap q124). The scan Sum-merges the two loads'
@@ -1219,6 +1271,8 @@ object EngineQueries {
     "q228_minmax_transparent" -> minMaxTransparent _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
+    "q231_topk_unique" -> topKUniqueServe _,
+    "q232_minmax_unique" -> minMaxUniqueServe _,
     "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
@@ -1284,6 +1338,20 @@ object EngineQueries {
     "q230_bloom_prune" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_id = (SELECT max(event_id) - (max(event_id) % 3) FROM events)""".stripMargin,
+    // q231: the oracle replays the fixture's upsert rule (upper-half keys
+    // divisible by 10 carry value+1000) over the raw rows; the engine
+    // answers from 2 of 3 rowsets, merged on read (plan-asserted)
+    "q231_topk_unique" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id > (SELECT max(event_id) FROM events) / 2
+        |        AND event_id % 10 = 0
+        |       THEN value + 1000.0 ELSE value END AS value
+        |FROM events ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    // q232: key bounds are merge-invariant; the engine folds them from the
+    // manifest with zero files opened (REQUIREd in-query)
+    "q232_minmax_unique" ->
+      """SELECT min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events""".stripMargin,
     // q224: same split arithmetic as the fixture's three range loads; the
     // engine answers it scanning ONE of the three rowsets (plan-asserted)
     "q224_rowset_prune" ->

@@ -60,6 +60,68 @@ class TopKStatsSpec extends AnyFunSuite {
       (0L until 100L))
   }
 
+  test("Unique tables serve key top-k; the subset read merges on read") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-topk-uq-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "u", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    // two banded loads + an upsert load touching only the TOP band
+    eng.ingest("db", "u", spark.createDataFrame(
+      (0L until 1000L).map(j => Row(j, j * 0.5)).asJava, schema),
+      Some(Version(1, 1)))
+    eng.ingest("db", "u", spark.createDataFrame(
+      (1000L until 2000L).map(j => Row(j, j * 0.5)).asJava, schema),
+      Some(Version(2, 2)))
+    eng.ingest("db", "u", spark.createDataFrame(
+      (1900L until 2000L).map(j => Row(j, -1.0)).asJava, schema),
+      Some(Version(3, 3)))
+    val (df, read) = eng.topKByStats("db", "u", "k", 50)
+    assert(read == 2, s"top band + its upsert rowset; read $read")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(-_._1)
+    assert(got.map(_._1).toSeq == (1950L until 2000L).reverse)
+    assert(got.forall(_._2 == -1.0), "merged rows must show the v3 upserts")
+    // non-key column refuses the serve (a key's value can move across loads)
+    assert(eng.topKByStats("db", "u", "v", 5)._2 == -1)
+    // a tombstone anywhere forces the fallback — still exact
+    eng.ingestDeletes("db", "u", spark.createDataFrame(
+      Seq(Row(1999L, null)).asJava, schema).select("k"), Some(Version(4, 4)))
+    val (df2, read2) = eng.topKByStats("db", "u", "k", 5)
+    assert(read2 == -1)
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(1998L, 1997L, 1996L, 1995L, 1994L))
+    // ... and metadata MIN/MAX refuses too (1999 is gone; 1998 is the truth)
+    val (mm, fromMeta) = eng.minMaxStats("db", "u", Seq("k"))
+    assert(!fromMeta && mm.collect().head.getLong(1) == 1998L)
+  }
+
+  test("Unique raw-count prefix grows until distinct keys cover k") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-topk-up-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "u", schema = TableSchema(KeysType.Unique, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("v", DoubleType))),
+      bucketColumn = Some("k"), numBuckets = 1))
+    // load 1: keys [100, 110) upserted FIVE times each (50 raw rows, 10 keys)
+    (0 until 5).foreach { i =>
+      eng.ingest("db", "u", spark.createDataFrame(
+        (100L until 110L).map(j => Row(j, i * 1.0)).asJava, schema),
+        Some(Version(i + 1L, i + 1L)))
+    }
+    // load 6: keys [0, 100)
+    eng.ingest("db", "u", spark.createDataFrame(
+      (0L until 100L).map(j => Row(j, 0.0)).asJava, schema),
+      Some(Version(6, 6)))
+    // top-30 needs 30 DISTINCT keys: the five upsert rowsets hold only 10,
+    // so the prefix must grow into the low band — and stay exact
+    val (df, read) = eng.topKByStats("db", "u", "k", 30)
+    assert(read >= 2)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (80L until 110L))
+    // fewer distinct keys than k anywhere: loud-correct fallback
+    val (df3, read3) = eng.topKByStats("db", "u", "k", 500)
+    assert(read3 == -1 && df3.count() == 110L)
+  }
+
   test("null values never rank; double column serves; fallbacks are loud-correct") {
     val eng = mkEngine()
     // v has a null per band; nulls-last means they never enter the top-k
