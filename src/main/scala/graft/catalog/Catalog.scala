@@ -125,6 +125,20 @@ object Retention {
     require(n >= 1, s"retention must keep >= 1 version, got $n")
     override def automated: Boolean = true
   }
+
+  /** The property-bag spelling (`manual|forever|keep_versions:N|keep_ms:N`)
+    * — shared by CREATE TABLE properties and ALTER TABLE SET.
+    */
+  def fromString(s: String): Retention = s.toLowerCase match {
+    case "manual"  => Manual
+    case "forever" => Forever
+    case kv if kv.startsWith("keep_versions:") =>
+      KeepVersions(kv.stripPrefix("keep_versions:").toInt)
+    case km if km.startsWith("keep_ms:") =>
+      KeepMs(km.stripPrefix("keep_ms:").toLong)
+    case other => throw new IllegalArgumentException(
+      s"unknown retention '$other' (manual|forever|keep_versions:N|keep_ms:N)")
+  }
 }
 
 /** Dynamic-partition unit (Doris `dynamic_partition`): a Range table with

@@ -418,6 +418,44 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       droppedColumns = td.droppedColumns :+ name))
   }
 
+  /** ALTER TABLE db.t SET ("k" = "v", ...) — post-create changes to the
+    * lifecycle dials that are SAFE to flip on existing data: retention (a
+    * GC policy, takes effect at the next gc), varchar_mode (applies to
+    * future loads), dynamic_partition.keep (next load's expiry sweep), and
+    * bloom_filter_columns (future writes build sidecars; existing rowsets
+    * simply have none, which the prune rule treats as unknown — compaction
+    * backfills them as it rewrites). Anything else — model, routing,
+    * sequence column, z-order — shapes the data already on disk and fails
+    * loudly instead of silently lying about history.
+    */
+  def alterProperties(db: String, table: String,
+      props: Seq[(String, String)]): TableDef = {
+    var td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    props.foreach { case (k, v) =>
+      k.toLowerCase match {
+        case "retention" => td = td.copy(retention = Retention.fromString(v))
+        case "varchar_mode" => td = td.copy(varcharMode = v.toLowerCase match {
+          case "ignore" => VarcharMode.Ignore
+          case "truncate" => VarcharMode.Truncate
+          case "strict" => VarcharMode.Strict
+          case other => throw new IllegalArgumentException(
+            s"unknown varchar_mode '$other' (ignore|truncate|strict)")
+        })
+        case "dynamic_partition.keep" =>
+          td = td.copy(autoExpireKeep = Some(v.toInt))
+        case "bloom_filter_columns" =>
+          td = td.copy(bloomColumns =
+            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case other => throw new IllegalArgumentException(
+          s"table property '$other' is not alterable after CREATE " +
+            "(alterable: retention, varchar_mode, dynamic_partition.keep, " +
+            "bloom_filter_columns)")
+      }
+    }
+    catalog.alterTable(td)
+  }
+
   /** RENAME COLUMN — the schema-evolution verb add/drop/widen was missing
     * (Doris: ALTER TABLE ... RENAME COLUMN). Metadata-only: the catalog
     * records old → new in [[graft.catalog.TableDef.renamedColumns]] and the
@@ -1828,11 +1866,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       val mx = entries.flatMap(_.max).reduceOption((a, b) =>
         if (ColStats.compare(foldKind, a, b) >= 0) a else b)
       (cs.name, mn.orNull, mx.orNull,
-        entries.map(_.nullCount).sum, entries.size.toLong, data.size.toLong)
+        entries.map(_.nullCount).sum, entries.size.toLong, data.size.toLong,
+        data.count(_.bloomCols.contains(cs.name)).toLong)
     }
     import spark.implicits._
     rows.toDF("column", "min", "max", "null_count", "rowsets_with_stats",
-      "data_rowsets")
+      "data_rowsets", "bloom_rowsets")
   }
 
   /** Route one key pair to its (partition, bucket) — the reference's

@@ -96,6 +96,7 @@ object GraftSql {
     case DropPartition(db, t, _)  => eng.catalog.getTable(db, t).isDefined
     case Rebucket(db, t, _, _)    => eng.catalog.getTable(db, t).isDefined
     case RenameColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
+    case SetTableProps(db, t, _)  => eng.catalog.getTable(db, t).isDefined
     case ShowCreateTable(db, t)   => eng.catalog.getTable(db, t).isDefined
     case DescribeTable(db, t)     => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
@@ -178,7 +179,8 @@ object GraftSql {
     StructField("max", StringType, nullable = true),
     StructField("null_count", LongType, nullable = false),
     StructField("rowsets_with_stats", LongType, nullable = false),
-    StructField("data_rowsets", LongType, nullable = false)))
+    StructField("data_rowsets", LongType, nullable = false),
+    StructField("bloom_rowsets", LongType, nullable = false)))
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
@@ -422,6 +424,11 @@ object GraftSql {
         eng.renameColumn(db, t, o, n)
         status(spark, "ALTER TABLE RENAME COLUMN", s"$db.$t", s"$o -> $n")
 
+      case SetTableProps(db, t, props) =>
+        eng.alterProperties(db, t, props)
+        status(spark, "ALTER TABLE SET", s"$db.$t",
+          props.map { case (k, v) => s"$k=$v" }.mkString(", "))
+
       case AddRollup(db, t, rd) =>
         val src = eng.rollups.materialize(db, t, rd)
         status(spark, "ADD ROLLUP", s"$db.$t", s"${rd.name} built from $src")
@@ -573,16 +580,10 @@ object GraftSql {
   private def applyProperty(td: TableDef, k: String, v: String): TableDef =
     k.toLowerCase match {
       case "replication_num" => td.copy(replication = v.toInt)
-      case "retention" => v.toLowerCase match {
-        case "manual"  => td.copy(retention = Retention.Manual)
-        case "forever" => td.copy(retention = Retention.Forever)
-        case kv if kv.startsWith("keep_versions:") =>
-          td.copy(retention = Retention.KeepVersions(kv.stripPrefix("keep_versions:").toInt))
-        case km if km.startsWith("keep_ms:") =>
-          td.copy(retention = Retention.KeepMs(km.stripPrefix("keep_ms:").toLong))
-        case other => throw new GraftParseException(
-          s"unknown retention '$other' (manual|forever|keep_versions:N|keep_ms:N)")
-      }
+      case "retention" =>
+        try td.copy(retention = Retention.fromString(v))
+        catch { case e: IllegalArgumentException =>
+          throw new GraftParseException(e.getMessage) }
       case "dynamic_partition.unit" => v.toLowerCase match {
         case "day"   => td.copy(autoPartition = Some(AutoPartitionUnit.Day))
         case "month" => td.copy(autoPartition = Some(AutoPartitionUnit.Month))

@@ -96,6 +96,14 @@ object GraftStatement {
     */
   final case class Rebucket(db: String, table: String,
       bucketColumn: Option[String], numBuckets: Int) extends GraftStatement
+  /** ALTER TABLE db.t SET ("k" = "v", ...) — Doris's post-create property
+    * verb, restricted to the dials safe to flip on existing data
+    * ([[graft.engine.OlapEngine.alterProperties]]). Spark spells its own
+    * property verb SET TBLPROPERTIES, so the bare-parenthesis shape never
+    * collides with delegated Spark DDL.
+    */
+  final case class SetTableProps(db: String, table: String,
+      props: Seq[(String, String)]) extends GraftStatement
   /** ALTER TABLE db.t ADD ROLLUP name (dims) AGG (SUM(c) AS o, COUNT(*) AS
     * n, BITMAP(c) AS b, HLL(c) AS h) [WHERE '<pred>'] — materializes a
     * Doris-style sync rollup; the transparent [[graft.plans.RollupRewrite]]
@@ -590,6 +598,20 @@ object GraftSqlParser {
       val n = c.num().toInt
       c.end()
       Some(Rebucket(db, t, Some(colName), n))
+    } else if (c.tryKw("SET")) {
+      // Doris's ALTER TABLE t SET ("k" = "v", ...). Spark's own SET forms
+      // (TBLPROPERTIES / LOCATION / SERDE ...) follow SET with a keyword,
+      // never a bare '(' — anything but '(' delegates
+      if (!c.trySym('(')) return None
+      val props = Seq.newBuilder[(String, String)]
+      var done = false
+      while (!done) {
+        val k = c.str(); c.sym('='); val v = c.str()
+        props += (k -> v)
+        if (c.trySym(')')) done = true else c.sym(',')
+      }
+      c.end()
+      Some(SetTableProps(db, t, props.result()))
     } else None // other ALTER TABLE forms are Spark's
   }
 

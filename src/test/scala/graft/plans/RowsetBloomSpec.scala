@@ -151,6 +151,39 @@ class RowsetBloomSpec extends AnyFunSuite {
     assert(ddl.contains("\"bloom_filter_columns\" = \"id,n\""))
   }
 
+  test("ALTER TABLE SET declares bloom columns post-create; SHOW STATS counts coverage") {
+    val eng = engine()
+    graft.sql.GraftSql.bind(spark, eng)
+    try {
+      // drop the bloom declaration entirely: new loads build nothing
+      eng.alterProperties("db", "t", Seq("bloom_filter_columns" -> ""))
+      eng.ingest("db", "t", spark.createDataFrame(
+        Seq(Row(9000L, "id-9000", 1)).asJava, schema), Some(Version(3, 3)))
+      assert(eng.manifest("db", "t").visibleRowsets
+        .maxBy(_.rowsetId).bloomCols.isEmpty)
+      // re-declare via the SQL verb: the NEXT load builds sidecars again
+      graft.sql.GraftSql.sql(spark,
+        """ALTER TABLE db.t SET ("bloom_filter_columns" = "id")""")
+      eng.ingest("db", "t", spark.createDataFrame(
+        Seq(Row(9001L, "id-9001", 2)).asJava, schema), Some(Version(4, 4)))
+      assert(eng.manifest("db", "t").visibleRowsets
+        .maxBy(_.rowsetId).bloomCols == Seq("id"))
+      // SHOW STATS reports per-column bloom coverage: 3 of 4 data rowsets
+      val stats = eng.describeStats("db", "t").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(stats("id").getLong(6) == 3L && stats("id").getLong(5) == 4L)
+      assert(stats("k").getLong(6) == 0L)
+      // non-lifecycle properties refuse loudly
+      intercept[IllegalArgumentException] {
+        eng.alterProperties("db", "t", Seq("sequence_column" -> "n"))
+      }
+      // unknown bloom column refuses via TableDef validation
+      intercept[IllegalArgumentException] {
+        eng.alterProperties("db", "t", Seq("bloom_filter_columns" -> "nope"))
+      }
+    } finally graft.sql.GraftSql.unbind(spark)
+  }
+
   test("all-null bloom column yields an exclude-everything sidecar, exactly") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-bl-nul-"))
     eng.createDatabase("db")
