@@ -1614,7 +1614,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       case KeysType.Duplicate => true
       case KeysType.Unique =>
         td.schema.columns.find(_.name == c).exists(_.isKey) && noTombstones(data)
-      case _ => false
+      // Aggregate merges values per key but every raw key survives into the
+      // merged output (and the model has no tombstones) — key bounds exact
+      case KeysType.Aggregate =>
+        td.schema.columns.find(_.name == c).exists(_.isKey)
     }
     if (!servable) return None
     val dt = td.schema.columns.find(_.name == c).getOrElse(return None).dataType
@@ -1705,13 +1708,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * On a year of daily loads this reads 1–2 rowsets instead of 365. Null
     * ordering is pinned NULLS LAST in both directions (so nulls never rank;
     * a table with fewer than k non-null values falls back to the full
-    * scan). Serves Duplicate tables on any column, and Unique tables on
-    * KEY columns over a tombstone-free covering set (the subset read is
-    * then merged on read — see the inline completeness argument). Fallback
-    * (full scan, always correct) on anything else: Aggregate models,
-    * non-key Unique columns, tombstones, delete markers, incomplete stats.
-    * Returns (top-k rows in declared columns, rowsets read; -1 = fallback
-    * read everything).
+    * scan). Serves Duplicate tables on any column, and Unique/Aggregate
+    * tables on KEY columns (Unique additionally needs a tombstone-free
+    * covering set); the subset read is then merged on read — see the
+    * inline completeness argument. Fallback (full scan, always correct) on
+    * anything else: non-key merge-model columns, tombstones, delete
+    * markers, incomplete stats. Returns (top-k rows in declared columns,
+    * rowsets read; -1 = fallback read everything).
     */
   def topKByStats(db: String, table: String, c: String, k: Int,
       desc: Boolean = true): (DataFrame, Int) = {
@@ -1720,15 +1723,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     val order = if (desc) col(c).desc_nulls_last else col(c).asc_nulls_last
     def fallback = (scan(db, table).orderBy(order).limit(k), -1)
-    // Unique serves too, restricted to KEY columns on a provably
-    // tombstone-free covering set: upserts collapse at merge time but never
-    // change a key column's value set, and any rowset holding a row of a
-    // qualifying key has a zone-map bound at least that key — so the
-    // candidate set is complete for every key that can rank (the same
-    // argument zoneFold's scaladoc makes for Unique MIN/MAX)
-    val unique = td.schema.keysType == KeysType.Unique
-    if (!unique && td.schema.keysType != KeysType.Duplicate) return fallback
-    if (unique && !td.schema.columns.find(_.name == c).exists(_.isKey))
+    // Merge-on-read models serve too, restricted to KEY columns: upserts
+    // (Unique) and partial aggregations (Aggregate) collapse at merge time
+    // but never change a key column's value set, and any rowset holding a
+    // row of a qualifying key has a zone-map bound at least that key — so
+    // the candidate set is complete for every key that can rank (the same
+    // argument zoneFold's scaladoc makes for merge-model MIN/MAX). Unique
+    // additionally needs a provably tombstone-free covering set.
+    val mergeModel = td.schema.keysType != KeysType.Duplicate
+    if (mergeModel && !td.schema.columns.find(_.name == c).exists(_.isKey))
       return fallback
     val m = manifest(db, table)
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
@@ -1736,7 +1739,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     if (covering.exists(_.isDeleteMarker)) return fallback
     val data = covering.filter(_.numRows > 0)
     if (data.isEmpty) return (scan(db, table).orderBy(order).limit(k), 0)
-    if (unique && !noTombstones(data)) return fallback
+    if (td.schema.keysType == KeysType.Unique && !noTombstones(data))
+      return fallback
     val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     val withStats = data.map(r => r -> r.stats.get(c).orElse(
       oldNames.getOrElse(c, Nil).flatMap(r.stats.get).headOption))
@@ -1775,14 +1779,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       }
       buf.toSeq
     }
-    // Unique: raw counts double-count upserts, so the raw-count prefix may
-    // hold fewer than k MERGED rows — grow it until the distinct count of
-    // `c` covers k (distinct raw key values ≡ merged key values: key
-    // columns are immutable per key and the covering set is tombstone-free).
-    // Typically zero or one extra step; each probe is one distinct-count
-    // over the prefix only.
+    // Merge models: raw counts double-count upserts/partials, so the
+    // raw-count prefix may hold fewer than k MERGED rows — grow it until
+    // the distinct count of `c` covers k (distinct raw key values ≡ merged
+    // key values: key columns are immutable per key, and Unique coverings
+    // are tombstone-free here). Typically zero or one extra step; each
+    // probe is one distinct-count over the prefix only.
     val prefix =
-      if (!unique) prefix0
+      if (!mergeModel) prefix0
       else {
         def distinctN(n: Int): Long =
           rawFromRowsets(db, table, ranked.take(n).map(_._1))
@@ -1799,7 +1803,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val phase1 = rawFromRowsets(db, table, prefix.map(_._1))
       .transform(projectDeclared(td))
       .filter(col(c).isNotNull).select(col(c))
-    val kth = (if (unique) phase1.distinct() else phase1)
+    val kth = (if (mergeModel) phase1.distinct() else phase1)
       .orderBy(order).limit(k)
       .agg((if (desc) min(col(c)) else max(col(c))).as("l")).head
     if (kth.isNullAt(0)) return fallback
@@ -1835,7 +1839,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // argument above), and ≥ k such keys exist in the prefix, so keys below
     // L (whose subset-merge could be stale) can never reach the top k
     val out =
-      if (unique) MergeView(td, rawOut, VersionCol, SeqCol).orderBy(order).limit(k)
+      if (mergeModel) MergeView(td, rawOut, VersionCol, SeqCol).orderBy(order).limit(k)
       else rawOut.transform(projectDeclared(td)).orderBy(order).limit(k)
     (out, candidates.size)
   }

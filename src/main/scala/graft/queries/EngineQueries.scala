@@ -932,6 +932,36 @@ object EngineQueries {
     df
   }
 
+  /** q233: metadata-served key MIN/MAX on an AGGREGATE table: partial
+    * aggregations merge values per key but every raw key survives into the
+    * merged output (and the model has no tombstones), so the manifest fold
+    * over key bounds is exact — zero files opened (REQUIREd).
+    */
+  def minMaxAggServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val (df, fromMeta) = eng.minMaxStats("graft", "sales_agg", Seq("l_orderkey"))
+    require(fromMeta,
+      "aggregate-model key MIN/MAX must serve from metadata")
+    df
+  }
+
+  /** q234: zone-map top-k on an AGGREGATE table — the candidate subset is
+    * merged on read, so the returned rows carry the SUMMED values across
+    * sales_agg's two parity-interleaved loads (both are candidates here:
+    * their key ranges fully overlap; the serve is REQUIREd not to have
+    * fallen back, and the oracle recomputes the grouped sums from raw
+    * lineitem rows).
+    */
+  def topKAggServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val (df, rowsetsRead) =
+      eng.topKByStats("graft", "sales_agg", "l_orderkey", 100)
+    require(rowsetsRead == 2,
+      s"aggregate top-k must SERVE over both interleaved rowsets, read $rowsetsRead")
+    df.select(col("l_orderkey"), decSumAsDouble(dec("qty")).as("qty"),
+      col("max_price"), col("min_disc"))
+  }
+
   /** q226: percentiles SERVED from the engine-maintained histogram table —
     * the quantile member of the sketch-as-Aggregate-table family
     * (CMS q184, HLL q131, bitmap q124). The scan Sum-merges the two loads'
@@ -1273,6 +1303,8 @@ object EngineQueries {
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
     "q232_minmax_unique" -> minMaxUniqueServe _,
+    "q233_minmax_agg" -> minMaxAggServe _,
+    "q234_topk_agg" -> topKAggServe _,
     "q217_rename_column" -> renameScan _,
     "q216_rebucket_lifecycle" -> rebucketScan _,
     "q210_sql_lifecycle" -> sqlLifecycle _,
@@ -1352,6 +1384,18 @@ object EngineQueries {
     "q232_minmax_unique" ->
       """SELECT min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events""".stripMargin,
+    // q233: same, Aggregate model (keys survive partial-agg merges)
+    "q233_minmax_agg" ->
+      """SELECT min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey
+        |FROM lineitem""".stripMargin,
+    // q234: the engine's subset-merge top-k must equal the grouped sums
+    // recomputed from raw rows (q23's money discipline: sum on DECIMAL,
+    // emit DOUBLE)
+    "q234_topk_agg" ->
+      """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  max(l_extendedprice) AS max_price, min(l_discount) AS min_disc
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey DESC LIMIT 100""".stripMargin,
     // q224: same split arithmetic as the fixture's three range loads; the
     // engine answers it scanning ONE of the three rowsets (plan-asserted)
     "q224_rowset_prune" ->

@@ -95,6 +95,37 @@ class TopKStatsSpec extends AnyFunSuite {
     assert(!fromMeta && mm.collect().head.getLong(1) == 1998L)
   }
 
+  test("Aggregate tables serve key top-k; the subset read Sum-merges") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-topk-ag-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "a", schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType, AggType.Sum))),
+      bucketColumn = Some("k"), numBuckets = 2))
+    // low band, then a top band loaded TWICE as partial sums
+    eng.ingest("db", "a", spark.createDataFrame(
+      (0L until 1000L).map(j => Row(j, 1.0)).asJava, schema),
+      Some(Version(1, 1)))
+    eng.ingest("db", "a", spark.createDataFrame(
+      (1000L until 2000L).map(j => Row(j, 2.0)).asJava, schema),
+      Some(Version(2, 2)))
+    eng.ingest("db", "a", spark.createDataFrame(
+      (1000L until 2000L).map(j => Row(j, 3.0)).asJava, schema),
+      Some(Version(3, 3)))
+    val (df, read) = eng.topKByStats("db", "a", "k", 10)
+    assert(read == 2, s"both top-band partials, low band pruned; read $read")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(-_._1)
+    assert(got.map(_._1).toSeq == (1990L until 2000L).reverse)
+    assert(got.forall(_._2 == 5.0), "subset merge must SUM both partials")
+    // non-key column refuses (its merged value is not any row's value)
+    assert(eng.topKByStats("db", "a", "v", 5)._2 == -1)
+    // metadata MIN/MAX serves the key, refuses the value column
+    val (mm, fromMeta) = eng.minMaxStats("db", "a", Seq("k"))
+    assert(fromMeta && mm.collect().head.toSeq == Seq(0L, 1999L))
+    assert(!eng.minMaxStats("db", "a", Seq("v"))._2)
+  }
+
   test("Unique raw-count prefix grows until distinct keys cover k") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-topk-up-"))
     eng.createDatabase("db")
