@@ -141,7 +141,8 @@ object Bench {
           n == "q202_filtered_ann" || n == "q203_rm3_expansion" ||
           n == "q207_context_pack")
         Some("served-from-index") // production reads the maintained index tables
-      else if (n == "q223_minmax_metadata")
+      else if (n == "q223_minmax_metadata" || n == "q228_minmax_transparent" ||
+          n == "q232_minmax_unique" || n == "q233_minmax_agg")
         Some("served-from-metadata") // manifest zone-map fold, zero files opened
       else if (n == "q225_result_cache")
         Some("served-from-cache") // version-keyed result cache hit (that IS the shape)
