@@ -1844,6 +1844,37 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     (out, candidates.size)
   }
 
+  /** EXPLAIN PRUNE: the per-rowset decision the transparent prune rules
+    * would make for `scan(db,table).filter(cond)` — one row per covering
+    * data rowset with `decision` ∈ scanned | zone-map | bloom. The plan is
+    * optimized with the rowset rule DISABLED so the pruned branches still
+    * exist to be inspected with their Catalyst-normalized per-branch
+    * conditions (exactly what the enabled rule sees); the toggle is global,
+    * so a query racing an explain merely loses pruning for that one plan —
+    * never correctness. Operator tool: answers "why does this point lookup
+    * read N rowsets" without tracing the optimizer.
+    */
+  def explainPrune(db: String, table: String, cond: Column): DataFrame = {
+    val m = manifest(db, table)
+    val covering = m.captureConsistentVersions(
+      m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L), m.maxVersion)
+    val root = tableRoot(db, table)
+    val byDir = covering.filter(r => !r.isDeleteMarker && r.numRows > 0)
+      .map(r => root.resolve(r.relDir).toAbsolutePath.normalize.toString -> r).toMap
+    graft.plans.RowsetPruneRewrite.setEnabled(false)
+    val decisions =
+      try graft.plans.RowsetPruneRewrite.explain(
+        scan(db, table).filter(cond).queryExecution.optimizedPlan)
+      finally graft.plans.RowsetPruneRewrite.setEnabled(true)
+    val decided = decisions.toMap
+    val rows = byDir.toSeq.map { case (dir, r) =>
+      (r.rowsetId, r.version.start, r.version.end, r.numRows,
+        decided.get(dir).flatten.getOrElse("scanned"))
+    }.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("rowset_id", "version_start", "version_end", "num_rows", "decision")
+  }
+
   /** Per-column zone-map introspection (`SHOW STATS FOR db.t`): one row per
     * declared column with the covering set's folded min/max/null-count and
     * how many of its rowsets carry stats for it — the operator's view of

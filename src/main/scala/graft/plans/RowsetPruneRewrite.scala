@@ -83,21 +83,48 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
     }
 
   private def mustBeEmpty(cond: Expression, lr: LogicalRelation): Boolean = {
-    val fs = lr.relation match {
-      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
-      case _ => return false
-    }
-    val entry = fs.location.rootPaths.map(_.toUri.getPath).distinct match {
-      case Seq(root) => entries.get(root).getOrElse(return false)
-      case _ => return false
-    }
-
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+    val entry = entryOf(lr).getOrElse(return false)
     conjuncts(cond).exists(c => c.deterministic && disjoint(c, entry))
   }
+
+  private def entryOf(lr: LogicalRelation): Option[Entry] = {
+    val fs = lr.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
+      case _ => return None
+    }
+    fs.location.rootPaths.map(_.toUri.getPath).distinct match {
+      case Seq(root) => entries.get(root)
+      case _ => None
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Introspection twin of the rewrite (`EXPLAIN PRUNE`): for every
+    * rowset-scan branch of an OPTIMIZED-WITH-THE-RULE-DISABLED plan, the
+    * decision the enabled rule would make — `(rowset dir, Some("zone-map" |
+    * "bloom") if pruned, None if scanned)`. The caller disables the rule
+    * while optimizing precisely so the pruned branches still EXIST to be
+    * inspected (an enabled run replaces them with empty relations, erasing
+    * the per-branch conditions). Tier attribution: a conjunct refuted by
+    * stats alone reports "zone-map"; one that needed the sidecar reports
+    * "bloom".
+    */
+  def explain(plan: LogicalPlan): Seq[(String, Option[String])] =
+    plan.collect {
+      case Filter(cond, PeeledRelation(lr)) =>
+        entryOf(lr).map { entry =>
+          val cs = conjuncts(cond).filter(_.deterministic)
+          val zone = cs.exists(c => disjoint(c, entry, useBloom = false))
+          val full = zone || cs.exists(c => disjoint(c, entry))
+          val reason = if (zone) Some("zone-map")
+            else if (full) Some("bloom") else None
+          (entry.dir, reason)
+        }
+    }.flatten
 
   /** Comparison space of an attribute's type; the zone map's `kind`s this
     * space may read. Integral stats widen into the double space (a column
@@ -140,8 +167,12 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
     case other => throw new IllegalStateException(s"bad literal space $other")
   }
 
-  /** Is this conjunct provably unsatisfiable for every row of the rowset? */
-  private def disjoint(c: Expression, entry: Entry): Boolean = {
+  /** Is this conjunct provably unsatisfiable for every row of the rowset?
+    * `useBloom = false` restricts the proof to zone maps — the introspection
+    * path uses it to attribute WHICH tier pruned.
+    */
+  private def disjoint(c: Expression, entry: Entry,
+      useBloom: Boolean = true): Boolean = {
     def stats(a: AttributeReference): Option[ColStats] =
       space(a.dataType).flatMap { case (_, okKinds) =>
         entry.cols.get(a.name).filter(s => okKinds.contains(s.kind))
@@ -162,7 +193,7 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
     // column's old sidecars hash a different byte form — skip, never trust).
     // False negatives are impossible by construction, so pruning is exact.
     def bloomExcludes(a: AttributeReference, ls: Seq[Literal]): Boolean =
-      entry.bloomCols.contains(a.name) && entry.dir.nonEmpty &&
+      useBloom && entry.bloomCols.contains(a.name) && entry.dir.nonEmpty &&
         graft.manifest.RowsetBloom.load(entry.dir, a.name).exists { b =>
           b.typeTag == a.dataType.catalogString && ls.nonEmpty && ls.forall { l =>
             // a null element never matches (IN yields null, not true)

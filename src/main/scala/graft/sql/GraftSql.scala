@@ -97,6 +97,7 @@ object GraftSql {
     case Rebucket(db, t, _, _)    => eng.catalog.getTable(db, t).isDefined
     case RenameColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case SetTableProps(db, t, _)  => eng.catalog.getTable(db, t).isDefined
+    case ExplainPrune(db, t, _)   => eng.catalog.getTable(db, t).isDefined
     case ShowCreateTable(db, t)   => eng.catalog.getTable(db, t).isDefined
     case DescribeTable(db, t)     => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
@@ -173,6 +174,13 @@ object GraftSql {
     StructField("clone_table", StringType, nullable = false),
     StructField("borrowed_rowsets", LongType, nullable = false)))
 
+  val explainPruneSchema: StructType = StructType(Seq(
+    StructField("rowset_id", LongType, nullable = false),
+    StructField("version_start", LongType, nullable = false),
+    StructField("version_end", LongType, nullable = false),
+    StructField("num_rows", LongType, nullable = false),
+    StructField("decision", StringType, nullable = true)))
+
   val statsSchema: StructType = StructType(Seq(
     StructField("column", StringType, nullable = true),
     StructField("min", StringType, nullable = true),
@@ -192,6 +200,7 @@ object GraftSql {
     case _: ShowMvs => mvsSchema
     case _: ShowClones => clonesSchema
     case _: ShowStats => statsSchema
+    case _: ExplainPrune => explainPruneSchema
     case _: DescribeTable => describeSchema
     case _ => statusSchema
   }
@@ -392,6 +401,12 @@ object GraftSql {
         import scala.jdk.CollectionConverters._
         val rows = eng.describeStats(db, t).collect().toSeq
         spark.createDataFrame(rows.asJava, statsSchema)
+
+      case ExplainPrune(db, t, pred) =>
+        import scala.jdk.CollectionConverters._
+        val rows = eng.explainPrune(db, t,
+          org.apache.spark.sql.functions.expr(pred)).collect().toSeq
+        spark.createDataFrame(rows.asJava, explainPruneSchema)
 
       case DropTable(db, t) =>
         require(eng.catalog.dropTable(db, t), s"no table $db.$t")

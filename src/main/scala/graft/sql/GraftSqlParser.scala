@@ -66,6 +66,13 @@ object GraftStatement {
     * metadata-served MIN/MAX can answer from.
     */
   final case class ShowStats(db: String, table: String) extends GraftStatement
+  /** EXPLAIN PRUNE db.t WHERE '<pred>' — per-rowset decision (scanned /
+    * zone-map / bloom) the transparent prune rules make for that filter
+    * ([[graft.engine.OlapEngine.explainPrune]]). Spark's own EXPLAIN forms
+    * delegate (no PRUNE keyword).
+    */
+  final case class ExplainPrune(db: String, table: String,
+      predicate: String) extends GraftStatement
   /** SHOW CLONES IN db.t — live shallow clones borrowing this table's rowsets. */
   final case class ShowClones(db: String, table: String) extends GraftStatement
   /** BEGIN LOAD GROUP / COMMIT LOAD GROUP / ABORT LOAD GROUP — the SQL face
@@ -304,6 +311,15 @@ object GraftSqlParser {
                              if (!c.tryKw("WAREHOUSE")) None
                              else { c.end(); Some(MaintainWarehouse) } }
         case "SHOW"    => parseShow(c)
+        case "EXPLAIN" =>
+          // only the PRUNE shape is ours; Spark's own EXPLAIN delegates
+          c.kw("EXPLAIN")
+          if (!c.tryKw("PRUNE")) None
+          else {
+            val (db, t) = c.qname(); c.kw("WHERE")
+            val pred = c.str(); c.end()
+            Some(GraftStatement.ExplainPrune(db, t, pred))
+          }
         case "CREATE"  => parseCreate(c, text)
         case "ALTER"   => parseAlter(c)
         case "DROP"    => parseDrop(c)

@@ -184,6 +184,38 @@ class RowsetBloomSpec extends AnyFunSuite {
     } finally graft.sql.GraftSql.unbind(spark)
   }
 
+  test("EXPLAIN PRUNE attributes the pruning tier per rowset") {
+    val eng = engine() // interleaved loads: only the bloom can separate them
+    val byBloom = eng.explainPrune("db", "t", col("id") === "id-000402")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(byBloom.values.toSeq.sorted == Seq("bloom", "scanned"))
+    // a banded table: zone maps get the credit, bloom never consulted
+    eng.createTable(TableDef(
+      db = "db", name = "band", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("id", StringType),
+        ColumnSpec.value("n", IntegerType))),
+      bucketColumn = Some("k"), numBuckets = 1, bloomColumns = Seq("id")))
+    eng.ingest("db", "band", spark.createDataFrame(
+      (0L until 100L).map(i => Row(i, s"x$i", i.toInt)).asJava, schema),
+      Some(Version(1, 1)))
+    eng.ingest("db", "band", spark.createDataFrame(
+      (100L until 200L).map(i => Row(i, s"x$i", i.toInt)).asJava, schema),
+      Some(Version(2, 2)))
+    val byZone = eng.explainPrune("db", "band", col("k") >= 150L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(byZone.values.toSeq.sorted == Seq("scanned", "zone-map"))
+    // unfiltered / unprunable: everything reports scanned
+    assert(eng.explainPrune("db", "band", col("k") >= 0L)
+      .collect().forall(_.getString(4) == "scanned"))
+    // the SQL face
+    graft.sql.GraftSql.bind(spark, eng)
+    try {
+      val rows = graft.sql.GraftSql.sql(spark,
+        "EXPLAIN PRUNE db.band WHERE 'k >= 150'").collect()
+      assert(rows.map(_.getString(4)).sorted.toSeq == Seq("scanned", "zone-map"))
+    } finally graft.sql.GraftSql.unbind(spark)
+  }
+
   test("all-null bloom column yields an exclude-everything sidecar, exactly") {
     val eng = new OlapEngine(spark, Files.createTempDirectory("graft-bl-nul-"))
     eng.createDatabase("db")
