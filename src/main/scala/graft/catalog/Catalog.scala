@@ -282,7 +282,24 @@ final case class TableDef(
     // bloom sidecar per listed column, and equality/IN point lookups prune
     // rowsets whose bloom excludes the key — the high-cardinality complement
     // of the zone maps (Doris's bloom_filter_columns table property)
-    bloomColumns: Seq[String] = Nil) {
+    bloomColumns: Seq[String] = Nil,
+    // integral columns carrying exact per-rowset SUM stats: each data write
+    // also runs one delta-sized aggregate over its OWN rows and stores the
+    // exact (decimal) sum in the manifest, so a group-less SUM/AVG over the
+    // full snapshot answers from metadata alone (OlapEngine.sumFold +
+    // plans.StatsAggRewrite) — the additive sibling of the zone-map
+    // MIN/MAX/COUNT serves. Integral-only by design: float sums are
+    // order-dependent, so a metadata fold could differ from a scan in the
+    // last ulp — never provably exact
+    sumStatsColumns: Seq[String] = Nil,
+    // string columns carrying a rowset-level character-TRIGRAM bloom index
+    // (Doris's NGRAM_BF index, lifted to the rowset tier): each data write
+    // hashes every 3-gram of every value into a [[graft.manifest
+    // .RowsetBloom]] sidecar, and substring predicates — LIKE '%needle%'
+    // (Contains), prefix/suffix/equality — prune rowsets where ANY of the
+    // needle's 3-grams is absent. The full-text complement of bloomColumns:
+    // equality blooms can never answer "does any value CONTAIN x"
+    ngramBloomColumns: Seq[String] = Nil) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(bloomColumns.forall(c => schema.columns.exists(_.name == c)),
     s"bloom_filter_columns names unknown columns on $db.$name: " +
@@ -290,6 +307,22 @@ final case class TableDef(
   require(bloomColumns.forall(c => schema.columns.find(_.name == c).forall(s =>
     RowsetBloomTypes.supported(s.dataType))),
     s"bloom_filter_columns must be integral/float/string/date/timestamp on $db.$name")
+  require(sumStatsColumns.forall(c => schema.columns.exists(_.name == c)),
+    s"sum_stats_columns names unknown columns on $db.$name: " +
+      sumStatsColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  require(sumStatsColumns.forall(c => schema.columns.find(_.name == c).forall(s =>
+    s.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })),
+    s"sum_stats_columns must be integral (exactness contract) on $db.$name")
+  require(ngramBloomColumns.forall(c => schema.columns.find(_.name == c).forall(
+      _.dataType == org.apache.spark.sql.types.StringType)),
+    s"ngram_bf_columns must be string columns on $db.$name")
+  require(ngramBloomColumns.forall(c => schema.columns.exists(_.name == c)),
+    s"ngram_bf_columns names unknown columns on $db.$name: " +
+      ngramBloomColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
   require(autoExpireKeep.isEmpty || autoPartition.isDefined,
@@ -403,7 +436,11 @@ object CatalogStore {
         case (o, n) => o -> (JString(n): JValue) }),
       "bucketLayoutFloor" -> JInt(td.bucketLayoutFloor),
       "bloomColumns" -> (if (td.bloomColumns.isEmpty) JNothing
-        else JArray(td.bloomColumns.toList.map(JString(_): JValue))))
+        else JArray(td.bloomColumns.toList.map(JString(_): JValue))),
+      "sumStatsColumns" -> (if (td.sumStatsColumns.isEmpty) JNothing
+        else JArray(td.sumStatsColumns.toList.map(JString(_): JValue))),
+      "ngramBloomColumns" -> (if (td.ngramBloomColumns.isEmpty) JNothing
+        else JArray(td.ngramBloomColumns.toList.map(JString(_): JValue))))
   }
 
   def fromJson(j: JValue): TableDef = {
@@ -470,6 +507,14 @@ object CatalogStore {
       },
       bucketLayoutFloor = (j \ "bucketLayoutFloor").extractOpt[Long].getOrElse(0L),
       bloomColumns = (j \ "bloomColumns") match {
+        case JArray(vs) => vs.collect { case JString(c) => c }
+        case _ => Nil
+      },
+      sumStatsColumns = (j \ "sumStatsColumns") match {
+        case JArray(vs) => vs.collect { case JString(c) => c }
+        case _ => Nil
+      },
+      ngramBloomColumns = (j \ "ngramBloomColumns") match {
         case JArray(vs) => vs.collect { case JString(c) => c }
         case _ => Nil
       })

@@ -415,6 +415,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     catalog.alterTable(td.copy(
       schema = td.schema.copy(columns = td.schema.columns.filterNot(_.name == name)),
       bloomColumns = td.bloomColumns.filterNot(_ == name),
+      sumStatsColumns = td.sumStatsColumns.filterNot(_ == name),
+      ngramBloomColumns = td.ngramBloomColumns.filterNot(_ == name),
       droppedColumns = td.droppedColumns :+ name))
   }
 
@@ -447,10 +449,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         case "bloom_filter_columns" =>
           td = td.copy(bloomColumns =
             v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        // same backfill story as blooms: future writes harvest sums;
+        // existing rowsets have none (serve refuses → scan) until
+        // compaction rewrites them
+        case "sum_stats_columns" =>
+          td = td.copy(sumStatsColumns =
+            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "ngram_bf_columns" =>
+          td = td.copy(ngramBloomColumns =
+            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case other => throw new IllegalArgumentException(
           s"table property '$other' is not alterable after CREATE " +
             "(alterable: retention, varchar_mode, dynamic_partition.keep, " +
-            "bloom_filter_columns)")
+            "bloom_filter_columns, sum_stats_columns, ngram_bf_columns)")
       }
     }
     catalog.alterTable(td)
@@ -507,6 +518,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       // the new name; old rowsets' sidecars stay keyed by their era's
       // physical name, which is exactly the name their scan attributes carry
       bloomColumns = td.bloomColumns.map(c => if (c == oldName) newName else c),
+      // sum-stats declarations follow too: new loads harvest under the new
+      // name; old rowsets' sums stay keyed by their era's physical name and
+      // resolve through renamedColumns like the zone maps do
+      sumStatsColumns =
+        td.sumStatsColumns.map(c => if (c == oldName) newName else c),
+      ngramBloomColumns =
+        td.ngramBloomColumns.map(c => if (c == oldName) newName else c),
       // chain-collapse: any former name whose current target is oldName now
       // maps straight to newName, so a file from ANY era renames in one hop
       renamedColumns = td.renamedColumns.map { case (o, n) =>
@@ -801,13 +819,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // hole-free); the read path skips file-less rowsets.
     val (numRows, colStats) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
+    val ngrams = buildNgramBlooms(db, table, outDir, numRows)
+    val sums = harvestSums(db, table, outDir, numRows)
     // the write validated and landed: NOW the auto-minted partitions become
     // catalog state — before publish, so the prune rules know the new
     // partitions by the time any reader can see the new rowset
     commitMintedPartitions(db, table, minted)
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis(), pendingGroup = group,
-      stats = colStats, bloomCols = blooms)
+      stats = colStats, bloomCols = blooms, sums = sums,
+      ngramCols = ngrams)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1211,11 +1232,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // relation at optimization time (plans.RowsetPruneRewrite) — the scan
     // never lists or opens the directory
     data.foreach { r =>
-      if (r.stats.nonEmpty || r.bloomCols.nonEmpty) {
+      if (r.stats.nonEmpty || r.bloomCols.nonEmpty || r.ngramCols.nonEmpty) {
         val dir = root.resolve(r.relDir).toAbsolutePath.normalize.toString
         graft.plans.RowsetPruneRewrite.register(
           dir, graft.plans.RowsetPruneRewrite.Entry(
-            r.numRows, r.stats, dir, r.bloomCols.toSet))
+            r.numRows, r.stats, dir, r.bloomCols.toSet, r.ngramCols.toSet))
       }
     }
     val unioned = data.map { r =>
@@ -1566,6 +1587,178 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Build one character-trigram [[RowsetBloom]] sidecar per declared
+    * ngram_bf column (Doris's NGRAM_BF index at the rowset tier) for a
+    * freshly written rowset dir. Every 3-gram of every non-null value
+    * hashes into the bitset — substring predicates then prune rowsets
+    * where ANY needle gram is absent ([[graft.plans.RowsetPruneRewrite]]).
+    * Two delta-sized passes per column over THIS load only: an exact gram
+    * count (so the bitset sizes to real insert volume), then the
+    * hash-and-fold. Gram slicing is Spark's own character `substring`, and
+    * the probe slices needles with the SAME UTF8String character indexing +
+    * the SAME Catalyst XxHash64 — false negatives impossible. Values
+    * shorter than 3 chars contribute nothing, correctly: they cannot
+    * contain a ≥3-char needle, so even an EMPTY bitset excludes exactly.
+    * Never fails a load — an error degrades to no-index (no pruning).
+    */
+  private def buildNgramBlooms(db: String, table: String, outDir: Path,
+      numRows: Long): Seq[String] = {
+    val td = catalog.getTable(db, table).getOrElse(return Nil)
+    if (td.ngramBloomColumns.isEmpty || numRows == 0) return Nil
+    import spark.implicits._
+    val df = try spark.read.parquet(outDir.toString)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    val n = RowsetBloom.NgramSize
+    td.ngramBloomColumns.filter(df.columns.contains).flatMap { c =>
+      try {
+        val grams = df
+          .filter(col(c).isNotNull && length(col(c)) >= n)
+          .select(explode(expr(
+            s"transform(sequence(1, char_length(`$c`) - ${n - 1}), " +
+              s"i -> substring(`$c`, i, $n))")).as("g"))
+        val nGrams = grams.count()
+        val nLongs = RowsetBloom.sizeLongs(nGrams)
+        val or = (x: Array[Long], y: Array[Long]) => {
+          var i = 0; while (i < x.length) { x(i) |= y(i); i += 1 }; x
+        }
+        val bits = grams.select(xxhash64(col("g"))).as[Long]
+          .mapPartitions { it =>
+            val arr = new Array[Long](nLongs)
+            it.foreach(h => RowsetBloom.add(arr, h))
+            Iterator.single(arr)
+          }.rdd.treeAggregate(new Array[Long](nLongs))(or, or, depth = 2)
+        RowsetBloom.write(outDir, c,
+          new RowsetBloom(RowsetBloom.K, bits, s"ngram$n:string"),
+          RowsetBloom.KindNgram)
+        Some(c)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] WARN ngram bloom build failed for $outDir/$c: $e")
+          None
+      }
+    }
+  }
+
+  /** Exact per-column SUMs of a freshly written rowset dir, for the table's
+    * declared [[graft.catalog.TableDef.sumStatsColumns]] — ONE delta-sized
+    * Spark aggregate over THIS load only (all columns in a single job).
+    * Sums accumulate in decimal(38,0) so the stored value is exact at any
+    * magnitude; the serve side ([[sumFold]]) decides Long-range fit. An
+    * all-null column stores "0" — its additive contribution — with null-ness
+    * left to the zone map's nullCount. Never fails a load: an error
+    * degrades to no-sums (the serve refuses, the scan answers).
+    */
+  private def harvestSums(db: String, table: String, outDir: Path,
+      numRows: Long): Map[String, String] = {
+    val td = catalog.getTable(db, table).getOrElse(return Map.empty)
+    if (td.sumStatsColumns.isEmpty || numRows == 0) return Map.empty
+    val df = try spark.read.parquet(outDir.toString)
+      catch { case scala.util.control.NonFatal(_) => return Map.empty }
+    val cols = td.sumStatsColumns.filter(df.columns.contains)
+    if (cols.isEmpty) return Map.empty
+    try {
+      val aggs = cols.map(c => sum(col(c)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> (if (row.isNullAt(i)) "0"
+          else row.getDecimal(i).toBigInteger.toString)
+      }.toMap
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARN sum harvest failed for $outDir: $e")
+        Map.empty
+    }
+  }
+
+  /** Metadata SUM serve data for one declared column over the current
+    * covering set: `Some((dataType, sum or None-if-all-null, nonNullCount))`
+    * when provably exact, else None. The additive sibling of [[zoneFold]],
+    * powering SUM/AVG in [[graft.plans.StatsAggRewrite]].
+    *
+    * Exactness argument: per-rowset sums are exact decimals
+    * ([[harvestSums]]); their fold is exact big-integer addition; and when
+    * the total fits in a signed 64-bit Long it EQUALS what Spark's
+    * `sum(integral)` computes over the scan — under LEGACY eval Long
+    * addition is associative modulo 2^64 (any accumulation order lands on
+    * the same residue, and a residue whose true value is in Long range IS
+    * that value), and under ANSI a non-overflowing total evaluates to the
+    * same value (the one divergence: sign-mixed extremes whose running
+    * partial overflows in some order make the ANSI scan throw
+    * order-dependently — the serve returns the well-defined exact total
+    * instead, which is what DuckDB/Doris compute). Guards
+    * (any miss ⇒ None): Duplicate model (merge-on-read collapses rows — a
+    * raw-sum would double-count); no delete markers; declared type
+    * integral; every data rowset carries BOTH a sum and a zone map for the
+    * column (under its rename-era physical name) with "i"-kind stats; the
+    * big-integer total within Long range (beyond it Spark's own scan
+    * answer is wrap-dependent — serve nothing, let the scan own it).
+    */
+  def sumFold(db: String, table: String, c: String)
+      : Option[(org.apache.spark.sql.types.DataType, Option[Long], Long)] = {
+    import org.apache.spark.sql.types._
+    val td = catalog.getTable(db, table).getOrElse(return None)
+    if (td.schema.keysType != KeysType.Duplicate) return None
+    val dt = td.schema.columns.find(_.name == c).getOrElse(return None).dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case _ => return None
+    }
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    if (covering.exists(_.isDeleteMarker)) return None
+    val data = covering.filter(_.numRows > 0)
+    val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    def era[T](get: String => Option[T]): Option[T] =
+      get(c).orElse(oldNames.getOrElse(c, Nil).flatMap(get(_)).headOption)
+    val perSum = data.map(r => era(r.sums.get))
+    val perStat = data.map(r => era(r.stats.get))
+    if (perSum.exists(_.isEmpty) || perStat.exists(_.isEmpty)) return None
+    if (perStat.flatten.exists(_.kind != "i")) return None
+    val total = perSum.flatten.map(BigInt(_)).sum
+    if (total < BigInt(Long.MinValue) || total > BigInt(Long.MaxValue)) return None
+    val nonNull = data.map(_.numRows).sum - perStat.flatten.map(_.nullCount).sum
+    Some((dt, if (nonNull == 0) None else Some(total.toLong), nonNull))
+  }
+
+  /** Metadata AVG serve for one declared integral column:
+    * `Some(Some(avg))` / `Some(None)` (zero non-null rows ⇒ SQL NULL) when
+    * provably bit-identical to the scanned aggregate, else None.
+    *
+    * Spark's `Average` over a non-decimal column accumulates partial sums
+    * in DOUBLE, so serving from the exact integer sum is only legal when no
+    * accumulation order can round: every partial sum's magnitude is bounded
+    * by nonNull × maxAbs (maxAbs from the zone maps), and integer-valued
+    * doubles up to 2^53 add exactly — so when that bound (and the count)
+    * stays ≤ 2^53, Spark's double sum IS the exact sum, and both sides
+    * reduce to the same single division.
+    */
+  def avgFold(db: String, table: String, c: String)
+      : Option[(org.apache.spark.sql.types.DataType, Option[Double])] = {
+    val (cdt, sumOpt, nonNull) = sumFold(db, table, c).getOrElse(return None)
+    if (nonNull == 0) return Some((cdt, None))
+    val exact = BigInt(1L) << 53
+    if (BigInt(nonNull) > exact) return None
+    // maxAbs over the covering set's zone maps (all-null rowsets bound 0)
+    val td = catalog.getTable(db, table).getOrElse(return None)
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val data = m.captureConsistentVersions(lo, m.maxVersion).filter(_.numRows > 0)
+    val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val maxAbs = data.map { r =>
+      r.stats.get(c).orElse(
+        oldNames.getOrElse(c, Nil).flatMap(r.stats.get).headOption) match {
+        case Some(s) if s.kind == "i" =>
+          Seq(s.min, s.max).flatten.map(v => BigInt(v).abs)
+            .maxOption.getOrElse(BigInt(0))
+        case _ => return None
+      }
+    }.maxOption.getOrElse(BigInt(0))
+    if (maxAbs * BigInt(nonNull) > exact) return None
+    Some((cdt, Some(sumOpt.get.toDouble / nonNull.toDouble)))
+  }
+
   /** Metadata-only MIN/MAX over `cols`: when every covering rowset carries a
     * usable zone map ([[StatsHarvest]]), the answer is a fold over manifest
     * entries — zero files opened, zero tasks — the metadata twin of
@@ -1900,13 +2093,22 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         if (ColStats.compare(foldKind, a, b) <= 0) a else b)
       val mx = entries.flatMap(_.max).reduceOption((a, b) =>
         if (ColStats.compare(foldKind, a, b) >= 0) a else b)
+      // folded exact sum (sum_stats_columns): shown only when EVERY data
+      // rowset carries it — a partial fold would read as a wrong total
+      val sums = data.flatMap(r => r.sums.get(cs.name).orElse(
+        oldNames.getOrElse(cs.name, Nil).flatMap(r.sums.get).headOption))
+      val sumStr =
+        if (data.nonEmpty && sums.size == data.size)
+          sums.map(BigInt(_)).sum.toString
+        else null
       (cs.name, mn.orNull, mx.orNull,
         entries.map(_.nullCount).sum, entries.size.toLong, data.size.toLong,
-        data.count(_.bloomCols.contains(cs.name)).toLong)
+        data.count(_.bloomCols.contains(cs.name)).toLong,
+        sumStr, sums.size.toLong)
     }
     import spark.implicits._
     rows.toDF("column", "min", "max", "null_count", "rowsets_with_stats",
-      "data_rowsets", "bloom_rowsets")
+      "data_rowsets", "bloom_rowsets", "sum", "sum_rowsets")
   }
 
   /** Route one key pair to its (partition, bucket) — the reference's
@@ -2006,10 +2208,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // the empty replacement (version continuity) instead of dying
     val (numRows, colStats) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
+    val ngrams = buildNgramBlooms(db, table, outDir, numRows)
+    val sums = harvestSums(db, table, outDir, numRows)
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
-      bloomCols = blooms)
+      bloomCols = blooms, sums = sums, ngramCols = ngrams)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -2082,6 +2286,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .parquet(outDir.toString)
     val (numRows, colStats) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
+    val ngrams = buildNgramBlooms(db, table, outDir, numRows)
+    val sums = harvestSums(db, table, outDir, numRows)
     // routing swap before the manifest swap (see scaladoc ordering argument)
     catalog.alterTable(newTd)
     graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
@@ -2092,7 +2298,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
-      bloomCols = blooms)
+      bloomCols = blooms, sums = sums, ngramCols = ngrams)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -2169,10 +2375,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // the empty replacement (version continuity) instead of dying
     val (numRows, colStats) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
+    val ngrams = buildNgramBlooms(db, table, outDir, numRows)
+    val sums = harvestSums(db, table, outDir, numRows)
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
-      bloomCols = blooms)
+      bloomCols = blooms, sums = sums, ngramCols = ngrams)
     m.publish(meta)
     autoGc(db, table)
     meta

@@ -68,7 +68,19 @@ final case class RowsetMeta(
     // names, like `stats`) — the equality skipping index ([[RowsetBloom]]).
     // Bits load lazily at prune time; a listed column whose sidecar is
     // unreadable degrades to no-prune, never to wrong data.
-    bloomCols: Seq[String] = Nil) {
+    bloomCols: Seq[String] = Nil,
+    // exact per-column SUM of this rowset's rows (integral columns declared
+    // in TableDef.sumStatsColumns; keyed by physical name like `stats`).
+    // Canonical form is the decimal big-integer string — exact at any
+    // magnitude, so the metadata fold (OlapEngine.sumFold) can decide
+    // Long-range fit for itself. An all-null column stores "0" (its
+    // contribution to the fold); null-ness is decided by the zone map's
+    // nullCount. Absence means UNKNOWN (not harvested), never zero.
+    sums: Map[String, String] = Map.empty,
+    // columns with a character-trigram bloom sidecar in this rowset's dir
+    // (physical names) — the substring skipping index behind
+    // LIKE-'%needle%' pruning. Same lazy-load/degrade contract as bloomCols.
+    ngramCols: Seq[String] = Nil) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
   def isPending: Boolean = pendingGroup.isDefined
 }
@@ -369,8 +381,16 @@ final class TableManifest(
         if (r.bloomCols.isEmpty) withStats
         else JObject(withStats.obj :+ ("blooms" ->
           (JArray(r.bloomCols.toList.map(JString(_): JValue)): JValue)))
-      r.staleMs.fold(withBlooms)(s =>
-        JObject(withBlooms.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withSums =
+        if (r.sums.isEmpty) withBlooms
+        else JObject(withBlooms.obj :+ ("sums" -> (JObject(r.sums.toList
+          .sortBy(_._1).map { case (c, s) => c -> (JString(s): JValue) }): JValue)))
+      val withNgrams =
+        if (r.ngramCols.isEmpty) withSums
+        else JObject(withSums.obj :+ ("ngrams" ->
+          (JArray(r.ngramCols.toList.map(JString(_): JValue)): JValue)))
+      r.staleMs.fold(withNgrams)(s =>
+        JObject(withNgrams.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -406,6 +426,15 @@ final class TableManifest(
             case _ => Map.empty[String, ColStats]
           },
           (j \ "blooms") match {
+            case JArray(vs) => vs.collect { case JString(c) => c }
+            case _ => Nil
+          },
+          (j \ "sums") match {
+            case JObject(fields) =>
+              fields.collect { case (c, JString(s)) => c -> s }.toMap
+            case _ => Map.empty[String, String]
+          },
+          (j \ "ngrams") match {
             case JArray(vs) => vs.collect { case JString(c) => c }
             case _ => Nil
           })

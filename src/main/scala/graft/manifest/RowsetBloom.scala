@@ -79,13 +79,30 @@ object RowsetBloom {
     }
   }
 
-  private def sidecar(dir: Path, column: String): Path =
-    dir.resolve("_bloom_" +
+  /** Sidecar-family prefixes: "bloom" = whole-value equality bits; "ngram" =
+    * character-trigram bits for substring containment ([[NgramSize]]-grams,
+    * probed by LIKE '%needle%'-shaped predicates). Same file format, same
+    * hash, same cache — only WHAT was hashed differs, pinned by `typeTag`.
+    */
+  val KindBloom = "bloom"
+  val KindNgram = "ngram"
+
+  /** Character n-gram width of the substring index. Fixed (not per-table):
+    * the probe must slice needles exactly as the build sliced values, and 3
+    * is the standard trade — needles shorter than 3 chars skip the index
+    * (zone maps/scan own them), longer needles contribute len-2 grams each
+    * of which must be present.
+    */
+  val NgramSize = 3
+
+  private def sidecar(dir: Path, column: String, kind: String): Path =
+    dir.resolve("_" + kind + "_" +
       java.net.URLEncoder.encode(column, "UTF-8") + ".gblm")
 
-  def write(dir: Path, column: String, b: RowsetBloom): Unit = {
+  def write(dir: Path, column: String, b: RowsetBloom,
+      kind: String = KindBloom): Unit = {
     val out = new DataOutputStream(java.nio.file.Files.newOutputStream(
-      sidecar(dir, column)))
+      sidecar(dir, column, kind)))
     try {
       out.writeInt(Magic); out.writeInt(1)
       out.writeInt(b.k); out.writeUTF(b.typeTag)
@@ -102,8 +119,9 @@ object RowsetBloom {
   private val cache = TrieMap.empty[String, Option[RowsetBloom]]
   private val CacheCap = 256
 
-  def load(dir: String, column: String): Option[RowsetBloom] = {
-    val p = sidecar(java.nio.file.Paths.get(dir), column)
+  def load(dir: String, column: String,
+      kind: String = KindBloom): Option[RowsetBloom] = {
+    val p = sidecar(java.nio.file.Paths.get(dir), column, kind)
     val key = p.toString
     cache.getOrElse(key, {
       if (cache.size >= CacheCap) cache.clear()

@@ -43,7 +43,10 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
       // rowset dir + columns with a bloom sidecar there (RowsetBloom) — the
       // equality skipping index; bits load lazily, only when a zone map
       // failed to prune an equality/IN conjunct
-      dir: String = "", bloomCols: Set[String] = Set.empty)
+      dir: String = "", bloomCols: Set[String] = Set.empty,
+      // columns with a character-trigram sidecar (RowsetBloom KindNgram) —
+      // the substring index probed by LIKE-'%needle%'-shaped conjuncts
+      ngramCols: Set[String] = Set.empty)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -118,10 +121,13 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
       case Filter(cond, PeeledRelation(lr)) =>
         entryOf(lr).map { entry =>
           val cs = conjuncts(cond).filter(_.deterministic)
-          val zone = cs.exists(c => disjoint(c, entry, useBloom = false))
-          val full = zone || cs.exists(c => disjoint(c, entry))
+          val zone = cs.exists(c =>
+            disjoint(c, entry, useBloom = false, useNgram = false))
+          val bloom = zone || cs.exists(c => disjoint(c, entry, useNgram = false))
+          val full = bloom || cs.exists(c => disjoint(c, entry))
           val reason = if (zone) Some("zone-map")
-            else if (full) Some("bloom") else None
+            else if (bloom) Some("bloom")
+            else if (full) Some("ngram") else None
           (entry.dir, reason)
         }
     }.flatten
@@ -172,7 +178,7 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
     * path uses it to attribute WHICH tier pruned.
     */
   private def disjoint(c: Expression, entry: Entry,
-      useBloom: Boolean = true): Boolean = {
+      useBloom: Boolean = true, useNgram: Boolean = true): Boolean = {
     def stats(a: AttributeReference): Option[ColStats] =
       space(a.dataType).flatMap { case (_, okKinds) =>
         entry.cols.get(a.name).filter(s => okKinds.contains(s.kind))
@@ -202,13 +208,37 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
           }
         }
 
+    // trigram probe: the needle has ≥ 3 chars and SOME 3-gram of it is
+    // provably absent from the rowset's ngram sidecar — then no stored
+    // value can contain the needle (containment requires every gram).
+    // Slicing is UTF8String character indexing, the same space Spark's
+    // `substring` used at build time; hashing is the same Catalyst
+    // XxHash64(seed 42). typeTag pins gram width + type.
+    def ngramExcludes(a: AttributeReference, needle: UTF8String): Boolean = {
+      val n = graft.manifest.RowsetBloom.NgramSize
+      useNgram && a.dataType == StringType && needle != null &&
+        needle.numChars >= n && entry.ngramCols.contains(a.name) &&
+        entry.dir.nonEmpty &&
+        graft.manifest.RowsetBloom.load(entry.dir, a.name,
+          graft.manifest.RowsetBloom.KindNgram).exists { b =>
+          b.typeTag == s"ngram$n:string" && (0 to needle.numChars - n).exists { i =>
+            val g = needle.substring(i, i + n)
+            !b.mightContain(new XxHash64(Seq(Literal(g, StringType)), 42L)
+              .eval(null).asInstanceOf[Long])
+          }
+        }
+    }
+    def ngramLit(a: AttributeReference, l: Literal): Boolean =
+      l.dataType == StringType && l.value != null &&
+        ngramExcludes(a, l.value.asInstanceOf[UTF8String])
+
     def eqDisjoint(a: AttributeReference, l: Literal): Boolean =
       allNull(a) || (litValue(l) match {
         case Some(v) => bounds(a).exists { case (s, mn, mx) =>
           cmpStat(s.kind, mn, v) > 0 || cmpStat(s.kind, mx, v) < 0
         }
         case None => false
-      }) || bloomExcludes(a, Seq(l))
+      }) || bloomExcludes(a, Seq(l)) || ngramLit(a, l)
 
     def cmp(a: AttributeReference, l: Literal, op: String): Boolean =
       allNull(a) || (litValue(l) match {
@@ -261,7 +291,15 @@ object RowsetPruneRewrite extends Rule[LogicalPlan] {
             else nextPrefix(p).exists(np =>
               UTF8String.fromString(mn).compareTo(np) >= 0)
           }
-        }
+        // a prefix is also a contained substring — the trigram index
+        // refutes it when any of its grams is absent
+        } || ngramLit(a, l)
+      // LIKE '%needle%': Catalyst's LikeSimplification rewrites it to
+      // Contains in the same optimization batch this rule runs in
+      case Contains(a: AttributeReference, l: Literal) =>
+        allNull(a) || ngramLit(a, l)
+      case EndsWith(a: AttributeReference, l: Literal) =>
+        allNull(a) || ngramLit(a, l)
       case _ => false
     }
   }

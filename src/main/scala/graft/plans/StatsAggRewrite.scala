@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -126,6 +126,26 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
           eng.zoneFold(db, table, a.name).flatMap { case (dt, _, mx, _) =>
             if (dt != a.dataType) None else internalLit(dt, mx)
           }
+        // SUM/AVG from the exact per-rowset sum stats (sum_stats_columns,
+        // OlapEngine.sumFold/avgFold — see their exactness arguments).
+        // Spark's integral Sum yields LongType and Average DoubleType;
+        // anything else (decimal, float input) is not served.
+        case s: Sum => s.child match {
+          case a: AttributeReference if ae.dataType == LongType =>
+            eng.sumFold(db, table, a.name).flatMap { case (dt, sm, _) =>
+              if (dt != a.dataType) None
+              else Some(Literal(sm.map(java.lang.Long.valueOf).orNull, LongType))
+            }
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if ae.dataType == DoubleType =>
+            eng.avgFold(db, table, a.name).flatMap { case (dt, v) =>
+              if (dt != a.dataType) None
+              else Some(Literal(v.map(java.lang.Double.valueOf).orNull, DoubleType))
+            }
+          case _ => None
+        }
         case _ => None
       }
     }

@@ -112,7 +112,11 @@ object EngineFixture {
       ColumnSpec.value("value", DoubleType)))
     eng.createTable(TableDef(
       db = "graft", name = "events_seg", schema = segSchema,
-      bucketColumn = Some("event_id"), numBuckets = 2))
+      bucketColumn = Some("event_id"), numBuckets = 2,
+      // exact per-rowset SUMs for the integral columns: each of the three
+      // loads below also harvests its own sum, so q235's group-less
+      // SUM/AVG/COUNT answers from the manifest fold alone
+      sumStatsColumns = Seq("event_id", "user_id")))
     val segEv = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))
     val segMax = segEv.agg(max(col("event_id"))).head.getLong(0)
@@ -139,6 +143,29 @@ object EngineFixture {
     (0 until 3).foreach { r =>
       eng.ingest("graft", "events_bloom",
         segEv.filter(col("event_id") % 3 === r), Some(Version(r + 1L, r + 1L)))
+    }
+
+    // --- events_ngram: TRIGRAM bloom prunes substring (LIKE '%x%') reads ----
+    // Three interleaved loads (event_id % 3) with a per-load marker embedded
+    // MID-string in `tag` ("<id>at<r>z"): zone maps can never refute a
+    // Contains predicate, but each load's trigram sidecar proves which
+    // rowsets can hold the needle's grams — q236's substring scan is
+    // REQUIREd to read exactly one of the three rowsets.
+    val ngSchema = TableSchema(KeysType.Duplicate, Seq(
+      ColumnSpec.key("event_id", LongType),
+      ColumnSpec.value("tag", StringType),
+      ColumnSpec.value("value", DoubleType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "events_ngram", schema = ngSchema,
+      bucketColumn = Some("event_id"), numBuckets = 2,
+      ngramBloomColumns = Seq("tag")))
+    val ngEv = Tables.events(spark, sfDir).select(col("event_id"),
+      concat(col("event_id").cast("string"), lit("at"),
+        (col("event_id") % 3).cast("string"), lit("z")).as("tag"),
+      col("value"))
+    (0 until 3).foreach { r =>
+      eng.ingest("graft", "events_ngram",
+        ngEv.filter(col("event_id") % 3 === r), Some(Version(r + 1L, r + 1L)))
     }
 
     // --- events_useg: UNIQUE model, banded loads + an upsert load -----------
@@ -863,6 +890,62 @@ object EngineQueries {
     df
   }
 
+  /** q235: transparent METADATA SUM/AVG — the additive completion of q228's
+    * MIN/MAX/COUNT serves. events_seg declares `sum_stats_columns`, so each
+    * of its three loads harvested an exact per-rowset sum (one delta-sized
+    * aggregate over its OWN rows); a plain group-less
+    * `sum/avg/count` DataFrame aggregate over the full scan is then
+    * replaced by [[graft.plans.StatsAggRewrite]] with a one-row literal
+    * Project folded from the manifest — the `require` pins that the
+    * optimized plan reads NO parquet relation. Exactness is provable, not
+    * hoped-for: integral sums fold in big-integer arithmetic and serve only
+    * within Long range (associativity mod 2^64 makes the scan equal), and
+    * AVG serves only when no double accumulation order can round
+    * (nonNull × maxAbs ≤ 2^53 — see OlapEngine.avgFold). At 100 TB the
+    * commonest dashboard aggregates become driver-side manifest folds.
+    */
+  def sumTransparent(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val df = eng.scan("graft", "events_seg").agg(
+      sum(col("event_id")).as("sum_event"),
+      sum(col("user_id")).as("sum_user"),
+      avg(col("user_id")).as("avg_user"),
+      count(col("user_id")).as("n_user"),
+      count(lit(1)).as("n_rows"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.isEmpty,
+      s"q235 must serve entirely from metadata; plan still reads ${rels.size} relation(s)")
+    df
+  }
+
+  /** q236: substring scan pruned by the rowset TRIGRAM index (Doris's
+    * NGRAM_BF at the rowset tier): `tag LIKE '%at2z%'` can never be refuted
+    * by zone maps (containment is orderless), but each load's trigram
+    * sidecar ([[graft.manifest.RowsetBloom]] KindNgram) proves two of the
+    * three interleaved rowsets lack the needle's grams — the plan is
+    * REQUIRED to read exactly ONE parquet relation. The oracle recomputes
+    * the tag expression and the LIKE from raw rows. At 100 TB this is the
+    * difference between a log-grep touching one day's rowsets and all of
+    * them.
+    */
+  def ngramPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val df = eng.scan("graft", "events_ngram")
+      .filter(col("tag").contains("at2z"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        max(col("value")).as("max_value"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.size == 1,
+      s"q236 must trigram-prune to 1 of 3 rowsets; plan reads ${rels.size}")
+    df
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1299,6 +1382,8 @@ object EngineQueries {
     "q225_result_cache" -> cachedAggServe _,
     "q226_engine_quantile" -> engineQuantile _,
     "q228_minmax_transparent" -> minMaxTransparent _,
+    "q235_sum_transparent" -> sumTransparent _,
+    "q236_ngram_prune" -> ngramPruneScan _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1359,6 +1444,25 @@ object EngineQueries {
         |  min(o_orderstatus) AS min_o_orderstatus, max(o_orderstatus) AS max_o_orderstatus,
         |  count(*) AS n_rows
         |FROM orders""".stripMargin,
+    // q235: the engine serves these from the manifest's exact per-rowset
+    // sums + zone-map null counts (zero relations in the plan, REQUIREd);
+    // the oracle recomputes from raw rows — avg spelled as exact-sum/count,
+    // which is bit-identical to the served division (sum ≤ 2^53 here)
+    "q235_sum_transparent" ->
+      """SELECT CAST(sum(event_id) AS BIGINT) AS sum_event,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(CAST(sum(user_id) AS DOUBLE) / count(user_id) AS DOUBLE) AS avg_user,
+        |  count(user_id) AS n_user, count(*) AS n_rows
+        |FROM events""".stripMargin,
+    // q236: the oracle rebuilds the fixture's tag expression and recomputes
+    // the LIKE from raw rows; the engine answers it scanning ONE of the
+    // three interleaved rowsets (trigram-pruned, plan-asserted)
+    "q236_ngram_prune" ->
+      """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  max(value) AS max_value
+        |FROM events
+        |WHERE (CAST(event_id AS VARCHAR) || 'at' ||
+        |       CAST(event_id % 3 AS VARCHAR) || 'z') LIKE '%at2z%'""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

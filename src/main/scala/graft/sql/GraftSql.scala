@@ -188,7 +188,9 @@ object GraftSql {
     StructField("null_count", LongType, nullable = false),
     StructField("rowsets_with_stats", LongType, nullable = false),
     StructField("data_rowsets", LongType, nullable = false),
-    StructField("bloom_rowsets", LongType, nullable = false)))
+    StructField("bloom_rowsets", LongType, nullable = false),
+    StructField("sum", StringType, nullable = true),
+    StructField("sum_rowsets", LongType, nullable = false)))
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
@@ -548,6 +550,10 @@ object GraftSql {
     td.zorderColumns.foreach { case (x, y) => props += ("zorder" -> s"$x,$y") }
     if (td.bloomColumns.nonEmpty)
       props += ("bloom_filter_columns" -> td.bloomColumns.mkString(","))
+    if (td.sumStatsColumns.nonEmpty)
+      props += ("sum_stats_columns" -> td.sumStatsColumns.mkString(","))
+    if (td.ngramBloomColumns.nonEmpty)
+      props += ("ngram_bf_columns" -> td.ngramBloomColumns.mkString(","))
     val propClause = {
       val ps = props.result()
       if (ps.isEmpty) ""
@@ -623,6 +629,13 @@ object GraftSql {
       // Doris's own property name for the per-rowset bloom skipping index
       case "bloom_filter_columns" =>
         td.copy(bloomColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      // exact per-rowset SUM stats for metadata-served SUM/AVG (integral
+      // columns; OlapEngine.sumFold / plans.StatsAggRewrite)
+      case "sum_stats_columns" =>
+        td.copy(sumStatsColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      // character-trigram substring index (Doris NGRAM_BF) at the rowset tier
+      case "ngram_bf_columns" =>
+        td.copy(ngramBloomColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case other => throw new GraftParseException(
         s"unknown table property '$other'")
     }
