@@ -299,7 +299,17 @@ final case class TableDef(
     // (Contains), prefix/suffix/equality — prune rowsets where ANY of the
     // needle's 3-grams is absent. The full-text complement of bloomColumns:
     // equality blooms can never answer "does any value CONTAIN x"
-    ngramBloomColumns: Seq[String] = Nil) {
+    ngramBloomColumns: Seq[String] = Nil,
+    // Unique-model MERGE-ON-WRITE (Doris enable_unique_key_merge_on_write):
+    // each load pre-merges ITS OWN rows per key before writing (one extra
+    // key shuffle at write time), so every rowset holds at most one record
+    // per key. Combined with the manifest's leading-key zone maps, the read
+    // path can then PROVE key-disjointness across the covering set and
+    // serve scans with NO merge aggregate at all — pay at write, skip the
+    // per-query shuffle at read (see OlapEngine's unmerged-serve guards).
+    // Incompatible with partialUpdate: partial loads resolve column-wise
+    // ACROSS loads, which no within-load merge can express.
+    mergeOnWrite: Boolean = false) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(bloomColumns.forall(c => schema.columns.exists(_.name == c)),
     s"bloom_filter_columns names unknown columns on $db.$name: " +
@@ -323,6 +333,12 @@ final case class TableDef(
   require(ngramBloomColumns.forall(c => schema.columns.exists(_.name == c)),
     s"ngram_bf_columns names unknown columns on $db.$name: " +
       ngramBloomColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  require(!mergeOnWrite || schema.keysType == graft.model.KeysType.Unique,
+    s"enable_unique_key_merge_on_write is only defined for Unique tables; " +
+      s"$db.$name is ${schema.keysType.name}")
+  require(!(mergeOnWrite && partialUpdate),
+    s"merge-on-write and partial_update are incompatible on $db.$name: " +
+      "partial loads resolve column-wise across loads")
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
   require(autoExpireKeep.isEmpty || autoPartition.isDefined,
@@ -440,7 +456,8 @@ object CatalogStore {
       "sumStatsColumns" -> (if (td.sumStatsColumns.isEmpty) JNothing
         else JArray(td.sumStatsColumns.toList.map(JString(_): JValue))),
       "ngramBloomColumns" -> (if (td.ngramBloomColumns.isEmpty) JNothing
-        else JArray(td.ngramBloomColumns.toList.map(JString(_): JValue))))
+        else JArray(td.ngramBloomColumns.toList.map(JString(_): JValue))),
+      "mergeOnWrite" -> (if (td.mergeOnWrite) JBool(true) else JNothing))
   }
 
   def fromJson(j: JValue): TableDef = {
@@ -517,7 +534,8 @@ object CatalogStore {
       ngramBloomColumns = (j \ "ngramBloomColumns") match {
         case JArray(vs) => vs.collect { case JString(c) => c }
         case _ => Nil
-      })
+      },
+      mergeOnWrite = (j \ "mergeOnWrite").extractOpt[Boolean].getOrElse(false))
   }
 }
 

@@ -792,6 +792,29 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         opColumn.map(n => col(n).cast("int")).getOrElse(lit(op)))
       opColumn.foreach(n => routed = routed.drop(n))
     }
+    // MERGE-ON-WRITE (TableDef.mergeOnWrite): pre-merge THIS load per key
+    // before writing — the same (sequence?, seq) latest-wins resolution
+    // merge-on-read applies, evaluated one load early. The winner's op
+    // SURVIVES (a tombstone must keep masking older rowsets — exactly
+    // MergeView.compacting's stance), and the winner's routing/seq ride in
+    // the payload so determinism and routing match what a reader would have
+    // resolved. Cost: one key shuffle per load over the LOAD's rows; payoff:
+    // every rowset holds at most one record per key (RowsetMeta.keyUnique),
+    // which lets key-disjoint covering sets serve with no merge aggregate.
+    val mergedOnWrite = td.schema.keysType == KeysType.Unique && td1.mergeOnWrite
+    if (mergedOnWrite) {
+      val keyNames2 = td1.schema.keyNames
+      val ord = td1.sequenceColumn match {
+        case Some(sc) => struct(col(sc), col(SeqCol))
+        case None => struct(col(SeqCol))
+      }
+      val payloadNames = routed.columns.filterNot(keyNames2.contains).toSeq
+      val payload = struct(payloadNames.map(col): _*)
+      routed = routed.groupBy(keyNames2.map(col): _*)
+        .agg(max_by(payload, ord).as("__graft_mow"))
+        .select(keyNames2.map(col) ++
+          payloadNames.map(n => col(s"__graft_mow.$n").as(n)): _*)
+    }
 
     val sortCols = Seq(PartCol, BucketCol).map(col) ++ clusterCols(td)
     var writer = routed
@@ -828,7 +851,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis(), pendingGroup = group,
       stats = colStats, bloomCols = blooms, sums = sums,
-      ngramCols = ngrams)
+      ngramCols = ngrams, keyUnique = mergedOnWrite)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1278,6 +1301,56 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .foldLeft(df)((acc, c) => acc.withColumn(c.name, lit(null).cast(c.dataType)))
   }
 
+  /** Unique-model UNMERGED-serve guard: every covering data rowset provably
+    * holds at most one record per key ([[graft.manifest.RowsetMeta
+    * .keyUnique]] — merge-on-write loads and compaction outputs), none
+    * holds a tombstone (the op column's own zone map, [[noTombstones]]),
+    * and the rowsets' LEADING-key zone maps are pairwise STRICTLY disjoint
+    * — disjoint leading-key ranges separate full key tuples, so no key can
+    * live in two rowsets. Under those proofs merge-on-read is the identity
+    * and the scan serves as a plain union: no key shuffle, no aggregate —
+    * on a compacted Unique table, or a merge-on-write table loaded in key
+    * bands (the time-series ingest shape), the model's whole read-time
+    * merge cost disappears. A single keyUnique covering rowset serves
+    * without the disjointness check. Delete-predicate markers compose:
+    * their masks are row filters in the raw union, independent of merging
+    * once keys are unique. Any unprovable piece ⇒ false (merge-on-read is
+    * always correct).
+    */
+  private def unmergedServable(td: TableDef, rowsets: Seq[RowsetMeta]): Boolean = {
+    if (td.schema.keysType != KeysType.Unique) return false
+    val data = rowsets.filter(r => !r.isDeleteMarker && r.numRows > 0)
+    if (data.isEmpty || !data.forall(_.keyUnique) || !noTombstones(data))
+      return false
+    if (data.size == 1) return true
+    val k = td.schema.keyNames.head
+    val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val bounds = data.map { r =>
+      r.stats.get(k).orElse(
+        oldNames.getOrElse(k, Nil).flatMap(r.stats.get).headOption) match {
+        case Some(s) if s.min.isDefined && s.max.isDefined =>
+          (s.kind, s.min.get, s.max.get)
+        case _ => return false
+      }
+    }
+    val kind = bounds.head._1
+    if (bounds.exists(_._1 != kind)) return false
+    val sorted = bounds.sortWith((a, b) => ColStats.compare(kind, a._2, b._2) < 0)
+    sorted.sliding(2).forall {
+      case Seq((_, _, prevMax), (_, nextMin, _)) =>
+        ColStats.compare(kind, prevMax, nextMin) < 0
+      case _ => true
+    }
+  }
+
+  /** Unique-model read: plain union when [[unmergedServable]] proves the
+    * merge is the identity, else the merge-on-read aggregate.
+    */
+  private def mergeOrServe(td: TableDef, rowsets: Seq[RowsetMeta],
+      raw: DataFrame): DataFrame =
+    if (unmergedServable(td, rowsets)) raw.transform(projectDeclared(td))
+    else MergeView(td, raw, VersionCol, SeqCol)
+
   /** Snapshot read with merge-on-read semantics (SURVEY.md §1.4). */
   def snapshot(db: String, table: String, lo: Long, hi: Long): DataFrame = {
     val td = catalog.getTable(db, table).getOrElse(
@@ -1291,6 +1364,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         // rawSnapshot; AQE coalesces the union's partitions).
         rawSnapshot(db, table, lo, hi)
           .transform(projectDeclared(td))
+      case KeysType.Unique =>
+        mergeOrServe(td,
+          manifest(db, table).captureConsistentVersions(lo, hi),
+          rawSnapshot(db, table, lo, hi))
       case _ =>
         MergeView(td, rawSnapshot(db, table, lo, hi), VersionCol, SeqCol)
     }
@@ -1322,6 +1399,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val raw = rawFromRowsets(db, table, qualifying)
     td.schema.keysType match {
       case KeysType.Duplicate => raw.transform(projectDeclared(td))
+      case KeysType.Unique => mergeOrServe(td, qualifying, raw)
       case _ => MergeView(td, raw, VersionCol, SeqCol)
     }
   }
@@ -1350,6 +1428,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     td.schema.keysType match {
       case KeysType.Duplicate =>
         pruned.transform(projectDeclared(td))
+      // the partition filter only removes rows — the unmerged-serve proof
+      // over the full covering set still holds for any row subset
+      case KeysType.Unique =>
+        mergeOrServe(td,
+          manifest(db, table).captureConsistentVersions(lo, hi), pruned)
       case _ => MergeView(td, pruned, VersionCol, SeqCol)
     }
   }
@@ -1377,6 +1460,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     td.schema.keysType match {
       case KeysType.Duplicate =>
         pruned.transform(projectDeclared(td))
+      case KeysType.Unique =>
+        mergeOrServe(td,
+          m.captureConsistentVersions(lo, m.maxVersion), pruned)
       case _ => MergeView(td, pruned, VersionCol, SeqCol)
     }
   }
@@ -2213,7 +2299,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
-      bloomCols = blooms, sums = sums, ngramCols = ngrams)
+      bloomCols = blooms, sums = sums, ngramCols = ngrams,
+      // the merge grouped by key: merge-model outputs hold one record/key
+      keyUnique = td.schema.keysType != KeysType.Duplicate)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -2298,7 +2386,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
-      bloomCols = blooms, sums = sums, ngramCols = ngrams)
+      bloomCols = blooms, sums = sums, ngramCols = ngrams,
+      // the merge grouped by key: merge-model outputs hold one record/key
+      keyUnique = td.schema.keysType != KeysType.Duplicate)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -2380,7 +2470,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
-      bloomCols = blooms, sums = sums, ngramCols = ngrams)
+      bloomCols = blooms, sums = sums, ngramCols = ngrams,
+      // the merge grouped by key: merge-model outputs hold one record/key
+      keyUnique = td.schema.keysType != KeysType.Duplicate)
     m.publish(meta)
     autoGc(db, table)
     meta

@@ -80,7 +80,15 @@ final case class RowsetMeta(
     // columns with a character-trigram bloom sidecar in this rowset's dir
     // (physical names) — the substring skipping index behind
     // LIKE-'%needle%' pruning. Same lazy-load/degrade contract as bloomCols.
-    ngramCols: Seq[String] = Nil) {
+    ngramCols: Seq[String] = Nil,
+    // true when this rowset provably holds AT MOST ONE record per key:
+    // merge-on-write ingests (pre-merged per load) and every compaction/
+    // rebucket output of a merge model (the merge groups by key). The read
+    // path combines it with leading-key zone-map disjointness to serve
+    // Unique scans with no merge aggregate. False means UNKNOWN, never
+    // "has duplicates" — serving unmerged requires every covering rowset
+    // to carry true.
+    keyUnique: Boolean = false) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
   def isPending: Boolean = pendingGroup.isDefined
 }
@@ -389,8 +397,11 @@ final class TableManifest(
         if (r.ngramCols.isEmpty) withSums
         else JObject(withSums.obj :+ ("ngrams" ->
           (JArray(r.ngramCols.toList.map(JString(_): JValue)): JValue)))
-      r.staleMs.fold(withNgrams)(s =>
-        JObject(withNgrams.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withKu =
+        if (!r.keyUnique) withNgrams
+        else JObject(withNgrams.obj :+ ("keyUnique" -> (JBool(true): JValue)))
+      r.staleMs.fold(withKu)(s =>
+        JObject(withKu.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -437,7 +448,8 @@ final class TableManifest(
           (j \ "ngrams") match {
             case JArray(vs) => vs.collect { case JString(c) => c }
             case _ => Nil
-          })
+          },
+          (j \ "keyUnique").extractOpt[Boolean].getOrElse(false))
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible && !r.isPending) {

@@ -191,6 +191,23 @@ object EngineFixture {
         .withColumn("value", col("value") + 1000.0),
       Some(Version(3, 3)))
 
+    // --- events_mow: Unique MERGE-ON-WRITE, key-banded loads ----------------
+    // Load v1 = the lower id half, deliberately carrying WITHIN-LOAD
+    // duplicates (every 10th key re-sent with value+1000, later-in-load
+    // wins); v2 = the upper half. Merge-on-write pre-merges each load per
+    // key, so both rowsets are keyUnique with disjoint leading-key ranges —
+    // q237's scan is REQUIREd to contain NO merge aggregate at all.
+    eng.createTable(TableDef(
+      db = "graft", name = "events_mow", schema = usegSchema,
+      bucketColumn = Some("event_id"), numBuckets = 2, mergeOnWrite = true))
+    val mowLower = segEv.filter(col("event_id") <= usegMid)
+    eng.ingest("graft", "events_mow",
+      mowLower.unionAll(mowLower.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0)),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "events_mow", segEv.filter(col("event_id") > usegMid),
+      Some(Version(2, 2)))
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -946,6 +963,32 @@ object EngineQueries {
     df
   }
 
+  /** q237: Unique-model MERGE-ON-WRITE serve (Doris
+    * enable_unique_key_merge_on_write): each load pre-merged its own rows
+    * per key at write time, both rowsets carry the keyUnique proof, their
+    * leading-key zone maps are disjoint bands, and the op column's zone
+    * map proves no tombstones — so the engine serves the scan as a PLAIN
+    * UNION, REQUIREd to contain no merge aggregate. The oracle replays the
+    * within-load upsert rule (lower-half %10 keys re-sent with value+1000,
+    * later-in-load wins) over raw rows: a write-merge that kept the wrong
+    * record, or an unmerged serve that leaked a duplicate, flips the
+    * digest. At 100 TB this removes the per-query key shuffle from every
+    * read of a time-banded Unique table — the model's whole read-time cost.
+    */
+  def mergeOnWriteServe(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val snap = eng.scan("graft", "events_mow")
+    val aggs = snap.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    require(aggs.isEmpty,
+      s"q237 must serve the merge-on-write scan with no merge aggregate; " +
+        s"plan holds ${aggs.size}")
+    snap.groupBy((col("user_id") % 100).as("ug")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1384,6 +1427,7 @@ object EngineQueries {
     "q228_minmax_transparent" -> minMaxTransparent _,
     "q235_sum_transparent" -> sumTransparent _,
     "q236_ngram_prune" -> ngramPruneScan _,
+    "q237_merge_on_write" -> mergeOnWriteServe _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1463,6 +1507,15 @@ object EngineQueries {
         |FROM events
         |WHERE (CAST(event_id AS VARCHAR) || 'at' ||
         |       CAST(event_id % 3 AS VARCHAR) || 'z') LIKE '%at2z%'""".stripMargin,
+    // q237: the oracle replays the fixture's within-load upsert rule over
+    // raw rows; the engine's answer comes from two write-merged rowsets
+    // unioned with NO merge aggregate (plan-asserted in the query)
+    "q237_merge_on_write" ->
+      """SELECT user_id % 100 AS ug, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN event_id <= (SELECT max(event_id) // 2 FROM events)
+        |                      AND event_id % 10 = 0
+        |                 THEN value + 1000.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

@@ -554,6 +554,8 @@ object GraftSql {
       props += ("sum_stats_columns" -> td.sumStatsColumns.mkString(","))
     if (td.ngramBloomColumns.nonEmpty)
       props += ("ngram_bf_columns" -> td.ngramBloomColumns.mkString(","))
+    if (td.mergeOnWrite)
+      props += ("enable_unique_key_merge_on_write" -> "true")
     val propClause = {
       val ps = props.result()
       if (ps.isEmpty) ""
@@ -636,6 +638,9 @@ object GraftSql {
       // character-trigram substring index (Doris NGRAM_BF) at the rowset tier
       case "ngram_bf_columns" =>
         td.copy(ngramBloomColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      // Doris's own property name for the Unique merge-on-write mode
+      case "enable_unique_key_merge_on_write" =>
+        td.copy(mergeOnWrite = v.toBoolean)
       case other => throw new GraftParseException(
         s"unknown table property '$other'")
     }
