@@ -142,7 +142,8 @@ object Bench {
           n == "q207_context_pack")
         Some("served-from-index") // production reads the maintained index tables
       else if (n == "q223_minmax_metadata" || n == "q228_minmax_transparent" ||
-          n == "q232_minmax_unique" || n == "q233_minmax_agg")
+          n == "q232_minmax_unique" || n == "q233_minmax_agg" ||
+          n == "q235_sum_transparent")
         Some("served-from-metadata") // manifest zone-map fold, zero files opened
       else if (n == "q225_result_cache")
         Some("served-from-cache") // version-keyed result cache hit (that IS the shape)

@@ -840,7 +840,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // A zero-row load writes no part files and harvests (0, empty): Doris
     // semantics — an empty load is still a VERSION (the graph stays
     // hole-free); the read path skips file-less rowsets.
-    val (numRows, colStats) = harvestStats(outDir)
+    val (numRows, colStats, partRows) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
@@ -851,7 +851,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis(), pendingGroup = group,
       stats = colStats, bloomCols = blooms, sums = sums,
-      ngramCols = ngrams, keyUnique = mergedOnWrite)
+      ngramCols = ngrams, keyUnique = mergedOnWrite, partRows = partRows)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1619,14 +1619,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * fails a load over stats: a harvest error degrades to (spark count, no
     * stats) so the rowset still publishes (unknown stats never prune).
     */
-  private def harvestStats(outDir: Path): (Long, Map[String, ColStats]) =
+  private def harvestStats(outDir: Path)
+      : (Long, Map[String, ColStats], Map[String, Long]) =
     try StatsHarvest.harvest(outDir, spark.sparkContext.hadoopConfiguration)
     catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] WARN stats harvest failed for $outDir: $e")
         val n = try spark.read.parquet(outDir.toString).count()
           catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-        (n, Map.empty)
+        (n, Map.empty, Map.empty)
     }
 
   /** Build one [[RowsetBloom]] sidecar per declared bloom column for a
@@ -2197,6 +2198,30 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       "data_rowsets", "bloom_rowsets", "sum", "sum_rowsets")
   }
 
+  /** Metadata-only per-partition row counts over the current covering set —
+    * the partition-grain sibling of [[countStar]], folded from the
+    * [[graft.manifest.RowsetMeta.partRows]] each footer harvest recorded.
+    * `Some(partitionName -> rows)` only when provably exact: Duplicate
+    * model (merge-on-read collapses rows elsewhere), no delete markers (a
+    * mask hides an unknown count), every data rowset carries a partition
+    * attribution covering ALL its rows. None ⇒ the caller scans (or shows
+    * unknown). Powers SHOW PARTITIONS row counts: at 100 TB "how big is
+    * each day" becomes a manifest fold, zero tasks.
+    */
+  def partitionRowCounts(db: String, table: String): Option[Map[String, Long]] = {
+    val td = catalog.getTable(db, table).getOrElse(return None)
+    if (td.schema.keysType != KeysType.Duplicate) return None
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    if (covering.exists(_.isDeleteMarker)) return None
+    val data = covering.filter(_.numRows > 0)
+    // every row must be attributed, or the fold under-counts silently
+    if (data.exists(r => r.partRows.values.sum != r.numRows)) return None
+    Some(data.flatMap(_.partRows.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _))
+  }
+
   /** Route one key pair to its (partition, bucket) — the reference's
     * `tablet_for_row` (src/table.rs:32-41).
     */
@@ -2256,6 +2281,59 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       }
   }
 
+  /** TIERED maintenance tick — the reference's declared Base/Cumulative
+    * split (src/common.rs:62-63, scored-but-never-executed) turned into the
+    * POLICY a 100 TB owner actually needs: a routine tick must cost
+    * O(new data), not O(table), so the scheduler only rewrites the base
+    * when delete debt demands it. Per top-N candidate (ranked by the C1
+    * score, group hygiene riding the tick like [[runScheduledCompaction]]):
+    *
+    *  - DELETE DEBT — visible delete-predicate markers, or a Unique table
+    *    whose op-column zone maps cannot prove tombstone-freedom — → FULL
+    *    [[compact]]: only base compaction makes deletes physical;
+    *  - else a fragmented BASE tier (more than one rowset at or below the
+    *    largest rowset's version span) → FULL compact once, consolidating
+    *    early-life fragments into a single base;
+    *  - else a DELTA tier of ≥ `minDelta` rowsets above the base →
+    *    [[compactCumulative]] of the delta ONLY — the base is never read,
+    *    never rewritten, and the tick's cost tracks delta volume;
+    *  - else healthy (one base + at most one merged delta): no action —
+    *    the steady state a daily-load table converges to, where each tick
+    *    folds the day's loads and the base rests.
+    *
+    * Answer-neutral by both tiers' contracts. Returns the executed
+    * (db.table, "full" | "cumulative") pairs.
+    */
+  def runTieredCompaction(minDelta: Int = 2, topN: Int = 10): Seq[(String, String)] = {
+    sweepGroups()
+    scheduleCompaction(topN).flatMap { case (k, _) =>
+      val Array(db, table) = k.split("\\.", 2)
+      val m = manifests(k)
+      val vis = m.visibleRowsets
+      val data = vis.filter(r => !r.isDeleteMarker && r.numRows > 0)
+      catalog.getTable(db, table) match {
+        case None => None
+        case Some(_) if !vis.exists(!_.isDeleteMarker) => None
+        case Some(td) =>
+          val deleteDebt = vis.exists(_.isDeleteMarker) ||
+            (td.schema.keysType == KeysType.Unique &&
+              data.nonEmpty && !noTombstones(data))
+          val base = vis.filter(!_.isDeleteMarker).maxBy(_.numRows)
+          val delta = vis.filter(_.version.start > base.version.end)
+          val baseTier = vis.size - delta.size
+          if (deleteDebt && vis.size >= 2) {
+            compact(db, table); Some(k -> "full")
+          } else if (!deleteDebt && baseTier > 1) {
+            compact(db, table); Some(k -> "full")
+          } else if (!deleteDebt && delta.size >= minDelta &&
+              !m.hasVersionHoles(base.version.end + 1, m.maxVersion)) {
+            compactCumulative(db, table, base.version.end + 1)
+            Some(k -> "cumulative")
+          } else None
+      }
+    }
+  }
+
   /** Merge all visible rowsets into one (filling the reference's declared-but-
     * absent C4 merge, SURVEY.md §2.6): read covering set → apply the key-model
     * merge → write a single replacement rowset spanning the full version
@@ -2292,7 +2370,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // all-rows-tombstoned compactions legitimately produce zero rows;
     // the footer harvest yields (0, empty) for the file-less dir — publish
     // the empty replacement (version continuity) instead of dying
-    val (numRows, colStats) = harvestStats(outDir)
+    val (numRows, colStats, partRows) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
@@ -2301,7 +2379,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
-      keyUnique = td.schema.keysType != KeysType.Duplicate)
+      keyUnique = td.schema.keysType != KeysType.Duplicate,
+      partRows = partRows)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -2372,7 +2451,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .sortWithinPartitions(Seq(PartCol, BucketCol).map(col) ++ clusterCols(newTd): _*)
       .write.mode("errorifexists").partitionBy(PartCol, BucketCol)
       .parquet(outDir.toString)
-    val (numRows, colStats) = harvestStats(outDir)
+    val (numRows, colStats, partRows) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
@@ -2388,7 +2467,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
-      keyUnique = td.schema.keysType != KeysType.Duplicate)
+      keyUnique = td.schema.keysType != KeysType.Duplicate,
+      partRows = partRows)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -2463,7 +2543,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // all-rows-tombstoned compactions legitimately produce zero rows;
     // the footer harvest yields (0, empty) for the file-less dir — publish
     // the empty replacement (version continuity) instead of dying
-    val (numRows, colStats) = harvestStats(outDir)
+    val (numRows, colStats, partRows) = harvestStats(outDir)
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
@@ -2472,7 +2552,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
-      keyUnique = td.schema.keysType != KeysType.Duplicate)
+      keyUnique = td.schema.keysType != KeysType.Duplicate,
+      partRows = partRows)
     m.publish(meta)
     autoGc(db, table)
     meta

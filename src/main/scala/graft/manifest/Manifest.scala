@@ -88,7 +88,13 @@ final case class RowsetMeta(
     // Unique scans with no merge aggregate. False means UNKNOWN, never
     // "has duplicates" — serving unmerged requires every covering rowset
     // to carry true.
-    keyUnique: Boolean = false) {
+    keyUnique: Boolean = false,
+    // per-PARTITION row counts of this rowset, harvested from the hive
+    // directory layout in the same footer pass as `stats`. Powers
+    // metadata-served SHOW PARTITIONS row counts (fold across the covering
+    // set) — Doris's per-partition row accounting without a scan. Empty
+    // means UNKNOWN (pre-stats rowset), never zero.
+    partRows: Map[String, Long] = Map.empty) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
   def isPending: Boolean = pendingGroup.isDefined
 }
@@ -400,8 +406,12 @@ final class TableManifest(
       val withKu =
         if (!r.keyUnique) withNgrams
         else JObject(withNgrams.obj :+ ("keyUnique" -> (JBool(true): JValue)))
-      r.staleMs.fold(withKu)(s =>
-        JObject(withKu.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withPr =
+        if (r.partRows.isEmpty) withKu
+        else JObject(withKu.obj :+ ("partRows" -> (JObject(r.partRows.toList
+          .sortBy(_._1).map { case (p, n) => p -> (JLong(n): JValue) }): JValue)))
+      r.staleMs.fold(withPr)(s =>
+        JObject(withPr.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
@@ -449,7 +459,12 @@ final class TableManifest(
             case JArray(vs) => vs.collect { case JString(c) => c }
             case _ => Nil
           },
-          (j \ "keyUnique").extractOpt[Boolean].getOrElse(false))
+          (j \ "keyUnique").extractOpt[Boolean].getOrElse(false),
+          (j \ "partRows") match {
+            case JObject(fields) => fields.map { case (p, v) =>
+              p -> v.extract[Long] }.toMap
+            case _ => Map.empty[String, Long]
+          })
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))
         if (r.state == RowsetState.Visible && !r.isPending) {

@@ -66,12 +66,18 @@ object ColStats {
   */
 object StatsHarvest {
 
-  /** (total rows, per-column zone map) of every parquet file under `dir`.
-    * A column missing usable stats in ANY file is dropped from the map
-    * (unknown, not empty). Unsupported physical/logical types (decimal,
-    * INT96 timestamps, unsigned ints, nested) are skipped the same way.
+  /** (total rows, per-column zone map, per-PARTITION row counts) of every
+    * parquet file under `dir`. A column missing usable stats in ANY file is
+    * dropped from the map (unknown, not empty). Unsupported physical/logical
+    * types (decimal, INT96 timestamps, unsigned ints, nested) are skipped
+    * the same way. Partition attribution comes from the hive-layout path
+    * segment the engine itself wrote (`__graft_part=<name>`) — partition
+    * names are engine-minted identifiers, so no unescaping is needed; files
+    * outside such a segment count under no partition (the map stays a
+    * partial attribution, summing to ≤ total rows).
     */
-  def harvest(dir: Path, conf: Configuration): (Long, Map[String, ColStats]) = {
+  def harvest(dir: Path, conf: Configuration)
+      : (Long, Map[String, ColStats], Map[String, Long]) = {
     val files =
       if (!Files.exists(dir)) Seq.empty
       else Files.walk(dir).iterator().asScala
@@ -80,7 +86,10 @@ object StatsHarvest {
     var rows = 0L
     val acc = scala.collection.mutable.Map.empty[String, ColStats]
     val bad = scala.collection.mutable.Set.empty[String]
+    val partAcc = scala.collection.mutable.Map.empty[String, Long]
     files.foreach { f =>
+      val part = f.iterator().asScala.map(_.toString)
+        .find(_.startsWith("__graft_part=")).map(_.stripPrefix("__graft_part="))
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
       try {
@@ -88,6 +97,7 @@ object StatsHarvest {
         val schema = footer.getFileMetaData.getSchema
         footer.getBlocks.asScala.foreach { block =>
           rows += block.getRowCount
+          part.foreach(p => partAcc(p) = partAcc.getOrElse(p, 0L) + block.getRowCount)
           block.getColumns.asScala.foreach { chunk =>
             val path = chunk.getPath.toArray
             if (path.length == 1) {
@@ -105,7 +115,7 @@ object StatsHarvest {
         }
       } finally reader.close()
     }
-    (rows, acc.toMap)
+    (rows, acc.toMap, partAcc.toMap)
   }
 
   private def merge(a: ColStats, b: ColStats): ColStats = {

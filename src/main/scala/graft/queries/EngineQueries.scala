@@ -989,6 +989,23 @@ object EngineQueries {
       sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
+    * partition-grain sibling of q223's serves. Each footer harvest also
+    * attributed its rows to hive partition directories
+    * ([[graft.manifest.RowsetMeta.partRows]]); `SHOW PARTITIONS` surfaces
+    * the fold and the oracle recomputes each order's range rung from raw
+    * rows. "How big is each day" at 100 TB = a driver-side manifest fold,
+    * zero tasks. The `require` makes a silent unknown a loud failure.
+    */
+  def partitionRowsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val counts = eng.partitionRowCounts("graft", "orders_dup")
+    require(counts.isDefined,
+      "q238 must fold per-partition rows from metadata, not a scan")
+    import spark.implicits._
+    counts.get.toSeq.filter(_._2 > 0).sortBy(_._1).toDF("name", "num_rows")
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1428,6 +1445,7 @@ object EngineQueries {
     "q235_sum_transparent" -> sumTransparent _,
     "q236_ngram_prune" -> ngramPruneScan _,
     "q237_merge_on_write" -> mergeOnWriteServe _,
+    "q238_partition_rows_meta" -> partitionRowsMeta _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1516,6 +1534,14 @@ object EngineQueries {
         |                      AND event_id % 10 = 0
         |                 THEN value + 1000.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    // q238: the oracle replays orders_dup's range-rung routing from raw
+    // rows; the engine folds the same counts from the manifest's
+    // per-partition harvest (REQUIREd — zero tasks)
+    "q238_partition_rows_meta" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'p0'
+        |            WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'p1'
+        |            ELSE 'pmax' END AS name, count(*) AS num_rows
+        |FROM orders GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

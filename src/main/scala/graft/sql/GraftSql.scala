@@ -84,7 +84,7 @@ object GraftSql {
          _: Vacuum | _: BackupTable | _: RestoreFromBackup | _: ShowRowsets |
          _: ScanView | _: CreateDatabase | BeginLoadGroup | CommitLoadGroup |
          AbortLoadGroup | _: AddRollup | _: RefreshRollup | _: CreateMv |
-         _: RefreshMv | MaintainWarehouse => true
+         _: RefreshMv | MaintainWarehouse | MaintainWarehouseTiered => true
     // generic verbs: ours iff the target lives in the engine catalog
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -136,7 +136,11 @@ object GraftSql {
     StructField("upper_exclusive", StringType, nullable = true),
     StructField("list_values", StringType, nullable = true),
     StructField("buckets", IntegerType, nullable = false),
-    StructField("dropped", BooleanType, nullable = false)))
+    StructField("dropped", BooleanType, nullable = false),
+    // metadata-folded row count (OlapEngine.partitionRowCounts); null when
+    // the fold is not provably exact (merge models, delete markers,
+    // pre-stats rowsets) — never a guess
+    StructField("num_rows", LongType, nullable = true)))
 
   val tablesSchema: StructType = StructType(Seq(
     StructField("table", StringType, nullable = false)))
@@ -276,6 +280,17 @@ object GraftSql {
             (if (compacted.isEmpty) "" else s": ${compacted.mkString(", ")}") +
             s"; group hygiene swept; $sweptResults stale cached result(s) reclaimed")
 
+      case MaintainWarehouseTiered =>
+        // the 100 TB-shaped tick: delta tiers cumulative-merge, the base
+        // rewrites only under delete debt or early-life fragmentation
+        val done = eng.runTieredCompaction()
+        val sweptResults = eng.results.sweep()
+        status(spark, "MAINTAIN WAREHOUSE TIERED", "*",
+          s"${done.size} action(s)" +
+            (if (done.isEmpty) ""
+             else s": ${done.map { case (t, tier) => s"$t=$tier" }.mkString(", ")}") +
+            s"; group hygiene swept; $sweptResults stale cached result(s) reclaimed")
+
       case BeginLoadGroup =>
         require(!activeGroup.contains(spark),
           s"a load group is already open (${activeGroup(spark)}) — " +
@@ -333,11 +348,13 @@ object GraftSql {
         import scala.jdk.CollectionConverters._
         val td = eng.catalog.getTable(db, t).getOrElse(
           throw new NoSuchElementException(s"no table $db.$t"))
+        val counts = eng.partitionRowCounts(db, t)
         val rows = (td.partitions.map((_, false)) ++ td.droppedPartitions.map((_, true)))
           .map { case (p, dropped) =>
             Row(p.name, p.upperExclusive.orNull,
               if (p.listValues.isEmpty) null else p.listValues.mkString(","),
-              p.numBuckets.max(td.numBuckets), dropped)
+              p.numBuckets.max(td.numBuckets), dropped,
+              counts.map(c => java.lang.Long.valueOf(c.getOrElse(p.name, 0L))).orNull)
           }
         spark.createDataFrame(rows.asJava, partitionsSchema)
 

@@ -87,6 +87,11 @@ object GraftStatement {
     * production owner crons.
     */
   case object MaintainWarehouse extends GraftStatement
+  /** MAINTAIN WAREHOUSE TIERED — the scale-shaped tick: cumulative-merge
+    * delta tiers, full-compact only under delete debt or a fragmented base
+    * ([[graft.engine.OlapEngine.runTieredCompaction]]).
+    */
+  case object MaintainWarehouseTiered extends GraftStatement
   case object BeginLoadGroup extends GraftStatement
   case object CommitLoadGroup extends GraftStatement
   case object AbortLoadGroup extends GraftStatement
@@ -309,7 +314,9 @@ object GraftSqlParser {
         case "BACKUP"  => Some(parseBackup(c))
         case "MAINTAIN" => { c.kw("MAINTAIN")
                              if (!c.tryKw("WAREHOUSE")) None
-                             else { c.end(); Some(MaintainWarehouse) } }
+                             else if (c.tryKw("TIERED")) {
+                               c.end(); Some(MaintainWarehouseTiered)
+                             } else { c.end(); Some(MaintainWarehouse) } }
         case "SHOW"    => parseShow(c)
         case "EXPLAIN" =>
           // only the PRUNE shape is ours; Spark's own EXPLAIN delegates

@@ -606,6 +606,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("MAINTAIN WAREHOUSE TIERED: delta tiers cumulative-merge through SQL; " +
+    "SHOW PARTITIONS reports metadata row counts") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_mt")
+      g("""CREATE TABLE g_mt.t (k BIGINT, v BIGINT) DUPLICATE KEY (k)
+          |PARTITION BY RANGE(k) (PARTITION p0 VALUES LESS THAN ('500'),
+          |  PARTITION p1 VALUES LESS THAN (MAXVALUE))
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      // one big base + three small deltas (keys 100-499: range bounds
+      // compare as strings, so the base band must share the bound's width)
+      g("INSERT INTO g_mt.t SELECT id, id * 2 FROM range(100, 500)")
+      (1 to 3).foreach(i =>
+        g(s"INSERT INTO g_mt.t VALUES (${500 + i}, $i)"))
+      val baseId = eng.manifest("g_mt", "t").visibleRowsets.maxBy(_.numRows).rowsetId
+      val out = g("MAINTAIN WAREHOUSE TIERED").collect().head
+      assert(out.getString(0) === "MAINTAIN WAREHOUSE TIERED")
+      assert(out.getString(2).contains("g_mt.t=cumulative"), out.getString(2))
+      val vis = eng.manifest("g_mt", "t").visibleRowsets
+      assert(vis.size === 2 && vis.exists(_.rowsetId == baseId),
+        "the base must survive a tiered tick untouched")
+      // SHOW PARTITIONS num_rows folds from the per-partition harvest
+      val parts = g("SHOW PARTITIONS IN g_mt.t").collect()
+        .map(r => r.getString(0) -> r.getLong(5)).toMap
+      assert(parts === Map("p0" -> 400L, "p1" -> 3L))
+    } finally GraftSql.unbind(spark)
+  }
+
   test("SHOW STATS: the manifest zone maps are introspectable through SQL") {
     val eng = mkEngine()
     GraftSql.bind(spark, eng)
