@@ -309,7 +309,16 @@ final case class TableDef(
     // per-query shuffle at read (see OlapEngine's unmerged-serve guards).
     // Incompatible with partialUpdate: partial loads resolve column-wise
     // ACROSS loads, which no within-load merge can express.
-    mergeOnWrite: Boolean = false) {
+    mergeOnWrite: Boolean = false,
+    // column DEFAULT values (literal string form, cast to the declared type
+    // at read): ADD COLUMN ... DEFAULT backfills rows of rowsets written
+    // BEFORE the column existed at READ time — metadata-only schema
+    // evolution, like renameColumn; no data rewrite. Loads that omit a
+    // defaulted column also fill it at ingest (the Doris DEFAULT-on-load
+    // contract); full compaction materializes the fill. An explicit NULL in
+    // a newer rowset stays NULL — the default applies only where the
+    // column physically does not exist.
+    columnDefaults: Map[String, String] = Map.empty) {
   require(replication >= 1, s"replication must be >= 1; $db.$name declared $replication")
   require(bloomColumns.forall(c => schema.columns.exists(_.name == c)),
     s"bloom_filter_columns names unknown columns on $db.$name: " +
@@ -339,6 +348,9 @@ final case class TableDef(
   require(!(mergeOnWrite && partialUpdate),
     s"merge-on-write and partial_update are incompatible on $db.$name: " +
       "partial loads resolve column-wise across loads")
+  require(columnDefaults.keySet.forall(c => schema.columns.exists(_.name == c)),
+    s"column defaults name unknown columns on $db.$name: " +
+      columnDefaults.keySet.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
   require(autoExpireKeep.forall(_ >= 1),
     s"autoExpireKeep must keep >= 1 partition; $db.$name declared $autoExpireKeep")
   require(autoExpireKeep.isEmpty || autoPartition.isDefined,
@@ -457,7 +469,10 @@ object CatalogStore {
         else JArray(td.sumStatsColumns.toList.map(JString(_): JValue))),
       "ngramBloomColumns" -> (if (td.ngramBloomColumns.isEmpty) JNothing
         else JArray(td.ngramBloomColumns.toList.map(JString(_): JValue))),
-      "mergeOnWrite" -> (if (td.mergeOnWrite) JBool(true) else JNothing))
+      "mergeOnWrite" -> (if (td.mergeOnWrite) JBool(true) else JNothing),
+      "columnDefaults" -> (if (td.columnDefaults.isEmpty) JNothing
+        else JObject(td.columnDefaults.toList.sortBy(_._1).map {
+          case (c, v) => c -> (JString(v): JValue) })))
   }
 
   def fromJson(j: JValue): TableDef = {
@@ -535,7 +550,11 @@ object CatalogStore {
         case JArray(vs) => vs.collect { case JString(c) => c }
         case _ => Nil
       },
-      mergeOnWrite = (j \ "mergeOnWrite").extractOpt[Boolean].getOrElse(false))
+      mergeOnWrite = (j \ "mergeOnWrite").extractOpt[Boolean].getOrElse(false),
+      columnDefaults = (j \ "columnDefaults") match {
+        case JObject(fs) => fs.collect { case (c, JString(v)) => c -> v }.toMap
+        case _ => Map.empty
+      })
   }
 }
 

@@ -333,7 +333,20 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * rewritten — the parquet-native add-column path every table format
     * (Delta/Iceberg) uses. Loads after the change must supply the column.
     */
-  def addColumn(db: String, table: String, spec: graft.model.ColumnSpec): TableDef = {
+  def addColumn(db: String, table: String, spec: graft.model.ColumnSpec): TableDef =
+    addColumn(db, table, spec, None)
+
+  /** ADD COLUMN with an optional DEFAULT (Doris `ADD COLUMN c T DEFAULT
+    * "v"`): metadata-only — rows of rowsets written BEFORE the column
+    * existed read the default ([[rawFromRowsets]] fills it per branch, so
+    * an explicit NULL written AFTER the add stays NULL), loads that omit
+    * the column fill it at ingest ([[conform]]), and full compaction
+    * materializes the fill. The default literal must actually cast to the
+    * declared type — validated here, loudly, not discovered as a NULL at
+    * read time.
+    */
+  def addColumn(db: String, table: String, spec: graft.model.ColumnSpec,
+      default: Option[String]): TableDef = {
     val td = catalog.getTable(db, table).getOrElse(
       throw new NoSuchElementException(s"no table $db.$table"))
     require(!spec.isKey, s"cannot add key column ${spec.name} to ${td.qualified}")
@@ -343,8 +356,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     require(!td.droppedColumns.contains(spec.name),
       s"column ${spec.name} was dropped and old rowsets may still hold its " +
         s"data — compact ${td.qualified} before re-adding the name")
-    catalog.alterTable(td.copy(schema =
-      td.schema.copy(columns = td.schema.columns :+ spec)))
+    default.foreach { v =>
+      val casted = spark.range(1)
+        .select(lit(v).cast(spec.dataType)).head
+      require(!casted.isNullAt(0),
+        s"default '$v' does not cast to ${spec.dataType.sql} for " +
+          s"${td.qualified}.${spec.name}")
+    }
+    catalog.alterTable(td.copy(
+      schema = td.schema.copy(columns = td.schema.columns :+ spec),
+      columnDefaults = td.columnDefaults ++ default.map(spec.name -> _)))
   }
 
   /** Widening conversions a read can apply losslessly to already-written
@@ -417,6 +438,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       bloomColumns = td.bloomColumns.filterNot(_ == name),
       sumStatsColumns = td.sumStatsColumns.filterNot(_ == name),
       ngramBloomColumns = td.ngramBloomColumns.filterNot(_ == name),
+      columnDefaults = td.columnDefaults - name,
       droppedColumns = td.droppedColumns :+ name))
   }
 
@@ -525,6 +547,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         td.sumStatsColumns.map(c => if (c == oldName) newName else c),
       ngramBloomColumns =
         td.ngramBloomColumns.map(c => if (c == oldName) newName else c),
+      columnDefaults = td.columnDefaults.map { case (c, v) =>
+        (if (c == oldName) newName else c) -> v },
       // chain-collapse: any former name whose current target is oldName now
       // maps straight to newName, so a file from ANY era renames in one hop
       renamedColumns = td.renamedColumns.map { case (o, n) =>
@@ -662,10 +686,17 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * here as one projection.
     */
   private def conform(td: TableDef, df: DataFrame, extras: Seq[String] = Nil): DataFrame = {
-    val missing = td.schema.columns.map(_.name).filterNot(df.columns.contains)
+    // a load may omit DEFAULTed columns (the Doris DEFAULT-on-load
+    // contract): fill them here so the write carries the value physically
+    val filled = td.schema.columns
+      .filter(c => !df.columns.contains(c.name) &&
+        td.columnDefaults.contains(c.name))
+      .foldLeft(df)((acc, c) =>
+        acc.withColumn(c.name, lit(td.columnDefaults(c.name)).cast(c.dataType)))
+    val missing = td.schema.columns.map(_.name).filterNot(filled.columns.contains)
     require(missing.isEmpty,
       s"input for ${td.qualified} missing columns: ${missing.mkString(", ")}")
-    val conformed = df.select(
+    val conformed = filled.select(
       td.schema.columns.map(c => col(c.name).cast(c.dataType).as(c.name)) ++
         extras.map(col): _*)
     enforceVarchar(td, conformed)
@@ -1269,10 +1300,21 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       val raw = rawReaders.getOrElseUpdate(root.resolve(r.relDir).toString,
         spark.read.option("ignoreMissingFiles", "false")
           .parquet(root.resolve(r.relDir).toString))
-      renames.foldLeft(raw) { case (d, (oldName, newName)) =>
+      val renamed = renames.foldLeft(raw) { case (d, (oldName, newName)) =>
         if (d.columns.contains(oldName) && !d.columns.contains(newName))
           d.withColumnRenamed(oldName, newName)
         else d
+      }
+      // DEFAULT backfill is PER BRANCH: a declared column physically absent
+      // from THIS rowset (written before its addColumn) reads the declared
+      // default; rowsets that carry the column — including explicit NULLs
+      // written after the add — are untouched. unionByName's null-fill
+      // would erase that distinction.
+      val td0 = catalog.getTable(db, table).get
+      td0.columnDefaults.foldLeft(renamed) { case (d, (c, v)) =>
+        if (d.columns.contains(c)) d
+        else td0.schema.columns.find(_.name == c)
+          .map(cs => d.withColumn(c, lit(v).cast(cs.dataType))).getOrElse(d)
       }.withColumn(VersionCol, lit(r.version.end))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val filled = backfillSchema(db, table, unioned)
@@ -1298,7 +1340,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   private def backfillSchema(db: String, table: String, df: DataFrame): DataFrame = {
     val td = catalog.getTable(db, table).get
     td.schema.columns.filterNot(c => df.columns.contains(c.name))
-      .foldLeft(df)((acc, c) => acc.withColumn(c.name, lit(null).cast(c.dataType)))
+      .foldLeft(df)((acc, c) => acc.withColumn(c.name,
+        lit(td.columnDefaults.get(c.name).orNull).cast(c.dataType)))
   }
 
   /** Unique-model UNMERGED-serve guard: every covering data rowset provably

@@ -168,6 +168,26 @@ object EngineFixture {
         ngEv.filter(col("event_id") % 3 === r), Some(Version(r + 1L, r + 1L)))
     }
 
+    // --- events_cd: ADD COLUMN ... DEFAULT backfill --------------------------
+    // Created WITHOUT `lang`, loaded (lower id third), then ALTERed with
+    // DEFAULT 'en', then loaded again WITH lang (evens 'fr', odds NULL).
+    // q239's digest proves pre-add rows read the default while post-add
+    // NULLs stay NULL — per-branch backfill, not union null-fill.
+    eng.createTable(TableDef(
+      db = "graft", name = "events_cd", schema = TableSchema(KeysType.Duplicate,
+        Seq(ColumnSpec.key("event_id", LongType),
+          ColumnSpec.value("value", DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 2))
+    eng.ingest("graft", "events_cd",
+      segEv.filter(col("event_id") <= segK1).select("event_id", "value"),
+      Some(Version(1, 1)))
+    eng.addColumn("graft", "events_cd",
+      ColumnSpec.value("lang", StringType), Some("en"))
+    eng.ingest("graft", "events_cd",
+      segEv.filter(col("event_id") > segK1).select(col("event_id"), col("value"),
+        when(col("event_id") % 2 === 0, "fr").as("lang")),
+      Some(Version(2, 2)))
+
     // --- events_useg: UNIQUE model, banded loads + an upsert load -----------
     // Two range-disjoint halves (v1/v2) plus a v3 upsert of every 10th key
     // in the UPPER half (value+1000). q231's zone-map top-k must read the
@@ -1006,6 +1026,22 @@ object EngineQueries {
     counts.get.toSeq.filter(_._2 > 0).sortBy(_._1).toDF("name", "num_rows")
   }
 
+  /** q239: ADD COLUMN ... DEFAULT as metadata-only schema evolution (Doris
+    * `ADD COLUMN c T DEFAULT "v"`): rowsets written before the column
+    * existed read the declared default — filled PER BRANCH in the rowset
+    * union, so an explicit NULL written after the add stays NULL — with no
+    * data rewrite. The oracle replays the fixture's timeline from raw rows
+    * (lower third pre-add ⇒ 'en'; post-add evens 'fr', odds NULL); a read
+    * path that null-filled instead of defaulting, or defaulted the
+    * post-add NULLs, flips a group.
+    */
+  def columnDefaultScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "events_cd")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1446,6 +1482,7 @@ object EngineQueries {
     "q236_ngram_prune" -> ngramPruneScan _,
     "q237_merge_on_write" -> mergeOnWriteServe _,
     "q238_partition_rows_meta" -> partitionRowsMeta _,
+    "q239_column_default" -> columnDefaultScan _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1542,6 +1579,13 @@ object EngineQueries {
         |            WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'p1'
         |            ELSE 'pmax' END AS name, count(*) AS num_rows
         |FROM orders GROUP BY 1""".stripMargin,
+    // q239: the oracle replays the ADD COLUMN DEFAULT timeline from raw
+    // rows — pre-add third defaults 'en', post-add evens 'fr', odds NULL
+    "q239_column_default" ->
+      """SELECT CASE WHEN event_id <= (SELECT max(event_id) // 3 FROM events) THEN 'en'
+        |            WHEN event_id % 2 = 0 THEN 'fr' END AS lang,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

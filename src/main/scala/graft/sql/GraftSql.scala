@@ -89,7 +89,7 @@ object GraftSql {
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DropTable(db, t)         => eng.catalog.getTable(db, t).isDefined
-    case AddColumn(db, t, _)      => eng.catalog.getTable(db, t).isDefined
+    case AddColumn(db, t, _, _)   => eng.catalog.getTable(db, t).isDefined
     case DropColumn(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case ModifyColumn(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case AddPartition(db, t, _)   => eng.catalog.getTable(db, t).isDefined
@@ -431,9 +431,10 @@ object GraftSql {
         require(eng.catalog.dropTable(db, t), s"no table $db.$t")
         status(spark, "DROP TABLE", s"$db.$t", "ok")
 
-      case AddColumn(db, t, spec) =>
-        eng.addColumn(db, t, spec)
-        status(spark, "ALTER TABLE ADD COLUMN", s"$db.$t", spec.name)
+      case AddColumn(db, t, spec, default) =>
+        eng.addColumn(db, t, spec, default)
+        status(spark, "ALTER TABLE ADD COLUMN", s"$db.$t",
+          spec.name + default.fold("")(v => s" DEFAULT '$v'"))
 
       case DropColumn(db, t, name) =>
         eng.dropColumn(db, t, name)
@@ -525,7 +526,8 @@ object GraftSql {
     val cols = td.schema.columns.map { c =>
       val agg = if (!c.isKey && c.agg != AggType.None) " " + c.agg.name else ""
       val nn = if (!c.isKey && !c.nullable) " NOT NULL" else ""
-      s"  ${c.name} ${typeSql(c)}$agg$nn"
+      val dflt = td.columnDefaults.get(c.name).fold("")(v => s" DEFAULT ${sq(v)}")
+      s"  ${c.name} ${typeSql(c)}$agg$nn$dflt"
     }.mkString(",\n")
     val model = s"${td.schema.keysType.name} KEY (${td.schema.keyNames.mkString(", ")})"
     val partClause = td.policy match {
@@ -614,6 +616,7 @@ object GraftSql {
     // property silently defaulting is exactly the config rot Doris's loose
     // property bag suffers from.
     ct.properties.foreach { case (k, v) => td = applyProperty(td, k, v) }
+    if (ct.defaults.nonEmpty) td = td.copy(columnDefaults = ct.defaults)
     td
   }
 

@@ -37,7 +37,10 @@ object GraftStatement {
       bucketType: String,                     // HASH | RANDOM
       bucketColumn: Option[String],
       numBuckets: Int,
-      properties: Map[String, String]) extends GraftStatement
+      properties: Map[String, String],
+      // column DEFAULT literals (Doris `c INT DEFAULT "0"`): read-time
+      // backfill for pre-column rowsets, ingest fill for omitting loads
+      defaults: Map[String, String] = Map.empty) extends GraftStatement
   /** INSERT INTO db.t <query> — the query tail is raw Spark SQL, executed
     * by the session and ingested as one load (one MVCC version).
     */
@@ -96,7 +99,8 @@ object GraftStatement {
   case object CommitLoadGroup extends GraftStatement
   case object AbortLoadGroup extends GraftStatement
   final case class DropTable(db: String, table: String) extends GraftStatement
-  final case class AddColumn(db: String, table: String, spec: ColumnSpec) extends GraftStatement
+  final case class AddColumn(db: String, table: String, spec: ColumnSpec,
+      default: Option[String] = None) extends GraftStatement
   final case class DropColumn(db: String, table: String, name: String) extends GraftStatement
   final case class ModifyColumn(db: String, table: String, name: String,
       to: DataType) extends GraftStatement
@@ -559,11 +563,12 @@ object GraftSqlParser {
         val ts = parseType(c)
         val agg = parseAggMarker(c)
         val key = c.tryKw("KEY")
+        val default = if (c.tryKw("DEFAULT")) Some(c.str()) else None
         c.end()
         Some(AddColumn(db, t,
           if (key) ColumnSpec.key(name, ts.dt)
           else ColumnSpec.value(name, ts.dt, agg.getOrElse(AggType.None))
-            .copy(maxLength = ts.maxLen)))
+            .copy(maxLength = ts.maxLen), default))
       } else if (c.isKw("PARTITION")) attempt {
         c.kw("PARTITION")
         val name = c.ident() // Spark's ADD PARTITION (spec) delegates here
@@ -695,6 +700,7 @@ object GraftSqlParser {
     try {
       // column list (an aggregate marker like `cost BIGINT SUM` is graft-only)
       val cols = Seq.newBuilder[ColumnSpec]
+      val defaults = Map.newBuilder[String, String]
       var done = false
       while (!done) {
         val name = c.ident()
@@ -704,6 +710,8 @@ object GraftSqlParser {
         var nullable = true
         if (c.tryKw("NOT")) { c.kw("NULL"); nullable = false }
         else if (c.tryKw("NULL")) ()
+        // DEFAULT is valid Spark DDL too, so it never claims the statement
+        if (c.tryKw("DEFAULT")) defaults += (name -> c.str())
         cols += ColumnSpec(name, ts.dt, isKey = false, nullable = nullable,
           agg = agg.getOrElse(AggType.None), maxLength = ts.maxLen)
         if (c.trySym(')')) done = true else c.sym(',')
@@ -789,7 +797,8 @@ object GraftSqlParser {
       c.end()
       if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
       Some(CreateTable(db, t, cols.result(), keysType, keyCols,
-        partBy, parts, bucketType, bucketCol, numBuckets, props))
+        partBy, parts, bucketType, bucketCol, numBuckets, props,
+        defaults.result()))
     } catch {
       // pre-marker failure = not our grammar (Spark tails, Spark types,
       // column COMMENTs...) → delegate; post-marker = a malformed graft
