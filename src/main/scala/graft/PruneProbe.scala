@@ -120,12 +120,80 @@ object PruneProbe {
     val noBloomSec = median3(point.write.mode("overwrite").format("noop").save())
     graft.plans.RowsetPruneRewrite.setEnabled(true)
 
+    // --- NGRAM tier: same interleaved shape, but the probe is SUBSTRING
+    // containment (LIKE '%needle%') on a string column — which no zone map
+    // can refute (containment is orderless) and no equality bloom can see.
+    // The per-load marker rides MID-string; the needle's trigrams exist in
+    // exactly one load's sidecar.
+    eng.createTable(TableDef(
+      db = "probe", name = "n",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+        ColumnSpec.value("tag", org.apache.spark.sql.types.StringType),
+        ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 4,
+      ngramBloomColumns = Seq("tag")))
+    (0 until loads).foreach { i =>
+      eng.ingest("probe", "n", ev.filter(col("event_id") % loads === i)
+        .select(col("event_id"),
+          concat(col("event_id").cast("string"), lit(s"qq${i}zz")).as("tag"),
+          col("value")))
+    }
+    val needle = s"qq${loads / 2}zz" // exists only in load loads/2
+    def sub = eng.scan("probe", "n")
+      .filter(col("tag").contains(needle))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+    val ngramScans = scansIn(sub)
+    val ngramSec = median3(sub.write.mode("overwrite").format("noop").save())
+    graft.plans.RowsetPruneRewrite.setEnabled(false)
+    val noNgramScans = scansIn(sub)
+    val noNgramSec = median3(sub.write.mode("overwrite").format("noop").save())
+    graft.plans.RowsetPruneRewrite.setEnabled(true)
+
+    // --- MERGE-ON-WRITE tier: the same banded loads into a Unique table,
+    // once with merge-on-write (key-disjoint keyUnique rowsets → the scan
+    // serves as a plain union) and once plain (merge-on-read pays a key
+    // shuffle + hash aggregate on EVERY read). Measures the read-time cost
+    // the write-time merge buys back; `*_scan_aggs` is the plan evidence.
+    def mkUnique(name: String, mow: Boolean): Unit = {
+      eng.createTable(TableDef(
+        db = "probe", name = name,
+        schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+          ColumnSpec.value("user_id", org.apache.spark.sql.types.LongType),
+          ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+        bucketColumn = Some("event_id"), numBuckets = 4, mergeOnWrite = mow))
+      (0 until loads).foreach { i =>
+        eng.ingest("probe", name,
+          ev.filter(col("event_id") >= i * band &&
+            (if (i == loads - 1) lit(true) else col("event_id") < (i + 1) * band)))
+      }
+    }
+    mkUnique("m", mow = true)
+    mkUnique("p", mow = false)
+    def uniqueAggs(t: String): Int =
+      eng.scan("probe", t).queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    def uniqueDigest(t: String) = eng.scan("probe", t)
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s"))
+    val mowAggs = uniqueAggs("m")
+    val plainAggs = uniqueAggs("p")
+    val mowSec = median3(
+      uniqueDigest("m").write.mode("overwrite").format("noop").save())
+    val plainSec = median3(
+      uniqueDigest("p").write.mode("overwrite").format("noop").save())
+
     println(s"""{"loads":$loads,"pruned_scan_branches":$prunedScans,""" +
       s""""unpruned_scan_branches":$unprunedScans,""" +
       s""""pruned_sec":${f"$pruned%.3f"},"unpruned_sec":${f"$unpruned%.3f"},""" +
       s""""full_scan_sec":${f"$fullSec%.3f"},""" +
       s""""bloom_scan_branches":$bloomScans,"no_bloom_scan_branches":$noBloomScans,""" +
-      s""""bloom_point_sec":${f"$bloomSec%.3f"},"no_bloom_point_sec":${f"$noBloomSec%.3f"}}""")
+      s""""bloom_point_sec":${f"$bloomSec%.3f"},"no_bloom_point_sec":${f"$noBloomSec%.3f"},""" +
+      s""""ngram_scan_branches":$ngramScans,"no_ngram_scan_branches":$noNgramScans,""" +
+      s""""ngram_sub_sec":${f"$ngramSec%.3f"},"no_ngram_sub_sec":${f"$noNgramSec%.3f"},""" +
+      s""""mow_scan_aggs":$mowAggs,"plain_scan_aggs":$plainAggs,""" +
+      s""""mow_scan_sec":${f"$mowSec%.3f"},"plain_scan_sec":${f"$plainSec%.3f"}}""")
     spark.stop()
   }
 }
