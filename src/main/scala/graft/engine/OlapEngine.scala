@@ -1150,27 +1150,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val spec = td.partitions.find(_.name == name).getOrElse(
       throw new NoSuchElementException(s"no partition $name in ${td.qualified}"))
     require(td.partitions.size > 1, s"cannot drop the last partition of ${td.qualified}")
-    val pcol = td.partitionColumn.getOrElse(
-      throw new IllegalArgumentException(s"${td.qualified} is unpartitioned"))
-    def lit(s: String) = s"'${s.replace("'", "''")}'"
-    val key = s"CAST($pcol AS STRING)"
-    val pred = td.policy match {
-      case PartitionPolicy.Range =>
-        // the partition's implicit lower bound is the next rung down in the
-        // full (live + dropped) ladder
-        val below = (td.partitions ++ td.droppedPartitions)
-          .filter(p => p.name != name &&
-            p.upperExclusive.getOrElse(RangeBound.MaxValue) <
-              spec.upperExclusive.getOrElse(RangeBound.MaxValue))
-          .map(_.upperExclusive.get)
-        val lower = below.maxOption.map(b => s"$key >= ${lit(b)}")
-        val upper = spec.upperExclusive.map(u => s"$key < ${lit(u)}")
-        (lower.toSeq ++ upper.toSeq).mkString(" AND ")
-      case PartitionPolicy.List =>
-        s"$key IN (${spec.listValues.map(lit).mkString(", ")})"
-      case PartitionPolicy.Unpartitioned =>
-        throw new IllegalArgumentException(s"${td.qualified} is unpartitioned")
-    }
+    // the partition's implicit lower bound is the next rung down in the
+    // full (live + dropped) ladder — see [[partitionMaskPred]]
+    val pred = partitionMaskPred(td, spec)
     val updated = catalog.alterTable(td.copy(
       partitions = td.partitions.filterNot(_.name == name),
       droppedPartitions = td.droppedPartitions :+ spec))
@@ -1188,6 +1170,81 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       createdMs = System.currentTimeMillis(),
       deletePredicate = Some(pred), deletePartition = Some(name)))
     updated
+  }
+
+  /** TRUNCATE TABLE (Doris `TRUNCATE TABLE`): retire EVERY visible rowset
+    * behind one zero-row spanning rowset — exactly [[compact]]'s manifest
+    * shape with nothing written. Schema, partitions, and routing survive;
+    * new loads version on top as if the table were fresh; wall-clock time
+    * travel inside the retention window still reads the pre-truncate data
+    * (the retired rowsets only leave disk when GC's policy lets them).
+    * Cost at any size: one manifest rewrite.
+    */
+  def truncateTable(db: String, table: String): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val m = manifest(db, table)
+    val inputs = m.visibleRowsets
+    require(inputs.nonEmpty, s"${td.qualified} is already empty")
+    val lo = inputs.map(_.version.start).min
+    val hi = m.maxVersion
+    val rowsetId = m.nextRowsetId
+    m.markStaleAll(inputs.map(_.rowsetId))
+    val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir = s"r$rowsetId",
+      numRows = 0L, createdMs = System.currentTimeMillis())
+    m.publish(meta)
+    autoGc(db, table)
+    meta
+  }
+
+  /** TRUNCATE PARTITION (Doris `TRUNCATE TABLE ... PARTITION`): empty ONE
+    * partition as a delete-marker VERSION — [[dropPartition]]'s mask
+    * without the catalog removal, so the partition stays declared and
+    * ROUTABLE: rows loaded after the truncate land at newer versions and
+    * survive the mask (its version guard constant-folds away on newer
+    * union branches), while every older row in the partition's directories
+    * prunes before any file opens. Cost: one manifest write.
+    */
+  def truncatePartition(db: String, table: String, name: String): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val spec = td.partitions.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no partition $name in ${td.qualified}"))
+    val pred = partitionMaskPred(td, spec)
+    val m = manifest(db, table)
+    val v = Version(m.maxVersion + 1, m.maxVersion + 1)
+    val rowsetId = m.nextRowsetId
+    val meta = RowsetMeta(rowsetId, v, relDir = s"d$rowsetId", numRows = 0L,
+      createdMs = System.currentTimeMillis(),
+      deletePredicate = Some(pred), deletePartition = Some(name))
+    m.publish(meta)
+    meta
+  }
+
+  /** The row-predicate form of "every row routed to `spec`" — shared by
+    * [[dropPartition]] (mask + catalog removal) and [[truncatePartition]]
+    * (mask only).
+    */
+  private def partitionMaskPred(td: TableDef, spec: PartitionSpec): String = {
+    val pcol = td.partitionColumn.getOrElse(
+      throw new IllegalArgumentException(s"${td.qualified} is unpartitioned"))
+    def lit(s: String) = s"'${s.replace("'", "''")}'"
+    val key = s"CAST($pcol AS STRING)"
+    td.policy match {
+      case PartitionPolicy.Range =>
+        val below = (td.partitions ++ td.droppedPartitions)
+          .filter(p => p.name != spec.name &&
+            p.upperExclusive.getOrElse(RangeBound.MaxValue) <
+              spec.upperExclusive.getOrElse(RangeBound.MaxValue))
+          .map(_.upperExclusive.get)
+        val lower = below.maxOption.map(b => s"$key >= ${lit(b)}")
+        val upper = spec.upperExclusive.map(u => s"$key < ${lit(u)}")
+        (lower.toSeq ++ upper.toSeq).mkString(" AND ")
+      case PartitionPolicy.List =>
+        s"$key IN (${spec.listValues.map(lit).mkString(", ")})"
+      case PartitionPolicy.Unpartitioned =>
+        throw new IllegalArgumentException(s"${td.qualified} is unpartitioned")
+    }
   }
 
   /** DELETE WHERE (the Doris/StarRocks delete-predicate pattern,

@@ -101,6 +101,7 @@ object GraftSql {
     case ShowCreateTable(db, t)   => eng.catalog.getTable(db, t).isDefined
     case DescribeTable(db, t)     => eng.catalog.getTable(db, t).isDefined
     case ShowPartitions(db, t)    => eng.catalog.getTable(db, t).isDefined
+    case TruncateTable(db, t, _)  => eng.catalog.getTable(db, t).isDefined
     case ShowRollups(db, t)       => eng.catalog.getTable(db, t).isDefined
     case ShowMvs(db, t)           => eng.catalog.getTable(db, t).isDefined
     case ShowClones(db, t)        => eng.catalog.getTable(db, t).isDefined
@@ -268,6 +269,16 @@ object GraftSql {
       case DeleteFrom(db, t, predicate) =>
         rowsetDf(spark,
           eng.deleteWhere(db, t, predicate, group = activeGroup.get(spark)))
+
+      case TruncateTable(db, t, part) =>
+        part match {
+          case Some(p) =>
+            eng.truncatePartition(db, t, p)
+            status(spark, "TRUNCATE PARTITION", s"$db.$t", p)
+          case None =>
+            eng.truncateTable(db, t)
+            status(spark, "TRUNCATE TABLE", s"$db.$t", "ok")
+        }
 
       case MaintainWarehouse =>
         // one tick of the scheduled-maintenance loop: C1-C3 compaction over

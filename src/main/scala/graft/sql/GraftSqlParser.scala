@@ -89,6 +89,12 @@ object GraftStatement {
     * retire fully-activated ledger ids, reap abandoned stages). What a
     * production owner crons.
     */
+  /** TRUNCATE TABLE db.t [PARTITION (p)] — empty the table (or one
+    * partition) as metadata: retire-all behind an empty spanning version,
+    * or a partition-mask marker that newer loads version past.
+    */
+  final case class TruncateTable(db: String, table: String,
+      partition: Option[String]) extends GraftStatement
   case object MaintainWarehouse extends GraftStatement
   /** MAINTAIN WAREHOUSE TIERED — the scale-shaped tick: cumulative-merge
     * delta tiers, full-compact only under delete debt or a fragmented base
@@ -316,6 +322,21 @@ object GraftSqlParser {
         case "VACUUM"  => { c.kw("VACUUM"); val (db, t) = c.qname(); c.end()
                             Some(Vacuum(db, t)) }
         case "BACKUP"  => Some(parseBackup(c))
+        case "TRUNCATE" => attempt {
+          c.kw("TRUNCATE"); c.kw("TABLE")
+          val save = c.i
+          val db = c.ident()
+          // one-part names are Spark's own TRUNCATE TABLE — delegate
+          if (!c.trySym('.')) { c.i = save; None }
+          else {
+            val t = c.ident()
+            val part = if (c.tryKw("PARTITION")) {
+              c.sym('('); val p = c.ident(); c.sym(')'); Some(p)
+            } else None
+            c.end()
+            Some(TruncateTable(db, t, part))
+          }
+        }
         case "MAINTAIN" => { c.kw("MAINTAIN")
                              if (!c.tryKw("WAREHOUSE")) None
                              else if (c.tryKw("TIERED")) {
