@@ -310,6 +310,15 @@ final case class TableDef(
     // Incompatible with partialUpdate: partial loads resolve column-wise
     // ACROSS loads, which no within-load merge can express.
     mergeOnWrite: Boolean = false,
+    // integral/string/float columns carrying per-rowset NDV sketches
+    // (DataSketches HLL, the same family Spark's hll_sketch_agg uses):
+    // each data write runs one delta-sized sketch aggregate over its OWN
+    // rows and stores a ~4 KB sidecar per column; sketches union across the
+    // covering set, so table-level approximate distinct counts
+    // (OlapEngine.approxNdv, SHOW STATS ndv) cost a driver-side fold —
+    // ANALYZE-grade statistics that stay fresh with every load instead of
+    // going stale between ANALYZE runs
+    ndvStatsColumns: Seq[String] = Nil,
     // column DEFAULT values (literal string form, cast to the declared type
     // at read): ADD COLUMN ... DEFAULT backfills rows of rowsets written
     // BEFORE the column existed at READ time — metadata-only schema
@@ -348,6 +357,9 @@ final case class TableDef(
   require(!(mergeOnWrite && partialUpdate),
     s"merge-on-write and partial_update are incompatible on $db.$name: " +
       "partial loads resolve column-wise across loads")
+  require(ndvStatsColumns.forall(c => schema.columns.exists(_.name == c)),
+    s"ndv_stats_columns names unknown columns on $db.$name: " +
+      ndvStatsColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
   require(columnDefaults.keySet.forall(c => schema.columns.exists(_.name == c)),
     s"column defaults name unknown columns on $db.$name: " +
       columnDefaults.keySet.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
@@ -470,6 +482,8 @@ object CatalogStore {
       "ngramBloomColumns" -> (if (td.ngramBloomColumns.isEmpty) JNothing
         else JArray(td.ngramBloomColumns.toList.map(JString(_): JValue))),
       "mergeOnWrite" -> (if (td.mergeOnWrite) JBool(true) else JNothing),
+      "ndvStatsColumns" -> (if (td.ndvStatsColumns.isEmpty) JNothing
+        else JArray(td.ndvStatsColumns.toList.map(JString(_): JValue))),
       "columnDefaults" -> (if (td.columnDefaults.isEmpty) JNothing
         else JObject(td.columnDefaults.toList.sortBy(_._1).map {
           case (c, v) => c -> (JString(v): JValue) })))
@@ -551,6 +565,10 @@ object CatalogStore {
         case _ => Nil
       },
       mergeOnWrite = (j \ "mergeOnWrite").extractOpt[Boolean].getOrElse(false),
+      ndvStatsColumns = (j \ "ndvStatsColumns") match {
+        case JArray(vs) => vs.collect { case JString(c) => c }
+        case _ => Nil
+      },
       columnDefaults = (j \ "columnDefaults") match {
         case JObject(fs) => fs.collect { case (c, JString(v)) => c -> v }.toMap
         case _ => Map.empty

@@ -438,6 +438,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       bloomColumns = td.bloomColumns.filterNot(_ == name),
       sumStatsColumns = td.sumStatsColumns.filterNot(_ == name),
       ngramBloomColumns = td.ngramBloomColumns.filterNot(_ == name),
+      ndvStatsColumns = td.ndvStatsColumns.filterNot(_ == name),
       columnDefaults = td.columnDefaults - name,
       droppedColumns = td.droppedColumns :+ name))
   }
@@ -480,10 +481,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         case "ngram_bf_columns" =>
           td = td.copy(ngramBloomColumns =
             v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "ndv_stats_columns" =>
+          td = td.copy(ndvStatsColumns =
+            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case other => throw new IllegalArgumentException(
           s"table property '$other' is not alterable after CREATE " +
             "(alterable: retention, varchar_mode, dynamic_partition.keep, " +
-            "bloom_filter_columns, sum_stats_columns, ngram_bf_columns)")
+            "bloom_filter_columns, sum_stats_columns, ngram_bf_columns, " +
+            "ndv_stats_columns)")
       }
     }
     catalog.alterTable(td)
@@ -547,6 +552,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         td.sumStatsColumns.map(c => if (c == oldName) newName else c),
       ngramBloomColumns =
         td.ngramBloomColumns.map(c => if (c == oldName) newName else c),
+      ndvStatsColumns =
+        td.ndvStatsColumns.map(c => if (c == oldName) newName else c),
       columnDefaults = td.columnDefaults.map { case (c, v) =>
         (if (c == oldName) newName else c) -> v },
       // chain-collapse: any former name whose current target is oldName now
@@ -875,6 +882,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
+    val ndvs = buildNdvSketches(db, table, outDir, numRows)
     // the write validated and landed: NOW the auto-minted partitions become
     // catalog state — before publish, so the prune rules know the new
     // partitions by the time any reader can see the new rowset
@@ -882,7 +890,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val meta = RowsetMeta(rowsetId, v, relDir, numRows,
       createdMs = System.currentTimeMillis(), pendingGroup = group,
       stats = colStats, bloomCols = blooms, sums = sums,
-      ngramCols = ngrams, keyUnique = mergedOnWrite, partRows = partRows)
+      ngramCols = ngrams, keyUnique = mergedOnWrite, ndvCols = ndvs,
+      partRows = partRows)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1826,6 +1835,81 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Build one NDV-sketch sidecar ([[NdvSketch]]) per declared ndv column
+    * for a freshly written rowset dir: ONE delta-sized Spark aggregate
+    * (Spark's own `hll_sketch_agg`, lgK=12 ⇒ ~1.6% relative error) over
+    * THIS load's rows, all columns in a single job. An all-null column
+    * writes the EMPTY sketch (its true contribution) rather than nothing —
+    * absence means un-harvested, never zero. Never fails a load.
+    */
+  private def buildNdvSketches(db: String, table: String, outDir: Path,
+      numRows: Long): Seq[String] = {
+    val td = catalog.getTable(db, table).getOrElse(return Nil)
+    if (td.ndvStatsColumns.isEmpty || numRows == 0) return Nil
+    val df = try spark.read.parquet(outDir.toString)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    val cols = td.ndvStatsColumns.filter(df.columns.contains)
+    if (cols.isEmpty) return Nil
+    try {
+      val aggs = cols.map(c => expr(s"hll_sketch_agg(`$c`, 12)").as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        val bytes =
+          if (row.isNullAt(i))
+            new org.apache.datasketches.hll.HllSketch(12).toCompactByteArray
+          else row.getAs[Array[Byte]](i)
+        NdvSketch.write(outDir, c, bytes)
+        c
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARN ndv sketch build failed for $outDir: $e")
+        Nil
+    }
+  }
+
+  /** Approximate distinct count of a declared column over the current
+    * covering set — a driver-side UNION of the per-rowset NDV sketches
+    * ([[NdvSketch]]), zero files opened, zero tasks. The ANALYZE statistic
+    * that stays fresh by construction: every write ships its own sketch.
+    * ~1.6% relative error at lgK=12 (the estimate is labeled, never sold
+    * as exact).
+    *
+    * Guards (any miss ⇒ None — an unknown beats a wrong statistic):
+    *  - Duplicate model on any column; Unique/Aggregate on KEY columns
+    *    (raw key sets equal merged key sets; Unique additionally needs the
+    *    tombstone-free proof — a deleted key would still count);
+    *  - no delete markers in the covering set;
+    *  - every data rowset carries a sketch for the column under its
+    *    rename-era physical name.
+    */
+  def approxNdv(db: String, table: String, c: String): Option[Double] = {
+    val td = catalog.getTable(db, table).getOrElse(return None)
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    if (covering.exists(_.isDeleteMarker)) return None
+    val data = covering.filter(_.numRows > 0)
+    if (data.isEmpty) return Some(0.0)
+    val servable = td.schema.keysType match {
+      case KeysType.Duplicate => true
+      case KeysType.Unique =>
+        td.schema.columns.find(_.name == c).exists(_.isKey) && noTombstones(data)
+      case KeysType.Aggregate =>
+        td.schema.columns.find(_.name == c).exists(_.isKey)
+    }
+    if (!servable) return None
+    val oldNames = td.renamedColumns.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val root = tableRoot(db, table)
+    val sketches = data.map { r =>
+      val name = (c +: oldNames.getOrElse(c, Nil)).find(r.ndvCols.contains)
+        .getOrElse(return None)
+      NdvSketch.load(root.resolve(r.relDir).toAbsolutePath.normalize.toString,
+        name).getOrElse(return None)
+    }
+    NdvSketch.unionEstimate(sketches)
+  }
+
   /** Exact per-column SUMs of a freshly written rowset dir, for the table's
     * declared [[graft.catalog.TableDef.sumStatsColumns]] — ONE delta-sized
     * Spark aggregate over THIS load only (all columns in a single job).
@@ -2288,14 +2372,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         if (data.nonEmpty && sums.size == data.size)
           sums.map(BigInt(_)).sum.toString
         else null
+      val ndvCover = data.count(r =>
+        (cs.name +: oldNames.getOrElse(cs.name, Nil)).exists(r.ndvCols.contains))
       (cs.name, mn.orNull, mx.orNull,
         entries.map(_.nullCount).sum, entries.size.toLong, data.size.toLong,
         data.count(_.bloomCols.contains(cs.name)).toLong,
-        sumStr, sums.size.toLong)
+        sumStr, sums.size.toLong,
+        approxNdv(db, table, cs.name).map(java.lang.Double.valueOf).orNull,
+        ndvCover.toLong)
     }
     import spark.implicits._
     rows.toDF("column", "min", "max", "null_count", "rowsets_with_stats",
-      "data_rowsets", "bloom_rowsets", "sum", "sum_rowsets")
+      "data_rowsets", "bloom_rowsets", "sum", "sum_rowsets", "ndv",
+      "ndv_rowsets")
   }
 
   /** Metadata-only per-partition row counts over the current covering set —
@@ -2474,13 +2563,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
+    val ndvs = buildNdvSketches(db, table, outDir, numRows)
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
       keyUnique = td.schema.keysType != KeysType.Duplicate,
-      partRows = partRows)
+      ndvCols = ndvs, partRows = partRows)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -2555,6 +2645,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
+    val ndvs = buildNdvSketches(db, table, outDir, numRows)
     // routing swap before the manifest swap (see scaladoc ordering argument)
     catalog.alterTable(newTd)
     graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
@@ -2568,7 +2659,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
       keyUnique = td.schema.keysType != KeysType.Duplicate,
-      partRows = partRows)
+      ndvCols = ndvs, partRows = partRows)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -2647,13 +2738,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val blooms = buildBlooms(db, table, outDir, numRows)
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
+    val ndvs = buildNdvSketches(db, table, outDir, numRows)
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
       keyUnique = td.schema.keysType != KeysType.Duplicate,
-      partRows = partRows)
+      ndvCols = ndvs, partRows = partRows)
     m.publish(meta)
     autoGc(db, table)
     meta

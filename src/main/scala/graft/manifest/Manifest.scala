@@ -89,6 +89,11 @@ final case class RowsetMeta(
     // "has duplicates" — serving unmerged requires every covering rowset
     // to carry true.
     keyUnique: Boolean = false,
+    // columns with an NDV sketch sidecar in this rowset's dir (physical
+    // names) — DataSketches HLL bytes that union across the covering set
+    // for table-level approximate distinct counts. Same lazy-load/degrade
+    // contract as bloomCols.
+    ndvCols: Seq[String] = Nil,
     // per-PARTITION row counts of this rowset, harvested from the hive
     // directory layout in the same footer pass as `stats`. Powers
     // metadata-served SHOW PARTITIONS row counts (fold across the covering
@@ -406,9 +411,13 @@ final class TableManifest(
       val withKu =
         if (!r.keyUnique) withNgrams
         else JObject(withNgrams.obj :+ ("keyUnique" -> (JBool(true): JValue)))
+      val withNdv =
+        if (r.ndvCols.isEmpty) withKu
+        else JObject(withKu.obj :+ ("ndvs" ->
+          (JArray(r.ndvCols.toList.map(JString(_): JValue)): JValue)))
       val withPr =
-        if (r.partRows.isEmpty) withKu
-        else JObject(withKu.obj :+ ("partRows" -> (JObject(r.partRows.toList
+        if (r.partRows.isEmpty) withNdv
+        else JObject(withNdv.obj :+ ("partRows" -> (JObject(r.partRows.toList
           .sortBy(_._1).map { case (p, n) => p -> (JLong(n): JValue) }): JValue)))
       r.staleMs.fold(withPr)(s =>
         JObject(withPr.obj :+ ("staleMs" -> (JLong(s): JValue))))
@@ -460,6 +469,10 @@ final class TableManifest(
             case _ => Nil
           },
           (j \ "keyUnique").extractOpt[Boolean].getOrElse(false),
+          (j \ "ndvs") match {
+            case JArray(vs) => vs.collect { case JString(c) => c }
+            case _ => Nil
+          },
           (j \ "partRows") match {
             case JObject(fields) => fields.map { case (p, v) =>
               p -> v.extract[Long] }.toMap

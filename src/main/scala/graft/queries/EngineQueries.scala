@@ -116,7 +116,10 @@ object EngineFixture {
       // exact per-rowset SUMs for the integral columns: each of the three
       // loads below also harvests its own sum, so q235's group-less
       // SUM/AVG/COUNT answers from the manifest fold alone
-      sumStatsColumns = Seq("event_id", "user_id")))
+      sumStatsColumns = Seq("event_id", "user_id"),
+      // per-rowset NDV sketches: q240 folds table-level approximate
+      // distinct counts from the three loads' sidecars, zero tasks
+      ndvStatsColumns = Seq("event_id", "user_id")))
     val segEv = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))
     val segMax = segEv.agg(max(col("event_id"))).head.getLong(0)
@@ -1042,6 +1045,34 @@ object EngineQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** q240: fold-able NDV statistics — per-rowset DataSketches HLL sidecars
+    * (built by each load's own delta-sized `hll_sketch_agg` job) UNION
+    * driver-side into table-level approximate distinct counts
+    * ([[graft.engine.OlapEngine.approxNdv]]) — the ANALYZE statistic that
+    * never goes stale, surfaced in SHOW STATS. The sketch estimate is not
+    * SQL-reproducible bit-for-bit, so the driver-hashable form is the
+    * accuracy CONTRACT (the q131 pattern): exact NDVs beside booleans
+    * pinning the sketch within 5% (lgK=12 ⇒ ~1.6% expected). The `require`
+    * makes a silent fold failure loud.
+    */
+  def ndvStats(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val ndvId = eng.approxNdv("graft", "events_seg", "event_id")
+    val ndvUser = eng.approxNdv("graft", "events_seg", "user_id")
+    require(ndvId.isDefined && ndvUser.isDefined,
+      "q240 must fold NDV from the per-rowset sketches, not a scan")
+    val exact = eng.scan("graft", "events_seg").agg(
+      count_distinct(col("event_id")).as("exact_id"),
+      count_distinct(col("user_id")).as("exact_user")).head
+    spark.range(1).select(
+      lit(exact.getLong(0)).as("exact_id"),
+      lit(exact.getLong(1)).as("exact_user"),
+      (abs(lit(ndvId.get) - exact.getLong(0)) <=
+        lit(0.05) * exact.getLong(0)).as("ndv_id_ok"),
+      (abs(lit(ndvUser.get) - exact.getLong(1)) <=
+        lit(0.05) * exact.getLong(1)).as("ndv_user_ok"))
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1483,6 +1514,7 @@ object EngineQueries {
     "q237_merge_on_write" -> mergeOnWriteServe _,
     "q238_partition_rows_meta" -> partitionRowsMeta _,
     "q239_column_default" -> columnDefaultScan _,
+    "q240_ndv_stats" -> ndvStats _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1586,6 +1618,14 @@ object EngineQueries {
         |            WHEN event_id % 2 = 0 THEN 'fr' END AS lang,
         |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY 1""".stripMargin,
+    // q240: exact NDVs recomputed from raw rows; the sketch estimates are
+    // pinned by accuracy-contract booleans (the q131 pattern — sketches
+    // are not SQL-reproducible bit-for-bit)
+    "q240_ndv_stats" ->
+      """SELECT count(DISTINCT event_id) AS exact_id,
+        |  count(DISTINCT user_id) AS exact_user,
+        |  true AS ndv_id_ok, true AS ndv_user_ok
+        |FROM events""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

@@ -195,7 +195,9 @@ object GraftSql {
     StructField("data_rowsets", LongType, nullable = false),
     StructField("bloom_rowsets", LongType, nullable = false),
     StructField("sum", StringType, nullable = true),
-    StructField("sum_rowsets", LongType, nullable = false)))
+    StructField("sum_rowsets", LongType, nullable = false),
+    StructField("ndv", DoubleType, nullable = true),
+    StructField("ndv_rowsets", LongType, nullable = false)))
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
@@ -584,6 +586,8 @@ object GraftSql {
       props += ("sum_stats_columns" -> td.sumStatsColumns.mkString(","))
     if (td.ngramBloomColumns.nonEmpty)
       props += ("ngram_bf_columns" -> td.ngramBloomColumns.mkString(","))
+    if (td.ndvStatsColumns.nonEmpty)
+      props += ("ndv_stats_columns" -> td.ndvStatsColumns.mkString(","))
     if (td.mergeOnWrite)
       props += ("enable_unique_key_merge_on_write" -> "true")
     val propClause = {
@@ -669,6 +673,9 @@ object GraftSql {
       // character-trigram substring index (Doris NGRAM_BF) at the rowset tier
       case "ngram_bf_columns" =>
         td.copy(ngramBloomColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      // per-rowset NDV sketches for fold-able approximate distinct counts
+      case "ndv_stats_columns" =>
+        td.copy(ndvStatsColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       // Doris's own property name for the Unique merge-on-write mode
       case "enable_unique_key_merge_on_write" =>
         td.copy(mergeOnWrite = v.toBoolean)
