@@ -73,6 +73,9 @@ object StreamingQueries {
     streamDynCache.values.foreach(e =>
       deleteRecursively(e.warehouse.toFile))
     streamDynCache.clear()
+    streamSumCache.values.foreach(e =>
+      deleteRecursively(e.warehouse.toFile))
+    streamSumCache.clear()
   }
 
   private def drainedSink(key: String, dir: String)(
@@ -276,6 +279,96 @@ object StreamingQueries {
         .select(col("doc_id"),
           coalesce(col("stored"), col("doc_id")).as("rep"))
       graft.pipeline.Dedup.splitOfReps(reps)
+    }
+
+  /** Stream-fed sum/NDV-stats engines, one per data dir (q241 fixture). */
+  private val streamSumCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** q241: the streaming twin of q235's transparent metadata SUM/AVG. The
+    * events table ARRIVES as a 3-file stream; each micro-batch ingests into
+    * a sum/ndv-declared Duplicate engine table — so every batch's own
+    * footer/sum/sketch harvest rides its ingest — and after the drain a
+    * plain group-less `sum/avg/count` aggregate over the scan is REQUIREd
+    * to serve from the manifest fold with ZERO parquet relations in the
+    * plan. One answer, three derivations: the raw-rows oracle (q235's,
+    * VERBATIM), the batch-built fixture (q235), and this stream-fed table.
+    * Exactly-once: the micro-batch ingest is keyed by a deterministic
+    * rowset id (1e6 + batchId, the lmFoldBatch discipline) — a replayed
+    * batch that already landed is skipped, and a crash-between-write-and-
+    * publish leaves an orphan dir that the replay clears before rewriting.
+    */
+  def streamSumMeta(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.catalog._
+      import graft.model._
+      val ev = graft.queries.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val eng = streamSumCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-ssum-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        e.createDatabase("stream")
+        e.createTable(TableDef(
+          db = "stream", name = "events_sum",
+          schema = TableSchema(KeysType.Duplicate, Seq(
+            ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+            ColumnSpec.value("user_id", org.apache.spark.sql.types.LongType),
+            ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+          bucketColumn = Some("event_id"), numBuckets = 2,
+          sumStatsColumns = Seq("event_id", "user_id"),
+          ndvStatsColumns = Seq("event_id")))
+        val sd = Files.createTempDirectory("graft-ssum-stream-")
+        val ckpt = Files.createTempDirectory("graft-ssum-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-ssum-part-")
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val rid = 1000000L + bid
+            val m = e.manifest("stream", "events_sum")
+            if (!m.allRowsets.exists(_.rowsetId == rid)) {
+              // a crash between write and publish leaves an orphan dir the
+              // replay must clear before its errorifexists rewrite
+              deleteRecursively(
+                e.tableRoot("stream", "events_sum").resolve(s"r$rid").toFile)
+              e.ingest("stream", "events_sum", batch,
+                explicitRowsetId = Some(rid)): Unit
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+      graft.GraftExtensions.register(spark)
+      val df = eng.scan("stream", "events_sum").agg(
+        sum(col("event_id")).as("sum_event"),
+        sum(col("user_id")).as("sum_user"),
+        avg(col("user_id")).as("avg_user"),
+        count(col("user_id")).as("n_user"),
+        count(lit(1)).as("n_rows"))
+      val rels = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      require(rels.isEmpty,
+        s"q241 must serve the stream-fed table from metadata; " +
+          s"plan still reads ${rels.size} relation(s)")
+      df
     }
 
   /** Stream-maintained ANN-index engines, one per data dir (q189 fixture). */
@@ -1311,6 +1404,7 @@ object StreamingQueries {
     "q162_stream_ewma_anomalies" -> ((s: SparkSession, d: String) => streamEwmaAnomalies(s, d)),
     "q179_stream_count_min" -> ((s: SparkSession, d: String) => streamCountMin(s, d)),
     "q227_stream_quantile" -> ((s: SparkSession, d: String) => streamQuantile(s, d)),
+    "q241_stream_sum_meta" -> ((s: SparkSession, d: String) => streamSumMeta(s, d)),
     "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -1417,6 +1511,10 @@ object StreamingQueries {
     // serve the same percentile estimates as the batch engine table
     "q227_stream_quantile" ->
       graft.queries.EngineQueries.oracles("q226_engine_quantile"),
+    // q241: q235's oracle VERBATIM — the stream-fed table's metadata fold
+    // must serve the same totals as the batch fixture and the raw rows
+    "q241_stream_sum_meta" ->
+      graft.queries.EngineQueries.oracles("q235_sum_transparent"),
     // q179: the oracle recomputes every matrix cell from the static events
     // table — the drained stream must equal the batch build exactly
     "q179_stream_count_min" ->
