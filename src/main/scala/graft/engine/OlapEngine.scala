@@ -1626,6 +1626,10 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       // ONE raw snapshot shared by all buckets: the rowset-union assembly and
       // parquet file listing happen once, not once per bucket
       val snap = rawSnapshot(db, table, lo, m.maxVersion)
+      // the bucket filter only removes rows, so the unmerged-serve proof
+      // over the covering set holds per bucket — a compacted/merge-on-write
+      // Unique side joins with no per-bucket merge aggregate at all
+      val covering = m.captureConsistentVersions(lo, m.maxVersion)
       // Per-bucket plan compilation is independent driver work — run it on a
       // thread pool. At the parallelism warning's own recommended bucket
       // counts (>= slots/4, hundreds on a real cluster) a serial loop makes
@@ -1643,6 +1647,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
             val bucketDf = td.schema.keysType match {
               case KeysType.Duplicate =>
                 pruned.transform(projectDeclared(td))
+              case KeysType.Unique => mergeOrServe(td, covering, pruned)
               case _ => MergeView(td, pruned, VersionCol, SeqCol)
             }
             val rdd = bucketDf.queryExecution.toRdd.coalesce(1)
