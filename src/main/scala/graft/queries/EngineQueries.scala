@@ -1073,6 +1073,24 @@ object EngineQueries {
         lit(0.05) * exact.getLong(1)).as("ndv_user_ok"))
   }
 
+  /** q242: plain SQL SELECT straight over an engine table — no `AS SCAN`
+    * view ceremony. The front door's parse-time splice
+    * ([[graft.sql.GraftSql.resolveEngineRelations]]) replaces the two-part
+    * relation with the engine's merged snapshot, so the Unique model's
+    * latest-wins semantics ride an ordinary `spark.sql`-shaped statement.
+    * The oracle replays the fixture's upsert rule from raw rows: a splice
+    * that read raw parquet behind the manifest's back (skipping the merge)
+    * flips every %10 group's sum.
+    */
+  def sqlDirectSelect(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.sql.GraftSql.bind(spark, eng)
+    graft.sql.GraftSql.sql(spark,
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft.events_unique GROUP BY event_type""".stripMargin)
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1515,6 +1533,7 @@ object EngineQueries {
     "q238_partition_rows_meta" -> partitionRowsMeta _,
     "q239_column_default" -> columnDefaultScan _,
     "q240_ndv_stats" -> ndvStats _,
+    "q242_sql_direct_select" -> sqlDirectSelect _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1626,6 +1645,14 @@ object EngineQueries {
         |  count(DISTINCT user_id) AS exact_user,
         |  true AS ndv_id_ok, true AS ndv_user_ok
         |FROM events""".stripMargin,
+    // q242: the oracle replays events_unique's %10 upsert rule from raw
+    // rows; the engine answers through a plain SQL SELECT over the
+    // spliced-in merged snapshot
+    "q242_sql_direct_select" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+        |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

@@ -223,7 +223,48 @@ object GraftSql {
     GraftSqlParser.parse(text) match {
       case Some(stmt) if engineFor(spark).exists(claims(_, stmt)) =>
         exec(spark, engineOrFail(spark), stmt)
+      case _ if engineFor(spark).isDefined =>
+        // delegated text on a bound session: parse with Spark's grammar,
+        // then splice engine tables into read positions so plain
+        // `SELECT ... FROM db.t` works with no AS SCAN view ceremony
+        graft.sql.GraftSql.runResolved(spark, text)
       case _ => spark.sql(text)
+    }
+
+  private def runResolved(spark: SparkSession, text: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(text)
+    val spliced = resolveEngineRelations(spark, plan)
+    if (spliced eq plan) spark.sql(text)
+    else org.apache.spark.sql.graft.shim.ofRows(spark, spliced)
+  }
+
+  /** Splice engine tables into a DELEGATED Spark plan: every two-part
+    * `UnresolvedRelation` whose `db.t` lives in the bound engine's catalog
+    * is replaced by the engine's merged scan plan (already analyzed — no
+    * unresolved leaves, per-query freshness since resolution happens at
+    * parse time). This is what lets `spark.sql("SELECT ... FROM db.t")`
+    * work directly on an extension-built session, and `GraftSql.sql` on
+    * any bound session. Ownership mirrors [[claims]]: names the engine
+    * doesn't hold are untouched, so Spark's own tables stay reachable.
+    * Write safety: engine DML is claimed by OUR parser before delegation,
+    * so the only delegated plan that can aim a WRITE at an engine table is
+    * one our grammar doesn't own (e.g. INSERT OVERWRITE) — the splice
+    * turns its target into a plain query plan and analysis fails LOUDLY,
+    * never silently writing files behind the manifest's back.
+    */
+  def resolveEngineRelations(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    engineFor(spark) match {
+      case None => plan
+      case Some(eng) => plan.transformUpWithSubqueries {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if u.multipartIdentifier.size == 2 &&
+              eng.catalog.getTable(u.multipartIdentifier.head,
+                u.multipartIdentifier(1)).isDefined =>
+          eng.scan(u.multipartIdentifier.head, u.multipartIdentifier(1))
+            .queryExecution.analyzed
+      }
     }
 
   // ---- executor -------------------------------------------------------------

@@ -34,7 +34,13 @@ final class GraftSqlParserInterface(delegate: ParserInterface)
       eng <- GraftSql.engineFor(spark)
       if GraftSql.claims(eng, stmt)
     } yield GraftSqlCommand(stmt)
-    claimed.getOrElse(delegate.parsePlan(sqlText))
+    claimed.getOrElse {
+      // delegated text: splice engine tables into read positions, so plain
+      // SELECT over `db.t` resolves against the bound engine's snapshot
+      // (GraftSql.resolveEngineRelations — a no-op with no engine bound)
+      val plan = delegate.parsePlan(sqlText)
+      active.map(GraftSql.resolveEngineRelations(_, plan)).getOrElse(plan)
+    }
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

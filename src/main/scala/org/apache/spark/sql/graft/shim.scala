@@ -26,6 +26,16 @@ object shim {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
 
+  /** Build a DataFrame over a raw logical plan (private[sql] in Spark 4);
+    * used by the SQL front door to run delegated plans after splicing
+    * engine-table relations in.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ClassicConversions.castToImpl(spark), plan)
+
   /** A DataFrame over a pre-partitioned InternalRow RDD that DECLARES its
     * hash partitioning to the planner (`LogicalRDD` with an explicit
     * `outputPartitioning` — the same mechanism `Dataset.checkpoint` uses to

@@ -597,6 +597,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       // the delegate path still owns ordinary SQL on the extension session
       assert(s2.sql("SELECT 2 + 2 AS four").collect().head.getInt(0) === 4)
       assert(s2.sql("SHOW ROWSETS IN g_x.t").count() >= 2L)
+      // and plain spark.sql SELECT resolves the engine table directly —
+      // the parse-time splice, no AS SCAN view needed
+      assert(s2.sql("SELECT sum(v) AS s FROM g_x.t").collect()
+        .head.getLong(0) === 31L)
       GraftSql.unbind(s2)
     } finally {
       SparkSession.clearActiveSession()
@@ -632,6 +636,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val parts = g("SHOW PARTITIONS IN g_mt.t").collect()
         .map(r => r.getString(0) -> r.getLong(5)).toMap
       assert(parts === Map("p0" -> 400L, "p1" -> 3L))
+    } finally GraftSql.unbind(spark)
+  }
+
+  test("plain SELECT over db.t: engine tables resolve with no view ceremony") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_sel")
+      g("""CREATE TABLE g_sel.t (k BIGINT, v BIGINT) UNIQUE KEY (k)
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      g("INSERT INTO g_sel.t SELECT id, id * 10 FROM range(100)")
+      g("INSERT INTO g_sel.t VALUES (5, 999)") // upsert: merge-on-read must ride
+      // dispatcher path: SELECT straight over the engine table
+      val r = g("SELECT count(*) AS n, sum(v) AS s FROM g_sel.t WHERE k < 10")
+        .collect().head
+      assert(r.getLong(0) == 10L)
+      assert(r.getLong(1) == (0 until 10).map(_ * 10L).sum - 50L + 999L)
+      // joins against non-engine relations compose; engine names the
+      // catalog doesn't hold stay Spark's
+      spark.range(0, 5).toDF("k").createOrReplaceTempView("g_sel_ids")
+      assert(g("SELECT count(*) AS n FROM g_sel.t t JOIN g_sel_ids i ON t.k = i.k")
+        .collect().head.getLong(0) == 5L)
+      assert(g("SELECT count(*) AS n FROM g_sel_ids").collect().head.getLong(0) == 5L)
+      // subquery positions splice too
+      assert(g("SELECT (SELECT max(k) FROM g_sel.t) AS m").collect()
+        .head.getLong(0) == 99L)
+      // freshness is per-statement: a new upsert is visible immediately
+      g("INSERT INTO g_sel.t VALUES (5, 1234)")
+      assert(g("SELECT v FROM g_sel.t WHERE k = 5").collect().head.getLong(0) == 1234L)
     } finally GraftSql.unbind(spark)
   }
 
