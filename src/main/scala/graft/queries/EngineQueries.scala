@@ -1091,6 +1091,18 @@ object EngineQueries {
         |FROM graft.events_unique GROUP BY event_type""".stripMargin)
   }
 
+  /** Bench-time form of q240: the sketch fold alone — the whole point of
+    * shipping NDV sidecars with every write is that the statistic costs a
+    * driver-side union, zero tasks (the verdict form's exact
+    * count_distinct scan exists only for the oracle).
+    */
+  def ndvStatsServeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    spark.range(1).select(
+      lit(eng.approxNdv("graft", "events_seg", "event_id").getOrElse(-1.0)).as("ndv_id"),
+      lit(eng.approxNdv("graft", "events_seg", "user_id").getOrElse(-1.0)).as("ndv_user"))
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
