@@ -2463,7 +2463,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // group hygiene rides the same maintenance tick: heal committed stages,
     // retire fully-activated ledger ids, reap abandoned (post-grace) stages
     sweepGroups()
-    scheduleCompaction(topN)
+    val compacted = scheduleCompaction(topN)
       .filter { case (k, score) =>
         score >= minScore &&
           manifests(k).visibleRowsets.exists(!_.isDeleteMarker)
@@ -2473,6 +2473,44 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         compact(db, table)
         k
       }
+    // materializations ride the same tick: any rollup/MV lagging its base
+    // re-serves from the next query on (transparent rewrites refuse stale
+    // reads, so the lag only ever cost the speedup)
+    refreshMaterialized(): Unit
+    compacted
+  }
+
+  /** Refresh every registered rollup and join-MV whose stored version lags
+    * its base table's manifest — the maintenance half of Doris's
+    * always-synchronous rollups. Our transparent rewrites already refuse to
+    * serve a stale materialization (correctness never depended on this);
+    * what lags is the SPEEDUP: after a load, every matching aggregate falls
+    * back to the base scan until someone refreshes. Riding this sweep on
+    * the same scheduled tick as compaction closes that window without
+    * taxing the ingest path. Incremental where the delta is clean (cost =
+    * one delta aggregation + a rollup-sized merge — see
+    * [[RollupManager.refreshIncremental]]), full rebuild where it is not.
+    * Returns the refreshed `db.t/name` keys.
+    */
+  def refreshMaterialized(): Seq[String] = {
+    val tables = catalog.listDatabases.flatMap(db =>
+      catalog.listTables(db).map(t => (db, t)))
+    val ru = tables.flatMap { case (db, t) =>
+      rollups.list(db, t).collect {
+        case (rd, v) if v != manifest(db, t).maxVersion =>
+          rollups.refreshIncremental(db, t, rd.name)
+          s"$db.$t/${rd.name}"
+      }
+    }
+    val mu = tables.flatMap { case (db, t) =>
+      mvs.list(db, t).collect {
+        case (d, fv, dv) if fv != manifest(d.factDb, d.factTable).maxVersion ||
+            dv != manifest(d.dimDb, d.dimTable).maxVersion =>
+          mvs.refreshIncremental(db, t, d.name)
+          s"$db.$t/${d.name}"
+      }
+    }
+    ru ++ mu
   }
 
   /** TIERED maintenance tick — the reference's declared Base/Cumulative
@@ -2500,7 +2538,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     */
   def runTieredCompaction(minDelta: Int = 2, topN: Int = 10): Seq[(String, String)] = {
     sweepGroups()
-    scheduleCompaction(topN).flatMap { case (k, _) =>
+    val out = scheduleCompaction(topN).flatMap { case (k, _) =>
       val Array(db, table) = k.split("\\.", 2)
       val m = manifests(k)
       val vis = m.visibleRowsets
@@ -2526,6 +2564,8 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
           } else None
       }
     }
+    refreshMaterialized(): Unit
+    out
   }
 
   /** Merge all visible rowsets into one (filling the reference's declared-but-

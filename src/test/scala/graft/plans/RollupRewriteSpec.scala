@@ -150,6 +150,35 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(fromRollup("g0") == (0 until 100).filter(_ % 3 == 0).map(_.toLong).sum + 1000L)
   }
 
+  test("the scheduled maintenance tick refreshes lagging rollups (Doris-sync)") {
+    val eng = fixture()
+    eng.ingest("db", "t", spark.createDataFrame(
+      Seq(Row("k101", "g1", 500L, 4L, new java.math.BigDecimal("2.00"))).asJava,
+      StructType(Seq(
+        StructField("k", StringType), StructField("grp", StringType),
+        StructField("v", LongType), StructField("u", LongType),
+        StructField("price", DecimalType(18, 2))))),
+      Some(Version(3, 3)))
+    assert(!usesRollup(baseAgg(eng)), "a fresh load must stand the rollup down")
+    // no manual refresh: the maintenance tick sweeps lagging materializations
+    eng.runScheduledCompaction()
+    val fresh = baseAgg(eng)
+    assert(usesRollup(fresh), fresh.queryExecution.optimizedPlan.toString)
+    assert(fresh.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      .apply("g1") == (0 until 100).filter(_ % 3 == 1).map(_.toLong).sum + 500L)
+    // the tiered tick carries the same sweep
+    eng.ingest("db", "t", spark.createDataFrame(
+      Seq(Row("k102", "g2", 700L, 5L, new java.math.BigDecimal("3.00"))).asJava,
+      StructType(Seq(
+        StructField("k", StringType), StructField("grp", StringType),
+        StructField("v", LongType), StructField("u", LongType),
+        StructField("price", DecimalType(18, 2))))),
+      Some(Version(4, 4)))
+    assert(!usesRollup(baseAgg(eng)))
+    eng.runTieredCompaction()
+    assert(usesRollup(baseAgg(eng)))
+  }
+
   test("scalar expressions over aggregates still rewrite (CollapseProject shape)") {
     val eng = fixture()
     // .withColumn after .agg collapses into the Aggregate:
