@@ -1700,10 +1700,21 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         else Nil
       (r.rowsetId, r.version.start, r.version.end, r.numRows,
         files.size.toLong, files.map(Files.size).sum,
-        new java.sql.Timestamp(r.createdMs))
+        new java.sql.Timestamp(r.createdMs),
+        // the per-rowset stat/index inventory — what the prune rules and
+        // metadata serves can use, and therefore the first thing to check
+        // when a serve unexpectedly fell back to a scan
+        r.stats.keys.toSeq.sorted.mkString(","),
+        r.bloomCols.sorted.mkString(","),
+        r.ngramCols.sorted.mkString(","),
+        r.ndvCols.sorted.mkString(","),
+        r.sums.keys.toSeq.sorted.mkString(","),
+        r.keyUnique)
     }
     spark.createDataFrame(rows).toDF("rowset_id", "version_start",
-      "version_end", "num_rows", "num_files", "bytes", "created")
+      "version_end", "num_rows", "num_files", "bytes", "created",
+      "stats_cols", "bloom_cols", "ngram_cols", "ndv_cols", "sum_cols",
+      "key_unique")
   }
 
   /** Metadata-only `count(*)`: for a Duplicate table the row count is the sum

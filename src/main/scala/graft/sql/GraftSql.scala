@@ -130,7 +130,13 @@ object GraftSql {
     StructField("num_rows", LongType, nullable = false),
     StructField("num_files", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("created", TimestampType, nullable = true)))
+    StructField("created", TimestampType, nullable = true),
+    StructField("stats_cols", StringType, nullable = true),
+    StructField("bloom_cols", StringType, nullable = true),
+    StructField("ngram_cols", StringType, nullable = true),
+    StructField("ndv_cols", StringType, nullable = true),
+    StructField("sum_cols", StringType, nullable = true),
+    StructField("key_unique", BooleanType, nullable = false)))
 
   val partitionsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
