@@ -253,6 +253,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
           s"autoPartition=Month needs month-aligned (day-01) bounds in ${td.qualified}; " +
             s"got ${td.partitions.flatMap(_.upperExclusive).mkString(", ")}")
     }
+    // CREATE-time column defaults get the same loud cast validation the
+    // ALTER path has (addColumn) — never discovered as a NULL (or an ANSI
+    // runtime error) in the middle of someone's first load
+    td.columnDefaults.foreach { case (c, v) =>
+      val dt = td.schema.columns.find(_.name == c).get.dataType
+      val casted = spark.range(1).select(lit(v).cast(dt)).head
+      require(!casted.isNullAt(0),
+        s"default '$v' does not cast to ${dt.sql} for ${td.qualified}.$c")
+    }
     val created = catalog.createTable(td)
     Files.createDirectories(tableRoot(td.db, td.name))
     manifest(td.db, td.name) // init manifest
@@ -1248,7 +1257,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
           .map(_.upperExclusive.get)
         val lower = below.maxOption.map(b => s"$key >= ${lit(b)}")
         val upper = spec.upperExclusive.map(u => s"$key < ${lit(u)}")
-        (lower.toSeq ++ upper.toSeq).mkString(" AND ")
+        val terms = lower.toSeq ++ upper.toSeq
+        // a sole MAXVALUE rung has no bound on either side: the partition
+        // IS the whole key space, and an empty predicate string would later
+        // choke every visible-predicate parse (renameColumn's dangling-ref
+        // check) — emit the honest constant instead
+        if (terms.isEmpty) "true" else terms.mkString(" AND ")
       case PartitionPolicy.List =>
         s"$key IN (${spec.listValues.map(lit).mkString(", ")})"
       case PartitionPolicy.Unpartitioned =>
@@ -1344,8 +1358,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // null-fill both sides. Guarded per rowset (old present, new absent) so
     // a pathological stale rowset from a freed-then-reused name era can
     // never be silently mis-mapped.
-    val renames = catalog.getTable(db, table).map(_.renamedColumns)
-      .getOrElse(Map.empty)
+    // ONE catalog snapshot for the whole union: per-branch lookups would
+    // both repeat the fetch O(rowsets) times and let an ALTER landing
+    // mid-loop hand different branches different schema/default views
+    val td0 = catalog.getTable(db, table).get
+    val renames = td0.renamedColumns
     // arm transparent rowset pruning: every scanned rowset with a harvested
     // zone map registers (dir → stats), so a pushed-down filter provably
     // disjoint from a rowset's min/max collapses that branch to an empty
@@ -1376,7 +1393,6 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       // default; rowsets that carry the column — including explicit NULLs
       // written after the add — are untouched. unionByName's null-fill
       // would erase that distinction.
-      val td0 = catalog.getTable(db, table).get
       td0.columnDefaults.foldLeft(renamed) { case (d, (c, v)) =>
         if (d.columns.contains(c)) d
         else td0.schema.columns.find(_.name == c)
@@ -1474,9 +1490,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         rawSnapshot(db, table, lo, hi)
           .transform(projectDeclared(td))
       case KeysType.Unique =>
-        mergeOrServe(td,
-          manifest(db, table).captureConsistentVersions(lo, hi),
-          rawSnapshot(db, table, lo, hi))
+        // single capture for data + proof (see scanPartitions' race note)
+        val covering = manifest(db, table).captureConsistentVersions(lo, hi)
+        mergeOrServe(td, covering, rawFromRowsets(db, table, covering))
       case _ =>
         MergeView(td, rawSnapshot(db, table, lo, hi), VersionCol, SeqCol)
     }
@@ -1532,16 +1548,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val m = manifest(db, table)
     val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
     val hi = m.maxVersion
-    val pruned = rawSnapshot(db, table, lo, hi)
+    // ONE covering capture feeds both the data union and the unmerged-serve
+    // proof: capturing them separately would let a compaction land between
+    // the two and pair OLD raw data with the NEW set's keyUnique proof —
+    // an unmerged serve over pre-merge rows
+    val covering = m.captureConsistentVersions(lo, hi)
+    val pruned = rawFromRowsets(db, table, covering)
       .filter(col(PartCol).isin(partNames.map(_.asInstanceOf[Any]): _*))
     td.schema.keysType match {
       case KeysType.Duplicate =>
         pruned.transform(projectDeclared(td))
       // the partition filter only removes rows — the unmerged-serve proof
       // over the full covering set still holds for any row subset
-      case KeysType.Unique =>
-        mergeOrServe(td,
-          manifest(db, table).captureConsistentVersions(lo, hi), pruned)
+      case KeysType.Unique => mergeOrServe(td, covering, pruned)
       case _ => MergeView(td, pruned, VersionCol, SeqCol)
     }
   }
@@ -1564,14 +1583,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // cast the literal (not the column) so the equality pushes down to the
     // parquet scan and hits the bloom filter / row-group stats
     val keyType = td.schema.columns.find(_.name == keyCol).get.dataType
-    val pruned = rawSnapshot(db, table, lo, m.maxVersion)
+    // single capture for data + proof (see scanPartitions' race note)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    val pruned = rawFromRowsets(db, table, covering)
       .filter(col(BucketCol) === bucket && col(keyCol) === lit(keyValue).cast(keyType))
     td.schema.keysType match {
       case KeysType.Duplicate =>
         pruned.transform(projectDeclared(td))
-      case KeysType.Unique =>
-        mergeOrServe(td,
-          m.captureConsistentVersions(lo, m.maxVersion), pruned)
+      case KeysType.Unique => mergeOrServe(td, covering, pruned)
       case _ => MergeView(td, pruned, VersionCol, SeqCol)
     }
   }
@@ -1623,13 +1642,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     def side(db: String, table: String, td: TableDef): DataFrame = {
       val m = manifest(db, table)
       val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
-      // ONE raw snapshot shared by all buckets: the rowset-union assembly and
-      // parquet file listing happen once, not once per bucket
-      val snap = rawSnapshot(db, table, lo, m.maxVersion)
-      // the bucket filter only removes rows, so the unmerged-serve proof
-      // over the covering set holds per bucket — a compacted/merge-on-write
-      // Unique side joins with no per-bucket merge aggregate at all
+      // ONE covering capture feeds the raw union AND the unmerged-serve
+      // proof (see scanPartitions' race note), and ONE raw snapshot is
+      // shared by all buckets: rowset-union assembly and parquet file
+      // listing happen once, not once per bucket. The bucket filter only
+      // removes rows, so the proof holds per bucket — a compacted/
+      // merge-on-write Unique side joins with no per-bucket merge aggregate
       val covering = m.captureConsistentVersions(lo, m.maxVersion)
+      val snap = rawFromRowsets(db, table, covering)
       // Per-bucket plan compilation is independent driver work — run it on a
       // thread pool. At the parallelism warning's own recommended bucket
       // counts (>= slots/4, hundreds on a real cluster) a serial loop makes
@@ -2381,11 +2401,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       val mx = entries.flatMap(_.max).reduceOption((a, b) =>
         if (ColStats.compare(foldKind, a, b) >= 0) a else b)
       // folded exact sum (sum_stats_columns): shown only when EVERY data
-      // rowset carries it — a partial fold would read as a wrong total
+      // rowset carries it AND the fold is honest — Duplicate model with no
+      // delete markers (merge-on-read would double-count upserted keys, a
+      // marker masks rows already inside the per-rowset sums); the same
+      // guards sumFold serves under
       val sums = data.flatMap(r => r.sums.get(cs.name).orElse(
         oldNames.getOrElse(cs.name, Nil).flatMap(r.sums.get).headOption))
+      val sumServable = td.schema.keysType == KeysType.Duplicate &&
+        !m.visibleRowsets.exists(_.isDeleteMarker)
       val sumStr =
-        if (data.nonEmpty && sums.size == data.size)
+        if (sumServable && data.nonEmpty && sums.size == data.size)
           sums.map(BigInt(_)).sum.toString
         else null
       val ndvCover = data.count(r =>
@@ -2506,20 +2531,30 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   def refreshMaterialized(): Seq[String] = {
     val tables = catalog.listDatabases.flatMap(db =>
       catalog.listTables(db).map(t => (db, t)))
+    // per-entry isolation: one failing refresh must not abort the tick or
+    // starve the remaining materializations — degrade with a WARN, exactly
+    // like every write-side harvest (stats/blooms/sums/ndv)
+    def tryRefresh(key: String)(body: => Unit): Option[String] =
+      try { body; Some(key) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] WARN materialization refresh failed for $key: $e")
+          None
+      }
     val ru = tables.flatMap { case (db, t) =>
       rollups.list(db, t).collect {
         case (rd, v) if v != manifest(db, t).maxVersion =>
-          rollups.refreshIncremental(db, t, rd.name)
-          s"$db.$t/${rd.name}"
-      }
+          tryRefresh(s"$db.$t/${rd.name}")(
+            rollups.refreshIncremental(db, t, rd.name))
+      }.flatten
     }
     val mu = tables.flatMap { case (db, t) =>
       mvs.list(db, t).collect {
         case (d, fv, dv) if fv != manifest(d.factDb, d.factTable).maxVersion ||
             dv != manifest(d.dimDb, d.dimTable).maxVersion =>
-          mvs.refreshIncremental(db, t, d.name)
-          s"$db.$t/${d.name}"
-      }
+          tryRefresh(s"$db.$t/${d.name}")(
+            mvs.refreshIncremental(db, t, d.name))
+      }.flatten
     }
     ru ++ mu
   }

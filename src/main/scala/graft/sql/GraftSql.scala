@@ -263,6 +263,16 @@ object GraftSql {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     engineFor(spark) match {
       case None => plan
+      // statements that PERSIST their child plan (CREATE/ALTER VIEW, CACHE
+      // TABLE ... AS) must not be spliced: the stored plan would freeze the
+      // rowset covering set at creation — silently stale after the next
+      // load, FileNotFound after GC. Left unspliced they fail resolution
+      // LOUDLY for engine names; durable views over engine tables are the
+      // AS SCAN views, which re-resolve the snapshot per query.
+      case Some(_) if {
+        val n = plan.getClass.getSimpleName
+        n.contains("View") || n.contains("Cache")
+      } => plan
       case Some(eng) => plan.transformUpWithSubqueries {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
             if u.multipartIdentifier.size == 2 &&

@@ -79,6 +79,16 @@ class ColumnDefaultSpec extends AnyFunSuite {
       eng2.addColumn("db", "t", ColumnSpec.value("m", IntegerType),
         Some("not-a-number"))
     }
+    // CREATE-time defaults get the same loud validation as the ALTER path
+    intercept[Exception] {
+      eng2.createTable(TableDef(
+        db = "db", name = "bad", schema = TableSchema(KeysType.Duplicate, Seq(
+          ColumnSpec.key("k", LongType), ColumnSpec.value("n", IntegerType))),
+        bucketColumn = Some("k"), numBuckets = 1,
+        columnDefaults = Map("n" -> "not-a-number")))
+    }
+    assert(eng2.catalog.getTable("db", "bad").isEmpty,
+      "a refused CREATE must leave no catalog entry")
   }
 
   test("SQL faces: ALTER ADD COLUMN DEFAULT + SHOW CREATE round trip") {

@@ -81,6 +81,30 @@ class TruncateSpec extends AnyFunSuite {
     assert(eng.manifest("db", "t").visibleRowsets.size == 1)
   }
 
+  test("truncating a sole MAXVALUE rung masks everything and leaves renames workable") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-tr-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "t", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType), ColumnSpec.value("v", DoubleType))),
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("k"),
+      partitions = Seq(PartitionSpec("pall", upperExclusive = None)),
+      bucketColumn = Some("k"), numBuckets = 2))
+    load(eng, 100 until 200, 1)
+    eng.truncatePartition("db", "t", "pall")
+    assert(eng.scan("db", "t").count() == 0L)
+    // the marker's row predicate is a parseable constant, so schema
+    // evolution that inspects visible delete predicates still works
+    eng.renameColumn("db", "t", "v", "w")
+    eng.ingest("db", "t", spark.createDataFrame(
+      (300 until 310).map(i => Row(i.toLong, i * 1.0)).asJava,
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("w", DoubleType)))), Some(Version(3, 3)))
+    assert(eng.scan("db", "t").select("w").count() == 10L)
+  }
+
   test("SQL faces: TRUNCATE TABLE db.t [PARTITION (p)]; one-part delegates") {
     val eng = mkEngine()
     graft.sql.GraftSql.bind(spark, eng)

@@ -665,6 +665,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
       // freshness is per-statement: a new upsert is visible immediately
       g("INSERT INTO g_sel.t VALUES (5, 1234)")
       assert(g("SELECT v FROM g_sel.t WHERE k = 5").collect().head.getLong(0) == 1234L)
+      // plan-persisting statements are NOT spliced: a Spark temp view over
+      // an engine table would freeze the covering set — it must fail
+      // loudly (AS SCAN views are the durable form, re-resolved per query)
+      intercept[Exception] {
+        g("CREATE TEMP VIEW frozen AS SELECT * FROM g_sel.t").collect()
+      }
     } finally GraftSql.unbind(spark)
   }
 
