@@ -1270,6 +1270,88 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** UPDATE for the Unique model (Doris `UPDATE tbl SET ... WHERE ...`):
+    * read-modify-write expressed in the engine's own MVCC vocabulary. The
+    * matching rows are resolved from the CURRENT merged snapshot (so the
+    * predicate may reference ANY declared column — unlike [[deleteWhere]]'s
+    * per-rowset markers, which evaluate pre-merge and are therefore
+    * key-only on merge models), every SET right-hand side is evaluated
+    * against the OLD row (standard UPDATE semantics: `SET a = b, b = a`
+    * swaps), and the result writes back as ONE ordinary upsert rowset —
+    * MVCC, time travel, incremental reads, merge-on-write and compaction
+    * all compose because an update is just another load.
+    *
+    * Concurrency is optimistic and LOUD: the snapshot version is captured
+    * first and the upsert publishes at exactly snapshot+1, so a concurrent
+    * writer landing in between trips the manifest's visible-version
+    * collision guard — the update fails (caller retries on a fresh
+    * snapshot) instead of silently writing rows computed from a stale read
+    * (the lost-update anomaly). Doris takes a table lock for the same
+    * reason; optimistic-with-loud-failure is the shared-nothing analogue.
+    *
+    * SET targets must be declared VALUE columns: key updates are
+    * delete+insert by definition (Doris refuses them too), and the
+    * sequence column is refused because rewriting the arbiter of
+    * "latest" mid-history can silently resurrect older records. The
+    * updated rows CARRY their stored sequence values, so on a
+    * sequence-column table the update ties on sequence and wins on
+    * version — an out-of-order late arrival still loses to it only if
+    * its sequence is genuinely newer.
+    *
+    * Cost shape at 100 TB: O(matching rows) read + write, never a table
+    * rewrite — pair it with a partition-pruned predicate and the scan
+    * side touches only the qualifying rowsets (the transparent prune
+    * rules apply to the snapshot read like any other).
+    */
+  def updateWhere(db: String, table: String, sets: Seq[(String, String)],
+                  predicateSql: String): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    require(td.schema.keysType == KeysType.Unique,
+      s"UPDATE is only defined for Unique tables; ${td.qualified} is " +
+        td.schema.keysType.name)
+    require(sets.nonEmpty, s"UPDATE ${td.qualified} needs at least one SET")
+    val dup = sets.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty,
+      s"UPDATE ${td.qualified} sets column(s) twice: ${dup.mkString(", ")}")
+    val declared = td.schema.columns.map(_.name)
+    val parser = spark.sessionState.sqlParser
+    def refsOf(sql: String): Seq[String] =
+      parser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }.distinct
+    sets.foreach { case (name, rhs) =>
+      require(td.schema.valueNames.contains(name),
+        s"UPDATE ${td.qualified}: '$name' is not a value column (key " +
+          "updates are delete+insert; unknown columns are typos)")
+      require(!td.sequenceColumn.contains(name),
+        s"UPDATE ${td.qualified}: refusing to rewrite sequence column " +
+          s"'$name' (it arbitrates latest-wins; rewriting it mid-history " +
+          "can resurrect older records)")
+      val unknown = refsOf(rhs).filterNot(declared.contains)
+      require(unknown.isEmpty,
+        s"UPDATE ${td.qualified}: SET $name references unknown columns: " +
+          unknown.mkString(", "))
+    }
+    val unknownPred = refsOf(predicateSql).filterNot(declared.contains)
+    require(unknownPred.isEmpty,
+      s"UPDATE ${td.qualified}: predicate references unknown columns: " +
+        unknownPred.mkString(", "))
+    val m = manifest(db, table)
+    val v0 = m.maxVersion
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val setMap = sets.toMap
+    // one projection evaluates every RHS against the OLD attributes
+    val updated = snapshot(db, table, lo, v0)
+      .filter(expr(predicateSql))
+      .select(td.schema.columns.map { c =>
+        setMap.get(c.name)
+          .map(rhs => expr(rhs).cast(c.dataType).as(c.name))
+          .getOrElse(col(c.name))
+      }: _*)
+    ingest(db, table, updated, Some(Version(v0 + 1, v0 + 1)))
+  }
+
   /** DELETE WHERE (the Doris/StarRocks delete-predicate pattern,
     * `delete_predicates` in rowset meta): publish a METADATA-ONLY version
     * carrying a SQL predicate. No data file is touched — reads mask matching

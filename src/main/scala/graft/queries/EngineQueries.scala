@@ -231,6 +231,20 @@ object EngineFixture {
     eng.ingest("graft", "events_mow", segEv.filter(col("event_id") > usegMid),
       Some(Version(2, 2)))
 
+    // --- events_upd: Unique model mutated through SQL UPDATE ----------------
+    // Base load v1, then the Doris UPDATE verb end-to-end through the SQL
+    // front door (parser → executor → OlapEngine.updateWhere): every row
+    // whose user_id % 5 = 0 gets value+100 and an upper-cased event_type,
+    // written back as ONE upsert rowset at v2. Both SET right-hand sides
+    // evaluate against the OLD row; q243's oracle replays exactly that.
+    eng.createTable(TableDef(
+      db = "graft", name = "events_upd", schema = eventsSchema,
+      bucketColumn = Some("event_id"), numBuckets = 2))
+    eng.ingest("graft", "events_upd", events, Some(Version(1, 1)))
+    graft.sql.GraftSql.exec(spark, eng, graft.sql.GraftSqlParser.parse(
+      "UPDATE graft.events_upd SET value = value + 100.0, " +
+        "event_type = upper(event_type) WHERE user_id % 5 = 0").get).collect()
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -1012,6 +1026,26 @@ object EngineQueries {
       sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
+  /** q243: the SQL UPDATE verb (Doris `UPDATE tbl SET ... WHERE ...` on the
+    * Unique model), already executed at fixture build through the full
+    * front door (regex route → claim → exec-time tail split →
+    * [[graft.engine.OlapEngine.updateWhere]]). The update resolved its
+    * matches from the MERGED snapshot, evaluated both SET expressions
+    * against the OLD row, and published ONE upsert rowset at snapshot+1
+    * (the optimistic-concurrency contract). The oracle replays the
+    * update rule over raw rows: a SET that leaked the new value into a
+    * sibling RHS, touched the wrong rows, or lost unmatched keys flips
+    * the digest.
+    */
+  def sqlUpdateScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "events_upd")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(col("user_id")).cast("long").as("sum_user"))
+  }
+
   /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
     * partition-grain sibling of q223's serves. Each footer harvest also
     * attributed its rows to hive partition directories
@@ -1546,6 +1580,7 @@ object EngineQueries {
     "q239_column_default" -> columnDefaultScan _,
     "q240_ndv_stats" -> ndvStats _,
     "q242_sql_direct_select" -> sqlDirectSelect _,
+    "q243_sql_update" -> sqlUpdateScan _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1665,6 +1700,16 @@ object EngineQueries {
         |  CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000.0
         |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    // q243: the oracle replays the SQL UPDATE's rule from raw rows — both
+    // SET expressions against the OLD row, only user_id%5=0 rows touched
+    "q243_sql_update" ->
+      """SELECT CASE WHEN user_id % 5 = 0 THEN upper(event_type)
+        |            ELSE event_type END AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN user_id % 5 = 0 THEN value + 100.0
+        |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user
+        |FROM events GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

@@ -88,6 +88,7 @@ object GraftSql {
     // generic verbs: ours iff the target lives in the engine catalog
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
+    case UpdateTable(db, t, _)    => eng.catalog.getTable(db, t).isDefined
     case DropTable(db, t)         => eng.catalog.getTable(db, t).isDefined
     case AddColumn(db, t, _, _)   => eng.catalog.getTable(db, t).isDefined
     case DropColumn(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -206,7 +207,8 @@ object GraftSql {
     StructField("ndv_rowsets", LongType, nullable = false)))
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
-    case _: InsertInto | _: DeleteFrom | _: Compact | _: Rebucket => rowsetSchema
+    case _: InsertInto | _: DeleteFrom | _: UpdateTable | _: Compact |
+         _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
     case _: ShowPartitions => partitionsSchema
     case _: ShowTablesIn => tablesSchema
@@ -328,6 +330,20 @@ object GraftSql {
       case DeleteFrom(db, t, predicate) =>
         rowsetDf(spark,
           eng.deleteWhere(db, t, predicate, group = activeGroup.get(spark)))
+
+      case UpdateTable(db, t, setTail) =>
+        // the raw tail splits HERE, after the claim, so a malformed UPDATE
+        // fails loudly only on engine tables (unclaimed text delegates)
+        val (sets, predicate) = GraftSqlParser.splitUpdateTail(setTail)
+        // an UPDATE cannot stage: its read-modify-write reads the CURRENT
+        // snapshot, which by design excludes the group's own staged loads —
+        // committing it inside a group would silently order it BEFORE
+        // stages the user wrote earlier in the same group
+        require(!activeGroup.contains(spark),
+          s"UPDATE $db.$t inside an open load group is not defined: the " +
+            "update reads the current snapshot, not the group's staged " +
+            "loads — commit or abort the group first")
+        rowsetDf(spark, eng.updateWhere(db, t, sets, predicate))
 
       case TruncateTable(db, t, part) =>
         part match {

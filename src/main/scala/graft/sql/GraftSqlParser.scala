@@ -49,6 +49,15 @@ object GraftStatement {
     * SQL, stored as a metadata-only delete version (engine `deleteWhere`).
     */
   final case class DeleteFrom(db: String, table: String, predicate: String) extends GraftStatement
+  /** UPDATE db.t SET c = expr [, ...] WHERE pred — Unique-model
+    * read-modify-write (engine `updateWhere`). The whole `SET ...` tail is
+    * carried RAW and split at exec time ([[GraftSqlParser.splitUpdateTail]]):
+    * parsing stays total, so an UPDATE naming a non-engine table still
+    * DELEGATES (the contract), and malformed tails fail loudly only once
+    * the statement is claimed.
+    */
+  final case class UpdateTable(db: String, table: String,
+      setTail: String) extends GraftStatement
   final case class RestoreToVersion(db: String, table: String, version: Long) extends GraftStatement
   final case class ShallowClone(srcDb: String, srcTable: String,
       dstDb: String, dstTable: String, asOfVersion: Option[Long]) extends GraftStatement
@@ -299,6 +308,60 @@ object GraftSqlParser {
     """(?is)\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+(.+)""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+WHERE\s+(.+)""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+SET\s+(.+)""".r
+
+  /** Split an UPDATE tail `a = e1, b = e2 WHERE pred` into assignments and
+    * the predicate. The RHS grammar belongs to Spark, so this only locates
+    * the TOP-LEVEL structure: commas and the WHERE keyword counted at paren
+    * depth 0 (the tokenizer already hides commas/keywords inside string
+    * literals). WHERE is mandatory — an unbounded UPDATE must be written
+    * `WHERE true`, never implied.
+    */
+  def splitUpdateTail(tail: String): (Seq[(String, String)], String) = {
+    val toks = tokenize(tail)
+    var depth = 0
+    var whereAt = -1   // char offset of the top-level WHERE token
+    var whereEnd = -1  // char offset just past it
+    val commas = Vector.newBuilder[Int]
+    var i = 0
+    while (i < toks.length && whereAt < 0) {
+      toks(i) match {
+        case Sym('(', _) => depth += 1
+        case Sym(')', _) => depth -= 1
+        case Sym(',', p) if depth == 0 => commas += p
+        case Ident(s, p) if depth == 0 && s.equalsIgnoreCase("WHERE") =>
+          whereAt = p; whereEnd = p + s.length
+        case _ => ()
+      }
+      i += 1
+    }
+    if (whereAt < 0)
+      throw new GraftParseException(
+        s"UPDATE needs a WHERE clause (use WHERE true to update all rows) " +
+          s"in: SET ${tail.trim.take(80)}")
+    val assignText = tail.substring(0, whereAt)
+    val predicate = stripTrailing(tail.substring(whereEnd))
+    if (predicate.isEmpty)
+      throw new GraftParseException("UPDATE has an empty WHERE predicate")
+    val cuts = commas.result().filter(_ < whereAt)
+    val bounds = (-1 +: cuts) :+ assignText.length
+    val AssignRe = """(?s)\s*([A-Za-z_]\w*)\s*=\s*(.+)""".r
+    val sets = bounds.sliding(2).map { case Seq(a, b) =>
+      assignText.substring(a + 1, b) match {
+        case AssignRe(name, rhs) =>
+          val r = rhs.trim
+          if (r.isEmpty)
+            throw new GraftParseException(s"UPDATE SET $name has an empty expression")
+          name -> r
+        case other =>
+          throw new GraftParseException(
+            s"malformed UPDATE assignment: '${other.trim.take(60)}' " +
+              "(expected column = expression)")
+      }
+    }.toSeq
+    (sets, predicate)
+  }
 
   private val aggNames =
     Set("SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL", "HLL_UNION")
@@ -311,6 +374,7 @@ object GraftSqlParser {
     text match {
       case InsertRe(db, t, tail) => return Some(InsertInto(db, t, stripTrailing(tail)))
       case DeleteRe(db, t, tail) => return Some(DeleteFrom(db, t, stripTrailing(tail)))
+      case UpdateRe(db, t, tail) => return Some(UpdateTable(db, t, tail))
       case _ => ()
     }
     val c = new Cursor(tokenize(text), text)
