@@ -1270,6 +1270,82 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** INSERT OVERWRITE (Doris `INSERT OVERWRITE [PARTITION (...)]`):
+    * atomically replace the whole table — or exactly the named partitions —
+    * with `df`. Expressed entirely in the engine's existing vocabulary: a
+    * delete-marker version masking the replaced scope plus ONE data rowset
+    * carrying the new rows, staged under one load group and committed
+    * atomically, so readers see the old content until the commit instant
+    * and the new content after — never a half-replaced table, never an
+    * empty window between "deleted" and "loaded". Activation assigns
+    * versions in stage order (mask first, data second), which is what
+    * makes the mask apply to every pre-overwrite rowset and NOT to the
+    * incoming rows. The replace is itself a pair of versions: older
+    * snapshots still serve the pre-overwrite content, full compaction
+    * makes it physical.
+    *
+    * Partition-scoped overwrites publish one DIRECTORY mask per named
+    * partition (the `deletePartition` marker [[truncatePartition]] uses),
+    * so at 100 TB the replaced terabytes cost zero read-time I/O, and
+    * every incoming row is REQUIREd to route into the named scope — a row
+    * routed elsewhere would silently survive beside the mask as a
+    * half-insert (Doris errors on the same shape). Whole-table overwrites
+    * mask with the constant predicate, which is model-safe everywhere
+    * (no column references, so the merge models' key-only rule holds).
+    * Dynamic-partition tables refuse (their loads mint catalog state that
+    * cannot stage — same rule as any grouped load).
+    */
+  def overwrite(db: String, table: String, df: DataFrame,
+                partitions: Seq[String] = Nil): RowsetMeta = {
+    val td = catalog.getTable(db, table).getOrElse(
+      throw new NoSuchElementException(s"no table $db.$table"))
+    val g = newLoadGroup()
+    try {
+      if (partitions.isEmpty) {
+        stageMask(db, table, "true", None, g)
+      } else {
+        val specs = partitions.map(n => td.partitions.find(_.name == n)
+          .getOrElse(throw new NoSuchElementException(
+            s"no partition $n in ${td.qualified}")))
+        // every incoming row must land INSIDE the overwrite scope: a row
+        // routed to an unnamed partition would survive beside the mask as
+        // a silent half-insert — refuse the whole statement instead
+        val outside = df.withColumn("__graft_ow_part", partitionNameCol(td))
+          .filter(!col("__graft_ow_part").isin(partitions: _*))
+        require(outside.isEmpty,
+          s"INSERT OVERWRITE ${td.qualified} PARTITION " +
+            s"(${partitions.mkString(", ")}): input rows route outside the " +
+            "named partitions — name them too, or fix the data")
+        specs.foreach(spec =>
+          stageMask(db, table, partitionMaskPred(td, spec), Some(spec.name), g))
+      }
+      val staged = ingest(db, table, df, group = Some(g))
+      commitGroup(g)
+      // the staged meta's version was provisional; return the activated one
+      manifest(db, table).visibleRowsets.find(_.rowsetId == staged.rowsetId)
+        .getOrElse(staged)
+    } catch {
+      case e: Throwable => abortGroup(g); throw e
+    }
+  }
+
+  /** Stage a delete/truncate mask under a load group (overwrite's first
+    * half): [[truncatePartition]]'s marker shape, pending until the group
+    * commits.
+    */
+  private def stageMask(db: String, table: String, pred: String,
+                        partName: Option[String], group: String): RowsetMeta = {
+    val m = manifest(db, table)
+    val rowsetId = m.nextRowsetId
+    val meta = RowsetMeta(rowsetId, Version(m.maxVersion + 1, m.maxVersion + 1),
+      relDir = s"d$rowsetId", numRows = 0L,
+      createdMs = System.currentTimeMillis(),
+      deletePredicate = Some(pred), deletePartition = partName,
+      pendingGroup = Some(group))
+    m.publish(meta)
+    meta
+  }
+
   /** UPDATE for the Unique model (Doris `UPDATE tbl SET ... WHERE ...`):
     * read-modify-write expressed in the engine's own MVCC vocabulary. The
     * matching rows are resolved from the CURRENT merged snapshot (so the

@@ -245,6 +245,36 @@ object EngineFixture {
       "UPDATE graft.events_upd SET value = value + 100.0, " +
         "event_type = upper(event_type) WHERE user_id % 5 = 0").get).collect()
 
+    // --- orders_ow: Range table mutated through SQL INSERT OVERWRITE --------
+    // Full load v1, then INSERT OVERWRITE PARTITION (p0) through the SQL
+    // front door: p0's content (orders before 1997) is atomically replaced
+    // by only the %3==0 orders with +1,000,000 price — one directory mask +
+    // one data rowset committed as a single load group. p1/pmax untouched.
+    val owSchema = TableSchema(KeysType.Duplicate, Seq(
+      ColumnSpec.key("o_orderkey", LongType),
+      ColumnSpec.value("o_orderdate", TimestampType),
+      ColumnSpec.value("o_orderstatus", StringType),
+      ColumnSpec.value("o_totalprice", DoubleType)))
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_ow", schema = owSchema,
+      policy = PartitionPolicy.Range,
+      partitionColumn = Some("o_orderdate"),
+      partitions = Seq(
+        PartitionSpec("p0", upperExclusive = Some("1997-01-01"), numBuckets = 2),
+        PartitionSpec("p1", upperExclusive = Some("2000-01-01"), numBuckets = 2),
+        PartitionSpec("pmax", upperExclusive = None, numBuckets = 2)),
+      bucketColumn = Some("o_orderkey"), numBuckets = 2))
+    val owOrders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+    eng.ingest("graft", "orders_ow", owOrders, Some(Version(1, 1)))
+    owOrders
+      .filter(col("o_orderdate") < "1997-01-01" && col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+      .createOrReplaceTempView("graft_q244_repl")
+    graft.sql.GraftSql.exec(spark, eng, graft.sql.GraftSqlParser.parse(
+      "INSERT OVERWRITE graft.orders_ow PARTITION (p0) " +
+        "SELECT * FROM graft_q244_repl").get).collect()
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -1046,6 +1076,28 @@ object EngineQueries {
         sum(col("user_id")).cast("long").as("sum_user"))
   }
 
+  /** q244: SQL INSERT OVERWRITE PARTITION (Doris insert-overwrite),
+    * executed at fixture build through the full front door. The verb is an
+    * atomic mask+load pair under one load group: p0's directory mask and
+    * the replacement rowset activate together, so no reader ever saw a
+    * half-replaced table. The digest groups by partition era — p0 must
+    * show ONLY the %3==0 replacement rows (+1M price), p1/pmax must be
+    * byte-identical to the original load — and the oracle replays exactly
+    * that from raw rows. A mask that leaked onto the new rows (wrong
+    * activation order), masked a sibling partition, or a half-applied
+    * group all flip the digest.
+    */
+  def insertOverwriteScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "orders_ow")
+      .groupBy(when(col("o_orderdate") < "1997-01-01", "p0")
+        .when(col("o_orderdate") < "2000-01-01", "p1")
+        .otherwise("pmax").as("part"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"))
+  }
+
   /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
     * partition-grain sibling of q223's serves. Each footer harvest also
     * attributed its rows to hive partition directories
@@ -1581,6 +1633,7 @@ object EngineQueries {
     "q240_ndv_stats" -> ndvStats _,
     "q242_sql_direct_select" -> sqlDirectSelect _,
     "q243_sql_update" -> sqlUpdateScan _,
+    "q244_insert_overwrite" -> insertOverwriteScan _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1710,6 +1763,21 @@ object EngineQueries {
         |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  CAST(sum(user_id) AS BIGINT) AS sum_user
         |FROM events GROUP BY 1""".stripMargin,
+    // q244: the oracle replays the partition-scoped overwrite from raw
+    // rows — pre-1997 orders survive only as the %3==0 replacement set
+    // (+1M price), everything 1997+ is untouched
+    "q244_insert_overwrite" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'p0'
+        |            WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'p1'
+        |            ELSE 'pmax' END AS part,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |                     THEN o_totalprice + 1000000.0
+        |                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' OR o_orderkey % 3 = 0
+        |GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

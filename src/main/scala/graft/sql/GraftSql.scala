@@ -89,6 +89,7 @@ object GraftSql {
     case InsertInto(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case UpdateTable(db, t, _)    => eng.catalog.getTable(db, t).isDefined
+    case InsertOverwrite(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
     case DropTable(db, t)         => eng.catalog.getTable(db, t).isDefined
     case AddColumn(db, t, _, _)   => eng.catalog.getTable(db, t).isDefined
     case DropColumn(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -207,8 +208,8 @@ object GraftSql {
     StructField("ndv_rowsets", LongType, nullable = false)))
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
-    case _: InsertInto | _: DeleteFrom | _: UpdateTable | _: Compact |
-         _: Rebucket => rowsetSchema
+    case _: InsertInto | _: InsertOverwrite | _: DeleteFrom | _: UpdateTable |
+         _: Compact | _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
     case _: ShowPartitions => partitionsSchema
     case _: ShowTablesIn => tablesSchema
@@ -326,6 +327,22 @@ object GraftSql {
         // stages the load (invisible until COMMIT LOAD GROUP).
         rowsetDf(spark, eng.ingest(db, t, df.toDF(want: _*),
           group = activeGroup.get(spark)))
+
+      case InsertOverwrite(db, t, parts, query) =>
+        val td = eng.catalog.getTable(db, t).getOrElse(
+          throw new NoSuchElementException(s"no table $db.$t"))
+        // the overwrite runs its OWN atomic group (mask + load commit
+        // together); an open user group cannot also own it
+        require(!activeGroup.contains(spark),
+          s"INSERT OVERWRITE $db.$t inside an open load group is not " +
+            "defined: the overwrite commits its own atomic mask+load " +
+            "group — commit or abort the open group first")
+        val df = spark.sql(query)
+        val want = td.schema.columns.map(_.name)
+        require(df.columns.length == want.length,
+          s"INSERT OVERWRITE $db.$t: query yields ${df.columns.length} " +
+            s"columns, table declares ${want.length} (${want.mkString(", ")})")
+        rowsetDf(spark, eng.overwrite(db, t, df.toDF(want: _*), parts))
 
       case DeleteFrom(db, t, predicate) =>
         rowsetDf(spark,

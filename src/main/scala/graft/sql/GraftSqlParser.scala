@@ -45,6 +45,13 @@ object GraftStatement {
     * by the session and ingested as one load (one MVCC version).
     */
   final case class InsertInto(db: String, table: String, query: String) extends GraftStatement
+  /** INSERT OVERWRITE [TABLE] db.t [PARTITION (p, ...)] <query> — atomic
+    * scope replace (engine `overwrite`: mask + load under one group). The
+    * query tail is raw Spark SQL. Spark has its own INSERT OVERWRITE, so
+    * an unclaimed table genuinely delegates.
+    */
+  final case class InsertOverwrite(db: String, table: String,
+      partitions: Seq[String], query: String) extends GraftStatement
   /** DELETE FROM db.t WHERE <predicate> — the predicate tail is raw Spark
     * SQL, stored as a metadata-only delete version (engine `deleteWhere`).
     */
@@ -306,6 +313,9 @@ object GraftSqlParser {
 
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+(.+)""".r
+  private val InsertOverwriteRe =
+    ("""(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*\.\s*""" +
+      """([A-Za-z_]\w*)\s*(?:PARTITION\s*\(([^)]*)\))?\s+(.+)""").r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+WHERE\s+(.+)""".r
   private val UpdateRe =
@@ -372,6 +382,10 @@ object GraftSqlParser {
   def parse(text: String): Option[GraftStatement] = {
     import GraftStatement._
     text match {
+      case InsertOverwriteRe(db, t, parts, tail) =>
+        val names = Option(parts).toSeq.flatMap(_.split(",")).map(_.trim)
+          .filter(_.nonEmpty)
+        return Some(InsertOverwrite(db, t, names, stripTrailing(tail)))
       case InsertRe(db, t, tail) => return Some(InsertInto(db, t, stripTrailing(tail)))
       case DeleteRe(db, t, tail) => return Some(DeleteFrom(db, t, stripTrailing(tail)))
       case UpdateRe(db, t, tail) => return Some(UpdateTable(db, t, tail))
