@@ -319,6 +319,17 @@ final case class TableDef(
     // ANALYZE-grade statistics that stay fresh with every load instead of
     // going stale between ANALYZE runs
     ndvStatsColumns: Seq[String] = Nil,
+    // AUTO_INCREMENT column (Doris `BIGINT ... AUTO_INCREMENT`): rows that
+    // arrive with the column NULL (or absent) get unique increasing ids
+    // allocated from a per-table counter persisted in the manifest —
+    // reservation-before-use, so restarts and crashed loads can burn a
+    // block but never re-issue an id. Rows that SUPPLY a value keep it
+    // (the Doris partial-specify contract; uniqueness of supplied values
+    // is the caller's business, as in Doris). BIGINT only; incompatible
+    // with partialUpdate (an omitted column there means "not set", which
+    // a fill would destroy) and with the sequence column (its ordering
+    // role would silently change merge results).
+    autoIncrementColumn: Option[String] = None,
     // column DEFAULT values (literal string form, cast to the declared type
     // at read): ADD COLUMN ... DEFAULT backfills rows of rowsets written
     // BEFORE the column existed at READ time — metadata-only schema
@@ -360,6 +371,21 @@ final case class TableDef(
   require(ndvStatsColumns.forall(c => schema.columns.exists(_.name == c)),
     s"ndv_stats_columns names unknown columns on $db.$name: " +
       ndvStatsColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  autoIncrementColumn.foreach { c =>
+    val spec = schema.columns.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"auto-increment column $c is not declared on $db.$name"))
+    require(spec.dataType == org.apache.spark.sql.types.LongType,
+      s"auto-increment column $c on $db.$name must be BIGINT; " +
+        s"got ${spec.dataType.simpleString}")
+    require(!partialUpdate,
+      s"auto-increment and partial_update cannot combine on $db.$name: " +
+        "a partial load's omitted column means \"not set\", which an " +
+        "id fill would destroy")
+    require(!sequenceColumn.contains(c),
+      s"auto-increment column $c on $db.$name is also the sequence " +
+        "column — filling it would silently reorder merge resolution")
+  }
   require(columnDefaults.keySet.forall(c => schema.columns.exists(_.name == c)),
     s"column defaults name unknown columns on $db.$name: " +
       columnDefaults.keySet.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
@@ -486,7 +512,8 @@ object CatalogStore {
         else JArray(td.ndvStatsColumns.toList.map(JString(_): JValue))),
       "columnDefaults" -> (if (td.columnDefaults.isEmpty) JNothing
         else JObject(td.columnDefaults.toList.sortBy(_._1).map {
-          case (c, v) => c -> (JString(v): JValue) })))
+          case (c, v) => c -> (JString(v): JValue) })),
+      "autoIncrementColumn" -> jOpt(td.autoIncrementColumn))
   }
 
   def fromJson(j: JValue): TableDef = {
@@ -572,7 +599,8 @@ object CatalogStore {
       columnDefaults = (j \ "columnDefaults") match {
         case JObject(fs) => fs.collect { case (c, JString(v)) => c -> v }.toMap
         case _ => Map.empty
-      })
+      },
+      autoIncrementColumn = (j \ "autoIncrementColumn").extractOpt[String])
   }
 }
 

@@ -792,11 +792,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       s"load groups are not defined for dynamic-partition tables " +
         s"(${td.qualified} has autoPartition/autoExpireKeep): partition " +
         "minting and expiry are catalog edits that cannot stage")
+    // AUTO_INCREMENT fill first (before any pre-aggregation): rows with the
+    // column NULL/absent get ids from the manifest's reserved block
+    val df1 = td.autoIncrementColumn.fold(df)(c =>
+      fillAutoIncrement(db, table, df, c))
     val input =
       if (td.schema.keysType == KeysType.Aggregate &&
           td.schema.valueColumns.exists(_.agg == AggType.HllUnion))
-        preAggregate(td, df)
-      else df
+        preAggregate(td, df1)
+      else df1
     // dynamic partitioning: extend the Range ladder to cover this load's
     // max key BEFORE routing (otherwise those rows raise unroutable) — but
     // only LOCALLY; the catalog commit happens after the write succeeds
@@ -908,6 +912,37 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // so time travel inside the retention window still sees them
     td.autoExpireKeep.foreach(keep => expirePartitions(db, table, keep))
     meta
+  }
+
+  /** AUTO_INCREMENT fill (Doris auto-increment column): rows whose id
+    * column is NULL (or absent) receive unique increasing BIGINTs from the
+    * manifest's persisted counter; rows that supplied a value keep it. The
+    * allocation is reservation-before-use — the counter bump persists
+    * BEFORE any row carries an id, so a crashed load burns its block but a
+    * restart can never re-issue one (unique + increasing, never gap-free:
+    * exactly Doris's contract). Distribution shape: one delta-sized count
+    * to size the block, then `zipWithIndex` (per-partition offsets — NO
+    * shuffle) assigns base+i; at 1000 executors the only coordination is
+    * the single driver-side reservation. The load frame is evaluated
+    * twice (count + assign), the same determinism assumption every
+    * multi-action load path here makes.
+    */
+  private def fillAutoIncrement(db: String, table: String, df: DataFrame,
+                                c: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val withCol =
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(LongType))
+      else df.withColumn(c, lit(null).cast(LongType))
+    val need = withCol.filter(col(c).isNull)
+    val keep = withCol.filter(col(c).isNotNull)
+    val n = need.count()
+    if (n == 0L) return withCol
+    val base = manifest(db, table).reserveAutoIds(n)
+    val idx = withCol.schema.fieldIndex(c)
+    val assigned = need.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq.updated(idx, base + i))
+    }
+    keep.unionAll(spark.createDataFrame(assigned, withCol.schema))
   }
 
   /** Keep only the newest `keep` live partitions (by Range bound); drop the

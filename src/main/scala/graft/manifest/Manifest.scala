@@ -149,6 +149,13 @@ final class TableManifest(
   // atomic id allocator: two concurrent ingests must never derive the same
   // rowset id (the write happens before publish's lock is taken)
   private val idGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  // next unallocated AUTO_INCREMENT id (Doris auto-increment column):
+  // 1-based, persisted WITH the manifest so a restarted engine never
+  // re-issues an id. Reservation persists BEFORE any row carries the ids,
+  // so a crashed load burns its block instead of risking a duplicate —
+  // the Doris contract is unique + increasing, never gap-free. Declared
+  // BEFORE load() runs (same init-order trap as gcFloorV above).
+  private var autoIdNextV: Long = 1L
 
   load()
 
@@ -370,6 +377,17 @@ final class TableManifest(
 
   def nextRowsetId: Long = idGen.incrementAndGet()
 
+  /** Reserve `n` consecutive auto-increment ids; returns the block's first
+    * id. The bump persists immediately (crash = burned block, never a
+    * reuse). One driver-side manifest write per load that needs ids.
+    */
+  def reserveAutoIds(n: Long): Long = synchronized {
+    require(n >= 0, s"reserveAutoIds($n)")
+    val base = autoIdNextV
+    if (n > 0) { autoIdNextV += n; persist() }
+    base
+  }
+
   // --- persistence -----------------------------------------------------------
 
   private def persist(): Unit = {
@@ -423,7 +441,8 @@ final class TableManifest(
         JObject(withPr.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
-      "gcFloorMs" -> JLong(gcFloorV), "rowsets" -> JArray(entries.toList))
+      "gcFloorMs" -> JLong(gcFloorV), "autoIdNext" -> JLong(autoIdNextV),
+      "rowsets" -> JArray(entries.toList))
     val tmp = tableRoot.resolve(s"_manifest.json.tmp${Thread.currentThread().getId}")
     Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
@@ -435,6 +454,7 @@ final class TableManifest(
       val doc = JsonMethods.parse(Files.readString(manifestPath))
       maxVersionV = (doc \ "maxVersion").extract[Long]
       gcFloorV = (doc \ "gcFloorMs").extractOpt[Long].getOrElse(-1L)
+      autoIdNextV = (doc \ "autoIdNext").extractOpt[Long].getOrElse(1L)
       (doc \ "rowsets").extract[List[JValue]].foreach { j =>
         val r = RowsetMeta(
           (j \ "rowsetId").extract[Long],

@@ -132,6 +132,28 @@ object EngineFixture {
     eng.ingest("graft", "events_seg", segEv.filter(col("event_id") > segK2),
       Some(Version(3, 3)))
 
+    // --- events_ai: AUTO_INCREMENT fill across two loads ---------------------
+    // Neither load supplies `row_id`; each fills from the manifest counter
+    // (reservation-before-use), so ids are dense 1..n overall and load 2's
+    // block sits strictly above load 1's. q245 pins those contracts.
+    eng.createTable(TableDef(
+      db = "graft", name = "events_ai", schema = TableSchema(KeysType.Duplicate,
+        Seq(ColumnSpec.key("event_id", LongType),
+          ColumnSpec.value("row_id", LongType),
+          ColumnSpec.value("batch", LongType),
+          ColumnSpec.value("value", DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 2,
+      autoIncrementColumn = Some("row_id")))
+    val aiEv = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+    val aiMax = aiEv.agg(max(col("event_id"))).head.getLong(0)
+    eng.ingest("graft", "events_ai",
+      aiEv.filter(col("event_id") <= aiMax / 2).withColumn("batch", lit(1L)),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "events_ai",
+      aiEv.filter(col("event_id") > aiMax / 2).withColumn("batch", lit(2L)),
+      Some(Version(2, 2)))
+
     // --- events_bloom: INTERLEAVED loads → rowset BLOOM prunes point reads --
     // Three MVCC loads split by event_id % 3, so every load spans the whole
     // id range — zone maps overlap completely and can never separate them.
@@ -1098,6 +1120,25 @@ object EngineQueries {
         sum(col("o_orderkey")).cast("long").as("sum_key"))
   }
 
+  /** q245: AUTO_INCREMENT contracts, driver-hashable. Which row got which
+    * id depends on partition enumeration order — not SQL-replayable — so
+    * the oracle pins the CONTRACT instead (the q50/q145 pattern): ids are
+    * dense 1..n across the two id-less loads (count distinct == count,
+    * min == 1, max == n) and load 2's block sits strictly above load 1's
+    * (reservation-before-use monotonicity). A duplicate id, a skipped
+    * block, or interleaved blocks each flip a pinned column.
+    */
+  def autoIncrementContracts(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "events_ai").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("row_id")).as("n_ids"),
+      min(col("row_id")).as("min_id"),
+      max(col("row_id")).as("max_id"),
+      (max(when(col("batch") === 1L, col("row_id"))) <
+        min(when(col("batch") === 2L, col("row_id")))).as("batch_ordered"))
+  }
+
   /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
     * partition-grain sibling of q223's serves. Each footer harvest also
     * attributed its rows to hive partition directories
@@ -1634,6 +1675,7 @@ object EngineQueries {
     "q242_sql_direct_select" -> sqlDirectSelect _,
     "q243_sql_update" -> sqlUpdateScan _,
     "q244_insert_overwrite" -> insertOverwriteScan _,
+    "q245_auto_increment" -> autoIncrementContracts _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1778,6 +1820,14 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' OR o_orderkey % 3 = 0
         |GROUP BY 1""".stripMargin,
+    // q245: id-to-row assignment is partition-order dependent, so the
+    // oracle pins the dense-block CONTRACT (the q50/q145 pattern): n
+    // distinct ids, exactly 1..n, load-2 block above load-1
+    "q245_auto_increment" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id, count(*) AS max_id,
+        |  true AS batch_ordered
+        |FROM events""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

@@ -629,8 +629,9 @@ object GraftSql {
     val cols = td.schema.columns.map { c =>
       val agg = if (!c.isKey && c.agg != AggType.None) " " + c.agg.name else ""
       val nn = if (!c.isKey && !c.nullable) " NOT NULL" else ""
+      val ai = if (td.autoIncrementColumn.contains(c.name)) " AUTO_INCREMENT" else ""
       val dflt = td.columnDefaults.get(c.name).fold("")(v => s" DEFAULT ${sq(v)}")
-      s"  ${c.name} ${typeSql(c)}$agg$nn$dflt"
+      s"  ${c.name} ${typeSql(c)}$agg$nn$ai$dflt"
     }.mkString(",\n")
     val model = s"${td.schema.keysType.name} KEY (${td.schema.keyNames.mkString(", ")})"
     val partClause = td.policy match {
@@ -722,6 +723,7 @@ object GraftSql {
     // property bag suffers from.
     ct.properties.foreach { case (k, v) => td = applyProperty(td, k, v) }
     if (ct.defaults.nonEmpty) td = td.copy(columnDefaults = ct.defaults)
+    ct.autoIncrement.foreach(c => td = td.copy(autoIncrementColumn = Some(c)))
     td
   }
 

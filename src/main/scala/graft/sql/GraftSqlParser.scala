@@ -40,7 +40,9 @@ object GraftStatement {
       properties: Map[String, String],
       // column DEFAULT literals (Doris `c INT DEFAULT "0"`): read-time
       // backfill for pre-column rowsets, ingest fill for omitting loads
-      defaults: Map[String, String] = Map.empty) extends GraftStatement
+      defaults: Map[String, String] = Map.empty,
+      // Doris `BIGINT ... AUTO_INCREMENT` column marker (at most one)
+      autoIncrement: Option[String] = None) extends GraftStatement
   /** INSERT INTO db.t <query> — the query tail is raw Spark SQL, executed
     * by the session and ingested as one load (one MVCC version).
     */
@@ -800,6 +802,7 @@ object GraftSqlParser {
       // column list (an aggregate marker like `cost BIGINT SUM` is graft-only)
       val cols = Seq.newBuilder[ColumnSpec]
       val defaults = Map.newBuilder[String, String]
+      var autoInc: Option[String] = None
       var done = false
       while (!done) {
         val name = c.ident()
@@ -809,6 +812,15 @@ object GraftSqlParser {
         var nullable = true
         if (c.tryKw("NOT")) { c.kw("NULL"); nullable = false }
         else if (c.tryKw("NULL")) ()
+        // AUTO_INCREMENT is graft-only (Spark DDL has no such marker)
+        if (c.tryKw("AUTO_INCREMENT")) {
+          sawMarker = true
+          if (autoInc.isDefined)
+            throw new GraftParseException(
+              s"CREATE TABLE $db.$t declares AUTO_INCREMENT twice " +
+                s"(${autoInc.get}, $name) — at most one column")
+          autoInc = Some(name)
+        }
         // DEFAULT is valid Spark DDL too, so it never claims the statement
         if (c.tryKw("DEFAULT")) defaults += (name -> c.str())
         cols += ColumnSpec(name, ts.dt, isKey = false, nullable = nullable,
@@ -897,7 +909,7 @@ object GraftSqlParser {
       if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
       Some(CreateTable(db, t, cols.result(), keysType, keyCols,
         partBy, parts, bucketType, bucketCol, numBuckets, props,
-        defaults.result()))
+        defaults.result(), autoInc))
     } catch {
       // pre-marker failure = not our grammar (Spark tails, Spark types,
       // column COMMENTs...) → delegate; post-marker = a malformed graft
