@@ -319,6 +319,19 @@ final case class TableDef(
     // ANALYZE-grade statistics that stay fresh with every load instead of
     // going stale between ANALYZE runs
     ndvStatsColumns: Seq[String] = Nil,
+    // GENERATED columns (Doris `col TYPE AS (expr)`): declared columns whose
+    // value is a pure function of the OTHER columns, computed by the engine
+    // at every write — ingest drops any supplied value and recomputes (the
+    // definition is the truth; derived state is engine-owned, so an UPDATE
+    // to a source column automatically refreshes it, and a stale or forged
+    // value can never be loaded). The expression may reference only
+    // non-generated declared columns and must be deterministic (validated
+    // at createTable by analyzing it against the declared schema). Fills
+    // happen BEFORE routing, so a generated column works as the partition
+    // or bucket key — derive the day from a timestamp and partition on it.
+    // Incompatible with partialUpdate (omitted source columns would
+    // recompute from "not set" NULLs and silently overwrite).
+    generatedColumns: Map[String, String] = Map.empty,
     // AUTO_INCREMENT column (Doris `BIGINT ... AUTO_INCREMENT`): rows that
     // arrive with the column NULL (or absent) get unique increasing ids
     // allocated from a per-table counter persisted in the manifest —
@@ -371,6 +384,20 @@ final case class TableDef(
   require(ndvStatsColumns.forall(c => schema.columns.exists(_.name == c)),
     s"ndv_stats_columns names unknown columns on $db.$name: " +
       ndvStatsColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  require(generatedColumns.keySet.forall(c => schema.columns.exists(_.name == c)),
+    s"generated columns name unknown columns on $db.$name: " +
+      generatedColumns.keySet.filterNot(c => schema.columns.exists(_.name == c))
+        .mkString(", "))
+  require(!(generatedColumns.nonEmpty && partialUpdate),
+    s"generated columns and partial_update cannot combine on $db.$name: " +
+      "partial loads' omitted source columns would recompute from NULL")
+  require(generatedColumns.keySet.forall(c => !sequenceColumn.contains(c)),
+    s"the sequence column cannot be generated on $db.$name")
+  require(generatedColumns.keySet.forall(c => !autoIncrementColumn.contains(c)),
+    s"an AUTO_INCREMENT column cannot also be generated on $db.$name")
+  require(generatedColumns.keySet.forall(c => !columnDefaults.contains(c)),
+    s"a generated column cannot carry a DEFAULT on $db.$name " +
+      "(the expression always computes it)")
   autoIncrementColumn.foreach { c =>
     val spec = schema.columns.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
@@ -513,7 +540,10 @@ object CatalogStore {
       "columnDefaults" -> (if (td.columnDefaults.isEmpty) JNothing
         else JObject(td.columnDefaults.toList.sortBy(_._1).map {
           case (c, v) => c -> (JString(v): JValue) })),
-      "autoIncrementColumn" -> jOpt(td.autoIncrementColumn))
+      "autoIncrementColumn" -> jOpt(td.autoIncrementColumn),
+      "generatedColumns" -> (if (td.generatedColumns.isEmpty) JNothing
+        else JObject(td.generatedColumns.toList.sortBy(_._1).map {
+          case (c, e) => c -> (JString(e): JValue) })))
   }
 
   def fromJson(j: JValue): TableDef = {
@@ -600,7 +630,11 @@ object CatalogStore {
         case JObject(fs) => fs.collect { case (c, JString(v)) => c -> v }.toMap
         case _ => Map.empty
       },
-      autoIncrementColumn = (j \ "autoIncrementColumn").extractOpt[String])
+      autoIncrementColumn = (j \ "autoIncrementColumn").extractOpt[String],
+      generatedColumns = (j \ "generatedColumns") match {
+        case JObject(fs) => fs.collect { case (c, JString(e)) => c -> e }.toMap
+        case _ => Map.empty
+      })
   }
 }
 

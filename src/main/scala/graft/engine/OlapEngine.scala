@@ -262,6 +262,33 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       require(!casted.isNullAt(0),
         s"default '$v' does not cast to ${dt.sql} for ${td.qualified}.$c")
     }
+    // GENERATED columns validate at CREATE, not at first load: each
+    // expression must parse, reference only non-generated declared columns,
+    // analyze against the declared schema (function/type errors surface
+    // here), and be deterministic (a rand()-derived column would break the
+    // recompute-equals-stored contract compaction and UPDATE rely on)
+    if (td.generatedColumns.nonEmpty) {
+      val sources = td.schema.columns
+        .filterNot(c => td.generatedColumns.contains(c.name))
+      val sourceNames = sources.map(_.name)
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(sources.map(_.toStructField)))
+      td.generatedColumns.foreach { case (c, exprSql) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }.distinct
+        val bad = refs.filterNot(sourceNames.contains)
+        require(bad.isEmpty,
+          s"generated column ${td.qualified}.$c references " +
+            s"${bad.mkString(", ")} — only non-generated declared columns " +
+            "may appear (generated-on-generated chains are not supported)")
+        val analyzed = probe.select(expr(exprSql).as(c)) // loud on bad fns/types
+        require(analyzed.queryExecution.analyzed.expressions.forall(_.deterministic),
+          s"generated column ${td.qualified}.$c must be deterministic: $exprSql")
+      }
+    }
     val created = catalog.createTable(td)
     Files.createDirectories(tableRoot(td.db, td.name))
     manifest(td.db, td.name) // init manifest
@@ -792,10 +819,20 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       s"load groups are not defined for dynamic-partition tables " +
         s"(${td.qualified} has autoPartition/autoExpireKeep): partition " +
         "minting and expiry are catalog edits that cannot stage")
-    // AUTO_INCREMENT fill first (before any pre-aggregation): rows with the
+    // GENERATED columns compute first — ingest DROPS any supplied value and
+    // recomputes from the source columns (derived state is engine-owned:
+    // the definition is the truth, so compaction-style rewrites, UPDATEs to
+    // source columns, and tombstone null-fills all stay consistent without
+    // special-casing). Cast to the declared type so the expression's
+    // natural type never drifts the physical schema.
+    val df0 = td.generatedColumns.foldLeft(df) { case (acc, (c, exprSql)) =>
+      val dt = td.schema.columns.find(_.name == c).get.dataType
+      acc.drop(c).withColumn(c, expr(exprSql).cast(dt))
+    }
+    // AUTO_INCREMENT fill next (before any pre-aggregation): rows with the
     // column NULL/absent get ids from the manifest's reserved block
-    val df1 = td.autoIncrementColumn.fold(df)(c =>
-      fillAutoIncrement(db, table, df, c))
+    val df1 = td.autoIncrementColumn.fold(df0)(c =>
+      fillAutoIncrement(db, table, df0, c))
     val input =
       if (td.schema.keysType == KeysType.Aggregate &&
           td.schema.valueColumns.exists(_.agg == AggType.HllUnion))
@@ -1439,6 +1476,9 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         s"UPDATE ${td.qualified}: refusing to rewrite sequence column " +
           s"'$name' (it arbitrates latest-wins; rewriting it mid-history " +
           "can resurrect older records)")
+      require(!td.generatedColumns.contains(name),
+        s"UPDATE ${td.qualified}: '$name' is generated — it recomputes " +
+          "from its source columns; SET those instead")
       val unknown = refsOf(rhs).filterNot(declared.contains)
       require(unknown.isEmpty,
         s"UPDATE ${td.qualified}: SET $name references unknown columns: " +

@@ -154,6 +154,24 @@ object EngineFixture {
       aiEv.filter(col("event_id") > aiMax / 2).withColumn("batch", lit(2L)),
       Some(Version(2, 2)))
 
+    // --- events_gen: GENERATED columns, created through the SQL face --------
+    // Both derived columns are engine-computed at ingest (the load supplies
+    // only event_id/value); q246's oracle recomputes the expressions from
+    // raw rows, so a skipped fill, a wrong cast, or a loaded forged value
+    // all flip the digest.
+    graft.sql.GraftSql.exec(spark, eng, graft.sql.GraftSqlParser.parse(
+      """CREATE TABLE graft.events_gen (
+        |  event_id BIGINT, value DOUBLE,
+        |  vclass VARCHAR(8) AS (CASE WHEN value < 50 THEN 'low'
+        |                             WHEN value < 100 THEN 'mid'
+        |                             ELSE 'high' END),
+        |  vbucket BIGINT AS (CAST(floor(value / 50.0) AS BIGINT))
+        |) DUPLICATE KEY (event_id)
+        |DISTRIBUTED BY HASH(event_id) BUCKETS 2""".stripMargin).get).collect()
+    eng.ingest("graft", "events_gen",
+      Tables.events(spark, sfDir).select(col("event_id"), col("value")),
+      Some(Version(1, 1)))
+
     // --- events_bloom: INTERLEAVED loads → rowset BLOOM prunes point reads --
     // Three MVCC loads split by event_id % 3, so every load spans the whole
     // id range — zone maps overlap completely and can never separate them.
@@ -1139,6 +1157,22 @@ object EngineQueries {
         min(when(col("batch") === 2L, col("row_id")))).as("batch_ordered"))
   }
 
+  /** q246: GENERATED columns (Doris `col TYPE AS (expr)`) — the table was
+    * created through the SQL face and loaded WITHOUT the two derived
+    * columns; the engine computed them at ingest (and always recomputes:
+    * supplied values can never be loaded). The oracle rebuilds both
+    * expressions from raw rows; grouping on one derived column and
+    * aggregating the other makes the digest sensitive to every fill.
+    */
+  def generatedColumnScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "events_gen")
+      .groupBy(col("vclass"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vbucket")).cast("long").as("sum_bucket"),
+        sum(col("event_id")).cast("long").as("sum_id"))
+  }
+
   /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
     * partition-grain sibling of q223's serves. Each footer harvest also
     * attributed its rows to hive partition directories
@@ -1676,6 +1710,7 @@ object EngineQueries {
     "q243_sql_update" -> sqlUpdateScan _,
     "q244_insert_overwrite" -> insertOverwriteScan _,
     "q245_auto_increment" -> autoIncrementContracts _,
+    "q246_generated_column" -> generatedColumnScan _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1828,6 +1863,15 @@ object EngineQueries {
         |  CAST(1 AS BIGINT) AS min_id, count(*) AS max_id,
         |  true AS batch_ordered
         |FROM events""".stripMargin,
+    // q246: the oracle rebuilds both generated-column expressions from raw
+    // rows — the engine served them from physically stored fills
+    "q246_generated_column" ->
+      """SELECT CASE WHEN value < 50 THEN 'low'
+        |            WHEN value < 100 THEN 'mid' ELSE 'high' END AS vclass,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value / 50.0) AS BIGINT)) AS BIGINT) AS sum_bucket,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

@@ -317,15 +317,11 @@ object GraftSql {
       case InsertInto(db, t, query) =>
         val td = eng.catalog.getTable(db, t).getOrElse(
           throw new NoSuchElementException(s"no table $db.$t"))
-        val df = spark.sql(query)
-        val want = td.schema.columns.map(_.name)
-        require(df.columns.length == want.length,
-          s"INSERT INTO $db.$t: query yields ${df.columns.length} columns, " +
-            s"table declares ${want.length} (${want.mkString(", ")})")
         // positional alignment, the classic INSERT contract; engine-side
         // conform() owns type validation/casts. An open BEGIN LOAD GROUP
         // stages the load (invisible until COMMIT LOAD GROUP).
-        rowsetDf(spark, eng.ingest(db, t, df.toDF(want: _*),
+        rowsetDf(spark, eng.ingest(db, t,
+          alignInsert(spark, td, query, s"INSERT INTO $db.$t"),
           group = activeGroup.get(spark)))
 
       case InsertOverwrite(db, t, parts, query) =>
@@ -337,12 +333,8 @@ object GraftSql {
           s"INSERT OVERWRITE $db.$t inside an open load group is not " +
             "defined: the overwrite commits its own atomic mask+load " +
             "group — commit or abort the open group first")
-        val df = spark.sql(query)
-        val want = td.schema.columns.map(_.name)
-        require(df.columns.length == want.length,
-          s"INSERT OVERWRITE $db.$t: query yields ${df.columns.length} " +
-            s"columns, table declares ${want.length} (${want.mkString(", ")})")
-        rowsetDf(spark, eng.overwrite(db, t, df.toDF(want: _*), parts))
+        rowsetDf(spark, eng.overwrite(db, t,
+          alignInsert(spark, td, query, s"INSERT OVERWRITE $db.$t"), parts))
 
       case DeleteFrom(db, t, predicate) =>
         rowsetDf(spark,
@@ -629,9 +621,10 @@ object GraftSql {
     val cols = td.schema.columns.map { c =>
       val agg = if (!c.isKey && c.agg != AggType.None) " " + c.agg.name else ""
       val nn = if (!c.isKey && !c.nullable) " NOT NULL" else ""
+      val gen = td.generatedColumns.get(c.name).fold("")(e => s" AS ($e)")
       val ai = if (td.autoIncrementColumn.contains(c.name)) " AUTO_INCREMENT" else ""
       val dflt = td.columnDefaults.get(c.name).fold("")(v => s" DEFAULT ${sq(v)}")
-      s"  ${c.name} ${typeSql(c)}$agg$nn$ai$dflt"
+      s"  ${c.name} ${typeSql(c)}$gen$agg$nn$ai$dflt"
     }.mkString(",\n")
     val model = s"${td.schema.keysType.name} KEY (${td.schema.keyNames.mkString(", ")})"
     val partClause = td.policy match {
@@ -692,6 +685,30 @@ object GraftSql {
 
   // ---- CreateTable → TableDef ----------------------------------------------
 
+  /** Positionally align an INSERT query's output to the declared columns.
+    * Tables with GENERATED columns accept the non-generated width (the
+    * engine computes the rest); full width is also accepted, but the
+    * engine recomputes generated values regardless — a supplied value can
+    * never be loaded.
+    */
+  private def alignInsert(spark: SparkSession, td: TableDef, query: String,
+                          what: String): DataFrame = {
+    val df = spark.sql(query)
+    val want = td.schema.columns.map(_.name)
+    val nonGen = want.filterNot(td.generatedColumns.contains)
+    if (nonGen.length != want.length && df.columns.length == nonGen.length)
+      df.toDF(nonGen: _*)
+    else {
+      require(df.columns.length == want.length,
+        s"$what: query yields ${df.columns.length} columns, table declares " +
+          s"${want.length} (${want.mkString(", ")})" +
+          (if (nonGen.length != want.length)
+            s" — or ${nonGen.length} omitting the generated columns"
+          else ""))
+      df.toDF(want: _*)
+    }
+  }
+
   private def toTableDef(ct: CreateTable): TableDef = {
     val keySet = ct.keyColumns.toSet
     val unknownKeys = keySet -- ct.columns.map(_.name).toSet
@@ -724,6 +741,7 @@ object GraftSql {
     ct.properties.foreach { case (k, v) => td = applyProperty(td, k, v) }
     if (ct.defaults.nonEmpty) td = td.copy(columnDefaults = ct.defaults)
     ct.autoIncrement.foreach(c => td = td.copy(autoIncrementColumn = Some(c)))
+    if (ct.generated.nonEmpty) td = td.copy(generatedColumns = ct.generated)
     td
   }
 

@@ -42,7 +42,10 @@ object GraftStatement {
       // backfill for pre-column rowsets, ingest fill for omitting loads
       defaults: Map[String, String] = Map.empty,
       // Doris `BIGINT ... AUTO_INCREMENT` column marker (at most one)
-      autoIncrement: Option[String] = None) extends GraftStatement
+      autoIncrement: Option[String] = None,
+      // Doris generated columns (`col TYPE AS (expr)`): raw Spark-SQL
+      // expression text, engine-computed at every write
+      generated: Map[String, String] = Map.empty) extends GraftStatement
   /** INSERT INTO db.t <query> — the query tail is raw Spark SQL, executed
     * by the session and ingested as one load (one MVCC version).
     */
@@ -293,6 +296,29 @@ object GraftSqlParser {
     /** `db.t` qualified name. */
     def qname(): (String, String) = {
       val a = ident(); sym('.'); val b = ident(); (a, b)
+    }
+    /** Consume a parenthesized RAW text region: the current token must be
+      * '('; returns the original text between it and its MATCHING ')'
+      * (string literals already hide their parens from the tokenizer),
+      * leaving the cursor past the ')'. For expression tails whose grammar
+      * belongs to Spark — generated-column definitions.
+      */
+    def rawParen(): String = peek match {
+      case Some(Sym('(', open)) =>
+        var depth = 0
+        var j = i
+        while (j < toks.length) {
+          toks(j) match {
+            case Sym('(', _) => depth += 1
+            case Sym(')', p) =>
+              depth -= 1
+              if (depth == 0) { i = j + 1; return text.substring(open + 1, p).trim }
+            case _ => ()
+          }
+          j += 1
+        }
+        fail("unbalanced parentheses in expression")
+      case t => fail(s"expected '(', got ${describe(t)}")
     }
     def end(): Unit =
       if (!atEnd && !trySemicolonEnd()) fail(s"trailing input: ${describe(peek)}")
@@ -802,11 +828,18 @@ object GraftSqlParser {
       // column list (an aggregate marker like `cost BIGINT SUM` is graft-only)
       val cols = Seq.newBuilder[ColumnSpec]
       val defaults = Map.newBuilder[String, String]
+      val generated = Map.newBuilder[String, String]
       var autoInc: Option[String] = None
       var done = false
       while (!done) {
         val name = c.ident()
         val ts = parseType(c)
+        // generated column (`col TYPE AS (expr)`) — graft-only: Spark DDL
+        // has no per-column AS; the expression tail is raw Spark SQL
+        if (c.tryKw("AS")) {
+          sawMarker = true
+          generated += (name -> c.rawParen())
+        }
         val agg = parseAggMarker(c)
         if (agg.isDefined) sawMarker = true
         var nullable = true
@@ -909,7 +942,7 @@ object GraftSqlParser {
       if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
       Some(CreateTable(db, t, cols.result(), keysType, keyCols,
         partBy, parts, bucketType, bucketCol, numBuckets, props,
-        defaults.result(), autoInc))
+        defaults.result(), autoInc, generated.result()))
     } catch {
       // pre-marker failure = not our grammar (Spark tails, Spark types,
       // column COMMENTs...) → delegate; post-marker = a malformed graft
