@@ -319,6 +319,18 @@ final case class TableDef(
     // ANALYZE-grade statistics that stay fresh with every load instead of
     // going stale between ANALYZE runs
     ndvStatsColumns: Seq[String] = Nil,
+    // LOW-CARDINALITY columns carrying a per-rowset VALUE HISTOGRAM sidecar
+    // ([[graft.manifest.DictStats]]): each data write runs one delta-sized
+    // exact groupBy-count over its OWN rows and stores the (value → count)
+    // map (refused past 1024 distinct values — absent, never truncated), so
+    // a plain `GROUP BY c, count(*)` over the full snapshot answers from a
+    // driver-side fold with ZERO files read (OlapEngine.groupCounts +
+    // StatsAggRewrite's grouped path). The grouped completion of the
+    // metadata-serve family beside zone maps (MIN/MAX), sum stats
+    // (SUM/AVG), and row counts (COUNT). String/integral/date/boolean only:
+    // the sidecar stores values in Spark's string form, which must be
+    // injective to reconstruct groups exactly.
+    dictStatsColumns: Seq[String] = Nil,
     // GENERATED columns (Doris `col TYPE AS (expr)`): declared columns whose
     // value is a pure function of the OTHER columns, computed by the engine
     // at every write — ingest drops any supplied value and recomputes (the
@@ -384,6 +396,22 @@ final case class TableDef(
   require(ndvStatsColumns.forall(c => schema.columns.exists(_.name == c)),
     s"ndv_stats_columns names unknown columns on $db.$name: " +
       ndvStatsColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  require(dictStatsColumns.forall(c => schema.columns.exists(_.name == c)),
+    s"dict_stats_columns names unknown columns on $db.$name: " +
+      dictStatsColumns.filterNot(c => schema.columns.exists(_.name == c)).mkString(", "))
+  require(dictStatsColumns.forall(c => schema.columns.find(_.name == c).forall(s =>
+    s.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })),
+    s"dict_stats_columns must be string/integral/date/boolean on $db.$name " +
+      "(the histogram's string form must reconstruct values exactly)")
   require(generatedColumns.keySet.forall(c => schema.columns.exists(_.name == c)),
     s"generated columns name unknown columns on $db.$name: " +
       generatedColumns.keySet.filterNot(c => schema.columns.exists(_.name == c))
@@ -540,6 +568,8 @@ object CatalogStore {
       "columnDefaults" -> (if (td.columnDefaults.isEmpty) JNothing
         else JObject(td.columnDefaults.toList.sortBy(_._1).map {
           case (c, v) => c -> (JString(v): JValue) })),
+      "dictStatsColumns" -> (if (td.dictStatsColumns.isEmpty) JNothing
+        else JArray(td.dictStatsColumns.toList.map(JString(_): JValue))),
       "autoIncrementColumn" -> jOpt(td.autoIncrementColumn),
       "generatedColumns" -> (if (td.generatedColumns.isEmpty) JNothing
         else JObject(td.generatedColumns.toList.sortBy(_._1).map {
@@ -629,6 +659,10 @@ object CatalogStore {
       columnDefaults = (j \ "columnDefaults") match {
         case JObject(fs) => fs.collect { case (c, JString(v)) => c -> v }.toMap
         case _ => Map.empty
+      },
+      dictStatsColumns = (j \ "dictStatsColumns") match {
+        case JArray(vs) => vs.collect { case JString(c) => c }
+        case _ => Nil
       },
       autoIncrementColumn = (j \ "autoIncrementColumn").extractOpt[String],
       generatedColumns = (j \ "generatedColumns") match {

@@ -520,11 +520,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         case "ndv_stats_columns" =>
           td = td.copy(ndvStatsColumns =
             v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "dict_stats_columns" =>
+          td = td.copy(dictStatsColumns =
+            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case other => throw new IllegalArgumentException(
           s"table property '$other' is not alterable after CREATE " +
             "(alterable: retention, varchar_mode, dynamic_partition.keep, " +
             "bloom_filter_columns, sum_stats_columns, ngram_bf_columns, " +
-            "ndv_stats_columns)")
+            "ndv_stats_columns, dict_stats_columns)")
       }
     }
     catalog.alterTable(td)
@@ -933,6 +936,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
     val ndvs = buildNdvSketches(db, table, outDir, numRows)
+    val dicts = buildDictStats(db, table, outDir, numRows)
     // the write validated and landed: NOW the auto-minted partitions become
     // catalog state — before publish, so the prune rules know the new
     // partitions by the time any reader can see the new rowset
@@ -941,7 +945,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       createdMs = System.currentTimeMillis(), pendingGroup = group,
       stats = colStats, bloomCols = blooms, sums = sums,
       ngramCols = ngrams, keyUnique = mergedOnWrite, ndvCols = ndvs,
-      partRows = partRows)
+      partRows = partRows, dictCols = dicts)
     m.publish(meta)
     // dynamic-partition EXPIRY (the complement of the self-extension above):
     // after the load is visible, retire everything older than the newest
@@ -1962,12 +1966,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         r.ngramCols.sorted.mkString(","),
         r.ndvCols.sorted.mkString(","),
         r.sums.keys.toSeq.sorted.mkString(","),
+        r.dictCols.sorted.mkString(","),
         r.keyUnique)
     }
     spark.createDataFrame(rows).toDF("rowset_id", "version_start",
       "version_end", "num_rows", "num_files", "bytes", "created",
       "stats_cols", "bloom_cols", "ngram_cols", "ndv_cols", "sum_cols",
-      "key_unique")
+      "dict_cols", "key_unique")
   }
 
   /** Metadata-only `count(*)`: for a Duplicate table the row count is the sum
@@ -2135,6 +2140,98 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         System.err.println(s"[graft] WARN ndv sketch build failed for $outDir: $e")
         Nil
     }
+  }
+
+  /** Build one [[graft.manifest.DictStats]] VALUE HISTOGRAM sidecar per
+    * declared dict column for a freshly written rowset dir — one
+    * delta-sized exact groupBy-count over THIS load per column. A column
+    * exceeding [[graft.manifest.DictStats.MaxDistinct]] distinct values in
+    * this rowset writes NO sidecar (absent = unknown; the serve refuses
+    * rather than truncating a histogram). Values store in Spark's string
+    * form — injective for the admitted types — with the physical type
+    * pinned so a later widen can never mis-reconstruct a group. Never
+    * fails a load.
+    */
+  private def buildDictStats(db: String, table: String, outDir: Path,
+      numRows: Long): Seq[String] = {
+    import graft.manifest.DictStats
+    val td = catalog.getTable(db, table).getOrElse(return Nil)
+    if (td.dictStatsColumns.isEmpty || numRows == 0) return Nil
+    val df = try spark.read.parquet(outDir.toString)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+    td.dictStatsColumns.filter(df.columns.contains).flatMap { c =>
+      try {
+        val dt = df.schema(c).dataType
+        // cap+2 fetch detects overflow without a separate distinct count
+        // (+1 for the possible null group, +1 as the overflow sentinel)
+        val grouped = df.groupBy(col(c).cast("string").as("v"))
+          .agg(count(lit(1)).as("n"))
+          .limit(DictStats.MaxDistinct + 2).collect()
+        val nulls = grouped.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
+        val values = grouped.filterNot(_.isNullAt(0))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (values.size > DictStats.MaxDistinct) None
+        else {
+          DictStats.write(outDir, c,
+            DictStats.Dict(dt.catalogString, nulls, values))
+          Some(c)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] WARN dict stats build failed for $outDir/$c: $e")
+          None
+      }
+    }
+  }
+
+  /** Exact GROUP BY counts of a declared dict column over the current
+    * covering set — a driver-side Sum-fold of the per-rowset value
+    * histograms ([[graft.manifest.DictStats]]), zero files opened, zero
+    * tasks. Returns the declared type plus (value-string, count) cells
+    * (None = the null group). At 100 TB, "how many rows per status" costs
+    * a manifest fold.
+    *
+    * Guards (any miss ⇒ None — unknown beats wrong):
+    *  - Duplicate model only (merge models collapse raw rows, so raw
+    *    per-value counts over-count);
+    *  - no delete markers in the covering set;
+    *  - every data rowset carries a histogram for the column under its
+    *    rename-era physical name, with a typeTag matching the DECLARED
+    *    type (stale pre-widen sidecars refuse);
+    *  - the folded mass must equal the covering row count exactly — a
+    *    sidecar/manifest mismatch refuses rather than serving wrong groups;
+    *  - the union stays under 100k cells (driver-memory backstop; at the
+    *    per-rowset cap of 1024 this only trips on pathological drift).
+    */
+  def groupCounts(db: String, table: String, c: String)
+      : Option[(org.apache.spark.sql.types.DataType, Seq[(Option[String], Long)])] = {
+    import graft.manifest.DictStats
+    val td = catalog.getTable(db, table).getOrElse(return None)
+    if (td.schema.keysType != KeysType.Duplicate) return None
+    val spec = td.schema.columns.find(_.name == c).getOrElse(return None)
+    val m = manifest(db, table)
+    val lo = m.visibleRowsets.map(_.version.start).minOption.getOrElse(0L)
+    val covering = m.captureConsistentVersions(lo, m.maxVersion)
+    if (covering.exists(_.isDeleteMarker)) return None
+    val data = covering.filter(_.numRows > 0)
+    if (data.isEmpty) return Some((spec.dataType, Nil))
+    val oldNames = td.renamedColumns.collect { case (o, n) if n == c => o }.toSeq
+    val root = tableRoot(db, table)
+    val total = scala.collection.mutable.HashMap.empty[Option[String], Long]
+    data.foreach { r =>
+      val name = (c +: oldNames).find(r.dictCols.contains).getOrElse(return None)
+      val dir = root.resolve(r.relDir).toAbsolutePath.normalize.toString
+      val d = DictStats.load(dir, name).getOrElse(return None)
+      if (d.typeTag != spec.dataType.catalogString) return None
+      if (d.nulls > 0)
+        total(None) = total.getOrElse(None, 0L) + d.nulls
+      d.counts.foreach { case (v, n) =>
+        total(Some(v)) = total.getOrElse(Some(v), 0L) + n
+      }
+      if (total.size > 100000) return None
+    }
+    if (total.values.sum != data.map(_.numRows).sum) return None
+    Some((spec.dataType, total.toSeq))
   }
 
   /** Approximate distinct count of a declared column over the current
@@ -2888,13 +2985,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
     val ndvs = buildNdvSketches(db, table, outDir, numRows)
+    val dicts = buildDictStats(db, table, outDir, numRows)
     m.markStaleAll(inputs.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
       keyUnique = td.schema.keysType != KeysType.Duplicate,
-      ndvCols = ndvs, partRows = partRows)
+      ndvCols = ndvs, partRows = partRows, dictCols = dicts)
     m.publish(meta)
     // the rewrite ran under the current schema: dropped columns are now
     // physically gone from every live rowset, so their names free up
@@ -2970,6 +3068,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
     val ndvs = buildNdvSketches(db, table, outDir, numRows)
+    val dicts = buildDictStats(db, table, outDir, numRows)
     // routing swap before the manifest swap (see scaladoc ordering argument)
     catalog.alterTable(newTd)
     graft.plans.BucketPruneRewrite.register(graft.plans.BucketPruneRewrite.Entry(
@@ -2983,7 +3082,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
       keyUnique = td.schema.keysType != KeysType.Duplicate,
-      ndvCols = ndvs, partRows = partRows)
+      ndvCols = ndvs, partRows = partRows, dictCols = dicts)
     m.publish(meta)
     autoGc(db, table)
     meta
@@ -3063,13 +3162,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     val ngrams = buildNgramBlooms(db, table, outDir, numRows)
     val sums = harvestSums(db, table, outDir, numRows)
     val ndvs = buildNdvSketches(db, table, outDir, numRows)
+    val dicts = buildDictStats(db, table, outDir, numRows)
     m.markStaleAll(suffix.map(_.rowsetId))
     val meta = RowsetMeta(rowsetId, Version(lo, hi), relDir, numRows,
       createdMs = System.currentTimeMillis(), stats = colStats,
       bloomCols = blooms, sums = sums, ngramCols = ngrams,
       // the merge grouped by key: merge-model outputs hold one record/key
       keyUnique = td.schema.keysType != KeysType.Duplicate,
-      ndvCols = ndvs, partRows = partRows)
+      ndvCols = ndvs, partRows = partRows, dictCols = dicts)
     m.publish(meta)
     autoGc(db, table)
     meta

@@ -99,7 +99,13 @@ final case class RowsetMeta(
     // metadata-served SHOW PARTITIONS row counts (fold across the covering
     // set) — Doris's per-partition row accounting without a scan. Empty
     // means UNKNOWN (pre-stats rowset), never zero.
-    partRows: Map[String, Long] = Map.empty) {
+    partRows: Map[String, Long] = Map.empty,
+    // columns with a VALUE HISTOGRAM sidecar in this rowset's dir (physical
+    // names) — exact (value → count) maps of declared low-cardinality
+    // columns ([[DictStats]]), folded across the covering set to serve
+    // GROUP BY counts from metadata. Same lazy-load/degrade contract as
+    // bloomCols; a column past the distinct-value cap is simply absent.
+    dictCols: Seq[String] = Nil) {
   def isDeleteMarker: Boolean = deletePredicate.isDefined || deletePartition.isDefined
   def isPending: Boolean = pendingGroup.isDefined
 }
@@ -437,8 +443,12 @@ final class TableManifest(
         if (r.partRows.isEmpty) withNdv
         else JObject(withNdv.obj :+ ("partRows" -> (JObject(r.partRows.toList
           .sortBy(_._1).map { case (p, n) => p -> (JLong(n): JValue) }): JValue)))
-      r.staleMs.fold(withPr)(s =>
-        JObject(withPr.obj :+ ("staleMs" -> (JLong(s): JValue))))
+      val withDict =
+        if (r.dictCols.isEmpty) withPr
+        else JObject(withPr.obj :+ ("dicts" ->
+          (JArray(r.dictCols.toList.map(JString(_): JValue)): JValue)))
+      r.staleMs.fold(withDict)(s =>
+        JObject(withDict.obj :+ ("staleMs" -> (JLong(s): JValue))))
     }
     val doc = JObject("maxVersion" -> JLong(maxVersionV),
       "gcFloorMs" -> JLong(gcFloorV), "autoIdNext" -> JLong(autoIdNextV),
@@ -497,6 +507,10 @@ final class TableManifest(
             case JObject(fields) => fields.map { case (p, v) =>
               p -> v.extract[Long] }.toMap
             case _ => Map.empty[String, Long]
+          },
+          (j \ "dicts") match {
+            case JArray(vs) => vs.collect { case JString(c) => c }
+            case _ => Nil
           })
         rowsets(r.rowsetId) = r
         idGen.updateAndGet(cur => math.max(cur, r.rowsetId))

@@ -1,8 +1,6 @@
 package graft.manifest
 
-import java.io.{DataInputStream, DataOutputStream}
-import java.nio.file.{Files, Path}
-import scala.collection.concurrent.TrieMap
+import java.nio.file.Path
 import scala.util.control.NonFatal
 
 /** Per-(rowset, column) NDV sketch sidecar — DataSketches HLL bytes produced
@@ -22,46 +20,23 @@ import scala.util.control.NonFatal
 object NdvSketch {
   private val Magic = 0x474e4456 // "GNDV"
 
-  private def sidecar(dir: Path, column: String): Path =
-    dir.resolve("_ndv_" +
-      java.net.URLEncoder.encode(column, "UTF-8") + ".gndv")
+  private val Prefix = "ndv"
+  private val Ext = ".gndv"
 
-  def write(dir: Path, column: String, sketch: Array[Byte]): Unit = {
-    val out = new DataOutputStream(Files.newOutputStream(sidecar(dir, column)))
-    try {
-      out.writeInt(Magic); out.writeInt(1)
+  def write(dir: Path, column: String, sketch: Array[Byte]): Unit =
+    Sidecar.write(Sidecar.path(dir, Prefix, column, Ext), Magic) { out =>
       out.writeInt(sketch.length); out.write(sketch)
-    } finally out.close()
-  }
+    }
 
-  private val cache = TrieMap.empty[String, Option[Array[Byte]]]
-  private val CacheCap = 1024
+  private val cache = new Sidecar.Cache[Array[Byte]](1024)
 
-  def load(dir: String, column: String): Option[Array[Byte]] = {
-    val p = sidecar(java.nio.file.Paths.get(dir), column)
-    val key = p.toString
-    cache.getOrElse(key, {
-      if (cache.size >= CacheCap) cache.clear()
-      val loaded =
-        try {
-          if (!Files.isRegularFile(p)) None
-          else {
-            val in = new DataInputStream(Files.newInputStream(p))
-            try {
-              if (in.readInt() != Magic || in.readInt() != 1) None
-              else {
-                val n = in.readInt()
-                val bytes = new Array[Byte](n)
-                in.readFully(bytes)
-                Some(bytes)
-              }
-            } finally in.close()
-          }
-        } catch { case NonFatal(_) => None }
-      cache.putIfAbsent(key, loaded)
-      loaded
-    })
-  }
+  def load(dir: String, column: String): Option[Array[Byte]] =
+    cache.get(dir, Prefix, column, Ext, Magic) { in =>
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      bytes
+    }
 
   /** Union estimates driver-side via the DataSketches API — the same
     * library `hll_sketch_agg` serialized with, so heapify/union are exact

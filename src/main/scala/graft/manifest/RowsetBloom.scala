@@ -1,9 +1,6 @@
 package graft.manifest
 
-import java.io.{DataInputStream, DataOutputStream}
-import java.nio.file.{Files, Path}
-import scala.collection.concurrent.TrieMap
-import scala.util.control.NonFatal
+import java.nio.file.Path
 
 /** Rowset-level BLOOM skipping index — the equality twin of the zone maps
   * ([[StatsHarvest]]): the reference builds a write-only bloom index at the
@@ -95,56 +92,29 @@ object RowsetBloom {
     */
   val NgramSize = 3
 
-  private def sidecar(dir: Path, column: String, kind: String): Path =
-    dir.resolve("_" + kind + "_" +
-      java.net.URLEncoder.encode(column, "UTF-8") + ".gblm")
+  private val Ext = ".gblm"
 
   def write(dir: Path, column: String, b: RowsetBloom,
-      kind: String = KindBloom): Unit = {
-    val out = new DataOutputStream(java.nio.file.Files.newOutputStream(
-      sidecar(dir, column, kind)))
-    try {
-      out.writeInt(Magic); out.writeInt(1)
+      kind: String = KindBloom): Unit =
+    Sidecar.write(Sidecar.path(dir, kind, column, Ext), Magic) { out =>
       out.writeInt(b.k); out.writeUTF(b.typeTag)
       out.writeInt(b.bits.length)
       b.bits.foreach(out.writeLong)
-    } finally out.close()
-  }
+    }
 
-  // Bounded per-JVM cache: sidecars are immutable (rowsets never mutate), so
-  // a loaded bloom is valid forever, but at up to 2 MB each an unbounded map
-  // over thousands of rowsets would eat the driver — evict wholesale past the
-  // cap and refill on demand. None (unreadable/missing/GC'd) caches too:
-  // the prune rule simply never prunes on it.
-  private val cache = TrieMap.empty[String, Option[RowsetBloom]]
-  private val CacheCap = 256
+  // Bounded per-JVM cache ([[Sidecar.Cache]]): at up to 2 MB per bloom an
+  // unbounded map over thousands of rowsets would eat the driver, so the
+  // cap is deliberately the smallest of the sidecar families.
+  private val cache = new Sidecar.Cache[RowsetBloom](256)
 
   def load(dir: String, column: String,
-      kind: String = KindBloom): Option[RowsetBloom] = {
-    val p = sidecar(java.nio.file.Paths.get(dir), column, kind)
-    val key = p.toString
-    cache.getOrElse(key, {
-      if (cache.size >= CacheCap) cache.clear()
-      val loaded =
-        try {
-          if (!Files.isRegularFile(p)) None
-          else {
-            val in = new DataInputStream(Files.newInputStream(p))
-            try {
-              if (in.readInt() != Magic || in.readInt() != 1) None
-              else {
-                val k = in.readInt(); val tag = in.readUTF()
-                val n = in.readInt()
-                val bits = Array.fill(n)(in.readLong())
-                Some(new RowsetBloom(k, bits, tag))
-              }
-            } finally in.close()
-          }
-        } catch { case NonFatal(_) => None }
-      cache.putIfAbsent(key, loaded)
-      loaded
-    })
-  }
+      kind: String = KindBloom): Option[RowsetBloom] =
+    cache.get(dir, kind, column, Ext, Magic) { in =>
+      val k = in.readInt(); val tag = in.readUTF()
+      val n = in.readInt()
+      val bits = Array.fill(n)(in.readLong())
+      new RowsetBloom(k, bits, tag)
+    }
 
   /** Test hook: drop every cached bloom (cache correctness is re-provable). */
   def clearCache(): Unit = cache.clear()

@@ -62,10 +62,17 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
           logWarning(s"stats-agg rewrite bailed: $e"); agg }
     }
 
-  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.nonEmpty) return None
-    val scan = ScanMatch.baseScan(agg.child).getOrElse(return None)
-    // any residual filter restricts rows — zone maps describe the WHOLE set
+  /** Shared precondition of every metadata serve: the plan subtree must
+    * reduce to EXACTLY the table's current covering data directories — no
+    * filters, no stale/partial snapshots, renames only the engine's own
+    * era projections, Duplicate model, no delete markers.
+    */
+  private final case class Matched(eng: OlapEngine, db: String, table: String,
+      totalRows: Long)
+
+  private def matchScan(child: LogicalPlan): Option[Matched] = {
+    val scan = ScanMatch.baseScan(child).getOrElse(return None)
+    // any residual filter restricts rows — the stats describe the WHOLE set
     if (scan.filters.nonEmpty) return None
     if (scan.leafPaths.isEmpty) return None
     val parents = scan.leafPaths
@@ -88,7 +95,13 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
     val expect = data.map(r =>
       eng.tableRoot(db, table).resolve(r.relDir).toAbsolutePath.normalize.toString).toSet
     if (scan.leafPaths != expect) return None
-    val totalRows = data.map(_.numRows).sum
+    Some(Matched(eng, db, table, data.map(_.numRows).sum))
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return rewriteGrouped(agg)
+    val Matched(eng, db, table, totalRows) =
+      matchScan(agg.child).getOrElse(return None)
 
     def internalLit(dt: DataType, v: Option[String]): Option[Literal] = v match {
       case None => Some(Literal(null, dt))
@@ -157,5 +170,71 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     Some(Project(served, OneRowRelation()))
+  }
+
+  /** Convert a histogram cell's string form back to the column's INTERNAL
+    * value — exact for the types `dict_stats_columns` admits (the string
+    * form is injective there by the TableDef type guard).
+    */
+  private def dictInternal(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case StringType => Some(UTF8String.fromString(s))
+      case LongType => Some(s.toLong)
+      case IntegerType => Some(s.toInt)
+      case ShortType => Some(s.toShort)
+      case ByteType => Some(s.toByte)
+      case BooleanType => Some(s.toBoolean)
+      case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The GROUPED metadata serve: `SELECT c, count(*) FROM t GROUP BY c`
+    * over a declared dict column replaces the whole Aggregate with a
+    * LocalRelation folded from the per-rowset value histograms
+    * ([[OlapEngine.groupCounts]]) — the scan disappears. Servable outputs:
+    * the grouping column itself, COUNT(*)/COUNT(1), and COUNT(c) of the
+    * grouping column (its null group counts 0). Anything else — another
+    * column's aggregate, expressions over the group key, DISTINCT — bails
+    * to the scan, which is always correct.
+    */
+  private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val gattr = agg.groupingExpressions match {
+      case Seq(a: AttributeReference) => a
+      case _ => return None
+    }
+    val Matched(eng, db, table, _) = matchScan(agg.child).getOrElse(return None)
+    val (dt, cells) = eng.groupCounts(db, table, gattr.name).getOrElse(return None)
+    if (dt != gattr.dataType) return None
+    // convert every cell's group value up front; any failure bails whole
+    val conv: Seq[(Any, Long)] = cells.map { case (v, n) =>
+      (v match {
+        case Some(s) => dictInternal(dt, s).getOrElse(return None)
+        case None => null
+      }, n)
+    }
+    // one value-maker per output expression
+    val makers: Seq[(Any, Long) => Any] = agg.aggregateExpressions.map {
+      case a: AttributeReference if a.exprId == gattr.exprId =>
+        (v: Any, _: Long) => v
+      case al: Alias => al.child match {
+        case a: AttributeReference if a.exprId == gattr.exprId =>
+          (v: Any, _: Long) => v
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(l: Literal)) if l.value != null =>
+              (_: Any, n: Long) => n
+            case Count(Seq(a: AttributeReference)) if a.exprId == gattr.exprId =>
+              (v: Any, n: Long) => if (v == null) 0L else n
+            case _ => return None
+          }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val rows = conv.map { case (v, n) =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(makers.map(mk => mk(v, n)))
+    }
+    Some(org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      agg.output, rows))
   }
 }

@@ -154,6 +154,25 @@ object EngineFixture {
       aiEv.filter(col("event_id") > aiMax / 2).withColumn("batch", lit(2L)),
       Some(Version(2, 2)))
 
+    // --- events_dict: VALUE HISTOGRAM sidecars → metadata-served GROUP BY ---
+    // Two parity-split loads, each building an exact (event_type → count)
+    // histogram sidecar at write time; q247's plain groupBy-count is
+    // REQUIREd to serve from the driver-side fold with ZERO relations in
+    // the plan (StatsAggRewrite's grouped path).
+    eng.createTable(TableDef(
+      db = "graft", name = "events_dict", schema = TableSchema(KeysType.Duplicate,
+        Seq(ColumnSpec.key("event_id", LongType),
+          ColumnSpec.value("event_type", StringType),
+          ColumnSpec.value("value", DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 2,
+      dictStatsColumns = Seq("event_type")))
+    val dictEv = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    eng.ingest("graft", "events_dict", dictEv.filter(col("event_id") % 2 === 0),
+      Some(Version(1, 1)))
+    eng.ingest("graft", "events_dict", dictEv.filter(col("event_id") % 2 === 1),
+      Some(Version(2, 2)))
+
     // --- events_gen: GENERATED columns, created through the SQL face --------
     // Both derived columns are engine-computed at ingest (the load supplies
     // only event_id/value); q246's oracle recomputes the expressions from
@@ -1173,6 +1192,34 @@ object EngineQueries {
         sum(col("event_id")).cast("long").as("sum_id"))
   }
 
+  /** q247: transparent METADATA GROUP BY — the grouped completion of
+    * q228/q235's serves. events_dict declares `dict_stats_columns`, so each
+    * of its two loads stored an exact per-rowset value histogram; a plain
+    * `GROUP BY event_type, count(*), count(event_type)` DataFrame aggregate
+    * over the full scan is replaced by [[graft.plans.StatsAggRewrite]]'s
+    * grouped path with a LocalRelation folded driver-side — the `require`
+    * pins that the plan reads NO parquet relation. Exactness is guarded,
+    * not hoped-for: the fold cross-checks its total mass against the
+    * manifest row counts, typeTags pin the physical type, and any miss
+    * falls back to the scan. The oracle recomputes the groups from raw
+    * rows. At 100 TB "rows per class" — the commonest dashboard group-by —
+    * costs zero tasks.
+    */
+  def dictGroupByMeta(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val df = eng.scan("graft", "events_dict")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("event_type")).as("n_typed"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.isEmpty,
+      s"q247 must serve the GROUP BY from metadata; plan still reads " +
+        s"${rels.size} relation(s)")
+    df
+  }
+
   /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
     * partition-grain sibling of q223's serves. Each footer harvest also
     * attributed its rows to hive partition directories
@@ -1711,6 +1758,7 @@ object EngineQueries {
     "q244_insert_overwrite" -> insertOverwriteScan _,
     "q245_auto_increment" -> autoIncrementContracts _,
     "q246_generated_column" -> generatedColumnScan _,
+    "q247_dict_groupby_meta" -> dictGroupByMeta _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1871,6 +1919,11 @@ object EngineQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(floor(value / 50.0) AS BIGINT)) AS BIGINT) AS sum_bucket,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1""".stripMargin,
+    // q247: the engine serves the GROUP BY from folded value histograms
+    // (zero relations, plan-asserted); the oracle recomputes from raw rows
+    "q247_dict_groupby_meta" ->
+      """SELECT event_type, count(*) AS n, count(event_type) AS n_typed
         |FROM events GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)

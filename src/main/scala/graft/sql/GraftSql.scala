@@ -138,6 +138,7 @@ object GraftSql {
     StructField("ngram_cols", StringType, nullable = true),
     StructField("ndv_cols", StringType, nullable = true),
     StructField("sum_cols", StringType, nullable = true),
+    StructField("dict_cols", StringType, nullable = true),
     StructField("key_unique", BooleanType, nullable = false)))
 
   val partitionsSchema: StructType = StructType(Seq(
@@ -672,6 +673,8 @@ object GraftSql {
       props += ("ngram_bf_columns" -> td.ngramBloomColumns.mkString(","))
     if (td.ndvStatsColumns.nonEmpty)
       props += ("ndv_stats_columns" -> td.ndvStatsColumns.mkString(","))
+    if (td.dictStatsColumns.nonEmpty)
+      props += ("dict_stats_columns" -> td.dictStatsColumns.mkString(","))
     if (td.mergeOnWrite)
       props += ("enable_unique_key_merge_on_write" -> "true")
     val propClause = {
@@ -786,6 +789,9 @@ object GraftSql {
       // per-rowset NDV sketches for fold-able approximate distinct counts
       case "ndv_stats_columns" =>
         td.copy(ndvStatsColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      // per-rowset value histograms for metadata-served GROUP BY counts
+      case "dict_stats_columns" =>
+        td.copy(dictStatsColumns = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       // Doris's own property name for the Unique merge-on-write mode
       case "enable_unique_key_merge_on_write" =>
         td.copy(mergeOnWrite = v.toBoolean)
