@@ -371,6 +371,87 @@ object StreamingQueries {
       df
     }
 
+  /** Stream-fed dict-stats engines, one per data dir (q248 fixture). */
+  private val streamDictCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** q248: the streaming twin of q247's transparent metadata GROUP BY. The
+    * events table ARRIVES as a 3-file stream; each micro-batch ingests into
+    * a dict-declared Duplicate engine table — every batch's own value
+    * histogram rides its ingest — and after the drain a plain
+    * `GROUP BY event_type, count(*)` over the scan is REQUIREd to serve
+    * from the driver-side histogram fold with ZERO parquet relations in
+    * the plan. One answer, three derivations: the raw-rows oracle (q247's,
+    * VERBATIM), the batch-built fixture (q247), and this stream-fed table.
+    * Exactly-once by the same deterministic-rowset-id discipline as q241.
+    */
+  def streamDictMeta(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.catalog._
+      import graft.model._
+      val ev = graft.queries.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val eng = streamDictCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sdict-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        e.createDatabase("stream")
+        e.createTable(TableDef(
+          db = "stream", name = "events_dict",
+          schema = TableSchema(KeysType.Duplicate, Seq(
+            ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+            ColumnSpec.value("event_type", org.apache.spark.sql.types.StringType),
+            ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+          bucketColumn = Some("event_id"), numBuckets = 2,
+          dictStatsColumns = Seq("event_type")))
+        val sd = Files.createTempDirectory("graft-sdict-stream-")
+        val ckpt = Files.createTempDirectory("graft-sdict-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-sdict-part-")
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val rid = 1000000L + bid
+            val m = e.manifest("stream", "events_dict")
+            if (!m.allRowsets.exists(_.rowsetId == rid)) {
+              deleteRecursively(
+                e.tableRoot("stream", "events_dict").resolve(s"r$rid").toFile)
+              e.ingest("stream", "events_dict", batch,
+                explicitRowsetId = Some(rid)): Unit
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+      graft.GraftExtensions.register(spark)
+      val df = eng.scan("stream", "events_dict")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("event_type")).as("n_typed"))
+      val rels = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      require(rels.isEmpty,
+        s"q248 must serve the stream-fed GROUP BY from metadata; " +
+          s"plan still reads ${rels.size} relation(s)")
+      df
+    }
+
   /** Stream-maintained ANN-index engines, one per data dir (q189 fixture). */
   private val streamAnnCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
@@ -1405,6 +1486,7 @@ object StreamingQueries {
     "q179_stream_count_min" -> ((s: SparkSession, d: String) => streamCountMin(s, d)),
     "q227_stream_quantile" -> ((s: SparkSession, d: String) => streamQuantile(s, d)),
     "q241_stream_sum_meta" -> ((s: SparkSession, d: String) => streamSumMeta(s, d)),
+    "q248_stream_dict_meta" -> ((s: SparkSession, d: String) => streamDictMeta(s, d)),
     "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -1515,6 +1597,10 @@ object StreamingQueries {
     // must serve the same totals as the batch fixture and the raw rows
     "q241_stream_sum_meta" ->
       graft.queries.EngineQueries.oracles("q235_sum_transparent"),
+    // q248: q247's oracle VERBATIM — the stream-fed table's histogram fold
+    // must serve the same groups as the batch fixture and the raw rows
+    "q248_stream_dict_meta" ->
+      graft.queries.EngineQueries.oracles("q247_dict_groupby_meta"),
     // q179: the oracle recomputes every matrix cell from the static events
     // table — the drained stream must equal the batch build exactly
     "q179_stream_count_min" ->
