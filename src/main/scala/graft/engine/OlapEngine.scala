@@ -1346,6 +1346,40 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** EXPORT (Doris `EXPORT TABLE ... TO ...` / `SELECT INTO OUTFILE`): write
+    * the table's MERGED current snapshot — not raw rowsets; tombstones
+    * resolved, delete markers applied, defaults/renames/generated fills
+    * visible exactly as a reader sees them — to an external directory in
+    * parquet/csv/json. The egress half [[backup]] deliberately is not:
+    * backup copies internal rowsets for THIS engine to restore; export
+    * produces files any other system can read. Refuses an existing
+    * destination (an export is a publication, never a silent overwrite).
+    * Distribution shape: one distributed write job, partition-pruned when
+    * scoped (`scanPartitions`), no driver materialization. Returns the
+    * number of data files written.
+    */
+  def exportTable(db: String, table: String, dest: Path,
+                  format: String = "parquet",
+                  partitions: Seq[String] = Nil): Long = {
+    val fmt = format.toLowerCase
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"EXPORT format must be parquet|csv|json; got '$format'")
+    require(!Files.exists(dest),
+      s"EXPORT destination $dest already exists — exports never overwrite")
+    val df =
+      if (partitions.isEmpty) scan(db, table)
+      else scanPartitions(db, table, partitions)
+    val w = df.write.mode("errorifexists")
+    (fmt match {
+      case "csv" => w.option("header", "true").csv _
+      case "json" => w.json _
+      case _ => w.parquet _
+    })(dest.toString)
+    import scala.jdk.CollectionConverters._
+    Files.list(dest).iterator().asScala
+      .count(p => !p.getFileName.toString.startsWith("_")).toLong
+  }
+
   /** INSERT OVERWRITE (Doris `INSERT OVERWRITE [PARTITION (...)]`):
     * atomically replace the whole table — or exactly the named partitions —
     * with `df`. Expressed entirely in the engine's existing vocabulary: a

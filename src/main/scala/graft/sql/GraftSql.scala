@@ -90,6 +90,7 @@ object GraftSql {
     case DeleteFrom(db, t, _)     => eng.catalog.getTable(db, t).isDefined
     case UpdateTable(db, t, _)    => eng.catalog.getTable(db, t).isDefined
     case InsertOverwrite(db, t, _, _) => eng.catalog.getTable(db, t).isDefined
+    case ExportTable(db, t, _, _, _) => eng.catalog.getTable(db, t).isDefined
     case DropTable(db, t)         => eng.catalog.getTable(db, t).isDefined
     case AddColumn(db, t, _, _)   => eng.catalog.getTable(db, t).isDefined
     case DropColumn(db, t, _)     => eng.catalog.getTable(db, t).isDefined
@@ -428,6 +429,12 @@ object GraftSql {
       case Vacuum(db, t) =>
         val deleted = eng.gc(db, t)
         status(spark, "VACUUM", s"$db.$t", s"deleted ${deleted.size} rowsets")
+
+      case ExportTable(db, t, parts, dest, fmt) =>
+        val n = eng.exportTable(db, t, java.nio.file.Paths.get(dest), fmt, parts)
+        status(spark, "EXPORT", s"$db.$t",
+          s"wrote $n $fmt file(s) to $dest" +
+            (if (parts.nonEmpty) s" (partitions ${parts.mkString(", ")})" else ""))
 
       case BackupTable(db, t, dest) =>
         val ids = eng.backup(db, t, java.nio.file.Paths.get(dest))

@@ -77,6 +77,11 @@ object GraftStatement {
       cumulativeAt: Option[Long]) extends GraftStatement
   final case class Vacuum(db: String, table: String) extends GraftStatement
   final case class BackupTable(db: String, table: String, dest: String) extends GraftStatement
+  /** EXPORT TABLE db.t [PARTITION (p, ...)] TO '<dir>' [FORMAT parquet|csv|json]
+    * — merged-snapshot egress (engine `exportTable`).
+    */
+  final case class ExportTable(db: String, table: String,
+      partitions: Seq[String], dest: String, format: String) extends GraftStatement
   final case class RestoreFromBackup(db: String, table: String, src: String) extends GraftStatement
   final case class ShowRowsets(db: String, table: String) extends GraftStatement
   final case class ShowPartitions(db: String, table: String) extends GraftStatement
@@ -428,6 +433,7 @@ object GraftSqlParser {
         case "VACUUM"  => { c.kw("VACUUM"); val (db, t) = c.qname(); c.end()
                             Some(Vacuum(db, t)) }
         case "BACKUP"  => Some(parseBackup(c))
+        case "EXPORT"  => Some(parseExport(c))
         case "TRUNCATE" => attempt {
           c.kw("TRUNCATE"); c.kw("TABLE")
           val save = c.i
@@ -576,6 +582,24 @@ object GraftSqlParser {
     val (db, t) = c.qname()
     c.kw("TO"); val p = c.str(); c.end()
     BackupTable(db, t, p)
+  }
+
+  private def parseExport(c: Cursor): GraftStatement = {
+    c.kw("EXPORT"); c.kw("TABLE")
+    val (db, t) = c.qname()
+    var parts = Seq.empty[String]
+    if (c.tryKw("PARTITION")) {
+      c.sym('(')
+      val ps = Seq.newBuilder[String]
+      ps += c.ident()
+      while (c.trySym(',')) ps += c.ident()
+      c.sym(')')
+      parts = ps.result()
+    }
+    c.kw("TO"); val p = c.str()
+    val fmt = if (c.tryKw("FORMAT")) c.ident() else "parquet"
+    c.end()
+    ExportTable(db, t, parts, p, fmt)
   }
 
   /** DESCRIBE/DESC db.t — two-part names only (one-part and EXTENDED/
