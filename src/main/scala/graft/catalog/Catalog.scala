@@ -412,6 +412,11 @@ final case class TableDef(
     })),
     s"dict_stats_columns must be string/integral/date/boolean on $db.$name " +
       "(the histogram's string form must reconstruct values exactly)")
+  require(dictStatsColumns.isEmpty ||
+      schema.keysType == graft.model.KeysType.Duplicate,
+    s"dict_stats_columns is only defined for Duplicate tables; $db.$name is " +
+      s"${schema.keysType.name} — merge models collapse raw rows, so raw " +
+      "per-value counts can never serve")
   require(generatedColumns.keySet.forall(c => schema.columns.exists(_.name == c)),
     s"generated columns name unknown columns on $db.$name: " +
       generatedColumns.keySet.filterNot(c => schema.columns.exists(_.name == c))

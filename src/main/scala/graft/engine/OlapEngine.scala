@@ -469,12 +469,24 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     require(!td.zorderColumns.exists(z => z._1 == name || z._2 == name),
       s"cannot drop z-order column $name of ${td.qualified}")
     require(td.schema.columns.size > 1, s"cannot drop the last column of ${td.qualified}")
+    // a generated expression's SOURCE cannot be dropped out from under it —
+    // the stored definition would dangle and brick every later load
+    val genHit = td.generatedColumns.collect {
+      case (g, e) if g != name && exprRefs(e).contains(name) => g
+    }
+    require(genHit.isEmpty,
+      s"cannot drop $name of ${td.qualified}: generated column(s) " +
+        s"${genHit.mkString(", ")} derive from it — drop those first")
     catalog.alterTable(td.copy(
       schema = td.schema.copy(columns = td.schema.columns.filterNot(_.name == name)),
       bloomColumns = td.bloomColumns.filterNot(_ == name),
       sumStatsColumns = td.sumStatsColumns.filterNot(_ == name),
       ngramBloomColumns = td.ngramBloomColumns.filterNot(_ == name),
       ndvStatsColumns = td.ndvStatsColumns.filterNot(_ == name),
+      dictStatsColumns = td.dictStatsColumns.filterNot(_ == name),
+      // dropping the derived/fill column itself just retires its rule
+      generatedColumns = td.generatedColumns - name,
+      autoIncrementColumn = td.autoIncrementColumn.filterNot(_ == name),
       columnDefaults = td.columnDefaults - name,
       droppedColumns = td.droppedColumns :+ name))
   }
@@ -595,6 +607,16 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         td.ndvStatsColumns.map(c => if (c == oldName) newName else c),
       columnDefaults = td.columnDefaults.map { case (c, v) =>
         (if (c == oldName) newName else c) -> v },
+      dictStatsColumns =
+        td.dictStatsColumns.map(c => if (c == oldName) newName else c),
+      autoIncrementColumn =
+        td.autoIncrementColumn.map(c => if (c == oldName) newName else c),
+      // generated declarations follow BOTH ways: the derived column's own
+      // name, and every reference to oldName inside the stored expressions
+      // (a dangling ref would brick every later load — the same class of
+      // hazard the delete-predicate guard above refuses)
+      generatedColumns = td.generatedColumns.map { case (c, e) =>
+        (if (c == oldName) newName else c) -> renameInExpr(e, oldName, newName) },
       // chain-collapse: any former name whose current target is oldName now
       // maps straight to newName, so a file from ANY era renames in one hop
       renamedColumns = td.renamedColumns.map { case (o, n) =>
@@ -617,6 +639,26 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     mvs.renameColumn(db, table, oldName, newName)
     newTd
   }
+
+  /** Rewrite every reference to `oldName` inside a stored expression text
+    * (generated-column definitions) — parse, transform the unresolved
+    * attributes, and render back to SQL. The same approach the rollup
+    * manager uses for filtered-rollup predicates.
+    */
+  private def renameInExpr(sqlText: String, oldName: String,
+                           newName: String): String =
+    spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.last == oldName =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          a.nameParts.init :+ newName)
+    }.sql
+
+  private def exprRefs(sqlText: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlText).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }.toSet
 
   // --- write path ------------------------------------------------------------
 
@@ -822,20 +864,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       s"load groups are not defined for dynamic-partition tables " +
         s"(${td.qualified} has autoPartition/autoExpireKeep): partition " +
         "minting and expiry are catalog edits that cannot stage")
-    // GENERATED columns compute first — ingest DROPS any supplied value and
+    // AUTO_INCREMENT fill FIRST (before the generated-column fills, which
+    // may legally reference the id column — computing them before the fill
+    // would derive from NULL and store a value the definition contradicts),
+    // and before any pre-aggregation: rows with the column NULL/absent get
+    // ids from the manifest's reserved block
+    val df0 = td.autoIncrementColumn.fold(df)(c =>
+      fillAutoIncrement(db, table, df, c))
+    // GENERATED columns compute next — ingest DROPS any supplied value and
     // recomputes from the source columns (derived state is engine-owned:
     // the definition is the truth, so compaction-style rewrites, UPDATEs to
     // source columns, and tombstone null-fills all stay consistent without
-    // special-casing). Cast to the declared type so the expression's
-    // natural type never drifts the physical schema.
-    val df0 = td.generatedColumns.foldLeft(df) { case (acc, (c, exprSql)) =>
-      val dt = td.schema.columns.find(_.name == c).get.dataType
-      acc.drop(c).withColumn(c, expr(exprSql).cast(dt))
-    }
-    // AUTO_INCREMENT fill next (before any pre-aggregation): rows with the
-    // column NULL/absent get ids from the manifest's reserved block
-    val df1 = td.autoIncrementColumn.fold(df0)(c =>
-      fillAutoIncrement(db, table, df0, c))
+    // special-casing).
+    val df1 = applyGenerated(td, df0)
     val input =
       if (td.schema.keysType == KeysType.Aggregate &&
           td.schema.valueColumns.exists(_.agg == AggType.HllUnion))
@@ -954,6 +995,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     td.autoExpireKeep.foreach(keep => expirePartitions(db, table, keep))
     meta
   }
+
+  /** Compute the table's GENERATED columns over `df` — dropping any
+    * supplied value (the definition is the truth; a forged or stale
+    * derived value can never be loaded) and casting to the declared type
+    * so the expression's natural type never drifts the physical schema.
+    * Shared by ingest (the write fill) and [[overwrite]]'s routing guard,
+    * which must see the SAME values the write will route on.
+    */
+  private def applyGenerated(td: TableDef, df: DataFrame): DataFrame =
+    td.generatedColumns.foldLeft(df) { case (acc, (c, exprSql)) =>
+      val dt = td.schema.columns.find(_.name == c).get.dataType
+      acc.drop(c).withColumn(c, expr(exprSql).cast(dt))
+    }
 
   /** AUTO_INCREMENT fill (Doris auto-increment column): rows whose id
     * column is NULL (or absent) receive unique increasing BIGINTs from the
@@ -1376,8 +1430,13 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       case _ => w.parquet _
     })(dest.toString)
     import scala.jdk.CollectionConverters._
+    // data files only: "_" excludes _SUCCESS-style markers, "." excludes
+    // Hadoop LocalFileSystem checksum sidecars (.part-*.crc)
     Files.list(dest).iterator().asScala
-      .count(p => !p.getFileName.toString.startsWith("_")).toLong
+      .count { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
   }
 
   /** INSERT OVERWRITE (Doris `INSERT OVERWRITE [PARTITION (...)]`):
@@ -1419,8 +1478,14 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
             s"no partition $n in ${td.qualified}")))
         // every incoming row must land INSIDE the overwrite scope: a row
         // routed to an unnamed partition would survive beside the mask as
-        // a silent half-insert — refuse the whole statement instead
-        val outside = df.withColumn("__graft_ow_part", partitionNameCol(td))
+        // a silent half-insert — refuse the whole statement instead. The
+        // guard routes on the GENERATED fills (the values the write will
+        // actually route on — a forged derived value must not pass here
+        // and then route elsewhere after ingest recomputes it). Auto-inc
+        // ids are not filled for the guard: an auto-inc-derived partition
+        // key would route its NULLs loudly unroutable, never silently.
+        val outside = applyGenerated(td, df)
+          .withColumn("__graft_ow_part", partitionNameCol(td))
           .filter(!col("__graft_ow_part").isin(partitions: _*))
         require(outside.isEmpty,
           s"INSERT OVERWRITE ${td.qualified} PARTITION " +
@@ -1435,7 +1500,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       manifest(db, table).visibleRowsets.find(_.rowsetId == staged.rowsetId)
         .getOrElse(staged)
     } catch {
-      case e: Throwable => abortGroup(g); throw e
+      // abort ONLY an uncommitted group: a failure inside/after commitGroup
+      // (e.g. activation racing a non-group publish) must propagate ITS
+      // error, not abortGroup's already-committed refusal masking it
+      case e: Throwable =>
+        if (!groupLedger.isCommitted(g)) abortGroup(g)
+        throw e
     }
   }
 

@@ -53,7 +53,10 @@ class ExportSpec extends AnyFunSuite {
     val eng = mkEngine()
     val out = dest()
     val n = eng.exportTable("db", "t", out)
-    assert(n > 0)
+    val parts = Files.list(out).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(n == parts, "the reported count must be DATA files only " +
+      "(no _SUCCESS, no .crc checksum sidecars)")
     val back = spark.read.parquet(out.toString)
     assert(back.count() == 100L)
     assert(back.agg(sum(col("v"))).head.getDouble(0) ==

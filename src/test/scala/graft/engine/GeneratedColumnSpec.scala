@@ -136,6 +136,44 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(got == Map(1L -> "low", 2L -> "high"))
   }
 
+  test("renaming a SOURCE column follows into the stored expression; " +
+    "dropping a source refuses; dropping the derived column retires its rule") {
+    val eng = mkEngine()
+    eng.ingest("db", "t", rows(0 until 10), Some(Version(1, 1)))
+    eng.renameColumn("db", "t", "v", "amount")
+    // loads keep working against the REWRITTEN expression
+    eng.ingest("db", "t", spark.createDataFrame(
+      Seq(Row(500L, 99.0)).asJava, StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("amount", DoubleType)))), Some(Version(2, 2)))
+    val r = eng.scan("db", "t").filter(col("k") === 500L).collect().head
+    assert(r.getString(2) == "high")
+    assertThrows[IllegalArgumentException](eng.dropColumn("db", "t", "amount"))
+    eng.dropColumn("db", "t", "vclass") // the derived column itself may go
+    assert(eng.catalog.getTable("db", "t").get.generatedColumns.isEmpty)
+  }
+
+  test("a generated expression may reference the AUTO_INCREMENT column: " +
+    "the id fills FIRST, so the derived value never computes from NULL") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-gen-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "ai", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("id", LongType),
+        ColumnSpec.value("id_plus", LongType))),
+      bucketColumn = Some("k"), numBuckets = 2,
+      autoIncrementColumn = Some("id"),
+      generatedColumns = Map("id_plus" -> "id + 1")))
+    eng.ingest("db", "ai", spark.createDataFrame(
+      (0 until 10).map(i => Row(i.toLong)).asJava,
+      StructType(Seq(StructField("k", LongType, nullable = false)))),
+      Some(Version(1, 1)))
+    val bad = eng.scan("db", "ai")
+      .filter(col("id_plus").isNull || col("id_plus") =!= col("id") + 1)
+    assert(bad.isEmpty, "id_plus must derive from the FILLED id, never NULL")
+  }
+
   test("the declaration survives a warehouse restart (persisted catalog)") {
     val wh = Files.createTempDirectory("graft-gen-wh-")
     val eng = new OlapEngine(spark, wh)

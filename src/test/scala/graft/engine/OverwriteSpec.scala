@@ -89,6 +89,42 @@ class OverwriteSpec extends AnyFunSuite {
       "the staged mask must be reaped on failure — no half-applied group")
   }
 
+  test("generated partition key: the guard routes on the RECOMPUTED value — " +
+    "a forged in-scope value cannot smuggle rows outside the mask") {
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-ow-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "g", schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("half", StringType),
+        ColumnSpec.value("v", DoubleType))),
+      policy = PartitionPolicy.List, partitionColumn = Some("half"),
+      partitions = Seq(
+        PartitionSpec("pa", listValues = Seq("a"), numBuckets = 2),
+        PartitionSpec("pb", listValues = Seq("b"), numBuckets = 2)),
+      bucketColumn = Some("k"), numBuckets = 2,
+      generatedColumns = Map("half" -> "CASE WHEN k < 50 THEN 'a' ELSE 'b' END")))
+    val gSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("half", StringType),
+      StructField("v", DoubleType)))
+    eng.ingest("db", "g", spark.createDataFrame((0 until 100).map(i =>
+      Row(i.toLong, null, i * 1.0)).asJava, gSchema), Some(Version(1, 1)))
+    // k=80 DERIVES 'b'; the forged 'a' must not pass the pa-scope guard
+    assertThrows[IllegalArgumentException](
+      eng.overwrite("db", "g",
+        spark.createDataFrame(Seq(Row(80L, "a", 8.0)).asJava, gSchema),
+        Seq("pa")))
+    // the non-generated width works: the guard fills and routes
+    val noGen = spark.createDataFrame(Seq(Row(7L, 7.0)).asJava,
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", DoubleType))))
+    eng.overwrite("db", "g", noGen, Seq("pa"))
+    val got = eng.scan("db", "g").collect()
+    assert(got.count(_.getString(1) == "a") == 1)
+    assert(got.count(_.getString(1) == "b") == 50)
+  }
+
   test("a failing load aborts the WHOLE group: no mask, no data, table unchanged") {
     val eng = mkEngine(varcharMode = VarcharMode.Strict)
     eng.ingest("db", "t", base, Some(Version(1, 1)))
