@@ -184,6 +184,36 @@ object PruneProbe {
     val plainSec = median3(
       uniqueDigest("p").write.mode("overwrite").format("noop").save())
 
+    // --- DICT tier: the metadata GROUP BY serve (value-histogram sidecars,
+    // StatsAggRewrite's grouped path). Interleaved loads with a
+    // low-cardinality class column; the grouped count serves from the
+    // driver-side histogram fold — ZERO relations in the plan — while the
+    // rule-off form scans and shuffles every load. Expectation: served
+    // latency is flat in the number of loads (O(loads) tiny sidecar reads,
+    // cached after the first fold); the scan grows with data volume.
+    eng.createTable(TableDef(
+      db = "probe", name = "d",
+      schema = TableSchema(KeysType.Duplicate, Seq(
+        ColumnSpec.key("event_id", org.apache.spark.sql.types.LongType),
+        ColumnSpec.value("cls", org.apache.spark.sql.types.StringType),
+        ColumnSpec.value("value", org.apache.spark.sql.types.DoubleType))),
+      bucketColumn = Some("event_id"), numBuckets = 4,
+      dictStatsColumns = Seq("cls")))
+    (0 until loads).foreach { i =>
+      eng.ingest("probe", "d", ev.filter(col("event_id") % loads === i)
+        .select(col("event_id"),
+          concat(lit("c"), (col("event_id") % 16).cast("string")).as("cls"),
+          col("value")))
+    }
+    def grp = eng.scan("probe", "d").groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"), count(col("cls")).as("nt"))
+    val dictScans = scansIn(grp)
+    val dictSec = median3(grp.write.mode("overwrite").format("noop").save())
+    graft.plans.StatsAggRewrite.setEnabled(false)
+    val noDictScans = scansIn(grp)
+    val noDictSec = median3(grp.write.mode("overwrite").format("noop").save())
+    graft.plans.StatsAggRewrite.setEnabled(true)
+
     println(s"""{"loads":$loads,"pruned_scan_branches":$prunedScans,""" +
       s""""unpruned_scan_branches":$unprunedScans,""" +
       s""""pruned_sec":${f"$pruned%.3f"},"unpruned_sec":${f"$unpruned%.3f"},""" +
@@ -193,7 +223,9 @@ object PruneProbe {
       s""""ngram_scan_branches":$ngramScans,"no_ngram_scan_branches":$noNgramScans,""" +
       s""""ngram_sub_sec":${f"$ngramSec%.3f"},"no_ngram_sub_sec":${f"$noNgramSec%.3f"},""" +
       s""""mow_scan_aggs":$mowAggs,"plain_scan_aggs":$plainAggs,""" +
-      s""""mow_scan_sec":${f"$mowSec%.3f"},"plain_scan_sec":${f"$plainSec%.3f"}}""")
+      s""""mow_scan_sec":${f"$mowSec%.3f"},"plain_scan_sec":${f"$plainSec%.3f"},""" +
+      s""""dict_scan_branches":$dictScans,"no_dict_scan_branches":$noDictScans,""" +
+      s""""dict_group_sec":${f"$dictSec%.3f"},"no_dict_group_sec":${f"$noDictSec%.3f"}}""")
     spark.stop()
   }
 }
