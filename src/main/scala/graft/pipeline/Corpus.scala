@@ -672,7 +672,145 @@ object Corpus {
         (col("n_joined") === col("n_post")).as("sample_commutes_with_join"))
   }
 
+  /** q250: the CURATION FUNNEL — the end-to-end shape of a training-data
+    * pipeline (length gate → language gate → repetition gate → near-dup
+    * survivor election → token-budget cut) run as ONE composed job with
+    * per-stage accounting, instead of five separate passes each re-reading
+    * the corpus. Every stage's predicate is computed once per document in
+    * a single flag projection (plus one token-frequency aggregate feeding
+    * the repetition ratio); the funnel row for stage i counts documents
+    * passing stages 1..i, so the output is the drop-accounting a data lead
+    * actually reviews: where did the corpus go.
+    *
+    * Stages (all deterministic and fully SQL-replayable):
+    *  1. length:      n_chars >= 150 (boilerplate/fragment floor);
+    *  2. lang:        lang = 'en' (the target-language gate);
+    *  3. repetition:  max token frequency / doc tokens <= 0.2 (the
+    *                  Gopher-style degenerate-text gate, cf. q81);
+    *  4. near_dup:    first-8-token prefix fingerprint, min doc_id wins
+    *                  (the survivor-election shape of q47, one window);
+    *  5. token_budget: keep documents in doc_id order while the cumulative
+    *                  token count stays within 60% of the survivors' total
+    *                  (the corpus-sizing cut; global-order cumsum on the
+    *                  SURVIVOR set — the q84/q89 packing shape, documented
+    *                  single-partition over the already-reduced set).
+    *
+    * Scale shape: one corpus tokenize feeding one per-doc aggregate, one
+    * fingerprint window, one cut window over survivors; the funnel counts
+    * are six scalar aggregates. Nothing is re-read per stage.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      split(trim(lower(col("text"))), "\\s+").as("arr"))
+    val rep = d.select(col("doc_id"), explode(col("arr")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")) / sum(col("c"))).as("rep_ratio"))
+    val flags = d
+      .withColumn("n_tokens", size(col("arr")).cast("long"))
+      .withColumn("fp", concat_ws(" ", slice(col("arr"), 1, 8)))
+      .join(rep, "doc_id")
+      .withColumn("f1", col("n_chars") >= 150)
+      .withColumn("f2", col("lang") === "en")
+      .withColumn("f3", col("rep_ratio") <= 0.2)
+    val head = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f1"), col("n_tokens")).otherwise(0L)).as("tok1"),
+      sum(when(col("f1") && col("f2"), col("n_tokens")).otherwise(0L)).as("tok2"),
+      sum(when(col("f1") && col("f2") && col("f3"), col("n_tokens"))
+        .otherwise(0L)).as("tok3")).collect()(0)
+    val s4 = flags.filter(col("f1") && col("f2") && col("f3"))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("m"))
+    val c4 = s4.agg(count(lit(1)).as("n4"),
+      sum(col("n_tokens")).as("tok4")).collect()(0)
+    val s5 = s4
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_tokens")).over(
+        Window.partitionBy(lit(1))))
+      .filter(col("cum") <= floor(col("total") * 0.6))
+    val c5 = s5.agg(count(lit(1)).as("n5"),
+      sum(col("n_tokens")).as("tok5")).collect()(0)
+    import spark.implicits._
+    Seq(
+      (1L, "length", head.getLong(0), head.getLong(1), head.getLong(4)),
+      (2L, "lang", head.getLong(1), head.getLong(2), head.getLong(5)),
+      (3L, "repetition", head.getLong(2), head.getLong(3), head.getLong(6)),
+      (4L, "near_dup", head.getLong(3), c4.getLong(0), c4.getLong(1)),
+      (5L, "token_budget", c4.getLong(0), c5.getLong(0), c5.getLong(1)))
+      .toDF("stage", "name", "rows_in", "rows_out", "tokens_out")
+  }
+
+  /** q251: the MIX-BUDGET PLANNER — the inverse of [[corpusMix]]. corpusMix
+    * APPLIES given epoch weights; this derives them: given a token target
+    * (here 1.5× the corpus) and per-source repetition caps (curated sources
+    * may repeat up to 4 epochs, mid-quality 2, crawl 1 — the standard
+    * "don't memorize the crawl" discipline), waterfill a single scale
+    * factor f so that Σ tokens_s · min(cap_s, f) = target: every uncapped
+    * source repeats f epochs, capped sources sit at their cap, and if the
+    * target exceeds total capacity everything caps. Exact and
+    * deterministic end-to-end: the class table is cap-count-sized (the
+    * collect is 3 rows — model-sized, the [[Trainer]] discipline), all
+    * intermediate arithmetic stays exactly representable (long token
+    * sums, caps of 4/2/1, one final division), so the DuckDB oracle
+    * replays the waterfill — including WHICH caps bind — bit-for-bit.
+    * Scale shape: one corpus tokenize → per-source sums; the plan itself
+    * is arithmetic over a handful of classes.
+    */
+  def mixBudget(spark: SparkSession, dir: String, mult: Double = 1.5): DataFrame = {
+    val capCol = when(col("source")
+        .isin("src0", "src1", "src2", "src3", "src4"), 4.0)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2.0)
+      .otherwise(1.0)
+    val bySrc = docs(spark, dir)
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("cap", capCol)
+    // class table: one row per distinct cap — 3 rows, model-sized
+    val classes = bySrc.groupBy(col("cap"))
+      .agg(sum(col("n_tokens")).as("tok")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val total = classes.map(_._2).sum
+    val capacity = classes.map { case (c, t) => t * c }.sum // exact: caps 4/2/1
+    val target = math.floor(mult * total).toLong
+    // waterfill: k = number of fully capped classes (smallest caps first);
+    // f_k = (target − Σ_{i≤k} tok_i·cap_i) / Σ_{i>k} tok_i; valid when
+    // cap_k ≤ f_k ≤ cap_{k+1}; f is nondecreasing in k, take the first
+    val f: Double =
+      if (target >= capacity) classes.last._1
+      else {
+        var cumTokCap = 0.0
+        var cumTok = 0L
+        var found = Option.empty[Double]
+        var k = 0
+        while (found.isEmpty && k < classes.length) {
+          val cand = (target - cumTokCap) / (total - cumTok).toDouble
+          val okLo = k == 0 || cand >= classes(k - 1)._1
+          val okHi = cand <= classes(k)._1
+          if (okLo && okHi) found = Some(cand)
+          else { cumTokCap += classes(k)._2 * classes(k)._1; cumTok += classes(k)._2; k += 1 }
+        }
+        found.getOrElse(classes.last._1)
+      }
+    bySrc.select(col("source"), col("n_tokens"), col("cap"),
+      round(least(col("cap"), lit(f)), 6).as("epochs"),
+      floor(col("n_tokens") * least(col("cap"), lit(f))).cast("long")
+        .as("planned_tokens"),
+      (col("cap") <= lit(f)).as("cap_bound"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_curation_funnel" ->
+      ((s: SparkSession, d: String) => curationFunnel(s, d)),
+    "q251_mix_budget" ->
+      ((s: SparkSession, d: String) => mixBudget(s, d)),
     "q111_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q181_consistent_sample" -> ((s: SparkSession, d: String) => consistentSample(s, d)),
     "q172_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
@@ -700,6 +838,88 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // q250: all five funnel stages replayed — the flag conjunctions, the
+    // prefix-fingerprint survivor election, and the 60%-budget cumsum cut
+    "q250_curation_funnel" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr FROM documents),
+        |rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM
+        |      (SELECT doc_id, unnest(arr) AS w FROM d) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (SELECT d.doc_id, len(arr) AS n_tokens,
+        |    array_to_string(arr[1:8], ' ') AS fp,
+        |    (n_chars >= 150) AS f1, (lang = 'en') AS f2,
+        |    (rep_ratio <= 0.2) AS f3
+        |  FROM d JOIN rep USING (doc_id)),
+        |c AS (SELECT count(*) AS n0,
+        |    sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS tok1,
+        |    sum(CASE WHEN f1 AND f2 THEN n_tokens ELSE 0 END) AS tok2,
+        |    sum(CASE WHEN f1 AND f2 AND f3 THEN n_tokens ELSE 0 END) AS tok3
+        |  FROM f),
+        |s4 AS (SELECT doc_id, n_tokens FROM (
+        |    SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY fp) AS m
+        |    FROM f WHERE f1 AND f2 AND f3) WHERE doc_id = m),
+        |c4 AS (SELECT count(*) AS n4, sum(n_tokens) AS tok4 FROM s4),
+        |s5 AS (SELECT doc_id, n_tokens FROM (
+        |    SELECT doc_id, n_tokens,
+        |      sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |      sum(n_tokens) OVER () AS total FROM s4)
+        |  WHERE cum <= floor(total * 0.6)),
+        |c5 AS (SELECT count(*) AS n5, sum(n_tokens) AS tok5 FROM s5)
+        |SELECT CAST(stage AS BIGINT) AS stage, name,
+        |  CAST(rows_in AS BIGINT) AS rows_in,
+        |  CAST(rows_out AS BIGINT) AS rows_out,
+        |  CAST(tokens_out AS BIGINT) AS tokens_out
+        |FROM (
+        |  SELECT 1 AS stage, 'length' AS name, n0 AS rows_in, n1 AS rows_out,
+        |    tok1 AS tokens_out FROM c
+        |  UNION ALL SELECT 2, 'lang', n1, n2, tok2 FROM c
+        |  UNION ALL SELECT 3, 'repetition', n2, n3, tok3 FROM c
+        |  UNION ALL SELECT 4, 'near_dup', n3, n4, tok4 FROM c, c4
+        |  UNION ALL SELECT 5, 'token_budget', n4, n5, tok5 FROM c4, c5)""".stripMargin,
+    // q251: the waterfill replayed in SQL — per-source token sums, the
+    // cap classes, the k-capped candidate scan (window cumsums excluding
+    // the current row), the boundary checks, and the final per-source
+    // epochs/planned-tokens arithmetic. All intermediates are exactly
+    // representable, so a different binding set or an off-by-one in the
+    // candidate scan flips the hash.
+    "q251_mix_budget" ->
+      """WITH t AS (SELECT source,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n FROM documents),
+        |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |srcc AS (SELECT source, n_tokens,
+        |    CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 4.0
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 2.0
+        |         ELSE 1.0 END AS DOUBLE) AS cap FROM src),
+        |cls AS (SELECT cap, sum(n_tokens) AS tok FROM srcc GROUP BY 1),
+        |g AS (SELECT sum(tok) AS total, sum(tok * cap) AS capacity,
+        |    max(cap) AS maxcap FROM cls),
+        |tgt AS (SELECT CAST(floor(1.5 * total) AS BIGINT) AS target,
+        |    total, capacity, maxcap FROM g),
+        |cum AS (SELECT cap, tok,
+        |    coalesce(sum(tok * cap) OVER (ORDER BY cap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokcap,
+        |    coalesce(sum(tok) OVER (ORDER BY cap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tok,
+        |    lag(cap) OVER (ORDER BY cap) AS prev_cap
+        |  FROM cls),
+        |cands AS (SELECT cap AS next_cap, prev_cap,
+        |    (target - cum_tokcap) / (total - cum_tok) AS f
+        |  FROM cum CROSS JOIN tgt),
+        |valid AS (SELECT f FROM cands
+        |  WHERE (prev_cap IS NULL OR f >= prev_cap) AND f <= next_cap
+        |  ORDER BY next_cap LIMIT 1),
+        |feff AS (SELECT CASE WHEN target >= capacity THEN maxcap
+        |    ELSE coalesce((SELECT f FROM valid), maxcap) END AS f FROM tgt)
+        |SELECT source, n_tokens, cap,
+        |  round(least(cap, f), 6) AS epochs,
+        |  CAST(floor(n_tokens * least(cap, f)) AS BIGINT) AS planned_tokens,
+        |  (cap <= f) AS cap_bound
+        |FROM srcc CROSS JOIN feff""".stripMargin,
     // q181's booleans are computed checks in BOTH engines (not pinned
     // constants): the oracle re-runs the orphan and commutation audits
     "q181_consistent_sample" ->

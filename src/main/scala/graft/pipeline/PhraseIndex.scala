@@ -240,14 +240,110 @@ object PhraseIndex {
       eng
     })
 
+  /** q249: PROXIMITY-boosted ranking — both scoring legs served from the
+    * ONE maintained positional index, no document text touched. Pass 1 is
+    * BM25 (q118's exact decimal route) computed FROM the index: tf =
+    * `size(pos_list)` of the query terms' rows (bucket-pruned by `word`),
+    * doc length = the per-doc sum of tf over all words, corpus stats from
+    * the same aggregate. Pass 2 re-scores only the top-`kCand` candidates
+    * by term proximity: the minimum |p_i − p_j| over DISTINCT query-term
+    * pairs in the doc (positions exploded from the candidates' rows — a
+    * candidate-sized self-join, never corpus-sized), boosting the final
+    * score by round(1/(1+minpair), 4) in exact DECIMAL arithmetic. Docs
+    * where the terms appear but never co-occur get no boost (NULL
+    * minpair ⇒ 0). The classic two-stage retrieve-then-rerank shape, with
+    * the positional index powering BOTH stages — what tf-only postings
+    * (q118/q190) structurally cannot express.
+    *
+    * Deterministic end-to-end (4-decimal scores, id tie-breaks), so the
+    * DuckDB oracle replays every layer from the raw corpus — including
+    * WHICH candidates make the cut and the exact pair distances.
+    */
+  def proximityRerank(eng: OlapEngine,
+                      terms: Seq[String] = Seq("spark", "data", "join", "query"),
+                      kCand: Int = 50, k: Int = 10): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val pos = eng.scan(Db, PositionsTable)
+    val dl = pos.groupBy(col("doc_id"))
+      .agg(sum(size(col("pos_list"))).cast("long").as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = pos.filter(col("word").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .select(col("word").as("w"), col("doc_id"),
+        size(col("pos_list")).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val cand = tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        round(termScore, 8).cast("decimal(18,8)").as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("ts")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(kCand)
+    val cpos = pos.filter(col("word").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .join(broadcast(cand.select(col("doc_id"))), "doc_id")
+      .select(col("doc_id"), col("word"), explode(col("pos_list")).as("p"))
+    val pairs = cpos.as("a").join(cpos.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(abs(col("a.p") - col("b.p"))).cast("long").as("minpair"))
+    cand.join(pairs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25"), col("minpair"),
+        (col("bm25").cast("decimal(18,4)") +
+          coalesce(round(lit(1.0) / (lit(1.0) + col("minpair")), 4), lit(0.0))
+            .cast("decimal(18,4)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_phrase_search" ->
       ((s: SparkSession, d: String) => phraseCounts(engineFor(s, d))),
     "q212_kwic_snippets" ->
       ((s: SparkSession, d: String) => kwicSnippets(engineFor(s, d))),
+    "q249_proximity_rerank" ->
+      ((s: SparkSession, d: String) => proximityRerank(engineFor(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
+    // q249: every layer replayed from the raw corpus — the q118 decimal
+    // BM25 route, the (score desc, id) top-50 candidate cut, exact
+    // pairwise position distances over DISTINCT term pairs, and the
+    // DECIMAL-exact boost sum. A wrong candidate set, a corpus-sized
+    // proximity (wrong docs), or a float drift all flip the hash.
+    "q249_proximity_rerank" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr FROM documents),
+        |w AS (SELECT doc_id, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS pos FROM t),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+        |       WHERE w IN ('spark','data','join','query') GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        CAST(round(
+        |          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+        |          8) AS DECIMAL(18,8)) AS ts
+        |      FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
+        |cand AS (SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS bm25
+        |         FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |tp AS (SELECT w.doc_id, w.w, w.pos FROM w JOIN cand USING (doc_id)
+        |       WHERE w.w IN ('spark','data','join','query')),
+        |mp AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS minpair
+        |       FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.w < b.w
+        |       GROUP BY 1)
+        |SELECT cand.doc_id, cand.bm25, mp.minpair,
+        |  CAST(CAST(cand.bm25 AS DECIMAL(18,4)) +
+        |       CAST(coalesce(round(1.0 / (1.0 + mp.minpair), 4), 0.0)
+        |            AS DECIMAL(18,4)) AS DOUBLE) AS score
+        |FROM cand LEFT JOIN mp USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // q211: the slot algebra replayed from the raw corpus — position of
     // slot i's word minus i, a (phrase, doc, start) group must cover every
     // slot. generate_subscripts zips with unnest (1-based, matching the
