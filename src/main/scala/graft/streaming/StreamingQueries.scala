@@ -452,6 +452,114 @@ object StreamingQueries {
       df
     }
 
+  /** Stream-fed funnel engines, one per data dir (q252 fixture). */
+  private val streamFunnelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** q252: OPERATIONAL funnel accounting — the streaming twin of q250's
+    * per-doc stages. The per-document gates (length, language, repetition)
+    * are stateless, so each micro-batch computes ITS OWN 3-row funnel
+    * partial and ingests it into a Sum-model engine table; merge-on-read
+    * IS the cumulative funnel, exactly the LM-count-table discipline
+    * (q193/q198): the aggregate the dashboard reads never rescans the
+    * corpus, and a restart resumes from the folded counts. The global
+    * stages (survivor election, budget cut) are deliberately absent here —
+    * they need corpus-wide state and belong to the batch funnel; the
+    * streamed funnel is the monitoring half. One answer, two derivations:
+    * q250's oracle rows 1–3 (raw-corpus replay) ≡ the drained Sum table.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.catalog._
+      import graft.model._
+      val eng = streamFunnelCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sfun-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        e.createDatabase("stream")
+        e.createTable(TableDef(
+          db = "stream", name = "funnel",
+          schema = TableSchema(KeysType.Aggregate, Seq(
+            ColumnSpec.key("stage", org.apache.spark.sql.types.LongType),
+            ColumnSpec.varchar("name", 16, isKey = true),
+            ColumnSpec.value("rows_in", org.apache.spark.sql.types.LongType,
+              AggType.Sum),
+            ColumnSpec.value("rows_out", org.apache.spark.sql.types.LongType,
+              AggType.Sum),
+            ColumnSpec.value("tokens_out", org.apache.spark.sql.types.LongType,
+              AggType.Sum))),
+          bucketColumn = Some("stage"), numBuckets = 1))
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val sd = Files.createTempDirectory("graft-sfun-stream-")
+        val ckpt = Files.createTempDirectory("graft-sfun-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-sfun-part-")
+          docs.filter(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val rid = 1000000L + bid
+            val m = e.manifest("stream", "funnel")
+            if (!m.allRowsets.exists(_.rowsetId == rid)) {
+              deleteRecursively(
+                e.tableRoot("stream", "funnel").resolve(s"r$rid").toFile)
+              // THIS batch's funnel partial: per-doc flags, three Sum rows
+              val d = batch.select(col("doc_id"), col("lang"), col("n_chars"),
+                split(trim(lower(col("text"))), "\\s+").as("arr"))
+              val rep = d.select(col("doc_id"), explode(col("arr")).as("w"))
+                .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+                .groupBy(col("doc_id"))
+                .agg((max(col("c")) / sum(col("c"))).as("rep_ratio"))
+              val flags = d
+                .withColumn("n_tokens", size(col("arr")).cast("long"))
+                .join(rep, "doc_id")
+                .withColumn("f1", col("n_chars") >= 150)
+                .withColumn("f2", col("lang") === "en")
+                .withColumn("f3", col("rep_ratio") <= 0.2)
+              val h = flags.agg(
+                count(lit(1)).as("n0"),
+                sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+                sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+                sum(when(col("f1") && col("f2") && col("f3"), 1L)
+                  .otherwise(0L)).as("n3"),
+                sum(when(col("f1"), col("n_tokens")).otherwise(0L)).as("tok1"),
+                sum(when(col("f1") && col("f2"), col("n_tokens"))
+                  .otherwise(0L)).as("tok2"),
+                sum(when(col("f1") && col("f2") && col("f3"), col("n_tokens"))
+                  .otherwise(0L)).as("tok3")).collect()(0)
+              import spark.implicits._
+              val partial = Seq(
+                (1L, "length", h.getLong(0), h.getLong(1), h.getLong(4)),
+                (2L, "lang", h.getLong(1), h.getLong(2), h.getLong(5)),
+                (3L, "repetition", h.getLong(2), h.getLong(3), h.getLong(6)))
+                .toDF("stage", "name", "rows_in", "rows_out", "tokens_out")
+              e.ingest("stream", "funnel", partial,
+                explicitRowsetId = Some(rid)): Unit
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+      eng.scan("stream", "funnel")
+        .select(col("stage"), col("name"), col("rows_in"), col("rows_out"),
+          col("tokens_out"))
+    }
+
   /** Stream-maintained ANN-index engines, one per data dir (q189 fixture). */
   private val streamAnnCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
@@ -1487,6 +1595,7 @@ object StreamingQueries {
     "q227_stream_quantile" -> ((s: SparkSession, d: String) => streamQuantile(s, d)),
     "q241_stream_sum_meta" -> ((s: SparkSession, d: String) => streamSumMeta(s, d)),
     "q248_stream_dict_meta" -> ((s: SparkSession, d: String) => streamDictMeta(s, d)),
+    "q252_stream_funnel" -> ((s: SparkSession, d: String) => streamFunnel(s, d)),
     "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -1601,6 +1710,37 @@ object StreamingQueries {
     // must serve the same groups as the batch fixture and the raw rows
     "q248_stream_dict_meta" ->
       graft.queries.EngineQueries.oracles("q247_dict_groupby_meta"),
+    // q252: q250's per-doc stages replayed from the raw corpus — the
+    // drained Sum-model funnel table must fold to the same three rows the
+    // batch funnel computes (the global stages stay batch-only by design)
+    "q252_stream_funnel" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr FROM documents),
+        |rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep_ratio FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM
+        |      (SELECT doc_id, unnest(arr) AS w FROM d) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (SELECT d.doc_id, len(arr) AS n_tokens,
+        |    (n_chars >= 150) AS f1, (lang = 'en') AS f2,
+        |    (rep_ratio <= 0.2) AS f3
+        |  FROM d JOIN rep USING (doc_id)),
+        |c AS (SELECT count(*) AS n0,
+        |    sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS tok1,
+        |    sum(CASE WHEN f1 AND f2 THEN n_tokens ELSE 0 END) AS tok2,
+        |    sum(CASE WHEN f1 AND f2 AND f3 THEN n_tokens ELSE 0 END) AS tok3
+        |  FROM f)
+        |SELECT CAST(stage AS BIGINT) AS stage, name,
+        |  CAST(rows_in AS BIGINT) AS rows_in,
+        |  CAST(rows_out AS BIGINT) AS rows_out,
+        |  CAST(tokens_out AS BIGINT) AS tokens_out
+        |FROM (
+        |  SELECT 1 AS stage, 'length' AS name, n0 AS rows_in, n1 AS rows_out,
+        |    tok1 AS tokens_out FROM c
+        |  UNION ALL SELECT 2, 'lang', n1, n2, tok2 FROM c
+        |  UNION ALL SELECT 3, 'repetition', n2, n3, tok3 FROM c)""".stripMargin,
     // q179: the oracle recomputes every matrix cell from the static events
     // table — the drained stream must equal the batch build exactly
     "q179_stream_count_min" ->
