@@ -334,6 +334,19 @@ object EngineFixture {
       "INSERT OVERWRITE graft.orders_ow PARTITION (p0) " +
         "SELECT * FROM graft_q244_repl").get).collect()
 
+    // --- orders_ctas: CREATE TABLE AS SELECT through the SQL face -----------
+    // Schema derives from the query output (o_custkey flagged as the key),
+    // created and loaded in ONE statement; q253 digests the stored rows and
+    // the oracle recomputes the same per-customer aggregate from raw orders.
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("graft_q253_src")
+    graft.sql.GraftSql.exec(spark, eng, graft.sql.GraftSqlParser.parse(
+      "CREATE TABLE graft.orders_ctas DUPLICATE KEY (o_custkey) " +
+        "DISTRIBUTED BY HASH(o_custkey) BUCKETS 2 AS " +
+        "SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM graft_q253_src GROUP BY o_custkey").get).collect()
+
     // --- events_hll: Aggregate model with an HLL_UNION column ---------------
     // Doris's HLL column type: loads carry RAW user ids; ingest pre-aggregates
     // them into per-key sketches, merge-on-read unions sketches across the
@@ -1220,6 +1233,21 @@ object EngineQueries {
     df
   }
 
+  /** q253: CTAS (Doris `CREATE TABLE ... AS SELECT`) — the table was
+    * created through the SQL face with its schema DERIVED from the query
+    * output (key flagged from the KEY clause) and loaded in the same
+    * statement. The digest re-groups the stored per-customer aggregates;
+    * the oracle recomputes them from raw orders — a wrong derived schema,
+    * a dropped row, or a mis-keyed load all flip it.
+    */
+  def ctasScan(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    eng.scan("graft", "orders_ctas")
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
+  }
+
   /** q238: per-PARTITION row counts folded ENTIRELY from the manifest — the
     * partition-grain sibling of q223's serves. Each footer harvest also
     * attributed its rows to hive partition directories
@@ -1759,6 +1787,7 @@ object EngineQueries {
     "q245_auto_increment" -> autoIncrementContracts _,
     "q246_generated_column" -> generatedColumnScan _,
     "q247_dict_groupby_meta" -> dictGroupByMeta _,
+    "q253_sql_ctas" -> ctasScan _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1925,6 +1954,15 @@ object EngineQueries {
     "q247_dict_groupby_meta" ->
       """SELECT event_type, count(*) AS n, count(event_type) AS n_typed
         |FROM events GROUP BY 1""".stripMargin,
+    // q253: the oracle recomputes the CTAS query from raw orders, then the
+    // same digest the engine runs over the stored table
+    "q253_sql_ctas" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_cust,
+        |  CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM a GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->

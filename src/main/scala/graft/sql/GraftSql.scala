@@ -80,7 +80,8 @@ object GraftSql {
   /** Does the bound engine claim this statement? (See ownership policy.) */
   def claims(eng: OlapEngine, stmt: GraftStatement): Boolean = stmt match {
     // graft-only shapes: always ours
-    case _: CreateTable | _: RestoreToVersion | _: ShallowClone | _: Compact |
+    case _: CreateTable | _: CreateTableAs | _: RestoreToVersion |
+         _: ShallowClone | _: Compact |
          _: Vacuum | _: BackupTable | _: RestoreFromBackup | _: ShowRowsets |
          _: ScanView | _: CreateDatabase | BeginLoadGroup | CommitLoadGroup |
          AbortLoadGroup | _: AddRollup | _: RefreshRollup | _: CreateMv |
@@ -211,7 +212,7 @@ object GraftSql {
 
   def outputSchema(stmt: GraftStatement): StructType = stmt match {
     case _: InsertInto | _: InsertOverwrite | _: DeleteFrom | _: UpdateTable |
-         _: Compact | _: Rebucket => rowsetSchema
+         _: CreateTableAs | _: Compact | _: Rebucket => rowsetSchema
     case _: ShowRowsets => rowsetsSchema
     case _: ShowPartitions => partitionsSchema
     case _: ShowTablesIn => tablesSchema
@@ -324,6 +325,37 @@ object GraftSql {
         // stages the load (invisible until COMMIT LOAD GROUP).
         rowsetDf(spark, eng.ingest(db, t,
           alignInsert(spark, td, query, s"INSERT INTO $db.$t"),
+          group = activeGroup.get(spark)))
+
+      case cta: CreateTableAs =>
+        require(eng.catalog.getTable(cta.db, cta.table).isEmpty,
+          s"table ${cta.db}.${cta.table} already exists")
+        val df = spark.sql(cta.query)
+        val keySet = cta.keyColumns.toSet
+        val unknown = keySet -- df.columns.toSet
+        require(unknown.isEmpty,
+          s"CTAS ${cta.db}.${cta.table}: KEY clause names columns the query " +
+            s"does not yield: ${unknown.mkString(", ")}")
+        // schema derives from the query's output, in query order; keys
+        // flagged non-null from the KEY clause (Doris CTAS semantics).
+        // Value aggregate markers are not expressible in CTAS — Aggregate
+        // models get Replace-equivalent None, as in Doris.
+        val cols = df.schema.fields.toSeq.map { f =>
+          val isKey = keySet.contains(f.name)
+          ColumnSpec(f.name, f.dataType, isKey = isKey, nullable = !isKey)
+        }
+        var td = TableDef(
+          db = cta.db, name = cta.table,
+          schema = TableSchema(KeysType.fromName(cta.keysType), cols),
+          bucketType = if (cta.bucketType == "RANDOM") BucketType.Random
+            else BucketType.Hash,
+          bucketColumn = cta.bucketColumn,
+          numBuckets = cta.numBuckets)
+        cta.properties.foreach { case (k, v) => td = applyProperty(td, k, v) }
+        eng.createTable(td)
+        // create + load as one statement; the load itself is one MVCC
+        // version (an open load group stages it, as with INSERT)
+        rowsetDf(spark, eng.ingest(cta.db, cta.table, df,
           group = activeGroup.get(spark)))
 
       case InsertOverwrite(db, t, parts, query) =>

@@ -50,6 +50,17 @@ object GraftStatement {
     * by the session and ingested as one load (one MVCC version).
     */
   final case class InsertInto(db: String, table: String, query: String) extends GraftStatement
+  /** CREATE TABLE db.t <MODEL> KEY (...) [DISTRIBUTED BY ...]
+    * [PROPERTIES (...)] AS <query> — CTAS: the schema derives from the
+    * query's output (keys flagged from the KEY clause), created and loaded
+    * as one statement. The model clause IS the graft marker; a plain Spark
+    * `CREATE TABLE t AS SELECT` never reaches this shape.
+    */
+  final case class CreateTableAs(
+      db: String, table: String,
+      keysType: String, keyColumns: Seq[String],
+      bucketType: String, bucketColumn: Option[String], numBuckets: Int,
+      properties: Map[String, String], query: String) extends GraftStatement
   /** INSERT OVERWRITE [TABLE] db.t [PARTITION (p, ...)] <query> — atomic
     * scope replace (engine `overwrite`: mask + load under one group). The
     * query tail is raw Spark SQL. Spark has its own INSERT OVERWRITE, so
@@ -301,6 +312,14 @@ object GraftSqlParser {
     /** `db.t` qualified name. */
     def qname(): (String, String) = {
       val a = ident(); sym('.'); val b = ident(); (a, b)
+    }
+    /** Consume the REST of the statement as raw text (a query tail whose
+      * grammar belongs to Spark — CTAS). Leaves the cursor at end.
+      */
+    def rest(): String = {
+      val out = peek.map(t => text.substring(t.pos)).getOrElse("")
+      i = toks.length
+      out
     }
     /** Consume a parenthesized RAW text region: the current token must be
       * '('; returns the original text between it and its MATCHING ')'
@@ -846,7 +865,7 @@ object GraftSqlParser {
       c.end()
       return Some(ShallowClone(sdb, st, db, t, asOf))
     }
-    if (!c.trySym('(')) return None
+    if (!c.trySym('(')) return parseCtas(c, db, t)
     var sawMarker = false
     try {
       // column list (an aggregate marker like `cost BIGINT SUM` is graft-only)
@@ -977,6 +996,55 @@ object GraftSqlParser {
           s"in CREATE TABLE $db.$t: ${e.getMessage}")
         else None
     }
+  }
+
+  /** CTAS: `CREATE TABLE db.t <MODEL> KEY (...) [DISTRIBUTED BY ...]
+    * [PROPERTIES (...)] AS <query>` — reached when CREATE TABLE has no
+    * column list. The model clause IS the marker: anything else (Spark's
+    * own `CREATE TABLE t AS SELECT`, `USING parquet AS`, ...) delegates;
+    * after the model keyword, malformed tails fail loudly.
+    */
+  private def parseCtas(c: Cursor, db: String, t: String): Option[GraftStatement] = {
+    val keysType = c.peek match {
+      case Some(Ident(s, _))
+          if Set("DUPLICATE", "UNIQUE", "AGGREGATE").contains(s.toUpperCase) =>
+        s.toUpperCase
+      case _ => return None
+    }
+    c.i += 1
+    c.kw("KEY")
+    c.sym('(')
+    val ks = Seq.newBuilder[String]
+    ks += c.ident()
+    while (c.trySym(',')) ks += c.ident()
+    c.sym(')')
+    var bucketType = "HASH"
+    var bucketCol: Option[String] = None
+    var numBuckets = 1
+    if (c.tryKw("DISTRIBUTED")) {
+      c.kw("BY")
+      if (c.tryKw("HASH")) {
+        c.sym('('); bucketCol = Some(c.ident()); c.sym(')')
+      } else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
+      else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
+      c.kw("BUCKETS")
+      numBuckets = c.num().toInt
+    }
+    var props = Map.empty[String, String]
+    if (c.tryKw("PROPERTIES")) {
+      c.sym('(')
+      var pdone = false
+      while (!pdone) {
+        val k = c.str(); c.sym('='); val v = c.str()
+        props += (k -> v)
+        if (c.trySym(')')) pdone = true else c.sym(',')
+      }
+    }
+    c.kw("AS")
+    val q = stripTrailing(c.rest())
+    if (q.isEmpty) throw new GraftParseException(s"CTAS $db.$t has an empty query")
+    Some(CreateTableAs(db, t, keysType, ks.result(),
+      bucketType, bucketCol, numBuckets, props, q))
   }
 
   /** CREATE [OR REPLACE] TEMP[ORARY] VIEW v AS SCAN db.t [...] — the `AS

@@ -674,6 +674,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally GraftSql.unbind(spark)
   }
 
+  test("CTAS: CREATE TABLE <MODEL> KEY ... AS <query> derives the schema, " +
+    "creates and loads in one statement; plain Spark CTAS delegates") {
+    val eng = mkEngine()
+    GraftSql.bind(spark, eng)
+    try {
+      g("CREATE DATABASE g_ctas")
+      val out = g("""CREATE TABLE g_ctas.t UNIQUE KEY (k)
+          |DISTRIBUTED BY HASH(k) BUCKETS 2
+          |PROPERTIES ("retention" = "forever")
+          |AS SELECT id AS k, id * 2 AS dbl, CAST(id AS DOUBLE) / 2 AS half
+          |FROM range(50)""".stripMargin).collect().head
+      assert(out.getAs[Long]("num_rows") == 50L)
+      val td = eng.catalog.getTable("g_ctas", "t").get
+      assert(td.schema.keyNames == Seq("k"))
+      assert(td.schema.columns.map(_.name) == Seq("k", "dbl", "half"))
+      assert(!td.schema.columns.head.nullable)
+      assert(td.retention == graft.catalog.Retention.Forever)
+      assert(g("SELECT count(*) AS n, sum(dbl) AS s FROM g_ctas.t")
+        .collect().head.getLong(1) == (0 until 50).map(_ * 2L).sum)
+      // upserts compose: the CTAS table is a full Unique-model citizen
+      g("INSERT INTO g_ctas.t VALUES (7, 7777, 0.5)")
+      assert(g("SELECT dbl FROM g_ctas.t WHERE k = 7")
+        .collect().head.getLong(0) == 7777L)
+      // KEY naming a column the query does not yield: loud
+      assertThrows[IllegalArgumentException](
+        g("CREATE TABLE g_ctas.bad DUPLICATE KEY (nope) AS SELECT 1 AS a"))
+      // existing table: loud
+      assertThrows[IllegalArgumentException](
+        g("CREATE TABLE g_ctas.t DUPLICATE KEY (k) AS SELECT 1 AS k"))
+      // plain Spark CTAS (no model clause) is NOT claimed — it delegates
+      // and fails with SPARK's error, not a graft parse error
+      val d = intercept[Exception](
+        g("CREATE TABLE nodb.nope AS SELECT 1 AS a"))
+      assert(!d.isInstanceOf[graft.sql.GraftParseException])
+    } finally GraftSql.unbind(spark)
+  }
+
   test("SHOW STATS: the manifest zone maps are introspectable through SQL") {
     val eng = mkEngine()
     GraftSql.bind(spark, eng)
