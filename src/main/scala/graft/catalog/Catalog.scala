@@ -412,6 +412,10 @@ final case class TableDef(
     })),
     s"dict_stats_columns must be string/integral/date/boolean on $db.$name " +
       "(the histogram's string form must reconstruct values exactly)")
+  require(bucketType != BucketType.Hash || numBuckets == 1 ||
+      bucketColumn.isDefined,
+    s"$db.$name declares $numBuckets hash buckets with no bucket column — " +
+      "DISTRIBUTED BY HASH needs a key, or use RANDOM / a single bucket")
   require(dictStatsColumns.isEmpty ||
       schema.keysType == graft.model.KeysType.Duplicate,
     s"dict_stats_columns is only defined for Duplicate tables; $db.$name is " +

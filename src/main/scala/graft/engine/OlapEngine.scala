@@ -749,9 +749,15 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
 
   private def bucketIdxCol(td: TableDef): Column = td.bucketType match {
     case BucketType.Hash =>
-      // FNV-1a over the key string — byte-compatible with the reference's
-      // routing (src/partition.rs:30-38) via a codegen'd Catalyst expression.
-      fnvBucket(col(td.bucketColumn.get).cast("string"), td.numBuckets)
+      td.bucketColumn match {
+        // FNV-1a over the key string — byte-compatible with the reference's
+        // routing (src/partition.rs:30-38) via a codegen'd Catalyst expression.
+        case Some(bc) => fnvBucket(col(bc).cast("string"), td.numBuckets)
+        // no declared bucket key (CTAS / CREATE without DISTRIBUTED): ONE
+        // implicit bucket, nothing to hash (TableDef refuses the
+        // multi-bucket keyless combination at declaration time)
+        case None => lit(0)
+      }
     case BucketType.Random =>
       // reference uses time-derived randomness (src/partition.rs:39-45);
       // round-robin by Spark partition+offset is its deterministic analogue.

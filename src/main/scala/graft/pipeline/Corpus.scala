@@ -701,49 +701,85 @@ object Corpus {
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+    // ONE tokenize + ONE frequency aggregate feed every stage: cached so
+    // the three funnel actions below reuse it instead of re-reading the
+    // corpus per action
+    val flags = funnelFlags(docs(spark, dir)).cache()
+    try {
+      val head = headAggs(flags)
+      val s4 = flags.filter(col("f1") && col("f2") && col("f3"))
+        .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("m"))
+        .cache()
+      try {
+        val c4 = s4.agg(count(lit(1)).as("n4"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tok4")).collect()(0)
+        val s5 = s4
+          .withColumn("cum", sum(col("n_tokens")).over(
+            Window.orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("n_tokens")).over(
+            Window.partitionBy(lit(1))))
+          .filter(col("cum") <= floor(col("total") * 0.6))
+        val c5 = s5.agg(count(lit(1)).as("n5"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tok5")).collect()(0)
+        import spark.implicits._
+        (headRows(head) ++ Seq(
+          (4L, "near_dup", head.getLong(3), c4.getLong(0), c4.getLong(1)),
+          (5L, "token_budget", c4.getLong(0), c5.getLong(0), c5.getLong(1))))
+          .toDF("stage", "name", "rows_in", "rows_out", "tokens_out")
+      } finally { s4.unpersist(); () }
+    } finally { flags.unpersist(); () }
+  }
+
+  /** Per-document funnel flags — the shared gate definitions of the batch
+    * funnel (q250) and the streaming partials (q252): one tokenize, one
+    * token-frequency aggregate. The thresholds live HERE, once.
+    */
+  private[graft] def funnelFlags(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"), col("lang"), col("n_chars"),
       split(trim(lower(col("text"))), "\\s+").as("arr"))
     val rep = d.select(col("doc_id"), explode(col("arr")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg((max(col("c")) / sum(col("c"))).as("rep_ratio"))
-    val flags = d
-      .withColumn("n_tokens", size(col("arr")).cast("long"))
+    d.withColumn("n_tokens", size(col("arr")).cast("long"))
       .withColumn("fp", concat_ws(" ", slice(col("arr"), 1, 8)))
       .join(rep, "doc_id")
       .withColumn("f1", col("n_chars") >= 150)
       .withColumn("f2", col("lang") === "en")
       .withColumn("f3", col("rep_ratio") <= 0.2)
-    val head = flags.agg(
+  }
+
+  private def headAggs(flags: DataFrame): org.apache.spark.sql.Row =
+    flags.agg(
       count(lit(1)).as("n0"),
-      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
-      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
-      sum(when(col("f1"), col("n_tokens")).otherwise(0L)).as("tok1"),
-      sum(when(col("f1") && col("f2"), col("n_tokens")).otherwise(0L)).as("tok2"),
-      sum(when(col("f1") && col("f2") && col("f3"), col("n_tokens"))
-        .otherwise(0L)).as("tok3")).collect()(0)
-    val s4 = flags.filter(col("f1") && col("f2") && col("f3"))
-      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("m"))
-    val c4 = s4.agg(count(lit(1)).as("n4"),
-      sum(col("n_tokens")).as("tok4")).collect()(0)
-    val s5 = s4
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("n_tokens")).over(
-        Window.partitionBy(lit(1))))
-      .filter(col("cum") <= floor(col("total") * 0.6))
-    val c5 = s5.agg(count(lit(1)).as("n5"),
-      sum(col("n_tokens")).as("tok5")).collect()(0)
+      coalesce(sum(when(col("f1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("f1") && col("f2"), 1L).otherwise(0L)), lit(0L))
+        .as("n2"),
+      coalesce(sum(when(col("f1") && col("f2") && col("f3"), 1L)
+        .otherwise(0L)), lit(0L)).as("n3"),
+      coalesce(sum(when(col("f1"), col("n_tokens")).otherwise(0L)), lit(0L))
+        .as("tok1"),
+      coalesce(sum(when(col("f1") && col("f2"), col("n_tokens"))
+        .otherwise(0L)), lit(0L)).as("tok2"),
+      coalesce(sum(when(col("f1") && col("f2") && col("f3"), col("n_tokens"))
+        .otherwise(0L)), lit(0L)).as("tok3")).collect()(0)
+
+  private def headRows(h: org.apache.spark.sql.Row)
+  : Seq[(Long, String, Long, Long, Long)] = Seq(
+    (1L, "length", h.getLong(0), h.getLong(1), h.getLong(4)),
+    (2L, "lang", h.getLong(1), h.getLong(2), h.getLong(5)),
+    (3L, "repetition", h.getLong(2), h.getLong(3), h.getLong(6)))
+
+  /** The 3-row per-doc-stage funnel partial over a document set —
+    * Sum-mergeable by construction (counts add), which is what lets q252
+    * fold per-micro-batch partials into the cumulative funnel table.
+    */
+  private[graft] def funnelPartial(spark: SparkSession,
+                                   docsDf: DataFrame): DataFrame = {
     import spark.implicits._
-    Seq(
-      (1L, "length", head.getLong(0), head.getLong(1), head.getLong(4)),
-      (2L, "lang", head.getLong(1), head.getLong(2), head.getLong(5)),
-      (3L, "repetition", head.getLong(2), head.getLong(3), head.getLong(6)),
-      (4L, "near_dup", head.getLong(3), c4.getLong(0), c4.getLong(1)),
-      (5L, "token_budget", c4.getLong(0), c5.getLong(0), c5.getLong(1)))
+    headRows(headAggs(funnelFlags(docsDf)))
       .toDF("stage", "name", "rows_in", "rows_out", "tokens_out")
   }
 

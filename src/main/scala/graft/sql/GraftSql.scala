@@ -353,10 +353,17 @@ object GraftSql {
           numBuckets = cta.numBuckets)
         cta.properties.foreach { case (k, v) => td = applyProperty(td, k, v) }
         eng.createTable(td)
-        // create + load as one statement; the load itself is one MVCC
-        // version (an open load group stages it, as with INSERT)
-        rowsetDf(spark, eng.ingest(cta.db, cta.table, df,
+        // create + load as one statement, ATOMICALLY: a failed load drops
+        // the table we just created (Doris CTAS semantics) — the user must
+        // never have to DROP a table they never successfully created
+        try rowsetDf(spark, eng.ingest(cta.db, cta.table, df,
           group = activeGroup.get(spark)))
+        catch {
+          case e: Throwable =>
+            try eng.catalog.dropTable(cta.db, cta.table)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
 
       case InsertOverwrite(db, t, parts, query) =>
         val td = eng.catalog.getTable(db, t).getOrElse(

@@ -959,28 +959,13 @@ object GraftSqlParser {
       var bucketType = "HASH"
       var bucketCol: Option[String] = None
       var numBuckets = 1
-      if (c.tryKw("DISTRIBUTED")) {
+      parseDistribution(c).foreach { case (bt, bc, n) =>
         sawMarker = true
-        c.kw("BY")
-        if (c.tryKw("HASH")) {
-          c.sym('('); bucketCol = Some(c.ident()); c.sym(')')
-        } else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
-        else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
-        c.kw("BUCKETS")
-        numBuckets = c.num().toInt
+        bucketType = bt; bucketCol = bc; numBuckets = n
       }
       // properties (Doris PROPERTIES; Spark spells it TBLPROPERTIES)
       var props = Map.empty[String, String]
-      if (c.tryKw("PROPERTIES")) {
-        sawMarker = true
-        c.sym('(')
-        var pdone = false
-        while (!pdone) {
-          val k = c.str(); c.sym('='); val v = c.str()
-          props += (k -> v)
-          if (c.trySym(')')) pdone = true else c.sym(',')
-        }
-      }
+      parseProperties(c).foreach { p => sawMarker = true; props = p }
       c.end()
       if (!sawMarker) return None // plain Spark CREATE TABLE — delegate
       Some(CreateTable(db, t, cols.result(), keysType, keyCols,
@@ -997,6 +982,39 @@ object GraftSqlParser {
         else None
     }
   }
+
+  /** `DISTRIBUTED BY HASH(col)|RANDOM BUCKETS n` — shared by CREATE TABLE
+    * and CTAS. None = clause absent.
+    */
+  private def parseDistribution(c: Cursor): Option[(String, Option[String], Int)] =
+    if (!c.tryKw("DISTRIBUTED")) None
+    else {
+      c.kw("BY")
+      var bucketType = "HASH"
+      var bucketCol: Option[String] = None
+      if (c.tryKw("HASH")) { c.sym('('); bucketCol = Some(c.ident()); c.sym(')') }
+      else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
+      else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
+      c.kw("BUCKETS")
+      Some((bucketType, bucketCol, c.num().toInt))
+    }
+
+  /** `PROPERTIES ("k" = "v", ...)` — shared by CREATE TABLE and CTAS.
+    * None = clause absent.
+    */
+  private def parseProperties(c: Cursor): Option[Map[String, String]] =
+    if (!c.tryKw("PROPERTIES")) None
+    else {
+      c.sym('(')
+      var props = Map.empty[String, String]
+      var pdone = false
+      while (!pdone) {
+        val k = c.str(); c.sym('='); val v = c.str()
+        props += (k -> v)
+        if (c.trySym(')')) pdone = true else c.sym(',')
+      }
+      Some(props)
+    }
 
   /** CTAS: `CREATE TABLE db.t <MODEL> KEY (...) [DISTRIBUTED BY ...]
     * [PROPERTIES (...)] AS <query>` — reached when CREATE TABLE has no
@@ -1018,28 +1036,9 @@ object GraftSqlParser {
     ks += c.ident()
     while (c.trySym(',')) ks += c.ident()
     c.sym(')')
-    var bucketType = "HASH"
-    var bucketCol: Option[String] = None
-    var numBuckets = 1
-    if (c.tryKw("DISTRIBUTED")) {
-      c.kw("BY")
-      if (c.tryKw("HASH")) {
-        c.sym('('); bucketCol = Some(c.ident()); c.sym(')')
-      } else if (c.tryKw("RANDOM")) bucketType = "RANDOM"
-      else c.fail("expected HASH(col) or RANDOM after DISTRIBUTED BY")
-      c.kw("BUCKETS")
-      numBuckets = c.num().toInt
-    }
-    var props = Map.empty[String, String]
-    if (c.tryKw("PROPERTIES")) {
-      c.sym('(')
-      var pdone = false
-      while (!pdone) {
-        val k = c.str(); c.sym('='); val v = c.str()
-        props += (k -> v)
-        if (c.trySym(')')) pdone = true else c.sym(',')
-      }
-    }
+    val (bucketType, bucketCol, numBuckets) =
+      parseDistribution(c).getOrElse(("HASH", Option.empty[String], 1))
+    val props = parseProperties(c).getOrElse(Map.empty[String, String])
     c.kw("AS")
     val q = stripTrailing(c.rest())
     if (q.isEmpty) throw new GraftParseException(s"CTAS $db.$t has an empty query")

@@ -516,37 +516,10 @@ object StreamingQueries {
             if (!m.allRowsets.exists(_.rowsetId == rid)) {
               deleteRecursively(
                 e.tableRoot("stream", "funnel").resolve(s"r$rid").toFile)
-              // THIS batch's funnel partial: per-doc flags, three Sum rows
-              val d = batch.select(col("doc_id"), col("lang"), col("n_chars"),
-                split(trim(lower(col("text"))), "\\s+").as("arr"))
-              val rep = d.select(col("doc_id"), explode(col("arr")).as("w"))
-                .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-                .groupBy(col("doc_id"))
-                .agg((max(col("c")) / sum(col("c"))).as("rep_ratio"))
-              val flags = d
-                .withColumn("n_tokens", size(col("arr")).cast("long"))
-                .join(rep, "doc_id")
-                .withColumn("f1", col("n_chars") >= 150)
-                .withColumn("f2", col("lang") === "en")
-                .withColumn("f3", col("rep_ratio") <= 0.2)
-              val h = flags.agg(
-                count(lit(1)).as("n0"),
-                sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
-                sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
-                sum(when(col("f1") && col("f2") && col("f3"), 1L)
-                  .otherwise(0L)).as("n3"),
-                sum(when(col("f1"), col("n_tokens")).otherwise(0L)).as("tok1"),
-                sum(when(col("f1") && col("f2"), col("n_tokens"))
-                  .otherwise(0L)).as("tok2"),
-                sum(when(col("f1") && col("f2") && col("f3"), col("n_tokens"))
-                  .otherwise(0L)).as("tok3")).collect()(0)
-              import spark.implicits._
-              val partial = Seq(
-                (1L, "length", h.getLong(0), h.getLong(1), h.getLong(4)),
-                (2L, "lang", h.getLong(1), h.getLong(2), h.getLong(5)),
-                (3L, "repetition", h.getLong(2), h.getLong(3), h.getLong(6)))
-                .toDF("stage", "name", "rows_in", "rows_out", "tokens_out")
-              e.ingest("stream", "funnel", partial,
+              // THIS batch's funnel partial — the SAME gate definitions as
+              // the batch funnel, by construction (one shared helper)
+              e.ingest("stream", "funnel",
+                graft.pipeline.Corpus.funnelPartial(spark, batch),
                 explicitRowsetId = Some(rid)): Unit
             }
           }

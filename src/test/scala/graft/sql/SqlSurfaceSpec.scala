@@ -708,6 +708,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val d = intercept[Exception](
         g("CREATE TABLE nodb.nope AS SELECT 1 AS a"))
       assert(!d.isInstanceOf[graft.sql.GraftParseException])
+      // DISTRIBUTED omitted: one implicit bucket, no crash, loads fine
+      g("CREATE TABLE g_ctas.nodist DUPLICATE KEY (k) AS " +
+        "SELECT id AS k FROM range(10)")
+      assert(g("SELECT count(*) AS n FROM g_ctas.nodist")
+        .collect().head.getLong(0) == 10L)
+      // a failed LOAD drops the created table (CTAS is atomic): HASH
+      // bucketing on a column the query does not yield fails at ingest
+      intercept[Exception](
+        g("CREATE TABLE g_ctas.gone DUPLICATE KEY (k) " +
+          "DISTRIBUTED BY HASH(missing) BUCKETS 2 AS SELECT 1 AS k"))
+      assert(eng.catalog.getTable("g_ctas", "gone").isEmpty,
+        "a failed CTAS must not leave a created-but-empty table behind")
     } finally GraftSql.unbind(spark)
   }
 
