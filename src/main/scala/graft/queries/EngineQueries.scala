@@ -173,6 +173,28 @@ object EngineFixture {
     eng.ingest("graft", "events_dict", dictEv.filter(col("event_id") % 2 === 1),
       Some(Version(2, 2)))
 
+    // --- orders_dd: DATE dict column → metadata-served "rows per month" -----
+    // The time-series dashboard shape: a GENERATED month column (derived at
+    // ingest, so the load supplies only raw orders) declared as a dict
+    // column; q254's GROUP BY month serves from the folded histograms with
+    // zero relations, exercising the DateType value-reconstruction path.
+    eng.createTable(TableDef(
+      db = "graft", name = "orders_dd", schema = TableSchema(KeysType.Duplicate,
+        Seq(ColumnSpec.key("o_orderkey", LongType),
+          ColumnSpec.value("o_orderdate", TimestampType),
+          ColumnSpec.value("month", DateType),
+          ColumnSpec.value("o_totalprice", DoubleType))),
+      bucketColumn = Some("o_orderkey"), numBuckets = 2,
+      dictStatsColumns = Seq("month"),
+      generatedColumns = Map(
+        "month" -> "CAST(date_trunc('month', o_orderdate) AS DATE)")))
+    val ddOrders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    eng.ingest("graft", "orders_dd",
+      ddOrders.filter(col("o_orderkey") % 2 === 0), Some(Version(1, 1)))
+    eng.ingest("graft", "orders_dd",
+      ddOrders.filter(col("o_orderkey") % 2 === 1), Some(Version(2, 2)))
+
     // --- events_gen: GENERATED columns, created through the SQL face --------
     // Both derived columns are engine-computed at ingest (the load supplies
     // only event_id/value); q246's oracle recomputes the expressions from
@@ -1233,6 +1255,31 @@ object EngineQueries {
     df
   }
 
+  /** q254: "rows per month" — THE time-series dashboard query — served
+    * from metadata: the month is a GENERATED DATE column (derived at
+    * ingest from the raw timestamp, so it exists physically and the dict
+    * sidecar histograms it per load), and the plain GROUP BY is REQUIREd
+    * to read ZERO relations (StatsAggRewrite's grouped path,
+    * reconstructing DATE group values from the histogram's string form).
+    * Composition is the point: generated columns × dict histograms ×
+    * the transparent rewrite, three independent features serving one
+    * query no single one could.
+    */
+  def dateDictGroupBy(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    graft.GraftExtensions.register(spark)
+    val df = eng.scan("graft", "orders_dd")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"))
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    require(rels.isEmpty,
+      s"q254 must serve the month GROUP BY from metadata; plan still reads " +
+        s"${rels.size} relation(s)")
+    df
+  }
+
   /** q253: CTAS (Doris `CREATE TABLE ... AS SELECT`) — the table was
     * created through the SQL face with its schema DERIVED from the query
     * output (key flagged from the KEY clause) and loaded in the same
@@ -1788,6 +1835,7 @@ object EngineQueries {
     "q246_generated_column" -> generatedColumnScan _,
     "q247_dict_groupby_meta" -> dictGroupByMeta _,
     "q253_sql_ctas" -> ctasScan _,
+    "q254_date_dict_meta" -> dateDictGroupBy _,
     "q229_topk_zonemap" -> topKServe _,
     "q230_bloom_prune" -> bloomPruneLookup _,
     "q231_topk_unique" -> topKUniqueServe _,
@@ -1963,6 +2011,13 @@ object EngineQueries {
         |SELECT n_orders, count(*) AS n_cust,
         |  CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM a GROUP BY 1""".stripMargin,
+    // q254: the oracle recomputes the month truncation from raw rows; the
+    // engine serves from DATE-typed histogram cells (zero relations,
+    // plan-asserted)
+    "q254_date_dict_meta" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     // q229: a full-table sort in the oracle; the engine reads one rowset
     // (event_id is unique, so the top-100 SET is deterministic)
     "q229_topk_zonemap" ->
