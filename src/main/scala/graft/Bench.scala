@@ -28,8 +28,11 @@ object Bench {
 
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // alias rows (oracle coverage for plans benched under another name) are
+    // skipped and labeled below — each production plan is timed exactly once
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(SparkEntry.benchAliases.contains)
     def runOnce(name: String): Double = {
       // sketch queries: time the sketch-only production shape, not the
       // oracle-verdict form that bundles an exact baseline (see
@@ -152,8 +155,11 @@ object Bench {
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")
         Some("cached-model-serve")
       else None
-    val variants = names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\""))
-      .mkString("{", ",", "}")
+    val aliasEntries = SparkEntry.benchAliases.toSeq.sorted
+      .map { case (n, of) => "\"" + n + "\":\"alias-of:" + of + "\"" }
+    val variants =
+      (names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\"")) ++
+        aliasEntries).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Cache-health audit (round-7 verdict task 5: cached-index queries swung
     // 4-8x between same-code runs): report every persisted RDD whose blocks
@@ -178,6 +184,18 @@ object Bench {
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${t.getMessage}") }
+    // bench_out.json is overwritten per run and BENCH_r{N}.json's tail gets
+    // truncated by the driver, which lost round 9's per-query map — so every
+    // run also APPENDS its full line (stamped) to a kept history file, making
+    // next round's regression table per-query instead of aggregate.
+    try {
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + json.drop(1) + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_history.jsonl"),
+        stamped.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case t: Throwable => System.err.println(s"[bench] bench_history.jsonl append failed: ${t.getMessage}") }
     spark.stop()
     // FINAL stdout line, after spark.stop() so no shutdown logging follows
     // it: a compact (<300 byte) summary that survives the driver's

@@ -91,9 +91,10 @@ object PruneProbe {
     // disarm the rule (clear() is not enough: the read path re-registers at
     // DataFrame construction): same query, every branch survives to execution
     graft.plans.RowsetPruneRewrite.setEnabled(false)
-    val unprunedScans = scansIn(query)
-    val unpruned = median3(query.write.mode("overwrite").format("noop").save())
-    graft.plans.RowsetPruneRewrite.setEnabled(true)
+    val (unprunedScans, unpruned) =
+      try (scansIn(query),
+        median3(query.write.mode("overwrite").format("noop").save()))
+      finally graft.plans.RowsetPruneRewrite.setEnabled(true)
 
     // --- bloom tier: INTERLEAVED loads (every load spans the full id range,
     // zone maps useless by construction) + a declared bloom column; a point
@@ -116,9 +117,10 @@ object PruneProbe {
     val bloomScans = scansIn(point)
     val bloomSec = median3(point.write.mode("overwrite").format("noop").save())
     graft.plans.RowsetPruneRewrite.setEnabled(false)
-    val noBloomScans = scansIn(point)
-    val noBloomSec = median3(point.write.mode("overwrite").format("noop").save())
-    graft.plans.RowsetPruneRewrite.setEnabled(true)
+    val (noBloomScans, noBloomSec) =
+      try (scansIn(point),
+        median3(point.write.mode("overwrite").format("noop").save()))
+      finally graft.plans.RowsetPruneRewrite.setEnabled(true)
 
     // --- NGRAM tier: same interleaved shape, but the probe is SUBSTRING
     // containment (LIKE '%needle%') on a string column — which no zone map
@@ -146,9 +148,10 @@ object PruneProbe {
     val ngramScans = scansIn(sub)
     val ngramSec = median3(sub.write.mode("overwrite").format("noop").save())
     graft.plans.RowsetPruneRewrite.setEnabled(false)
-    val noNgramScans = scansIn(sub)
-    val noNgramSec = median3(sub.write.mode("overwrite").format("noop").save())
-    graft.plans.RowsetPruneRewrite.setEnabled(true)
+    val (noNgramScans, noNgramSec) =
+      try (scansIn(sub),
+        median3(sub.write.mode("overwrite").format("noop").save()))
+      finally graft.plans.RowsetPruneRewrite.setEnabled(true)
 
     // --- MERGE-ON-WRITE tier: the same banded loads into a Unique table,
     // once with merge-on-write (key-disjoint keyUnique rowsets → the scan
@@ -210,9 +213,10 @@ object PruneProbe {
     val dictScans = scansIn(grp)
     val dictSec = median3(grp.write.mode("overwrite").format("noop").save())
     graft.plans.StatsAggRewrite.setEnabled(false)
-    val noDictScans = scansIn(grp)
-    val noDictSec = median3(grp.write.mode("overwrite").format("noop").save())
-    graft.plans.StatsAggRewrite.setEnabled(true)
+    val (noDictScans, noDictSec) =
+      try (scansIn(grp),
+        median3(grp.write.mode("overwrite").format("noop").save()))
+      finally graft.plans.StatsAggRewrite.setEnabled(true)
 
     println(s"""{"loads":$loads,"pruned_scan_branches":$prunedScans,""" +
       s""""unpruned_scan_branches":$unprunedScans,""" +

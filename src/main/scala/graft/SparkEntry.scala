@@ -132,6 +132,20 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.pipeline.ClusterReps.splitFromReps(s, d)),
   )
 
+  /** Oracle-coverage rows whose BENCHED plan is already timed under another
+    * name: q255 is byte-identical to q171's production variant, and
+    * q256/q257 are correctness audits (they bundle exact baselines) whose
+    * production component is q202's / q196's benched variant. [[Bench]]
+    * skips these and labels the skip (`alias-of:<name>`), so each
+    * production plan is timed exactly once and the headline total never
+    * double-counts or re-times an audit baseline.
+    */
+  def benchAliases: Map[String, String] = Map(
+    "q255_prefix_filter_block" -> "q171_prefix_filter_join",
+    "q256_filtered_ann_audit" -> "q202_filtered_ann",
+    "q257_semantic_pairs_audit" -> "q196_semantic_dedup_served",
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (hash-family-specific operators) get
     * the driver's weaker rows-only check.

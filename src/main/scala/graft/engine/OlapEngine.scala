@@ -125,6 +125,26 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       new TableManifest(tableRoot(db, table), () => groupLedger.committed,
         Some(groupCoord)))
 
+  /** Undo a failed create+load (the CTAS rollback): drop the catalog row,
+    * evict the cached manifest and any cached rowset readers, and
+    * recursively delete the table directory. Metadata-only cleanup is not
+    * enough — a leftover `r<N>` dir would trip a retried identical CTAS on
+    * the write path's errorifexists, and a stale `_manifest.json` would
+    * resurrect into a re-created same-name table after a restart.
+    */
+  def eraseTable(db: String, table: String): Unit = {
+    try { catalog.dropTable(db, table); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+    manifests.remove(s"$db.$table")
+    val root = tableRoot(db, table)
+    rawReaders.keys.filter(_.startsWith(root.toString)).foreach(rawReaders.remove)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   // --- cross-table load groups ----------------------------------------------
 
   /** Open a load group: pass the id as the `group` of any number of
@@ -279,7 +299,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         val refs = parsed.collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
         }.distinct
-        val bad = refs.filterNot(sourceNames.contains)
+        val bad = refs.filterNot(r => sourceNames.exists(nameResolver(r, _)))
         require(bad.isEmpty,
           s"generated column ${td.qualified}.$c references " +
             s"${bad.mkString(", ")} — only non-generated declared columns " +
@@ -472,7 +492,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     // a generated expression's SOURCE cannot be dropped out from under it —
     // the stored definition would dangle and brick every later load
     val genHit = td.generatedColumns.collect {
-      case (g, e) if g != name && exprRefs(e).contains(name) => g
+      case (g, e) if g != name && exprRefs(e).exists(nameResolver(_, name)) => g
     }
     require(genHit.isEmpty,
       s"cannot drop $name of ${td.qualified}: generated column(s) " +
@@ -645,11 +665,19 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * attributes, and render back to SQL. The same approach the rollup
     * manager uses for filtered-rollup predicates.
     */
+  /** Column-name equality under the session's resolution rules (case-
+    * insensitive unless `spark.sql.caseSensitive`) — stored-expression
+    * reference checks must match how the analyzer will actually resolve
+    * `AS (upper(Value))` against a declared `value`.
+    */
+  private def nameResolver(a: String, b: String): Boolean =
+    spark.sessionState.analyzer.resolver(a, b)
+
   private def renameInExpr(sqlText: String, oldName: String,
                            newName: String): String =
     spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.last == oldName =>
+          if nameResolver(a.nameParts.last, oldName) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
           a.nameParts.init :+ newName)
     }.sql
@@ -1024,16 +1052,20 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     * exactly Doris's contract). Distribution shape: one delta-sized count
     * to size the block, then `zipWithIndex` (per-partition offsets — NO
     * shuffle) assigns base+i; at 1000 executors the only coordination is
-    * the single driver-side reservation. The load frame is evaluated
-    * twice (count + assign), the same determinism assumption every
-    * multi-action load path here makes.
+    * the single driver-side reservation. The input is pinned with
+    * `localCheckpoint` before the block-sizing count so the count and the
+    * assignment observe the SAME rows — a non-deterministic source query
+    * could otherwise yield more NULL-id rows on the second pass and assign
+    * ids past the reserved block, colliding with the next reservation
+    * (uniqueness is this feature's core contract, so it must not ride on a
+    * determinism assumption).
     */
   private def fillAutoIncrement(db: String, table: String, df: DataFrame,
                                 c: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val withCol =
-      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(LongType))
-      else df.withColumn(c, lit(null).cast(LongType))
+      (if (df.columns.contains(c)) df.withColumn(c, col(c).cast(LongType))
+       else df.withColumn(c, lit(null).cast(LongType))).localCheckpoint(true)
     val need = withCol.filter(col(c).isNull)
     val keep = withCol.filter(col(c).isNotNull)
     val n = need.count()
@@ -1476,6 +1508,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       throw new NoSuchElementException(s"no table $db.$table"))
     val g = newLoadGroup()
     try {
+      // pin the input when a scope guard will read it: the guard and the
+      // ingest must observe the SAME rows — a non-deterministic source
+      // query could otherwise pass the guard, then route different rows at
+      // ingest, landing outside the masked partitions (exactly the silent
+      // half-insert the guard exists to prevent)
+      val pinned = if (partitions.isEmpty) df else df.localCheckpoint(true)
       if (partitions.isEmpty) {
         stageMask(db, table, "true", None, g)
       } else {
@@ -1490,7 +1528,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         // and then route elsewhere after ingest recomputes it). Auto-inc
         // ids are not filled for the guard: an auto-inc-derived partition
         // key would route its NULLs loudly unroutable, never silently.
-        val outside = applyGenerated(td, df)
+        val outside = applyGenerated(td, pinned)
           .withColumn("__graft_ow_part", partitionNameCol(td))
           .filter(!col("__graft_ow_part").isin(partitions: _*))
         require(outside.isEmpty,
@@ -1500,7 +1538,7 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
         specs.foreach(spec =>
           stageMask(db, table, partitionMaskPred(td, spec), Some(spec.name), g))
       }
-      val staged = ingest(db, table, df, group = Some(g))
+      val staged = ingest(db, table, pinned, group = Some(g))
       commitGroup(g)
       // the staged meta's version was provisional; return the activated one
       manifest(db, table).visibleRowsets.find(_.rowsetId == staged.rowsetId)

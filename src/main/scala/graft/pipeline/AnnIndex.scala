@@ -777,6 +777,71 @@ object AnnIndex {
       candFilter = Some(col("label") === labelVal))
   }
 
+  /** q257: driver-checkable oracle for the BENCHED pair emission itself
+    * ([[semanticDedupPairsServed]] — the q196 production variant). The
+    * pair list is quantizer-derived (not SQL-replayable), so the audit
+    * verifies the strongest SQL-checkable contract over it:
+    *  - n_exact_pairs: the exhaustive threshold-pair count, recomputed
+    *    independently by BOTH engines (hash-checked, same as q157/q196);
+    *  - precision_ok: every served pair re-verified against the RAW
+    *    embeddings (exact cosine ≥ threshold), ordered (vec_a < vec_b) and
+    *    duplicate-free — an independent re-derivation, not the emission
+    *    path's own filter;
+    *  - recall_ok: served pairs ≥ 50% of the exact count (the SemDeDup
+    *    blocking contract q196 pins).
+    */
+  def semanticPairsAudit(spark: SparkSession, dir: String,
+                         threshold: Double = 0.4,
+                         nAssign: Int = 2): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = normalized(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val served = semanticDedupPairsServed(spark, dir, threshold, nAssign)
+    val c = served
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .agg(count(lit(1)).as("n_served"),
+        countDistinct(col("vec_a"), col("vec_b")).as("n_distinct"),
+        coalesce(sum(when(
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+            >= threshold && col("vec_a") < col("vec_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_true"))
+      .collect()(0)
+    val nExact = Similarity.thresholdPairs(e,
+      col("a.vec_id") < col("b.vec_id"), threshold).count()
+    spark.range(1).select(
+      lit("semantic_dedup_pairs_audit").as("metric"),
+      lit(nExact).as("n_exact_pairs"),
+      lit(c.getLong(0) == c.getLong(1) && c.getLong(0) == c.getLong(2))
+        .as("precision_ok"),
+      lit(c.getLong(0) >= nExact * 0.5).as("recall_ok"))
+  }
+
+  /** q256: driver-checkable oracle for the BENCHED filtered-ANN plan
+    * ([[filteredAnnServed]] — the q202 production variant). The served
+    * top-k is ADC-ranked (not SQL-replayable); the audit pins the recall
+    * contract against the exact filtered ranking: n_exact is recomputed by
+    * both engines (hash-checked), and the served hits must clear the same
+    * 0.6 floor / +0.1 margin the unfiltered q187 contract uses.
+    */
+  def filteredAnnAudit(spark: SparkSession, dir: String,
+                       nProbes: Int = 8, k: Int = 5,
+                       labelVal: Int = 3): DataFrame = {
+    val served = filteredAnnServed(spark, dir, nProbes, k, labelVal)
+      .select(col("probe_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopKFiltered(spark, dir, nProbes, k, labelVal)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hits = served.join(exact, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    spark.range(1).select(
+      lit(s"filtered_ann_recall_at_$k").as("metric"),
+      lit(nProbes).as("n_probes"), lit(k).as("k"),
+      lit(nExact).as("n_exact"),
+      lit(hits >= 0.6 * nExact).as("ok"),
+      lit(hits >= 0.7 * nExact).as("margin_ok"))
+  }
+
   /** q221: the retrieval-quality regression gate, end to end on the real
     * corpus — its own engine (the gate's second act deliberately corrupts
     * the index, so the shared q187 fixture must not be touched). Acts:
@@ -824,6 +889,10 @@ object AnnIndex {
       ((s: SparkSession, d: String) => semanticDedupAuditServed(s, d)),
     "q213_ann_index_deletes" ->
       ((s: SparkSession, d: String) => deleteAuditServed(s, d)),
+    "q256_filtered_ann_audit" ->
+      ((s: SparkSession, d: String) => filteredAnnAudit(s, d)),
+    "q257_semantic_pairs_audit" ->
+      ((s: SparkSession, d: String) => semanticPairsAudit(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -849,5 +918,27 @@ object AnnIndex {
       """SELECT 'ann_index_delete_recall_at_5' AS metric, 8 AS n_probes,
         |  5 AS k, CAST(0 AS BIGINT) AS n_deleted_served,
         |  true AS ok, true AS margin_ok""".stripMargin,
+    // q256: n_exact is the SQL-recomputed exact filtered ranking's row
+    // count (q202's oracle as a subquery); the recall verdicts are pinned
+    "q256_filtered_ann_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |     p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+        |     s AS (SELECT probe_id, e.vec_id,
+        |             row_number() OVER (PARTITION BY probe_id
+        |               ORDER BY list_cosine_similarity(pv, v) DESC, e.vec_id) AS rk
+        |           FROM e CROSS JOIN p
+        |           WHERE e.vec_id <> p.probe_id AND e.label = 3)
+        |SELECT 'filtered_ann_recall_at_5' AS metric, 8 AS n_probes, 5 AS k,
+        |  (SELECT count(*) FROM s WHERE rk <= 5) AS n_exact,
+        |  true AS ok, true AS margin_ok""".stripMargin,
+    // q257: n_exact_pairs is q157's exhaustive pair count recomputed in
+    // SQL (hash-checked); precision/recall verdicts over the served pair
+    // list are pinned
+    "q257_semantic_pairs_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT 'semantic_dedup_pairs_audit' AS metric,
+        |  (SELECT count(*) FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |    WHERE list_cosine_similarity(a.v, b.v) >= 0.4) AS n_exact_pairs,
+        |  true AS precision_ok, true AS recall_ok""".stripMargin,
   )
 }

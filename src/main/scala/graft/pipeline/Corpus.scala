@@ -17,6 +17,15 @@ object Corpus {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Token-array column for a documents frame: reuses a pre-split
+    * [[TokenizedCorpus.TokCol]] when the frame carries one (the family-shared
+    * tokenize cache), else splits inline — so core operators accept ANY
+    * (doc_id, text) frame but never re-tokenize a cached corpus.
+    */
+  private def tokArr(df: DataFrame): Column =
+    if (df.columns.contains(TokenizedCorpus.TokCol)) col(TokenizedCorpus.TokCol)
+    else split(trim(lower(col("text"))), "\\s+")
+
   /** Deterministic train/val/test split: md5(doc_id) maps each document to a
     * stable bucket in [0,100) — 80/10/10. Hash-based (not random) splits are
     * the reproducibility contract of a data pipeline: re-runs, backfills and
@@ -42,8 +51,8 @@ object Corpus {
     * deterministic.
     */
   def ngramTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val d = docs(spark, dir)
-      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    val d = TokenizedCorpus.withTokens(spark, dir)
+      .select(col(TokenizedCorpus.TokCol).as("w"))
     val bigrams = when(size(col("w")) >= 2,
       expr("transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
       .otherwise(array())
@@ -214,8 +223,8 @@ object Corpus {
     * short word-soup; a production run would use 8-13-grams, same plan.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+    val grams = TokenizedCorpus.withTokens(spark, dir)
+      .select(col("doc_id"), col(TokenizedCorpus.TokCol).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2)))"))
@@ -445,7 +454,8 @@ object Corpus {
     * stay distributed (the [[Trainer]] parameter-server shape again).
     */
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
-    bpeCache.getOrElseUpdate((dir, nMerges), bpeMergesOf(docs(spark, dir), nMerges))
+    bpeCache.getOrElseUpdate((dir, nMerges),
+      bpeMergesOf(TokenizedCorpus.withTokens(spark, dir), nMerges))
 
   /** The training pass itself, over any (text) frame — callable by the
     * model-store bootstrap ([[ModelStore]]) as well as the per-dir cache
@@ -457,7 +467,7 @@ object Corpus {
     locally {
       val tokPat = lit("\\(([^)]*)\\)")
       var wc = documents
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .select(explode(tokArr(documents)).as("word"))
         .filter(col("word").rlike("^[a-z0-9]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .select(regexp_replace(col("word"), "(.)", "($1)").as("enc"), col("cnt"))
@@ -514,7 +524,7 @@ object Corpus {
     val merges = bpeMerges(spark, dir, nMerges).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
-    tokenizeWithMerges(docs(spark, dir), merges.toSeq)
+    tokenizeWithMerges(TokenizedCorpus.withTokens(spark, dir), merges.toSeq)
   }
 
   /** Apply an already-learned merge sequence (rank order) to any
@@ -522,6 +532,15 @@ object Corpus {
     * cache path above and the table-served path ([[ModelStore]], which
     * reads the merges from a maintained engine table instead of re-training
     * in every new JVM).
+    *
+    * Dictionary-apply: the merge chain (10 chained regex passes over the
+    * boundary-encoded word) runs once per DISTINCT word, not once per word
+    * OCCURRENCE — under a Zipf corpus the occurrence/distinct ratio is
+    * enormous, so this removes almost all of the serve-time regex CPU. The
+    * per-doc-word counts shuffle as pre-combined ints; the tiny (word → token
+    * length) dictionary joins back (AQE broadcasts it), and one final doc_id
+    * re-aggregation of pre-counted ints produces the per-document totals —
+    * no stage ever re-encodes a word twice.
     */
   def tokenizeWithMerges(documents: DataFrame,
                          merges: Seq[(String, String)]): DataFrame = {
@@ -530,14 +549,17 @@ object Corpus {
     val enc = merges.foldLeft(enc0) { case (e, (a, b)) =>
       regexp_replace(e, s"\\($a\\)\\($b\\)", s"(${a}_$b)")
     }
-    documents
-      .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-      .select(col("doc_id"),
+    val occ = documents
+      .select(col("doc_id"), explode(tokArr(documents)).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val dict = occ.select(col("word")).distinct()
+      .select(col("word"),
         coalesce(size(regexp_extract_all(enc, lit("\\(([^)]*)\\)"), lit(1))), lit(1))
           .as("nt"))
+    occ.join(dict, Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("nt")).as("n_tokens"))
   }
 
   /** q150 oracle: replay the training chain (same CTEs as q149), then apply
@@ -691,9 +713,9 @@ object Corpus {
     *                  (the survivor-election shape of q47, one window);
     *  5. token_budget: keep documents in doc_id order while the cumulative
     *                  token count stays within 60% of the survivors' total
-    *                  (the corpus-sizing cut; global-order cumsum on the
-    *                  SURVIVOR set — the q84/q89 packing shape, documented
-    *                  single-partition over the already-reduced set).
+    *                  (the corpus-sizing cut; a two-pass DISTRIBUTED prefix
+    *                  sum over the survivor set — [[tokenBudgetCut]] — so no
+    *                  single task ever holds the whole survivor corpus).
     *
     * Scale shape: one corpus tokenize feeding one per-doc aggregate, one
     * fingerprint window, one cut window over survivors; the funnel counts
@@ -704,7 +726,7 @@ object Corpus {
     // ONE tokenize + ONE frequency aggregate feed every stage: cached so
     // the three funnel actions below reuse it instead of re-reading the
     // corpus per action
-    val flags = funnelFlags(docs(spark, dir)).cache()
+    val flags = funnelFlags(TokenizedCorpus.withTokens(spark, dir)).cache()
     try {
       val head = headAggs(flags)
       val s4 = flags.filter(col("f1") && col("f2") && col("f3"))
@@ -714,15 +736,14 @@ object Corpus {
       try {
         val c4 = s4.agg(count(lit(1)).as("n4"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("tok4")).collect()(0)
-        val s5 = s4
-          .withColumn("cum", sum(col("n_tokens")).over(
-            Window.orderBy(col("doc_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("total", sum(col("n_tokens")).over(
-            Window.partitionBy(lit(1))))
-          .filter(col("cum") <= floor(col("total") * 0.6))
-        val c5 = s5.agg(count(lit(1)).as("n5"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as("tok5")).collect()(0)
+        // budget = floor(total * 0.6): total is already a driver scalar
+        // (tok4), so the cut threshold costs nothing extra
+        val budget = math.floor(c4.getLong(1).toDouble * 0.6).toLong
+        val c5 = withTokenBudgetCut(
+          s4.select(col("doc_id"), col("n_tokens")), budget) { s5 =>
+          s5.agg(count(lit(1)).as("n5"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("tok5")).collect()(0)
+        }
         import spark.implicits._
         (headRows(head) ++ Seq(
           (4L, "near_dup", head.getLong(3), c4.getLong(0), c4.getLong(1)),
@@ -732,13 +753,67 @@ object Corpus {
     } finally { flags.unpersist(); () }
   }
 
+  /** The token-budget cut as a two-pass DISTRIBUTED prefix sum: keep rows in
+    * `doc_id` order while the running `n_tokens` total stays ≤ `budget`.
+    *
+    * A naive `sum over Window.orderBy(doc_id)` funnels every surviving row
+    * through ONE task (an un-partitioned window is a single-partition sort) —
+    * at 100 TB that task IS the corpus. Instead this runs the textbook
+    * parallel scan:
+    *   pass 1: range-partition by doc_id (order-compatible: every doc_id in
+    *           partition i sorts before every doc_id in partition i+1), pin
+    *           the partitioning with persist(), and aggregate ONE partial sum
+    *           per partition (a numPartitions-row collect);
+    *   pass 2: prefix-sum those partials on the driver (numPartitions longs),
+    *           broadcast-join the per-partition starting offsets back, and
+    *           finish with a window partitioned BY PARTITION ID — every task
+    *           scans only its own range slice.
+    * Parallelism is the shuffle-partition count end to end; no stage sees
+    * more than 1/numPartitions of the survivors.
+    *
+    * The persist() is load-bearing: `spark_partition_id` must mean the same
+    * assignment in both passes, and range boundaries are sampled — pinning
+    * the materialized partitioning makes the two reads observe one layout.
+    * Loan pattern: the pinned frame is unpersisted after `action` finishes,
+    * so the cut frame must be fully consumed inside `action`.
+    */
+  private[graft] def withTokenBudgetCut[A](survivors: DataFrame, budget: Long)
+                                          (action: DataFrame => A): A = {
+    val spark = survivors.sparkSession
+    import spark.implicits._
+    val nP = spark.sessionState.conf.numShufflePartitions
+    val parted = survivors
+      .repartitionByRange(nP, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      parted.count() // pin pid assignment for both passes
+      val partials = parted.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("psum"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // running offset: tokens in all partitions strictly before this one
+      val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, psum)) =>
+        (pid, acc + psum)
+      }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
+      val offDf = offsets.toSeq.toDF("pid", "off")
+      val cut = parted
+        .join(broadcast(offDf), Seq("pid"))
+        .withColumn("cum", col("off") + sum(col("n_tokens")).over(
+          Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= lit(budget))
+        .drop("pid", "off")
+      action(cut)
+    } finally { parted.unpersist(); () }
+  }
+
   /** Per-document funnel flags — the shared gate definitions of the batch
     * funnel (q250) and the streaming partials (q252): one tokenize, one
     * token-frequency aggregate. The thresholds live HERE, once.
     */
   private[graft] def funnelFlags(docsDf: DataFrame): DataFrame = {
     val d = docsDf.select(col("doc_id"), col("lang"), col("n_chars"),
-      split(trim(lower(col("text"))), "\\s+").as("arr"))
+      tokArr(docsDf).as("arr"))
     val rep = d.select(col("doc_id"), explode(col("arr")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -804,9 +879,9 @@ object Corpus {
         .isin("src0", "src1", "src2", "src3", "src4"), 4.0)
       .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2.0)
       .otherwise(1.0)
-    val bySrc = docs(spark, dir)
+    val bySrc = TokenizedCorpus.withTokens(spark, dir)
       .select(col("source"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+        size(col(TokenizedCorpus.TokCol)).cast("long").as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
       .withColumn("cap", capCol)
     // class table: one row per distinct cap — 3 rows, model-sized

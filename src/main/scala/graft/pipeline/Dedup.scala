@@ -580,6 +580,11 @@ object Dedup {
     "q167_multi_signal_dedup" -> ((s: SparkSession, d: String) => multiSignalDedup(s, d)),
     "q178_leakage_safe_split" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
     "q171_prefix_filter_join" -> ((s: SparkSession, d: String) => prefixFilterJoin(s, d)),
+    // the PRODUCTION (benched) form of q171 under its own full hash oracle:
+    // within-source-block pairs, lossless on same-block pairs by the global
+    // df + global prefix-length construction
+    "q255_prefix_filter_block" ->
+      ((s: SparkSession, d: String) => prefixFilterJoin(s, d, 0.8, Some("source"))),
     "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
@@ -661,6 +666,19 @@ object Dedup {
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |        len(list_intersect(a.tk, b.tk)) AS inter, len(a.tk) AS la, len(b.tk) AS lb
         |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.8""".stripMargin,
+    // q255: the same exhaustive Jaccard, restricted to same-source pairs —
+    // the blocked production form is lossless within blocks, so its output
+    // must equal the brute force's same-block subset exactly (full hash
+    // check on the BENCHED plan, not only the unblocked baseline)
+    "q255_prefix_filter_block" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |           FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.tk, b.tk)) AS inter, len(a.tk) AS la, len(b.tk) AS lb
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source)
         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.8""".stripMargin,
     // composed from the two detectors' own oracles (q31's is the

@@ -13,6 +13,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Frequency {
 
+  /** Token-array column: reuses a pre-split [[TokenizedCorpus.TokCol]] when
+    * the frame carries one, else splits inline (see [[TokenizedCorpus]]).
+    */
+  private def tokArr(df: DataFrame) =
+    if (df.columns.contains(TokenizedCorpus.TokCol)) col(TokenizedCorpus.TokCol)
+    else split(trim(lower(col("text"))), "\\s+")
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -37,8 +44,8 @@ object Frequency {
     * vocabulary-sized shuffle.
     */
   def heavyHitters(spark: SparkSession, dir: String, cap: Int = 29): DataFrame =
-    heavyHittersOf(docs(spark, dir)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word")), cap)
+    heavyHittersOf(TokenizedCorpus.withTokens(spark, dir)
+      .select(explode(col(TokenizedCorpus.TokCol)).as("word")), cap)
 
   /** Core of [[heavyHitters]] over any single-column `word` frame. */
   def heavyHittersOf(tokens: DataFrame, cap: Int): DataFrame = {
@@ -88,11 +95,11 @@ object Frequency {
     * no float surface.
     */
   def dupPassages(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    dupPassagesOf(docs(spark, dir), n)
+    dupPassagesOf(TokenizedCorpus.withTokens(spark, dir), n)
 
   /** Core of [[dupPassages]] over any (doc_id, text) frame. */
   def dupPassagesOf(documents: DataFrame, n: Int): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
+    val ws = tokArr(documents)
     val grams = documents
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= n)
@@ -153,8 +160,8 @@ object Frequency {
     * bounded.
     */
   def countMinSketch(spark: SparkSession, dir: String, d: Int = 4, w: Int = 512): DataFrame = {
-    val tokens = docs(spark, dir)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val tokens = TokenizedCorpus.withTokens(spark, dir)
+      .select(explode(col(TokenizedCorpus.TokCol)).as("word"))
     countMinOf(tokens, heavyHittersOf(tokens, 29), d, w)
   }
 
@@ -213,11 +220,11 @@ object Frequency {
     * the same formula).
     */
   def dupSpans(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    dupSpansOf(docs(spark, dir), n)
+    dupSpansOf(TokenizedCorpus.withTokens(spark, dir), n)
 
   /** Core of [[dupSpans]] over any (doc_id, text) frame. */
   def dupSpansOf(documents: DataFrame, n: Int): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
+    val ws = tokArr(documents)
     val grams = documents
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= n)
@@ -260,16 +267,15 @@ object Frequency {
     * Same two-shuffle budget as [[dupSpans]].
     */
   def crossCorpusLeakage(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val d = docs(spark, dir)
+    val d = TokenizedCorpus.withTokens(spark, dir)
     crossCorpusLeakageOf(
       d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0), n)
   }
 
   /** Core of [[crossCorpusLeakage]] over any (doc_id, text) frames. */
   def crossCorpusLeakageOf(train: DataFrame, test: DataFrame, n: Int): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
     def grams(df: DataFrame, side: Int) = df
-      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), tokArr(df).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("ws")) - (n - 1)),
@@ -299,7 +305,7 @@ object Frequency {
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("leaked_words"))
 
-    test.select(col("doc_id"), size(ws).cast("long").as("n_words"))
+    test.select(col("doc_id"), size(tokArr(test)).cast("long").as("n_words"))
       .join(spans, Seq("doc_id"))
       .join(covered, Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("longest_span"),
@@ -325,11 +331,11 @@ object Frequency {
     * corpus-quadratic — the scrub costs O(corpus + dup mass).
     */
   def spanScrub(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    spanScrubOf(docs(spark, dir), n)
+    spanScrubOf(TokenizedCorpus.withTokens(spark, dir), n)
 
   /** Core of [[spanScrub]] over any (doc_id, text) frame. */
   def spanScrubOf(documents: DataFrame, n: Int): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
+    val ws = tokArr(documents)
     val base = documents.select(col("doc_id"), ws.as("ws"))
     val words = base
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),

@@ -14,6 +14,13 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** The corpus with the family-shared pre-split token array (`toks`) —
+    * served from [[TokenizedCorpus]] so the whole text-analysis family
+    * tokenizes each corpus once per JVM instead of once per query.
+    */
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    TokenizedCorpus.withTokens(spark, dir)
+
   /** Train-once model artifacts cached per corpus (same pattern as
     * [[Dedup]]'s LSH index cache): a bigram LM's count tables are built at
     * ingest time and probed by many scoring runs, so repeat invocations
@@ -132,9 +139,8 @@ object TextAnalysis {
     * The fractions divide a document's own integers (deterministic doubles).
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val words = graft.operators.MapWidth.widen(docs(spark, dir))
-      .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val words = graft.operators.MapWidth.widen(toks(spark, dir))
+      .select(col("doc_id"), explode(col("toks")).as("word"))
     words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
@@ -154,9 +160,8 @@ object TextAnalysis {
     * the selection is total-order deterministic.
     */
   def tfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val d = docs(spark, dir).filter(col("doc_id") < 100)
-    val tf = d.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val d = toks(spark, dir).filter(col("doc_id") < 100)
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = d.agg(countDistinct(col("doc_id")).as("n"))
@@ -182,8 +187,8 @@ object TextAnalysis {
     val terms = Seq("spark", "data", "join", "query")
     val k1 = 1.2
     val b = 0.75
-    val words = docs(spark, dir).select(col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val words = toks(spark, dir).select(col("doc_id"),
+      explode(col("toks")).as("w"))
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = words.filter(col("w").isin(terms.map(_.asInstanceOf[Any]): _*))
@@ -229,8 +234,8 @@ object TextAnalysis {
     val stop = Seq("a", "the")
     val k1 = 1.2
     val b = 0.75
-    val words = docs(spark, dir).select(col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val words = toks(spark, dir).select(col("doc_id"),
+      explode(col("toks")).as("w"))
       .localCheckpoint(true) // one tokenize feeds dl + both BM25 passes
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -274,9 +279,9 @@ object TextAnalysis {
     * (word, doc_id range) so no single reducer collects an unbounded list).
     */
   def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 20): DataFrame =
-    graft.operators.MapWidth.widen(docs(spark, dir))
+    graft.operators.MapWidth.widen(toks(spark, dir))
       .select(col("doc_id"),
-        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+        explode(array_distinct(col("toks"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
       .filter(col("df") >= minDf)
@@ -296,8 +301,8 @@ object TextAnalysis {
     * independent), and ONE double division + round(4) closes it out.
     */
   def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
-    val d = graft.operators.MapWidth.widen(docs(spark, dir))
+    val ws = col("toks")
+    val d = graft.operators.MapWidth.widen(toks(spark, dir))
       .select(col("doc_id"),
         zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"),
@@ -333,9 +338,8 @@ object TextAnalysis {
     * engines reproduce exactly.
     */
   def diversity(spark: SparkSession, dir: String): DataFrame = {
-    val counts = graft.operators.MapWidth.widen(docs(spark, dir))
-      .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+    val counts = graft.operators.MapWidth.widen(toks(spark, dir))
+      .select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
     counts.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"),
@@ -360,8 +364,8 @@ object TextAnalysis {
     */
   def pmiCollocations(spark: SparkSession, dir: String,
                       k: Int = 20, minCount: Int = 5): DataFrame = {
-    val w = graft.operators.MapWidth.widen(docs(spark, dir))
-      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    val w = graft.operators.MapWidth.widen(toks(spark, dir))
+      .select(col("toks").as("w"))
     val bg = w.filter(size(col("w")) >= 2)
       .select(
         explode(expr("transform(sequence(1, size(w)-1), i -> " +
@@ -391,26 +395,35 @@ object TextAnalysis {
     * Engine-stable despite the logs via the q140 pattern: each class's
     * (c/n)·ln(n/c) term rounds to 8dp and sums as DECIMAL(18,8) (exact
     * integer arithmetic, order-free), then ONE divide by the ln(2) literal
-    * and a floor-quantize. The only corpus-sized shuffle is the
-    * (doc_id, char) count; the per-doc re-aggregation moves one row per
-    * character CLASS (≤ alphabet size), not per character.
+    * and a floor-quantize.
+    *
+    * Scale shape: the per-document character histogram is built in ONE
+    * expression ([[graft.functions.CharHistogram]] — a native codegen'd
+    * map build), so nothing ever materializes a row per character and the
+    * whole query is a shuffle-free per-document projection. The previous
+    * form (explode one row per character, then a (doc_id, char) count)
+    * was the worst GC-per-wall query in the suite purely from per-char
+    * row allocation; the histogram emits ≤ alphabet-size entries per doc.
+    * Empty documents are dropped (length ≥ 1), matching the oracle's
+    * `generate_series(1, length(text))` which yields no rows for them.
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     val Ln2 = 0.6931471805599453 // the correctly-rounded double, both engines
-    val counts = graft.operators.MapWidth.widen(docs(spark, dir))
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
-    val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
-    counts
-      .withColumn("n", n)
-      .withColumn("term",
-        round((col("cnt") / col("n").cast("double")) *
-          log(col("n").cast("double") / col("cnt")), 8).cast("decimal(18,8)"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_chars"), count(lit(1)).as("n_classes"),
-        (floor(sum(col("term")).cast("double") / lit(Ln2) * lit(1000000.0)) /
+    graft.operators.MapWidth.widen(docs(spark, dir))
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.CharHistogram.charHistogram(col("text")).as("h"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("h")).cast("long").as("n_classes"),
+        expr("""aggregate(map_values(h), CAST(0 AS DECIMAL(18,8)),
+                (acc, c) -> CAST(acc +
+                  CAST(round((c / CAST(n_chars AS DOUBLE)) *
+                             ln(CAST(n_chars AS DOUBLE) / c), 8)
+                       AS DECIMAL(18,8))
+                AS DECIMAL(18,8)))""").as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_classes"),
+        (floor(col("s").cast("double") / lit(Ln2) * lit(1000000.0)) /
           lit(1000000.0)).as("entropy_bits"))
   }
 
@@ -429,12 +442,17 @@ object TextAnalysis {
     * the corpus never shuffles by word twice.
     */
   def vocabCoverage(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
-    vocabCoverageOf(docs(spark, dir), k)
+    vocabCoverageOf(toks(spark, dir), k)
 
-  /** Core of [[vocabCoverage]] over any (doc_id, text) frame. */
+  /** Core of [[vocabCoverage]] over any (doc_id, text) frame; reuses a
+    * pre-split `toks` column when the input carries one.
+    */
   def vocabCoverageOf(documents: DataFrame, k: Int): DataFrame = {
+    val arr = if (documents.columns.contains(TokenizedCorpus.TokCol))
+      col(TokenizedCorpus.TokCol)
+    else split(trim(lower(col("text"))), "\\s+")
     val tok = documents
-      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(col("doc_id"), explode(arr).as("word"))
     val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(k)
       .select(col("word"), lit(1).as("iv"))
@@ -465,12 +483,17 @@ object TextAnalysis {
     * broadcast), the grand total is a 1-row broadcast.
     */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame =
-    sourceDriftOf(docs(spark, dir))
+    sourceDriftOf(toks(spark, dir))
 
-  /** Core of [[sourceDrift]] over any (source, text) frame. */
+  /** Core of [[sourceDrift]] over any (source, text) frame; reuses a
+    * pre-split `toks` column when the input carries one.
+    */
   def sourceDriftOf(documents: DataFrame): DataFrame = {
+    val arr = if (documents.columns.contains(TokenizedCorpus.TokCol))
+      col(TokenizedCorpus.TokCol)
+    else split(trim(lower(col("text"))), "\\s+")
     val tok = documents
-      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(col("source"), explode(arr).as("word"))
     val sw = tok.groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
     val s = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("t_s"))
     val w = sw.groupBy(col("word")).agg(sum(col("n_sw")).as("n_w"))

@@ -162,7 +162,10 @@ object TextIndex {
   /** The stored (doc_id, word) pairs for a batch of doc_ids, via the
     * forward table — the delta-sized lookup refold/delete tombstoning rides.
     * Small batches (≤ [[FwdLookupMaxIds]]) collect into an IN-literal so the
-    * scan prunes files on the doc_id key; larger ones broadcast-semi-join.
+    * scan prunes files on the doc_id key; larger ones semi-join WITHOUT a
+    * forced broadcast — an unbounded batch must not be wedged through the
+    * driver, and AQE still broadcasts the probe side whenever it is small
+    * enough, so the delta-sized common case keeps the map-side join.
     */
   private[pipeline] def storedWords(eng: OlapEngine, ids: DataFrame): DataFrame = {
     val n = ids.limit(FwdLookupMaxIds + 1).count()
@@ -171,7 +174,7 @@ object TextIndex {
       if (n <= FwdLookupMaxIds) {
         val lits = ids.collect().map(_.getLong(0).asInstanceOf[Any])
         fwd.filter(col("doc_id").isin(lits: _*))
-      } else fwd.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      } else fwd.join(ids, Seq("doc_id"), "left_semi")
     rows.select(col("doc_id"), explode(col("words")).as("word"))
   }
 

@@ -356,11 +356,15 @@ object GraftSql {
         // create + load as one statement, ATOMICALLY: a failed load drops
         // the table we just created (Doris CTAS semantics) — the user must
         // never have to DROP a table they never successfully created
+        // rollback is PHYSICAL, not metadata-only: eraseTable also deletes
+        // the table dir (a half-written r<N> would fail a retried CTAS on
+        // errorifexists) and evicts the cached manifest (a stale
+        // _manifest.json must not resurrect into a re-created table)
         try rowsetDf(spark, eng.ingest(cta.db, cta.table, df,
           group = activeGroup.get(spark)))
         catch {
           case e: Throwable =>
-            try eng.catalog.dropTable(cta.db, cta.table)
+            try eng.eraseTable(cta.db, cta.table)
             catch { case scala.util.control.NonFatal(_) => () }
             throw e
         }

@@ -210,4 +210,32 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - med) <= math.abs(med) * 0.01,
       s"median ${row.getDouble(2)} vs nearest-rank $med")
   }
+
+  test("tokenBudgetCut ≡ single-window cumsum, and its plan has no single-partition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // survivors with deliberately non-contiguous, unsorted doc_ids
+    val survivors = (1 to 500).map(i => ((i * 7919L) % 100003L, (i % 13 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val total = survivors.agg(sum("n_tokens")).head().getLong(0)
+    val budget = math.floor(total.toDouble * 0.6).toLong
+    val naive = survivors
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Corpus.withTokenBudgetCut(survivors, budget) { cut =>
+      // the scale contract: no stage funnels all survivors through one task
+      val plan = cut.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"token-budget cut must not plan a single-partition exchange:\n$plan")
+      val got = cut.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, "two-pass prefix sum must equal the global-window cumsum")
+    }
+    // degenerate inputs: empty survivor set and zero budget both yield zero rows
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    Corpus.withTokenBudgetCut(empty, 100L)(cut => assert(cut.count() == 0))
+    Corpus.withTokenBudgetCut(survivors, 0L)(cut => assert(cut.count() == 0))
+  }
 }
