@@ -319,4 +319,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("storedWords large-batch fallback: above FwdLookupMaxIds the lookup " +
+    "semi-joins WITHOUT a forced broadcast and still returns exactly the " +
+    "stored pairs") {
+    import spark.implicits._
+    val docs = synth(0L until 50L)
+    val eng = mkEngine()
+    TextIndex.bootstrap(eng, docs)
+    // a batch past the IN-literal cap: 50 real ids + enough unknowns to
+    // cross FwdLookupMaxIds (unknown ids must be harmless no-matches)
+    val big = (0L until (TextIndex.FwdLookupMaxIds + 100L)).toDF("doc_id")
+    val rows = TextIndex.storedWords(eng, big)
+    // the contract under fix: an unbounded batch must never be wedged
+    // through the driver — no broadcast HINT on the probe side (AQE may
+    // still elect a broadcast at runtime when the probe is actually small)
+    val analyzed = rows.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"large-batch storedWords must not force a broadcast:\n$analyzed")
+    val expected = docs.collect().flatMap { r =>
+      r.getString(1).split("\\s+").distinct.map(w => (r.getLong(0), w))
+    }.toSet
+    val got = rows.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+    // the small-batch path (IN-literal file pruning) is unchanged
+    val small = TextIndex.storedWords(eng, Seq(3L, 4L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(small === expected.filter(p => p._1 == 3L || p._1 == 4L))
+  }
 }
