@@ -917,7 +917,42 @@ object Corpus {
       (col("cap") <= lit(f)).as("cap_bound"))
   }
 
+  /** q258: the CORPUS DATACARD — the per-source summary a dataset release
+    * ships (Datasheets-for-Datasets / dataset-card shape): document and
+    * token counts, mean document length, language share, and the exact-dup
+    * count, one row per source. The operational "what am I training on"
+    * report every large-scale pipeline runs after curation.
+    *
+    * Scale shape: ONE grouped aggregate over the shared tokenized corpus
+    * (every stat is a sum/count — partial aggregation collapses each
+    * source on the map side) plus ONE fingerprint-first dup count (md5,
+    * not text bodies, shuffles — the q30 discipline); the two 10-row
+    * source tables join broadcast. Every emitted figure is exact integer
+    * arithmetic or a single deterministic divide + round, so the oracle
+    * replays it bit-for-bit.
+    */
+  def corpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val d = TokenizedCorpus.withTokens(spark, dir)
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col(TokenizedCorpus.TokCol)).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val dups = d.select(col("source"), md5(col("text")).as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c") - 1).as("dup_docs"))
+    base.join(dups, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
+        round(col("n_en").cast("double") / col("n_docs"), 4).as("en_share"),
+        col("dup_docs"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_corpus_datacard" ->
+      ((s: SparkSession, d: String) => corpusDatacard(s, d)),
     "q250_curation_funnel" ->
       ((s: SparkSession, d: String) => curationFunnel(s, d)),
     "q251_mix_budget" ->
@@ -949,6 +984,24 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // q258: every datacard figure recomputed from raw rows — counts and
+    // sums exact, the two ratios via one divide + round(4) in both engines
+    "q258_corpus_datacard" ->
+      """WITH t AS (SELECT source, lang, n_chars, text,
+        |             len(string_split_regex(trim(lower(text)), '\s+')) AS nt
+        |           FROM documents),
+        |base AS (SELECT source, count(*) AS n_docs,
+        |           CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+        |           round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |                 / count(*), 4) AS en_share
+        |         FROM t GROUP BY source),
+        |dups AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS dup_docs
+        |         FROM (SELECT source, text, count(*) AS c
+        |               FROM documents GROUP BY source, text)
+        |         GROUP BY source)
+        |SELECT base.source, n_docs, n_tokens, avg_chars, en_share, dup_docs
+        |FROM base JOIN dups ON base.source = dups.source""".stripMargin,
     // q250: all five funnel stages replayed — the flag conjunctions, the
     // prefix-fingerprint survivor election, and the 60%-budget cumsum cut
     "q250_curation_funnel" ->

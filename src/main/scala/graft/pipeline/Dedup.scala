@@ -532,6 +532,74 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("jaccard"))
   }
 
+  /** q260: CONTAINMENT join — near-CONTAINMENT dedup, the asymmetric
+    * complement of Jaccard similarity (q171): flag (small, big) pairs where
+    * the smaller document's word set is ≥ `threshold` contained in the
+    * larger's (c = |A∩B| / |A|). Jaccard misses exactly this case — a short
+    * document quoted whole inside a long one scores low Jaccard but
+    * containment 1.0 — and it is the standard boilerplate/quotation/
+    * aggregator-page detector in corpus curation.
+    *
+    * Lossless candidate generation, adapted from the prefix filter: tokens
+    * take the same global rarest-first order; only the PROBE (potential
+    * smaller side) is cut to its prefix of |A| − ⌈t·|A|⌉ + 1 tokens, and it
+    * joins the candidate side's FULL distinct-token postings — if the
+    * prefix missed B entirely, the overlap would fit inside the remaining
+    * ⌈t·|A|⌉ − 1 tokens, contradicting c ≥ t. Orientation is canonical
+    * ((la < lb), ties by id), exact array intersection verifies.
+    *
+    * Scale shape: the probe side carries PREFIX rows only (rarest-first, so
+    * stopwords structurally stay out of prefixes and the per-word fan-out
+    * is bounded by rare-word document frequency); the postings side is the
+    * corpus-sized distinct-token table shuffled by word — the same budget
+    * as the q171 production form. Blocked (per-source) like q255, under a
+    * full hash oracle of the benched plan.
+    */
+  def containmentJoin(spark: SparkSession, dir: String,
+                      threshold: Double = 0.9,
+                      block: Option[String] = Some("source")): DataFrame =
+    containmentJoinOf(docs(spark, dir), threshold, block)
+
+  /** Core of [[containmentJoin]] over any (doc_id, text, ...) frame. */
+  def containmentJoinOf(documents: DataFrame, threshold: Double,
+                        block: Option[String] = None): DataFrame = {
+    val blk = block.map(col).getOrElse(lit(""))
+    val tok = documents
+      .select(col("doc_id"), blk.as("blk"),
+        explode(array_distinct(wordsCol(col("text")))).as("word"))
+    val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, Seq("word"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
+      .select(col("doc_id"), col("blk"),
+        transform(col("ts"), t => t.getField("word")).as("toks"),
+        size(col("ts")).as("sz"))
+      .withColumn("plen",
+        // same epsilon-before-ceil as the prefix filter: only ever
+        // LENGTHENS the prefix, which stays lossless
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    val prefixes = ordered.select(col("doc_id").as("doc_a"), col("blk"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
+    val cand = prefixes
+      .join(tok.select(col("doc_id").as("doc_b"), col("blk"), col("word")),
+        Seq("word", "blk"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ratio = col("inter").cast("double") / col("la").cast("double")
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("sz").as("la")), Seq("doc_a"))
+      .join(ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("sz").as("lb")), Seq("doc_b"))
+      // canonical orientation: doc_a is the (strictly) smaller set; equal
+      // sizes orient by id so each unordered pair appears exactly once
+      .filter(col("la") < col("lb") ||
+        (col("la") === col("lb") && col("doc_a") < col("doc_b")))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .filter(ratio >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("containment"))
+  }
+
   /** Leakage-safe train/val/test split: split assignment is a hash of the
     * near-dup CLUSTER representative (q47's survivor), not of the document
     * — so every member of a near-dup cluster lands in the same split and a
@@ -585,6 +653,8 @@ object Dedup {
     // df + global prefix-length construction
     "q255_prefix_filter_block" ->
       ((s: SparkSession, d: String) => prefixFilterJoin(s, d, 0.8, Some("source"))),
+    "q260_containment_join" ->
+      ((s: SparkSession, d: String) => containmentJoin(s, d)),
     "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
@@ -681,6 +751,20 @@ object Dedup {
         |      FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source)
         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(la+lb-inter), 4) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.8""".stripMargin,
+    // q260: exhaustive same-source containment over all canonical
+    // (smaller, larger) pairs — the candidate filter is lossless, so the
+    // blocked production plan must reproduce this exactly
+    "q260_containment_join" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |           FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.tk, b.tk)) AS inter, len(a.tk) AS la
+        |      FROM s a JOIN s b ON a.source = b.source
+        |        AND (len(a.tk) < len(b.tk)
+        |             OR (len(a.tk) = len(b.tk) AND a.doc_id < b.doc_id)))
+        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/la, 4) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE)/la >= 0.9""".stripMargin,
     // composed from the two detectors' own oracles (q31's is the
     // exhaustive-equivalent Jaccard form, q36's the LSH replay), so the
     // consensus oracle inherits exactly their verification strength

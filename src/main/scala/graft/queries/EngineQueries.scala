@@ -882,6 +882,37 @@ object EngineQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** q259: SNAPSHOT DIFF — the corpus-revision compare MVCC makes free: the
+    * same table read at two versions (v1 base load vs the latest snapshot,
+    * after the delete-tombstone and re-insert loads), full-outer-joined on
+    * the key and classified added / removed / updated / unchanged with
+    * per-class counts and id bounds. The "what changed between dataset
+    * revisions" audit every pipeline release wants, served from ONE table's
+    * version history — no second copy of the data exists anywhere.
+    *
+    * Scale shape: two snapshot reads of the same rowsets (shared files,
+    * different version masks), one key-partitioned full-outer join, a
+    * 4-row grouped rollup. At 100 TB the diff costs one co-partitioned
+    * join — not a cross-revision export.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val eng = EngineFixture.get(spark, dir)
+    val v1 = eng.snapshot("graft", "events_del", 1, 1)
+      .select(col("event_id"), col("value").as("value_v1"))
+    val now = eng.scan("graft", "events_del")
+      .select(col("event_id"), col("value").as("value_now"))
+    v1.join(now, Seq("event_id"), "full_outer")
+      .select(col("event_id"),
+        when(col("value_v1").isNull, "added")
+          .when(col("value_now").isNull, "removed")
+          .when(col("value_v1") =!= col("value_now"), "updated")
+          .otherwise("unchanged").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("change"))
+  }
+
   /** Unique-model delete tombstones: deleted keys vanish from the latest
     * snapshot unless a newer load re-inserted them (see the events_del
     * fixture loads).
@@ -1862,6 +1893,7 @@ object EngineQueries {
     "q137_partition_prune_transparent" -> partitionPruneTransparent _,
     "q73_engine_incremental" -> incrementalRead _,
     "q63_engine_delete" -> deleteTombstones _,
+    "q259_snapshot_diff" -> snapshotDiff _,
     "q64_engine_count_meta" -> countMeta _,
     "q49_engine_rollup" -> rollupAggregate _,
     "q121_rollup_transparent" -> rollupTransparent _,
@@ -2248,6 +2280,23 @@ object EngineQueries {
         |UNION ALL
         |SELECT event_id, user_id, event_type, value + 5000.0 AS value FROM events
         |WHERE event_id % 14 = 0""".stripMargin,
+    // q259: replay BOTH revisions from raw rows (v1 = the base load; the
+    // latest = q63's survivor expression), then the same full-outer
+    // classification — counts and id bounds per change class
+    "q259_snapshot_diff" ->
+      """WITH v1 AS (SELECT event_id, value FROM events),
+        |now AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0
+        |        UNION ALL
+        |        SELECT event_id, value + 5000.0 AS value FROM events
+        |        WHERE event_id % 14 = 0),
+        |j AS (SELECT COALESCE(v1.event_id, now.event_id) AS event_id,
+        |        CASE WHEN v1.event_id IS NULL THEN 'added'
+        |             WHEN now.event_id IS NULL THEN 'removed'
+        |             WHEN v1.value <> now.value THEN 'updated'
+        |             ELSE 'unchanged' END AS change
+        |      FROM v1 FULL OUTER JOIN now ON v1.event_id = now.event_id)
+        |SELECT change, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM j GROUP BY change""".stripMargin,
     "q64_engine_count_meta" ->
       "SELECT count(*) AS n FROM orders",
     "q20_engine_dup_scan" ->

@@ -341,6 +341,43 @@ class FrequencySpec extends AnyFunSuite {
     }
   }
 
+  test("containment join: lossless vs brute force on random dense corpora, " +
+    "asymmetric direction + canonical orientation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 3; t <- Seq(0.7, 0.9)) {
+      val vocab = (0 until 20).map(i => s"w$i")
+      val corpus = (0 until 30).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val documents = spark.sparkContext.parallelize(corpus, 3).toDF("doc_id", "text")
+      val got = Dedup.containmentJoinOf(documents, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.map { case (id, s) => id -> s.split("\\s+").toSet }.toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys
+        if sets(a).size < sets(b).size ||
+          (sets(a).size == sets(b).size && a < b)
+        c = (sets(a) & sets(b)).size.toDouble / sets(a).size
+        if c >= t
+      } yield (a, b, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == expected, s"trial=$trial t=$t")
+    }
+    // the asymmetric case Jaccard misses: a short doc quoted whole inside a
+    // long one — containment 1.0, Jaccard well under 0.8
+    val quote = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentJoinOf(quote, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1.0)))
+    assert(Dedup.prefixFilterJoinOf(quote, 0.8)
+      .as[(Long, Long, Double)].collect().isEmpty,
+      "Jaccard must miss the quotation pair containment exists to catch")
+  }
+
   test("vocab coverage: known OOV counts with a deterministic top-k cut") {
     import spark.implicits._
     // corpus counts: 'hot' x6, 'warm' x4, 'cold' x2, 'rare' x1 -> top-2
