@@ -933,22 +933,40 @@ object Corpus {
     */
   def corpusDatacard(spark: SparkSession, dir: String): DataFrame = {
     val d = TokenizedCorpus.withTokens(spark, dir)
-    val base = d.groupBy(col("source")).agg(
+    datacardFinish(datacardBase(d), datacardDups(datacardFp(d)))
+  }
+
+  /** The datacard's per-source Sum partial over any documents frame — ONE
+    * definition shared by the batch report (q258) and the stream-maintained
+    * twin (q261, which Sum-folds these rows into an engine table), so the
+    * two derivations cannot drift.
+    */
+  private[graft] def datacardBase(docsDf: DataFrame): DataFrame =
+    docsDf.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
-      sum(size(col(TokenizedCorpus.TokCol)).cast("long")).as("n_tokens"),
+      sum(size(tokArr(docsDf)).cast("long")).as("n_tokens"),
       sum(col("n_chars")).as("sum_chars"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-    val dups = d.select(col("source"), md5(col("text")).as("fp"))
+
+  /** Per-(source, fingerprint) occurrence counts — the dup-detection half
+    * of the datacard; fingerprint-first (md5, never text bodies) shuffles.
+    */
+  private[graft] def datacardFp(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("source"), md5(col("text")).as("fp"))
       .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
-      .groupBy(col("source"))
-      .agg(sum(col("c") - 1).as("dup_docs"))
+
+  /** Exact-dup count per source from merged fingerprint counts. */
+  private[graft] def datacardDups(fpCounts: DataFrame): DataFrame =
+    fpCounts.groupBy(col("source")).agg(sum(col("c") - 1).as("dup_docs"))
+
+  /** The final datacard projection from the merged partials. */
+  private[graft] def datacardFinish(base: DataFrame, dups: DataFrame): DataFrame =
     base.join(dups, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("sum_chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
         round(col("n_en").cast("double") / col("n_docs"), 4).as("en_share"),
         col("dup_docs"))
       .orderBy(col("source"))
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q258_corpus_datacard" ->

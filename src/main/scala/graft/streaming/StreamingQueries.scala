@@ -533,6 +533,135 @@ object StreamingQueries {
           col("tokens_out"))
     }
 
+  /** Stream-fed datacard engines, one per data dir (q261 fixture). */
+  private val streamDatacardCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** q261: the corpus DATACARD maintained by a stream — q258's release
+    * report served from two Sum-merged engine tables instead of a corpus
+    * rescan. Every stat is distributive: the per-source sums fold row-wise,
+    * and the exact-dup count folds through a per-(source, fingerprint)
+    * Sum table whose merge-on-read collapses cross-batch duplicates of the
+    * same text — so `sum(c − 1)` over the MERGED table equals the batch
+    * report's dup count even when a duplicate pair straddles micro-batches.
+    * Same gate-sharing discipline as q252 ([[graft.pipeline.Corpus]]'s
+    * datacardBase/datacardFp/datacardFinish are the ONE definition both
+    * derivations use) and the lmFoldBatch exactly-once discipline: both
+    * tables stage under one load group at deterministic batch-derived
+    * rowset ids — a replayed committed batch skips (a Sum table would
+    * double-count), a mid-stage crash reaps and refolds.
+    *
+    * Scale shape: the dashboard read touches two source-cardinality tables
+    * (10–20 rows merged), never the corpus; each micro-batch's fold is one
+    * grouped partial over the batch alone.
+    */
+  def streamDatacard(spark: SparkSession, dir: String): DataFrame =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.catalog._
+      import graft.model._
+      val eng = streamDatacardCache.getOrElseUpdate(dir, {
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-sdc-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        e.createDatabase("stream")
+        e.createTable(TableDef(
+          db = "stream", name = "dc",
+          schema = TableSchema(KeysType.Aggregate, Seq(
+            ColumnSpec.varchar("source", 16, isKey = true),
+            ColumnSpec.value("n_docs", org.apache.spark.sql.types.LongType,
+              AggType.Sum),
+            ColumnSpec.value("n_tokens", org.apache.spark.sql.types.LongType,
+              AggType.Sum),
+            ColumnSpec.value("sum_chars", org.apache.spark.sql.types.LongType,
+              AggType.Sum),
+            ColumnSpec.value("n_en", org.apache.spark.sql.types.LongType,
+              AggType.Sum))),
+          bucketColumn = Some("source"), numBuckets = 1))
+        e.createTable(TableDef(
+          db = "stream", name = "dcfp",
+          schema = TableSchema(KeysType.Aggregate, Seq(
+            ColumnSpec.varchar("source", 16, isKey = true),
+            ColumnSpec.varchar("fp", 32, isKey = true),
+            ColumnSpec.value("c", org.apache.spark.sql.types.LongType,
+              AggType.Sum))),
+          bucketColumn = Some("fp"), numBuckets = 4))
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val sd = Files.createTempDirectory("graft-sdc-stream-")
+        val ckpt = Files.createTempDirectory("graft-sdc-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-sdc-part-")
+          docs.filter(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            datacardFoldBatch(e, batch, bid)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+      graft.pipeline.Corpus.datacardFinish(
+        eng.scan("stream", "dc"),
+        graft.pipeline.Corpus.datacardDups(eng.scan("stream", "dcfp")))
+    }
+
+  /** The exactly-once two-table fold of one datacard micro-batch — the
+    * [[graft.pipeline.ModelStore]] lmFoldBatch discipline verbatim: reap a
+    * mid-stage crash's leftovers, skip a committed replay (Sum tables
+    * double-count), heal a legacy half-publish table-by-table, else stage
+    * both partials under ONE load group at the deterministic rowset id.
+    */
+  private def datacardFoldBatch(eng: graft.engine.OlapEngine,
+                                batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val rid = 1000000L + batchId
+    Seq("dc", "dcfp")
+      .flatMap(t => eng.manifest("stream", t).allRowsets
+        .filter(r => r.rowsetId == rid && r.isPending)
+        .flatMap(_.pendingGroup))
+      .distinct.foreach(eng.abortGroup)
+    def landed(table: String): Boolean =
+      eng.manifest("stream", table).allRowsets
+        .exists(r => r.rowsetId == rid && !r.isPending)
+    if (landed("dc") && landed("dcfp")) return // committed replay
+    lazy val pinned = batch.localCheckpoint(true)
+    def base = graft.pipeline.Corpus.datacardBase(pinned)
+    def fps = graft.pipeline.Corpus.datacardFp(pinned)
+    def nextV(t: String) = {
+      val v = eng.manifest("stream", t).maxVersion + 1
+      graft.manifest.Version(v, v)
+    }
+    if (landed("dc") || landed("dcfp")) {
+      if (!landed("dc"))
+        eng.ingest("stream", "dc", base,
+          Some(nextV("dc")), explicitRowsetId = Some(rid)): Unit
+      if (!landed("dcfp"))
+        eng.ingest("stream", "dcfp", fps,
+          Some(nextV("dcfp")), explicitRowsetId = Some(rid)): Unit
+    } else {
+      val g = eng.newLoadGroup()
+      eng.ingest("stream", "dc", base,
+        Some(nextV("dc")), explicitRowsetId = Some(rid), group = Some(g))
+      eng.ingest("stream", "dcfp", fps,
+        Some(nextV("dcfp")), explicitRowsetId = Some(rid), group = Some(g))
+      eng.commitGroup(g)
+    }
+  }
+
   /** Stream-maintained ANN-index engines, one per data dir (q189 fixture). */
   private val streamAnnCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
@@ -1569,6 +1698,7 @@ object StreamingQueries {
     "q241_stream_sum_meta" -> ((s: SparkSession, d: String) => streamSumMeta(s, d)),
     "q248_stream_dict_meta" -> ((s: SparkSession, d: String) => streamDictMeta(s, d)),
     "q252_stream_funnel" -> ((s: SparkSession, d: String) => streamFunnel(s, d)),
+    "q261_stream_datacard" -> ((s: SparkSession, d: String) => streamDatacard(s, d)),
     "q164_stream_stream_outer" -> ((s: SparkSession, d: String) => streamStreamOuter(s, d)),
     "q42_stream_window" -> ((s: SparkSession, d: String) => windowedAgg(s, d)),
     "q43_stream_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -1595,6 +1725,11 @@ object StreamingQueries {
     // no micro-batch double-counted (the exactly-once ledger contract)
     "q198_stream_lm_fold" ->
       graft.pipeline.ModelStore.oracles("q193_bigram_lm_served"),
+    // q261 shares q258's exact-hash oracle: the stream-maintained datacard
+    // tables must serve the batch report bit-for-bit — every stat is
+    // distributive and the fingerprint Sum table folds cross-batch dups
+    "q261_stream_datacard" ->
+      graft.pipeline.Corpus.oracles("q258_corpus_datacard"),
     // q183 shares q178/q182's full-recompute oracle: the stream-maintained
     // index must converge to the same closure regardless of batching
     "q183_stream_cluster_index" -> graft.pipeline.Dedup.splitOracleSql,
