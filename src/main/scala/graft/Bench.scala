@@ -27,7 +27,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Optional comma-separated subset for local iteration (driver leaves unset).
+    // Alias rows resolve to their timed target FIRST, so ONLY=q255 times
+    // q171's production plan instead of silently timing nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      .map(_.map(n => SparkEntry.benchAliases.getOrElse(n, n)))
     // alias rows (oracle coverage for plans benched under another name) are
     // skipped and labeled below — each production plan is timed exactly once
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -155,7 +158,9 @@ object Bench {
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")
         Some("cached-model-serve")
       else None
+    // only label an alias when its timed target actually ran in THIS bench
     val aliasEntries = SparkEntry.benchAliases.toSeq.sorted
+      .filter { case (_, of) => names.contains(of) }
       .map { case (n, of) => "\"" + n + "\":\"alias-of:" + of + "\"" }
     val variants =
       (names.flatMap(n => variantOf(n).map(v => "\"" + n + "\":\"" + v + "\"")) ++

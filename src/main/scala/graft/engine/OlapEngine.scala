@@ -137,7 +137,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     catch { case scala.util.control.NonFatal(_) => () }
     manifests.remove(s"$db.$table")
     val root = tableRoot(db, table)
-    rawReaders.keys.filter(_.startsWith(root.toString)).foreach(rawReaders.remove)
+    // prefix must end at a path separator: erasing db.t must not evict
+    // sibling db.t2 / db.t_bak readers
+    val rootPrefix = root.toString + java.io.File.separator
+    rawReaders.keys.filter(k => k == root.toString || k.startsWith(rootPrefix))
+      .foreach(rawReaders.remove)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       Files.walk(root).iterator().asScala.toSeq.reverse
@@ -1063,9 +1067,18 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
   private def fillAutoIncrement(db: String, table: String, df: DataFrame,
                                 c: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    // pin BEFORE the column projection, and only if the input is not
+    // already a materialized plan (overwrite pins its input upstream — a
+    // second eager checkpoint would double-materialize the whole load);
+    // the cast projection over pinned rows is deterministic, so the count
+    // and the assignment still observe one row set
+    val pinned =
+      if (df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+      else df.localCheckpoint(true)
     val withCol =
-      (if (df.columns.contains(c)) df.withColumn(c, col(c).cast(LongType))
-       else df.withColumn(c, lit(null).cast(LongType))).localCheckpoint(true)
+      if (pinned.columns.contains(c)) pinned.withColumn(c, col(c).cast(LongType))
+      else pinned.withColumn(c, lit(null).cast(LongType))
     val need = withCol.filter(col(c).isNull)
     val keep = withCol.filter(col(c).isNotNull)
     val n = need.count()

@@ -17,14 +17,10 @@ object Corpus {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Token-array column for a documents frame: reuses a pre-split
-    * [[TokenizedCorpus.TokCol]] when the frame carries one (the family-shared
-    * tokenize cache), else splits inline — so core operators accept ANY
-    * (doc_id, text) frame but never re-tokenize a cached corpus.
+  /** Token-array column for a documents frame — the ONE shared
+    * [[TokenizedCorpus.tokensOrSplit]] helper (cache reuse or inline split).
     */
-  private def tokArr(df: DataFrame): Column =
-    if (df.columns.contains(TokenizedCorpus.TokCol)) col(TokenizedCorpus.TokCol)
-    else split(trim(lower(col("text"))), "\\s+")
+  private def tokArr(df: DataFrame): Column = TokenizedCorpus.tokensOrSplit(df)
 
   /** Deterministic train/val/test split: md5(doc_id) maps each document to a
     * stable bucket in [0,100) — 80/10/10. Hash-based (not random) splits are

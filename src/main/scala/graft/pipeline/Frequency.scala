@@ -13,12 +13,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Frequency {
 
-  /** Token-array column: reuses a pre-split [[TokenizedCorpus.TokCol]] when
-    * the frame carries one, else splits inline (see [[TokenizedCorpus]]).
+  /** Token-array column — the ONE shared [[TokenizedCorpus.tokensOrSplit]]
+    * helper (cache reuse or inline split).
     */
-  private def tokArr(df: DataFrame) =
-    if (df.columns.contains(TokenizedCorpus.TokCol)) col(TokenizedCorpus.TokCol)
-    else split(trim(lower(col("text"))), "\\s+")
+  private def tokArr(df: DataFrame) = TokenizedCorpus.tokensOrSplit(df)
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -448,11 +448,9 @@ object TextAnalysis {
     * pre-split `toks` column when the input carries one.
     */
   def vocabCoverageOf(documents: DataFrame, k: Int): DataFrame = {
-    val arr = if (documents.columns.contains(TokenizedCorpus.TokCol))
-      col(TokenizedCorpus.TokCol)
-    else split(trim(lower(col("text"))), "\\s+")
     val tok = documents
-      .select(col("doc_id"), explode(arr).as("word"))
+      .select(col("doc_id"),
+        explode(TokenizedCorpus.tokensOrSplit(documents)).as("word"))
     val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(k)
       .select(col("word"), lit(1).as("iv"))
@@ -489,11 +487,9 @@ object TextAnalysis {
     * pre-split `toks` column when the input carries one.
     */
   def sourceDriftOf(documents: DataFrame): DataFrame = {
-    val arr = if (documents.columns.contains(TokenizedCorpus.TokCol))
-      col(TokenizedCorpus.TokCol)
-    else split(trim(lower(col("text"))), "\\s+")
     val tok = documents
-      .select(col("source"), explode(arr).as("word"))
+      .select(col("source"),
+        explode(TokenizedCorpus.tokensOrSplit(documents)).as("word"))
     val sw = tok.groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
     val s = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("t_s"))
     val w = sw.groupBy(col("word")).agg(sum(col("n_sw")).as("n_w"))

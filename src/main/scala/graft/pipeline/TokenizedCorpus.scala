@@ -40,6 +40,16 @@ object TokenizedCorpus {
       df
     })
 
+  /** Token-array column for ANY documents frame: reuses the pre-split
+    * [[TokCol]] when the frame carries one (served from this cache), else
+    * splits inline with the ONE shared normalization. Every consumer that
+    * accepts arbitrary (doc_id, text) frames goes through here, so the
+    * normalization cannot fork between the cache and the inline fallback.
+    */
+  def tokensOrSplit(df: DataFrame): org.apache.spark.sql.Column =
+    if (df.columns.contains(TokCol)) col(TokCol)
+    else split(trim(lower(col("text"))), "\\s+")
+
   /** Fixture hook (the streaming `clearDrains` analogue): drop every cached
     * frame and unpersist its blocks — needed whenever the data under a
     * previously tokenized dir is regenerated in the same JVM.
