@@ -180,14 +180,17 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = cachedDf(dir, s"shingles-$k") {
+    // shingle sets cached SORTED: the per-pair verify is then an
+    // allocation-free two-pointer merge count instead of a hash set per row
+    val sh = cachedDf(dir, s"shingles-sorted-$k") {
       graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
-        array_distinct(shingles(col("text"), k)).as("sh"))
+        sort_array(array_distinct(shingles(col("text"), k))).as("sh"))
     }
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -280,13 +283,15 @@ object Dedup {
     */
   def ngramJaccardOf(documents: DataFrame, threshold: Double = 0.3,
                      maxBlock: Option[Int] = None): DataFrame = {
+    // word sets SORTED at build: per-pair verify by two-pointer merge count
     val keyed = graft.operators.MapWidth.widen(documents).select(col("doc_id"),
       substring(lower(col("text")), 1, 20).as("blk"),
-      array_distinct(wordsCol(col("text"))).as("ws"))
+      sort_array(array_distinct(wordsCol(col("text")))).as("ws"))
     val d = maxBlock.fold(keyed)(capBuckets(keyed, Seq("blk"), _))
     d.as("a").join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", size(array_intersect(col("a.ws"), col("b.ws"))))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("a.ws"), col("b.ws")))
       .withColumn("jac",
         col("inter").cast("double") /
           (size(col("a.ws")) + size(col("b.ws")) - col("inter")).cast("double"))
@@ -413,10 +418,11 @@ object Dedup {
     def keyed(df: DataFrame, idAs: String, wsAs: String) = df.select(
       col("doc_id").as(idAs),
       substring(lower(col("text")), 1, 20).as("blk"),
-      array_distinct(wordsCol(col("text"))).as(wsAs))
+      sort_array(array_distinct(wordsCol(col("text")))).as(wsAs))
     val nearBest = keyed(corpus, "c_id", "c_ws")
       .join(broadcast(keyed(delta, "d_id", "d_ws")), Seq("blk"))
-      .withColumn("inter", size(array_intersect(col("d_ws"), col("c_ws"))))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("d_ws"), col("c_ws")))
       .withColumn("jac", round(col("inter").cast("double") /
         (size(col("d_ws")) + size(col("c_ws")) - col("inter")).cast("double"), 4))
       .filter(col("jac") >= threshold)
@@ -504,6 +510,10 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
       .select(col("doc_id"), col("blk"),
         transform(col("ts"), t => t.getField("word")).as("toks"),
+        // a lexicographically sorted twin feeds the verify stage's
+        // two-pointer merge count (sorted_intersect_count) — per-DOC
+        // n log n buys allocation-free per-PAIR verification
+        sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
         size(col("ts")).as("sz"))
       .withColumn("plen",
         // epsilon before ceil: fl(threshold)*sz can round JUST above an
@@ -523,11 +533,12 @@ object Dedup {
     val ratio = col("inter").cast("double") /
       (col("la") + col("lb") - col("inter")).cast("double")
     cand
-      .join(ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      .join(ordered.select(col("doc_id").as("doc_a"), col("stoks").as("ta"),
         col("sz").as("la")), Seq("doc_a"))
-      .join(ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+      .join(ordered.select(col("doc_id").as("doc_b"), col("stoks").as("tb"),
         col("sz").as("lb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("ta"), col("tb")))
       .filter(ratio >= threshold)
       .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("jaccard"))
   }
@@ -573,6 +584,8 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
       .select(col("doc_id"), col("blk"),
         transform(col("ts"), t => t.getField("word")).as("toks"),
+        // sorted twin for the merge-count verify (see prefixFilterJoinOf)
+        sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
         size(col("ts")).as("sz"))
       .withColumn("plen",
         // same epsilon-before-ceil as the prefix filter: only ever
@@ -587,15 +600,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     val ratio = col("inter").cast("double") / col("la").cast("double")
     cand
-      .join(ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      .join(ordered.select(col("doc_id").as("doc_a"), col("stoks").as("ta"),
         col("sz").as("la")), Seq("doc_a"))
-      .join(ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+      .join(ordered.select(col("doc_id").as("doc_b"), col("stoks").as("tb"),
         col("sz").as("lb")), Seq("doc_b"))
       // canonical orientation: doc_a is the (strictly) smaller set; equal
       // sizes orient by id so each unordered pair appears exactly once
       .filter(col("la") < col("lb") ||
         (col("la") === col("lb") && col("doc_a") < col("doc_b")))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("ta"), col("tb")))
       .filter(ratio >= threshold)
       .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("containment"))
   }

@@ -145,6 +145,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 39L && r.isNullAt(1))
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted distinct " +
+    "arrays (codegen + interpreted), empty/disjoint/null cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val rows = (0 until 200).map { i =>
+      val a = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size + 1)).sorted
+      val b = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size + 1)).sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("merge", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("merge") =!= col("ref")).count() == 0)
+    // interpreted path agrees with codegen
+    val one = rows.head
+    val interp = graft.functions.SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(one._2,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(one._3,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+      .eval(null)
+    assert(interp == one._2.toSet.intersect(one._3.toSet).size)
+    // null input propagates
+    val n = Seq((Option.empty[Seq[String]], Seq("a"))).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("a"), col("b")).as("m")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("z-ordered sort gives both-dimension locality (the pruning property)") {
     import spark.implicits._
     // 64x64 grid sorted by z; contiguous chunks of 256 rows must have narrow
