@@ -721,19 +721,37 @@ object Similarity {
   def randomProjection(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame =
     projectOf(spark.read.parquet(s"$dir/embeddings.parquet"), outDim)
 
-  /** Core of [[randomProjection]] over any (vec_id, embedding) frame. */
+  /** Core of [[randomProjection]] over any (vec_id, embedding) frame.
+    *
+    * The ±1 sign matrix is a function of (input dim, output dim) ALONE —
+    * md5-derived so the oracle can rebuild it in SQL — so it is computed
+    * ONCE on the driver (outDim × dim doubles, a plan literal) instead of
+    * one md5 per element per output dim per ROW, which made the hash the
+    * entire cost of the projection. The per-row math keeps the exact
+    * zip_with-multiply + left-fold-sum shape (same IEEE ops, same order),
+    * and the sign row is sliced to each vector's own length so shorter
+    * vectors behave exactly as before.
+    */
   def projectOf(embeddings: DataFrame, outDim: Int): DataFrame = {
-    def sign(i: Column, j: Column): Column =
-      when(pmod(graft.functions.Md5Prefix60.md5Prefix60(
-        concat(j.cast("string"), lit(":"), i.cast("string"))), lit(2L)) === 0,
-        lit(1.0)).otherwise(lit(-1.0))
+    val dim = embeddings
+      .agg(max(size(col("embedding")))).head().getInt(0)
+    val signs: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val h = graft.functions.Md5Prefix60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$j:$i"))
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val signsLit = typedLit(signs)
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         explode(sequence(lit(0), lit(outDim - 1))).as("j"))
       .select(col("vec_id"), col("j").cast("long").as("j"),
         round(aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-            (x, i) => x * sign(i, col("j"))),
+          zip_with(col("v"),
+            slice(element_at(signsLit, col("j").cast("int") + 1), lit(1),
+              size(col("v"))),
+            (x, s) => x * s),
           lit(0.0), (a, b) => a + b), 6).as("y"))
   }
 
