@@ -392,6 +392,40 @@ object Dedup {
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(ngramJaccard(spark, dir), "doc_a", "doc_b")
 
+  /** q262: near-dup CLUSTER-SIZE distribution — the dedup report a corpus
+    * release actually reviews (a fat tail of large clusters means template/
+    * boilerplate mass; a spike at size 2 means crawl re-fetches). Pure
+    * composition over q47's verified closure: cluster sizes, then a
+    * histogram over the sizes — two grouped aggregates beyond the closure,
+    * both exact integers.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupSurvivors(spark, dir)
+      .groupBy(col("survivor_id")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+
+  /** q263: DEDUP SAVINGS — the one-row summary of what deduplication buys
+    * on this corpus: exact-dup removals (docs minus distinct texts,
+    * fingerprint-first) and near-dup removals (closure members minus
+    * clusters), each computed independently so the report shows both
+    * stages' yield. The headline numbers a pipeline dashboard tracks
+    * release over release.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_texts"))
+    val n = dedupSurvivors(spark, dir)
+      .agg(count(lit(1)).as("members"),
+        countDistinct(col("survivor_id")).as("clusters"))
+    e.crossJoin(n).select(lit("dedup_savings").as("metric"),
+      col("n_docs"),
+      (col("n_docs") - col("n_texts")).as("exact_removed"),
+      (col("members") - col("clusters")).as("near_removed"),
+      col("clusters").as("n_clusters"))
+  }
+
   /** Incremental dedup: screen a NEW batch (the delta, doc_id % 10 == 0)
     * against the EXISTING corpus without ever comparing the corpus to itself
     * — the only shape that survives a 100 TB corpus taking daily deltas
@@ -669,6 +703,10 @@ object Dedup {
       ((s: SparkSession, d: String) => prefixFilterJoin(s, d, 0.8, Some("source"))),
     "q260_containment_join" ->
       ((s: SparkSession, d: String) => containmentJoin(s, d)),
+    "q262_cluster_sizes" ->
+      ((s: SparkSession, d: String) => clusterSizes(s, d)),
+    "q263_dedup_savings" ->
+      ((s: SparkSession, d: String) => dedupSavings(s, d)),
     "q47_dedup_survivors" -> ((s: SparkSession, d: String) => dedupSurvivors(s, d)),
     "q30_dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "q31_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
@@ -805,6 +843,22 @@ object Dedup {
     // Same pair set as q33, closed transitively with a recursive CTE; the
     // iterative Spark propagation must agree exactly.
     "q47_dedup_survivors" -> survivorsOracleSql,
+    // q262/q263 compose q47's recursive-closure oracle verbatim — the
+    // reports inherit exactly its verification strength
+    "q262_cluster_sizes" ->
+      s"""WITH surv AS (SELECT * FROM ($survivorsOracleSql)),
+         |c AS (SELECT survivor_id, count(*) AS csize FROM surv GROUP BY survivor_id)
+         |SELECT csize, count(*) AS n_clusters, CAST(sum(csize) AS BIGINT) AS n_docs
+         |FROM c GROUP BY csize""".stripMargin,
+    "q263_dedup_savings" ->
+      s"""WITH surv AS (SELECT * FROM ($survivorsOracleSql)),
+         |e AS (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts FROM documents),
+         |n AS (SELECT count(*) AS members, count(DISTINCT survivor_id) AS clusters FROM surv)
+         |SELECT 'dedup_savings' AS metric, n_docs,
+         |  n_docs - n_texts AS exact_removed,
+         |  members - clusters AS near_removed,
+         |  clusters AS n_clusters
+         |FROM e, n""".stripMargin,
     // q178 composes q47's survivor CTE (inheriting exactly its verification
     // strength) with q65's md5-bucket split rule, keyed on the cluster rep
     "q178_leakage_safe_split" -> splitOracleSql,
