@@ -155,7 +155,9 @@ object Bench {
         Some("served-from-cache") // version-keyed result cache hit (that IS the shape)
       else if (SparkEntry.benchVariants.contains(n)) Some("sketch-only")
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
-      else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges")
+      else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges" ||
+          n == "q47_dedup_survivors" || n == "q262_cluster_sizes" ||
+          n == "q263_dedup_savings")
         Some("cached-model-serve")
       else None
     // only label an alias when its timed target actually ran in THIS bench
