@@ -118,7 +118,21 @@ object Bench {
       }
       last
     }
-    val results = names.map { n =>
+    // Mid-run steal probes (round-11 verdict task 3): the endpoint canaries
+    // bracket the run but cannot see a host-steal episode that starts and
+    // ends BETWEEN them (r11's driver run had clean endpoints yet 46
+    // untouched queries ran >30% slow mid-run). Interleave the q39 canary
+    // every SegmentSize queries; each probe labels the segment of queries
+    // since the previous probe, so a polluted segment self-identifies in
+    // the bench JSON instead of masquerading as a code regression.
+    val SegmentSize = 25
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (canaryFirst >= 0) probes += canaryFirst
+    val segmentOf = scala.collection.mutable.Map.empty[String, Int]
+    val results = names.zipWithIndex.map { case (n, idx) =>
+      if (idx > 0 && idx % SegmentSize == 0 && names.contains(canary))
+        probes += runOnce(canary)
+      segmentOf(n) = probes.size - 1 max 0
       val (t0, g0, b0) = settle()
       val times = (1 to 3).map(_ => runOnce(n)).sorted
       val (t1, g1, b1) = settle()
@@ -126,7 +140,17 @@ object Bench {
       (n, times(1), (t1 - t0) / 3 / 1e3, (g1 - g0) / 3 / 1e3, (b1 - b0) / 3 / 1e6)
     }
     val canaryLast = if (names.contains(canary)) runOnce(canary) else -1.0
+    if (canaryLast >= 0) probes += canaryLast
     val scanCanaryLast = scanCanary()
+    // a segment s (queries labeled s) sits between probes(s) and
+    // probes(s+1): flag it when EITHER bounding probe is >50% above the
+    // run's best probe — the cheapest honest "this stretch ran on a noisy
+    // host" signal. steal_suspect = any flagged segment.
+    val minProbe = if (probes.nonEmpty) probes.min else -1.0
+    val stealSegments = (0 until (probes.size - 1 max 0)).filter { s =>
+      val hi = math.max(probes(s), probes(math.min(s + 1, probes.size - 1)))
+      minProbe > 0 && hi > 1.5 * minProbe
+    }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def attr(g: ((String, Double, Double, Double, Double)) => Double) = results
@@ -182,7 +206,13 @@ object Bench {
     val storage = spark.sparkContext.getRDDStorageInfo
     val memMb = storage.map(_.memSize).sum / 1e6
     val diskMb = storage.map(_.diskSize).sum / 1e6
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$execSec,"gc_sec":$gcSec,"read_mb":$readMb,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"canary_scan_first":$scanCanaryFirst,"canary_scan_last":$scanCanaryLast,"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
+    // per-query segment ids (query → which probe-bounded stretch it ran in)
+    // let a reader join steal_segments back to individual timings
+    val segs = results.map { case (k, _, _, _, _) =>
+      "\"" + k + "\":" + segmentOf.getOrElse(k, 0) }.mkString("{", ",", "}")
+    val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val stealJson = stealSegments.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$execSec,"gc_sec":$gcSec,"read_mb":$readMb,"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"canary_scan_first":$scanCanaryFirst,"canary_scan_last":$scanCanaryLast,"canary_probes":$probesJson,"segment_size":$SegmentSize,"query_segment":$segs,"steal_segments":$stealJson,"steal_suspect":${stealSegments.nonEmpty},"variants":$variants,"cache_evictions":$evicted,"cache_mem_mb":${memMb.round},"cache_disk_mb":${diskMb.round},"sf":"$sfDir"}"""
     println(json)
     // The full line is ~8 KB and the driver parses only the tail of the sbt
     // log, so it also lands in a stable file for humans/judges.
@@ -197,8 +227,14 @@ object Bench {
     // next round's regression table per-query instead of aggregate.
     try {
       val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + json.drop(1) + "\n"
+      // history lives NEXT TO the configured bench_out path (not cwd):
+      // a bench launched from another working directory must not scatter
+      // history files
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+        .toAbsolutePath
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_history.jsonl"),
+        outPath.getParent.resolve("bench_history.jsonl"),
         stamped.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -209,6 +245,6 @@ object Bench {
     // 2000-char log-tail truncation — the full per-query map is the line
     // above and bench_out.json. ("parsed": null for 7 rounds because the
     // 8 KB line never fit the tail.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"canary_scan_first":$scanCanaryFirst,"canary_scan_last":$scanCanaryLast,"cache_mem_mb":${memMb.round},"sf":"$sfDir","queries_in":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"canary_q39_first":$canaryFirst,"canary_q39_last":$canaryLast,"canary_scan_first":$scanCanaryFirst,"canary_scan_last":$scanCanaryLast,"steal_segments":$stealJson,"steal_suspect":${stealSegments.nonEmpty},"cache_mem_mb":${memMb.round},"sf":"$sfDir","queries_in":"bench_out.json"}""")
   }
 }

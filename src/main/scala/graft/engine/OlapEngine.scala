@@ -144,8 +144,12 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
       .foreach(rawReaders.remove)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
+      // close the walk stream (it holds a directory handle until GC
+      // otherwise, and this path runs on every failed-CTAS rollback)
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
     }
   }
 

@@ -64,12 +64,20 @@ object SortedIntersectCount {
     var j = 0
     var n = 0
     while (i < na && j < nb) {
+      // the expression is general-purpose (inputs may be array<string>
+      // with containsNull=true even though current callers never produce
+      // null elements): skip nulls rather than NPE on compareTo. sort_array
+      // places nulls first, so skipping from the front preserves the merge.
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
       val x = a.getUTF8String(i)
       val y = b.getUTF8String(j)
       val c = x.compareTo(y)
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
+      }
     }
     n
   }

@@ -563,13 +563,24 @@ object Dedup {
         // 1e-9 can only lengthen the prefix, which stays lossless.
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
 
-    val prefixes = ordered.select(col("doc_id"), col("blk"),
+    val prefixes = ordered.select(col("doc_id"), col("blk"), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("blk"), col("word"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("blk"), col("word")),
+    // PPJoin LENGTH filter, carried on the prefix rows: J(A,B) >= t implies
+    // |A∩B| >= t·|A∪B|, and |A∩B| <= min, |A∪B| >= max, so min >= t·max —
+    // lossless for Jaccard >= t, and it prunes the skewed short-vs-long
+    // candidate mass BEFORE the distinct + verify. Same epsilon as plen:
+    // relaxing by 1e-9 can only keep more candidates, which stays lossless.
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("blk"),
+        col("word"), col("sz").as("sz_a"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("blk"),
+        col("word"), col("sz").as("sz_b")),
         Seq("word", "blk"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
       .select(col("doc_a"), col("doc_b")).distinct()
+    if (sys.env.contains("GRAFT_PAIR_LOG"))
+      System.err.println(s"[prefixFilterJoin t=$threshold blk=$block] candidates=${cand.count()}")
 
     val ratio = col("inter").cast("double") /
       (col("la") + col("lb") - col("inter")).cast("double")
@@ -616,8 +627,11 @@ object Dedup {
   def containmentJoinOf(documents: DataFrame, threshold: Double,
                         block: Option[String] = None): DataFrame = {
     val blk = block.map(col).getOrElse(lit(""))
+    // token rows carry the doc's distinct-token count: the candidate join
+    // below prunes on it (orientation filter) before the distinct
     val tok = documents
       .select(col("doc_id"), blk.as("blk"),
+        size(array_distinct(wordsCol(col("text")))).as("sz"),
         explode(array_distinct(wordsCol(col("text")))).as("word"))
     val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfreq, Seq("word"))
@@ -633,12 +647,23 @@ object Dedup {
         // LENGTHENS the prefix, which stays lossless
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
     val prefixes = ordered.select(col("doc_id").as("doc_a"), col("blk"),
+      col("sz").as("sz_a"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
+    // orientation pushed into candidate generation: the verify stage keeps
+    // only (smaller, larger) canonical pairs (la < lb, ties by id), so a
+    // candidate already violating that order is dead weight — filtering on
+    // the carried sizes BEFORE the distinct halves the candidate mass and
+    // drops the skewed long-probe-vs-short-posting pairs. Exactly the
+    // verify stage's own predicate on (sz_a, sz_b), hence lossless.
     val cand = prefixes
-      .join(tok.select(col("doc_id").as("doc_b"), col("blk"), col("word")),
+      .join(tok.select(col("doc_id").as("doc_b"), col("blk"), col("word"),
+        col("sz").as("sz_b")),
         Seq("word", "blk"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
+    if (sys.env.contains("GRAFT_PAIR_LOG"))
+      System.err.println(s"[containmentJoin t=$threshold blk=$block] candidates=${cand.count()}")
     val ratio = col("inter").cast("double") / col("la").cast("double")
     cand
       .join(ordered.select(col("doc_id").as("doc_a"), col("stoks").as("ta"),

@@ -733,8 +733,11 @@ object Similarity {
     * vectors behave exactly as before.
     */
   def projectOf(embeddings: DataFrame, outDim: Int): DataFrame = {
-    val dim = embeddings
-      .agg(max(size(col("embedding")))).head().getInt(0)
+    // read as nullable: on an empty frame (or all-null embedding column)
+    // max() is null — short-circuit to dim 0 (the explode below then emits
+    // nothing) instead of NPE-ing on getInt
+    val dimRow = embeddings.agg(max(size(col("embedding")))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
     val signs: Seq[Seq[Double]] = (0 until outDim).map { j =>
       (0 until dim).map { i =>
         val h = graft.functions.Md5Prefix60.hash(
