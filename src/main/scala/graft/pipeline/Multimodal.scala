@@ -86,6 +86,37 @@ object Multimodal {
     WindowedFeatures(r.doc_id, nWin.toLong, maxE, total)
   }
 
+  /** Perceptual hash of a media payload (the dHash family: gradient signs
+    * over a fixed-size thumbnail). 61 nearest-neighbor samples (the same
+    * index arithmetic as [[resizeTo]] — a real image dHash resizes to
+    * 9×8 grayscale; one dimension here), bit i set iff sample i+1 >
+    * sample i → a 60-bit signature (60, not 64, so it parses as a positive
+    * BIGINT in every engine — the q32 SimHash convention). Near-identical
+    * payloads differ in few gradient signs, so near-dup detection is a
+    * small-hamming-distance search over the signatures.
+    */
+  final case class MediaHash(doc_id: Long, dhash: Long)
+
+  val DHashBits = 60
+  val DHashSamples: Int = DHashBits + 1
+
+  def dHash(r: MediaRow): MediaHash = {
+    val len = r.payload.length
+    val s = new Array[Int](DHashSamples)
+    var i = 0
+    while (i < DHashSamples) {
+      s(i) = r.payload((i.toLong * len / DHashSamples).toInt) & 0xff
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < DHashBits) {
+      if (s(b + 1) > s(b)) h |= (1L << b)
+      b += 1
+    }
+    MediaHash(r.doc_id, h)
+  }
+
   /** Nearest-neighbor "resized" media: fixed-size byte thumbnail. */
   final case class ResizedMedia(doc_id: Long, orig_len: Long, resized_len: Int,
                                 resized_md5: String)
@@ -162,7 +193,102 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Signature tables are ingest-time index builds (the [[Dedup.indexCache]]
+    * doctrine): cache the per-corpus dHash frame so the near-dup query's
+    * self-join + verify probe one materialized signature table instead of
+    * re-decoding the payloads three times per invocation.
+    */
+  private val hashCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def clearCaches(): Unit = {
+    hashCache.values.foreach(df => { df.unpersist(); () })
+    hashCache.clear()
+  }
+
+  /** Offset separating re-encode twins from their originals in the media
+    * near-dup fixture (doc_id space is far smaller at every SF).
+    */
+  val ReencodeIdOffset = 10000000L
+
+  /** The media corpus for near-dup detection: every payload, plus a
+    * deterministic "re-encode" twin of every 10th one — the same byte
+    * stream with its first byte replaced (the metadata-tweak/recompression
+    * analogue; length-preserving, so it perturbs at most the leading
+    * thumbnail samples). The synthetic text stand-ins contain no natural
+    * binary near-dups below hamming 12 (they're near-dup TEXTS, not
+    * near-dup BYTE STREAMS), so the twins give the detector true positives
+    * at every SF — the q123 incremental-dedup pattern of deriving the
+    * second corpus from the fixture itself, and the oracle replays the
+    * twin construction byte-for-byte.
+    */
+  private def mediaCorpus(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val originals = base.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"), lit("text/plain").as("fmt"))
+    val twins = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + ReencodeIdOffset).as("doc_id"),
+        encode(concat(lit("z"),
+          col("text").substr(lit(2), length(col("text")))), "UTF-8").as("payload"),
+        lit("text/plain").as("fmt"))
+    originals.union(twins).as[MediaRow]
+  }
+
+  private def dHashes(spark: SparkSession, dir: String): DataFrame =
+    hashCache.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val df = mediaCorpus(spark, dir)
+        .mapPartitions(rows => rows.map(dHash)).toDF().persist()
+      df.count()
+      df
+    })
+
+  /** q264: PERCEPTUAL near-dup over the media column — the dedup operator
+    * every production training-data pipeline runs on its images (the text
+    * family's q31/q32 counterpart for binary payloads). dHash signatures,
+    * then multi-index hamming search: split the 60-bit signature into
+    * `maxHamming + 1` bands; by pigeonhole, two signatures within hamming
+    * distance `maxHamming` MUST agree exactly on at least one band, so the
+    * band-bucket self-join (the q32 SimHash band shape) generates a
+    * COMPLETE candidate set — lossless, never all-pairs — and a codegen
+    * xor+bit_count verifies exact distance per candidate.
+    *
+    * Scale shape: signature build is one partition-parallel decode pass
+    * (payloads never leave their partitions — only 8-byte hashes shuffle);
+    * candidates are band-bucket joins (corpus-sized × bands rows through
+    * one hash shuffle); verify is pair-local integer ops. A hot bucket
+    * (constant-payload boilerplate media) is q31's situation and would
+    * take the same capBuckets guard; at this corpus the buckets are the
+    * exact-dup classes themselves.
+    */
+  def perceptualNearDup(spark: SparkSession, dir: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(DHashBits % bands == 0,
+      s"DHashBits=$DHashBits must split evenly into $bands bands")
+    val width = DHashBits / bands
+    val mask = (1L << width) - 1
+    val hashes = dHashes(spark, dir)
+    val banded = hashes.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_media_neardup" -> ((s: SparkSession, d: String) => perceptualNearDup(s, d)),
     "q41_multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "q78_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "q93_media_resize" -> ((s: SparkSession, d: String) => resize(s, d)),
@@ -173,6 +299,33 @@ object Multimodal {
     * full binary-column pipeline is oracle-checked end to end.
     */
   val oracles: Map[String, String] = Map(
+    // q264: full replay — the re-encode twins, the 61-sample thumbnail
+    // (q93's index arithmetic), the gradient-sign hash, and the EXHAUSTIVE
+    // all-pairs hamming filter. The banded Spark plan is lossless by
+    // pigeonhole (4 bands, radius 3), so its output must equal the
+    // exhaustive answer exactly.
+    "q264_media_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM src),
+        |s AS (SELECT doc_id, text, len, unnest(generate_series(0, 60)) AS i FROM d),
+        |b AS (SELECT doc_id, i,
+        |        ascii(substr(text, CAST((i*len)//61 + 1 AS BIGINT), 1)) AS v
+        |      FROM s),
+        |p AS (SELECT x.doc_id, x.i, CASE WHEN y.v > x.v THEN 1 ELSE 0 END AS bit
+        |      FROM b x JOIN b y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+        |      WHERE x.i < 60),
+        |h AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << i)
+        |                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dh
+        |      FROM p GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dh, b2.dh)) AS INT) AS hamming
+        |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.dh, b2.dh)) <= 3""".stripMargin,
     "q41_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -112,6 +112,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Multimodal.MediaFeatures(7L, 600L, 3L))
   }
 
+  test("perceptual dHash: deterministic, length-preserving edits stay near") {
+    def row(bytes: Array[Byte]) = Multimodal.MediaRow(0L, bytes, "img")
+    val base = Array.tabulate[Byte](500)(i => ((i * 37 + 11) % 251).toByte)
+    val h0 = Multimodal.dHash(row(base))
+    assert(h0 == Multimodal.dHash(row(base.clone())))          // deterministic
+    assert(h0.dhash >= 0L)                                     // 60-bit positive
+    // one-byte in-place edit (the re-encode analogue): flips at most the
+    // gradient bits that read the edited byte — way inside radius 3
+    val tweaked = base.clone(); tweaked(0) = (tweaked(0) + 1).toByte
+    val h1 = Multimodal.dHash(row(tweaked))
+    assert(java.lang.Long.bitCount(h0.dhash ^ h1.dhash) <= 3)
+    // pigeonhole completeness of the 4-band split: any pair within hamming
+    // 3 shares at least one exact 15-bit band (randomized over edit masks)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      var other = h0.dhash
+      (0 until 3).foreach(_ => other ^= 1L << rnd.nextInt(60))
+      val shares = (0 until 4).exists(b =>
+        ((h0.dhash >>> (b * 15)) & 0x7fff) == ((other >>> (b * 15)) & 0x7fff))
+      assert(shares)
+    }
+  }
+
+  test("perceptual near-dup: banded join finds every re-encode twin") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.perceptualNearDup(spark, dir).collect()
+    // every twin (doc_id + offset) pairs with its original at hamming <= 1
+    val twinPairs = out.filter(r =>
+      r.getLong(1) == r.getLong(0) + Multimodal.ReencodeIdOffset)
+    assert(twinPairs.length == 50)
+    assert(twinPairs.forall(_.getInt(2) <= 1))
+  }
+
   test("connected components: chain-shaped graph converges in O(log) rounds") {
     // the worst case for min-label propagation (rounds = diameter): a
     // 200-node path. Alternating large-star/small-star must still collapse
