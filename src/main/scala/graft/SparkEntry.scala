@@ -144,6 +144,9 @@ object SparkEntry {
     "q255_prefix_filter_block" -> "q171_prefix_filter_join",
     "q256_filtered_ann_audit" -> "q202_filtered_ann",
     "q257_semantic_pairs_audit" -> "q196_semantic_dedup_served",
+    "q265_rm3_served" -> "q203_rm3_expansion",
+    "q266_hybrid_fusion_audit" -> "q200_hybrid_retrieval",
+    "q267_context_pack_audit" -> "q207_context_pack",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

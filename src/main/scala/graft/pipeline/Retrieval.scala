@@ -86,8 +86,13 @@ object Retrieval {
                       k: Int = 10, pool: Int = 50): DataFrame = {
     val eng = AnnIndex.engineFor(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // pool-depth retrieval needs deeper routing than point lookup: the
+    // fused top-k hangs off ranks all the way down to `pool`, so the leg
+    // probes 12/16 cells and exact-reranks 4x the pool (q266 pins the
+    // resulting fusion fidelity; at 8 probes / 2x rerank the served fused
+    // top-10 only overlapped the exact one 5/10)
     val vec = AnnIndex.topKFromTable(eng, emb, nProbes = 1, k = pool,
-        nprobe = 8, rerank = pool * 2)
+        nprobe = 12, rerank = pool * 4)
       .select(col("neighbor_id").as("doc_id"), col("rk").as("r_vec"))
     fuse(textRanks(spark, dir, pool), vec, k)
   }
@@ -128,11 +133,100 @@ object Retrieval {
         col("included"))
   }
 
+  /** q266: driver-checkable oracle for the BENCHED hybrid fusion
+    * ([[hybridRrfServed]] — q200's production variant). The ANN leg is
+    * index-routed (not SQL-replayable), so the audit pins the strongest
+    * SQL-checkable contract over the served fusion (the q256 pattern):
+    *  - exact_rrf_sum: the EXACT fusion's top-k RRF mass, recomputed
+    *    independently by both engines via decimal sums (hash-checked);
+    *  - text_leg_exact: the deterministic BM25 leg's ranks inside the
+    *    served fusion must equal the exact fusion's for every shared doc
+    *    (any drift there is a bug, not ANN approximation);
+    *  - ok / margin_ok: the served top-k overlaps the exact top-k in
+    *    >= 60% / 70% of docs (the q187-family recall floor).
+    */
+  def hybridFusionAudit(spark: SparkSession, dir: String,
+                        k: Int = 10, pool: Int = 50): DataFrame = {
+    val exact = hybridRrf(spark, dir, k, pool)
+      .select(col("doc_id"), col("r_text").as("rt_e"), col("rrf"))
+      .localCheckpoint(true)
+    val served = hybridRrfServed(spark, dir, k, pool)
+      .select(col("doc_id"), col("r_text").as("rt_s"))
+    val j = served.join(exact, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        coalesce(sum(when(col("rt_s").isNotNull && col("rt_e").isNotNull &&
+          col("rt_s") =!= col("rt_e"), 1L).otherwise(0L)), lit(0L)).as("n_drift"))
+      .head()
+    val (nOverlap, nDrift) = (j.getLong(0), j.getLong(1))
+    // decimal sum: rrf is already round(..., 6), so the 6-decimal cast is
+    // exact and the sum order-independent — cross-engine hashable
+    val exactSum = exact
+      .agg(sum(col("rrf").cast("decimal(18,6)")).cast("double")).head().getDouble(0)
+    if (sys.env.contains("GRAFT_AUDIT_LOG"))
+      System.err.println(s"[q266] overlap=$nOverlap/$k drift=$nDrift")
+    spark.range(1).select(
+      lit("hybrid_fusion_audit").as("metric"), lit(k).as("k"),
+      lit(exactSum).as("exact_rrf_sum"),
+      lit(nDrift == 0L).as("text_leg_exact"),
+      lit(nOverlap >= 0.6 * k).as("ok"),
+      lit(nOverlap >= 0.7 * k).as("margin_ok"))
+  }
+
+  /** q267: driver-checkable oracle for the BENCHED context pack
+    * ([[contextPack]] with served=true — q207's production variant). The
+    * served ranking's ANN leg is approximate; what is EXACTLY checkable is
+    * the budget algebra over whatever ranking arrived plus the recall
+    * contract vs the exact pack:
+    *  - n_exact_included: how many docs the EXACT pack admits under the
+    *    budget — recomputed independently by both engines (hash-checked);
+    *  - pack_consistent: on the SERVED pack, cum_tokens re-derives as the
+    *    prefix sum of tokens in rank order, included <=> cum <= budget,
+    *    and ranks are dense 1..k (an independent re-derivation of the
+    *    packing, not the packing path's own columns trusted);
+    *  - ok: the served pack's doc set overlaps the exact pack's in >= 60%.
+    */
+  def contextPackAudit(spark: SparkSession, dir: String,
+                       k: Int = 10, pool: Int = 50,
+                       budget: Long = 200): DataFrame = {
+    val served = contextPack(spark, dir, k, pool, budget, served = true)
+      .localCheckpoint(true)
+    val chk = served
+      .withColumn("expect_cum", sum(col("tokens")).over(
+        Window.orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("rnk")).as("n_rnk"),
+        max(col("rnk")).as("max_rnk"),
+        coalesce(sum(when(col("cum_tokens") =!= col("expect_cum"), 1L)
+          .otherwise(0L)), lit(0L)).as("bad_cum"),
+        coalesce(sum(when(col("included") =!= (col("cum_tokens") <= budget), 1L)
+          .otherwise(0L)), lit(0L)).as("bad_inc"))
+      .head()
+    val consistent = chk.getLong(0) == k && chk.getLong(1) == k &&
+      chk.getInt(2) == k && chk.getLong(3) == 0L && chk.getLong(4) == 0L
+    val exact = contextPack(spark, dir, k, pool, budget, served = false)
+      .localCheckpoint(true)
+    val nExactIncluded = exact.filter(col("included")).count()
+    val overlap = served.select(col("doc_id"))
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+    if (sys.env.contains("GRAFT_AUDIT_LOG"))
+      System.err.println(s"[q267] overlap=$overlap/$k consistent=$consistent")
+    spark.range(1).select(
+      lit("context_pack_audit").as("metric"), lit(k).as("k"),
+      lit(nExactIncluded).as("n_exact_included"),
+      lit(consistent).as("pack_consistent"),
+      lit(overlap >= 0.6 * k).as("ok"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q200_hybrid_retrieval" ->
       ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "q207_context_pack" ->
       ((s: SparkSession, d: String) => contextPack(s, d)),
+    "q266_hybrid_fusion_audit" ->
+      ((s: SparkSession, d: String) => hybridFusionAudit(s, d)),
+    "q267_context_pack_audit" ->
+      ((s: SparkSession, d: String) => contextPackAudit(s, d)),
   )
 
   /** The q200 fusion, as shared CTEs: q200 selects the fused top-10; q207
@@ -205,5 +299,33 @@ object Retrieval {
         |SELECT rnk, doc_id, tokens, cum_tokens,
         |  cum_tokens <= 200 AS included
         |FROM cum""".stripMargin),
+    // q266: exact_rrf_sum is the exact fusion's top-10 RRF mass recomputed
+    // in SQL via the same decimal route (hash-checked); the text-leg and
+    // overlap verdicts over the served fusion are pinned
+    "q266_hybrid_fusion_audit" -> (fusionCtes +
+      """
+        |SELECT 'hybrid_fusion_audit' AS metric, 10 AS k,
+        |  (SELECT CAST(sum(CAST(rrf AS DECIMAL(18,6))) AS DOUBLE)
+        |   FROM (SELECT rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10)) AS exact_rrf_sum,
+        |  true AS text_leg_exact, true AS ok, true AS margin_ok""".stripMargin),
+    // q267: n_exact_included is the exact pack's admitted-doc count
+    // recomputed in SQL (hash-checked); the served pack's budget-algebra
+    // and overlap verdicts are pinned
+    "q267_context_pack_audit" -> (fusionCtes +
+      """,
+        |top AS (SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |       FROM documents),
+        |rkd AS (SELECT top.doc_id, tokens,
+        |          CAST(row_number() OVER (ORDER BY rrf DESC, top.doc_id) AS INT) AS rnk
+        |        FROM top JOIN tk USING (doc_id)),
+        |cum AS (SELECT rnk, cum_tokens FROM (SELECT rnk,
+        |          CAST(sum(tokens) OVER (ORDER BY rnk
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |        FROM rkd))
+        |SELECT 'context_pack_audit' AS metric, 10 AS k,
+        |  (SELECT count(*) FROM cum WHERE cum_tokens <= 200) AS n_exact_included,
+        |  true AS pack_consistent, true AS ok""".stripMargin),
   )
 }

@@ -687,6 +687,12 @@ object TextIndex {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_text_index_served" ->
       ((s: SparkSession, d: String) => bm25FromTable(engineFor(s, d))),
+    // the BENCHED form of q203 under its own full hash oracle: rm3FromTable
+    // is deterministic (full postings, no approximation), so the
+    // table-served expansion must equal q203's from-scratch recompute
+    // bit-for-bit — closing the last direct variant-oracle gap
+    "q265_rm3_served" ->
+      ((s: SparkSession, d: String) => rm3FromTable(engineFor(s, d))),
     "q215_text_index_deletes" ->
       ((s: SparkSession, d: String) => bm25FromTable(deletesEngineFor(s, d))),
     "q197_text_index_refold" ->
@@ -724,6 +730,9 @@ object TextIndex {
     // from-scratch corpus recompute bit-for-bit — an exact-hash check on
     // every layer (fold, Unique merge-on-read, doclen-derived stats, serve)
     "q190_text_index_served" -> TextAnalysis.oracles("q118_bm25_topk"),
+    // q203's oracle VERBATIM: both BM25 passes + the expansion stage served
+    // from the index tables must reproduce the corpus recompute exactly
+    "q265_rm3_served" -> TextAnalysis.oracles("q203_rm3_expansion"),
     // q118's formula over the SURVIVING corpus: deletion must be visible in
     // every term — vanished tf rows, shrunken df, survivor-only
     // n_docs/avgdl. A tombstone lost in any of the three tables (postings,
