@@ -37,6 +37,7 @@ object SparkEntry {
       graft.pipeline.Frequency.all ++
       graft.pipeline.Audit.all ++
       graft.pipeline.ClusterReps.all ++
+      graft.pipeline.TokenizedCorpus.all ++
       graft.pipeline.AnnIndex.all ++
       graft.pipeline.TextIndex.all ++
       graft.pipeline.PhraseIndex.all ++
@@ -167,6 +168,7 @@ object SparkEntry {
       graft.pipeline.Frequency.oracles ++
       graft.pipeline.Audit.oracles ++
       graft.pipeline.ClusterReps.oracles ++
+      graft.pipeline.TokenizedCorpus.oracles ++
       graft.pipeline.AnnIndex.oracles ++
       graft.pipeline.TextIndex.oracles ++
       graft.pipeline.PhraseIndex.oracles ++

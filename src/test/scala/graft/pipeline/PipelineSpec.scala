@@ -145,6 +145,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(twinPairs.forall(_.getInt(2) <= 1))
   }
 
+  test("tokenized engine table: table-served tokens equal inline tokenize") {
+    val dir = "/root/testdata/sf0.001"
+    val served = TokenizedCorpus.fromTable(spark, dir)
+      .select(col("doc_id"), col(TokenizedCorpus.TokCol))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val inline = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(served == inline)
+  }
+
   test("connected components: chain-shaped graph converges in O(log) rounds") {
     // the worst case for min-label propagation (rounds = diameter): a
     // 200-node path. Alternating large-star/small-star must still collapse
