@@ -114,9 +114,18 @@ object Retrieval {
   def contextPack(spark: SparkSession, dir: String,
                   k: Int = 10, pool: Int = 50, budget: Long = 200,
                   served: Boolean = false): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    // served form: token counts come from the inverted index's doclen
+    // table (dl IS the whitespace token count — same normalization), so
+    // the whole packed plan touches the corpus through index serves only;
+    // the verdict form recomputes from the corpus so the oracle replays it
+    val toks =
+      if (served)
+        TextIndex.doclenFor(spark, dir)
+          .select(col("doc_id"), col("dl").cast("long").as("tokens"))
+      else
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
     val fused = if (served) hybridRrfServed(spark, dir, k, pool)
                 else hybridRrf(spark, dir, k, pool)
     val ranked = fused

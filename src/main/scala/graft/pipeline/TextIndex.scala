@@ -607,6 +607,13 @@ object TextIndex {
       eng
     })
 
+  /** The doclen table, merge-on-read: (doc_id, dl) — whitespace token
+    * counts served from the index (dl uses the shared normalization, so it
+    * IS the document's token count; q207's served pack budgets on it).
+    */
+  def doclenFor(spark: SparkSession, dir: String): DataFrame =
+    engineFor(spark, dir).scan(Db, DoclenTable)
+
   /** q208's rules as a relation — both the literal argument of q208 and
     * the content the q218 registry fixture stores.
     */
