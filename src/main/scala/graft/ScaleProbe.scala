@@ -61,6 +61,11 @@ object ScaleProbe {
     * that bound.
     */
   private val probeVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the BENCHED q171 plan (within-source blocked, global df) — the form
+    // whose growth curve BASELINE.md records across sf0.001→0.01→0.1
+    "q171_blocked" ->
+      ((s: SparkSession, d: String) =>
+        graft.pipeline.Dedup.prefixFilterJoin(s, d, 0.8, Some("source"))),
     "q31_capped50" ->
       ((s: SparkSession, d: String) => graft.pipeline.Dedup.minhashLsh(s, d, maxBucket = Some(50))),
     "q33_capped50" ->

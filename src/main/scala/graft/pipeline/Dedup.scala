@@ -179,6 +179,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    if (sys.env.contains("GRAFT_PAIR_LOG"))
+      System.err.println(s"[minhashLsh] candidates=${cand.count()}")
 
     // shingle sets cached SORTED: the per-pair verify is then an
     // allocation-free two-pointer merge count instead of a hash set per row
@@ -288,6 +290,11 @@ object Dedup {
       substring(lower(col("text")), 1, 20).as("blk"),
       sort_array(array_distinct(wordsCol(col("text")))).as("ws"))
     val d = maxBlock.fold(keyed)(capBuckets(keyed, Seq("blk"), _))
+    if (sys.env.contains("GRAFT_PAIR_LOG")) {
+      val n = d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id")).count()
+      System.err.println(s"[ngramJaccard] candidates=$n")
+    }
     d.as("a").join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", graft.functions.SortedIntersectCount
