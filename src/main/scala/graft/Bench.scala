@@ -181,7 +181,7 @@ object Bench {
       else if (graft.streaming.StreamingQueries.all.contains(n)) Some("warm-restart")
       else if (graft.pipeline.Trainer.all.contains(n) || n == "q149_bpe_merges" ||
           n == "q47_dedup_survivors" || n == "q262_cluster_sizes" ||
-          n == "q263_dedup_savings")
+          n == "q263_dedup_savings" || n == "q269_media_survivors")
         Some("cached-model-serve")
       else None
     // only label an alias when its timed target actually ran in THIS bench

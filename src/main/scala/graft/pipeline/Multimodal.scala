@@ -204,6 +204,8 @@ object Multimodal {
   def clearCaches(): Unit = {
     hashCache.values.foreach(df => { df.unpersist(); () })
     hashCache.clear()
+    survCache.values.foreach(df => { df.unpersist(); () })
+    survCache.clear()
   }
 
   /** Offset separating re-encode twins from their originals in the media
@@ -287,8 +289,28 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  private val survCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** q269: media SURVIVOR election — q47's closure shape over the
+    * perceptual pairs: every payload in a near-dup component maps to the
+    * component's min doc_id (re-encode twins collapse onto their
+    * originals). Completes the media-dedup story: detect (q264) → elect →
+    * the keep/drop policy keys on the survivor. Cached per corpus like
+    * [[Dedup.dedupSurvivors]] — the closure is an ingest-time artifact.
+    */
+  def mediaSurvivors(spark: SparkSession, dir: String): DataFrame =
+    survCache.getOrElseUpdate(dir, {
+      val df = Dedup.connectedComponents(
+        perceptualNearDup(spark, dir).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b").persist()
+      df.count()
+      df
+    })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_media_neardup" -> ((s: SparkSession, d: String) => perceptualNearDup(s, d)),
+    "q269_media_survivors" -> ((s: SparkSession, d: String) => mediaSurvivors(s, d)),
     "q41_multimodal_decode" -> ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "q78_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "q93_media_resize" -> ((s: SparkSession, d: String) => resize(s, d)),
@@ -298,13 +320,14 @@ object Multimodal {
   /** The fake decode is arithmetic on byte length — expressible in SQL, so the
     * full binary-column pipeline is oracle-checked end to end.
     */
-  val oracles: Map[String, String] = Map(
-    // q264: full replay — the re-encode twins, the 61-sample thumbnail
-    // (q93's index arithmetic), the gradient-sign hash, and the EXHAUSTIVE
-    // all-pairs hamming filter. The banded Spark plan is lossless by
-    // pigeonhole (4 bands, radius 3), so its output must equal the
-    // exhaustive answer exactly.
-    "q264_media_neardup" ->
+  /** q264's oracle — full replay: the re-encode twins, the 61-sample
+    * thumbnail (q93's index arithmetic), the gradient-sign hash, and the
+    * EXHAUSTIVE all-pairs hamming filter. The banded Spark plan is lossless
+    * by pigeonhole (4 bands, radius 3), so its output must equal the
+    * exhaustive answer exactly. Shared by q269, which closes it
+    * transitively — the report inherits exactly this verification strength.
+    */
+  private val mediaNearDupOracle: String =
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -325,7 +348,24 @@ object Multimodal {
         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.dh, b2.dh)) AS INT) AS hamming
         |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.dh, b2.dh)) <= 3""".stripMargin,
+        |WHERE bit_count(xor(a.dh, b2.dh)) <= 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q264_media_neardup" -> mediaNearDupOracle,
+    // q269: q264's exhaustive-hamming pair oracle closed transitively with
+    // a recursive CTE (the q47 pattern) — the iterative large-star/
+    // small-star CC must agree exactly
+    "q269_media_survivors" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($mediaNearDupOracle)),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |  WHERE e2.dst <> r.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS survivor_id
+         |FROM reach GROUP BY src""".stripMargin,
     "q41_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
