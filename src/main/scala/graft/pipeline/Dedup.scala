@@ -687,6 +687,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("containment"))
   }
 
+  /** q270: cross-document REPEATED-SPAN detection — the token-level
+    * complement of document-level dedup (the ExactSubstr idea of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22: verbatim spans repeated ACROSS documents are memorization
+    * fuel even when the documents as wholes are not duplicates). Their
+    * suffix array is a single-machine structure; the distributed shape is
+    * windowed fingerprints: every `w`-token window, fingerprinted and
+    * grouped — a window whose fingerprint appears in ≥ 2 distinct
+    * documents is duplicated text — then per-doc merging of overlapping/
+    * contiguous duplicated windows into MAXIMAL spans (the interval-union
+    * islands trick over a per-doc window function).
+    *
+    * Scale shape: window generation is a pure per-doc map off the shared
+    * tokenized corpus; the duplicate-detection shuffle is FINGERPRINT-
+    * FIRST (a 60-bit md5 prefix + ids — never the window text; the q30
+    * doctrine); the merge runs per-doc (bounded state, key-partitioned).
+    * w = 8 here because the synthetic docs are short word-soup; production
+    * uses 50 tokens — identical plan.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val toks = TokenizedCorpus.withTokens(spark, dir)
+      .select(col("doc_id"), col(TokenizedCorpus.TokCol).as("w"))
+      .filter(size(col("w")) >= w)
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(1, size(w) - ${w - 1}), i -> concat_ws(' ', slice(w, i, $w)))"))
+        .as(Seq("off", "gram")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        wordHash60(col("gram")).as("fp"))
+    val dup = grams.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val hits = grams.join(dup, "fp")
+      .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("pme", max(col("e")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("pos") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Leakage-safe train/val/test split: split assignment is a hash of the
     * near-dup CLUSTER representative (q47's survivor), not of the document
     * — so every member of a near-dup cluster lands in the same split and a
@@ -753,6 +802,7 @@ object Dedup {
     "q33_dedup_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "q123_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q142_skew_audit" -> ((s: SparkSession, d: String) => skewAudit(s, d)),
+    "q270_repeated_spans" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
   )
 
   /** q31's oracle SQL (the exhaustive-equivalent Jaccard form) — shared by
@@ -934,6 +984,33 @@ object Dedup {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
         |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3""".stripMargin,
+    // q270: full replay — windows, the cross-doc duplicate test (the
+    // oracle groups on the RAW gram string; the Spark side's 60-bit md5
+    // fingerprint is semantics-preserving), and the identical interval-
+    // union merge into maximal spans
+    "q270_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        array_to_string(w[i:i+7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 7)) s(i)
+        |      WHERE len(w) >= 8),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos, pos + 7 AS e FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, pos, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM hit),
+        |i AS (SELECT doc_id, pos, e,
+        |        CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni
+        |      FROM m),
+        |isl AS (SELECT doc_id, pos, e,
+        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM i)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |  max(e) - min(pos) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "q123_dedup_incremental" ->
       """WITH delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
         |corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
