@@ -716,9 +716,12 @@ object Dedup {
         .as(Seq("off", "gram")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
         wordHash60(col("gram")).as("fp"))
+    // "appears in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): the
+    // min/max pair partial-aggregates map-side in one pass, where
+    // countDistinct would Expand every row
     val dup = grams.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("fp"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("fp"))
     val hits = grams.join(dup, "fp")
       .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("e"))
     val byDoc = org.apache.spark.sql.expressions.Window
