@@ -569,6 +569,12 @@ object Dedup {
         // token too short — silently dropping qualifying pairs. Subtracting
         // 1e-9 can only lengthen the prefix, which stays lossless.
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+      // materialize once: the ordered token table feeds THREE consumers
+      // (prefix explode + both verify joins) — without truncation each
+      // recomputes the tokenize+dfreq+sort pipeline; with it the plan reads
+      // the doc-sized materialized form (at 100 TB this is the written
+      // signature/index table the production run builds once anyway)
+      .localCheckpoint(true)
 
     val prefixes = ordered.select(col("doc_id"), col("blk"), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
@@ -653,6 +659,9 @@ object Dedup {
         // same epsilon-before-ceil as the prefix filter: only ever
         // LENGTHENS the prefix, which stays lossless
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+      // three consumers (prefix explode + both verify joins) — materialize
+      // once, same rationale as prefixFilterJoinOf
+      .localCheckpoint(true)
     val prefixes = ordered.select(col("doc_id").as("doc_a"), col("blk"),
       col("sz").as("sz_a"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
