@@ -169,7 +169,8 @@ object Bench {
         // (q171: verdict form is quadratic-output on this corpus's density)
       else if (n == "q178_leakage_safe_split" || n == "q200_hybrid_retrieval" ||
           n == "q202_filtered_ann" || n == "q203_rm3_expansion" ||
-          n == "q207_context_pack" || n == "q268_tokenized_served")
+          n == "q207_context_pack" || n == "q268_tokenized_served" ||
+          n == "q271_lsh_index_served")
         Some("served-from-index") // production reads the maintained index tables
       else if (n == "q223_minmax_metadata" || n == "q228_minmax_transparent" ||
           n == "q232_minmax_unique" || n == "q233_minmax_agg" ||

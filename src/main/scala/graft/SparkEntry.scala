@@ -38,6 +38,7 @@ object SparkEntry {
       graft.pipeline.Audit.all ++
       graft.pipeline.ClusterReps.all ++
       graft.pipeline.TokenizedCorpus.all ++
+      graft.pipeline.LshIndex.all ++
       graft.pipeline.AnnIndex.all ++
       graft.pipeline.TextIndex.all ++
       graft.pipeline.PhraseIndex.all ++
@@ -169,6 +170,7 @@ object SparkEntry {
       graft.pipeline.Audit.oracles ++
       graft.pipeline.ClusterReps.oracles ++
       graft.pipeline.TokenizedCorpus.oracles ++
+      graft.pipeline.LshIndex.oracles ++
       graft.pipeline.AnnIndex.oracles ++
       graft.pipeline.TextIndex.oracles ++
       graft.pipeline.PhraseIndex.oracles ++

@@ -159,20 +159,35 @@ object Dedup {
     * bucket, which `maxBucket` guards (None preserves exhaustive semantics;
     * the driver-checked q31 runs uncapped, a 100 TB run sets a cap).
     */
-  def minhashLsh(spark: SparkSession, dir: String,
-                 k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
-    // banded signatures: the self-join references this subtree twice, and
-    // every invocation reuses it — cached like any LSH index
-    val banded = cachedDf(dir, s"minhash-banded-$k-$bands-$rowsPerBand") {
-      minhashSignatures(docs(spark, dir), "doc_id", "text", k, bands * rowsPerBand)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",",
-              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-                .cast("array<string>"))))).as(Seq("band", "bh")))
-    }
+  /** Banded MinHash signatures of a (doc_id, text) frame — the LSH index's
+    * row shape (doc_id, band, bh). ONE definition shared by the per-JVM
+    * cache ([[minhashLsh]]) and the engine-table fold ([[LshIndex]]), so
+    * the two serve paths cannot drift.
+    */
+  private[pipeline] def bandedSignatures(d: DataFrame, k: Int, bands: Int,
+                                         rowsPerBand: Int): DataFrame =
+    minhashSignatures(d, "doc_id", "text", k, bands * rowsPerBand)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+              .cast("array<string>"))))).as(Seq("band", "bh")))
 
+  /** Sorted distinct shingle sets — the verify stage's input (sorted so
+    * the per-pair check is an allocation-free two-pointer merge count).
+    * Shared by both serve paths like [[bandedSignatures]].
+    */
+  private[pipeline] def sortedShingles(d: DataFrame, k: Int): DataFrame =
+    graft.operators.MapWidth.widen(d).select(col("doc_id"),
+      sort_array(array_distinct(shingles(col("text"), k))).as("sh"))
+
+  /** Candidate generation + exact-Jaccard verify over a banded signature
+    * frame and a sorted shingle-set frame — the whole LSH query half, one
+    * definition for both the cached and the table-served index.
+    */
+  private[pipeline] def lshPairs(banded: DataFrame, sh: DataFrame,
+                                 threshold: Double,
+                                 maxBucket: Option[Int]): DataFrame = {
     val capped = maxBucket.fold(banded)(capBuckets(banded, Seq("band", "bh"), _))
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -181,13 +196,6 @@ object Dedup {
       .distinct()
     if (sys.env.contains("GRAFT_PAIR_LOG"))
       System.err.println(s"[minhashLsh] candidates=${cand.count()}")
-
-    // shingle sets cached SORTED: the per-pair verify is then an
-    // allocation-free two-pointer merge count instead of a hash set per row
-    val sh = cachedDf(dir, s"shingles-sorted-$k") {
-      graft.operators.MapWidth.widen(docs(spark, dir)).select(col("doc_id"),
-        sort_array(array_distinct(shingles(col("text"), k))).as("sh"))
-    }
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -198,6 +206,20 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String,
+                 k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+    // banded signatures: the self-join references this subtree twice, and
+    // every invocation reuses it — cached like any LSH index
+    val banded = cachedDf(dir, s"minhash-banded-$k-$bands-$rowsPerBand") {
+      bandedSignatures(docs(spark, dir), k, bands, rowsPerBand)
+    }
+    val sh = cachedDf(dir, s"shingles-sorted-$k") {
+      sortedShingles(docs(spark, dir), k)
+    }
+    lshPairs(banded, sh, threshold, maxBucket)
   }
 
   /** Per-word 60-bit hash: top 60 bits of md5. md5 (not xxhash64) so SimHash
@@ -821,7 +843,7 @@ object Dedup {
     * the q167 composition, which must inherit exactly this verification
     * strength.
     */
-  private val minhashOracleSql: String =
+  private[pipeline] val minhashOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
