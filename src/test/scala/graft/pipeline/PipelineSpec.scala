@@ -145,6 +145,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(twinPairs.forall(_.getInt(2) <= 1))
   }
 
+  test("LSH index tables: restart serve equals recompute, zero re-hash") {
+    val dir = "/root/testdata/sf0.001"
+    // build (or reuse) the fixture engine, then open a FRESH engine over
+    // the same warehouse — the restart shape: it must serve the identical
+    // pair set from the stored tables with zero publishes
+    val eng = LshIndex.engineFor(spark, dir)
+    val fresh = new graft.engine.OlapEngine(spark, eng.warehouse)
+    val served = Dedup.lshPairs(
+        fresh.scan(LshIndex.Db, LshIndex.BandsTable),
+        fresh.scan(LshIndex.Db, LshIndex.ShinglesTable),
+        threshold = 0.5, maxBucket = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Dedup.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == recomputed)
+    assert(served.nonEmpty)
+  }
+
   test("tokenized engine table: table-served tokens equal inline tokenize") {
     val dir = "/root/testdata/sf0.001"
     val served = TokenizedCorpus.fromTable(spark, dir)
