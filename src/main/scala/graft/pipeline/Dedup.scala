@@ -770,6 +770,28 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** q272: SPAN-DEDUP SAVINGS — the "what would ExactSubstr removal buy"
+    * summary over q270's maximal spans: affected docs, duplicated-token
+    * mass, and its share of the corpus token total. The token-level
+    * counterpart of q263's document-level savings row; what a curation
+    * dashboard tracks before enabling span removal.
+    */
+  def spanDedupSavings(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val spans = repeatedSpans(spark, dir, w)
+      .agg(countDistinct(col("doc_id")).as("docs_affected"),
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("span_tokens")), lit(0L)).as("dup_tokens"))
+    val total = TokenizedCorpus.withTokens(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col(TokenizedCorpus.TokCol)).cast("long")).as("total_tokens"))
+    total.crossJoin(broadcast(spans)).select(
+      lit("span_dedup_savings").as("metric"),
+      col("n_docs"), col("total_tokens"), col("docs_affected"),
+      col("n_spans"), col("dup_tokens"),
+      round(col("dup_tokens").cast("double") / col("total_tokens"), 6)
+        .as("dup_frac"))
+  }
+
   /** Leakage-safe train/val/test split: split assignment is a hash of the
     * near-dup CLUSTER representative (q47's survivor), not of the document
     * — so every member of a near-dup cluster lands in the same split and a
@@ -837,6 +859,7 @@ object Dedup {
     "q123_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q142_skew_audit" -> ((s: SparkSession, d: String) => skewAudit(s, d)),
     "q270_repeated_spans" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
+    "q272_span_dedup_savings" -> ((s: SparkSession, d: String) => spanDedupSavings(s, d)),
   )
 
   /** q31's oracle SQL (the exhaustive-equivalent Jaccard form) — shared by
@@ -900,6 +923,34 @@ object Dedup {
        |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
        |  (SELECT mx FROM l) = 1 AS no_leakage
        |FROM a GROUP BY split""".stripMargin
+
+  /** q270's oracle (shared by q272's composition): full replay of the
+    * windows, the cross-doc duplicate test on raw gram strings, and the
+    * interval-union merge into maximal spans.
+    */
+  private[pipeline] val repeatedSpansOracleSql: String =
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        array_to_string(w[i:i+7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 7)) s(i)
+        |      WHERE len(w) >= 8),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos, pos + 7 AS e FROM g JOIN d USING (gram)),
+        |m AS (SELECT doc_id, pos, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM hit),
+        |i AS (SELECT doc_id, pos, e,
+        |        CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni
+        |      FROM m),
+        |isl AS (SELECT doc_id, pos, e,
+        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM i)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |  max(e) - min(pos) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q171's oracle is the brute-force word-set Jaccard over ALL pairs —
@@ -1022,29 +1073,24 @@ object Dedup {
     // oracle groups on the RAW gram string; the Spark side's 60-bit md5
     // fingerprint is semantics-preserving), and the identical interval-
     // union merge into maximal spans
-    "q270_repeated_spans" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |           FROM documents),
-        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |        array_to_string(w[i:i+7], ' ') AS gram
-        |      FROM t, unnest(generate_series(1, len(w) - 7)) s(i)
-        |      WHERE len(w) >= 8),
-        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |hit AS (SELECT doc_id, pos, pos + 7 AS e FROM g JOIN d USING (gram)),
-        |m AS (SELECT doc_id, pos, e,
-        |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |      FROM hit),
-        |i AS (SELECT doc_id, pos, e,
-        |        CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni
-        |      FROM m),
-        |isl AS (SELECT doc_id, pos, e,
-        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS UNBOUNDED PRECEDING) AS island
-        |        FROM i)
-        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
-        |  max(e) - min(pos) + 1 AS span_tokens
-        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "q270_repeated_spans" -> repeatedSpansOracleSql,
+    // q272 composes q270's span oracle verbatim with the corpus token
+    // total — the savings row inherits exactly the span construction's
+    // verification strength
+    "q272_span_dedup_savings" ->
+      s"""WITH sp AS (SELECT * FROM ($repeatedSpansOracleSql)),
+         |s AS (SELECT count(DISTINCT doc_id) AS docs_affected,
+         |        count(*) AS n_spans,
+         |        coalesce(CAST(sum(span_tokens) AS BIGINT), 0) AS dup_tokens
+         |      FROM sp),
+         |t AS (SELECT count(*) AS n_docs,
+         |        CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+         |          AS total_tokens
+         |      FROM documents)
+         |SELECT 'span_dedup_savings' AS metric, n_docs, total_tokens,
+         |  docs_affected, n_spans, dup_tokens,
+         |  round(CAST(dup_tokens AS DOUBLE) / total_tokens, 6) AS dup_frac
+         |FROM t, s""".stripMargin,
     "q123_dedup_incremental" ->
       """WITH delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
         |corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
@@ -1076,4 +1122,5 @@ object Dedup {
         |LEFT JOIN ex ON d.doc_id = ex.d_id
         |LEFT JOIN (SELECT * FROM near WHERE rn = 1) n ON d.doc_id = n.d_id""".stripMargin,
   )
+
 }
