@@ -185,7 +185,7 @@ object Dedup {
     * frame and a sorted shingle-set frame — the whole LSH query half, one
     * definition for both the cached and the table-served index.
     */
-  private[pipeline] def lshPairs(banded: DataFrame, sh: DataFrame,
+  private[graft] def lshPairs(banded: DataFrame, sh: DataFrame,
                                  threshold: Double,
                                  maxBucket: Option[Int]): DataFrame = {
     val capped = maxBucket.fold(banded)(capBuckets(banded, Seq("band", "bh"), _))
@@ -866,7 +866,7 @@ object Dedup {
     * the q167 composition, which must inherit exactly this verification
     * strength.
     */
-  private[pipeline] val minhashOracleSql: String =
+  private[graft] val minhashOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

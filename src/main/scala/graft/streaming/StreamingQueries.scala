@@ -723,6 +723,72 @@ object StreamingQueries {
       })
     }
 
+  /** Stream-maintained LSH index engines, one per data dir (q273 fixture). */
+  private val streamLshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** q273: streaming maintenance of the MinHash-LSH engine tables — the
+    * streaming twin of q271's batch fold, completing the batch/stream pair
+    * for the dedup signature index the way q187/q189 do for the vector
+    * index. Bootstrap on 90% of the corpus; the remaining documents ARRIVE
+    * as a 3-file stream, each micro-batch folding through
+    * [[graft.pipeline.LshIndex.fold]] (per-doc pure maps — any batching
+    * converges to the identical tables, and a replayed batch rewrites
+    * identical rows through the Unique model). Because the fold is
+    * DETERMINISTIC, the stream-fed index serves q31's answer bit-for-bit:
+    * this query carries q31's full hash oracle, not just a pinned verdict.
+    */
+  private[graft] def streamLshEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.LshIndex
+      streamLshCache.getOrElseUpdate(dir, {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-slsh-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        LshIndex.createTables(e)
+        LshIndex.fold(e, docs.filter(col("doc_id") % 10 =!= 0))
+        val sd = Files.createTempDirectory("graft-slsh-stream-")
+        val ckpt = Files.createTempDirectory("graft-slsh-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory("graft-slsh-part-")
+          delta.filter(pmod(col("doc_id") / 10, lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"band$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            LshIndex.fold(e, batch)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+    }
+
+  def streamLshIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Dedup, LshIndex}
+    val eng = streamLshEngineFor(spark, dir)
+    Dedup.lshPairs(
+      eng.scan(LshIndex.Db, LshIndex.BandsTable),
+      eng.scan(LshIndex.Db, LshIndex.ShinglesTable),
+      threshold = 0.5, maxBucket = None)
+  }
+
   def streamAnnIndex(spark: SparkSession, dir: String): DataFrame =
     withStateParts(spark, 4) {
       import graft.pipeline.{AnnIndex, Similarity}
@@ -1707,6 +1773,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamClusterIndex(s, d)),
     "q189_stream_ann_index" ->
       ((s: SparkSession, d: String) => streamAnnIndex(s, d)),
+    "q273_stream_lsh_index" ->
+      ((s: SparkSession, d: String) => streamLshIndex(s, d)),
     "q191_stream_text_index" ->
       ((s: SparkSession, d: String) => streamTextIndex(s, d)),
     "q214_stream_phrase_index" ->
@@ -1736,6 +1804,11 @@ object StreamingQueries {
     // q189 shares q187's contract-pinned verdict: the stream-maintained
     // vector index must serve the same recall floor regardless of batching
     "q189_stream_ann_index" -> graft.pipeline.AnnIndex.oracles("q187_ann_index_served"),
+    // q273 shares q31's exhaustive-Jaccard oracle: the LSH fold is
+    // deterministic per document, so the stream-fed tables must serve the
+    // exact pair set bit-for-bit — stream ≡ batch ≡ recompute, one answer,
+    // three derivations (q31 cache / q271 batch fold / q273 stream fold)
+    "q273_stream_lsh_index" -> graft.pipeline.Dedup.minhashOracleSql,
     // q191 shares q118's exact-hash oracle: the stream-maintained text index
     // must serve the from-scratch corpus BM25 bit-for-bit
     "q191_stream_text_index" ->
