@@ -265,17 +265,24 @@ object Multimodal {
     * exact-dup classes themselves.
     */
   def perceptualNearDup(spark: SparkSession, dir: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        maxBucket: Option[Int] = None): DataFrame = {
     val bands = maxHamming + 1
     require(DHashBits % bands == 0,
       s"DHashBits=$DHashBits must split evenly into $bands bands")
     val width = DHashBits / bands
     val mask = (1L << width) - 1
     val hashes = dHashes(spark, dir)
-    val banded = hashes.select(col("doc_id"),
+    val allBanded = hashes.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
+    // same opt-in hot-bucket guard as q31's LSH (constant-payload
+    // boilerplate media makes a band bucket quadratic; exact dedup finds
+    // those pairs anyway) — the fixture runs uncapped for exhaustive
+    // semantics, a 100 TB run sets a cap
+    val banded = maxBucket.fold(allBanded)(
+      Dedup.capBuckets(allBanded, Seq("band", "bv"), _))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
