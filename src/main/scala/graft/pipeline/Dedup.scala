@@ -737,9 +737,13 @@ object Dedup {
     * w = 8 here because the synthetic docs are short word-soup; production
     * uses 50 tokens — identical plan.
     */
-  def repeatedSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val toks = TokenizedCorpus.withTokens(spark, dir)
-      .select(col("doc_id"), col(TokenizedCorpus.TokCol).as("w"))
+  def repeatedSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    repeatedSpansOf(TokenizedCorpus.withTokens(spark, dir), w)
+
+  /** Core of [[repeatedSpans]] over any (doc_id, text|toks, ...) frame. */
+  def repeatedSpansOf(documents: DataFrame, w: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), TokenizedCorpus.tokensOrSplit(documents).as("w"))
       .filter(size(col("w")) >= w)
     val grams = toks.select(col("doc_id"),
       posexplode(expr(

@@ -145,6 +145,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(twinPairs.forall(_.getInt(2) <= 1))
   }
 
+  test("repeated spans: property test vs in-memory brute force on random corpora") {
+    import spark.implicits._
+    val w = 3
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      // small alphabet forces cross-doc window collisions
+      val docs = (0L until 20L).map(i =>
+        (i, Seq.fill(5 + rnd.nextInt(15))(('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      // brute force: duplicated windows (same w-gram in >= 2 docs), then
+      // interval union per doc — independent implementation, plain Scala
+      val grams = docs.flatMap { case (id, text) =>
+        val ws = text.split("\\s+").toSeq
+        if (ws.size < w) Seq.empty
+        else (0 to ws.size - w).map(i => (ws.slice(i, i + w).mkString(" "), id, i + 1L))
+      }
+      val dupGrams = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = grams.filter(g => dupGrams.contains(g._1))
+        .groupBy(_._2).flatMap { case (id, hits) =>
+          val iv = hits.map(h => (h._3, h._3 + w - 1)).toSeq.sortBy(_._1)
+          val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+            case (acc, (s, e)) => acc match {
+              case (ps, pe) :: rest if s <= pe + 1 => (ps, math.max(pe, e)) :: rest
+              case _ => (s, e) :: acc
+            }
+          }
+          merged.map { case (s, e) => (id, s, e, e - s + 1) }
+        }.toSet
+      val got = Dedup.repeatedSpansOf(df, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("LSH index tables: restart serve equals recompute, zero re-hash") {
     val dir = "/root/testdata/sf0.001"
     // build (or reuse) the fixture engine, then open a FRESH engine over
