@@ -143,13 +143,19 @@ object Bench {
     if (canaryLast >= 0) probes += canaryLast
     val scanCanaryLast = scanCanary()
     // a segment s (queries labeled s) sits between probes(s) and
-    // probes(s+1): flag it when EITHER bounding probe is >50% above the
-    // run's best probe — the cheapest honest "this stretch ran on a noisy
-    // host" signal. steal_suspect = any flagged segment.
-    val minProbe = if (probes.nonEmpty) probes.min else -1.0
+    // probes(s+1): flag it when EITHER bounding probe is >2x the run's
+    // MEDIAN probe. The reference must be the median, not the min: min is
+    // an extreme statistic, and 1.5x-of-min tripped on ordinary JIT/GC
+    // jitter (0.35 vs 0.19 s flagged a run whose per-query totals matched
+    // the clean baseline), while the real steal episode this guards
+    // against moved the canary 0.37 -> 1.72 s (4.6x) — far above 2x median
+    // even when half the probes are themselves inflated.
+    // steal_suspect = any flagged segment.
+    val medianProbe =
+      if (probes.isEmpty) -1.0 else probes.sorted.apply(probes.size / 2)
     val stealSegments = (0 until (probes.size - 1 max 0)).filter { s =>
       val hi = math.max(probes(s), probes(math.min(s + 1, probes.size - 1)))
-      minProbe > 0 && hi > 1.5 * minProbe
+      medianProbe > 0 && hi > 2.0 * medianProbe
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -270,8 +270,13 @@ object Corpus {
     def pct(q: Double): Column =
       if (approx) expr(s"percentile_approx(l_extendedprice, $q, 10000)").cast("double")
       else expr(s"percentile(l_extendedprice, $q)")
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_returnflag"), col("l_extendedprice"))
+    // the percentile state build is the CPU-dense stage fused to the scan —
+    // widen past the input's row-group parallelism floor (no-op on
+    // production-width inputs; exact percentile/count/decimal-sum are
+    // partitioning-insensitive, so the oracle form is unchanged)
+    val li = graft.operators.MapWidth.widen(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice")))
     val bounds = li.groupBy(col("l_returnflag"))
       .agg(pct(0.05).as("p05"), pct(0.95).as("p95"))
     val clipped = round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 2)
@@ -393,8 +398,11 @@ object Corpus {
     def p50(c: String): Column =
       if (approx) expr(s"percentile_approx($c, 0.5, 10000)").cast("double")
       else expr(s"percentile($c, 0.5)")
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    // same widen rationale as [[winsorize]]: three percentile passes fused
+    // to a single-row-group scan otherwise run one-core
+    val li = graft.operators.MapWidth.widen(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice").as("x")))
     val med = li.groupBy(col("l_returnflag"))
       .agg(round(p50("x"), 4).as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")

@@ -662,11 +662,8 @@ object Dedup {
   def containmentJoinOf(documents: DataFrame, threshold: Double,
                         block: Option[String] = None): DataFrame = {
     val blk = block.map(col).getOrElse(lit(""))
-    // token rows carry the doc's distinct-token count: the candidate join
-    // below prunes on it (orientation filter) before the distinct
     val tok = documents
       .select(col("doc_id"), blk.as("blk"),
-        size(array_distinct(wordsCol(col("text")))).as("sz"),
         explode(array_distinct(wordsCol(col("text")))).as("word"))
     val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfreq, Seq("word"))
@@ -693,10 +690,14 @@ object Dedup {
     // the carried sizes BEFORE the distinct halves the candidate mass and
     // drops the skewed long-probe-vs-short-posting pairs. Exactly the
     // verify stage's own predicate on (sz_a, sz_b), hence lossless.
+    // The postings side is exploded from the CHECKPOINTED ordered table
+    // (same (doc, blk, word, sz) rows as re-exploding the raw text, since
+    // toks is exactly the doc's distinct-token list) — otherwise the full
+    // corpus tokenize+explode runs a second time just to serve postings.
+    val postings = ordered.select(col("doc_id").as("doc_b"), col("blk"),
+      col("sz").as("sz_b"), explode(col("toks")).as("word"))
     val cand = prefixes
-      .join(tok.select(col("doc_id").as("doc_b"), col("blk"), col("word"),
-        col("sz").as("sz_b")),
-        Seq("word", "blk"))
+      .join(postings, Seq("word", "blk"))
       .filter(col("sz_a") < col("sz_b") ||
         (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -751,6 +752,11 @@ object Dedup {
         .as(Seq("off", "gram")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
         wordHash60(col("gram")).as("fp"))
+      // two consumers (the duplicate-fp agg and the hits join) — without
+      // truncation the window-generation+md5 stage runs twice; the
+      // materialized form is (doc_id, pos, fp) rows only, never the window
+      // text (same doctrine as the similarity joins' ordered token table)
+      .localCheckpoint(true)
     // "appears in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): the
     // min/max pair partial-aggregates map-side in one pass, where
     // countDistinct would Expand every row

@@ -52,7 +52,11 @@ object Relational {
     * of the reference's declared Sum/Min/Max aggregate model (src/common.rs:54-57).
     */
   def aggQ1(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    // widen past the row-group parallelism floor: the six-column partial
+    // agg fused to a single-row-group scan otherwise runs one-core (no-op
+    // on production-width inputs; every agg here — decimal sums, min/max,
+    // count — is partitioning-insensitive, so results are unchanged)
+    graft.operators.MapWidth.widen(t(spark, dir, "lineitem"))
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
