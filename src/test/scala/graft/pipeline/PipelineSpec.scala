@@ -198,6 +198,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("LSH index deletes: tombstoned docs drop their pairs; re-fold restores them") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(eng: graft.engine.OlapEngine): Set[(Long, Long)] =
+      Dedup.lshPairs(
+          eng.scan(LshIndex.Db, LshIndex.BandsTable),
+          eng.scan(LshIndex.Db, LshIndex.ShinglesTable),
+          threshold = 0.5, maxBucket = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // scratch engine (NOT the cached q274 fixture): full build, delete a
+    // slice, then fold the same slice back — the tombstone round-trip
+    val eng = new graft.engine.OlapEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-lshdel-spec-"))
+    try {
+      LshIndex.createTables(eng)
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      LshIndex.fold(eng, d)
+      val full = pairs(eng)
+      LshIndex.deleteDocs(eng, d.filter(col("doc_id") % 5 === 1).select("doc_id"))
+      val afterDelete = pairs(eng)
+      // exactly the survivor restriction of the full set — nothing more
+      // (tombstone leak) and nothing less (over-delete)
+      assert(afterDelete ==
+        full.filter { case (a, b) => a % 5 != 1 && b % 5 != 1 })
+      assert(afterDelete.size < full.size, "delete slice must cost some pairs")
+      // re-adding the deleted docs beats the tombstones: full set returns
+      LshIndex.fold(eng, d.filter(col("doc_id") % 5 === 1))
+      assert(pairs(eng) == full)
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(eng.warehouse.toFile)
+    }
+  }
+
   test("tokenized engine table: table-served tokens equal inline tokenize") {
     val dir = "/root/testdata/sf0.001"
     val served = TokenizedCorpus.fromTable(spark, dir)
