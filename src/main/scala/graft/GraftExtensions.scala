@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.PartitionPruneRewrite)
     e.injectOptimizerRule(_ => graft.plans.RowsetPruneRewrite)
     e.injectOptimizerRule(_ => graft.plans.StatsAggRewrite)
+    e.injectOptimizerRule(_ => graft.plans.StatsBroadcastRewrite)
     // SQL front door: engine DDL/DML/lifecycle statements become Spark SQL
     // (inert until an engine is bound via GraftSql.bind — unclaimed text
     // always delegates to Spark's own parser)
@@ -96,5 +97,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.StatsAggRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.StatsAggRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.StatsBroadcastRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.StatsBroadcastRewrite
   }
 }

@@ -353,6 +353,11 @@ final class OlapEngine(val spark: SparkSession, val warehouse: Path) {
     graft.plans.StatsAggRewrite.register(
       tableRoot(td.db, td.name).toAbsolutePath.normalize.toString,
       graft.plans.StatsAggRewrite.Entry(this, td.db, td.name))
+    // merged-dimension size bounds from the NDV sidecars feed broadcast
+    // decisions (the rule itself re-proves the scan shape per query)
+    graft.plans.StatsBroadcastRewrite.register(
+      tableRoot(td.db, td.name).toAbsolutePath.normalize.toString,
+      graft.plans.StatsBroadcastRewrite.Entry(this, td.db, td.name))
   }
 
   /** Register/refresh the transparent partition-prune entry for this table.

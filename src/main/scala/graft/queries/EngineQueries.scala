@@ -84,6 +84,7 @@ object EngineFixture {
         .withColumn("value", col("value") + 1000.0),
       Some(Version(2, 2)))
 
+
     // --- events_del: Unique model with delete tombstones --------------------
     // base load v1, tombstone every 7th event at v2, re-insert every 14th
     // with value+5000 at v3: a deleted key stays gone unless a NEWER load
@@ -1417,6 +1418,106 @@ object EngineQueries {
       lit(eng.approxNdv("graft", "events_seg", "user_id").getOrElse(-1.0)).as("ndv_user"))
   }
 
+  /** q275: stats-informed broadcast planning
+    * ([[graft.plans.StatsBroadcastRewrite]]) over a merged dimension under
+    * heavy version churn. `dim_hot` holds 12 full upsert loads of one key
+    * slice, so any file-size estimate of its merge view is ~12× the live
+    * size — the shape where Spark shuffles the whole fact side of a join
+    * that should broadcast (at 100 TB, the single most expensive wrong plan
+    * decision). The manifest's NDV sidecars bound the merged side at one
+    * row per key; the verdict row pins the chain end to end (the q240
+    * accuracy-contract pattern): `bound_holds` — the metadata byte bound
+    * covers the exact merged size; `bound_tight` — within 4× of it;
+    * `fired` — at a threshold strictly between the bound and Spark's own
+    * estimate, the optimized plan carries the BROADCAST hint and the
+    * physical plan is a broadcast hash join; `shuffles_when_off` — the same
+    * threshold with the rule disabled plans no broadcast (the flip is the
+    * rule's doing, not native estimation). The joined aggregate rides the
+    * same rows, hash-pinned against the oracle's replay of the merge
+    * (latest load wins ⇒ value + 1200).
+    */
+  /** dim_hot (q275's fixture table, built LAZILY on first use so the 12
+    * ingest jobs don't tax every other engine query's fixture): a Unique
+    * dim under heavy version churn — 12 full upsert loads of the same key
+    * slice, raw bytes ≈ 12× the live merged size, NDV sketches on the key.
+    */
+  private def dimHot(spark: SparkSession, dir: String): DataFrame =
+    EngineFixture.synchronized {
+      val eng = EngineFixture.get(spark, dir)
+      if (eng.catalog.getTable("graft", "dim_hot").isEmpty) {
+        eng.createTable(TableDef(
+          db = "graft", name = "dim_hot",
+          schema = TableSchema(KeysType.Unique, Seq(
+            ColumnSpec.key("event_id", LongType),
+            ColumnSpec.value("value", DoubleType))),
+          bucketColumn = Some("event_id"), numBuckets = 4,
+          ndvStatsColumns = Seq("event_id")))
+        val hot = Tables.events(spark, dir)
+          .filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), col("value"))
+        (1 to 12).foreach { v =>
+          eng.ingest("graft", "dim_hot",
+            hot.withColumn("value", col("value") + lit(100.0 * v)),
+            Some(Version(v, v)))
+        }
+      }
+      eng.scan("graft", "dim_hot")
+    }
+
+  def statsBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    val dim = dimHot(spark, dir)
+    val fact = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    def joined = fact.join(dim, "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), decSumAsDouble(sum(dec("value"))).as("total"))
+    val dimPlan = dim.queryExecution.optimizedPlan
+    val bound = graft.plans.StatsBroadcastRewrite.estimatedBytes(dimPlan)
+      .getOrElse(sys.error("q275: no metadata bound for dim_hot's merge view"))
+    val exactBytes = dim.count() *
+      (8.0 + dimPlan.output.map(_.dataType.defaultSize).sum)
+    // the estimate the PLANNER actually compares: the dim side's stats
+    // inside the optimized join (pruning can move it off the standalone
+    // plan's number), measured with the rule out of the way
+    val native = {
+      graft.plans.StatsBroadcastRewrite.setEnabled(false)
+      try joined.queryExecution.optimizedPlan.collectFirst {
+        case j: LJoin => j.right.stats.sizeInBytes.toDouble
+      }.getOrElse(sys.error("q275: no join in the optimized plan"))
+      finally graft.plans.StatsBroadcastRewrite.setEnabled(true)
+    }
+    require(bound < native,
+      s"q275 premise: metadata bound $bound must undercut native estimate $native")
+    val thr = ((bound + native) / 2).toLong
+    def planWith(on: Boolean): (Boolean, Boolean) = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      graft.plans.StatsBroadcastRewrite.setEnabled(on)
+      try {
+        val qe = joined.queryExecution
+        val hinted = qe.optimizedPlan.collectFirst {
+          case j: LJoin if j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+              j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => true
+        }.getOrElse(false)
+        // build-side-qualified: a natively-broadcast small FACT side
+        // (BuildLeft) must not count as the rule's flip
+        val dimBroadcast = "BroadcastHashJoin.*BuildRight".r
+          .findFirstIn(qe.executedPlan.toString).nonEmpty
+        (hinted, dimBroadcast)
+      } finally {
+        graft.plans.StatsBroadcastRewrite.setEnabled(true)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+    val (hintedOn, bhjOn) = planWith(true)
+    val (hintedOff, bhjOff) = planWith(false)
+    joined
+      .withColumn("bound_holds", lit(bound >= exactBytes))
+      .withColumn("bound_tight", lit(bound <= 4.0 * exactBytes))
+      .withColumn("fired", lit(hintedOn && bhjOn))
+      .withColumn("shuffles_when_off", lit(!hintedOff && !bhjOff))
+  }
+
   /** q229: exact ORDER BY ... LIMIT k with ZONE-MAP rowset selection
     * (`OlapEngine.topKByStats`): the top-100 event ids live entirely in
     * events_seg's third (highest-band) load, so the two-phase bound
@@ -1859,6 +1960,7 @@ object EngineQueries {
     "q238_partition_rows_meta" -> partitionRowsMeta _,
     "q239_column_default" -> columnDefaultScan _,
     "q240_ndv_stats" -> ndvStats _,
+    "q275_stats_broadcast" -> statsBroadcastJoin _,
     "q242_sql_direct_select" -> sqlDirectSelect _,
     "q243_sql_update" -> sqlUpdateScan _,
     "q244_insert_overwrite" -> insertOverwriteScan _,
@@ -1981,6 +2083,17 @@ object EngineQueries {
         |FROM events""".stripMargin,
     // q242: the oracle replays events_unique's %10 upsert rule from raw
     // rows; the engine answers through a plain SQL SELECT over the
+    // q275: the oracle replays dim_hot's merge (12 upsert loads, latest
+    // wins ⇒ value + 1200 on the %3 key slice) through the fact join, and
+    // pins the planning verdicts TRUE — a bound that stops holding, stops
+    // firing, or fires without the rule flips a hashed boolean
+    "q275_stats_broadcast" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value + 1200.0 AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  TRUE AS bound_holds, TRUE AS bound_tight,
+        |  TRUE AS fired, TRUE AS shuffles_when_off
+        |FROM events WHERE event_id % 3 = 0
+        |GROUP BY event_type""".stripMargin,
     // spliced-in merged snapshot
     "q242_sql_direct_select" ->
       """SELECT event_type, count(*) AS n,
