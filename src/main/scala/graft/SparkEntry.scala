@@ -91,6 +91,11 @@ object SparkEntry {
     // production is the driver-side sketch fold alone (zero tasks)
     "q240_ndv_stats" ->
       ((s: SparkSession, d: String) => graft.queries.EngineQueries.ndvStatsServeOnly(s, d)),
+    // q275's verdict form plans the join 4× with the rule toggled and pays
+    // an exact merged count for the oracle's bound audit; production is the
+    // fact ⋈ merged-dim aggregate under the live (rule-armed) planner
+    "q275_stats_broadcast" ->
+      ((s: SparkSession, d: String) => graft.queries.EngineQueries.statsBroadcastServeOnly(s, d)),
     // q200's verdict form uses exact cosine ranks so the fusion is
     // oracle-replayable; production serves the vector leg from the ANN index
     "q200_hybrid_retrieval" ->

@@ -1464,6 +1464,19 @@ object EngineQueries {
       eng.scan("graft", "dim_hot")
     }
 
+  /** Bench-time form of q275: the fact ⋈ merged-dim aggregate alone, under
+    * the session's live planning (rule armed). The audit plumbing — exact
+    * merged count, double planning with the rule toggled — exists only so
+    * the oracle can hash a verdict.
+    */
+  def statsBroadcastServeOnly(spark: SparkSession, dir: String): DataFrame = {
+    val dim = dimHot(spark, dir)
+    Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+      .join(dim, "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), decSumAsDouble(sum(dec("value"))).as("total"))
+  }
+
   def statsBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
     val dim = dimHot(spark, dir)
