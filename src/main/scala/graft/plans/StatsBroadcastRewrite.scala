@@ -127,12 +127,27 @@ object StatsBroadcastRewrite extends Rule[LogicalPlan] {
     val agg = findAggregate(side).getOrElse(return None)
     val cols = boundColumns(agg).getOrElse(return None)
     val ndvs = cols.map { case (entry, c) =>
-      entry.eng.approxNdv(entry.db, entry.table, c).getOrElse(return None)
+      cachedNdv(entry, c).getOrElse(return None)
     }
     val rowBound = ndvs.map(_ + 1.0).product
     val rowBytes = (8 + side.output.map(_.dataType.defaultSize).sum).toDouble
     Some(rowBound * rowBytes * Safety)
   }
+
+  // The NDV fold reads one sidecar file per covering rowset — on a remote
+  // FS that's a round-trip per rowset per JOIN OPTIMIZATION. A manifest
+  // version bump invalidates naturally (the key carries maxVersion, and
+  // rowset sets only change with a version move), so the fold runs once
+  // per (table snapshot, column) per driver, not once per query.
+  private val ndvCache = TrieMap.empty[(String, Long, String), Option[Double]]
+
+  private def cachedNdv(entry: Entry, c: String): Option[Double] =
+    ndvCache.getOrElseUpdate(
+      // table ROOT (not db.table): scratch engines in different warehouses
+      // may reuse the same qualified name
+      (entry.eng.tableRoot(entry.db, entry.table).toAbsolutePath.normalize.toString,
+        entry.eng.manifest(entry.db, entry.table).maxVersion, c),
+      entry.eng.approxNdv(entry.db, entry.table, c))
 
   /** Strip row-preserving / row-reducing operators down to a grouped
     * Aggregate; anything that can EXPAND rows (Generate, Expand, a join)
