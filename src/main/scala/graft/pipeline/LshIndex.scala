@@ -196,7 +196,7 @@ object LshIndex {
     * from [[Dedup.minhashOracleSql]] by filtering its first CTE, so the
     * two stay one definition; the require pins that the surgery landed.
     */
-  private val deletesOracleSql: String = {
+  private[graft] val deletesOracleSql: String = {
     val restricted = Dedup.minhashOracleSql.replace(
       "FROM documents)", "FROM documents WHERE doc_id % 5 <> 1)")
     require(restricted != Dedup.minhashOracleSql,

@@ -789,6 +789,80 @@ object StreamingQueries {
       threshold = 0.5, maxBucket = None)
   }
 
+  /** q276 fixture engines, one per data dir. */
+  private val streamLshCdcCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.engine.OlapEngine]
+
+  /** q276: streaming CDC maintenance of the LSH index — upserts AND deletes
+    * arrive as ONE op-tagged stream (the routine-load `__op` shape the
+    * engine's CDC-apply implements for plain tables), completing the
+    * lifecycle square q271/q273/q274 opened: batch/stream × fold/delete.
+    * Bootstrap folds the FULL corpus; the stream then carries three files —
+    * deletes of half the doc_id % 5 == 1 slice, benign re-upserts of the
+    * % 10 == 3 docs (identical rows rewrite through the Unique merge), and
+    * deletes of the other half. Both halves of the batch apply through the
+    * SAME maintenance ops the batch path uses ([[graft.pipeline.LshIndex
+    * .fold]] / [[graft.pipeline.LshIndex.deleteDocs]] — each idempotent,
+    * each load-group-atomic), so the drained index serves q274's survivor
+    * pair set bit-for-bit: the same full-hash oracle, a further derivation.
+    */
+  private[graft] def streamLshCdcEngineFor(spark: SparkSession, dir: String)
+  : graft.engine.OlapEngine =
+    withStateParts(spark, 4) {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      import graft.pipeline.LshIndex
+      streamLshCdcCache.getOrElseUpdate(dir, {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val e = new graft.engine.OlapEngine(
+          spark, Files.createTempDirectory("graft-slshcdc-wh-"))
+        tempDirs.add(e.warehouse.toString)
+        LshIndex.createTables(e)
+        LshIndex.fold(e, docs)
+        val sd = Files.createTempDirectory("graft-slshcdc-stream-")
+        val ckpt = Files.createTempDirectory("graft-slshcdc-ckpt-")
+        Seq(sd, ckpt).foreach(p => tempDirs.add(p.toString))
+        val doomed = docs.filter(col("doc_id") % 5 === 1)
+        val ops = Seq(
+          doomed.filter(col("doc_id") % 2 === 0).withColumn("op", lit(1)),
+          docs.filter(col("doc_id") % 10 === 3).withColumn("op", lit(0)),
+          doomed.filter(col("doc_id") % 2 === 1).withColumn("op", lit(1)))
+        val now = System.currentTimeMillis()
+        ops.zipWithIndex.foreach { case (df, i) =>
+          val tmp = Files.createTempDirectory("graft-slshcdc-part-")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          val dest = sd.resolve(s"ops$i.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(now - (3 - i) * 60000))
+        }
+        val opSchema = ops.head.schema
+        val stream = spark.readStream.schema(opSchema)
+          .option("maxFilesPerTrigger", 1).parquet(sd.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.localCheckpoint(true)
+            LshIndex.fold(e, b.filter(col("op") === 0).drop("op"))
+            LshIndex.deleteDocs(e, b.filter(col("op") === 1).select("doc_id"))
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        e
+      })
+    }
+
+  def streamLshCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Dedup, LshIndex}
+    val eng = streamLshCdcEngineFor(spark, dir)
+    Dedup.lshPairs(
+      eng.scan(LshIndex.Db, LshIndex.BandsTable),
+      eng.scan(LshIndex.Db, LshIndex.ShinglesTable),
+      threshold = 0.5, maxBucket = None)
+  }
+
   def streamAnnIndex(spark: SparkSession, dir: String): DataFrame =
     withStateParts(spark, 4) {
       import graft.pipeline.{AnnIndex, Similarity}
@@ -1775,6 +1849,8 @@ object StreamingQueries {
       ((s: SparkSession, d: String) => streamAnnIndex(s, d)),
     "q273_stream_lsh_index" ->
       ((s: SparkSession, d: String) => streamLshIndex(s, d)),
+    "q276_stream_lsh_cdc" ->
+      ((s: SparkSession, d: String) => streamLshCdc(s, d)),
     "q191_stream_text_index" ->
       ((s: SparkSession, d: String) => streamTextIndex(s, d)),
     "q214_stream_phrase_index" ->
@@ -1809,6 +1885,11 @@ object StreamingQueries {
     // exact pair set bit-for-bit — stream ≡ batch ≡ recompute, one answer,
     // three derivations (q31 cache / q271 batch fold / q273 stream fold)
     "q273_stream_lsh_index" -> graft.pipeline.Dedup.minhashOracleSql,
+    // q276 shares q274's survivor-restricted oracle: fold and deleteDocs
+    // are deterministic and idempotent per document, so the op-tagged CDC
+    // stream must drain to exactly the batch delete path's tables — one
+    // answer, two derivations (q274 batch deletes / q276 stream CDC)
+    "q276_stream_lsh_cdc" -> graft.pipeline.LshIndex.deletesOracleSql,
     // q191 shares q118's exact-hash oracle: the stream-maintained text index
     // must serve the from-scratch corpus BM25 bit-for-bit
     "q191_stream_text_index" ->
