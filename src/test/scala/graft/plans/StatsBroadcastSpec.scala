@@ -154,6 +154,44 @@ class StatsBroadcastSpec extends AnyFunSuite {
       fact.queryExecution.optimizedPlan).isEmpty)
   }
 
+  test("Aggregate-model dims bound too (the pre-aggregation rollup shape)") {
+    // a Sum-model metrics table under load churn: same raw-vs-merged gap,
+    // same key-NDV bound — the merge view is a groupBy(keys).agg(sum)
+    val eng = new OlapEngine(spark, Files.createTempDirectory("graft-sb-agg-wh-"))
+    eng.createDatabase("db")
+    eng.createTable(TableDef(
+      db = "db", name = "m", schema = TableSchema(KeysType.Aggregate, Seq(
+        ColumnSpec.key("k", LongType),
+        ColumnSpec.value("v", DoubleType, AggType.Sum))),
+      ndvStatsColumns = Seq("k")))
+    import scala.jdk.CollectionConverters._
+    val st = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    (1 to Loads).foreach { ld =>
+      eng.ingest("db", "m", spark.createDataFrame(
+        (0L until NKeys.toLong).map(i => Row(i, 1.0)).asJava, st),
+        Some(Version(ld, ld)))
+    }
+    val dim = eng.scan("db", "m")
+    val plan = dim.queryExecution.optimizedPlan
+    val bound = StatsBroadcastRewrite.estimatedBytes(plan)
+    assert(bound.isDefined, "Aggregate-model merge view must bound by key NDV")
+    val exactBytes = dim.count() * (8.0 + plan.output.map(_.dataType.defaultSize).sum)
+    assert(bound.get >= exactBytes && bound.get <= 4.0 * exactBytes)
+    val native = {
+      StatsBroadcastRewrite.setEnabled(false)
+      try fact.join(dim, "k").queryExecution.optimizedPlan.collectFirst {
+        case j: LJoin => j.right.stats.sizeInBytes.toDouble
+      }.get finally StatsBroadcastRewrite.setEnabled(true)
+    }
+    assert(bound.get < native, s"premise: bound ${bound.get} < native $native")
+    withThreshold(((bound.get + native) / 2).toLong) {
+      val joined = fact.join(dim, "k").groupBy().agg(sum(col("v")).as("sv"))
+      assert(hinted(joined) && physicallyBroadcast(joined))
+    }
+  }
+
   test("stale snapshot scans are refused (the NDV fold describes now)") {
     val eng = churnedEngine()
     // pin a version-1 snapshot PLAN, then let compaction retire its rowset:
