@@ -192,6 +192,43 @@ class StatsBroadcastSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bound covers the exact merged size over random churn shapes") {
+    // seeded: random key-universe sizes, load counts, and per-load subsets
+    // (overlapping loads make merged count < raw count AND < universe) —
+    // the bound must hold on every shape, not just full-upsert churn
+    val rnd = new scala.util.Random(42)
+    import scala.jdk.CollectionConverters._
+    val st = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    (1 to 3).foreach { trial =>
+      val universe = 50 + rnd.nextInt(300)
+      val loads = 1 + rnd.nextInt(6)
+      val eng = new OlapEngine(spark,
+        Files.createTempDirectory(s"graft-sb-prop$trial-"))
+      eng.createDatabase("db")
+      eng.createTable(TableDef(
+        db = "db", name = "d", schema = TableSchema(KeysType.Unique, Seq(
+          ColumnSpec.key("k", LongType),
+          ColumnSpec.value("v", DoubleType))),
+        ndvStatsColumns = Seq("k")))
+      (1 to loads).foreach { ld =>
+        val keys = (0L until universe.toLong).filter(_ => rnd.nextDouble() < 0.6)
+        val rows = (if (keys.isEmpty) Seq(0L) else keys).map(i => Row(i, i * 1.0))
+        eng.ingest("db", "d",
+          spark.createDataFrame(rows.asJava, st), Some(Version(ld, ld)))
+      }
+      val dim = eng.scan("db", "d")
+      val plan = dim.queryExecution.optimizedPlan
+      val bound = StatsBroadcastRewrite.estimatedBytes(plan)
+      assert(bound.isDefined, s"trial $trial: merge view must bound")
+      val exactBytes = dim.count() *
+        (8.0 + plan.output.map(_.dataType.defaultSize).sum)
+      assert(bound.get >= exactBytes,
+        s"trial $trial: bound ${bound.get} must cover $exactBytes")
+    }
+  }
+
   test("stale snapshot scans are refused (the NDV fold describes now)") {
     val eng = churnedEngine()
     // pin a version-1 snapshot PLAN, then let compaction retire its rowset:
