@@ -21,9 +21,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_BENCH=1 prints the plan Bench actually times
+    // (the benchVariants stand-in when one exists) instead of the
+    // oracle-verdict form — the form plan audits should be made against.
+    val bench = sys.env.contains("SPARK_GRAFT_EXPLAIN_BENCH")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val q = if (bench) SparkEntry.benchVariants.getOrElse(n, SparkEntry.queries(n))
+        else SparkEntry.queries(n)
+      q(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization A/B probe (round-12 optimization pass): times alternative
+  * formulations of hot queries under the EXACT bench methodology (noop sink,
+  * 1 warm-up + 3 timed runs, median, task-time attribution) so a rewrite is
+  * adopted on measurement, not intuition. Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.OptProbe [variantName ...]"
+  * Variants are self-contained thunks; none is wired into the query surface —
+  * the winning shape gets ported into the real operator and re-verified
+  * against the oracle before it ships.
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", FastTmp.dir)
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def dec(c: Column): Column = c.cast("decimal(18,2)")
+    def dbl(c: Column): Column = c.cast("double")
+    // cents-domain exact twin of sum(dec(x)): every money column is a 2dp
+    // value, so round(x*100) is the exact integer of the decimal cast and
+    // long sums are the decimal sums scaled by 100
+    def cents(c: Column): Column = round(c * 100).cast("long")
+
+    val variants: Map[String, () => DataFrame] = Map(
+      "q03_base" -> (() => graft.queries.Relational.aggQ1(spark, sfDir)),
+      "q03_nowiden" -> (() =>
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+            dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
+              .as("sum_disc_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("count_order"))),
+      "q03_cents" -> (() =>
+        graft.operators.MapWidth.widen(li)
+          .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+            (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+              .as("sum_disc_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("count_order"))),
+      "q03_nowiden_cents" -> (() =>
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+            (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+              .as("sum_disc_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("count_order"))),
+      "q03_widen_first" -> (() =>
+        graft.operators.MapWidth.widen(
+          li.select(col("l_shipdate"), col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount")))
+          .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+            dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
+              .as("sum_disc_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("count_order"))),
+      // scale-safe exact twin: per-row arithmetic in the long (cents) domain,
+      // accumulation in decimal whose backing stays a compact long until the
+      // value genuinely exceeds 18 digits (then escalates instead of
+      // overflowing) — the decimal cost in q03_base is the per-row
+      // double->BigDecimal casts and the (18,2)x(18,2) multiply, not the adds
+      "q03_cents_decsum" -> (() =>
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dbl(sum(cents(col("l_quantity")).cast("decimal(25,0)")) / 100).as("sum_qty"),
+            dbl(sum(cents(col("l_extendedprice")).cast("decimal(25,0)")) / 100).as("sum_base_price"),
+            dbl(sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+              .cast("decimal(30,0)")) / 10000).as("sum_disc_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("count_order"))),
+      "q06_cents_decsum" -> (() => {
+        val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        val l = li
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(dbl(sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("decimal(30,0)")) / 10000).as("revenue"),
+            count(lit(1)).as("n"))
+      }),
+      // hi/lo split-long accumulation: per-row stays pure long codegen, the
+      // two partial sums recombine EXACTLY in decimal on the handful of
+      // output groups — overflow-safe to ~1e12 rows/group while costing
+      // what plain long sums cost
+      "q03_hilo" -> (() => {
+        def hilo(v: Column, scaleDiv: Long, outDiv: Int): Column = {
+          val hi = sum(floor(v / lit(scaleDiv)).cast("long"))
+          val lo = sum(v % lit(scaleDiv))
+          dbl((hi.cast("decimal(38,0)") * lit(scaleDiv) + lo.cast("decimal(38,0)")) / lit(outDiv))
+        }
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            hilo(cents(col("l_quantity")), 10000L, 100).as("sum_qty"),
+            hilo(cents(col("l_extendedprice")), 10000L, 100).as("sum_base_price"),
+            hilo(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))),
+              1000000L, 10000).as("sum_disc_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("count_order"))
+      }),
+      "q06_shj" -> (() => {
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        graft.queries.Relational.joinShuffle(spark, sfDir)
+      }),
+      "q147_base" -> (() => graft.pipeline.TextAnalysis.pmiCollocations(spark, sfDir)),
+      "q147_zip" -> (() => {
+        val w = graft.operators.MapWidth.widen(
+          graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir))
+          .select(col("toks").as("w"))
+        val bg = w.filter(size(col("w")) >= 2)
+          .select(explode(arrays_zip(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+          .groupBy(col("p.0").as("w1"), col("p.1").as("w2"))
+          .agg(count(lit(1)).as("n_ab"))
+        bg.agg(sum(col("n_ab")))
+      }),
+      "q147_transform_only" -> (() => {
+        val w = graft.operators.MapWidth.widen(
+          graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir))
+          .select(col("toks").as("w"))
+        val bg = w.filter(size(col("w")) >= 2)
+          .select(
+            explode(expr("transform(sequence(1, size(w)-1), i -> " +
+              "struct(element_at(w, i) AS a, element_at(w, i+1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+          .agg(count(lit(1)).as("n_ab"))
+        bg.agg(sum(col("n_ab")))
+      }),
+      "q88_approx" -> (() => graft.pipeline.Corpus.winsorize(spark, sfDir, approx = true)),
+      "q146_approx" -> (() => graft.pipeline.Corpus.madOutliers(spark, sfDir, approx = true)),
+      "q160_bench" -> (() => graft.operators.Graph.pageRank(
+        graft.pipeline.Similarity.semanticDedupPairs(spark, sfDir)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))),
+      "q06_base" -> (() => graft.queries.Relational.joinShuffle(spark, sfDir)),
+    )
+
+    val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
+    names.foreach { n =>
+      val q = variants(n)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val ts = (1 to 3).map(_ => once()).sorted
+      println(f"[optprobe] $n%-22s median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

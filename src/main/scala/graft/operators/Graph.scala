@@ -44,10 +44,17 @@ object Graph {
     // empty graph -> empty ranks (not a 1/0): a fully-capped pair source
     // (every cell hot) legitimately produces zero edges
     if (n == 0) return nodes.select(col("node"), lit(0.0).as("p"))
+    // sym ⋈ deg is LOOP-INVARIANT: attach each edge's source degree once,
+    // materialized before the loop, so every Jacobi round is ONE join
+    // (edges ⋈ rank) + one grouped sum instead of two joins — the per-round
+    // arithmetic (p/deg per edge, then the damped rounded sum) is unchanged.
+    val symd = sym
+      .join(nodes.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint(true)
     var rank = nodes.select(col("node"), (lit(1.0) / n).as("p"))
     for (_ <- 1 to iters) {
-      val contribs = sym
-        .join(nodes.withColumnRenamed("node", "src"), "src")
+      val contribs = symd
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("p") / col("deg")).as("c"))
       rank = contribs.groupBy("node")

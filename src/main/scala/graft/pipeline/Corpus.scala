@@ -267,9 +267,14 @@ object Corpus {
     * thresholds, not reported statistics — with the identical plan shape.
     */
   def winsorize(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
-    def pct(q: Double): Column =
-      if (approx) expr(s"percentile_approx(l_extendedprice, $q, 10000)").cast("double")
-      else expr(s"percentile(l_extendedprice, $q)")
+    // BOTH bounds from ONE percentile state per group: percentile(_, array(q...))
+    // builds the identical per-group state a single-quantile call builds and
+    // reads it at each requested quantile, so the values are bit-identical to
+    // two separate calls while the aggregate runs (and for the exact form,
+    // stores O(distinct) state) once instead of twice.
+    val pcts: Column =
+      if (approx) expr("percentile_approx(l_extendedprice, array(0.05D, 0.95D), 10000)")
+      else expr("percentile(l_extendedprice, array(0.05D, 0.95D))")
     // the percentile state build is the CPU-dense stage fused to the scan —
     // widen past the input's row-group parallelism floor (no-op on
     // production-width inputs; exact percentile/count/decimal-sum are
@@ -278,7 +283,10 @@ object Corpus {
       spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_returnflag"), col("l_extendedprice")))
     val bounds = li.groupBy(col("l_returnflag"))
-      .agg(pct(0.05).as("p05"), pct(0.95).as("p95"))
+      .agg(pcts.as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).cast("double").as("p05"),
+        element_at(col("ps"), 2).cast("double").as("p95"))
     val clipped = round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 2)
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))

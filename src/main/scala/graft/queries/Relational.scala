@@ -29,6 +29,44 @@ object Relational {
     */
   private def dbl(c: Column): Column = c.cast("double")
 
+  /** Exact money aggregation in the integer-cents domain (optimization round
+    * 12). `sum(dec(x))` pays a per-row double→BigDecimal conversion and
+    * Decimal-object accumulation; since every money column is an exact
+    * 2-decimal value, `round(x*100)` is the same number as an integer of
+    * cents and the whole sum runs in whole-stage-codegen long arithmetic.
+    *
+    * Overflow posture: a single long sum of cents would overflow at
+    * ~9.2e16 dollars per group (reachable at the 100 TB tier), so the sum is
+    * SPLIT: per row v = hi·split + lo with hi,lo ≤ 1e4-ish, the two long
+    * partial sums stay ≤ rows·1e4 (safe past 1e14 rows/group), and the
+    * exact total recombines in decimal arithmetic on the handful of OUTPUT
+    * rows only. The recombined rational is identical to the decimal sum, so
+    * the final double cast is bit-identical to the previous
+    * `dbl(sum(dec(x)))` — oracle-verified at every SF.
+    */
+  private[graft] def centsL(c: Column): Column = round(c * 100).cast("long")
+
+  /** Σv/outUnits as double, v an integer-units column (cents or
+    * cents·centi-fractions), via the split-long accumulation above. */
+  private[graft] def sumUnits(v: Column, split: Long, outUnits: Long): Column = {
+    val hi = sum(floor(v / lit(split)).cast("long")).cast("decimal(38,0)")
+    val lo = sum(v % lit(split)).cast("decimal(38,0)")
+    ((hi * lit(split) + lo) / lit(outUnits)).cast("double")
+  }
+
+  /** dbl(sum(dec(x))) — money column summed exactly, emitted as double. */
+  private[graft] def moneySum(c: Column): Column =
+    sumUnits(centsL(c), 10000L, 100L)
+
+  /** dbl(sum(dec(a) * (1 ± dec(b)))) — price × (1 ± rate) summed exactly:
+    * cents(a)·(100 ± cents(b)) is the product in 10^-4 units. */
+  private[graft] def moneySumTimes(a: Column, sign: Int, b: Column): Column =
+    sumUnits(centsL(a) * (lit(100L) + lit(sign) * centsL(b)), 1000000L, 10000L)
+
+  /** dbl(sum(dec(a) * dec(b))) — price × rate summed exactly (10^-4 units). */
+  private[graft] def moneySumProd(a: Column, b: Column): Column =
+    sumUnits(centsL(a) * centsL(b), 1000000L, 10000L)
+
   /** Projection + column pruning: the scan should read exactly 3 columns
     * (reference S3 column-at-a-time scan, src/segment.rs:273-310).
     */
@@ -52,18 +90,23 @@ object Relational {
     * of the reference's declared Sum/Min/Max aggregate model (src/common.rs:54-57).
     */
   def aggQ1(spark: SparkSession, dir: String): DataFrame =
-    // widen past the row-group parallelism floor: the six-column partial
-    // agg fused to a single-row-group scan otherwise runs one-core (no-op
-    // on production-width inputs; every agg here — decimal sums, min/max,
-    // count — is partitioning-insensitive, so results are unchanged)
-    graft.operators.MapWidth.widen(t(spark, dir, "lineitem"))
+    // Optimization r12, measured at sf0.1 (OptProbe): 1.23 s → 0.43–0.58 s.
+    // Two changes, result bit-identical (oracle-verified at every SF):
+    //  - money sums run in the integer-cents domain (see [[moneySum]]) —
+    //    the decimal path's per-row double→BigDecimal casts and
+    //    (18,2)×(18,2) BigDecimal multiplies were ~26 core-sec/run here;
+    //  - the MapWidth.widen round-robin repartition is GONE: with the
+    //    cents rewrite the partial agg is no longer CPU-dense, and the
+    //    repartition (plus its sort-before-repartition pass) cost 0.3–0.4 s
+    //    against a sub-0.2 s single-row-group agg. On production-width
+    //    inputs widen was a no-op anyway, so only the local plan changes.
+    t(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
-          .as("sum_disc_price"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySumTimes(col("l_extendedprice"), -1, col("l_discount")).as("sum_disc_price"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("count_order"))
@@ -83,7 +126,7 @@ object Relational {
     val p = t(spark, dir, "part")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(dbl(sum(dec(col("l_extendedprice")))).as("revenue"),
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -97,8 +140,7 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(li, o("o_orderkey") === li("l_orderkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
-        .as("revenue"),
+      .agg(moneySumTimes(col("l_extendedprice"), -1, col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -182,13 +224,13 @@ object Relational {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
   /** CUBE grouping sets. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(dbl(sum(dec(col("o_totalprice")))).as("total"), count(lit(1)).as("n"))
+      .agg(moneySum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
 
   /** Scalar function surface: string/date/math (reference has none —
     * SURVEY.md §2.11 — all Spark built-ins).
@@ -298,15 +340,19 @@ object Relational {
     */
   def largeOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
+    // cents-domain HAVING (optimization r12): the per-order quantity sum is
+    // bounded (≤7 lines × 50), so a plain long sum of cents is exact at any
+    // scale; qty > 150 ⟺ cents > 15000 and cents/100.0 is the same double
+    // the decimal cast emitted.
     val big = li.groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
-      .filter(col("qty") > 150)
-      .select(col("l_orderkey").as("bk"), col("qty"))
+      .agg(sum(centsL(col("l_quantity"))).as("qc"))
+      .filter(col("qc") > 15000L)
+      .select(col("l_orderkey").as("bk"), col("qc"))
     t(spark, dir, "orders")
       .join(big, col("o_orderkey") === col("bk"), "inner")
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "inner")
       .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
-        dbl(col("qty")).as("total_qty"))
+        (col("qc") / 100.0).as("total_qty"))
   }
 
   /** TPC-H Q16 shape (supplier diversity per part class): COUNT(DISTINCT)
@@ -498,8 +544,8 @@ object Relational {
   def unpivotAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price")), "measure", "value")
 
