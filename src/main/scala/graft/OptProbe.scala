@@ -138,6 +138,55 @@ object OptProbe {
         graft.queries.Relational.joinShuffle(spark, sfDir)
       }),
       "q147_base" -> (() => graft.pipeline.TextAnalysis.pmiCollocations(spark, sfDir)),
+      "q88_nowiden" -> (() => {
+        val pcts = expr("percentile_approx(l_extendedprice, array(0.05D, 0.95D), 10000)")
+        val l = li.select(col("l_returnflag"), col("l_extendedprice"))
+        val bounds = l.groupBy(col("l_returnflag"))
+          .agg(pcts.as("ps"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).cast("double").as("p05"),
+            element_at(col("ps"), 2).cast("double").as("p95"))
+        val clipped = round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 2)
+        l.join(broadcast(bounds), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+            sum(clipped.cast("decimal(18,2)")).cast("double").as("sum_clipped"))
+      }),
+      "q88_nowiden_cents" -> (() => {
+        val pcts = expr("percentile_approx(l_extendedprice, array(0.05D, 0.95D), 10000)")
+        val l = li.select(col("l_returnflag"), col("l_extendedprice"))
+        val bounds = l.groupBy(col("l_returnflag"))
+          .agg(pcts.as("ps"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).cast("double").as("p05"),
+            element_at(col("ps"), 2).cast("double").as("p95"))
+        val clipped = round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 2)
+        l.join(broadcast(bounds), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+            graft.queries.Relational.sumUnits(
+              graft.queries.Relational.centsL(clipped), 10000L, 100L).as("sum_clipped"))
+      }),
+      "q146_nowiden" -> (() => {
+        def p50(c: String): Column =
+          expr(s"percentile_approx($c, 0.5, 10000)").cast("double")
+        val l = li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        val med = l.groupBy(col("l_returnflag")).agg(round(p50("x"), 4).as("med"))
+        val dev = l.join(broadcast(med), "l_returnflag")
+        val mad = dev.groupBy(col("l_returnflag"))
+          .agg(round(p50("abs(x - med)"), 4).as("mad"))
+        dev.join(broadcast(mad), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("med")).as("med"),
+            min(col("mad")).as("mad"),
+            sum(when(abs(col("x") - col("med")) > lit(3 * 1.4826) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+      }),
       "q147_zip" -> (() => {
         val w = graft.operators.MapWidth.widen(
           graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir))
@@ -168,6 +217,55 @@ object OptProbe {
         graft.pipeline.Similarity.semanticDedupPairs(spark, sfDir)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")))),
       "q06_base" -> (() => graft.queries.Relational.joinShuffle(spark, sfDir)),
+      "q171_bench" -> (() =>
+        graft.pipeline.Dedup.prefixFilterJoin(spark, sfDir, 0.8, Some("source"))),
+      "q260_bench" -> (() =>
+        graft.pipeline.Dedup.containmentJoin(spark, sfDir, 0.9, Some("source"))),
+      // window-attached document frequency: count().over(partitionBy(word))
+      // replaces the dfreq groupBy + word-keyed join — one corpus-wide
+      // shuffle fewer in the ordered-token build
+      "q171_windf" -> (() => {
+        val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+        val threshold = 0.8
+        val blk = col("source")
+        val tok = documents
+          .select(col("doc_id"), blk.as("blk"),
+            explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+        val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+        val ordered = tok
+          .withColumn("df", count(lit(1)).over(wdf))
+          .groupBy(col("doc_id"), col("blk"))
+          .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
+          .select(col("doc_id"), col("blk"),
+            transform(col("ts"), t => t.getField("word")).as("toks"),
+            sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
+            size(col("ts")).as("sz"))
+          .withColumn("plen",
+            col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+          .localCheckpoint(true)
+        val prefixes = ordered.select(col("doc_id"), col("blk"), col("sz"),
+          explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
+        val cand = prefixes.select(col("doc_id").as("doc_a"), col("blk"),
+            col("word"), col("sz").as("sz_a"))
+          .join(prefixes.select(col("doc_id").as("doc_b"), col("blk"),
+            col("word"), col("sz").as("sz_b")),
+            Seq("word", "blk"))
+          .filter(col("doc_a") < col("doc_b") &&
+            least(col("sz_a"), col("sz_b")).cast("double") >=
+              lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val ratio = col("inter").cast("double") /
+          (col("la") + col("lb") - col("inter")).cast("double")
+        cand
+          .join(ordered.select(col("doc_id").as("doc_a"), col("stoks").as("ta"),
+            col("sz").as("la")), Seq("doc_a"))
+          .join(ordered.select(col("doc_id").as("doc_b"), col("stoks").as("tb"),
+            col("sz").as("lb")), Seq("doc_b"))
+          .withColumn("inter", graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("ta"), col("tb")))
+          .filter(ratio >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("jaccard"))
+      }),
     )
 
     val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted

@@ -275,13 +275,14 @@ object Corpus {
     val pcts: Column =
       if (approx) expr("percentile_approx(l_extendedprice, array(0.05D, 0.95D), 10000)")
       else expr("percentile(l_extendedprice, array(0.05D, 0.95D))")
-    // the percentile state build is the CPU-dense stage fused to the scan —
-    // widen past the input's row-group parallelism floor (no-op on
-    // production-width inputs; exact percentile/count/decimal-sum are
-    // partitioning-insensitive, so the oracle form is unchanged)
-    val li = graft.operators.MapWidth.widen(
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_returnflag"), col("l_extendedprice")))
+    // MapWidth.widen REMOVED (optimization r12): with the single-state
+    // percentile and the cents-domain sum below, neither pass is CPU-dense
+    // enough to pay for the round-robin repartition it rode on — measured
+    // at sf0.1 the widen cost more than the single-row-group passes it
+    // parallelized (1.15 s → 0.77 s without it). On production-width
+    // inputs widen was a no-op, so only the local plan changes.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
     val bounds = li.groupBy(col("l_returnflag"))
       .agg(pcts.as("ps"))
       .select(col("l_returnflag"),
@@ -293,7 +294,10 @@ object Corpus {
       .agg(count(lit(1)).as("n"),
         sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
         sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
-        sum(clipped.cast("decimal(18,2)")).cast("double").as("sum_clipped"))
+        // clipped is an exact 2dp double → the cents-domain split-long sum
+        // is bit-identical to sum(clipped::decimal(18,2))::double
+        graft.queries.Relational.sumUnits(
+          graft.queries.Relational.centsL(clipped), 10000L, 100L).as("sum_clipped"))
   }
 
   /** Chunk assembly: materialize [[sequencePack]]'s chunks by concatenating
@@ -406,11 +410,11 @@ object Corpus {
     def p50(c: String): Column =
       if (approx) expr(s"percentile_approx($c, 0.5, 10000)").cast("double")
       else expr(s"percentile($c, 0.5)")
-    // same widen rationale as [[winsorize]]: three percentile passes fused
-    // to a single-row-group scan otherwise run one-core
-    val li = graft.operators.MapWidth.widen(
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_returnflag"), col("l_extendedprice").as("x")))
+    // widen removed, same measurement as [[winsorize]]: the three sketch
+    // passes cost less than the repartition they rode on (1.25 s → 1.12 s
+    // at sf0.1 without it; no-op on production-width inputs anyway)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
     val med = li.groupBy(col("l_returnflag"))
       .agg(round(p50("x"), 4).as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")

@@ -573,9 +573,13 @@ object Dedup {
     val tok = documents
       .select(col("doc_id"), blk.as("blk"),
         explode(array_distinct(wordsCol(col("text")))).as("word"))
-    val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // document frequency attaches as a WINDOW count over the word partition
+    // (optimization r12): identical df values to the former
+    // groupBy(word)+join, one corpus-wide shuffle of `tok` fewer — the
+    // window reuses the single word-keyed exchange the count needs anyway.
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
 
-    val ordered = tok.join(dfreq, Seq("word"))
+    val ordered = tok.withColumn("df", count(lit(1)).over(wdf))
       .groupBy(col("doc_id"), col("blk"))
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
       .select(col("doc_id"), col("blk"),
@@ -665,8 +669,9 @@ object Dedup {
     val tok = documents
       .select(col("doc_id"), blk.as("blk"),
         explode(array_distinct(wordsCol(col("text")))).as("word"))
-    val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, Seq("word"))
+    // window-attached df — same rewrite (and rationale) as prefixFilterJoinOf
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+    val ordered = tok.withColumn("df", count(lit(1)).over(wdf))
       .groupBy(col("doc_id"), col("blk"))
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
       .select(col("doc_id"), col("blk"),

@@ -1474,7 +1474,8 @@ object EngineQueries {
     Tables.events(spark, dir).select(col("event_id"), col("event_type"))
       .join(dim, "event_id")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), decSumAsDouble(sum(dec("value"))).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Relational.moneySum(col("value")).as("total"))
   }
 
   def statsBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1483,7 +1484,8 @@ object EngineQueries {
     val fact = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
     def joined = fact.join(dim, "event_id")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), decSumAsDouble(sum(dec("value"))).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Relational.moneySum(col("value")).as("total"))
     val dimPlan = dim.queryExecution.optimizedPlan
     val bound = graft.plans.StatsBroadcastRewrite.estimatedBytes(dimPlan)
       .getOrElse(sys.error("q275: no metadata bound for dim_hot's merge view"))

@@ -41,6 +41,9 @@ class GraphSpec extends AnyFunSuite {
     // the rows and bumps the counter. The symmetrizing union scans the
     // source twice inside ONE checkpoint job; any further scan means the
     // loop is recomputing its input (the q160 defect this pins against).
+    // (r12 note: checkpointing the source BEFORE the union gets this to 1x
+    // but measured SLOWER end-to-end — the extra barrier outweighs the
+    // saved branch when the edge source is itself cache-served.)
     val acc = spark.sparkContext.longAccumulator("edge-scans")
     val count = udf { (s: Long) => acc.add(1L); s }
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src0", "dst")
