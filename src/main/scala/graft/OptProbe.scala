@@ -217,6 +217,82 @@ object OptProbe {
         graft.pipeline.Similarity.semanticDedupPairs(spark, sfDir)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")))),
       "q06_base" -> (() => graft.queries.Relational.joinShuffle(spark, sfDir)),
+      "q270_base" -> (() => graft.pipeline.Dedup.repeatedSpans(spark, sfDir)),
+      "q270_nockpt" -> (() => {
+        val w = 8
+        val documents = graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir)
+        val toksD = documents
+          .select(col("doc_id"), col("toks").as("w"))
+          .filter(size(col("w")) >= w)
+        val grams = toksD.select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, size(w) - ${w - 1}), i -> concat_ws(' ', slice(w, i, $w)))"))
+            .as(Seq("off", "gram")))
+          .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+            graft.functions.Md5Prefix60.md5Prefix60(col("gram")).as("fp"))
+        val dup = grams.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx")).select(col("fp"))
+        val hits = grams.join(dup, "fp")
+          .select(col("doc_id"), col("pos"), (col("pos") + (w - 1)).as("e"))
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        hits
+          .withColumn("pme", max(col("e")).over(byDoc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            when(col("pme").isNull || col("pos") > col("pme") + 1, 1L).otherwise(0L))
+          .withColumn("island", sum(col("ni")).over(byDoc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      }),
+      "q185_base" -> (() => graft.pipeline.Frequency.crossCorpusLeakage(spark, sfDir)),
+      "q81_base" -> (() => graft.pipeline.TextAnalysis.repetition(spark, sfDir)),
+      "q81_fold" -> (() => {
+        val d = graft.operators.MapWidth.widen(
+          graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir))
+          .filter(col("toks").isNotNull && size(col("toks")) >= 1)
+        d.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            expr("""aggregate(array_sort(toks),
+              struct(CAST(null AS STRING) AS prev, 0L AS run, 0L AS best),
+              (s, x) -> struct(x,
+                IF(s.prev <=> x, s.run + 1L, 1L),
+                GREATEST(s.best, IF(s.prev <=> x, s.run + 1L, 1L))),
+              s -> s.best)""").as("max_cnt"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+              .as("dup_ratio"),
+            (col("max_cnt").cast("double") / col("n_words")).as("top_word_frac"))
+      }),
+      "q100_base" -> (() => graft.pipeline.TextAnalysis.diversity(spark, sfDir)),
+      "q100_fold" -> (() => {
+        val d = graft.operators.MapWidth.widen(
+          graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir))
+          .filter(col("toks").isNotNull && size(col("toks")) >= 1)
+        d.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            expr("""aggregate(array_sort(toks),
+              struct(CAST(null AS STRING) AS prev, 0L AS run,
+                     CAST(array() AS ARRAY<BIGINT>) AS acc),
+              (s, x) -> struct(x AS prev,
+                IF(s.prev <=> x, s.run + 1L, 1L) AS run,
+                IF(s.prev IS NULL OR s.prev = x, s.acc,
+                   array_append(s.acc, s.run)) AS acc),
+              s -> IF(s.prev IS NULL, s.acc,
+                      sort_array(array_append(s.acc, s.run))))""").as("cs"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("cs")).cast("long").as("n_distinct"), col("cs"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            round(col("n_distinct").cast("double") / col("n_words").cast("double"), 4).as("ttr"),
+            round(lit(1.0) - aggregate(col("cs"), lit(0.0), (acc, c) =>
+              acc + (c.cast("double") / col("n_words").cast("double")) *
+                (c.cast("double") / col("n_words").cast("double"))), 4).as("simpson"))
+      }),
       "q171_bench" -> (() =>
         graft.pipeline.Dedup.prefixFilterJoin(spark, sfDir, 0.8, Some("source"))),
       "q260_bench" -> (() =>

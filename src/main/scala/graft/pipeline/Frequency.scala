@@ -282,11 +282,16 @@ object Frequency {
         col("col").as("gram"), lit(side).as("side"))
 
     val perGram = Window.partitionBy(col("gram"))
+    // leaked feeds TWO consumers (the span islands and the distinct-coverage
+    // count); without materialization each re-runs the corpus-wide gram
+    // window above. The materialized form is the small test-side dup
+    // position set (optimization r12).
     val leaked = grams(train, 0).unionByName(grams(test, 1))
       .withColumn("has_train",
         max(when(col("side") === 0, 1).otherwise(0)).over(perGram))
       .filter(col("side") === 1 && col("has_train") === 1)
       .select(col("doc_id"), col("pos"))
+      .localCheckpoint(true)
 
     val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = leaked

@@ -261,7 +261,10 @@ object ModelStore {
     * must be formula-identical to the in-JVM model build.
     */
   private def withBigrams(documents: DataFrame): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
+    // reuses a pre-split `toks` column when the caller serves one (the
+    // cached TokenizedCorpus — same normalization by construction), else
+    // splits inline exactly as before
+    val ws = graft.pipeline.TokenizedCorpus.tokensOrSplit(documents)
     documents.select(col("doc_id"),
       zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"),
@@ -421,7 +424,10 @@ object ModelStore {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_bigram_lm_served" -> ((s: SparkSession, d: String) =>
-      bigramQualityFromTables(engineFor(s, d), docs(s, d))),
+      // the serve scores the cached tokenized corpus (same normalization,
+      // one tokenize per JVM) instead of re-splitting the raw parquet
+      bigramQualityFromTables(engineFor(s, d),
+        graft.pipeline.TokenizedCorpus.withTokens(s, d))),
     "q194_bpe_tokenize_served" -> ((s: SparkSession, d: String) =>
       bpeTokenizeFromTable(engineFor(s, d), docs(s, d))),
     "q195_logreg_served" -> ((s: SparkSession, d: String) =>
