@@ -297,6 +297,49 @@ object OptProbe {
         graft.pipeline.Dedup.prefixFilterJoin(spark, sfDir, 0.8, Some("source"))),
       "q260_bench" -> (() =>
         graft.pipeline.Dedup.containmentJoin(spark, sfDir, 0.9, Some("source"))),
+      // the PRE-r12 shape (groupBy+join document frequency) kept for
+      // same-session A/B against the adopted window form
+      "q171_joindf" -> (() => {
+        val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+        val threshold = 0.8
+        val blk = col("source")
+        val tok = documents
+          .select(col("doc_id"), blk.as("blk"),
+            explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+        val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val ordered = tok.join(dfreq, Seq("word"))
+          .groupBy(col("doc_id"), col("blk"))
+          .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
+          .select(col("doc_id"), col("blk"),
+            transform(col("ts"), t => t.getField("word")).as("toks"),
+            sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
+            size(col("ts")).as("sz"))
+          .withColumn("plen",
+            col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+          .localCheckpoint(true)
+        val prefixes = ordered.select(col("doc_id"), col("blk"), col("sz"),
+          explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
+        val cand = prefixes.select(col("doc_id").as("doc_a"), col("blk"),
+            col("word"), col("sz").as("sz_a"))
+          .join(prefixes.select(col("doc_id").as("doc_b"), col("blk"),
+            col("word"), col("sz").as("sz_b")),
+            Seq("word", "blk"))
+          .filter(col("doc_a") < col("doc_b") &&
+            least(col("sz_a"), col("sz_b")).cast("double") >=
+              lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val ratio = col("inter").cast("double") /
+          (col("la") + col("lb") - col("inter")).cast("double")
+        cand
+          .join(ordered.select(col("doc_id").as("doc_a"), col("stoks").as("ta"),
+            col("sz").as("la")), Seq("doc_a"))
+          .join(ordered.select(col("doc_id").as("doc_b"), col("stoks").as("tb"),
+            col("sz").as("lb")), Seq("doc_b"))
+          .withColumn("inter", graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("ta"), col("tb")))
+          .filter(ratio >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(ratio, 4).as("jaccard"))
+      }),
       // window-attached document frequency: count().over(partitionBy(word))
       // replaces the dfreq groupBy + word-keyed join — one corpus-wide
       // shuffle fewer in the ordered-token build

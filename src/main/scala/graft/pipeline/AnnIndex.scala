@@ -648,21 +648,31 @@ object AnnIndex {
       topKFromTable(eng, emb, nProbes, k, nprobe = np)
         .select(col("probe_id"), col("neighbor_id"))
         .localCheckpoint(true)
-    def hits(served: DataFrame): Long =
-      served.join(brute, Seq("probe_id", "neighbor_id"), "left_semi").count()
-    def deletedServed(served: DataFrame): Long =
-      served.filter(col("neighbor_id") % 5 === 1).count()
+    // hit count + deleted-served count in ONE job (optimization r12): the
+    // brute side is a distinct top-k, so a left join matches at most once
+    // per served row and counting matches equals the former left-semi count;
+    // the deleted predicate rides the same pass. Two counts per serve level
+    // collapse into one aggregate (was: separate hits() and deletedServed()
+    // jobs, plus hits(base) re-ran when not escalated).
+    def audit(served: DataFrame): (Long, Long) = {
+      val r = served
+        .join(brute.withColumn("__m", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(when(col("__m").isNotNull, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("neighbor_id") % 5 === 1, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
     val total = nProbes.toLong * k
     val floor = 0.6
     val base = servedAt(nprobe)
-    val escalated = hits(base) < (floor + 0.1) * total
-    val served = if (escalated) servedAt(nCells) else base
-    val h = hits(served)
+    val (hBase, delBase) = audit(base)
+    val escalated = hBase < (floor + 0.1) * total
+    val (h, delEsc) =
+      if (escalated) audit(servedAt(nCells)) else (hBase, 0L)
     spark.range(1).select(
       lit(s"ann_index_delete_recall_at_$k").as("metric"),
       lit(nProbes).as("n_probes"), lit(k).as("k"),
-      lit(deletedServed(base) + (if (escalated) deletedServed(served) else 0L))
-        .as("n_deleted_served"),
+      lit(delBase + delEsc).as("n_deleted_served"),
       lit(h >= floor * total).as("ok"),
       lit(h >= (floor + 0.1) * total).as("margin_ok"))
   }

@@ -697,13 +697,18 @@ object Corpus {
     val l = lineitem.filter(keep(col("l_orderkey")))
     val nO = o.agg(count(lit(1)).as("n_orders"))
     val nL = l.agg(count(lit(1)).as("n_items"))
-    val nJ = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .agg(count(lit(1)).as("n_joined"))
-    val nOrph = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n_orph"))
+    // inner-join count and orphan count from ONE left join (optimization
+    // r12): o_orderkey is unique in orders, so each sampled item matches at
+    // most once — counting matched rows equals the former inner-join count
+    // and counting unmatched rows equals the former anti-join count, in a
+    // single pass instead of two join jobs.
+    val nJ = l.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(col("o_orderkey")).as("n_joined"),
+        coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orph"))
     val nPost = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .filter(keep(col("l_orderkey"))).agg(count(lit(1)).as("n_post"))
-    nO.crossJoin(nL).crossJoin(nJ).crossJoin(nOrph).crossJoin(nPost)
+    nO.crossJoin(nL).crossJoin(nJ).crossJoin(nPost)
       .select(lit("consistent_sample").as("metric"),
         col("n_orders"), col("n_items"), col("n_joined"),
         (col("n_orph") === 0).as("no_orphans"),

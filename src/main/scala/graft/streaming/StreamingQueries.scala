@@ -1172,7 +1172,8 @@ object StreamingQueries {
     withStateParts(spark, 4) {
       graft.pipeline.ModelStore.bigramQualityFromTables(
         streamLmEngineFor(spark, dir),
-        spark.read.parquet(s"$dir/documents.parquet"))
+        // cached tokenize, same normalization — the q193 serve change
+        graft.pipeline.TokenizedCorpus.withTokens(spark, dir))
     }
 
   /** Stream-maintained dynamic-partition engines, one per data dir (q192). */
