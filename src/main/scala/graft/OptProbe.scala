@@ -387,6 +387,29 @@ object OptProbe {
       }),
     )
 
+    // --explain-ordered: print the ordered-token BUILD plans (join-df vs
+    // window-df) that the eager localCheckpoint otherwise hides from
+    // Explain — the plan evidence for the r12 df-attach rewrite.
+    if (args.headOption.contains("--explain-ordered")) {
+      val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+      val tok = documents.select(col("doc_id"), col("source").as("blk"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+      def orderedOf(withDf: DataFrame): DataFrame = withDf
+        .groupBy(col("doc_id"), col("blk"))
+        .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
+        .select(col("doc_id"), col("blk"),
+          transform(col("ts"), t => t.getField("word")).as("toks"),
+          sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
+          size(col("ts")).as("sz"))
+      println("\n========== ordered_build_joindf (pre-r12) ==========")
+      val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      orderedOf(tok.join(dfreq, Seq("word"))).explain("formatted")
+      println("\n========== ordered_build_windf (r12) ==========")
+      val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+      orderedOf(tok.withColumn("df", count(lit(1)).over(wdf))).explain("formatted")
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
     names.foreach { n =>
       val q = variants(n)
