@@ -459,8 +459,13 @@ object Relational {
   private def sketchEst: Map[String, Column] = Map(
     "ndv_ord" -> approx_count_distinct(col("l_orderkey")),
     "ndv_part" -> approx_count_distinct(col("l_partkey")),
-    "p50" -> percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)),
-    "p95" -> percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)))
+    // BOTH quantiles from ONE sketch state (optimization r12): the array
+    // form builds the identical QuantileSummaries a single-quantile call
+    // builds and reads it at each requested quantile — bit-identical
+    // estimates, half the per-group state builds (the q88 rewrite).
+    // Consumers extract element 1 (p50) and 2 (p95).
+    "pcts" -> percentile_approx(col("l_extendedprice"),
+      array(lit(0.5), lit(0.95)), lit(1000)))
 
   def sketches(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -472,8 +477,8 @@ object Relational {
         count_distinct(col("l_partkey")).as("ndv_parts"),
         sketchEst("ndv_ord").as("__a_ord"),
         sketchEst("ndv_part").as("__a_part"),
-        sketchEst("p50").as("__p50a"),
-        sketchEst("p95").as("__p95a"),
+        element_at(sketchEst("pcts"), 1).as("__p50a"),
+        element_at(sketchEst("pcts"), 2).as("__p95a"),
         // percentile_approx(accuracy=1000) guarantees rank error <= 1/1000;
         // bound the estimate by exact percentiles two rank-steps out
         expr("percentile(l_extendedprice, 0.498)").as("__p50lo"),
@@ -500,8 +505,9 @@ object Relational {
       .agg(
         sketchEst("ndv_ord").as("ndv_orders_est"),
         sketchEst("ndv_part").as("ndv_parts_est"),
-        sketchEst("p50").as("p50_est"),
-        sketchEst("p95").as("p95_est"))
+        // identical aggregate expressions deduplicate to ONE sketch state
+        element_at(sketchEst("pcts"), 1).as("p50_est"),
+        element_at(sketchEst("pcts"), 2).as("p95_est"))
 
   /** Outer-join flavors: FULL OUTER between per-nation customer and supplier
     * counts (either side may be missing), then the nation dim LEFT JOINs the
