@@ -35,6 +35,28 @@ object OptProbe {
     // long sums are the decimal sums scaled by 100
     def cents(c: Column): Column = round(c * 100).cast("long")
 
+    // the r13 bcast-df ordered-token build, shared by the stage probes —
+    // EXACTLY the operator's current internals (tokenized serve, broadcast
+    // dfreq, eager checkpoint)
+    def r13Ordered(spark: SparkSession, sfDir: String): DataFrame = {
+      val documents = graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir)
+      val threshold = 0.8
+      val tok = documents.select(col("doc_id"), col("source").as("blk"),
+        explode(array_distinct(col("toks"))).as("word"))
+      val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      tok.join(broadcast(dfreq), Seq("word"))
+        .groupBy(col("doc_id"), col("blk"))
+        .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
+        .select(col("doc_id"), col("blk"),
+          transform(col("ts"), t => t.getField("word")).as("toks"),
+          sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
+          size(col("ts")).as("sz"))
+        .withColumn("plen",
+          col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+        .localCheckpoint(true)
+    }
+
+
     val variants: Map[String, () => DataFrame] = Map(
       "q03_base" -> (() => graft.queries.Relational.aggQ1(spark, sfDir)),
       "q03_nowiden" -> (() =>
@@ -295,6 +317,26 @@ object OptProbe {
       }),
       "q171_bench" -> (() =>
         graft.pipeline.Dedup.prefixFilterJoin(spark, sfDir, 0.8, Some("source"))),
+      // --- r13 stage attribution for the prefix-filter pipeline: each probe
+      // cuts the plan at one stage boundary so deltas between consecutive
+      // probes attribute the wall to (ordered build | candidate gen+distinct
+      // | verify joins). The `ordered` build matches the current bcast-df
+      // operator shape (tokenized-corpus serve + broadcast dfreq).
+      "q171_s1_ordered" -> (() => r13Ordered(spark, sfDir)),
+      "q171_s2_cand" -> (() => {
+        val ordered = r13Ordered(spark, sfDir)
+        val prefixes = ordered.select(col("doc_id"), col("blk"), col("sz"),
+          explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
+        prefixes.select(col("doc_id").as("doc_a"), col("blk"),
+            col("word"), col("sz").as("sz_a"))
+          .join(prefixes.select(col("doc_id").as("doc_b"), col("blk"),
+            col("word"), col("sz").as("sz_b")),
+            Seq("word", "blk"))
+          .filter(col("doc_a") < col("doc_b") &&
+            least(col("sz_a"), col("sz_b")).cast("double") >=
+              lit(0.8) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
+          .select(col("doc_a"), col("doc_b")).distinct()
+      }),
       "q260_bench" -> (() =>
         graft.pipeline.Dedup.containmentJoin(spark, sfDir, 0.9, Some("source"))),
       // the PRE-r12 shape (groupBy+join document frequency) kept for
@@ -407,20 +449,37 @@ object OptProbe {
       println("\n========== ordered_build_windf (r12) ==========")
       val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
       orderedOf(tok.withColumn("df", count(lit(1)).over(wdf))).explain("formatted")
+      println("\n========== ordered_build_bcastdf (r13, adopted) ==========")
+      orderedOf(tok.join(broadcast(dfreq), Seq("word"))).explain("formatted")
+      println("\n========== verify_join_cached_ordered (r13, adopted) ==========")
+      // the verify-stage plan over the PERSISTED ordered table — shows the
+      // planner choosing the join strategy from real InMemoryRelation stats
+      graft.pipeline.Dedup.prefixFilterJoin(spark, sfDir, 0.8, Some("source"))
+        .explain("formatted")
       spark.stop()
       return
     }
     val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
+    // conf snapshot/restore per variant: a thunk that twiddles session conf
+    // (q06_shj's preferSortMergeJoin) must not contaminate the variants
+    // timed after it — the whole point of the probe is trustworthy A/Bs
+    val guarded = Seq("spark.sql.join.preferSortMergeJoin")
     names.foreach { n =>
       val q = variants(n)
+      val saved = guarded.map(k => k -> spark.conf.getOption(k))
       def once(): Double = {
         val t0 = System.nanoTime()
         q().write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm-up
-      val ts = (1 to 3).map(_ => once()).sorted
-      println(f"[optprobe] $n%-22s median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      try {
+        once() // warm-up
+        val ts = (1 to 3).map(_ => once()).sorted
+        println(f"[optprobe] $n%-22s median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
     spark.stop()
   }

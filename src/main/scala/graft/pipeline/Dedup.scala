@@ -545,10 +545,13 @@ object Dedup {
     * The exact counterpart to the approximate detectors (q31 MinHash LSH,
     * q32 SimHash): same output contract as exhaustive all-pairs.
     *
-    * Scale shape: document frequency is one grouped count that attaches by
-    * a word-keyed shuffle join (the vocabulary is corpus-sized at 100 TB —
-    * never broadcast); per-doc ordering is a grouped sort_array, not a
-    * global window. The candidate join carries PREFIX rows only, and the
+    * Scale shape: document frequency is one grouped count (map-side partial
+    * aggregation shrinks it to the VOCABULARY before any wire transfer) that
+    * attaches by a broadcast hash join — no corpus-wide word shuffle, no
+    * per-word skew exposure; a conf flag falls back to the shuffle join if
+    * the vocabulary outgrows broadcast limits. Per-doc ordering is a grouped
+    * sort_array, not a global window. The candidate join carries PREFIX rows
+    * only, and the
     * rarest-first order is the designed-in skew defense: stopwords sort to
     * the back and structurally cannot enter a prefix unless the doc is
     * nearly all stopwords (a residual hot prefix token is exactly q31's
@@ -557,29 +560,60 @@ object Dedup {
     */
   def prefixFilterJoin(spark: SparkSession, dir: String, threshold: Double = 0.8,
       block: Option[String] = None): DataFrame =
-    prefixFilterJoinOf(docs(spark, dir), threshold, block)
+    // dir-keyed form (r13): the ordered-token table is the dedup-signature
+    // index this pipeline maintains anyway (same doctrine as q31's banded-
+    // signature cachedDf), so it persists per (dir, block) and q171/q255/
+    // q260 all serve from ONE copy — plen is a per-threshold projection on
+    // top, so the 0.8 and 0.9 consumers share the table.
+    prefixVerify(
+      withPlen(cachedOrderedTokens(spark, dir, block), threshold),
+      threshold, block)
 
   /** Core of [[prefixFilterJoin]] over any (doc_id, text, ...) frame. */
   def prefixFilterJoinOf(documents: DataFrame, threshold: Double,
-      block: Option[String] = None): DataFrame = {
-    // Optional blocking key (production form: per-source shard): pairs are
-    // only sought within a block, but document frequency and prefix lengths
-    // stay GLOBAL so within-block output is identical to the unblocked
-    // join's same-block subset. The synthetic corpus is degenerately dense
-    // (~24% of ALL pairs exceed 0.8 set-Jaccard, ~3M true pairs at sf0.1),
-    // so the unblocked verdict form is quadratic-OUTPUT; real corpora after
-    // exact dedup are sparse here, where the prefix filter earns its keep.
+      block: Option[String] = None): DataFrame =
+    // materialize once: the ordered token table feeds THREE consumers
+    // (prefix explode + both verify joins) — without truncation each
+    // recomputes the tokenize+dfreq+sort pipeline; with it the plan reads
+    // the doc-sized materialized form (at 100 TB this is the written
+    // signature/index table the production run builds once anyway)
+    prefixVerify(
+      withPlen(orderedTokens(documents, block).localCheckpoint(true), threshold),
+      threshold, block)
+
+  /** The rarest-first ordered token profile every SSJoin-family consumer
+    * builds on: per (doc, blk), the distinct tokens ascending by global
+    * document frequency (ties by token), plus the lexicographically sorted
+    * twin and the set size.
+    *
+    * Optional blocking key (production form: per-source shard): pairs are
+    * only sought within a block, but document frequency and prefix lengths
+    * stay GLOBAL so within-block output is identical to the unblocked
+    * join's same-block subset. The synthetic corpus is degenerately dense
+    * (~24% of ALL pairs exceed 0.8 set-Jaccard, ~3M true pairs at sf0.1),
+    * so the unblocked verdict form is quadratic-OUTPUT; real corpora after
+    * exact dedup are sparse here, where the prefix filter earns its keep.
+    */
+  private[pipeline] def orderedTokens(documents: DataFrame,
+      block: Option[String]): DataFrame = {
     val blk = block.map(col).getOrElse(lit(""))
     val tok = documents
       .select(col("doc_id"), blk.as("blk"),
-        explode(array_distinct(wordsCol(col("text")))).as("word"))
-    // document frequency attaches as a WINDOW count over the word partition
-    // (optimization r12): identical df values to the former
-    // groupBy(word)+join, one corpus-wide shuffle of `tok` fewer — the
-    // window reuses the single word-keyed exchange the count needs anyway.
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
-
-    val ordered = tok.withColumn("df", count(lit(1)).over(wdf))
+        explode(array_distinct(TokenizedCorpus.tokensOrSplit(documents))).as("word"))
+    // document frequency attaches as a BROADCAST join of the vocab-sized
+    // count table (optimization r13; replaces the r12 window form): the
+    // groupBy(word) count partially aggregates map-side, so only the
+    // VOCABULARY crosses the wire, and the broadcast hash join removes the
+    // corpus-wide word exchange the window needed — which also removes the
+    // window's skew exposure (a stopword's df ≈ n_docs posting list all
+    // buffered in ONE WindowExec task). Identical df values to both prior
+    // forms. If the vocabulary ever outgrows broadcast limits (8 GB cap),
+    // flip spark.graft.dfreq.broadcast=false to take the pre-r12
+    // AQE-skew-splittable shuffle join instead.
+    val dfreq = tok.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val bcast = documents.sparkSession.conf
+      .getOption("spark.graft.dfreq.broadcast").forall(_.toBoolean)
+    tok.join(if (bcast) broadcast(dfreq) else dfreq, Seq("word"))
       .groupBy(col("doc_id"), col("blk"))
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
       .select(col("doc_id"), col("blk"),
@@ -589,19 +623,34 @@ object Dedup {
         // n log n buys allocation-free per-PAIR verification
         sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
         size(col("ts")).as("sz"))
-      .withColumn("plen",
-        // epsilon before ceil: fl(threshold)*sz can round JUST above an
-        // integer boundary, making ceil one too large and the prefix one
-        // token too short — silently dropping qualifying pairs. Subtracting
-        // 1e-9 can only lengthen the prefix, which stays lossless.
-        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
-      // materialize once: the ordered token table feeds THREE consumers
-      // (prefix explode + both verify joins) — without truncation each
-      // recomputes the tokenize+dfreq+sort pipeline; with it the plan reads
-      // the doc-sized materialized form (at 100 TB this is the written
-      // signature/index table the production run builds once anyway)
-      .localCheckpoint(true)
+  }
 
+  /** [[orderedTokens]] over the shared tokenized corpus, persisted per
+    * (dir, block) through the same [[cachedDf]] index-serve path as q31's
+    * banded signatures. Persisting (vs the eager localCheckpoint the
+    * arbitrary-frame form uses) also gives the planner REAL size statistics,
+    * so the verify joins can pick broadcast at audit scale and sort-merge at
+    * corpus scale on their own.
+    */
+  private def cachedOrderedTokens(spark: SparkSession, dir: String,
+      block: Option[String]): DataFrame =
+    cachedDf(dir, s"ordered-tokens-${block.getOrElse("")}") {
+      orderedTokens(TokenizedCorpus.withTokens(spark, dir), block)
+    }
+
+  /** Prefix length for Jaccard threshold `t`: |S| − ⌈t·|S|⌉ + 1.
+    * Epsilon before ceil: fl(threshold)*sz can round JUST above an
+    * integer boundary, making ceil one too large and the prefix one
+    * token too short — silently dropping qualifying pairs. Subtracting
+    * 1e-9 can only lengthen the prefix, which stays lossless.
+    */
+  private def withPlen(ordered: DataFrame, threshold: Double): DataFrame =
+    ordered.withColumn("plen",
+      col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+
+  /** Candidate generation + exact verify over an ordered-token profile. */
+  private def prefixVerify(ordered: DataFrame, threshold: Double,
+      block: Option[String]): DataFrame = {
     val prefixes = ordered.select(col("doc_id"), col("blk"), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
     // PPJoin LENGTH filter, carried on the prefix rows: J(A,B) >= t implies
@@ -660,32 +709,25 @@ object Dedup {
   def containmentJoin(spark: SparkSession, dir: String,
                       threshold: Double = 0.9,
                       block: Option[String] = Some("source")): DataFrame =
-    containmentJoinOf(docs(spark, dir), threshold, block)
+    // dir-keyed form (r13): serves the SAME persisted ordered-token table
+    // as q171/q255 — plen is the only threshold-dependent column and it is
+    // a projection — see [[prefixFilterJoin]]
+    containmentVerify(
+      withPlen(cachedOrderedTokens(spark, dir, block), threshold),
+      threshold, block)
 
   /** Core of [[containmentJoin]] over any (doc_id, text, ...) frame. */
   def containmentJoinOf(documents: DataFrame, threshold: Double,
-                        block: Option[String] = None): DataFrame = {
-    val blk = block.map(col).getOrElse(lit(""))
-    val tok = documents
-      .select(col("doc_id"), blk.as("blk"),
-        explode(array_distinct(wordsCol(col("text")))).as("word"))
-    // window-attached df — same rewrite (and rationale) as prefixFilterJoinOf
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
-    val ordered = tok.withColumn("df", count(lit(1)).over(wdf))
-      .groupBy(col("doc_id"), col("blk"))
-      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ts"))
-      .select(col("doc_id"), col("blk"),
-        transform(col("ts"), t => t.getField("word")).as("toks"),
-        // sorted twin for the merge-count verify (see prefixFilterJoinOf)
-        sort_array(transform(col("ts"), t => t.getField("word"))).as("stoks"),
-        size(col("ts")).as("sz"))
-      .withColumn("plen",
-        // same epsilon-before-ceil as the prefix filter: only ever
-        // LENGTHENS the prefix, which stays lossless
-        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
-      // three consumers (prefix explode + both verify joins) — materialize
-      // once, same rationale as prefixFilterJoinOf
-      .localCheckpoint(true)
+                        block: Option[String] = None): DataFrame =
+    // three consumers (prefix explode + both verify joins) — materialize
+    // once, same rationale as prefixFilterJoinOf
+    containmentVerify(
+      withPlen(orderedTokens(documents, block).localCheckpoint(true), threshold),
+      threshold, block)
+
+  /** Candidate generation + exact verify for the containment join. */
+  private def containmentVerify(ordered: DataFrame, threshold: Double,
+      block: Option[String]): DataFrame = {
     val prefixes = ordered.select(col("doc_id").as("doc_a"), col("blk"),
       col("sz").as("sz_a"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("word"))
@@ -695,7 +737,7 @@ object Dedup {
     // the carried sizes BEFORE the distinct halves the candidate mass and
     // drops the skewed long-probe-vs-short-posting pairs. Exactly the
     // verify stage's own predicate on (sz_a, sz_b), hence lossless.
-    // The postings side is exploded from the CHECKPOINTED ordered table
+    // The postings side is exploded from the MATERIALIZED ordered table
     // (same (doc, blk, word, sz) rows as re-exploding the raw text, since
     // toks is exactly the doc's distinct-token list) — otherwise the full
     // corpus tokenize+explode runs a second time just to serve postings.
