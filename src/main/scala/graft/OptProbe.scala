@@ -238,6 +238,40 @@ object OptProbe {
       "q160_bench" -> (() => graft.operators.Graph.pageRank(
         graft.pipeline.Similarity.semanticDedupPairs(spark, sfDir)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")))),
+      // r13 candidate: loop frames right-sized to an edge-count-derived
+      // partition count (AQE's coalescing is parallelism-first, so it never
+      // shrinks the 32 tiny partitions inside the checkpointed loop) + a
+      // shuffled-hash join that builds on the rank side and STREAMS the
+      // pre-partitioned edge table without re-sorting it every round
+      "q160_parts" -> (() => {
+        val edges = graft.pipeline.Similarity.semanticDedupPairs(spark, sfDir)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        val iters = 5; val damping = 0.85
+        val sym = edges.select(col("src"), col("dst"))
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true)
+        val m = sym.count()
+        val parts = math.max(2, math.min(
+          spark.sparkContext.defaultParallelism, (m / 1000000L).toInt + 1))
+        val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = deg.select(col("src").as("node"), col("deg")).persist()
+        val n = nodes.count()
+        val symd = sym
+          .join(nodes.withColumnRenamed("node", "src"), "src")
+          .select(col("src"), col("dst"), col("deg"))
+          .repartition(parts, col("src"))
+          .localCheckpoint(true)
+        var rank = nodes.select(col("node"), (lit(1.0) / n).as("p"))
+        for (_ <- 1 to iters) {
+          val contribs = symd
+            .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+            .select(col("dst").as("node"), (col("p") / col("deg")).as("c"))
+          rank = contribs.repartition(parts, col("node")).groupBy("node")
+            .agg(round(lit((1.0 - damping) / n) + lit(damping) * sum(col("c")), 10).as("p"))
+            .localCheckpoint()
+        }
+        rank
+      }),
       "q06_base" -> (() => graft.queries.Relational.joinShuffle(spark, sfDir)),
       "q270_base" -> (() => graft.pipeline.Dedup.repeatedSpans(spark, sfDir)),
       "q270_nockpt" -> (() => {

@@ -44,20 +44,47 @@ object Graph {
     // empty graph -> empty ranks (not a 1/0): a fully-capped pair source
     // (every cell hot) legitimately produces zero edges
     if (n == 0) return nodes.select(col("node"), lit(0.0).as("p"))
+    // Loop partition count derived from the EDGE volume (~1M edge rows per
+    // task, floor 2, capped at the cluster's parallelism) instead of
+    // inheriting spark.sql.shuffle.partitions: every frame inside the loop
+    // is rank/contrib-sized, and AQE cannot right-size them here — its
+    // partition coalescing is parallelism-first, so it never shrinks the 32
+    // near-empty partitions each checkpointed round re-creates. At audit
+    // scale this collapses ~128 tiny tasks/round to ~4; at 100 TB the same
+    // formula yields thousands of full tasks (optimization r13: exec
+    // 19 → ~2.5 core-sec, wall 2.1 → 1.3 s at sf0.1/local[32]).
+    val m = sym.count()
+    val parts = math.max(2, math.min(
+      sym.sparkSession.sparkContext.defaultParallelism, (m / 1000000L).toInt + 1))
     // sym ⋈ deg is LOOP-INVARIANT: attach each edge's source degree once,
     // materialized before the loop, so every Jacobi round is ONE join
     // (edges ⋈ rank) + one grouped sum instead of two joins — the per-round
     // arithmetic (p/deg per edge, then the damped rounded sum) is unchanged.
+    // Pre-partitioned by src (localCheckpoint preserves the partitioning),
+    // so the per-round join only ever moves the RANK side.
     val symd = sym
       .join(nodes.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), col("deg"))
+      .repartition(parts, col("src"))
       .localCheckpoint(true)
     var rank = nodes.select(col("node"), (lit(1.0) / n).as("p"))
     for (_ <- 1 to iters) {
+      // SHUFFLED-HASH join, build side = rank (§3.1 deliberate strategy):
+      // the streamed symd side is already hash(src)-partitioned, so SMJ
+      // would only add a full sort of the edge table EVERY round; the hash
+      // build is one double per node per partition. rank cannot broadcast
+      // at corpus scale (it is node-count-sized), so the hint — not an
+      // autoBroadcast threshold — is the scale-safe choice.
       val contribs = symd
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("p") / col("deg")).as("c"))
-      rank = contribs.groupBy("node")
+      // repartition(node) BEFORE the groupBy: the agg then runs complete in
+      // the exchange's reduce stage at `parts` tasks (hashpartitioning(node,
+      // parts) satisfies the agg's distribution), instead of a 32-partition
+      // partial+final pair of near-empty stages. Double-sum order changes
+      // are absorbed by the per-round round(…, 10) quantization — the same
+      // order-independence contract the partial+final shape relied on.
+      rank = contribs.repartition(parts, col("node")).groupBy("node")
         .agg(round(lit((1.0 - damping) / n) + lit(damping) * sum(col("c")), 10).as("p"))
         .localCheckpoint()
     }
