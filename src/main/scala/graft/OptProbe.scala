@@ -493,13 +493,21 @@ object OptProbe {
       spark.stop()
       return
     }
+    // any declared query (bench form when one exists) is probe-able by name:
+    // "bench:q187_ann_index_served" times exactly what the bench times
+    def benchThunk(q: String): () => DataFrame = () =>
+      SparkEntry.benchVariants.getOrElse(q, SparkEntry.queries(q))(spark, sfDir)
+    def resolve(n: String): () => DataFrame =
+      if (n.startsWith("bench:")) benchThunk(n.stripPrefix("bench:"))
+      else variants(n)
+
     val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
     // conf snapshot/restore per variant: a thunk that twiddles session conf
     // (q06_shj's preferSortMergeJoin) must not contaminate the variants
     // timed after it — the whole point of the probe is trustworthy A/Bs
     val guarded = Seq("spark.sql.join.preferSortMergeJoin")
     names.foreach { n =>
-      val q = variants(n)
+      val q = resolve(n)
       val saved = guarded.map(k => k -> spark.conf.getOption(k))
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -522,15 +522,26 @@ object AnnIndex {
     val e = candFilter.map(f => normalized(emb.filter(f))).getOrElse(eAll)
     val assign = eng.scan(Db, AssignTable)
     val cents = eng.scan(Db, CentroidTable)
-    val bookRows = eng.scan(Db, BookTable).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = bookRows.map(_._1).max + 1
-    val kSub = bookRows.map(_._2).max + 1
-    val books = Array.ofDim[Array[Array[Double]]](m)
-    for (s <- 0 until m) {
-      books(s) = Array.ofDim[Array[Double]](kSub)
-      bookRows.filter(_._1 == s).foreach { case (_, c, sub) => books(s)(c) = sub }
-    }
+    // codebook collect memoized per (engine, fit generation): the PQ
+    // codebook is a model artifact that only changes when a (re)fit bumps
+    // the table's version, so repeated serves against the same generation
+    // skip the scan+collect job entirely (optimization r13 — this was one
+    // of the per-serve driver jobs the q187/q189/q213 audits paid). The
+    // manifest read is metadata, never a Spark job.
+    val bookVer = eng.manifest(Db, BookTable).maxVersion
+    val (m, kSub, books) = bookCache.getOrElseUpdate(
+      (eng.warehouse.toString, bookVer), {
+        val bookRows = eng.scan(Db, BookTable).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val m0 = bookRows.map(_._1).max + 1
+        val kSub0 = bookRows.map(_._2).max + 1
+        val bs = Array.ofDim[Array[Array[Double]]](m0)
+        for (s <- 0 until m0) {
+          bs(s) = Array.ofDim[Array[Double]](kSub0)
+          bookRows.filter(_._1 == s).foreach { case (_, c, sub) => bs(s)(c) = sub }
+        }
+        (m0, kSub0, bs)
+      })
 
     val indexed = e.join(assign, Seq("vec_id"))
     val probes = eAll.filter(col("vec_id") < nProbes)
@@ -553,6 +564,10 @@ object AnnIndex {
 
   // --- driver fixture + query ----------------------------------------------
 
+  /** Per-(engine, fit-generation) PQ codebook memo — see [[topKFromTable]]. */
+  private val bookCache =
+    TrieMap.empty[(String, Long), (Int, Int, Array[Array[Array[Double]]])]
+
   private val cache = TrieMap.empty[String, OlapEngine]
   private def deleteWarehouse(e: OlapEngine): Unit = {
     def del(f: java.io.File): Unit = {
@@ -572,6 +587,7 @@ object AnnIndex {
     (cache.values ++ gateCache.values.map(_._1)).foreach(deleteWarehouse)
     gateCache.clear()
     cache.clear()
+    bookCache.clear()
   }
 
   /** Driver fixture: bootstrap on 90% of the corpus (vec_id % 10 ≠ 0), fold
@@ -644,10 +660,12 @@ object AnnIndex {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .localCheckpoint(true)
+    // each served frame feeds exactly ONE audit aggregate, so it is not
+    // materialized — the serve pipeline runs inside the audit job
+    // (optimization r13: one checkpoint job fewer per serve level)
     def servedAt(np: Int): DataFrame =
       topKFromTable(eng, emb, nProbes, k, nprobe = np)
         .select(col("probe_id"), col("neighbor_id"))
-        .localCheckpoint(true)
     // hit count + deleted-served count in ONE job (optimization r12): the
     // brute side is a distinct top-k, so a left join matches at most once
     // per served row and counting matches equals the former left-semi count;
