@@ -128,8 +128,10 @@ object Retrieval {
             size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
     val fused = if (served) hybridRrfServed(spark, dir, k, pool)
                 else hybridRrf(spark, dir, k, pool)
-    val ranked = fused
-      .select(col("doc_id"), col("rrf"))
+    // the fused top-k is k rows; the token side is doc-count-sized — the
+    // k-row side is the one to broadcast, and stats after the limit are too
+    // coarse for the planner to see that on its own
+    val ranked = broadcast(fused.select(col("doc_id"), col("rrf")))
       .join(toks, "doc_id")
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))

@@ -290,6 +290,24 @@ object TextIndex {
     * per-doc sum is exact decimal — the same determinism route as
     * [[TextAnalysis.bm25TopK]], so the two agree bit-for-bit.
     */
+  /** Corpus stats (n_docs, avgdl) from the doclen table, memoized per
+    * (engine, doclen generation) — they are properties of the INDEX, not of
+    * any query, so every BM25-family serve against the same generation
+    * reuses the one collected pair as plan literals instead of re-running
+    * the stats aggregate + its broadcast per call (optimization r13). The
+    * values are the identical Spark aggregate, computed once; a fold/compact
+    * bumps the table version and invalidates the memo.
+    */
+  private val statsCache = TrieMap.empty[(String, Long), (Long, Double)]
+  private[pipeline] def corpusStats(eng: OlapEngine): (Long, Double) = {
+    val ver = eng.manifest(Db, DoclenTable).maxVersion
+    statsCache.getOrElseUpdate((eng.warehouse.toString, ver), {
+      val r = eng.scan(Db, DoclenTable)
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
+      (r.getLong(0), r.getDouble(1))
+    })
+  }
+
   def bm25FromTable(eng: OlapEngine, terms: Seq[String] = DefaultTerms,
                     k: Int = 10): DataFrame = {
     graft.GraftExtensions.register(eng.spark)
@@ -299,14 +317,13 @@ object TextIndex {
       .filter(col("word").isin(terms.map(_.asInstanceOf[Any]): _*))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val dl = eng.scan(Db, DoclenTable)
-    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val (nDocs, avgdl) = corpusStats(eng)
+    val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val termScore = idf * col("tf") * (k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
     tf.withColumnRenamed("word", "w")
       .join(broadcast(dfreq.withColumnRenamed("word", "w")), "w")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(g))
       .select(col("doc_id"),
         round(termScore, 8).cast("decimal(18,8)").as("ts"))
       .groupBy(col("doc_id"))
@@ -334,16 +351,16 @@ object TextIndex {
     val b = 0.75
     val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
     val dl = eng.scan(Db, DoclenTable)
-    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // per-generation corpus stats as plan literals — see [[corpusStats]]
+    val (nDocs, avgdl) = corpusStats(eng)
     def bm25(terms: DataFrame): DataFrame = { // terms: one column "w"
       val tf = post.join(broadcast(terms), "w")
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
       val termScore = idf * col("tf") * (k1 + 1) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
       tf.join(broadcast(dfreq), "w")
         .join(dl, "doc_id")
-        .crossJoin(broadcast(g))
         .select(col("doc_id"),
           round(termScore, 8).cast("decimal(18,8)").as("ts"))
         .groupBy(col("doc_id"))
@@ -395,17 +412,17 @@ object TextIndex {
     val b = 0.75
     val post = eng.scan(Db, PostingsTable).withColumnRenamed("word", "w")
     val dl = eng.scan(Db, DoclenTable)
-    val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // per-generation corpus stats as plan literals — see [[corpusStats]]
+    val (nDocs, avgdl) = corpusStats(eng)
     // df is a corpus property of the word, shared by every query probing it
     val dfreq = post.join(broadcast(queries.select(col("w")).distinct()), "w")
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val termScore = idf * col("tf") * (k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
     val scored = post.join(broadcast(queries), "w")
       .join(broadcast(dfreq), "w")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(g))
       .select(col("query_id"), col("doc_id"),
         round(termScore, 8).cast("decimal(18,8)").as("ts"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -571,6 +588,7 @@ object TextIndex {
   def clearCaches(): Unit = {
     cache.values.foreach(deleteWarehouse)
     cache.clear()
+    statsCache.clear()
   }
 
   /** Run the scheduled maintenance a production index owner would — now
