@@ -47,11 +47,23 @@ object Relational {
   private[graft] def centsL(c: Column): Column = round(c * 100).cast("long")
 
   /** Σv/outUnits as double, v an integer-units column (cents or
-    * cents·centi-fractions), via the split-long accumulation above. */
+    * cents·centi-fractions), via the split-long accumulation above.
+    *
+    * Sign-correct by construction (r13 hardening): lo = pmod(v, split) ∈
+    * [0, split) and hi = (v − lo)/split is the matching floor quotient, so
+    * v = hi·split + lo holds for NEGATIVE v too (refunds/adjustments). The
+    * previous floor(v/split) + (v % split) pair mixed floor division with
+    * sign-of-dividend remainder and mis-summed every negative row by
+    * split/outUnits. For v ≥ 0 the two forms are identical, so current
+    * oracle hashes are unchanged. (v − lo is a multiple of split, and
+    * |v| stays far below 2^53 in every money domain used here, so the
+    * double division is exact.)
+    */
   private[graft] def sumUnits(v: Column, split: Long, outUnits: Long): Column = {
-    val hi = sum(floor(v / lit(split)).cast("long")).cast("decimal(38,0)")
-    val lo = sum(v % lit(split)).cast("decimal(38,0)")
-    ((hi * lit(split) + lo) / lit(outUnits)).cast("double")
+    val lo = pmod(v, lit(split))
+    val hiS = sum(((v - lo) / lit(split)).cast("long")).cast("decimal(38,0)")
+    val loS = sum(lo).cast("decimal(38,0)")
+    ((hiS * lit(split) + loS) / lit(outUnits)).cast("double")
   }
 
   /** dbl(sum(dec(x))) — money column summed exactly, emitted as double. */
