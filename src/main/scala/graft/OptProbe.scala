@@ -273,6 +273,28 @@ object OptProbe {
         rank
       }),
       "q06_base" -> (() => graft.queries.Relational.joinShuffle(spark, sfDir)),
+      // the PRE-r13 q32 shape (explode + 60 conditional sums + doc_id
+      // shuffle) kept for same-session A/B against the per-row expression
+      "q32_explode" -> (() => {
+        val d = graft.operators.MapWidth.widen(
+          graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir))
+        val exploded = d.select(col("doc_id"), explode(col("toks")).as("__w"))
+          .withColumn("__h", graft.functions.Md5Prefix60.md5Prefix60(col("__w")))
+        val sums = (0 until 60).map(i =>
+          sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
+        exploded.groupBy(col("doc_id"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(i =>
+              when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+              .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+          .withColumn("band", shiftrightunsigned(col("simhash"), 60 - 16))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("mlist"))
+          .filter(col("n") > 1)
+          .select(col("band"), col("n"),
+            concat_ws(",", col("mlist").cast("array<string>")).as("members"))
+      }),
       "q270_base" -> (() => graft.pipeline.Dedup.repeatedSpans(spark, sfDir)),
       "q270_nockpt" -> (() => {
         val w = 8

@@ -255,27 +255,24 @@ object Dedup {
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
 
-  /** Dataset-scale SimHash: explode(words) -> 64 codegen'd integer sums ->
-    * assemble sign bits. Integer addition is order-independent, so the
-    * hash-aggregate shape is bit-identical to the left-fold [[simhashCol]]
-    * while getting map-side partial aggregation and whole-stage codegen
-    * (same rationale as [[minhashSignatures]]).
+  /** Dataset-scale SimHash (optimization r13): ONE codegen'd per-row pass
+    * over the word array ([[graft.functions.Simhash60]]) — a pure
+    * projection, NO explode, NO 60-accumulator aggregation, NO doc_id
+    * shuffle (documents already arrive one row per doc). Bit-identical to
+    * both prior shapes: the expression folds the same +1/−1 per-bit
+    * contributions of the same [[wordHash60]] values, and integer addition
+    * commutes (`PipelineSpec` pins equality against the [[simhashCol]]
+    * left fold). The r12 explode form paid 18+ exec core-sec at sf0.1 for
+    * what is per-document map work.
     */
-  def simhashSignatures(d: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // per-word hashing + 60 partial sums fused to the scan: widen when the
-    // source can't parallelize the map stage itself
-    val exploded = graft.operators.MapWidth.widen(d)
-      .select(col(idCol), explode(wordsCol(col(textCol))).as("__w"))
-      .withColumn("__h", wordHash60(col("__w")))
-    val sums = (0 until SimhashBits).map(i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
-    exploded.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
+  def simhashSignatures(d: DataFrame, idCol: String, textCol: String): DataFrame =
+    // per-word md5 is the remaining CPU: widen when the source can't
+    // parallelize the map stage itself
+    graft.operators.MapWidth.widen(d)
       .select(col(idCol),
-        (0 until SimhashBits).map(i =>
-          when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+        graft.functions.Simhash60.simhash60(
+          if (d.columns.contains(TokenizedCorpus.TokCol)) col(TokenizedCorpus.TokCol)
+          else wordsCol(col(textCol))).as("simhash"))
 
   /** SimHash near-dup groups: docs sharing the top-16-bit prefix band are
     * candidates (a standard rotate-and-block scheme's first block).
@@ -284,7 +281,9 @@ object Dedup {
     * form is what the cross-engine oracle compares.
     */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
-    simhashSignatures(docs(spark, dir), "doc_id", "text")
+    // shared tokenized view (r13): the signature pass reads pre-split token
+    // arrays instead of re-splitting the corpus (same idiom as q171/q270)
+    simhashSignatures(TokenizedCorpus.withTokens(spark, dir), "doc_id", "text")
       .withColumn("band", shiftrightunsigned(col("simhash"), SimhashBits - 16))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("mlist"))
