@@ -328,6 +328,46 @@ object OptProbe {
             (col("span_end") - col("span_start") + 1).as("span_tokens"))
       }),
       "q185_base" -> (() => graft.pipeline.Frequency.crossCorpusLeakage(spark, sfDir)),
+      "q175_bench" -> (() => graft.pipeline.Frequency.spanScrub(spark, sfDir)),
+      // r13 candidate: duplicated-gram detection via groupBy(gram)+join
+      // (partial-agg friendly, AQE-broadcastable dup side) instead of
+      // min/max window over the gram partition (hot grams buffer in one
+      // WindowExec task) — the q270 shape, gram STRINGS kept so the
+      // declared string-equality semantics are untouched
+      "q175_groupdup" -> (() => {
+        val n = 3
+        val documents = graft.pipeline.TokenizedCorpus.withTokens(spark, sfDir)
+        val base = documents.select(col("doc_id"), col("toks").as("ws"))
+        val words = base
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+            posexplode(col("ws")))
+          .select(col("doc_id"), col("n_words"), (col("pos") + 1).as("wpos"),
+            col("col").as("word"))
+        val grams = base
+          .filter(size(col("ws")) >= n)
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+              i => array_join(slice(col("ws"), i, lit(n)), " "))))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+        // no materialization: the dup agg and the join shuffle grams by the
+        // SAME key, so the exchange is planned once and reused
+        val dup = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx")).select(col("gram"))
+        val covered = grams.join(dup, Seq("gram"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+          .distinct()
+        words.join(covered, Seq("doc_id", "wpos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_words")).as("n_words"),
+            count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("wpos"), col("word")))),
+              x => x.getField("word")), " ").as("clean_text"))
+          .select(col("doc_id"), col("n_words"), col("n_kept"),
+            (col("n_words") - col("n_kept")).as("n_removed"), col("clean_text"))
+      }),
       "q81_base" -> (() => graft.pipeline.TextAnalysis.repetition(spark, sfDir)),
       "q81_fold" -> (() => {
         val d = graft.operators.MapWidth.widen(

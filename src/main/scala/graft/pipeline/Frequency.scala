@@ -285,7 +285,9 @@ object Frequency {
     // leaked feeds TWO consumers (the span islands and the distinct-coverage
     // count); without materialization each re-runs the corpus-wide gram
     // window above. The materialized form is the small test-side dup
-    // position set (optimization r12).
+    // position set (optimization r12). SIDE-EFFECTING BUILDER: the eager
+    // checkpoint runs those jobs at construction time (see
+    // TextAnalysis.pmiCollocations for the shared caveat).
     val leaked = grams(train, 0).unionByName(grams(test, 1))
       .withColumn("has_train",
         max(when(col("side") === 0, 1).otherwise(0)).over(perGram))

@@ -394,6 +394,10 @@ object TextAnalysis {
     */
   def pmiCollocations(spark: SparkSession, dir: String,
                       k: Int = 20, minCount: Int = 5): DataFrame = {
+    // SIDE-EFFECTING BUILDER (r12 advisor note): the eager localCheckpoints
+    // below execute the corpus-wide count jobs at CONSTRUCTION time — merely
+    // building this DataFrame (Explain, schema inspection) runs them; plan
+    // audits must snapshot the pre-checkpoint form (OptProbe has the hook).
     val w = graft.operators.MapWidth.widen(toks(spark, dir))
       .select(col("toks").as("w"))
     // materialize both count tables once (optimization r12): bg feeds two
