@@ -31,6 +31,17 @@ object Dedup {
   private def cachedDf(dir: String, key: String)(build: => DataFrame): DataFrame =
     indexCache.getOrElseUpdate((dir, key), { val df = build.persist(); df.count(); df })
 
+  /** [[cachedDf]] in ROW form: the frame is materialized once per JVM as an
+    * eager localCheckpoint instead of an InMemoryRelation. For wide
+    * array-carrying tables read several times per query (the ordered-token
+    * profile's toks/stoks), the columnar cache's per-read decompression
+    * dominated executor time (q171 exec 4.5 → 11.3 core-sec when it briefly
+    * used persist()); checkpointed row blocks deserialize at a fraction of
+    * that.
+    */
+  private def cachedCkpt(dir: String, key: String)(build: => DataFrame): DataFrame =
+    indexCache.getOrElseUpdate((dir, key), build.localCheckpoint(true))
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -624,16 +635,16 @@ object Dedup {
         size(col("ts")).as("sz"))
   }
 
-  /** [[orderedTokens]] over the shared tokenized corpus, persisted per
-    * (dir, block) through the same [[cachedDf]] index-serve path as q31's
-    * banded signatures. Persisting (vs the eager localCheckpoint the
-    * arbitrary-frame form uses) also gives the planner REAL size statistics,
-    * so the verify joins can pick broadcast at audit scale and sort-merge at
-    * corpus scale on their own.
+  /** [[orderedTokens]] over the shared tokenized corpus, materialized once
+    * per (dir, block) through the same index-serve cache as q31's banded
+    * signatures — in ROW form ([[cachedCkpt]]): the profile is read three
+    * times per query (prefix explode + both verify sides) and its array
+    * columns made the columnar cache's decompression the dominant executor
+    * cost when this briefly used persist().
     */
   private def cachedOrderedTokens(spark: SparkSession, dir: String,
       block: Option[String]): DataFrame =
-    cachedDf(dir, s"ordered-tokens-${block.getOrElse("")}") {
+    cachedCkpt(dir, s"ordered-tokens-${block.getOrElse("")}") {
       orderedTokens(TokenizedCorpus.withTokens(spark, dir), block)
     }
 
