@@ -328,6 +328,50 @@ object OptProbe {
             (col("span_end") - col("span_start") + 1).as("span_tokens"))
       }),
       "q185_base" -> (() => graft.pipeline.Frequency.crossCorpusLeakage(spark, sfDir)),
+      // the PRE-r13 rm3FromTable shape (per-call doclen stats aggregate +
+      // crossJoin(broadcast)) — same-session A/B against the stats-literal
+      // form the operator now uses
+      "q203_statsagg" -> (() => {
+        val eng = graft.pipeline.TextIndex.engineFor(spark, sfDir)
+        graft.GraftExtensions.register(spark)
+        import spark.implicits._
+        val seed = Seq("spark", "data", "join", "query")
+        val stop = Seq("a", "the")
+        val k1 = 1.2; val b = 0.75
+        val post = eng.scan(graft.pipeline.TextIndex.Db, graft.pipeline.TextIndex.PostingsTable)
+          .withColumnRenamed("word", "w")
+        val dl = eng.scan(graft.pipeline.TextIndex.Db, graft.pipeline.TextIndex.DoclenTable)
+        val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        def bm25(terms: DataFrame): DataFrame = {
+          val tf = post.join(broadcast(terms), "w")
+          val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          val termScore = idf * col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          tf.join(broadcast(dfreq), "w")
+            .join(dl, "doc_id")
+            .crossJoin(broadcast(g))
+            .select(col("doc_id"),
+              round(termScore, 8).cast("decimal(18,8)").as("ts"))
+            .groupBy(col("doc_id"))
+            .agg(round(sum(col("ts")).cast("double"), 4).as("score"))
+        }
+        val fb = bm25(seed.toDF("w"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+        val wgt = post
+          .join(broadcast(fb), "doc_id")
+          .filter(!col("w").isin((seed ++ stop).map(_.asInstanceOf[Any]): _*))
+          .join(dl, "doc_id")
+          .select(col("w"),
+            (round(col("tf") / col("dl"), 8).cast("decimal(18,8)") *
+              col("score").cast("decimal(18,4)")).as("c"))
+          .groupBy(col("w")).agg(sum(col("c")).as("wgt"))
+        val expTerms = wgt.orderBy(col("wgt").desc, col("w")).limit(5)
+          .select(col("w"))
+        bm25(expTerms.union(seed.toDF("w")))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }),
       "q175_bench" -> (() => graft.pipeline.Frequency.spanScrub(spark, sfDir)),
       // r13 candidate: duplicated-gram detection via groupBy(gram)+join
       // (partial-agg friendly, AQE-broadcastable dup side) instead of
