@@ -796,24 +796,37 @@ object Dedup {
     * uses 50 tokens — identical plan.
     */
   def repeatedSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
-    repeatedSpansOf(TokenizedCorpus.withTokens(spark, dir), w)
+    // dir-keyed form (r13): the (doc_id, pos, fp) fingerprint table is the
+    // span-dedup signature index — materialized ONCE per (dir, w) through
+    // the same row-form index cache as the ordered-token profile, so q270
+    // and q272 (and repeat bench runs) stop re-running the window
+    // generation + md5 pass each call
+    spansFromGrams(cachedCkpt(dir, s"span-grams-$w") {
+      spanGrams(TokenizedCorpus.withTokens(spark, dir), w)
+    }, w)
 
   /** Core of [[repeatedSpans]] over any (doc_id, text|toks, ...) frame. */
-  def repeatedSpansOf(documents: DataFrame, w: Int): DataFrame = {
-    val toks = documents
+  def repeatedSpansOf(documents: DataFrame, w: Int): DataFrame =
+    // two consumers (the duplicate-fp agg and the hits join) — without
+    // truncation the window-generation+md5 stage runs twice; the
+    // materialized form is (doc_id, pos, fp) rows only, never the window
+    // text (same doctrine as the similarity joins' ordered token table)
+    spansFromGrams(spanGrams(documents, w).localCheckpoint(true), w)
+
+  /** Windowed fingerprints: every w-token window as (doc_id, pos, fp). */
+  private def spanGrams(documents: DataFrame, w: Int): DataFrame =
+    documents
       .select(col("doc_id"), TokenizedCorpus.tokensOrSplit(documents).as("w"))
       .filter(size(col("w")) >= w)
-    val grams = toks.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(1, size(w) - ${w - 1}), i -> concat_ws(' ', slice(w, i, $w)))"))
-        .as(Seq("off", "gram")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${w - 1}), i -> concat_ws(' ', slice(w, i, $w)))"))
+          .as(Seq("off", "gram")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
         wordHash60(col("gram")).as("fp"))
-      // two consumers (the duplicate-fp agg and the hits join) — without
-      // truncation the window-generation+md5 stage runs twice; the
-      // materialized form is (doc_id, pos, fp) rows only, never the window
-      // text (same doctrine as the similarity joins' ordered token table)
-      .localCheckpoint(true)
+
+  /** Duplicate detection + maximal-span merge over a fingerprint table. */
+  private def spansFromGrams(grams: DataFrame, w: Int): DataFrame = {
     // "appears in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): the
     // min/max pair partial-aggregates map-side in one pass, where
     // countDistinct would Expand every row
